@@ -1,0 +1,305 @@
+"""Deduplication operators over the `documents` table — the training-data-pipeline
+layer (beyond reference parity).
+
+Five dedup families, each designed for 100 TB:
+  exact        — md5 groupBy: one shuffle on a 128-bit key, no skew (hash keys uniform).
+  minhash-LSH  — shingle → k-permutation signature → band buckets → candidate
+                 pairs only within buckets → exact-Jaccard verify. Pair blow-up is
+                 bounded by bucket size, never O(n²). All codegen'd expressions.
+  simhash      — 28-bit fingerprint via per-bit majority vote of token hashes;
+                 near-dups collide on the fingerprint (or Hamming-ball probes).
+  n-gram Jaccard — exact pairwise Jaccard, demonstrated on a bounded candidate
+                 set (consecutive ids here; in production the LSH output).
+  embedding cosine — near-dup by vector similarity (see similarity.py for ANN).
+
+Cross-engine determinism: every hash is md5-derived (functions/hashing.py), so
+the DuckDB oracle reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamds_spark.catalog import load_table
+from streamds_spark.functions.hashing import (
+    MINHASH_PRIME,
+    md5_int28,
+    md5_int60,
+    minhash_perm_constants,
+)
+from streamds_spark.functions.text import shingles_expr, tokens
+from streamds_spark.registry import query
+
+NUM_PERM = 16  # minhash permutations
+BANDS = 4  # 4 bands × 4 rows
+ROWS_PER_BAND = NUM_PERM // BANDS
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    HAVING count(*) >= 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep lowest doc_id per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → array<bigint> minhash signature (NUM_PERM entries).
+
+    Plan: tokenize → shingle (higher-order fn) → explode → 28-bit hash → for each
+    permutation i, min((a_i*h+b_i) mod P) — expressed as NUM_PERM aggregate
+    expressions over one explode, i.e. ONE shuffle on doc_id with map-side
+    partial mins. No UDF anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(shingles_expr("toks", SHINGLE_N)).alias("shingle"))
+        .select("doc_id", md5_int28(F.col("shingle")).alias("h"))
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_perm_constants(NUM_PERM))
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig
+
+
+def _duckdb_signature_sql() -> str:
+    """DuckDB CTEs producing the identical per-doc signature columns m0..m{k-1}."""
+    perms = minhash_perm_constants(NUM_PERM)
+    mins = ",\n           ".join(
+        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS m{i}" for i, (a, b) in enumerate(perms)
+    )
+    return rf"""
+    toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= {SHINGLE_N}
+                      THEN list_transform(range(1, len(t) - {SHINGLE_N} + 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                      ELSE [] END) AS shingle
+        FROM toks
+    ),
+    hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+           {mins}
+        FROM hashed GROUP BY doc_id
+    )"""
+
+
+_BAND_COLS = [
+    [f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)] for b in range(BANDS)
+]
+
+
+@query(
+    "dedup_minhash_signature",
+    oracle="WITH " + _duckdb_signature_sql() + "\n    SELECT * FROM sig",
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=16 permutations over 3-word shingles) — the
+    verifiable core of MinHash-LSH dedup."""
+    return _minhash_signature_df(spark, sf_dir)
+
+
+def _lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs via banding: docs sharing any band bucket."""
+    sig = _minhash_signature_df(spark, sf_dir)
+    bands = []
+    for b, cols in enumerate(_BAND_COLS):
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])).alias("bucket"),
+            )
+        )
+    buckets = bands[0]
+    for extra in bands[1:]:
+        buckets = buckets.unionByName(extra)
+    left = buckets.alias("a")
+    right = buckets.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle="WITH "
+    + _duckdb_signature_sql()
+    + f""",
+    buckets AS (
+        {" UNION ALL ".join(
+            "SELECT doc_id, " + str(b) + " AS band, md5("
+            + " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+            + ") AS bucket FROM sig"
+            for b, cols in enumerate(_BAND_COLS)
+        )}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (band=4 × rows=4 ⇒ ~Jaccard>0.5 candidates).
+    The bucket join is an equi-join on (band, bucket) — shuffles only bucket ids,
+    never the O(n²) cross product."""
+    return _lsh_pairs_df(spark, sf_dir)
+
+
+@query(
+    "dedup_simhash",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS w
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id, ('0x' || substr(md5(w), 1, 7))::BIGINT AS h FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, b.i AS i,
+               sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM th, (SELECT unnest(range(0, 28)) AS i) b
+        GROUP BY doc_id, b.i
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint (28-bit): per-bit majority vote over token hashes.
+
+    Implementation is exploded-by-bit (28 rows per token) → two-level agg. Both
+    aggs are partial map-side; the only shuffle key is (doc_id) then doc_id.
+    Near-dup docs differ in ≤3 bits — group by simhash (or probe Hamming balls)
+    to collapse them.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    th = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .select("doc_id", md5_int28(F.col("w")).alias("h"))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(27))).alias("i")
+    votes = (
+        th.select("doc_id", "h", bit)
+        .groupBy("doc_id", "i")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> i) & 1") == 1, 1).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0))
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= {SHINGLE_N}
+                   THEN list_transform(range(1, len(t) - {SHINGLE_N} + 2),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE [] END) AS sset
+        FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+                 nullif(len(list_distinct(list_concat(a.sset, b.sset))), 0), 4) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-word shingle) Jaccard over a bounded candidate set
+    (adjacent doc_ids here; at scale the candidate list comes from
+    dedup_minhash_lsh_pairs, keeping the verify join linear in candidates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.array_distinct(shingles_expr("toks", SHINGLE_N)).alias("sset"))
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset"))).cast("double")
+    union = F.size(F.array_union(F.col("a.sset"), F.col("b.sset")))
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter / F.nullif(union.cast("double"), F.lit(0.0)), 4).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+               AS cos_sim
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup scoring on a bounded candidate set (adjacent vec_ids;
+    at scale candidates come from LSH bucketing — similarity.py). Pure
+    zip_with/aggregate expressions, no UDF."""
+    from streamds_spark.functions.vectors import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,162 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+Two tiers:
+  ann_bruteforce_topk — exact top-k by cosine, a single codegen'd scan + TakeOrdered.
+    At 100 TB this is the per-partition-local-topk → k-row driver merge plan
+    (no global sort, no collect of the scan).
+  ann_lsh_topk — random-hyperplane LSH: N_PLANES deterministic (md5-seeded) hyperplanes
+    → an N_PLANES-bit bucket; search only the query's bucket. The bucket id is a plain
+    integer column, so at scale the table can be written bucketed/partitioned by
+    it and a probe becomes partition pruning. (rows-only driver check — the
+    hyperplane construction is not reasonably SQL-expressible; recall vs
+    brute-force is asserted in tests/test_similarity.py.)
+  kmeans_assign_step — one Lloyd's-algorithm assignment step (centroid per label,
+    assign each vector to nearest centroid): posexplode → avg per (label, dim) →
+    broadcast centroids → argmin. The iterative loop is driver-side over this
+    step (each iteration is one shuffle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamds_spark.catalog import load_table
+from streamds_spark.functions.vectors import as_double, cosine, dot, duckdb_cosine, norm
+from streamds_spark.registry import query
+
+QUERY_VEC_ID = 0  # the probe vector for top-k queries
+TOP_K = 10
+N_PLANES = 6  # 64 buckets: sized so sf0.01's 500 vectors average ~8 per bucket
+EMB_DIM = 64
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    SELECT b.vec_id AS vec_id, b.label AS label,
+           round({duckdb_cosine('a.embedding', 'b.embedding')}, 4) AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id = {QUERY_VEC_ID} AND b.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for one probe vector: broadcast the probe, scan once,
+    TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        as_double(F.col("embedding")).alias("q")
+    )
+    cand = emb.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    return (
+        cand.crossJoin(F.broadcast(probe))
+        .select("vec_id", "label", F.round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 (reproducible anywhere)."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(EMB_DIM):
+            h = int(hashlib.md5(f"plane-{p}-{d}".encode()).hexdigest()[:7], 16)
+            row.append((h % 2000) / 1000.0 - 1.0)  # uniform-ish in [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_col(vcol) -> "F.Column":
+    """Random-hyperplane signature as an integer column (pure expressions)."""
+    planes = _hyperplanes()
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        pl = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(vcol, pl) >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+@query("ann_lsh_topk", oracle=None)  # hyperplane LSH: rows-only check; recall tested in pytest
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucket scan. Only vectors in the
+    probe's bucket are scored — at scale, bucket = partition key ⇒ partition
+    pruning turns this into a tiny scan."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    bucketed = emb.withColumn("bucket", lsh_bucket_col(F.col("v")))
+    probe = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("q"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        bucketed.join(
+            F.broadcast(probe), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .select("vec_id", "label", F.round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+@query(
+    "kmeans_assign_step",
+    oracle="""
+    WITH pos AS (
+        SELECT vec_id, label,
+               unnest(embedding::DOUBLE[]) AS x,
+               unnest(range(1, len(embedding) + 1)) AS d
+        FROM embeddings
+    ),
+    centroids AS (
+        SELECT label AS c_label, d, avg(x) AS cx FROM pos GROUP BY label, d
+    ),
+    scored AS (
+        SELECT p.vec_id, c.c_label, sum((p.x - c.cx) * (p.x - c.cx)) AS dist2
+        FROM pos p JOIN centroids c ON p.d = c.d
+        GROUP BY p.vec_id, c.c_label
+    ),
+    ranked AS (
+        SELECT vec_id, c_label, dist2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rk
+        FROM scored
+    )
+    SELECT vec_id, c_label AS assigned_label, round(dist2, 4) AS dist2_r
+    FROM ranked WHERE rk = 1
+    """,
+)
+def kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step with label-seeded centroids: centroid = avg
+    per (label, dim); each vector assigned to the nearest centroid (squared L2).
+    Centroids are tiny (labels × dims) → broadcast; the per-vector argmin is a
+    window over ≤n_labels rows."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    pos = emb.select(
+        "vec_id", "label", F.posexplode(F.col("v")).alias("d0", "x")
+    ).withColumn("d", F.col("d0") + 1)
+    centroids = (
+        pos.groupBy(F.col("label").alias("c_label"), "d").agg(F.avg("x").alias("cx"))
+    )
+    scored = (
+        pos.join(F.broadcast(centroids), "d")
+        .groupBy("vec_id", "c_label")
+        .agg(F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))).alias("dist2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("c_label"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("c_label").alias("assigned_label"), F.round("dist2", 4).alias("dist2_r"))
+    )

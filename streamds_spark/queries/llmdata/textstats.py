@@ -1,0 +1,161 @@
+"""Text analysis operators over `documents`: language-ID heuristic, quality
+scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions (split/filter/aggregate higher-order functions) —
+one scan, no shuffle except where a groupBy is the point. At 100 TB each of
+these is a map-only pass that pushes `text` column pruning into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamds_spark.catalog import load_table
+from streamds_spark.functions.hashing import md5_int60
+from streamds_spark.functions.text import EN_STOPWORDS, shingles_expr, tokens
+from streamds_spark.registry import query
+
+_SW_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS INT)
+               AS n_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count per document (the BPE-ish regex variant is in
+    tests; this is the canonical cheap pass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"), "n_chars"
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks,
+               length(text) AS nchar
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           round(CASE WHEN len(toks) > 0
+                 THEN CAST(len(list_filter(toks, w -> list_contains([{_SW_LIST}], lower(w))))
+                      AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS stopword_ratio,
+           round(CASE WHEN len(toks) > 0
+                 THEN CAST(nchar AS DOUBLE) / len(toks) ELSE 0.0 END, 4) AS avg_token_len
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: token count, stopword ratio, chars-per-token.
+    (Length/punct/stopword family per C4/Gopher-style filtering rules.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_toks = F.size(toks)
+    n_sw = F.size(F.filter(toks, lambda w: F.array_contains(sw, F.lower(w))))
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(
+            F.when(n_toks > 0, n_sw.cast("double") / n_toks).otherwise(F.lit(0.0)), 4
+        ).alias("stopword_ratio"),
+        F.round(
+            F.when(n_toks > 0, F.length("text").cast("double") / n_toks).otherwise(F.lit(0.0)), 4
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, lang AS labeled_lang,
+               list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN len(toks) > 0 AND
+                     CAST(len(list_filter(toks, w -> list_contains([{_SW_LIST}], lower(w))))
+                          AS DOUBLE) / len(toks) >= 0.05
+                THEN 'en' ELSE 'und' END AS detected_lang
+    FROM t
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic: English stopword density ≥ 5% → 'en'.
+    (A real model would be a broadcast n-gram profile table joined the same way;
+    the labeled `lang` column rides along for evaluation.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_toks = F.size(toks)
+    ratio = F.size(F.filter(toks, lambda w: F.array_contains(sw, F.lower(w)))).cast("double") / n_toks
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when((n_toks > 0) & (ratio >= 0.05), F.lit("en")).otherwise(F.lit("und")).alias(
+            "detected_lang"
+        ),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 4
+                      THEN list_transform(range(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                      ELSE [] END) AS g
+        FROM t
+    )
+    SELECT doc_id, min(('0x' || substr(md5(g), 1, 15))::BIGINT) AS fingerprint
+    FROM sh GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min rolling-hash over 4-word windows (winnowing with
+    window = whole doc). Identical-content docs collide exactly; the hash is the
+    cross-engine md5-int (functions/hashing.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(shingles_expr("toks", 4)).alias("g"))
+    )
+    return sh.groupBy("doc_id").agg(F.min(md5_int60(F.col("g"))).alias("fingerprint"))
+
+
+@query(
+    "text_corpus_stats",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup by (lang, source) — the pipeline health query."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )

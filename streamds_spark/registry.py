@@ -1,0 +1,52 @@
+"""Query registry — the single source of truth binding each operator's PySpark
+implementation to its DuckDB oracle SQL.
+
+Every operator claimed in SURVEY.md §2 (and every added LLM-data-pipeline
+operator) registers here via the @query decorator. `__spark_entry__.py` exposes
+this registry to the driver: `queries()` returns the Spark callables,
+`oracle_sql()` the SQL strings. Ops that are genuinely not SQL-expressible
+register with oracle=None and get the driver's weaker rows-only check.
+
+Contract reminders (driver compares at sf=0.01):
+  - column NAMES must match between Spark result and oracle result
+    (driver sorts columns by name before hashing) — alias everything;
+  - round float aggregates to 4 decimals on BOTH sides;
+  - cast DuckDB integer SUMs to BIGINT (DuckDB widens to HUGEINT, Spark doesn't).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over the same tables, or None → rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a (spark, sf_dir) -> DataFrame callable under `name`."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (side effect: registry fills) and return it."""
+    from streamds_spark import queries as _q  # noqa: F401  (imports submodules)
+
+    return QUERIES
