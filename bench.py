@@ -1,0 +1,75 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed to completion (count() materializes the whole plan; the
+driver-side result is never collected) and timed wall-clock after a warm-up of
+the session. Run order is fixed for comparability across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from streamds_spark.registry import load_all
+from streamds_spark.session import get_spark
+
+HEADLINE = [
+    # reference-parity core
+    "flagship_filter_group_count",
+    "grep_count",
+    "wordcount",
+    "group_count_users",
+    # analytic surface
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_rank_orders",
+    "agg_stats_lineitem",
+    # LLM-data ops
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    specs = load_all()
+    spark = get_spark("bench")
+    # Warm up the JVM + parquet footer caches with a trivial action so the first
+    # timed query doesn't absorb session startup.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
