@@ -1,0 +1,123 @@
+"""Structured Streaming engine — the reference's RainStorm runtime semantics on
+Spark's checkpointed micro-batch machinery.
+
+Reference machinery → here (SURVEY.md §2.9):
+  ST1 count-based batching (300/250 tuples)  → maxFilesPerTrigger / trigger interval
+  ST2 ack+WAL at-least-once                  → checkpointed offsets (free)
+  ST3 tuple-ID dedup for exactly-once        → checkpoint + idempotent batchId sink;
+                                               explicit dropDuplicates for re-delivering sources
+  ST5 *COMPLETED* sentinel drain             → trigger(availableNow=True)
+  ST6/ST7 pause/replay/state rebuild         → state-store recovery on restart (free)
+  S6 append-buffer HyDFS sink                → foreachBatch idempotent parquet (batchId dir)
+  S7 leader console relay                    → console/memory sink, update mode
+
+The stateful stage-2 count (A1, full-map re-emit per input) is exactly
+outputMode("complete"|"update") on groupBy().count() — SURVEY.md §7.4 item 4.
+
+Scale: state lives in the executor state stores partitioned by the group key —
+the hash-shuffle the reference hand-rolled (ST4) is the exchange in front of the
+stateful agg. Late data / event-time (absent in the reference) is available via
+windowed_counts(watermark=...).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from streamds_spark.operators.rainstorm import STAGE1_OPS, STAGE2_OPS, RainStormJob
+
+
+def stream_text_source(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """Rate-controlled streaming text source (ST1 parity: files-per-trigger is
+    the count-based batch knob). Key = source file name; the reference's
+    per-line keys exist for its hand-rolled dedup, which the checkpoint
+    subsumes — documented divergence."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(input_dir).select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("key"),
+        F.col("value"),
+    )
+
+
+def compile_rainstorm_stream(
+    spark: SparkSession, job: RainStormJob, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """The RainStorm 3-stage chain as an unbounded DataFrame."""
+    src = stream_text_source(spark, job.src, max_files_per_trigger)
+    stage1 = STAGE1_OPS[job.op1](src, job.op1_param)
+    return STAGE2_OPS[job.op2](stage1, job.op2_param)
+
+
+def foreach_batch_parquet(dest: str) -> Callable[[DataFrame, int], None]:
+    """Idempotent sink: each micro-batch (over)writes its own batchId-keyed dir,
+    so a replayed batch lands in the same place — the exactly-once story the
+    reference built from acks + seen-maps (ST2/ST3). Readers take the latest
+    state via `read_latest_batch`."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(os.path.join(dest, f"batch={batch_id}"))
+
+    return write
+
+
+def read_latest_batch(spark: SparkSession, dest: str) -> DataFrame:
+    """Read the newest batch dir — the 'last buffer per task wins' semantics of
+    the reference's quantify (S8) without its merge dance."""
+    batches = [d for d in os.listdir(dest) if d.startswith("batch=")]
+    latest = max(batches, key=lambda d: int(d.split("=")[1]))
+    return spark.read.parquet(os.path.join(dest, latest))
+
+
+def run_rainstorm_stream(
+    spark: SparkSession,
+    job: RainStormJob,
+    checkpoint_dir: str,
+    dest_dir: str | None = None,
+    output_mode: str = "complete",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = 1,
+) -> StreamingQuery:
+    """Launch the streaming job. available_now=True drains all current input and
+    stops (the *COMPLETED* sentinel protocol, ST5); False keeps tailing the dir."""
+    result = compile_rainstorm_stream(spark, job, max_files_per_trigger)
+    writer = result.writeStream.outputMode(output_mode).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    if dest_dir is not None:
+        q = writer.foreachBatch(foreach_batch_parquet(dest_dir)).start()
+    else:
+        q = writer.format("console").start()
+    return q
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window counts with late-data handling — capability
+    beyond the reference (it has no notion of time; SURVEY.md §2.9 ST10)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "cnt",
+        )
+    )

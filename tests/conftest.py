@@ -1,0 +1,31 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from streamds_spark.session import get_spark
+
+SF_SMALL = "/root/testdata/sf0.001"
+REFERENCE_DATA = "/root/reference/HYDFS/business"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture()
+def tmp_out(tmp_path):
+    return str(tmp_path)
+
+
+def reference_file(name: str) -> str:
+    path = os.path.join(REFERENCE_DATA, name)
+    if not os.path.exists(path):
+        pytest.skip(f"reference dataset {name} not available")
+    return path

@@ -1,0 +1,137 @@
+"""Structured Streaming parity: rate-controlled batches, update/complete-mode
+stateful counts, idempotent sink, and the kill-and-restart exactly-once test
+(the reference's dokill fault-injection, core_process_stream_DS.go:1706-1736:
+final output after failure must equal the no-failure output)."""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+from streamds_spark.operators.rainstorm import RainStormJob
+from streamds_spark.streaming.engine import (
+    read_latest_batch,
+    run_rainstorm_stream,
+    stream_text_source,
+    windowed_counts,
+)
+
+WORDS = ["alpha", "beta", "gamma", "delta"]
+
+
+def _write_chunks(d: str, n_chunks: int = 6, lines_per_chunk: int = 50) -> Counter:
+    """Chunked input files (FIXTURES.md §6 arrival fixture); returns golden counts."""
+    os.makedirs(d, exist_ok=True)
+    golden: Counter = Counter()
+    for c in range(n_chunks):
+        lines = []
+        for i in range(lines_per_chunk):
+            w = WORDS[(c + i) % len(WORDS)]
+            lines.append(f"{w} {WORDS[(i * 7 + c) % len(WORDS)]}")
+            golden[w] += 1
+            golden[WORDS[(i * 7 + c) % len(WORDS)]] += 1
+        with open(os.path.join(d, f"chunk_{c:03d}.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return golden
+
+
+def test_streaming_wordcount_complete_mode(spark, tmp_path):
+    src = str(tmp_path / "in")
+    golden = _write_chunks(src)
+    job = RainStormJob("split_operator", "", "count_operator", "", src)
+    q = run_rainstorm_stream(
+        spark,
+        job,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dest_dir=str(tmp_path / "out"),
+        output_mode="complete",
+        available_now=True,
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(120)
+    final = read_latest_batch(spark, str(tmp_path / "out"))
+    got = {r["word"]: r["count"] for r in final.collect()}
+    assert got == dict(golden)
+
+
+def test_streaming_restart_recovers_state(spark, tmp_path):
+    """Kill mid-stream, restart from the same checkpoint, verify the final
+    counts equal the batch answer — ST6/ST7 parity (checkpointed state store
+    replaces the reference's buffer replay + PopulateStatefulOperatorFile)."""
+    src = str(tmp_path / "in")
+    half = str(tmp_path / "in_half")
+    golden = _write_chunks(src, n_chunks=6)
+    # phase 1: only half the chunks exist; stream drains and stops
+    os.makedirs(half)
+    for c in range(3):
+        name = f"chunk_{c:03d}.txt"
+        with open(os.path.join(src, name)) as fin, open(os.path.join(half, name), "w") as fout:
+            fout.write(fin.read())
+    job = RainStormJob("split_operator", "", "count_operator", "", half)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    q1 = run_rainstorm_stream(spark, job, ckpt, out, available_now=True, max_files_per_trigger=1)
+    q1.awaitTermination(120)
+    partial = {r["word"]: r["count"] for r in read_latest_batch(spark, out).collect()}
+    assert sum(partial.values()) == 3 * 50 * 2
+    # phase 2: the rest arrives; restart from the SAME checkpoint
+    for c in range(3, 6):
+        name = f"chunk_{c:03d}.txt"
+        with open(os.path.join(src, name)) as fin, open(os.path.join(half, name), "w") as fout:
+            fout.write(fin.read())
+    q2 = run_rainstorm_stream(spark, job, ckpt, out, available_now=True, max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    final = {r["word"]: r["count"] for r in read_latest_batch(spark, out).collect()}
+    assert final == dict(golden)
+
+
+def test_streaming_replayed_batch_is_idempotent(spark, tmp_path):
+    """Re-running an already-drained stream must not change the sink (the
+    exactly-once guarantee the reference built with seen-maps, ST3)."""
+    src = str(tmp_path / "in")
+    golden = _write_chunks(src, n_chunks=4)
+    job = RainStormJob("split_operator", "", "count_operator", "", src)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    for _ in range(2):  # second run finds no new data; sink must be unchanged
+        q = run_rainstorm_stream(spark, job, ckpt, out, available_now=True)
+        q.awaitTermination(120)
+        got = {r["word"]: r["count"] for r in read_latest_batch(spark, out).collect()}
+        assert got == dict(golden)
+
+
+def test_streaming_filter_project_pipeline(spark, tmp_path):
+    """Stateless stage-2 (project/collect) in streaming append mode."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.txt"), "w") as f:
+        f.write("keep this line\ndrop that line\nkeep me too\n")
+    job = RainStormJob("grep_filter", "^keep", "identity", "", src)
+    q = run_rainstorm_stream(
+        spark, job, str(tmp_path / "ckpt"), str(tmp_path / "out"),
+        output_mode="append", available_now=True,
+    )
+    q.awaitTermination(120)
+    import glob
+
+    batches = sorted(glob.glob(str(tmp_path / "out" / "batch=*")))
+    dfs = [spark.read.parquet(b) for b in batches]
+    rows = [r["value"] for df in dfs for r in df.collect()]
+    assert sorted(rows) == ["keep me too", "keep this line"]
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    """Event-time windows + watermark (beyond-reference capability, ST10):
+    batch-mode sanity of the same plan shape."""
+    from pyspark.sql import functions as F
+
+    events = spark.createDataFrame(
+        [("2024-01-01 00:01:00", "a"), ("2024-01-01 00:04:00", "a"), ("2024-01-01 00:11:00", "b")],
+        ["ts_s", "event_type"],
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    out = windowed_counts(events, window="10 minutes", watermark="10 minutes")
+    got = {(str(r["window_start"]), r["event_type"]): r["cnt"] for r in out.collect()}
+    assert got == {
+        ("2024-01-01 00:00:00", "a"): 2,
+        ("2024-01-01 00:10:00", "b"): 1,
+    }
