@@ -40,6 +40,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # as naive UTC — session-tz-dependent rendering/filtering would skew
     # date_trunc buckets and literal timestamp filters on non-UTC hosts.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Ship the package to Python workers (driver sys.path isn't inherited).
+    from streamds_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.

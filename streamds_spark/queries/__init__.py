@@ -1,7 +1,9 @@
 """Importing this package registers every query into streamds_spark.registry.QUERIES."""
 
+from streamds_spark.queries import advanced  # noqa: F401
 from streamds_spark.queries import parity  # noqa: F401
 from streamds_spark.queries import tpch  # noqa: F401
 from streamds_spark.queries.llmdata import dedup  # noqa: F401
+from streamds_spark.queries.llmdata import multimodal  # noqa: F401
 from streamds_spark.queries.llmdata import similarity  # noqa: F401
 from streamds_spark.queries.llmdata import textstats  # noqa: F401

@@ -1,0 +1,214 @@
+"""Advanced operators beyond the reference's surface: as-of join, range join,
+sessionization, exact percentiles, approximate distinct, n-gram mining.
+
+These are the operators Spark lacks as single primitives but that compose from
+DataFrame ops (SURVEY build-plan stance: composition first, Pandas UDF only
+when semantics demand it — none here do).
+
+Scale posture:
+  - sessionize / as-of: one shuffle on the partition key (user_id); windows run
+    sorted within partitions. Skewed users are AQE's problem (skew-join split
+    doesn't apply to windows, so a pathological single-user stream would need
+    salted pre-aggregation — documented in ARCHITECTURE.md).
+  - range join: the band table is tiny → broadcast nested-loop, fact side
+    never shuffles.
+  - percentiles: exact percentile is a full sort per group key — fine for
+    bounded groups; at 100 TB unbounded-cardinality groups should use
+    approx_percentile (HLL-sketch cousin, see approx_distinct_parts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streamds_spark.catalog import load_table
+from streamds_spark.registry import query
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_MIN * 60 * 1000000}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered
+    )
+    SELECT user_id, session_no, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min starts a new session): lag → flag → running
+    sum → session aggregate. The batch twin of streaming session windows."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
+@query(
+    "asof_last_click",
+    oracle="""
+    WITH ce AS (
+        SELECT event_id, user_id, ts, event_type FROM events
+        WHERE event_type IN ('click', 'error')
+    ),
+    w AS (
+        SELECT event_id, user_id, ts, event_type,
+               max(CASE WHEN event_type = 'click' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+        FROM ce
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+           strftime(last_click, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+    FROM w WHERE event_type = 'error'
+    """,
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join within a stream: for every error event, the most recent prior
+    click by the same user. Expressed as a running max over a CASE — one
+    shuffle on user_id, no self-join blow-up. (max(ts ROWS ≤ current) is the
+    as-of backward lookup; NULL = no prior click.)"""
+    events = load_table(spark, sf_dir, "events")
+    ce = events.filter(F.col("event_type").isin("click", "error")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    withclick = ce.withColumn(
+        "last_click", F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    )
+    return withclick.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+        F.date_format("last_click", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
+    )
+
+
+_BANDS = [(i, 900.0 + 20.0 * i, 900.0 + 20.0 * (i + 1)) for i in range(5)]  # p_retailprice ∈ [900, 1000)
+
+
+@query(
+    "range_join_price_bands",
+    oracle=f"""
+    WITH bands(band_id, lo, hi) AS (VALUES {", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)})
+    SELECT band_id, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band_id
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: non-equi join against a tiny interval table →
+    broadcast nested loop; the part scan never shuffles."""
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_BANDS, ["band_id", "lo", "hi"])
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(F.count("*").alias("n_parts"), F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+    )
+
+
+@query(
+    "percentiles_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) percentiles per group. At unbounded scale switch to
+    approx_percentile — same plan shape, sketch-mergeable partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@query("approx_distinct_parts", oracle=None)  # HLL sketch ≠ DuckDB's sketch; bounded-error test in pytest
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB cardinality path —
+    fixed-size mergeable sketches instead of the exact distinct's full shuffle.
+    tests/test_advanced.py bounds the error vs the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "bigram_counts",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT unnest(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+               ELSE [] END) AS bigram
+        FROM toks
+    )
+    SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram HAVING count(*) > 1
+    """,
+)
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram mining (bigrams) over the corpus — explode + partial-agg count;
+    the building block for phrase-dedup and contamination checks."""
+    from streamds_spark.functions.text import shingles_expr, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(tokens(F.col("text")).alias("toks"))
+        .select(F.explode(shingles_expr("toks", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )

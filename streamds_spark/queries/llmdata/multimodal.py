@@ -1,0 +1,48 @@
+"""Multimodal queries: binary-column stats (oracle-checked) and the
+decode/resize/frame-sample passes (rows-only — the mapInPandas pipeline has no
+SQL twin; semantics are pinned by tests/test_multimodal.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamds_spark.catalog import load_table
+from streamds_spark.functions.multimodal import decode_media, synth_media_table
+from streamds_spark.registry import query
+
+
+@query(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT octet_length(encode(text)) AS n_bytes,
+           count(*) AS cnt
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column handling without UDFs: byte length distribution of the
+    utf-8 payload (binary casts/length are codegen'd JVM expressions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.octet_length(F.col("text").cast("binary")).alias("n_bytes"))
+        .groupBy("n_bytes")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query("multimodal_decode_meta", oracle=None)  # mapInPandas pipeline — no SQL twin
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode pass over a synthetic media table derived from documents:
+    media_id → (kind, width, height, n_bytes, checksum). Exercises the full
+    Arrow-batched binary plumbing the image/audio pipeline uses at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_media_table(docs)
+    meta = decode_media(media)
+    return meta.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.min("width").alias("min_width"),
+        F.max("width").alias("max_width"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )

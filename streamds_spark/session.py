@@ -13,10 +13,35 @@ Scale stance (100 TB / 1000 executors):
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the streamds_spark package to Python workers via addPyFile.
+
+    The driver may import this package from a sys.path entry the forked Python
+    workers don't inherit (they only get PYTHONPATH/cwd); any cloudpickled
+    closure referencing module-level symbols (mapInPandas decode, pandas_udf
+    wrappers) would then fail to unpickle worker-side. One zip per session fixes
+    that for local and cluster mode alike.
+    """
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(tempfile.gettempdir(), f"streamds_spark_pkg_{os.getpid()}")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir), "streamds_spark")
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
 
 
 def get_spark(app_name: str = "streamds_spark", shuffle_partitions: int | None = None) -> SparkSession:

@@ -1,0 +1,84 @@
+"""Multimodal binary-column plumbing: synth → decode → resize → frame-sample,
+all through Arrow-batched mapInPandas on real DataFrames."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamds_spark.functions.multimodal import (
+    MEDIA_SCHEMA,
+    decode_media,
+    resize_media,
+    sample_frames,
+    synth_media_table,
+    synth_payload,
+    _fake_decode,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, "img", synth_payload("seed-a", "img", 64, 48)),
+        (1, "aud", synth_payload("seed-b", "aud", 128, 1)),
+        (2, "vid", synth_payload("seed-c", "vid", 320, 240)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).cache()
+
+
+def test_decode_roundtrips_header(spark, media):
+    meta = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert (meta[0]["kind"], meta[0]["width"], meta[0]["height"]) == ("img", 64, 48)
+    assert (meta[1]["kind"], meta[1]["width"]) == ("aud", 128)
+    assert (meta[2]["kind"], meta[2]["width"], meta[2]["height"]) == ("vid", 320, 240)
+    # checksum matches a local recompute of the same payload
+    assert meta[0]["checksum"] == hashlib.md5(synth_payload("seed-a", "img", 64, 48)).hexdigest()
+
+
+def test_decode_is_deterministic(spark, media):
+    a = sorted(map(tuple, decode_media(media).collect()))
+    b = sorted(map(tuple, decode_media(media).collect()))
+    assert a == b
+
+
+def test_fake_decode_rejects_unknown_magic():
+    with pytest.raises(NotImplementedError):
+        _fake_decode(b"XXX" + b"\x00" * 20)
+
+
+def test_resize_changes_header_and_shrinks(spark, media):
+    out = {r["media_id"]: r for r in resize_media(media, 16, 16).collect()}
+    for r in out.values():
+        assert (r["width"], r["height"]) == (16, 16)
+        kind, w, h = _fake_decode(bytes(r["payload"]))
+        assert (w, h) == (16, 16)
+    assert len(bytes(out[2]["payload"])) < 320 * 240 // 16
+
+
+def test_frame_sampling_flatmap_shape(spark, media):
+    frames = sample_frames(media.filter(F.col("kind") == "vid"), frame_bytes=64, every_k=4).collect()
+    assert len(frames) > 1
+    assert all(r["frame_no"] % 4 == 0 for r in frames)
+    body = synth_payload("seed-c", "vid", 320, 240)[11:]
+    assert bytes(frames[0]["frame"]) == body[:64]
+
+
+def test_synth_media_table_from_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = synth_media_table(docs)
+    meta = decode_media(media)
+    assert meta.count() == docs.count()
+    kinds = {r["kind"] for r in meta.select("kind").distinct().collect()}
+    assert kinds == {"img", "aud", "vid"}
+
+
+def test_registered_multimodal_queries(spark):
+    from streamds_spark.registry import load_all
+
+    specs = load_all()
+    out = specs["multimodal_decode_meta"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert {r["kind"] for r in out} == {"img", "aud", "vid"}
+    assert sum(r["n_media"] for r in out) == 500
