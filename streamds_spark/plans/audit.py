@@ -1,0 +1,64 @@
+"""Physical-plan audit helpers: assert the plan properties that matter at
+100 TB — pushdown, pruning, broadcast, partial aggregation, codegen — instead
+of guessing. Used by tests/test_plans.py and ad-hoc from a REPL:
+
+    from streamds_spark.plans.audit import formatted_plan, plan_report
+    print(plan_report(df))
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@dataclass
+class PlanFacts:
+    pushed_filters: list[str]
+    read_schemas: list[str]
+    has_broadcast_join: bool
+    has_sortmerge_join: bool
+    has_codegen: bool
+    has_partial_agg: bool
+    has_take_ordered: bool
+    n_exchanges: int
+
+
+def plan_facts(df: DataFrame) -> PlanFacts:
+    p = formatted_plan(df)
+    return PlanFacts(
+        pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", p),
+        read_schemas=re.findall(r"ReadSchema: ([^\n]*)", p),
+        has_broadcast_join="BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p,
+        has_sortmerge_join="SortMergeJoin" in p,
+        has_codegen="codegen id" in p,  # only populated post-execution under AQE
+        has_partial_agg="HashAggregate" in p or "SortAggregate" in p,
+        has_take_ordered="TakeOrderedAndProject" in p,
+        n_exchanges=p.count("Exchange"),
+    )
+
+
+def plan_report(df: DataFrame) -> str:
+    f = plan_facts(df)
+    lines = [
+        f"broadcast_join={f.has_broadcast_join} sortmerge_join={f.has_sortmerge_join}",
+        f"codegen={f.has_codegen} partial_agg={f.has_partial_agg} take_ordered={f.has_take_ordered}",
+        f"exchanges={f.n_exchanges}",
+    ]
+    for s in f.read_schemas:
+        lines.append(f"read_schema: {s}")
+    for pf in f.pushed_filters:
+        if pf.strip():
+            lines.append(f"pushed: {pf}")
+    return "\n".join(lines)

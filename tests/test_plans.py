@@ -1,0 +1,60 @@
+"""Plan-shape regression tests: the properties that keep these operators fast
+at 100 TB must hold in the physical plan, not just in intent."""
+
+from __future__ import annotations
+
+import pytest
+
+from streamds_spark.plans.audit import plan_facts
+from streamds_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+SPECS = load_all()
+
+
+@pytest.fixture(scope="module")
+def facts(spark):
+    def get(name):
+        return plan_facts(SPECS[name].fn(spark, SF))
+
+    return get
+
+
+def test_q6_filter_pushdown_and_pruning(facts):
+    f = facts("q6_forecast_revenue")
+    pushed = " ".join(f.pushed_filters)
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    # column pruning: scan must read only the 4 needed columns, not all 11
+    assert any(
+        s.count(":") <= 5 and "l_extendedprice" in s for s in f.read_schemas
+    ), f.read_schemas
+
+
+def test_grep_reads_only_text_column(facts):
+    f = facts("grep_count")
+    assert any(s.strip().startswith("struct<text:string") for s in f.read_schemas), f.read_schemas
+
+
+def test_dim_joins_are_broadcast(facts):
+    for q in ["q3_shipping_priority", "broadcast_join_agg", "brand_revenue", "q5_local_supplier_volume"]:
+        f = facts(q)
+        assert f.has_broadcast_join, q
+
+
+def test_topk_avoids_global_sort(facts):
+    for q in ["topk_parts", "ann_bruteforce_topk", "q3_shipping_priority"]:
+        assert facts(q).has_take_ordered, q
+
+
+def test_aggregations_have_partial_phase(facts):
+    # (codegen ids only appear in formatted plans post-execution under AQE,
+    # so partial-agg presence is the pre-execution invariant we can assert)
+    for q in ["wordcount", "q1_pricing_summary", "group_count_users"]:
+        assert facts(q).has_partial_agg, q
+
+
+def test_single_scan_queries_have_bounded_exchanges(facts):
+    # one groupBy → at most a couple of exchanges (incl. AQE reuse); a blowup
+    # here means an accidental extra shuffle snuck into a basic operator
+    for q, max_ex in [("wordcount", 2), ("group_count_users", 2), ("dedup_exact", 2)]:
+        assert facts(q).n_exchanges <= max_ex, q
