@@ -1,0 +1,102 @@
+"""Typed readers for the reference's CSV datasets and generic line sources.
+
+The reference stores untyped text in HyDFS and re-parses (and re-types) every
+tuple inside every operator process (SURVEY.md §1.1). Here typing happens once
+at the reader; operators receive real columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Typed schemas for the reference datasets (FIXTURES.md §1-3). Columns the
+# queries never touch stay strings.
+TRAFFIC_SIGNS_SCHEMA = StructType(
+    [
+        StructField("x", DoubleType()),
+        StructField("y", DoubleType()),
+        StructField("objectid", IntegerType()),
+        StructField("sign_name", StringType()),
+        StructField("size", StringType()),
+        StructField("blank5", StringType()),
+        StructField("sign_post", StringType()),
+        StructField("year", StringType()),
+        StructField("category", StringType()),
+        StructField("blank9", StringType()),
+        StructField("mutcd_code", StringType()),
+        StructField("city", StringType()),
+        StructField("seq", StringType()),
+        StructField("unnamed13", StringType()),
+        StructField("capture_method", StringType()),
+        StructField("zone_letter", StringType()),
+        StructField("street", StringType()),
+        StructField("seq2", StringType()),
+        StructField("unnamed18", StringType()),
+        StructField("guid", StringType()),
+    ]
+)
+
+LICHESS_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("rated", StringType()),
+        StructField("created_at", DoubleType()),
+        StructField("last_move_at", DoubleType()),
+        StructField("turns", IntegerType()),
+        StructField("victory_status", StringType()),
+        StructField("winner", StringType()),
+        StructField("increment_code", StringType()),
+        StructField("white_id", StringType()),
+        StructField("white_rating", IntegerType()),
+        StructField("black_id", StringType()),
+        StructField("black_rating", IntegerType()),
+        StructField("moves", StringType()),
+        StructField("opening_eco", StringType()),
+        StructField("opening_name", StringType()),
+        StructField("opening_ply", IntegerType()),
+    ]
+)
+
+PARKING_SCHEMA = StructType(
+    [StructField(n, t())
+     for n, t in [
+         ("x", DoubleType), ("y", DoubleType), ("objectid", IntegerType),
+         ("meterloc", StringType), ("hours", IntegerType), ("rate", DoubleType),
+         ("days", IntegerType), ("wrm", IntegerType), ("zoneid", StringType),
+         ("zonedesc", StringType), ("notes", StringType), ("facilityid", IntegerType),
+         ("active", StringType), ("blocknumber", StringType), ("blockstreet", StringType),
+         ("enforcement_zone", IntegerType), ("enforcement_time", StringType),
+         ("enforcement_days", StringType), ("max_time", StringType), ("no_max", StringType),
+         ("no_charge_1", StringType), ("no_parking", StringType), ("no_charge_2", StringType),
+     ]]
+)
+
+
+def read_traffic_signs(spark: SparkSession, path: str) -> DataFrame:
+    """Traffic_Signs_*.txt: 20-col CSV, no header, RFC-4180 doubled quotes."""
+    return spark.read.csv(path, schema=TRAFFIC_SIGNS_SCHEMA, header=False, escape='"')
+
+
+def read_lichess(spark: SparkSession, path: str) -> DataFrame:
+    """Lichess.txt: 16-col CSV with header."""
+    return spark.read.csv(path, schema=LICHESS_SCHEMA, header=True, escape='"')
+
+
+def read_parking(spark: SparkSession, path: str) -> DataFrame:
+    """Parking_Meter_Spaces.txt: 23-col CSV with header."""
+    return spark.read.csv(path, schema=PARKING_SCHEMA, header=True, escape='"')
+
+
+def read_lines_keyed(spark: SparkSession, path: str) -> DataFrame:
+    """Generic keyed line source — the (filename:lineNo, line) tuple model."""
+    from streamds_spark.operators.rainstorm import read_source
+
+    return read_source(spark, path)

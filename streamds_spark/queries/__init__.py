@@ -1,6 +1,7 @@
 """Importing this package registers every query into streamds_spark.registry.QUERIES."""
 
 from streamds_spark.queries import advanced  # noqa: F401
+from streamds_spark.queries import analytics  # noqa: F401
 from streamds_spark.queries import parity  # noqa: F401
 from streamds_spark.queries import tpch  # noqa: F401
 from streamds_spark.queries.llmdata import dedup  # noqa: F401

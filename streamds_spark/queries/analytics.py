@@ -1,0 +1,167 @@
+"""Second analytics wave: pivot, arg-max selection, correlation/covariance,
+lag/lead deltas, conditional aggregation, string extraction — rounding out the
+scalar/aggregate function surface (all absent in the reference; SURVEY.md §2.8
+lists its entire scalar repertoire as split/contains/concat/cast)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streamds_spark.catalog import load_table
+from streamds_spark.registry import query
+
+_ETYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "pivot_events",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}" for t in _ETYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user event-type counts as columns. Fixed pivot
+    values keep it a single-pass agg (no distinct-values pre-query)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", _ETYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _ETYPES)
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    SELECT lang,
+           arg_max(doc_id, n_chars ORDER BY n_chars DESC, doc_id) AS best_doc_id,
+           max(n_chars) AS best_n_chars,
+           count(*) AS group_size
+    FROM documents GROUP BY lang
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-selection dedup: keep the 'best' doc per group (arg-max by
+    quality proxy, ties → lowest doc_id). The struct-max trick: one partial-agg
+    shuffle, no window, no self-join — THE pattern for keep-one-per-cluster at
+    scale (cluster id from LSH replaces lang in production)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # max over (n_chars, -doc_id) struct = arg_max with deterministic ties
+    best = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))).alias("b")
+    return (
+        docs.groupBy("lang")
+        .agg(best, F.count("*").alias("group_size"))
+        .select(
+            "lang",
+            (-F.col("b.neg_id")).cast("bigint").alias("best_doc_id"),
+            F.col("b.n_chars").alias("best_n_chars"),
+            "group_size",
+        )
+    )
+
+
+@query(
+    "corr_value_hour",
+    oracle="""
+    SELECT event_type,
+           round(corr(value, CAST(hour(ts) AS DOUBLE)), 4) AS corr_vh,
+           round(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 4) AS covar_vh
+    FROM events GROUP BY event_type
+    """,
+)
+def corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: correlation/covariance (mergeable moments —
+    partial-agg friendly at any scale)."""
+    events = load_table(spark, sf_dir, "events")
+    h = F.hour("ts").cast("double")
+    return events.groupBy("event_type").agg(
+        F.round(F.corr("value", h), 4).alias("corr_vh"),
+        F.round(F.covar_samp("value", h), 4).alias("covar_vh"),
+    )
+
+
+@query(
+    "lag_lead_deltas",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER w, 4) AS delta_prev,
+           round(lead(value) OVER w - value, 4) AS delta_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytic functions: per-user value deltas in event order."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 4).alias("delta_next"),
+    )
+
+
+@query(
+    "conditional_agg_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4) AS finished_value
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def conditional_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER/CASE): several metrics in ONE scan+shuffle
+    instead of N filtered sub-queries."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 4
+        ).alias("finished_value"),
+    )
+
+
+@query(
+    "regex_extract_parts",
+    oracle="""
+    SELECT regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           count(*) AS cnt,
+           CAST(sum(p_size) AS BIGINT) AS total_size
+    FROM part GROUP BY 1
+    """,
+)
+def regex_extract_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract as a grouping key — string-function surface check."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy(F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"))
+        .agg(F.count("*").alias("cnt"), F.sum("p_size").alias("total_size"))
+    )
+
+
+@query(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 4) AS totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price (two-pass:
+    1-row agg broadcast into the filter)."""
+    orders = load_table(spark, sf_dir, "orders")
+    avg_price = orders.agg(F.avg("o_totalprice").alias("a"))
+    return (
+        orders.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("a"))
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("totalprice"))
+    )
