@@ -45,9 +45,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     specs = load_all()
     spark = get_spark("bench")
-    # Warm up the JVM + parquet footer caches with a trivial action so the first
-    # timed query doesn't absorb session startup.
+    # Warm up the JVM, codegen, and the parquet read path (footer parsing,
+    # filesystem) so the first timed query doesn't absorb session startup.
     spark.range(1).count()
+    from streamds_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "region").count()
+    load_table(spark, sf_dir, "orders").limit(10).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,90 @@
+"""Command-line entry points mirroring the reference's interactive commands, so
+a reference user can run the same jobs verbatim-ish:
+
+    # MP4 RainStorm (reference: RainStorm op1 op1_param op2 op2_param src dest n)
+    python -m streamds_spark.cli rainstorm app2_1 "Punched Telespar" \
+        count_operator "" input.csv out_dir 3
+
+    # MP1 grep (reference: typed at the leader terminal)
+    python -m streamds_spark.cli grep "grep -c 'ERROR'" /var/log/vm*.log
+
+    # quantify (reference: quantify <dest> <n>)
+    python -m streamds_spark.cli quantify out_dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="streamds_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    rs = sub.add_parser("rainstorm", help="run a RainStorm job spec (batch)")
+    rs.add_argument("op1")
+    rs.add_argument("op1_param")
+    rs.add_argument("op2")
+    rs.add_argument("op2_param")
+    rs.add_argument("src")
+    rs.add_argument("dest", nargs="?", default=None)
+    rs.add_argument("num_tasks", nargs="?", type=int, default=3)
+    rs.add_argument("--stream", action="store_true", help="run via Structured Streaming")
+    rs.add_argument("--checkpoint", default=None, help="checkpoint dir (stream mode)")
+
+    gp = sub.add_parser("grep", help="distributed grep over log files")
+    gp.add_argument("command", help="e.g. \"grep -c 'ERROR'\" (quotes required)")
+    gp.add_argument("path", help="file/dir/glob of logs")
+
+    qf = sub.add_parser("quantify", help="count (distinct) records in a dest table")
+    qf.add_argument("dest")
+
+    args = parser.parse_args(argv)
+    from streamds_spark.session import get_spark
+
+    spark = get_spark("streamds-cli")
+
+    if args.cmd == "rainstorm":
+        if args.stream:
+            from streamds_spark.operators.rainstorm import RainStormJob
+            from streamds_spark.streaming.engine import read_latest_batch, run_rainstorm_stream
+
+            if not args.dest or not args.checkpoint:
+                parser.error("--stream requires dest and --checkpoint")
+            job = RainStormJob(
+                args.op1, args.op1_param, args.op2, args.op2_param, args.src, args.dest
+            )
+            q = run_rainstorm_stream(spark, job, args.checkpoint, args.dest)
+            q.awaitTermination()
+            result = read_latest_batch(spark, args.dest)
+        else:
+            from streamds_spark.operators.rainstorm import run_rainstorm
+
+            result = run_rainstorm(
+                spark, args.op1, args.op1_param, args.op2, args.op2_param,
+                args.src, args.dest, args.num_tasks,
+            )
+        for row in result.collect():
+            print("\t".join(str(v) for v in row))
+    elif args.cmd == "grep":
+        from streamds_spark.operators.grep import grep, grep_total, parse_grep, read_logs
+
+        logs = read_logs(spark, args.path)
+        pipe = parse_grep(args.command)
+        if pipe.count:
+            per_file = grep(logs, args.command).collect()
+            for r in sorted(per_file, key=lambda r: r["file"]):
+                print(f"{r['file']}:{r['match_count']}")
+            print(f"TOTAL:{sum(r['match_count'] for r in per_file)}")
+        else:
+            for r in grep(logs, args.command).collect():
+                print(r["line"])
+    elif args.cmd == "quantify":
+        df = spark.read.parquet(args.dest)
+        print(f"records:{df.count()} distinct:{df.distinct().count()}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

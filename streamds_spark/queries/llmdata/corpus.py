@@ -1,0 +1,127 @@
+"""Corpus-level LLM-data queries: TF-IDF, dedup-pipeline verification, funnel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streamds_spark.catalog import load_table
+from streamds_spark.functions.text import tokens
+from streamds_spark.registry import query
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df_ AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df_.df), 4) AS tfidf
+        FROM tf JOIN df_ USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with top-3 terms per document. Three aggs + one broadcast join
+    (document frequencies are vocabulary-sized → broadcast); the per-doc top-k
+    is a window over tiny per-doc groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar, computed once on the driver (metadata-scale)
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@query(
+    "funnel_click_to_purchase",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'click') AS first_click,
+               min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT
+        CAST(count(*) FILTER (WHERE first_click IS NOT NULL) AS BIGINT) AS n_clicked,
+        CAST(count(*) FILTER (WHERE first_click IS NOT NULL
+                              AND first_purchase > first_click) AS BIGINT) AS n_converted,
+        round(CAST(count(*) FILTER (WHERE first_click IS NOT NULL
+                                    AND first_purchase > first_click) AS DOUBLE) /
+              nullif(count(*) FILTER (WHERE first_click IS NOT NULL), 0), 4) AS conversion
+    FROM firsts
+    """,
+)
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users whose first purchase follows their first click.
+    Two-level conditional agg — one shuffle on user_id, then a 1-row reduce."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    clicked = F.count(F.when(F.col("first_click").isNotNull(), 1))
+    converted = F.count(
+        F.when(
+            F.col("first_click").isNotNull() & (F.col("first_purchase") > F.col("first_click")), 1
+        )
+    )
+    return firsts.agg(
+        clicked.alias("n_clicked"),
+        converted.alias("n_converted"),
+        F.round(
+            converted.cast("double") / F.nullif(clicked.cast("double"), F.lit(0.0)), 4
+        ).alias("conversion"),
+    )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than rollup/cube)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS cnt
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        """
+    )

@@ -1,0 +1,51 @@
+"""CLI entry points: the reference's terminal commands as subcommands."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from streamds_spark.cli import main
+from tests.conftest import reference_file
+
+
+def _run(argv):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(argv)
+    return rc, buf.getvalue()
+
+
+def test_cli_grep_count(spark, tmp_path):
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "vm0.log").write_text("ERROR a\nok\nERROR b\n")
+    (d / "vm1.log").write_text("ERROR c\n")
+    rc, out = _run(["grep", "grep -c 'ERROR'", str(d)])
+    assert rc == 0
+    assert "TOTAL:3" in out
+
+
+def test_cli_grep_lines(spark, tmp_path):
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "vm0.log").write_text("keep me\ndrop\n")
+    rc, out = _run(["grep", "grep 'keep'", str(d)])
+    assert "keep me" in out
+
+
+def test_cli_rainstorm_batch(spark, tmp_path):
+    path = reference_file("Traffic_Signs_1000.txt")
+    dest = str(tmp_path / "out")
+    rc, out = _run(["rainstorm", "app2_1", "Punched Telespar", "count_operator", "", path, dest])
+    assert rc == 0
+    assert "Regulatory" in out
+    assert spark.read.parquet(dest).count() > 0
+
+
+def test_cli_quantify(spark, tmp_path):
+    path = reference_file("Traffic_Signs_1000.txt")
+    dest = str(tmp_path / "out")
+    _run(["rainstorm", "app2_1", "Punched Telespar", "count_operator", "", path, dest])
+    rc, out = _run(["quantify", dest])
+    assert rc == 0 and "records:" in out and "distinct:" in out
