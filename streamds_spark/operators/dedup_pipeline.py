@@ -47,19 +47,18 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     sig_cols = [c for c in signatures.columns if c != id_col]
     rows_per_band = len(sig_cols) // bands
-    parts = []
-    for b in range(bands):
-        cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
-        parts.append(
-            signatures.select(
-                id_col,
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])).alias("bucket"),
-            )
-        )
-    buckets = parts[0]
-    for p in parts[1:]:
-        buckets = buckets.unionByName(p)
+    # one posexplode over per-band hashes — avoids re-evaluating the signature
+    # subtree once per band per join side
+    band_hashes = F.array(
+        *[
+            F.md5(F.concat_ws(",", *[
+                F.col(c).cast("string")
+                for c in sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
+            ]))
+            for b in range(bands)
+        ]
+    )
+    buckets = signatures.select(id_col, F.posexplode(band_hashes).alias("band", "bucket"))
     a, b_ = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(

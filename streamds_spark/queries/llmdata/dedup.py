@@ -123,20 +123,21 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs via banding: docs sharing any band bucket."""
+    """Candidate pairs via banding: docs sharing any band bucket.
+
+    Band buckets are emitted with ONE posexplode over an array of band hashes
+    (not a 4-way union, which would re-evaluate the whole signature subtree
+    once per band per join side — 8× the shingle+agg work)."""
     sig = _minhash_signature_df(spark, sf_dir)
-    bands = []
-    for b, cols in enumerate(_BAND_COLS):
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])).alias("bucket"),
-            )
-        )
-    buckets = bands[0]
-    for extra in bands[1:]:
-        buckets = buckets.unionByName(extra)
+    band_hashes = F.array(
+        *[
+            F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+            for cols in _BAND_COLS
+        ]
+    )
+    buckets = sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "bucket")
+    )
     left = buckets.alias("a")
     right = buckets.alias("b")
     pairs = (
