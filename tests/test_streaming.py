@@ -135,3 +135,33 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
         ("2024-01-01 00:00:00", "a"): 2,
         ("2024-01-01 00:10:00", "b"): 1,
     }
+
+
+def test_stream_static_join(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched by a static dim (the
+    broadcast-dim pattern in streaming form)."""
+    import os
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.txt"), "w") as f:
+        f.write("1 click\n2 view\n1 view\n9 click\n")
+    dim = spark.createDataFrame([(1, "alice"), (2, "bob")], ["uid", "name"])
+    stream = (
+        spark.readStream.format("text").load(src)
+        .select(F.split("value", " ").alias("p"))
+        .select(F.col("p").getItem(0).cast("int").alias("uid"), F.col("p").getItem(1).alias("etype"))
+    )
+    joined = stream.join(F.broadcast(dim), "uid")  # inner: unknown uid 9 drops
+    rows = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["uid"], r["etype"], r["name"]) for r in rows)
+    assert got == [(1, "click", "alice"), (1, "view", "alice"), (2, "view", "bob")]
