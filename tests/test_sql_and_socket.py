@@ -1,0 +1,99 @@
+"""SQL passthrough surface + socket streaming source (the reference category's
+'Structured Streaming + Kafka/socket sources' posture; Kafka isn't in this
+environment, socket is)."""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamds_spark.sql import sql
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sql_surface_matches_registry(spark):
+    df = sql(spark, SF, "SELECT o_orderpriority, count(*) AS cnt FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority")
+    from streamds_spark.registry import load_all
+
+    reg = load_all()["flagship_filter_group_count"].fn(spark, SF)
+    assert {tuple(r) for r in df.collect()} == {tuple(r) for r in reg.collect()}
+
+
+def test_sql_joins_and_views(spark):
+    df = sql(
+        spark,
+        SF,
+        """
+        SELECT n_name, count(*) AS n_cust
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_cust DESC, n_name LIMIT 3
+        """,
+    )
+    rows = df.collect()
+    assert len(rows) == 3 and all(r["n_cust"] > 0 for r in rows)
+
+
+def _serve_lines(port: int, lines: list[str], stop: threading.Event):
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", port))
+    srv.listen(1)
+    srv.settimeout(30)
+    try:
+        conn, _ = srv.accept()
+        for line in lines:
+            conn.sendall((line + "\n").encode())
+        # keep the connection open until the test is done draining
+        stop.wait(timeout=60)
+        conn.close()
+    finally:
+        srv.close()
+
+
+def test_socket_source_wordcount(spark, tmp_path):
+    """Socket streaming source → stateful count, stopped after the data drains
+    (the reference's 'streaming platform' demo over a network source)."""
+    port = 39871
+    stop = threading.Event()
+    lines = ["a b", "a c", "b a"]
+    t = threading.Thread(target=_serve_lines, args=(port, lines, stop), daemon=True)
+    t.start()
+    time.sleep(0.3)
+
+    try:
+        stream = (
+            spark.readStream.format("socket")
+            .option("host", "127.0.0.1")
+            .option("port", port)
+            .load()
+            .select(F.explode(F.split("value", " ")).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("count"))
+        )
+        state: dict[str, int] = {}
+
+        def sink(df, bid):
+            for r in df.collect():
+                state[r["word"]] = r["count"]
+
+        q = (
+            stream.writeStream.outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(sink)
+            .start()
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if state.get("a") == 3 and state.get("b") == 2 and state.get("c") == 1:
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+    finally:
+        stop.set()
+    assert state == {"a": 3, "b": 2, "c": 1}
