@@ -6,6 +6,7 @@ from streamds_spark.queries import collections  # noqa: F401
 from streamds_spark.queries import parity  # noqa: F401
 from streamds_spark.queries import tpch  # noqa: F401
 from streamds_spark.queries import tpch2  # noqa: F401
+from streamds_spark.queries.llmdata import contamination  # noqa: F401
 from streamds_spark.queries.llmdata import corpus  # noqa: F401
 from streamds_spark.queries.llmdata import dedup  # noqa: F401
 from streamds_spark.queries.llmdata import multimodal  # noqa: F401
