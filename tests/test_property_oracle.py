@@ -1,0 +1,120 @@
+"""Property-based cross-engine agreement: random small tables through
+filter/group/agg/join pipelines must produce identical results in Spark and
+DuckDB. Catches semantic drift the hand-written oracle queries don't cover."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # key
+        st.integers(min_value=-1000, max_value=1000),  # int value
+        st.sampled_from(["a", "b", "c", "d"]),  # category
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _spark_df(spark, rows):
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("v", IntegerType()),
+            StructField("c", StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _duck(rows):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k INTEGER, v INTEGER, c VARCHAR)")
+    if rows:
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    return con
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rows_strategy)
+def test_filter_group_agg_agreement(spark, rows):
+    from pyspark.sql import functions as F
+
+    df = _spark_df(spark, rows)
+    got = {
+        (r["k"], r["cnt"], r["s"])
+        for r in df.filter(F.col("v") > 0)
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"), F.sum("v").cast("bigint").alias("s"))
+        .collect()
+    }
+    con = _duck(rows)
+    want = set(
+        con.execute(
+            "SELECT k, count(*) AS cnt, CAST(sum(v) AS BIGINT) AS s FROM t WHERE v > 0 GROUP BY k"
+        ).fetchall()
+    )
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rows_strategy)
+def test_distinct_and_setops_agreement(spark, rows):
+    df = _spark_df(spark, rows)
+    got = {tuple(r) for r in df.select("c", "k").distinct().collect()}
+    con = _duck(rows)
+    want = set(con.execute("SELECT DISTINCT c, k FROM t").fetchall())
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rows_strategy, rows2=rows_strategy)
+def test_join_agreement(spark, rows, rows2):
+    from pyspark.sql import functions as F
+
+    a = _spark_df(spark, rows)
+    b = _spark_df(spark, rows2).select(F.col("k"), F.col("c").alias("c2"))
+    got = sorted(
+        (r["k"], r["c"], r["c2"])
+        for r in a.join(b, "k").select("k", "c", "c2").collect()
+    )
+    con = _duck(rows)
+    con.execute("CREATE TABLE t2 (k INTEGER, v INTEGER, c VARCHAR)")
+    if rows2:
+        con.executemany("INSERT INTO t2 VALUES (?, ?, ?)", rows2)
+    want = sorted(
+        con.execute("SELECT t.k, t.c, t2.c AS c2 FROM t JOIN t2 ON t.k = t2.k").fetchall()
+    )
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rows_strategy)
+def test_window_rank_agreement(spark, rows):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = _spark_df(spark, rows)
+    w = Window.partitionBy("c").orderBy(F.asc("v"), F.asc("k"))
+    got = sorted(
+        (r["c"], r["k"], r["v"], r["rn"])
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    )
+    con = _duck(rows)
+    want = sorted(
+        con.execute(
+            "SELECT c, k, v, row_number() OVER (PARTITION BY c ORDER BY v, k) AS rn FROM t"
+        ).fetchall()
+    )
+    assert got == want
