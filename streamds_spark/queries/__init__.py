@@ -10,5 +10,6 @@ from streamds_spark.queries.llmdata import contamination  # noqa: F401
 from streamds_spark.queries.llmdata import corpus  # noqa: F401
 from streamds_spark.queries.llmdata import dedup  # noqa: F401
 from streamds_spark.queries.llmdata import multimodal  # noqa: F401
+from streamds_spark.queries.llmdata import quality  # noqa: F401
 from streamds_spark.queries.llmdata import similarity  # noqa: F401
 from streamds_spark.queries.llmdata import textstats  # noqa: F401

@@ -165,3 +165,36 @@ def test_stream_static_join(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r["uid"], r["etype"], r["name"]) for r in rows)
     assert got == [(1, "click", "alice"), (1, "view", "alice"), (2, "view", "bob")]
+
+
+def test_stream_dedup_by_event_id(spark, tmp_path):
+    """Exactly-once for re-delivering sources: duplicate event ids dropped by
+    dropDuplicates (the explicit-tuple-ID path of ST3, for sources without
+    replay determinism)."""
+    import os
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    # event 2 delivered twice within a file, event 1 re-delivered across files
+    with open(os.path.join(src, "a.txt"), "w") as f:
+        f.write("1 click\n2 view\n2 view\n")
+    with open(os.path.join(src, "b.txt"), "w") as f:
+        f.write("1 click\n3 buy\n")
+    stream = (
+        spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(src)
+        .select(F.split("value", " ").alias("p"))
+        .select(F.col("p").getItem(0).alias("event_id"), F.col("p").getItem(1).alias("etype"))
+        .dropDuplicates(["event_id"])
+    )
+    rows = []
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["event_id"], r["etype"]) for r in rows)
+    assert got == [("1", "click"), ("2", "view"), ("3", "buy")]
