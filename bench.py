@@ -52,6 +52,9 @@ def main() -> None:
 
     load_table(spark, sf_dir, "region").count()
     load_table(spark, sf_dir, "orders").limit(10).count()
+    # two non-headline registry queries warm codegen + AQE machinery
+    specs["distinct_values"].fn(spark, sf_dir).count()
+    specs["topk_parts"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

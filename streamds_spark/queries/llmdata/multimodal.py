@@ -32,7 +32,27 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_meta", oracle=None)  # mapInPandas pipeline — no SQL twin
+@query(
+    "multimodal_decode_meta",
+    # The synthetic payload layout is exactly derivable (header 11 bytes +
+    # max(16, width*48/16) body; width = 64 + doc_id%64; kind = doc_id%3), so
+    # the Spark side exercises REAL mapInPandas decode while the oracle checks
+    # the decoded metadata analytically.
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'aud' ELSE 'vid' END AS kind,
+               CAST(64 + doc_id % 64 AS INT) AS width
+        FROM documents
+    )
+    SELECT kind,
+           count(*) AS n_media,
+           CAST(min(width) AS INT) AS min_width,
+           CAST(max(width) AS INT) AS max_width,
+           CAST(sum(11 + greatest(16, (width * 48) // 16)) AS BIGINT) AS total_bytes
+    FROM m GROUP BY kind
+    """,
+)
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode pass over a synthetic media table derived from documents:
     media_id → (kind, width, height, n_bytes, checksum). Exercises the full

@@ -38,11 +38,7 @@ def test_sql_joins_and_views(spark):
     assert len(rows) == 3 and all(r["n_cust"] > 0 for r in rows)
 
 
-def _serve_lines(port: int, lines: list[str], stop: threading.Event):
-    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-    srv.bind(("127.0.0.1", port))
-    srv.listen(1)
+def _serve_lines(srv: socket.socket, lines: list[str], stop: threading.Event):
     srv.settimeout(30)
     try:
         conn, _ = srv.accept()
@@ -58,10 +54,14 @@ def _serve_lines(port: int, lines: list[str], stop: threading.Event):
 def test_socket_source_wordcount(spark, tmp_path):
     """Socket streaming source → stateful count, stopped after the data drains
     (the reference's 'streaming platform' demo over a network source)."""
-    port = 39871
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))  # OS-assigned port: no collision across runs
+    srv.listen(1)
+    port = srv.getsockname()[1]
     stop = threading.Event()
     lines = ["a b", "a c", "b a"]
-    t = threading.Thread(target=_serve_lines, args=(port, lines, stop), daemon=True)
+    t = threading.Thread(target=_serve_lines, args=(srv, lines, stop), daemon=True)
     t.start()
     time.sleep(0.3)
 
