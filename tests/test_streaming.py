@@ -198,3 +198,95 @@ def test_stream_dedup_by_event_id(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r["event_id"], r["etype"]) for r in rows)
     assert got == [("1", "click"), ("2", "view"), ("3", "buy")]
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join with watermarks + time-bound condition —
+    the two-input streaming operator class the reference lacks entirely."""
+    import os
+    from pyspark.sql import functions as F
+
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    os.makedirs(clicks_dir)
+    os.makedirs(buys_dir)
+    with open(os.path.join(clicks_dir, "c.txt"), "w") as f:
+        f.write("1 2024-01-01T00:00:00\n2 2024-01-01T01:00:00\n")
+    with open(os.path.join(buys_dir, "b.txt"), "w") as f:
+        # user 1 buys 10 min after click (joins); user 2 buys 3h later (outside bound)
+        f.write("1 2024-01-01T00:10:00\n2 2024-01-01T04:00:00\n")
+
+    def load(d, ts_name):
+        return (
+            spark.readStream.format("text").load(d)
+            .select(F.split("value", " ").alias("p"))
+            .select(
+                F.col("p").getItem(0).cast("int").alias("uid"),
+                F.col("p").getItem(1).cast("timestamp").alias(ts_name),
+            )
+            .withWatermark(ts_name, "1 hour")
+        )
+
+    clicks = load(clicks_dir, "click_ts")
+    buys = load(buys_dir, "buy_ts")
+    joined = clicks.join(
+        buys,
+        (clicks.uid == buys.uid)
+        & (buys.buy_ts >= clicks.click_ts)
+        & (buys.buy_ts <= clicks.click_ts + F.expr("INTERVAL 1 HOUR")),
+    ).select(clicks.uid, "click_ts", "buy_ts")
+    rows = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert [(r["uid"]) for r in rows] == [1]
+
+
+def test_native_session_window_streaming(spark, tmp_path):
+    """Native session_window aggregation in streaming (gap-based sessions with
+    state store management — the built-in twin of sessionize_events)."""
+    import os
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.txt"), "w") as f:
+        f.write(
+            "7 2024-01-01T00:00:00\n"
+            "7 2024-01-01T00:10:00\n"   # same session (10 min gap < 30)
+            "7 2024-01-01T02:00:00\n"   # new session
+            "99 2024-01-01T04:00:00\n"  # flush: advances watermark past 02:30
+        )
+    stream = (
+        spark.readStream.format("text").load(src)
+        .select(F.split("value", " ").alias("p"))
+        .select(
+            F.col("p").getItem(0).cast("int").alias("uid"),
+            F.col("p").getItem(1).cast("timestamp").alias("ts"),
+        )
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), F.col("uid"))
+        .agg(F.count("*").alias("n"))
+        .select("uid", F.col("sw.start").alias("start"), "n")
+    )
+    rows = []
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits a session only once the watermark passes its end;
+    # uid 99's own session stays open and unemitted — that's the semantics.
+    got = sorted((r["uid"], str(r["start"]), r["n"]) for r in rows if r["uid"] == 7)
+    assert got == [
+        (7, "2024-01-01 00:00:00", 2),
+        (7, "2024-01-01 02:00:00", 1),
+    ]
