@@ -1,0 +1,63 @@
+"""Reproducible sampling operators for dataset curation — deterministic by
+construction (hash/modulo, not RNG), so pipelines are replayable and the same
+row set is selected on any engine, any cluster, any day."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamds_spark.catalog import load_table
+from streamds_spark.functions.hashing import duckdb_md5_int, md5_int60
+from streamds_spark.registry import query
+
+# Per-source mixture weights (fraction to keep) — the dataset-mixing knob.
+MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+DEFAULT_WEIGHT = 0.05
+
+
+@query(
+    "sample_systematic",
+    oracle="""
+    SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 3
+    """,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 10% sample by id stride — the reproducible debug-subset
+    selector (same rows every run, trivially pushed to the scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") % 10 == 3).select("doc_id", "lang")
+
+
+def _weight_expr_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {w}" for s, w in MIX_WEIGHTS.items()
+    )
+    return f"(CASE {cases} ELSE {DEFAULT_WEIGHT} END)"
+
+
+@query(
+    "mixture_sample",
+    oracle=f"""
+    SELECT source, count(*) AS n_sampled
+    FROM documents
+    WHERE ({duckdb_md5_int("CAST(doc_id AS VARCHAR)")} % 10000) / 10000.0
+          < {_weight_expr_sql()}
+    GROUP BY source
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling (dataset mixing): keep each doc with a
+    per-source probability, decided by a deterministic hash of its id — the
+    replayable alternative to rand()-based sampling. Map-only (no shuffle
+    before the count); changing the mix re-selects only the delta."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.lit(DEFAULT_WEIGHT)
+    for s, wt in MIX_WEIGHTS.items():
+        w = F.when(F.col("source") == s, F.lit(wt)).otherwise(w)
+    u = (md5_int60(F.col("doc_id").cast("string")) % 10000) / F.lit(10000.0)
+    return (
+        docs.filter(u < w)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"))
+    )
