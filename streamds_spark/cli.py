@@ -40,6 +40,14 @@ def main(argv: list[str] | None = None) -> int:
     qf = sub.add_parser("quantify", help="count (distinct) records in a dest table")
     qf.add_argument("dest")
 
+    sh = sub.add_parser(
+        "shell",
+        help="interactive terminal (the reference's command loop): SQL by "
+        "default; 'grep ...' and 'RainStorm ...' commands recognized",
+    )
+    sh.add_argument("--sf-dir", default=None, help="TESTDATA dir to register as views")
+    sh.add_argument("--logs", default=None, help="log dir/glob for grep commands")
+
     args = parser.parse_args(argv)
     from streamds_spark.session import get_spark
 
@@ -83,7 +91,61 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "quantify":
         df = spark.read.parquet(args.dest)
         print(f"records:{df.count()} distinct:{df.distinct().count()}")
+    elif args.cmd == "shell":
+        _shell(spark, args.sf_dir, args.logs)
     return 0
+
+
+def _shell(spark, sf_dir: str | None, logs: str | None) -> None:
+    """The reference's interactive terminal loop (SetupCommTerminal shape):
+    reads commands from stdin until EOF/'quit'. SQL is the default dialect;
+    'grep <...>' and 'RainStorm <...>' mirror the reference commands."""
+    if sf_dir:
+        from streamds_spark.catalog import register_views
+
+        register_views(spark, sf_dir)
+    import shlex
+
+    for raw in sys.stdin:
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line in ("quit", "exit"):
+            break
+        try:
+            if line.startswith("grep"):
+                if not logs:
+                    print("ERR: start shell with --logs to use grep")
+                    continue
+                from streamds_spark.operators.grep import grep, parse_grep, read_logs
+
+                ldf = read_logs(spark, logs)
+                out = grep(ldf, line)
+                if parse_grep(line).count:
+                    rows = out.collect()
+                    for r in sorted(rows, key=lambda r: r["file"]):
+                        print(f"{r['file']}:{r['match_count']}")
+                    print(f"TOTAL:{sum(r['match_count'] for r in rows)}")
+                else:
+                    for r in out.collect():
+                        print(r["line"])
+            elif line.split(maxsplit=1)[0].lower() == "rainstorm":
+                from streamds_spark.operators.rainstorm import run_rainstorm
+
+                toks = shlex.split(line)[1:]
+                if len(toks) < 5:
+                    print("ERR: RainStorm op1 op1_param op2 op2_param src [dest] [n]")
+                    continue
+                dest = toks[5] if len(toks) > 5 else None
+                n = int(toks[6]) if len(toks) > 6 else 3
+                res = run_rainstorm(spark, toks[0], toks[1], toks[2], toks[3], toks[4], dest, n)
+                for row in res.collect():
+                    print("\t".join(str(v) for v in row))
+            else:
+                for row in spark.sql(line).collect():
+                    print("\t".join(str(v) for v in row))
+        except Exception as e:  # keep the loop alive like a real shell
+            print(f"ERR: {e}")
 
 
 if __name__ == "__main__":

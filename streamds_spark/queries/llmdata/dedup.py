@@ -304,3 +304,33 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
         )
     )
+
+
+@query(
+    "dedup_levenshtein",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS INT) AS edit_dist
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE (a.doc_id % 5) = 0
+    """,
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance dedup scoring on a bounded candidate set (adjacent ids,
+    text prefix-capped at 80 chars — Levenshtein is O(len²), so at scale it is
+    strictly a VERIFY step on LSH candidates with capped prefixes, never a
+    primary pass)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 80).alias("t80")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(F.col("a.doc_id") % 5 == 0)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.t80"), F.col("b.t80")).alias("edit_dist"),
+        )
+    )
