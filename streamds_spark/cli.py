@@ -76,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
         for row in result.collect():
             print("\t".join(str(v) for v in row))
     elif args.cmd == "grep":
-        from streamds_spark.operators.grep import grep, grep_total, parse_grep, read_logs
+        from streamds_spark.operators.grep import grep, parse_grep, read_logs
 
         logs = read_logs(spark, args.path)
         pipe = parse_grep(args.command)

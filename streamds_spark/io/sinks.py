@@ -10,7 +10,7 @@ At 100 TB the biggest wins are layout wins:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

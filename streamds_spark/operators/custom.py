@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-from streamds_spark.operators.rainstorm import STAGE1_OPS, Stage1Op
+from streamds_spark.operators.rainstorm import STAGE1_OPS
 
 
 def line_operator(fn: Callable[[str], list[str]]) -> Callable[[Column], Column]:

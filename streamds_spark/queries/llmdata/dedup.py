@@ -25,7 +25,6 @@ from streamds_spark.catalog import load_table
 from streamds_spark.functions.hashing import (
     MINHASH_PRIME,
     md5_int28,
-    md5_int60,
     minhash_perm_constants,
 )
 from streamds_spark.functions.text import shingles_expr, tokens

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamds_spark.catalog import load_table
-from streamds_spark.functions.vectors import as_double, cosine, dot, duckdb_cosine, norm
+from streamds_spark.functions.vectors import as_double, cosine, dot, duckdb_cosine
 from streamds_spark.registry import query
 
 QUERY_VEC_ID = 0  # the probe vector for top-k queries

@@ -49,3 +49,25 @@ def test_cli_quantify(spark, tmp_path):
     _run(["rainstorm", "app2_1", "Punched Telespar", "count_operator", "", path, dest])
     rc, out = _run(["quantify", dest])
     assert rc == 0 and "records:" in out and "distinct:" in out
+
+
+def test_cli_shell_loop(spark, tmp_path, monkeypatch):
+    """Interactive shell: SQL + error recovery + quit, driven via stdin."""
+    import io as _io
+    import sys as _sys
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "vm0.log").write_text("ERROR a\nok\n")
+    fake_in = _io.StringIO(
+        "SELECT 1 AS one\n"
+        "not valid sql at all\n"
+        "grep -c 'ERROR'\n"
+        "quit\n"
+    )
+    monkeypatch.setattr(_sys, "stdin", fake_in)
+    rc, out = _run(["shell", "--logs", str(d)])
+    assert rc == 0
+    assert "1" in out.splitlines()[0]
+    assert "ERR:" in out
+    assert "TOTAL:1" in out
