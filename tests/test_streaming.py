@@ -290,3 +290,54 @@ def test_native_session_window_streaming(spark, tmp_path):
         (7, "2024-01-01 00:00:00", 2),
         (7, "2024-01-01 02:00:00", 1),
     ]
+
+
+def test_streaming_equals_batch_on_events_table(spark, tmp_path):
+    """End-to-end consistency: streaming over the real events table (parquet
+    source, availableNow) must produce exactly the batch aggregation result —
+    the strongest form of the reference's 'streaming equals the batch answer'
+    contract."""
+    from pyspark.sql import functions as F
+    from streamds_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    batch = load_table(spark, sf, "events")
+    expected = {
+        (r["event_type"], str(r["hour"])): (r["cnt"], r["sv"])
+        for r in batch.withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sv"))
+        .collect()
+    }
+    # stream the same parquet data (source must be a DIRECTORY; ts read as
+    # nanos-long and converted exactly like the catalog does)
+    import shutil
+
+    src_dir = str(tmp_path / "events_src")
+    os.makedirs(src_dir)
+    shutil.copy(f"{sf}/events.parquet", os.path.join(src_dir, "part-0.parquet"))
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+        )
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("bigint")))
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sv"))
+    )
+    got = {}
+
+    def sink(df, bid):
+        for r in df.collect():
+            got[(r["event_type"], str(r["hour"]))] = (r["cnt"], r["sv"])
+
+    q = (
+        stream.writeStream.outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == expected
