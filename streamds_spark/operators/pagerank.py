@@ -1,0 +1,72 @@
+"""PageRank over an edge DataFrame — the second iterative-algorithm pattern
+(next to kmeans): a bounded driver loop where each iteration is one
+join + aggregation, and only convergence scalars reach the driver.
+
+Scale: ranks and edges stay distributed; the per-iteration shuffle is on dst
+(the same key every round, so at scale pre-partition/bucket edges by src and
+ranks by id to make the join exchange-free). Dangling nodes (no out-edges)
+redistribute their mass uniformly, keeping the rank sum ≈ N like the classic
+formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Returns (node, rank) with sum(rank) ≈ number of nodes.
+
+    edges: directed (src, dst) pairs; duplicate edges count once.
+    checkpoint_every: truncate the rank lineage every k iterations
+    (localCheckpoint) — without it each iteration's plan nests the previous
+    one and Catalyst analysis cost grows superlinearly with iteration count.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # scalar for the teleport term
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    e = e.localCheckpoint(eager=True)  # small, reused every iteration
+    out_deg = out_deg.localCheckpoint(eager=True)
+
+    for it in range(max_iter):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling mass: ranks of nodes with no out-edges, spread uniformly
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n_nodes))
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
