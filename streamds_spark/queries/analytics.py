@@ -165,3 +165,37 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("a"))
         .select("o_orderkey", F.round("o_totalprice", 4).alias("totalprice"))
     )
+
+
+@query(
+    "group_zscore",
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER (PARTITION BY event_type)) /
+                 stddev_samp(value) OVER (PARTITION BY event_type), 4) AS zscore
+    FROM events
+    """,
+)
+def group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization via applyInPandas (grouped-map Arrow batches) —
+    the batch UDAF/transform escape hatch, oracle-checked against the pure-SQL
+    window formulation. Use this path only when the logic genuinely needs
+    pandas (here it demonstrably doesn't — the SQL twin IS the oracle — but
+    the plumbing contract is what's under test at scale: one shuffle on the
+    group key, one Python worker pass per group batch)."""
+    import pandas as pd
+
+    from streamds_spark.catalog import load_table as _lt
+
+    events = _lt(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        out = pdf[["event_id", "event_type"]].copy()
+        out["zscore"] = ((pdf["value"] - mu) / sd).round(4)
+        return out
+
+    return events.groupBy("event_type").applyInPandas(
+        zscore, schema="event_id bigint, event_type string, zscore double"
+    )
