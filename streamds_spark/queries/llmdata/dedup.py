@@ -126,7 +126,11 @@ def _lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Band buckets are emitted with ONE posexplode over an array of band hashes
     (not a 4-way union, which would re-evaluate the whole signature subtree
-    once per band per join side — 8× the shingle+agg work)."""
+    once per band per join side — 8× the shingle+agg work). The self-join's
+    two identical sides cost nothing extra: Spark plans a ReusedExchange, so
+    the subtree runs once. (Measured: a groupBy+collect_list pair-expansion
+    alternative was slower AND worse at scale — a mega-bucket's id list
+    materializes in a single aggregation buffer, while the join spills.)"""
     sig = _minhash_signature_df(spark, sf_dir)
     band_hashes = F.array(
         *[
