@@ -93,3 +93,73 @@ def ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("c_acctbal"), 4).alias("max_bal"),
         )
     )
+
+
+@query(
+    "moving_average",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+    FROM events
+    """,
+)
+def moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame moving average (last 3 events per user)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return events.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("ma3")
+    )
+
+
+@query(
+    "rank_variants",
+    oracle="""
+    SELECT o_orderkey,
+           dense_rank() OVER w AS drk,
+           rank() OVER w AS rk,
+           round(percent_rank() OVER w, 4) AS prk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank / rank / percent_rank in one window."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drk"),
+        F.rank().over(w).alias("rk"),
+        F.round(F.percent_rank().over(w), 4).alias("prk"),
+    )
+
+
+@query(
+    "first_last_value",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS last_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over full-partition frames: each user's first and
+    last event type."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return events.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    ).distinct()

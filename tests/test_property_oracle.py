@@ -118,3 +118,48 @@ def test_window_rank_agreement(spark, rows):
         ).fetchall()
     )
     assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rows_strategy)
+def test_rollup_agreement(spark, rows):
+    """ROLLUP null-group semantics must agree across engines."""
+    from pyspark.sql import functions as F
+
+    df = _spark_df(spark, rows)
+    got = sorted(
+        (r["c"] if r["c"] is not None else "<ALL>", r["cnt"])
+        for r in df.rollup("c").agg(F.count("*").alias("cnt")).collect()
+    )
+    con = _duck(rows)
+    want = sorted(
+        (c if c is not None else "<ALL>", n)
+        for c, n in con.execute(
+            "SELECT c, count(*) AS cnt FROM t GROUP BY ROLLUP(c)"
+        ).fetchall()
+    )
+    if not rows:
+        # KNOWN ENGINE DIVERGENCE (found by this fuzzer): on empty input the
+        # SQL standard (and DuckDB) emit the grand-total grouping-set row
+        # (NULL, 0); Spark's rollup emits nothing. Harmless for non-empty
+        # tables; pin both behaviors so a change in either engine surfaces.
+        assert got == [] and want == [("<ALL>", 0)]
+        return
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rows_strategy, rows2=rows_strategy)
+def test_setops_agreement(spark, rows, rows2):
+    a = _spark_df(spark, rows).select("k", "c")
+    b = _spark_df(spark, rows2).select("k", "c")
+    got_i = sorted(map(tuple, a.intersect(b).collect()))
+    got_e = sorted(map(tuple, a.subtract(b).collect()))
+    con = _duck(rows)
+    con.execute("CREATE TABLE t2 (k INTEGER, v INTEGER, c VARCHAR)")
+    if rows2:
+        con.executemany("INSERT INTO t2 VALUES (?, ?, ?)", rows2)
+    want_i = sorted(con.execute("SELECT k, c FROM t INTERSECT SELECT k, c FROM t2").fetchall())
+    want_e = sorted(con.execute("SELECT k, c FROM t EXCEPT SELECT k, c FROM t2").fetchall())
+    assert got_i == want_i
+    assert got_e == want_e

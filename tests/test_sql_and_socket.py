@@ -97,3 +97,45 @@ def test_socket_source_wordcount(spark, tmp_path):
     finally:
         stop.set()
     assert state == {"a": 3, "b": 2, "c": 1}
+
+
+def test_rate_source_generates_rows(spark, tmp_path):
+    """Built-in rate source: synthetic load generator for streaming pipelines."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 50)
+        .load()
+        .withColumn("bucket", F.col("value") % 5)
+    )
+    rows = []
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .start()
+    )
+    import time as _t
+
+    deadline = _t.time() + 30
+    while _t.time() < deadline and len(rows) < 10:
+        _t.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    assert len(rows) >= 10
+    assert all(0 <= r["bucket"] <= 4 for r in rows)
+
+
+def test_observe_metrics(spark):
+    """df.observe: pipeline metrics riding the job (the reference's leader
+    console relay as first-class observability)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).withColumn("v", F.col("id") % 7)
+    obs = Observation("stats")
+    out = df.observe(obs, F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    assert out.count() == 1000
+    got = obs.get
+    assert got["n"] == 1000 and got["sv"] == sum(i % 7 for i in range(1000))
