@@ -3,6 +3,7 @@
 from streamds_spark.queries import advanced  # noqa: F401
 from streamds_spark.queries import analytics  # noqa: F401
 from streamds_spark.queries import collections  # noqa: F401
+from streamds_spark.queries import integrity  # noqa: F401
 from streamds_spark.queries import parity  # noqa: F401
 from streamds_spark.queries import tpch  # noqa: F401
 from streamds_spark.queries import tpch2  # noqa: F401
