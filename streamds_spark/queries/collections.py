@@ -163,3 +163,61 @@ def first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_type").over(w).alias("first_type"),
         F.last("event_type").over(w).alias("last_type"),
     ).distinct()
+
+
+@query(
+    "tumbling_window_counts",
+    oracle="""
+    SELECT strftime(to_timestamp((epoch_us(ts) // 2700000000) * 2700),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.window tumbling aggregation with a NON-hour-aligned width
+    (45 min) — proves epoch-aligned window assignment, not just date_trunc.
+    The streaming twin is identical minus the watermark."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "45 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+@query(
+    "hopping_window_counts",
+    oracle="""
+    WITH assigned AS (
+        SELECT event_type,
+               unnest([ (epoch_us(ts) // 1800000000) * 1800,
+                        (epoch_us(ts) // 1800000000) * 1800 - 1800 ]) AS ws,
+               epoch_us(ts) // 1000000 AS es
+        FROM events
+    )
+    SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS cnt
+    FROM assigned
+    WHERE es >= ws AND es < ws + 3600
+    GROUP BY 1, 2
+    """,
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 60-min windows every 30 min — each event
+    lands in 2 windows (F.window with a slide duration; the oracle assigns
+    windows by epoch arithmetic)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "60 minutes", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
