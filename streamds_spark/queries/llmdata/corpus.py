@@ -125,3 +125,58 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
         """
     )
+
+
+@query(
+    "llm_pipeline_end_to_end",
+    oracle=r"""
+    WITH scored AS (
+        SELECT doc_id, lang, source, n_chars, text,
+               len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n_toks
+        FROM documents
+    ),
+    quality AS (
+        SELECT * FROM scored WHERE n_toks >= 10 AND n_chars BETWEEN 100 AND 2000
+    ),
+    deduped AS (
+        SELECT * FROM quality
+        WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY md5(text))
+    ),
+    sampled AS (
+        SELECT * FROM deduped
+        WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100) < 80
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM sampled GROUP BY lang
+    """,
+)
+def llm_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline in one plan: quality filter →
+    exact dedup (keep min-id per content hash) → deterministic 80% sample →
+    per-language corpus stats. Everything fuses into scan → window/agg →
+    filter → agg stages; at 100 TB the same composition runs unchanged with
+    the LSH near-dup stage inserted after exact dedup."""
+    from pyspark.sql import Window as W
+
+    from streamds_spark.functions.hashing import md5_int60
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.withColumn("n_toks", F.size(tokens(F.col("text"))))
+    quality = scored.filter(
+        (F.col("n_toks") >= 10) & F.col("n_chars").between(100, 2000)
+    )
+    # exact dedup via min-id-per-hash (window min avoids a self-join)
+    wh = W.partitionBy(F.md5(F.col("text").cast("binary")))
+    deduped = (
+        quality.withColumn("keep_id", F.min("doc_id").over(wh))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+    )
+    sampled = deduped.filter(md5_int60(F.col("doc_id").cast("string")) % 100 < 80)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
