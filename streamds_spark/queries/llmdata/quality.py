@@ -75,3 +75,71 @@ def quality_filter_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_toks") >= 10) & (F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000))
         .select("doc_id", "lang", "n_toks")
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle=r"""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch, length(text) AS n
+        FROM documents WHERE length(text) > 0
+    ),
+    freqs AS (
+        SELECT doc_id, ch, count(*)::DOUBLE / any_value(n) AS p
+        FROM chars GROUP BY doc_id, ch
+    )
+    SELECT doc_id, round(-sum(p * ln(p)), 4) AS char_entropy
+    FROM freqs GROUP BY doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per doc — the cheap perplexity proxy
+    (low entropy ⇒ repetitive/low-quality text; high ⇒ noise). Two doc-local
+    aggregations, no cross-doc shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"), F.length("text").alias("n")
+    )
+    freqs = chars.groupBy("doc_id", "ch").agg(
+        (F.count("*").cast("double") / F.first("n")).alias("p")
+    )
+    return freqs.groupBy("doc_id").agg(
+        F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 4).alias("char_entropy")
+    )
+
+
+@query(
+    "vocab_growth",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS w
+        FROM documents
+    ),
+    first_seen AS (
+        SELECT w, min(doc_id) AS first_doc FROM tok GROUP BY w
+    ),
+    new_per_doc AS (
+        SELECT first_doc AS doc_id, count(*) AS n_new FROM first_seen GROUP BY first_doc
+    )
+    SELECT doc_id,
+           CAST(sum(n_new) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS vocab_size
+    FROM new_per_doc
+    """,
+)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps'-law diagnostic): cumulative distinct
+    token count in doc_id order — first-occurrence attribution + running sum,
+    no quadratic distinct-over-prefix scan."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    first_seen = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    new_per_doc = first_seen.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_new")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return new_per_doc.select(
+        "doc_id", F.sum("n_new").over(w).cast("bigint").alias("vocab_size")
+    )

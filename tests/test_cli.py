@@ -71,3 +71,24 @@ def test_cli_shell_loop(spark, tmp_path, monkeypatch):
     assert "1" in out.splitlines()[0]
     assert "ERR:" in out
     assert "TOTAL:1" in out
+
+
+def test_cli_rainstorm_stream_mode(spark, tmp_path):
+    """The --stream CLI branch: streaming RainStorm job with checkpoint,
+    printing the final (latest-batch) counts."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("x y\nx z\n")
+    dest = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rc, out = _run(
+        [
+            "rainstorm", "split_operator", "", "count_operator", "",
+            str(src), dest, "--stream", "--checkpoint", ckpt,
+        ]
+    )
+    assert rc == 0
+    got = dict(
+        line.split("\t") for line in out.strip().splitlines() if "\t" in line
+    )
+    assert got == {"x": "2", "y": "1", "z": "1"}
