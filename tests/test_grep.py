@@ -77,3 +77,10 @@ def test_grep_piped(spark, log_dir):
 def test_parse_rejects_unknown_flag():
     with pytest.raises(ValueError):
         parse_grep("grep -z 'x'")
+
+
+def test_grep_filename_placeholder_ignored(spark, log_dir):
+    """Reference grammar allows `grep 'X' <filename>`; the placeholder token
+    must not change the pattern (first non-flag token wins)."""
+    df = read_logs(spark, log_dir)
+    assert grep_total(df, f"grep -c '{PATTERN}' <filename>") == 10 * N_NODES
