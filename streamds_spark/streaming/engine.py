@@ -70,10 +70,21 @@ def foreach_batch_parquet(dest: str) -> Callable[[DataFrame, int], None]:
 
 
 def read_latest_batch(spark: SparkSession, dest: str) -> DataFrame:
-    """Read the newest batch dir — the 'last buffer per task wins' semantics of
-    the reference's quantify (S8) without its merge dance."""
-    batches = [d for d in os.listdir(dest) if d.startswith("batch=")]
-    latest = max(batches, key=lambda d: int(d.split("=")[1]))
+    """Read the newest COMMITTED batch dir — the 'last buffer per task wins'
+    semantics of the reference's quantify (S8) without its merge dance.
+
+    Only dirs with a _SUCCESS marker count: a writer killed mid-batch leaves a
+    partial dir behind, and the idempotent re-run will overwrite it — readers
+    must never observe it (the torn-write case the reference handled with its
+    BUFFER START/END framing)."""
+    committed = [
+        d
+        for d in os.listdir(dest)
+        if d.startswith("batch=") and os.path.exists(os.path.join(dest, d, "_SUCCESS"))
+    ]
+    if not committed:
+        raise FileNotFoundError(f"no committed batch dirs under {dest}")
+    latest = max(committed, key=lambda d: int(d.split("=")[1]))
     return spark.read.parquet(os.path.join(dest, latest))
 
 

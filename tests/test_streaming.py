@@ -341,3 +341,70 @@ def test_streaming_equals_batch_on_events_table(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert got == expected
+
+
+def test_midstream_kill_and_recover(spark, tmp_path):
+    """dokill parity (reference kills tasks 1.5s into the run,
+    core_process_stream_DS.go:1706-1736): hard-stop a LIVE processing-time
+    query after it has consumed only part of the input, then restart from the
+    checkpoint — final counts must equal the no-failure answer."""
+    import os
+    import time
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "in")
+    golden = _write_chunks(src, n_chunks=8, lines_per_chunk=30)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def build():
+        return (
+            stream_text_source(spark, src, max_files_per_trigger=1)
+            .select(F.explode(F.split("value", r"\s+")).alias("out"))
+            .filter(F.col("out") != "")
+            .groupBy(F.col("out").alias("word"))
+            .agg(F.count("*").alias("count"))
+        )
+
+    from streamds_spark.streaming.engine import foreach_batch_parquet, read_latest_batch
+
+    # phase 1: live query, killed after a couple of micro-batches
+    q1 = (
+        build().writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(foreach_batch_parquet(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        committed = (
+            len(
+                [
+                    d
+                    for d in os.listdir(out)
+                    if os.path.exists(os.path.join(out, d, "_SUCCESS"))
+                ]
+            )
+            if os.path.exists(out)
+            else 0
+        )
+        if 2 <= committed < 8:
+            break
+        time.sleep(0.1)
+    q1.stop()  # hard mid-stream stop: several chunks still unread
+    q1.awaitTermination(30)
+    partial = {r["word"]: r["count"] for r in read_latest_batch(spark, out).collect()}
+    assert sum(partial.values()) < sum(golden.values()), "kill must precede completion"
+
+    # phase 2: recover from the same checkpoint and drain
+    q2 = (
+        build().writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(foreach_batch_parquet(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    final = {r["word"]: r["count"] for r in read_latest_batch(spark, out).collect()}
+    assert final == dict(golden)
