@@ -132,3 +132,39 @@ def windowed_counts(
             "cnt",
         )
     )
+
+
+def stream_kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka streaming source → the engine's (key, value) line model.
+
+    Requires the spark-sql-kafka connector on the classpath (not bundled in
+    this build environment — the wrapper raises a clear error if absent).
+    maxOffsetsPerTrigger is the Kafka twin of the file source's
+    maxFilesPerTrigger rate control (ST1).
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    try:
+        raw = reader.load()
+    except Exception as e:  # pragma: no cover - environment-dependent
+        raise RuntimeError(
+            "Kafka source requires the spark-sql-kafka connector "
+            "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>); "
+            f"underlying error: {e}"
+        ) from e
+    return raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    )
