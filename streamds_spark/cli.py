@@ -40,6 +40,18 @@ def main(argv: list[str] | None = None) -> int:
     qf = sub.add_parser("quantify", help="count (distinct) records in a dest table")
     qf.add_argument("dest")
 
+    # HyDFS-parity file ops over the append-log table facade (io/appendlog.py)
+    cr = sub.add_parser("create", help="create an append-log table")
+    cr.add_argument("table")
+    ap = sub.add_parser("append", help="append a local text file to a table")
+    ap.add_argument("localfile")
+    ap.add_argument("table")
+    ap.add_argument("--client", default="cli")
+    gt = sub.add_parser("get", help="print a table's lines (per-client order)")
+    gt.add_argument("table")
+    mg = sub.add_parser("merge", help="compact a table's append chunks")
+    mg.add_argument("table")
+
     sh = sub.add_parser(
         "shell",
         help="interactive terminal (the reference's command loop): SQL by "
@@ -91,6 +103,25 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "quantify":
         df = spark.read.parquet(args.dest)
         print(f"records:{df.count()} distinct:{df.distinct().count()}")
+    elif args.cmd in ("create", "append", "get", "merge"):
+        from streamds_spark.io import appendlog
+
+        if args.cmd == "create":
+            appendlog.create(spark, args.table)
+            print(f"created:{args.table}")
+        elif args.cmd == "append":
+            with open(args.localfile) as f:
+                lines = [(ln.rstrip("\n"),) for ln in f]
+            appendlog.append(
+                spark.createDataFrame(lines, "line string"), args.table, args.client
+            )
+            print(f"appended:{len(lines)} lines")
+        elif args.cmd == "get":
+            for r in appendlog.read_ordered(spark, args.table).collect():
+                print(r["line"])
+        elif args.cmd == "merge":
+            appendlog.merge(spark, args.table)
+            print(f"merged:{args.table}")
     elif args.cmd == "shell":
         _shell(spark, args.sf_dir, args.logs)
     return 0

@@ -33,10 +33,17 @@ def create(spark: SparkSession, path: str) -> None:
 
 
 def append(df: DataFrame, path: str, client_id: str) -> None:
-    """APPEND: write one chunk tagged (client_id, seq). seq is a per-append
-    monotonic stamp (the Lamport-timestamp role: orders THIS client's appends)."""
+    """APPEND: write one chunk tagged (client_id, seq, pos). seq is a per-append
+    monotonic stamp (the Lamport-timestamp role: orders THIS client's appends);
+    pos is a per-row ordinal within the chunk (monotonically_increasing_id is
+    partition-major, so sorting by it reproduces the DataFrame's row order) —
+    without it, lines inside one append would come back in arbitrary order."""
     seq = time.monotonic_ns()
-    chunk = df.withColumn("_client", F.lit(client_id)).withColumn("_seq", F.lit(seq))
+    chunk = (
+        df.withColumn("_client", F.lit(client_id))
+        .withColumn("_seq", F.lit(seq))
+        .withColumn("_pos", F.monotonically_increasing_id())
+    )
     chunk.write.mode("append").parquet(os.path.join(path, "chunks"))
     # marker for humans/debugging; data order comes from the _seq column
     open(os.path.join(path, f".append-{client_id}-{seq}-{uuid.uuid4().hex[:6]}"), "w").close()
@@ -51,7 +58,7 @@ def merge(spark: SparkSession, path: str) -> None:
     """MERGE: compact chunks into a single table ordered by (_client, _seq) —
     per-client append order preserved, cross-client order deterministic-but-
     arbitrary (client id order), matching the reference's guarantee."""
-    merged = get(spark, path).orderBy("_client", "_seq")
+    merged = get(spark, path).orderBy("_client", "_seq", "_pos")
     tmp = os.path.join(path, "_merged_tmp")
     merged.write.mode("overwrite").parquet(tmp)
     final = os.path.join(path, "chunks")
@@ -68,4 +75,4 @@ def merge(spark: SparkSession, path: str) -> None:
 def read_ordered(spark: SparkSession, path: str) -> DataFrame:
     """Read with the merge ordering applied (what the reference's readers see
     after a merge)."""
-    return get(spark, path).orderBy("_client", "_seq")
+    return get(spark, path).orderBy("_client", "_seq", "_pos")

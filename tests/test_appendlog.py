@@ -41,3 +41,17 @@ def test_append_after_merge(spark, tmp_path):
     appendlog.append(spark.createDataFrame([("two",)], ["line"]), path, "c1")
     rows = [r["line"] for r in appendlog.read_ordered(spark, path).collect()]
     assert rows == ["one", "two"]
+
+
+def test_within_append_line_order_preserved(spark, tmp_path):
+    """Lines inside ONE append must keep their original order (regression:
+    a chunk's rows all share _seq; the _pos ordinal disambiguates)."""
+    path = str(tmp_path / "log")
+    appendlog.create(spark, path)
+    lines = [(f"line-{i:03d}",) for i in range(50)]
+    appendlog.append(spark.createDataFrame(lines, ["line"]), path, "c1")
+    got = [r["line"] for r in appendlog.read_ordered(spark, path).collect()]
+    assert got == [l[0] for l in lines]
+    appendlog.merge(spark, path)
+    got2 = [r["line"] for r in appendlog.read_ordered(spark, path).collect()]
+    assert got2 == [l[0] for l in lines]
