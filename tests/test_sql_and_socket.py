@@ -150,3 +150,58 @@ def test_kafka_source_gives_clear_error_without_connector(spark):
 
     with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
         stream_kafka_source(spark, "localhost:9092", "events")
+
+
+def test_sql_registered_udfs(spark):
+    """SQL-surface custom functions: tokenize + cross-engine hashes callable
+    from plain SQL, consistent with the expression-side implementations."""
+    from streamds_spark.sql import register_udfs
+    from streamds_spark.functions.hashing import md5_int60
+    from pyspark.sql import functions as F
+
+    register_udfs(spark)
+    row = spark.sql(
+        "SELECT tokenize('a  b c') AS t, md5_int60('hello') AS h60, md5_int28('hello') AS h28"
+    ).first()
+    assert list(row["t"]) == ["a", "b", "c"]
+    expr_h = spark.range(1).select(md5_int60(F.lit("hello")).alias("h")).first()["h"]
+    assert row["h60"] == expr_h
+    import duckdb
+
+    d60 = duckdb.connect().execute(
+        "SELECT ('0x' || substr(md5('hello'),1,15))::BIGINT"
+    ).fetchone()[0]
+    assert row["h60"] == d60
+
+
+def test_drop_duplicates_within_watermark_stream(spark, tmp_path):
+    """Bounded-state streaming dedup: dropDuplicatesWithinWatermark keeps the
+    dedup state only for the watermark horizon (the scalable exactly-once
+    path for re-delivering sources with event time)."""
+    import os
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.txt"), "w") as f:
+        f.write("e1 2024-01-01T00:00:00\ne1 2024-01-01T00:00:30\ne2 2024-01-01T00:05:00\n")
+    stream = (
+        spark.readStream.format("text").load(src)
+        .select(F.split("value", " ").alias("p"))
+        .select(
+            F.col("p").getItem(0).alias("event_id"),
+            F.col("p").getItem(1).cast("timestamp").alias("ts"),
+        )
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    rows = []
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r["event_id"] for r in rows) == ["e1", "e2"]
