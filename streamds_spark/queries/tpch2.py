@@ -276,3 +276,33 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nation"))
         .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 4).alias("totacctbal"))
     )
+
+
+@query(
+    "full_outer_nation_counts",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_customers,
+           coalesce(n_supp, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-nation customer and supplier counts, keeping
+    nations present on either side only (zeros on the missing side)."""
+    cust = load_table(spark, sf_dir, "customer").groupBy(
+        F.col("c_nationkey").alias("c_nk")
+    ).agg(F.count("*").alias("n_cust"))
+    supp = load_table(spark, sf_dir, "supplier").groupBy(
+        F.col("s_nationkey").alias("s_nk")
+    ).agg(F.count("*").alias("n_supp"))
+    return (
+        cust.join(supp, cust.c_nk == supp.s_nk, "full_outer")
+        .select(
+            F.coalesce(F.col("c_nk"), F.col("s_nk")).alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_suppliers"),
+        )
+    )
