@@ -19,5 +19,34 @@ Public surface:
 from streamds_spark.session import get_spark
 from streamds_spark.catalog import load_table, TABLES
 
-__all__ = ["get_spark", "load_table", "TABLES"]
+
+def __getattr__(name):
+    # Lazy re-exports of the main user-facing operators: keeps `import
+    # streamds_spark` light while making the public surface discoverable.
+    lazy = {
+        "run_rainstorm": ("streamds_spark.operators.rainstorm", "run_rainstorm"),
+        "grep": ("streamds_spark.operators.grep", "grep"),
+        "read_logs": ("streamds_spark.operators.grep", "read_logs"),
+        "dedup_corpus": ("streamds_spark.operators.dedup_pipeline", "dedup_corpus"),
+        "kmeans": ("streamds_spark.operators.kmeans", "kmeans"),
+        "pagerank": ("streamds_spark.operators.pagerank", "pagerank"),
+        "profile_table": ("streamds_spark.operators.profile", "profile_table"),
+        "sql": ("streamds_spark.sql", "sql"),
+        "register_udfs": ("streamds_spark.sql", "register_udfs"),
+        "QUERIES": ("streamds_spark.registry", "QUERIES"),
+        "load_all": ("streamds_spark.registry", "load_all"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'streamds_spark' has no attribute {name!r}")
+
+
+__all__ = [
+    "get_spark", "load_table", "TABLES", "run_rainstorm", "grep", "read_logs",
+    "dedup_corpus", "kmeans", "pagerank", "profile_table", "sql",
+    "register_udfs", "QUERIES", "load_all",
+]
 __version__ = "0.1.0"
