@@ -163,3 +163,20 @@ def _is_float(s: str) -> bool:
         return True
     except ValueError:
         return False
+
+
+def test_app2_count_on_larger_reference_datasets(spark):
+    """Same flagship query on the 5k and 10k reference datasets — the
+    reference's own scale ladder (Traffic_Signs_{1000,5000,10000})."""
+    for name in ["Traffic_Signs_5000.txt", "Traffic_Signs_10000.txt"]:
+        path = reference_file(name)
+        expected = Counter(
+            row[8]
+            for row in _csv_rows(path)
+            if len(row) > 8 and row[6] == "Punched Telespar"
+        )
+        result = run_rainstorm(
+            spark, "app2_1", "Punched Telespar", "count_operator", "", path
+        )
+        got = {r["word"]: r["count"] for r in result.collect()}
+        assert got == dict(expected), name
