@@ -23,8 +23,6 @@ def register_udfs(spark: SparkSession) -> None:
       md5_int60(s)/md5_int28(s) -> bigint      (cross-engine hash)
     so `spark.sql("SELECT explode(tokenize(text)) ...")` works after
     register_views + register_udfs."""
-    from pyspark.sql import functions as F
-
     spark.udf.register(
         "tokenize",
         lambda s: [w for w in (s or "").split() if w],
