@@ -41,8 +41,8 @@ SESSION_GAP_MIN = 30
     ),
     sess AS (
         SELECT user_id, ts,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_no
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
         FROM ordered
     )
     SELECT user_id, session_no, count(*) AS n_events,
