@@ -36,6 +36,34 @@ def norm_cell(v):
     return str(v)
 
 
+def type_kind(t: str) -> str:
+    """Canonical type kind for cross-engine schema comparison.
+
+    Catches width/family divergences that str(value) hides — e.g. DuckDB sums
+    INTEGER into HUGEINT (arrow decimal128), which the driver's value-hash sees
+    as different from Spark's BIGINT even though str() of the cells match
+    (round-1 sessionize_events failure mode).
+    """
+    t = t.lower()
+    if t.startswith(("decimal", "hugeint")):
+        return "decimal"
+    if t.startswith(("tinyint", "smallint", "int", "bigint", "uint", "byte", "short", "long")):
+        return "int"
+    if t.startswith(("float", "double", "halffloat")):
+        return "float"
+    if t.startswith(("string", "large_string", "utf8", "varchar")):
+        return "str"
+    if t.startswith("date"):
+        return "date"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t.startswith("bool"):
+        return "bool"
+    if t.startswith(("array", "list", "large_list")):
+        return "list"
+    return t
+
+
 def to_multiset(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
@@ -85,6 +113,17 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={sorted(scols)} duckdb={sorted(ocols)}")
+        else:
+            otypes = {
+                f.name: type_kind(str(f.type))
+                for f in con.execute(spec.oracle).arrow().schema
+            }
+            stypes = {f.name: type_kind(f.dataType.simpleString()) for f in df.schema.fields}
+            mismatch = {
+                c: (stypes[c], otypes[c]) for c in stypes if stypes[c] != otypes.get(c)
+            }
+            if mismatch:
+                problems.append(f"type kinds differ spark-vs-duckdb: {mismatch}")
         if not problems:
             sm = to_multiset([tuple(r) for r in srows], scols)
             om = to_multiset(orows, ocols)
