@@ -248,26 +248,52 @@ class RainStormJob:
 
 def read_source(spark: SparkSession, src: str) -> DataFrame:
     """Source stage: text file → (key, value) with key = filename:lineNumber
-    (GetSourceKey parity). Line numbers are per-file 1-based.
+    (GetSourceKey parity, core_process_utils.go:522-524). Line numbers are
+    per-file 1-based and exact.
 
-    Scale note: the window to assign line numbers shuffles once on filename;
-    for keyed-tuple parity that's inherent (the reference numbered lines at
-    plan time on one node — worse). Pipelines that don't need line-number keys
-    should use monotonically_increasing_id() (no shuffle) — keyed=False in
-    compile_rainstorm.
+    Scale posture (split-local numbering, NOT a per-file window): a
+    partitionBy(file) window would funnel every line of a file through one
+    task — a single 100 GB file becomes a straggler. Instead:
+      1. number rows within each FILE SPLIT (`_metadata.file_block_start`
+         identifies the split; splits are ≤ maxPartitionBytes, so the window
+         partition is bounded by split size, parallelism = #splits);
+      2. aggregate per-split line counts (tiny: one row per split, map-side
+         combined) and compute each split's cumulative line offset within its
+         file with a window over that driver-sized table;
+      3. broadcast-join the offsets back: line_no = split_offset + row_in_split.
+    Costs one extra scan for the counts; no data-sized per-file shuffle exists
+    anywhere in the plan (pinned by tests/test_plans.py).
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("file").orderBy("off")
+    base = spark.read.text(src).select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("file"),
+        F.col("_metadata.file_block_start").alias("blk"),
+        F.monotonically_increasing_id().alias("mid"),
+        F.col("value"),
+    )
+    # Rows of a split arrive in read order; mid is ascending within a read
+    # partition, so ordering by it reproduces line order inside the split.
+    w_split = Window.partitionBy("file", "blk").orderBy("mid")
+    numbered = base.withColumn("rn", F.row_number().over(w_split))
+
+    counts = base.groupBy("file", "blk").agg(F.count("*").alias("n"))
+    w_file = Window.partitionBy("file").orderBy("blk")
+    offsets = counts.select(
+        "file",
+        "blk",
+        F.coalesce(
+            F.sum("n").over(w_file.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("base_off"),
+    )
+
     return (
-        spark.read.text(src)
+        numbered.join(F.broadcast(offsets), ["file", "blk"])
         .select(
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
-            F.monotonically_increasing_id().alias("off"),
-            F.col("value"),
+            F.concat_ws(":", "file", (F.col("base_off") + F.col("rn")).cast("long")).alias("key"),
+            "value",
         )
-        .withColumn("line_no", F.row_number().over(w))
-        .select(F.concat_ws(":", "file", "line_no").alias("key"), "value")
     )
 
 

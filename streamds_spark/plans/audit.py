@@ -33,6 +33,7 @@ class PlanFacts:
     has_partial_agg: bool
     has_take_ordered: bool
     n_exchanges: int
+    n_single_partition: int  # Exchange SinglePartition = a serialization point
 
 
 def plan_facts(df: DataFrame) -> PlanFacts:
@@ -46,6 +47,7 @@ def plan_facts(df: DataFrame) -> PlanFacts:
         has_partial_agg="HashAggregate" in p or "SortAggregate" in p,
         has_take_ordered="TakeOrderedAndProject" in p,
         n_exchanges=p.count("Exchange"),
+        n_single_partition=p.count("SinglePartition"),
     )
 
 

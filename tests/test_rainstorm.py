@@ -146,6 +146,34 @@ def test_split_operator_key_uniqueness(spark, tmp_path):
     assert len(keys) == len(set(keys)) == 5
 
 
+def test_read_source_split_parallel_numbering(spark, tmp_path):
+    """Keyed source at scale: line numbers must be exact per-file 1-based AND
+    the plan must not funnel a whole file through one task (the reference keys
+    by filename:lineNumber, core_process_utils.go:522-524; a partitionBy(file)
+    window would make a 100 GB file a single-task straggler)."""
+    from streamds_spark.plans.audit import plan_facts
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")  # force many splits
+    try:
+        lines = [f"line-{i:05d}" for i in range(2000)]
+        (tmp_path / "a.txt").write_text("\n".join(lines))
+        (tmp_path / "b.txt").write_text("\n".join(f"b-{i}" for i in range(50)))
+        df = read_source(spark, str(tmp_path))
+        n_splits = spark.read.text(str(tmp_path / "a.txt")).rdd.getNumPartitions()
+        assert n_splits > 1, "fixture must span multiple splits"
+        got = {r["key"]: r["value"] for r in df.collect()}
+        assert len(got) == 2050
+        for i in (0, 1, 999, 1998, 1999):  # spot-check across split boundaries
+            assert got[f"a.txt:{i + 1}"] == f"line-{i:05d}"
+        assert got["b.txt:50"] == "b-49"
+        f = plan_facts(df)
+        assert f.n_single_partition == 0, "keyed source must not serialize a file into one task"
+        assert f.has_broadcast_join, "split offsets must join via broadcast"
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
 def test_dest_write_and_quantify(spark, tmp_path, traffic_path):
     """S6/S8: dest table write + quantify = read back distinct count."""
     dest = str(tmp_path / "out")
