@@ -4,14 +4,15 @@ the dedup primitives: candidates (LSH) → verify (exact Jaccard) → resolve
 
     kept, dropped = dedup_corpus(spark, docs)   # docs: (doc_id, text, …)
 
-Resolution uses min-doc_id as the group representative via iterated
-label propagation on the verified-pair graph (a duplicate CLUSTER can chain:
-A~B, B~C without A~C). Each iteration is one join+agg; near-dup graphs have
-tiny diameter (dups of the same source document), so 3 iterations is enough in
-practice and the loop is bounded.
+Resolution uses min-doc_id as the group representative via min-label
+propagation with pointer jumping on the verified-pair graph (a duplicate
+CLUSTER can chain: A~B, B~C without A~C) — iterated to a detected fixpoint,
+O(log diameter) rounds.
 
 Scale: every step is joins/aggs on (doc_id, bucket) keys — no driver-side
-state; the pair list is bounded by LSH bucket occupancy.
+state; the pair list is bounded by LSH bucket occupancy, and buckets above
+max_bucket_size are star-connected so a boilerplate mega-bucket costs O(n)
+pairs, not O(n²).
 """
 
 from __future__ import annotations
@@ -42,13 +43,13 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*mins)
 
 
-def lsh_candidate_pairs(
+def lsh_band_buckets(
     signatures: DataFrame, bands: int = 4, id_col: str = "doc_id"
 ) -> DataFrame:
+    """(id, band, bucket) via ONE posexplode over per-band hashes — avoids
+    re-evaluating the signature subtree once per band per join side."""
     sig_cols = [c for c in signatures.columns if c != id_col]
     rows_per_band = len(sig_cols) // bands
-    # one posexplode over per-band hashes — avoids re-evaluating the signature
-    # subtree once per band per join side
     band_hashes = F.array(
         *[
             F.md5(F.concat_ws(",", *[
@@ -58,9 +59,44 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    buckets = signatures.select(id_col, F.posexplode(band_hashes).alias("band", "bucket"))
-    a, b_ = buckets.alias("a"), buckets.alias("b")
-    return (
+    return signatures.select(id_col, F.posexplode(band_hashes).alias("band", "bucket"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """Candidate pairs from band buckets.
+
+    Mega-bucket guard: an all-pairs self-join is quadratic WITHIN a bucket —
+    10k identical docs share every bucket and would emit ~50M pairs (and at
+    100 TB, boilerplate/license pages make such buckets common). Buckets
+    larger than `max_bucket_size` are therefore STAR-CONNECTED instead: every
+    member pairs only with the bucket's min id. That emits O(n) pairs yet
+    keeps the duplicate group fully connected, so resolve_groups() collapses
+    it to the same single representative — recall of whole-group dedup is
+    unchanged; only the explicit pair list is thinned. max_bucket_size=None
+    restores exact all-pairs semantics (used by the oracle-checked registry
+    query, where sf buckets are tiny).
+    """
+    buckets = lsh_band_buckets(signatures, bands, id_col)
+    if max_bucket_size is None:
+        sized = buckets
+        small, big = buckets, None
+    else:
+        stats = buckets.groupBy("band", "bucket").agg(
+            F.count("*").alias("_bn"), F.min(id_col).alias("_bmin")
+        )
+        sized = buckets.join(stats, ["band", "bucket"])
+        small = sized.filter(F.col("_bn") <= max_bucket_size).select(id_col, "band", "bucket")
+        big = (
+            sized.filter((F.col("_bn") > max_bucket_size) & (F.col(id_col) != F.col("_bmin")))
+            .select(F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+    a, b_ = small.alias("a"), small.alias("b")
+    pairs = (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
@@ -68,8 +104,35 @@ def lsh_candidate_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
+    if big is not None:
+        pairs = pairs.unionByName(big)
+    return pairs.distinct()
+
+
+def lsh_bucket_report(
+    signatures: DataFrame, bands: int = 4, id_col: str = "doc_id", max_bucket_size: int = 64
+) -> dict:
+    """Diagnostics for the mega-bucket guard: how many buckets were capped and
+    the worst occupancy. Cheap (aggregates bucket ids only); call it when a
+    dedup run needs an audit trail of what the cap thinned."""
+    stats = (
+        lsh_band_buckets(signatures, bands, id_col)
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.when(F.col("n") > max_bucket_size, 1).otherwise(0)).alias("n_capped"),
+            F.max("n").alias("max_occupancy"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_buckets": stats["n_buckets"],
+        "n_capped": int(stats["n_capped"] or 0),
+        "max_occupancy": stats["max_occupancy"],
+        "cap": max_bucket_size,
+    }
 
 
 def verify_pairs(
@@ -100,29 +163,57 @@ def verify_pairs(
     )
 
 
-def resolve_groups(verified: DataFrame, max_iter: int = 3) -> DataFrame:
-    """Label propagation toward the min id: (doc_id, rep_id) for every doc that
-    appears in a verified pair. max_iter bounds chain depth (dup chains are
-    shallow; each iteration is one shuffle)."""
+def resolve_groups(verified: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components toward the min id: (node, rep) for every doc that
+    appears in a verified pair — dup CLUSTERS can chain (A~B, B~C without A~C),
+    so this must converge for arbitrary chain diameters, not a fixed hop count.
+
+    Each iteration does (1) a neighbor-min propagation and (2) a pointer jump
+    (rep ← rep's rep), so label distance to the component minimum roughly
+    halves per round → O(log diameter) iterations. Convergence is detected by
+    the total label sum: min-propagation is monotonically non-increasing per
+    node, so an unchanged sum ⟺ a fixpoint. localCheckpoint() per iteration
+    truncates the join lineage (same discipline as operators/pagerank.py);
+    everything else is joins/aggs on node ids — no driver-side state beyond
+    one scalar per iteration.
+    """
     edges = verified.select("id_a", "id_b")
     bidir = edges.unionByName(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    )
+    ).localCheckpoint()
     labels = bidir.select(F.col("id_a").alias("node")).distinct().withColumn(
         "rep", F.col("node")
-    )
-    for _ in range(max_iter):
+    ).localCheckpoint()
+    prev_sum = None
+    for i in range(max_iter):
         neighbor_min = (
             bidir.join(labels, bidir.id_b == labels.node)
             .groupBy(F.col("id_a").alias("n2"))
             .agg(F.min("rep").alias("nmin"))
         )
-        labels = (
+        stepped = (
             labels.join(neighbor_min, labels.node == F.col("n2"), "left")
             .select(
                 "node",
                 F.least(F.col("rep"), F.coalesce(F.col("nmin"), F.col("rep"))).alias("rep"),
             )
+        )
+        jump = stepped.select(F.col("node").alias("jnode"), F.col("rep").alias("jrep"))
+        labels = (
+            stepped.join(jump, stepped.rep == jump.jnode, "left")
+            .select("node", F.coalesce(F.col("jrep"), F.col("rep")).alias("rep"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum(F.col("rep").cast("decimal(38,0)"))).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        import warnings
+
+        warnings.warn(
+            f"resolve_groups did not converge within {max_iter} iterations; "
+            "duplicate chains deeper than 2^max_iter may keep multiple reps"
         )
     return labels
 

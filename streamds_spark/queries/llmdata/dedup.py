@@ -130,30 +130,19 @@ def _lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     two identical sides cost nothing extra: Spark plans a ReusedExchange, so
     the subtree runs once. (Measured: a groupBy+collect_list pair-expansion
     alternative was slower AND worse at scale — a mega-bucket's id list
-    materializes in a single aggregation buffer, while the join spills.)"""
+    materializes in a single aggregation buffer, while the join spills.)
+
+    max_bucket_size=None here because this registry query's oracle specifies
+    exact all-pairs semantics (buckets are tiny at oracle sf). Production
+    dedup goes through operators/dedup_pipeline.dedup_corpus, where oversized
+    buckets are star-connected (O(n) pairs, same groups after resolution).
+    """
+    from streamds_spark.operators.dedup_pipeline import lsh_candidate_pairs
+
     sig = _minhash_signature_df(spark, sf_dir)
-    band_hashes = F.array(
-        *[
-            F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
-            for cols in _BAND_COLS
-        ]
+    return lsh_candidate_pairs(sig, bands=BANDS, max_bucket_size=None).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
-    buckets = sig.select(
-        "doc_id", F.posexplode(band_hashes).alias("band", "bucket")
-    )
-    left = buckets.alias("a")
-    right = buckets.alias("b")
-    pairs = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    return pairs
 
 
 @query(

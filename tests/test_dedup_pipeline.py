@@ -45,3 +45,46 @@ def test_no_pairs_no_drops(spark):
     kept, dropped = dedup_corpus(docs)
     assert dropped.count() == 0
     assert kept.count() == 2
+
+
+def test_resolve_groups_long_chain_converges(spark):
+    # 20-hop chain 0-1-2-...-20 with no shortcut edges: fixpoint iteration
+    # (with pointer jumping) must collapse the whole chain to rep=0.
+    verified = spark.createDataFrame(
+        [(i, i + 1, 0.9) for i in range(20)], ["id_a", "id_b", "jaccard"]
+    )
+    labels = {r["node"]: r["rep"] for r in resolve_groups(verified).collect()}
+    assert labels == {i: 0 for i in range(21)}
+
+
+def test_lsh_mega_bucket_capped(spark):
+    # 10k identical docs share every band bucket: all-pairs would emit ~50M
+    # pairs; the star-connected cap must keep it linear AND still collapse the
+    # group to one representative, with near-dup recall elsewhere unchanged.
+    from streamds_spark.operators.dedup_pipeline import (
+        lsh_bucket_report,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, BASE) for i in range(10_000)]
+    rows += [(20_000, BASE + " tonight"), (20_001, BASE + " tonight again")]
+    rows += [(30_000, "unrelated text about query engines and shuffles everywhere")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs, max_bucket_size=64)
+    n_pairs = pairs.count()
+    assert n_pairs < 50_000, f"quadratic blow-up: {n_pairs} pairs"
+
+    report = lsh_bucket_report(sigs, max_bucket_size=64)
+    assert report["n_capped"] >= 1
+    assert report["max_occupancy"] >= 10_000
+
+    kept, dropped = dedup_corpus(docs, threshold=0.7)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    # one rep for the 10k-clone group, near-dups 20000/20001 collapse with the
+    # clone group iff they verify >= threshold against it; the unrelated doc stays.
+    assert 0 in kept_ids and 30_000 in kept_ids
+    assert len(kept_ids) <= 4
+    assert dropped.count() >= 9_999
