@@ -18,13 +18,17 @@ Two tiers:
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamds_spark.catalog import load_table
-from streamds_spark.functions.vectors import as_double, cosine, dot, duckdb_cosine
+from streamds_spark.functions.vectors import (
+    as_double,
+    cosine,
+    duckdb_cosine,
+    hyperplanes,
+    lsh_bucket_col,
+)
 from streamds_spark.registry import query
 
 QUERY_VEC_ID = 0  # the probe vector for top-k queries
@@ -62,27 +66,10 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes() -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes from md5 (reproducible anywhere)."""
-    planes = []
-    for p in range(N_PLANES):
-        row = []
-        for d in range(EMB_DIM):
-            h = int(hashlib.md5(f"plane-{p}-{d}".encode()).hexdigest()[:7], 16)
-            row.append((h % 2000) / 1000.0 - 1.0)  # uniform-ish in [-1, 1)
-        planes.append(row)
-    return planes
-
-
-def lsh_bucket_col(vcol) -> "F.Column":
-    """Random-hyperplane signature as an integer column (pure expressions)."""
-    planes = _hyperplanes()
-    bucket = F.lit(0).cast("bigint")
-    for i, plane in enumerate(planes):
-        pl = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot(vcol, pl) >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        bucket = bucket + F.shiftleft(bit, i)
-    return bucket
+def default_planes() -> list[list[float]]:
+    """The engine's default hyperplane set (N_PLANES × EMB_DIM), shared with
+    the persisted ANN index (operators/ann.py)."""
+    return hyperplanes(N_PLANES, EMB_DIM)
 
 
 @query("ann_lsh_topk", oracle=None)  # hyperplane LSH: rows-only check; recall tested in pytest
@@ -93,7 +80,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
-    bucketed = emb.withColumn("bucket", lsh_bucket_col(F.col("v")))
+    bucketed = emb.withColumn("bucket", lsh_bucket_col(F.col("v"), default_planes()))
     probe = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("q"), F.col("bucket").alias("qbucket")
     )

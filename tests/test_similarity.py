@@ -9,8 +9,8 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, FloatType, IntegerType, StructField, StructType
 
-from streamds_spark.functions.vectors import as_double, cosine
-from streamds_spark.queries.llmdata.similarity import EMB_DIM, lsh_bucket_col
+from streamds_spark.functions.vectors import as_double, cosine, lsh_bucket_col
+from streamds_spark.queries.llmdata.similarity import EMB_DIM, default_planes
 
 SF = "/root/testdata/sf0.001"
 
@@ -69,7 +69,9 @@ def test_lsh_bucket_groups_clusters(spark, vectors):
     """Same-cluster vectors (cosine ≈ 1) must land in the same hyperplane bucket
     almost always; recall of in-bucket top-k vs brute force must be high."""
     b = vectors.select(
-        "vec_id", "label", lsh_bucket_col(as_double(F.col("embedding"))).alias("bucket")
+        "vec_id",
+        "label",
+        lsh_bucket_col(as_double(F.col("embedding")), default_planes()).alias("bucket"),
     )
     rows = b.collect()
     by_label = {}
@@ -123,3 +125,78 @@ def test_ann_queries_run_on_testdata(spark):
     assert lsh_ids <= {r["vec_id"] for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()}
     # and its hits that are in the bucket should overlap the true top-k at least partially
     assert len(lsh_ids & bf_ids) >= 1
+
+
+def test_ann_index_probe_prunes_partitions(spark, tmp_path):
+    """The persisted ANN index: probe must (a) compute its bucket driver-side
+    identically to the Spark expression, (b) show PartitionFilters pruning in
+    the scan, and (c) return the same candidates as in-bucket brute force."""
+    from streamds_spark.catalog import load_table
+    from streamds_spark.functions.vectors import lsh_bucket_py, hyperplanes
+    from streamds_spark.operators.ann import ann_probe_topk, build_ann_index
+    from streamds_spark.plans.audit import formatted_plan
+
+    emb = load_table(spark, SF, "embeddings")
+    idx_path = str(tmp_path / "ann_index")
+    build_ann_index(emb, idx_path, n_planes=6)
+
+    # (a) driver-side bucket twin agrees with the persisted bucket column
+    planes = hyperplanes(6, EMB_DIM)
+    sample = emb.limit(20).collect()
+    persisted = {
+        r["vec_id"]: r["bucket"]
+        for r in spark.read.parquet(idx_path).select("vec_id", "bucket").collect()
+    }
+    for r in sample:
+        assert lsh_bucket_py([float(x) for x in r["embedding"]], planes) == persisted[r["vec_id"]]
+
+    qvec = [float(x) for x in next(r["embedding"] for r in sample if r["vec_id"] == 0)]
+    got = ann_probe_topk(spark, idx_path, qvec, k=10)
+
+    # (b) static partition pruning reaches the scan
+    plan = formatted_plan(got)
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    qbucket = lsh_bucket_py(qvec, planes)
+    n_read = spark.read.parquet(idx_path).filter(F.col("bucket") == qbucket).count()
+    total = spark.read.parquet(idx_path).count()
+    assert n_read < total, "probe bucket must be a strict subset of the table"
+
+    # (c) results = in-bucket brute force (vec 0 itself tops the list at cos=1)
+    bucket_rows = spark.read.parquet(idx_path).filter(F.col("bucket") == qbucket).collect()
+    py = sorted(
+        (
+            (
+                r["vec_id"],
+                round(
+                    sum(a * b for a, b in zip(qvec, r["v"]))
+                    / (
+                        math.sqrt(sum(a * a for a in qvec))
+                        * math.sqrt(sum(b * b for b in r["v"]))
+                    ),
+                    4,
+                ),
+            )
+            for r in bucket_rows
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert [(r["vec_id"], r["cos_sim"]) for r in got.collect()] == py
+
+
+def test_ann_index_multiprobe_widens_recall(spark, tmp_path):
+    """Multi-probe (bit flips) must read more buckets and return a superset-or-
+    equal candidate quality vs single-probe, still with pruned scans."""
+    from streamds_spark.catalog import load_table
+    from streamds_spark.operators.ann import ann_probe_topk, build_ann_index, probe_buckets
+
+    emb = load_table(spark, SF, "embeddings")
+    idx_path = str(tmp_path / "ann_index")
+    build_ann_index(emb, idx_path, n_planes=6)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    assert len(probe_buckets(qvec, 6, n_flip_bits=3)) == 4
+    single = ann_probe_topk(spark, idx_path, qvec, k=5, n_flip_bits=0).collect()
+    multi = ann_probe_topk(spark, idx_path, qvec, k=5, n_flip_bits=3).collect()
+    # multi-probe sees a superset of candidates → its top-5 dominates
+    assert multi[0]["cos_sim"] >= single[0]["cos_sim"]
+    assert len(multi) == 5
