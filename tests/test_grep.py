@@ -62,16 +62,48 @@ def test_grep_invert(spark, log_dir):
 def test_grep_extended_regex(spark, log_dir):
     df = read_logs(spark, log_dir)
     assert grep_total(df, "grep -c -E '^100 [0-9]+ 300$'") == 1000 * N_NODES
-    # without -E the pattern is literal: regex metachars must not fire
+    # without -E, + is a LITERAL in BRE: [0-9]+ means digit-then-plus → no hit
     assert grep_total(df, "grep -c '100 [0-9]+ 300'") == 0
 
 
-def test_grep_piped(spark, log_dir):
+def test_grep_bre_default_grammar(spark, log_dir):
+    """Non--E patterns are BREs, as the reference's `bash -c` grep makes them
+    (core_process.go:91-124): `.` `*` `[...]` anchors fire; `+ ( ) |` do not."""
     df = read_logs(spark, log_dir)
-    # reference README pipe form: grep A | grep -v B
-    assert grep_total(df, "grep '100' | grep -v '200'") == 0
-    assert grep_total(df, "grep 'text' | grep -v 'Random'") == 0
-    assert grep_total(df, "grep -i 'random' | grep 'text'") == 100 * N_NODES
+    assert grep_total(df, "grep -c 'Random.text'") == 100 * N_NODES  # . = any char
+    assert grep_total(df, "grep -c '^100 [0-9]* 300$'") == 1000 * N_NODES
+    assert grep_total(df, "grep -c 'Rando*m'") == 100 * N_NODES  # o* star
+    assert grep_total(df, "grep -c '10*0'") == 1000 * N_NODES
+    assert grep_total(df, "grep -c 'Random|text'") == 0  # | literal in BRE
+    assert grep_total(df, r"grep -c 'Random\|nothing'") == 100 * N_NODES  # \| = GNU alt
+    assert grep_total(df, r"grep -c '\(Random\) text'") == 100 * N_NODES  # \(\) group
+    assert grep_total(df, r"grep -c '[[:digit:]]00 200'") == 1000 * N_NODES  # POSIX class
+    assert grep_total(df, r"grep -c 'Random\.text'") == 0  # \. literal dot
+
+
+def test_grep_piped(spark, log_dir):
+    """Reference pipe semantics (core_process.go:104-110): without <filename>
+    the file is appended to the LAST stage, which then ignores stdin — earlier
+    stages are dead (bash hands them EOF). With <filename> in the first stage,
+    the whole pipe filters."""
+    import warnings
+
+    df = read_logs(spark, log_dir)
+    # file attaches to last stage → only `grep -v '200'` runs
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert grep_total(df, "grep '100' | grep -v '200'") == 110 * N_NODES
+        assert grep_total(df, "grep 'text' | grep -v 'Random'") == 1010 * N_NODES
+    # <filename> pins the file to stage 1 → every stage filters
+    assert grep_total(df, "grep '100' <filename> | grep -v '200'") == 0
+    assert grep_total(df, "grep 'text' <filename> | grep -v 'Random'") == 0
+    assert grep_total(df, "grep -i 'random' <filename> | grep 'text'") == 100 * N_NODES
+
+
+def test_grep_fnactual_restricts_file(spark, log_dir):
+    """<fnactual vm0.log> (core_process.go:22-34): grep only that node's log."""
+    df = read_logs(spark, log_dir)
+    assert grep_total(df, f"grep -c '{PATTERN}' <fnactual vm0.log>") == 10
 
 
 def test_parse_rejects_unknown_flag():
