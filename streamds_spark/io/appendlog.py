@@ -12,13 +12,29 @@ ordering columns available; `merge` compacts chunks into one ordered table.
 Replication/caching (3-way, invalidation) is the storage layer's job in a real
 deployment (HDFS/S3 + table format) — by design not reimplemented.
 
+Crash-safe merge layout (the reference's mergeFile rewrites in place only
+because one HyDFS replica owns the file; on shared storage that loses data if
+the writer dies mid-rewrite):
+    path/chunks/*.parquet          — append target, never rewritten
+    path/generations/g-<seq>/data  — each merge writes a NEW generation
+    path/generations/g-<seq>/merged_chunks.txt — chunk files folded into it
+    path/CURRENT                   — pointer to the live generation,
+                                     os.replace'd (atomic on POSIX)
+A reader resolves CURRENT, reads that generation's data, and unions any chunk
+NOT listed in its manifest — so an append committed while a merge is running
+is never dropped, and a crash at ANY point leaves either the old or the new
+generation fully live. merge() is single-writer (two concurrent merges could
+both win CURRENT; last pointer wins, no data loss either way).
+
 Scale: append = one parquet write (no read-modify-write); merge = one sorted
 rewrite, partitionable by client_id.
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import os
+import shutil
 import time
 import uuid
 
@@ -49,24 +65,110 @@ def append(df: DataFrame, path: str, client_id: str) -> None:
     open(os.path.join(path, f".append-{client_id}-{seq}-{uuid.uuid4().hex[:6]}"), "w").close()
 
 
+def _current_generation(path: str) -> str | None:
+    """Resolve the live generation dir via the CURRENT pointer, trusting it
+    only if the generation's data write committed (_SUCCESS)."""
+    cur = os.path.join(path, "CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        gen = f.read().strip()
+    gen_dir = os.path.join(path, "generations", gen)
+    if os.path.exists(os.path.join(gen_dir, "data", "_SUCCESS")):
+        return gen_dir
+    return None
+
+
+def _merged_chunk_names(gen_dir: str | None) -> set[str]:
+    if gen_dir is None:
+        return set()
+    manifest = os.path.join(gen_dir, "merged_chunks.txt")
+    if not os.path.exists(manifest):
+        return set()
+    with open(manifest) as f:
+        return {line.strip() for line in f if line.strip()}
+
+
+def _live_chunk_files(path: str, gen_dir: str | None) -> list[str]:
+    """Chunk files not yet folded into the live generation."""
+    merged = _merged_chunk_names(gen_dir)
+    return sorted(
+        p
+        for p in _glob.glob(os.path.join(path, "chunks", "*.parquet"))
+        if os.path.basename(p) not in merged
+    )
+
+
 def get(spark: SparkSession, path: str) -> DataFrame:
-    """GET: full view with per-client ordering columns (_client, _seq)."""
-    return spark.read.parquet(os.path.join(path, "chunks"))
+    """GET: full view with per-client ordering columns (_client, _seq) —
+    the live generation (if any) plus chunks appended since it was cut."""
+    gen_dir = _current_generation(path)
+    chunks = _live_chunk_files(path, gen_dir)
+    parts = []
+    if gen_dir is not None:
+        parts.append(spark.read.parquet(os.path.join(gen_dir, "data")))
+    if chunks:
+        parts.append(spark.read.parquet(*chunks))
+    if not parts:  # empty log: preserve the pre-generations error behavior
+        return spark.read.parquet(os.path.join(path, "chunks"))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
 
 
 def merge(spark: SparkSession, path: str) -> None:
-    """MERGE: compact chunks into a single table ordered by (_client, _seq) —
-    per-client append order preserved, cross-client order deterministic-but-
-    arbitrary (client id order), matching the reference's guarantee."""
-    merged = get(spark, path).orderBy("_client", "_seq", "_pos")
-    tmp = os.path.join(path, "_merged_tmp")
-    merged.write.mode("overwrite").parquet(tmp)
-    final = os.path.join(path, "chunks")
-    back = spark.read.parquet(tmp)
-    back.write.mode("overwrite").parquet(final)
-    import shutil
+    """MERGE: compact into a single ordered table — per-client append order
+    preserved, cross-client order deterministic-but-arbitrary (client id
+    order), matching the reference's mergeFile guarantee.
 
-    shutil.rmtree(tmp, ignore_errors=True)
+    Crash-safe: the merged table lands in a NEW generation dir; CURRENT is
+    repointed with an atomic os.replace only after the write committed. A
+    crash at any point leaves the previous view intact, and appends committed
+    while this ran stay visible as un-merged chunks (not in the manifest).
+    Single-writer: run one merge at a time.
+    """
+    old_gen = _current_generation(path)
+    snapshot = _live_chunk_files(path, old_gen)
+
+    gen = f"g-{time.monotonic_ns()}"
+    gen_dir = os.path.join(path, "generations", gen)
+    os.makedirs(gen_dir, exist_ok=True)
+
+    parts = []
+    if old_gen is not None:
+        parts.append(spark.read.parquet(os.path.join(old_gen, "data")))
+    if snapshot:
+        parts.append(spark.read.parquet(*snapshot))
+    if not parts:
+        shutil.rmtree(gen_dir, ignore_errors=True)
+        return
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.orderBy("_client", "_seq", "_pos").write.parquet(os.path.join(gen_dir, "data"))
+
+    # manifest BEFORE the pointer swap: a reader that sees the new CURRENT
+    # must already know which chunks it subsumes
+    prev_merged = _merged_chunk_names(old_gen)
+    with open(os.path.join(gen_dir, "merged_chunks.txt"), "w") as f:
+        for name in sorted(prev_merged | {os.path.basename(p) for p in snapshot}):
+            f.write(name + "\n")
+
+    tmp_ptr = os.path.join(path, "CURRENT.tmp")
+    with open(tmp_ptr, "w") as f:
+        f.write(gen)
+    os.replace(tmp_ptr, os.path.join(path, "CURRENT"))  # atomic commit point
+
+    # best-effort GC (safe to re-run; a crash here only leaves garbage, the
+    # manifest keeps subsumed chunks out of every future read)
+    for p in snapshot:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    if old_gen is not None:
+        shutil.rmtree(old_gen, ignore_errors=True)
     for marker in os.listdir(path):
         if marker.startswith(".append-"):
             os.remove(os.path.join(path, marker))
