@@ -65,6 +65,29 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Scaling watch (NOT in the headline total, so round-over-round totals stay
+    # comparable): the LSH candidate join on a 10×-unioned documents table.
+    # Every doc gains 10 exact clones → dense buckets; tracks the join's
+    # scaling constant and exercises the mega-bucket star cap.
+    from pyspark.sql import functions as F
+
+    from streamds_spark.operators.dedup_pipeline import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_ids = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    scaled = docs
+    for i in range(1, 10):
+        scaled = scaled.unionByName(
+            docs.select((F.col("doc_id") + i * n_ids).alias("doc_id"), "text")
+        )
+    t0 = time.time()
+    lsh_candidate_pairs(minhash_signatures(scaled)).count()
+    lsh_10x = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -73,6 +96,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extras": {"dedup_lsh_pairs_docs10x": lsh_10x},
             }
         )
     )
