@@ -134,6 +134,35 @@ def windowed_counts(
     )
 
 
+def session_windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time SESSION windows (gap-based) with late-data handling — the
+    streaming twin of the batch `sessionize_events` query (ST10+; the
+    reference has no notion of time at all).
+
+    In append output mode a session is emitted exactly once, when the
+    watermark passes its end; the state store holds only open sessions, keyed
+    by (key, session) — state is bounded by active users × open sessions, and
+    the shuffle key is the group key, same as the batch twin.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def stream_kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,

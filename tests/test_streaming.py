@@ -248,10 +248,12 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
 
 
 def test_native_session_window_streaming(spark, tmp_path):
-    """Native session_window aggregation in streaming (gap-based sessions with
-    state store management — the built-in twin of sessionize_events)."""
+    """session_windowed_counts in streaming (gap-based sessions with state
+    store management — the engine-level twin of the batch sessionize_events)."""
     import os
     from pyspark.sql import functions as F
+
+    from streamds_spark.streaming.engine import session_windowed_counts
 
     src = str(tmp_path / "in")
     os.makedirs(src)
@@ -262,17 +264,16 @@ def test_native_session_window_streaming(spark, tmp_path):
             "7 2024-01-01T02:00:00\n"   # new session
             "99 2024-01-01T04:00:00\n"  # flush: advances watermark past 02:30
         )
-    stream = (
+    events = (
         spark.readStream.format("text").load(src)
         .select(F.split("value", " ").alias("p"))
         .select(
             F.col("p").getItem(0).cast("int").alias("uid"),
             F.col("p").getItem(1).cast("timestamp").alias("ts"),
         )
-        .withWatermark("ts", "10 minutes")
-        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), F.col("uid"))
-        .agg(F.count("*").alias("n"))
-        .select("uid", F.col("sw.start").alias("start"), "n")
+    )
+    stream = session_windowed_counts(
+        events, ts_col="ts", key_col="uid", gap="30 minutes", watermark="10 minutes"
     )
     rows = []
     q = (
@@ -285,7 +286,9 @@ def test_native_session_window_streaming(spark, tmp_path):
     q.awaitTermination(120)
     # append mode emits a session only once the watermark passes its end;
     # uid 99's own session stays open and unemitted — that's the semantics.
-    got = sorted((r["uid"], str(r["start"]), r["n"]) for r in rows if r["uid"] == 7)
+    got = sorted(
+        (r["uid"], str(r["session_start"]), r["n_events"]) for r in rows if r["uid"] == 7
+    )
     assert got == [
         (7, "2024-01-01 00:00:00", 2),
         (7, "2024-01-01 02:00:00", 1),
