@@ -18,6 +18,7 @@ from streamds_spark.queries import integrity  # noqa: F401
 from streamds_spark.queries import parity  # noqa: F401
 from streamds_spark.queries import tpch  # noqa: F401
 from streamds_spark.queries import tpch2  # noqa: F401
+from streamds_spark.queries import tpch3  # noqa: F401
 from streamds_spark.queries.llmdata import contamination  # noqa: F401
 from streamds_spark.queries.llmdata import corpus  # noqa: F401
 from streamds_spark.queries.llmdata import dedup  # noqa: F401

@@ -36,9 +36,28 @@ def test_grep_reads_only_text_column(facts):
 
 
 def test_dim_joins_are_broadcast(facts):
-    for q in ["q3_shipping_priority", "broadcast_join_agg", "brand_revenue", "q5_local_supplier_volume"]:
+    for q in [
+        "q3_shipping_priority",
+        "broadcast_join_agg",
+        "brand_revenue",
+        "q5_local_supplier_volume",
+        "q2_min_cost_supplier",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q21_waiting_suppliers",
+    ]:
         f = facts(q)
         assert f.has_broadcast_join, q
+
+
+def test_scalar_subquery_thresholds_broadcast(facts):
+    # Q11/Q15 shape: the one-row threshold must join via broadcast, and the
+    # shared aggregate subtree must not force a single-partition exchange
+    for q in ["q11_important_stock", "q15_top_supplier"]:
+        f = facts(q)
+        assert f.has_broadcast_join, q
+        assert f.n_single_partition <= 2, q  # the 1-row agg itself is the only one
 
 
 def test_topk_avoids_global_sort(facts):
