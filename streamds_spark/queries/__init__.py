@@ -25,6 +25,7 @@ from streamds_spark.queries.llmdata import dedup  # noqa: F401
 from streamds_spark.queries.llmdata import multimodal  # noqa: F401
 from streamds_spark.queries.llmdata import quality  # noqa: F401
 from streamds_spark.queries.llmdata import sampling  # noqa: F401
+from streamds_spark.queries.llmdata import sharding  # noqa: F401
 from streamds_spark.queries.llmdata import similarity  # noqa: F401
 from streamds_spark.queries.llmdata import textstats  # noqa: F401
 

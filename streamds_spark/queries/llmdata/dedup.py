@@ -171,6 +171,63 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_sizes",
+    oracle="WITH RECURSIVE "
+    + _duckdb_signature_sql()
+    + f""",
+    buckets AS (
+        {" UNION ALL ".join(
+            "SELECT doc_id, " + str(b) + " AS band, md5("
+            + " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+            + ") AS bucket FROM sig"
+            for b, cols in enumerate(_BAND_COLS)
+        )}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    bidir AS (
+        SELECT doc_a AS s, doc_b AS t FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(s, t) AS (
+        SELECT s, t FROM bidir
+        UNION
+        SELECT r.s, b.t FROM reach r JOIN bidir b ON r.t = b.s
+    ),
+    labels AS (
+        SELECT s AS node, least(s, min(t)) AS rep FROM reach GROUP BY s
+    )
+    SELECT rep AS rep_doc_id, count(*) AS cluster_size
+    FROM labels GROUP BY rep
+    ORDER BY cluster_size DESC, rep_doc_id
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: connected components over the LSH
+    candidate graph (min-id representative per component), sizes per cluster.
+
+    The Spark side runs the production fixpoint algorithm
+    (operators/dedup_pipeline.resolve_groups — min-label propagation with
+    pointer jumping, O(log diameter) shuffles); the oracle recomputes the
+    same components with a recursive transitive-closure CTE, so the iterative
+    code is value-checked cross-engine, not just row-counted."""
+    from streamds_spark.operators.dedup_pipeline import resolve_groups
+
+    pairs = _lsh_pairs_df(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    labels = resolve_groups(pairs)
+    return (
+        labels.groupBy(F.col("rep").alias("rep_doc_id"))
+        .agg(F.count("*").alias("cluster_size"))
+        .orderBy(F.desc("cluster_size"), "rep_doc_id")
+    )
+
+
+@query(
     "dedup_simhash",
     oracle=rf"""
     WITH toks AS (
