@@ -75,3 +75,41 @@ def scalar_operator(fn: Callable[[str], str | None]):
             yield s.map(lambda v: fn(v) if v is not None else None)
 
     return vectorized
+
+
+def line_udtf(fn: Callable[[str], list[str]], name: str | None = None):
+    """The stage-1 contract as a true Python UDTF (table function): one input
+    line expands to 0..n output ROWS (word, emit index) — usable from the
+    DataFrame API and, when `name` is given, from SQL via LATERAL:
+
+        SELECT s.* FROM logs, LATERAL my_op(line) s
+
+    This is the full §2.10 UDTF surface (the pandas_udf+explode path in
+    apply_line_operator is the vectorized fast path; a UDTF is the general
+    row-expanding contract — use it when per-line fan-out logic needs
+    imperative Python rather than an array expression)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="out: string, idx: int")
+    class LineUDTF:
+        def eval(self, value: str):
+            if value is None:
+                return
+            for i, out in enumerate(fn(value)):
+                yield out, i
+
+    if name is not None:
+        from pyspark.sql import SparkSession
+
+        SparkSession.active().udtf.register(name, LineUDTF)
+    return LineUDTF
+
+
+def apply_line_udtf(df: DataFrame, fn: Callable[[str], list[str]]) -> DataFrame:
+    """DataFrame[(key, value)] → (key, out) through a lateral UDTF join, with
+    the same key-uniquifying scheme as apply_line_operator."""
+    u = line_udtf(fn)
+    return (
+        df.lateralJoin(u(F.col("value").outer()))
+        .select(F.concat_ws(":", "key", "idx").alias("key"), "out")
+    )

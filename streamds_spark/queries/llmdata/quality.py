@@ -143,3 +143,70 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_per_doc.select(
         "doc_id", F.sum("n_new").over(w).cast("bigint").alias("vocab_size")
     )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 2
+                      THEN list_transform(range(1, len(t)), i -> t[i])
+                      ELSE [] END) AS w1,
+               unnest(CASE WHEN len(t) >= 2
+                      THEN list_transform(range(2, len(t) + 1), i -> t[i])
+                      ELSE [] END) AS w2
+        FROM toks
+    ),
+    bc AS (SELECT w1 AS bw1, w2 AS bw2, count(*) AS c2 FROM big GROUP BY w1, w2),
+    uc AS (SELECT w1 AS uw1, count(*) AS c1 FROM big GROUP BY w1)
+    SELECT doc_id, round(avg(ln(CAST(c2 AS DOUBLE) / c1)), 4) AS avg_logprob
+    FROM big
+    JOIN bc ON w1 = bw1 AND w2 = bw2
+    JOIN uc ON w1 = uw1
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical LM quality score: per-doc mean log P(w2|w1) under the
+    corpus's own bigram model (c(w1,w2)/c(w1)) — the classic cheap perplexity
+    proxy for pretrain filtering (gibberish and boilerplate score low/high
+    against the corpus distribution).
+
+    Plan: one explode to bigrams, two partial-agg count tables (pair and
+    unigram), then two shuffled equi-joins back on the bigram stream and a
+    per-doc aggregate. The count tables scale with vocabulary, not corpus
+    size, but are NOT broadcast (a 100 TB corpus's bigram vocab can be
+    billions) — the joins shuffle on (w1, w2)/(w1), where Zipf skew is
+    AQE-splittable. No UDF anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 1)").alias("w1"),
+                F.expr("slice(t, 2, size(t) - 1)").alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bc = big.groupBy(
+        F.col("w1").alias("bw1"), F.col("w2").alias("bw2")
+    ).agg(F.count("*").alias("c2"))
+    uc = big.groupBy(F.col("w1").alias("uw1")).agg(F.count("*").alias("c1"))
+    return (
+        big.join(bc, (big.w1 == bc.bw1) & (big.w2 == bc.bw2))
+        .join(uc, big.w1 == uc.uw1)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("c2").cast("double") / F.col("c1"))), 4).alias(
+                "avg_logprob"
+            )
+        )
+    )

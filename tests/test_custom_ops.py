@@ -49,3 +49,29 @@ def test_register_into_rainstorm(spark, lines, tmp_path):
 def test_double_register_rejected():
     with pytest.raises(ValueError):
         register_stage1("split_operator", lambda v: [v])
+
+
+def test_udtf_lateral_flatmap(spark, lines):
+    """True UDTF path: same flatMap contract, row expansion via lateral join."""
+    from streamds_spark.operators.custom import apply_line_udtf
+
+    out = apply_line_udtf(lines, lambda v: v.split() if v != "skip" else [])
+    rows = sorted((r["key"], r["out"]) for r in out.collect())
+    assert rows == [("f:1:0", "alpha"), ("f:1:1", "beta"), ("f:3:0", "gamma")]
+
+
+def test_udtf_sql_lateral(spark, lines):
+    """SQL users call the registered UDTF with LATERAL — the reference's
+    'swap in your binary' store, but addressable from plain SQL."""
+    from streamds_spark.operators.custom import line_udtf
+
+    line_udtf(lambda v: [w.upper() for w in v.split()], name="upper_words")
+    lines.createOrReplaceTempView("udtf_lines")
+    got = sorted(
+        (r["key"], r["out"], r["idx"])
+        for r in spark.sql(
+            "SELECT l.key, s.out, s.idx FROM udtf_lines l, LATERAL upper_words(l.value) s"
+        ).collect()
+    )
+    assert ("f:1", "ALPHA", 0) in got and ("f:1", "BETA", 1) in got
+    assert len(got) == 4  # 'skip' still emits its one (uppercased) word
