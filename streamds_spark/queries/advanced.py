@@ -253,3 +253,77 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "time_spine_gap_fill",
+    oracle="""
+    WITH spine AS (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                      TIMESTAMP '2024-01-30 23:00:00',
+                                      INTERVAL 1 HOUR)) AS hr
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    observed AS (
+        SELECT date_trunc('hour', ts) AS hr, event_type,
+               count(*) AS c, avg(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    joined AS (
+        SELECT s.hr, t.event_type, o.c, o.v
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN observed o ON o.hr = s.hr AND o.event_type = t.event_type
+    )
+    SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           CAST(coalesce(c, 0) AS BIGINT) AS n_events,
+           round(last_value(v IGNORE NULLS)
+                     OVER (PARTITION BY event_type ORDER BY hr
+                           ROWS UNBOUNDED PRECEDING), 4) AS avg_value_ff,
+           (c IS NULL) AS is_gap
+    FROM joined
+    """,
+)
+def time_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a dense hourly spine per event_type, left-joined
+    with observed hourly aggregates; empty hours get count 0 and a
+    forward-filled value (last non-null, IGNORE NULLS window) — the
+    resample+ffill primitive Spark lacks.
+
+    Scale posture: the spine is generated (sequence+explode, no scan) and the
+    window runs over the AGGREGATED series (one row per hour×type), partitioned
+    by the series key — never over raw events. A year of hourly data per key is
+    ~9k rows per window partition regardless of corpus size."""
+    events = load_table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-30 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hr")
+    )
+    types = events.select("event_type").distinct()
+    observed = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("ohr"),
+        F.col("event_type").alias("otype"),
+    ).agg(F.count("*").alias("c"), F.avg("value").alias("v"))
+    joined = (
+        spine.crossJoin(F.broadcast(types))
+        .join(
+            observed,
+            (F.col("ohr") == F.col("hr")) & (F.col("otype") == F.col("event_type")),
+            "left",
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.round(F.last("v", ignorenulls=True).over(w), 4).alias("avg_value_ff"),
+        F.col("c").isNull().alias("is_gap"),
+    )
