@@ -61,3 +61,41 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_sampled"))
     )
+
+
+STRATUM_QUOTA = 40  # docs per language stratum
+
+
+@query(
+    "stratified_quota_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY {duckdb_md5_int("CAST(doc_id AS VARCHAR)")}, doc_id)
+                   AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {STRATUM_QUOTA}
+    """,
+)
+def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified EXACT-quota sampling: the N hash-smallest docs per language —
+    a balanced, replayable subset (every engine picks the identical rows;
+    md5 order is uniform, so it is a uniform sample within each stratum).
+
+    One shuffle on the stratum key. Caveat at 100 TB: parallelism is bounded
+    by stratum count for the window — for few, huge strata switch to the
+    two-phase plan (approx_percentile on the hash to find each stratum's
+    quota threshold, then a map-only filter); same output, no rank window."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        md5_int60(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rk"))
+        .filter(F.col("rk") <= STRATUM_QUOTA)
+    )

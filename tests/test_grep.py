@@ -116,3 +116,43 @@ def test_grep_filename_placeholder_ignored(spark, log_dir):
     must not change the pattern (first non-flag token wins)."""
     df = read_logs(spark, log_dir)
     assert grep_total(df, f"grep -c '{PATTERN}' <filename>") == 10 * N_NODES
+
+
+def test_bre_translation_differential_vs_real_grep(spark, tmp_path):
+    """Differential parity: our BRE→Java translation vs the actual grep
+    binary the reference shells out to (core_process.go:117) — same matched
+    line sets across a battery of metacharacter patterns."""
+    import shutil
+    import subprocess
+
+    if not shutil.which("grep"):
+        pytest.skip("grep binary not available")
+
+    corpus = [
+        "axb", "aXb", "a.b", "ab", "aab", "a+b", "a?b", "(ab)", "a|b",
+        "ERRORS", "ERROR.", "ERROR", "100 200 300", "1 2 3", "wor*d",
+        "word", "woord", "wd", "*star", "star", "^caret", "mid^caret",
+        "end$", "mid$dollar", "[set]", "digit5here", "a{2}", "aa",
+    ]
+    f = tmp_path / "corpus.txt"
+    f.write_text("\n".join(corpus) + "\n")
+    df = read_logs(spark, str(f))
+
+    patterns = [
+        "a.b", "ERROR.", "a*b", "^a", "b$", "a+b", "a?b", "(ab)", "a|b",
+        r"\(ab\)", r"a\|b", "10* 200", "[0-9] 2", "wor*d", r"a\{2\}",
+        "a{2}", r"\*star", "*star", "mid^caret", r"mid\$dollar", "[[:digit:]]",
+    ]
+    for pat in patterns:
+        res = subprocess.run(
+            ["grep", "--", pat, str(f)], capture_output=True, text=True
+        )
+        expected = set(res.stdout.splitlines())
+        got = {r["line"] for r in grep(df, f"grep {shlex_quote(pat)}").collect()}
+        assert got == expected, f"pattern {pat!r}: ours={sorted(got)} grep={sorted(expected)}"
+
+
+def shlex_quote(s: str) -> str:
+    import shlex
+
+    return shlex.quote(s)
