@@ -99,3 +99,53 @@ def read_lines_keyed(spark: SparkSession, path: str) -> DataFrame:
     from streamds_spark.operators.rainstorm import read_source
 
     return read_source(spark, path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSONL (one JSON doc per line) — the lingua franca of LLM training data.
+
+    With an explicit schema the scan is single-pass; without one Spark runs a
+    sampling inference pass first (fine interactively, wasteful at 100 TB —
+    always pass the schema in pipelines). PERMISSIVE mode + a corrupt-record
+    column: malformed lines land in `corrupt_col` instead of killing the job
+    or silently vanishing — route them with split_valid_rows."""
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", corrupt_col
+    )
+    if schema is not None:
+        if isinstance(schema, str):
+            from pyspark.sql.types import _parse_datatype_string
+
+            schema = _parse_datatype_string(schema)
+        if corrupt_col not in schema.fieldNames():
+            schema = schema.add(StructField(corrupt_col, StringType()))
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def split_valid_rows(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine split: (valid_rows_without_corrupt_col, quarantined_rows).
+
+    Both sides derive from ONE scan subtree (Spark re-reads per action, but
+    in a pipeline each side feeds its own sink once). Quarantine keeps the
+    raw line (as `raw_line`) so the bad records are re-parseable after a
+    schema fix — ingest never drops data silently and never aborts on one
+    bad row. The quarantine side also carries the (all-null) typed columns:
+    Spark refuses plans that read ONLY the corrupt column from a JSON/CSV
+    scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and keeping them avoids the
+    cache() the docs suggest — which would be a non-starter at 100 TB."""
+    from pyspark.sql import functions as F
+
+    data_cols = [c for c in df.columns if c != corrupt_col]
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line"), *data_cols
+    )
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    return good, bad
