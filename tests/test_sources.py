@@ -1,4 +1,7 @@
+"""Ingest robustness: JSONL reading with corrupt-record quarantine (the
+schema-on-read path LLM corpora arrive through)."""
 
+from __future__ import annotations
 
 def test_read_jsonl_with_quarantine(spark, tmp_path):
     """JSONL ingest: valid rows typed, malformed lines quarantined with their
