@@ -87,3 +87,60 @@ def test_registered_textstats_queries_run(spark):
     assert all(0.0 <= r["stopword_ratio"] <= 1.0 for r in rows)
     langs = {r["detected_lang"] for r in specs["text_lang_id"].fn(spark, sf).collect()}
     assert langs <= {"en", "und"}
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """The winnowing theorem (Schleimer et al. §2): two documents sharing a
+    substring of at least w+k-1 tokens MUST share at least one fingerprint,
+    while fully-disjoint vocabularies share none."""
+    from streamds_spark.queries.llmdata.textstats import WINNOW_K, WINNOW_W
+    from pyspark.sql import Window, functions as F
+    from streamds_spark.functions.text import tokens
+
+    shared = "orange banana cherry mango papaya kiwi lemon lime guava plum"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"zeta eta theta {shared} iota"),
+            (3, "one two three four five six seven eight nine ten eleven twelve"),
+        ],
+        ["doc_id", "text"],
+    )
+    k, w = WINNOW_K, WINNOW_W
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tokens(F.col("text"))) - k + 1),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                " ",
+                                F.element_at(tokens(F.col("text")), i),
+                                F.element_at(tokens(F.col("text")), i + 1),
+                            )
+                        ),
+                        1,
+                        7,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        ).alias("pos", "hv"),
+    )
+    byname = Window.partitionBy("doc_id")
+    sliding = byname.orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    fps = (
+        sh.withColumn("n", F.max("pos").over(byname))
+        .withColumn("fp", F.min("hv").over(sliding))
+        .filter(F.col("pos") <= F.col("n") - w + 1)
+        .select("doc_id", "fp")
+        .collect()
+    )
+    sets = {}
+    for r in fps:
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert sets[1] & sets[2], "docs sharing a 10-token substring must share a fingerprint"
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
