@@ -236,3 +236,31 @@ def dedup_corpus(
     )
     kept = docs.join(dropped, id_col, "left_anti")
     return kept, dropped
+
+
+def evaluate_pairs(predicted: DataFrame, truth: DataFrame) -> dict:
+    """Precision/recall of a candidate- or verified-pair set against labeled
+    truth pairs. Pairs are order-normalized before the joins, so (a,b) and
+    (b,a) count as the same pair. All set arithmetic is two semi-join counts —
+    no collect of the pair lists.
+
+        evaluate_pairs(lsh_candidate_pairs(sigs), truth_df)
+        -> {"precision": ..., "recall": ..., "n_predicted": ..., "n_truth": ...}
+    """
+
+    def norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least("id_a", "id_b").alias("id_a"), F.greatest("id_a", "id_b").alias("id_b")
+        ).distinct()
+
+    p, t = norm(predicted), norm(truth)
+    n_pred = p.count()
+    n_truth = t.count()
+    n_hit = p.join(t, ["id_a", "id_b"], "left_semi").count()
+    return {
+        "precision": n_hit / n_pred if n_pred else None,
+        "recall": n_hit / n_truth if n_truth else None,
+        "n_predicted": n_pred,
+        "n_truth": n_truth,
+        "n_hit": n_hit,
+    }

@@ -88,3 +88,37 @@ def test_lsh_mega_bucket_capped(spark):
     assert 0 in kept_ids and 30_000 in kept_ids
     assert len(kept_ids) <= 4
     assert dropped.count() >= 9_999
+
+
+def test_evaluate_pairs_precision_recall(spark):
+    from streamds_spark.operators.dedup_pipeline import evaluate_pairs
+
+    predicted = spark.createDataFrame(
+        [(1, 2), (3, 4), (6, 5)], ["id_a", "id_b"]
+    )  # (6,5) reversed on purpose
+    truth = spark.createDataFrame([(2, 1), (5, 6), (7, 8)], ["id_a", "id_b"])
+    m = evaluate_pairs(predicted, truth)
+    assert m["n_hit"] == 2
+    assert abs(m["precision"] - 2 / 3) < 1e-9
+    assert abs(m["recall"] - 2 / 3) < 1e-9
+
+
+def test_lsh_recall_on_crafted_near_dups(spark):
+    """End-to-end quality signal: LSH candidates over crafted near-dup groups
+    recall the labeled pairs (the knob the 100 TB tuning loop watches)."""
+    from streamds_spark.operators.dedup_pipeline import (
+        evaluate_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows, truth = [], []
+    for g in range(12):
+        base = " ".join(f"w{g}x{i}" for i in range(40))
+        rows.append((g * 10, base))
+        rows.append((g * 10 + 1, base + " tail"))  # near-dup of base
+        truth.append((g * 10, g * 10 + 1))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    m = evaluate_pairs(pairs, spark.createDataFrame(truth, ["id_a", "id_b"]))
+    assert m["recall"] >= 0.9, m
