@@ -50,3 +50,49 @@ def load_all() -> dict[str, QuerySpec]:
     from streamds_spark import queries as _q  # noqa: F401  (imports submodules)
 
     return QUERIES
+
+
+def verification_backlog(correctness_files: list[str]) -> "set[str] | None":
+    """Names whose LATEST driver CORRECTNESS row is fully green (rows+schema+
+    hash). Returns None when no round has run yet (no rotation possible).
+
+    Later rounds override earlier ones per query name, so a query that
+    regresses (or whose oracle changes and fails) automatically rotates back
+    into the checked window next round.
+    """
+    import json
+
+    if not correctness_files:
+        return None
+    latest: dict[str, bool] = {}
+    for path in sorted(correctness_files):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            latest[name] = bool(
+                r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
+            )
+    return {n for n, green in latest.items() if green} if latest else None
+
+
+def rotate_for_driver_window(window: int = 50) -> None:
+    """Reorder QUERIES so the driver's first-`window` CORRECTNESS check covers
+    what needs evidence most: queries with no green row yet (new ones and
+    regressions) first, in registration order; verified ones rotated to the
+    back. Driven by the repo's own CORRECTNESS_r*.json files, so each round's
+    rotation is automatic."""
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    verified = verification_backlog(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if not verified:
+        return
+    front = [n for n in QUERIES if n not in verified]
+    back = [n for n in QUERIES if n in verified]
+    ordered = {n: QUERIES[n] for n in front + back}
+    QUERIES.clear()
+    QUERIES.update(ordered)
