@@ -221,3 +221,33 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+@query(
+    "rolling_median_value",
+    oracle="""
+    SELECT event_id, user_id,
+           round(quantile_cont(CAST(value AS DOUBLE), 0.5)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 4)
+               AS rolling_median
+    FROM events
+    """,
+)
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median (exact, interpolated) of each user's value over their
+    last 20 events — the robust-smoothing primitive outlier-heavy telemetry
+    needs where a rolling mean lies.
+
+    One shuffle on user_id; the frame percentile sorts only the 20-row frame
+    per step. At very large frames switch to approx_percentile (sketch
+    partials); the plan shape is identical."""
+    events = load_table(spark, sf_dir, "events")
+    return events.selectExpr(
+        "event_id",
+        "user_id",
+        """round(percentile(CAST(value AS DOUBLE), 0.5)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 4)
+           AS rolling_median""",
+    )
