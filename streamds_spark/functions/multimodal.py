@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -202,3 +203,76 @@ def synth_media_table(docs: DataFrame) -> DataFrame:
         F.col("doc_id"), F.col("text"), F.element_at(kinds, (F.col("doc_id") % 3 + 1).cast("int")).alias("kind")
     )
     return seeded.mapInPandas(synth_batches, schema=MEDIA_SCHEMA)
+
+
+PCM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+RMS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("win", LongType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+PCM_SAMPLES = 1024  # samples per synthetic clip
+PCM_WINDOW = 256  # samples per RMS window
+
+
+def synth_pcm_payload(media_id: int, n_samples: int = PCM_SAMPLES) -> bytes:
+    """Deterministic fake 16-bit little-endian PCM: sample_i =
+    (media_id*2654435761 + i*40503) mod 65536 - 32768. Analytically
+    reproducible in SQL, so the decode path can be oracle-checked."""
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    amp = (media_id * 2654435761 + i * 40503) % 65536 - 32768
+    return amp.astype("<i2").tobytes()
+
+
+def synth_pcm_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """doc table → (media_id, payload) of synthetic PCM clips (mapInPandas;
+    payload bytes never leave the executors)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": [synth_pcm_payload(int(m)) for m in pdf[id_col]],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(synth, schema=PCM_SCHEMA)
+
+
+def audio_window_rms(pcm: DataFrame, window: int = PCM_WINDOW) -> DataFrame:
+    """Audio featurization: binary PCM → per-window RMS energy rows.
+
+    The real-codec shape: numpy `frombuffer` over the Arrow-delivered bytes,
+    vectorized square/mean per fixed window — no per-sample Python, no bytes
+    at the driver. Swapping the synthetic payloads for real PCM (or an ffmpeg
+    decode in front) changes none of the plumbing."""
+    import numpy as np
+
+    def rms_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_win, out_rms = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                amp = np.frombuffer(bytes(payload), dtype="<i2").astype(np.float64)
+                n_win = len(amp) // window
+                if n_win == 0:
+                    continue
+                chunks = amp[: n_win * window].reshape(n_win, window)
+                rms = np.sqrt((chunks * chunks).sum(axis=1) / window)
+                out_id.extend([media_id] * n_win)
+                out_win.extend(range(n_win))
+                out_rms.extend(rms.tolist())
+            yield pd.DataFrame({"media_id": out_id, "win": out_win, "rms": out_rms})
+
+    return pcm.mapInPandas(rms_batches, schema=RMS_SCHEMA)

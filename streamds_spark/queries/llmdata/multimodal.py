@@ -66,3 +66,44 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("width").alias("max_width"),
         F.sum("n_bytes").alias("total_bytes"),
     )
+
+
+@query(
+    "audio_window_rms",
+    # PCM samples are analytically derivable (sample_i = (doc_id*2654435761 +
+    # i*40503) mod 65536 - 32768, 1024 samples, 256-sample windows), so the
+    # oracle recomputes the RMS in SQL while the Spark side exercises the
+    # REAL numpy-over-Arrow decode path.
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, i.i AS i,
+               CAST((doc_id * 2654435761 + i.i * 40503) % 65536 - 32768 AS DOUBLE) AS amp
+        FROM documents, (SELECT unnest(range(0, 1024)) AS i) i
+    ),
+    w AS (
+        SELECT doc_id, i // 256 AS win, sqrt(sum(amp * amp) / 256) AS rms
+        FROM s GROUP BY 1, 2
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           round(avg(rms), 4) AS avg_rms,
+           round(max(rms), 4) AS max_rms
+    FROM w GROUP BY doc_id
+    """,
+)
+def audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio featurization end-to-end: synthesize PCM clips (mapInPandas),
+    decode bytes → int16 samples → vectorized per-window RMS (numpy over
+    Arrow batches), then a per-clip Spark aggregate. The audio leg of the
+    multimodal triad — the plumbing (schema, batching, binary locality) is
+    exactly what a real-codec pipeline uses."""
+    from streamds_spark.functions.multimodal import audio_window_rms as rms_op
+    from streamds_spark.functions.multimodal import synth_pcm_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rms = rms_op(synth_pcm_table(docs))
+    return rms.groupBy("media_id").agg(
+        F.count("*").alias("n_windows"),
+        F.round(F.avg("rms"), 4).alias("avg_rms"),
+        F.round(F.max("rms"), 4).alias("max_rms"),
+    )

@@ -82,3 +82,27 @@ def test_registered_multimodal_queries(spark):
     out = specs["multimodal_decode_meta"].fn(spark, "/root/testdata/sf0.001").collect()
     assert {r["kind"] for r in out} == {"img", "aud", "vid"}
     assert sum(r["n_media"] for r in out) == 500
+
+
+def test_audio_window_rms_plumbing(spark):
+    """PCM decode plumbing: known payload → exact numpy-computed RMS values,
+    flatMap shape (1 clip → n_windows rows), no bytes at the driver beyond
+    this test's asserts."""
+    import numpy as np
+
+    from streamds_spark.functions.multimodal import (
+        PCM_WINDOW,
+        audio_window_rms,
+        synth_pcm_payload,
+        synth_pcm_table,
+    )
+
+    docs = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    rows = audio_window_rms(synth_pcm_table(docs)).collect()
+    assert {r["media_id"] for r in rows} == {1, 2}
+    assert sum(1 for r in rows if r["media_id"] == 1) == 1024 // PCM_WINDOW
+
+    amp = np.frombuffer(synth_pcm_payload(1), dtype="<i2").astype(np.float64)
+    expect0 = float(np.sqrt((amp[:PCM_WINDOW] ** 2).sum() / PCM_WINDOW))
+    got0 = next(r["rms"] for r in rows if r["media_id"] == 1 and r["win"] == 0)
+    assert abs(got0 - expect0) < 1e-9
