@@ -65,6 +65,21 @@ def append(df: DataFrame, path: str, client_id: str) -> None:
     open(os.path.join(path, f".append-{client_id}-{seq}-{uuid.uuid4().hex[:6]}"), "w").close()
 
 
+def append_batch(df: DataFrame, path: str, client_id: str, batch_id: int) -> None:
+    """Idempotent APPEND for streaming micro-batches: the chunk lands in a
+    DETERMINISTIC per-batch directory (overwrite mode), so a replayed batch —
+    Structured Streaming's at-least-once redelivery after a crash — rewrites
+    the same dir instead of duplicating rows. _seq = batch_id keeps the
+    client's batch order; readers skip the dir until its _SUCCESS commits."""
+    chunk = (
+        df.withColumn("_client", F.lit(client_id))
+        .withColumn("_seq", F.lit(int(batch_id)).cast("long"))
+        .withColumn("_pos", F.monotonically_increasing_id())
+    )
+    dest = os.path.join(path, "chunks", f"batch-{client_id}-{int(batch_id):09d}")
+    chunk.write.mode("overwrite").parquet(dest)
+
+
 def _current_generation(path: str) -> str | None:
     """Resolve the live generation dir via the CURRENT pointer, trusting it
     only if the generation's data write committed (_SUCCESS)."""
@@ -90,13 +105,24 @@ def _merged_chunk_names(gen_dir: str | None) -> set[str]:
 
 
 def _live_chunk_files(path: str, gen_dir: str | None) -> list[str]:
-    """Chunk files not yet folded into the live generation."""
+    """Chunk files not yet folded into the live generation. Chunks live either
+    directly under chunks/ (plain appends) or in per-batch subdirs (streaming
+    append_batch) — batch dirs count only once committed (_SUCCESS), since a
+    replayed batch overwrites its dir in place. Manifest keys are paths
+    relative to chunks/ so same-named part files in different batch dirs never
+    collide."""
     merged = _merged_chunk_names(gen_dir)
-    return sorted(
-        p
-        for p in _glob.glob(os.path.join(path, "chunks", "*.parquet"))
-        if os.path.basename(p) not in merged
-    )
+    chunks_root = os.path.join(path, "chunks")
+    out = []
+    for p in _glob.glob(os.path.join(chunks_root, "**", "*.parquet"), recursive=True):
+        rel = os.path.relpath(p, chunks_root)
+        if os.path.dirname(rel) and not os.path.exists(
+            os.path.join(os.path.dirname(p), "_SUCCESS")
+        ):
+            continue  # torn batch dir — replay will overwrite it
+        if rel not in merged:
+            out.append(p)
+    return sorted(out)
 
 
 def get(spark: SparkSession, path: str) -> DataFrame:
@@ -149,10 +175,14 @@ def merge(spark: SparkSession, path: str) -> None:
     df.orderBy("_client", "_seq", "_pos").write.parquet(os.path.join(gen_dir, "data"))
 
     # manifest BEFORE the pointer swap: a reader that sees the new CURRENT
-    # must already know which chunks it subsumes
+    # must already know which chunks it subsumes (keys = paths relative to
+    # chunks/, matching _live_chunk_files)
+    chunks_root = os.path.join(path, "chunks")
     prev_merged = _merged_chunk_names(old_gen)
     with open(os.path.join(gen_dir, "merged_chunks.txt"), "w") as f:
-        for name in sorted(prev_merged | {os.path.basename(p) for p in snapshot}):
+        for name in sorted(
+            prev_merged | {os.path.relpath(p, chunks_root) for p in snapshot}
+        ):
             f.write(name + "\n")
 
     tmp_ptr = os.path.join(path, "CURRENT.tmp")

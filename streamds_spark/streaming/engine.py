@@ -69,6 +69,22 @@ def foreach_batch_parquet(dest: str) -> Callable[[DataFrame, int], None]:
     return write
 
 
+def foreach_batch_appendlog(dest: str, client_id: str) -> Callable[[DataFrame, int], None]:
+    """Streaming sink into the append-log store — the reference shape exactly:
+    RainStorm's stage-3 wrote its output as HyDFS appends (S6). Exactly-once
+    comes from appendlog.append_batch's deterministic per-batch chunk dir
+    (replayed batch = same dir overwritten) + readers gating on _SUCCESS;
+    per-client order is the batch order (_seq = batchId), so
+    appendlog.read_ordered reproduces emission order after any number of
+    crashes and restarts."""
+    from streamds_spark.io import appendlog
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        appendlog.append_batch(batch_df, dest, client_id, batch_id)
+
+    return write
+
+
 def read_latest_batch(spark: SparkSession, dest: str) -> DataFrame:
     """Read the newest COMMITTED batch dir — the 'last buffer per task wins'
     semantics of the reference's quantify (S8) without its merge dance.

@@ -115,3 +115,56 @@ def test_append_during_merge_window_survives(spark, tmp_path):
         appendlog._live_chunk_files = orig
     got = sorted(r["line"] for r in appendlog.get(spark, path).collect())
     assert got == ["late", "one"]
+
+
+def test_append_batch_idempotent_replay(spark, tmp_path):
+    """A replayed micro-batch (same batch_id) must overwrite, not duplicate —
+    the exactly-once contract of the streaming appendlog sink."""
+    path = str(tmp_path / "log")
+    appendlog.create(spark, path)
+    df = spark.createDataFrame([("a",), ("b",)], ["line"])
+    appendlog.append_batch(df, path, "stream1", 0)
+    appendlog.append_batch(df, path, "stream1", 0)  # redelivery
+    appendlog.append_batch(spark.createDataFrame([("c",)], ["line"]), path, "stream1", 1)
+    rows = [r["line"] for r in appendlog.read_ordered(spark, path).collect()]
+    assert rows == ["a", "b", "c"]
+    appendlog.merge(spark, path)
+    rows2 = [r["line"] for r in appendlog.read_ordered(spark, path).collect()]
+    assert rows2 == ["a", "b", "c"]
+    # appends after a merge of batch chunks still work
+    appendlog.append_batch(spark.createDataFrame([("d",)], ["line"]), path, "stream1", 2)
+    assert [r["line"] for r in appendlog.read_ordered(spark, path).collect()] == [
+        "a", "b", "c", "d",
+    ]
+
+
+def test_streaming_into_appendlog_sink(spark, tmp_path):
+    """End-to-end: a streaming wordcount lands in the append-log store via
+    foreach_batch_appendlog (the reference's RainStorm→HyDFS output path)."""
+    import os
+
+    from streamds_spark.streaming.engine import foreach_batch_appendlog
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for i, line in enumerate(["x y", "x z"]):
+        with open(os.path.join(src, f"f{i}.txt"), "w") as f:
+            f.write(line + "\n")
+    log_path = str(tmp_path / "log")
+    appendlog.create(spark, log_path)
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .selectExpr("explode(split(value, ' ')) AS word")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(foreach_batch_appendlog(log_path, "wc-stream"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    words = sorted(r["word"] for r in appendlog.get(spark, log_path).collect())
+    assert words == ["x", "x", "y", "z"]
