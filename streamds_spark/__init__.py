@@ -35,6 +35,15 @@ def __getattr__(name):
         "register_udfs": ("streamds_spark.sql", "register_udfs"),
         "QUERIES": ("streamds_spark.registry", "QUERIES"),
         "load_all": ("streamds_spark.registry", "load_all"),
+        "build_ann_index": ("streamds_spark.operators.ann", "build_ann_index"),
+        "ann_probe_topk": ("streamds_spark.operators.ann", "ann_probe_topk"),
+        "build_ivf_index": ("streamds_spark.operators.ivf", "build_ivf_index"),
+        "ivf_probe_topk": ("streamds_spark.operators.ivf", "ivf_probe_topk"),
+        "evaluate_pairs": ("streamds_spark.operators.dedup_pipeline", "evaluate_pairs"),
+        "compact_small_files": ("streamds_spark.io.layout", "compact_small_files"),
+        "write_corpus": ("streamds_spark.io.layout", "write_corpus"),
+        "read_jsonl": ("streamds_spark.io.sources", "read_jsonl"),
+        "split_valid_rows": ("streamds_spark.io.sources", "split_valid_rows"),
     }
     if name in lazy:
         import importlib
@@ -47,6 +56,8 @@ def __getattr__(name):
 __all__ = [
     "get_spark", "load_table", "TABLES", "run_rainstorm", "grep", "read_logs",
     "dedup_corpus", "kmeans", "pagerank", "profile_table", "sql",
-    "register_udfs", "QUERIES", "load_all",
+    "register_udfs", "QUERIES", "load_all", "build_ann_index", "ann_probe_topk",
+    "build_ivf_index", "ivf_probe_topk", "evaluate_pairs", "compact_small_files",
+    "write_corpus", "read_jsonl", "split_valid_rows",
 ]
 __version__ = "0.1.0"
