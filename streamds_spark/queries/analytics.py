@@ -199,3 +199,27 @@ def group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").applyInPandas(
         zscore, schema="event_id bigint, event_type string, zscore double"
     )
+
+
+@query(
+    "skewproof_user_counts",
+    oracle="""
+    SELECT user_id, count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def skewproof_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed count via the two-phase SALTED plan: partial count per
+    (key, salt in 0..15), then final sum per key. Result is identical to a
+    plain groupBy-count (the oracle), but a pathological hot key — one user
+    with billions of events — shuffles as 16 sub-keys instead of one
+    straggler partition. The second exchange carries ≤16 rows per hot key.
+    (For ordinary skew, AQE's skew-split handles joins; salting is the
+    aggregation-side discipline, applied here explicitly so its plan shape is
+    pinned and driver-verified.)"""
+    from streamds_spark.io.sinks import salted_count
+
+    events = load_table(spark, sf_dir, "events")
+    return salted_count(events.select("user_id"), "user_id", n_salts=16).select(
+        "user_id", F.col("cnt").alias("n_events")
+    )
