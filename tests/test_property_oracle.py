@@ -163,3 +163,60 @@ def test_setops_agreement(spark, rows, rows2):
     want_e = sorted(con.execute("SELECT k, c FROM t EXCEPT SELECT k, c FROM t2").fetchall())
     assert got_i == want_i
     assert got_e == want_e
+
+
+# --- BRE translation fuzz: grep binary vs the translated regex -------------
+
+_bre_atom = st.one_of(
+    st.sampled_from(list("abcxy z019")),  # literals
+    st.sampled_from([".", "[abc]", "[0-9]", "[^a]", "a*", "x*", ".*"]),
+    st.sampled_from([r"\(a\)", r"\(ab\)*", r"a\|b", r"b\{2\}", "+", "?", "(", ")", "{", "|"]),
+)
+_bre_pattern = st.lists(_bre_atom, min_size=1, max_size=5).map("".join)
+
+
+@settings(max_examples=120, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pat=_bre_pattern, anchor_l=st.booleans(), anchor_r=st.booleans())
+def test_bre_to_java_matches_real_grep(pat, anchor_l, anchor_r):
+    """Fuzz the BRE→Java translation against the grep binary the reference
+    shells out to: for random BRE patterns, the matched-line set over a fixed
+    corpus must agree. (Python re stands in for Java regex — identical for
+    this operator subset.)"""
+    import re
+    import shutil
+    import subprocess
+
+    from streamds_spark.operators.grep import bre_to_java
+
+    if not shutil.which("grep"):
+        pytest.skip("grep binary not available")
+
+    corpus = [
+        "abc", "axc", "a.c", "aab", "abab", "ab", "a", "b", "bb", "abb",
+        "xyz", "x*z", "a|b", "(ab)", "a+b", "0 1 9", "z019", "aa bb", "", "  ",
+        "caa", "baz", "a{2}", "[abc]",
+    ]
+    text = "\n".join(corpus) + "\n"
+    if anchor_l:
+        pat = "^" + pat
+    if anchor_r:
+        pat = pat + "$"
+
+    res = subprocess.run(
+        ["grep", "--", pat],
+        input=text,
+        capture_output=True,
+        text=True,
+        env={"LC_ALL": "C", "PATH": "/usr/bin:/bin"},
+    )
+    if res.returncode == 2:  # grep rejected the pattern as malformed BRE
+        return
+    expected = set(res.stdout.splitlines())
+
+    translated = bre_to_java(pat)
+    try:
+        rx = re.compile(translated)
+    except re.error:
+        pytest.fail(f"translated pattern does not compile: {pat!r} -> {translated!r}")
+    got = {line for line in corpus if rx.search(line)}
+    assert got == expected, f"pattern {pat!r} -> {translated!r}"
