@@ -58,9 +58,14 @@ def _ts(s: str):
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: min-cost-supplier correlated match (observed unit price
-    from lineitem stands in for partsupp.ps_supplycost). The per-part minimum
-    is an aggregate re-joined on equality — Catalyst reuses the regional
-    subtree's exchange for both the agg and the match side."""
+    from lineitem stands in for partsupp.ps_supplycost), expressed as
+    greatest-n-per-group: rank() = 1 over (part ORDER BY cost) — rank keeps
+    cost ties exactly like the min-equality join would, but the heavy
+    regional subtree runs ONCE (the agg-rejoin formulation computed it twice:
+    no exchange reuse survives the differing projections). One extra window
+    shuffle on l_partkey replaces a full second pass of lineitem."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
@@ -68,24 +73,20 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") < 15)
+    )
     regional = (
         cost.join(F.broadcast(supp), cost.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name")
     )
-    best = regional.groupBy(F.col("l_partkey").alias("bp")).agg(
-        F.min("unit_cost").alias("best_cost")
-    )
-    part = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "SMALL") & (F.col("p_size") < 15)
-    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost")
     return (
-        regional.join(
-            best,
-            (regional.l_partkey == best.bp) & (regional.unit_cost == best.best_cost),
-        )
-        .join(F.broadcast(part), regional.l_partkey == part.p_partkey)
+        regional.withColumn("_rnk", F.rank().over(w))
+        .filter(F.col("_rnk") == 1)
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .select(
             "s_acctbal",
             "s_name",
