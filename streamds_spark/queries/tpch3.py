@@ -324,6 +324,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("part_value"))
+        # one row per part — tiny next to lineitem. Materialize it once
+        # (localCheckpoint) so the threshold side doesn't re-run the whole
+        # fact aggregation: column pruning makes the two subtrees non-identical,
+        # defeating exchange reuse.
+        .localCheckpoint()
     )
     threshold = per_part.agg((F.avg("part_value") * 1.2).alias("thr"))
     return (
@@ -360,7 +365,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
-    )
+    ).localCheckpoint()  # the Q15 view: one row per supplier, computed ONCE —
+    # both the max subquery and the equality match read the materialized rows
+    # instead of re-aggregating lineitem.
     top = revenue.agg(F.max("total_revenue").alias("max_rev"))
     supp = load_table(spark, sf_dir, "supplier")
     return (
