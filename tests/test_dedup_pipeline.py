@@ -122,3 +122,42 @@ def test_lsh_recall_on_crafted_near_dups(spark):
     pairs = lsh_candidate_pairs(minhash_signatures(docs))
     m = evaluate_pairs(pairs, spark.createDataFrame(truth, ["id_a", "id_b"]))
     assert m["recall"] >= 0.9, m
+
+
+def test_incremental_dedup_against_bucket_store(spark, tmp_path):
+    """New-batch ingestion probes the persisted corpus buckets: a near-dup of
+    a corpus doc is caught WITHOUT re-hashing the corpus, the new side
+    broadcasts, and appending the batch keeps the store current."""
+    from streamds_spark.operators.dedup_incremental import (
+        incremental_candidates,
+        write_bucket_store,
+    )
+    from streamds_spark.plans.audit import plan_facts
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(30))) for i in range(20)]
+        + [(100, BASE)],
+        ["doc_id", "text"],
+    )
+    store = str(tmp_path / "buckets")
+    write_bucket_store(corpus, store)
+
+    new = spark.createDataFrame(
+        [(1000, BASE + " tonight"), (1001, "totally unrelated fresh content here")],
+        ["doc_id", "text"],
+    )
+    cands = incremental_candidates(new, spark, store)
+    f = plan_facts(cands)
+    assert f.has_broadcast_join, "new batch must broadcast against the store scan"
+    got = {(r["new_id"], r["corpus_id"]) for r in cands.collect()}
+    assert (1000, 100) in got
+    assert not any(nid == 1001 for nid, _ in got)
+
+    # append the processed batch; a later duplicate of doc 1000 is now caught
+    write_bucket_store(new, store, mode="append")
+    later = spark.createDataFrame([(2000, BASE + " tonight")], ["doc_id", "text"])
+    got2 = {
+        (r["new_id"], r["corpus_id"])
+        for r in incremental_candidates(later, spark, store).collect()
+    }
+    assert (2000, 1000) in got2 and (2000, 100) in got2
