@@ -40,6 +40,8 @@ def __getattr__(name):
         "build_ivf_index": ("streamds_spark.operators.ivf", "build_ivf_index"),
         "ivf_probe_topk": ("streamds_spark.operators.ivf", "ivf_probe_topk"),
         "evaluate_pairs": ("streamds_spark.operators.dedup_pipeline", "evaluate_pairs"),
+        "write_bucket_store": ("streamds_spark.operators.dedup_incremental", "write_bucket_store"),
+        "incremental_candidates": ("streamds_spark.operators.dedup_incremental", "incremental_candidates"),
         "compact_small_files": ("streamds_spark.io.layout", "compact_small_files"),
         "write_corpus": ("streamds_spark.io.layout", "write_corpus"),
         "read_jsonl": ("streamds_spark.io.sources", "read_jsonl"),
@@ -58,6 +60,7 @@ __all__ = [
     "dedup_corpus", "kmeans", "pagerank", "profile_table", "sql",
     "register_udfs", "QUERIES", "load_all", "build_ann_index", "ann_probe_topk",
     "build_ivf_index", "ivf_probe_topk", "evaluate_pairs", "compact_small_files",
-    "write_corpus", "read_jsonl", "split_valid_rows",
+    "write_corpus", "read_jsonl", "split_valid_rows", "write_bucket_store",
+    "incremental_candidates",
 ]
 __version__ = "0.1.0"
