@@ -22,11 +22,14 @@ from streamds_spark.queries import tpch3  # noqa: F401
 from streamds_spark.queries.llmdata import contamination  # noqa: F401
 from streamds_spark.queries.llmdata import corpus  # noqa: F401
 from streamds_spark.queries.llmdata import dedup  # noqa: F401
+from streamds_spark.queries.llmdata import embeddings  # noqa: F401
 from streamds_spark.queries.llmdata import multimodal  # noqa: F401
 from streamds_spark.queries.llmdata import quality  # noqa: F401
+from streamds_spark.queries.llmdata import redaction  # noqa: F401
 from streamds_spark.queries.llmdata import sampling  # noqa: F401
 from streamds_spark.queries.llmdata import sharding  # noqa: F401
 from streamds_spark.queries.llmdata import similarity  # noqa: F401
 from streamds_spark.queries.llmdata import textstats  # noqa: F401
+from streamds_spark.queries.llmdata import vocab  # noqa: F401
 
 _registry.rotate_for_driver_window()

@@ -1,0 +1,177 @@
+"""Corpus vocabulary analytics: cross-source overlap, distribution divergence,
+Zipf fit — the "is this mixture healthy?" queries a training-data pipeline runs
+before committing a corpus blend.
+
+Scale posture: every query tokenizes in one map-only pass (explode stays inside
+whole-stage codegen), aggregates to VOCABULARY-sized intermediates (≪ corpus
+size), and only then joins/compares. Per-source totals and vocabulary sizes are
+a handful of rows → broadcast. At 100 TB the only large shuffle is the
+(source, term) partial-aggregated count; everything downstream is KB-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamds_spark.catalog import load_table
+from streamds_spark.functions.text import tokens
+from streamds_spark.registry import query
+
+
+@query(
+    "source_vocab_overlap",
+    oracle=r"""
+    WITH tok AS (
+        SELECT DISTINCT source,
+               unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS term
+        FROM documents
+    ),
+    vsize AS (SELECT source, count(*) AS vocab FROM tok GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        FROM tok a JOIN tok b USING (term)
+        WHERE a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(i.n_shared AS BIGINT) AS n_shared,
+           round(CAST(i.n_shared AS DOUBLE) / (va.vocab + vb.vocab - i.n_shared), 4)
+               AS jaccard
+    FROM inter i
+    JOIN vsize va ON va.source = i.source_a
+    JOIN vsize vb ON vb.source = i.source_b
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources.
+
+    The self-join runs on the DISTINCT (source, term) set — vocabulary-sized,
+    not corpus-sized — on the `term` key; per-source vocabulary counts are
+    n_sources rows and broadcast. Mirrors the cross-source contamination sweep
+    a corpus build runs before mixing (cf. reference's multi-source dataset
+    notes, distributed_log_querier README: per-VM source files)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    ).distinct()
+    vsize = tok.groupBy("source").agg(F.count("*").alias("vocab"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    va = F.broadcast(vsize.select(F.col("source").alias("source_a"), F.col("vocab").alias("va")))
+    vb = F.broadcast(vsize.select(F.col("source").alias("source_b"), F.col("vocab").alias("vb")))
+    return (
+        inter.join(va, "source_a")
+        .join(vb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("va") + F.col("vb") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "source_unigram_kl",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS term
+        FROM documents
+    ),
+    st AS (SELECT source, term, count(*) AS c FROM tok GROUP BY source, term),
+    stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY source),
+    ct AS (SELECT term, CAST(sum(c) AS BIGINT) AS cc FROM st GROUP BY term),
+    ctot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM st)
+    SELECT st.source,
+           stot.n AS n_tokens,
+           round(sum((CAST(st.c AS DOUBLE) / stot.n)
+                     * ln((CAST(st.c AS DOUBLE) / stot.n)
+                          / (CAST(ct.cc AS DOUBLE) / ctot.nn))), 4) AS kl_vs_corpus
+    FROM st
+    JOIN stot USING (source)
+    JOIN ct USING (term)
+    CROSS JOIN ctot
+    GROUP BY st.source, stot.n
+    """,
+)
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source unigram distribution ‖ corpus unigram distribution) per source —
+    the mixture-skew detector (a source whose KL spikes is off-distribution).
+
+    One corpus-sized shuffle builds (source, term) counts with map-side partial
+    aggregation; term totals and per-source totals derive from that SAME
+    aggregate (no second scan) and are vocabulary-/source-sized → broadcast.
+    P(term|source) > 0 always implies P(term|corpus) > 0, so the log is total."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+    st = tok.groupBy("source", "term").agg(F.count("*").alias("c"))
+    stot = st.groupBy("source").agg(F.sum("c").alias("n"))
+    ct = st.groupBy("term").agg(F.sum("c").alias("cc"))
+    ctot = st.agg(F.sum("c").alias("nn"))
+    p = F.col("c").cast("double") / F.col("n")
+    q = F.col("cc").cast("double") / F.col("nn")
+    return (
+        st.join(F.broadcast(stot), "source")
+        .join(F.broadcast(ct), "term")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source", F.col("n").alias("n_tokens"))
+        .agg(F.round(F.sum(p * F.log(p / q)), 4).alias("kl_vs_corpus"))
+        .select("source", "n_tokens", "kl_vs_corpus")
+    )
+
+
+ZIPF_TOP = 100
+
+
+@query(
+    "zipf_slope",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS term
+        FROM documents
+    ),
+    tc AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    ranked AS (
+        SELECT term, c, row_number() OVER (ORDER BY c DESC, term) AS rk
+        FROM tc
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 4)
+               AS zipf_slope
+    FROM ranked WHERE rk <= {ZIPF_TOP}
+    """,
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf fit: OLS slope of ln(frequency) on ln(rank) over the top-{N} terms
+    (natural text ≈ -1; a badly filtered corpus drifts). Term counts partial-
+    aggregate map-side; the rank window runs over ≤ vocabulary rows, and the
+    regression input is {N} rows — regr_slope is a single JVM aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    tc = tok.groupBy("term").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    ranked = tc.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= ZIPF_TOP)
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(
+            F.regr_slope(
+                F.log(F.col("c").cast("double")), F.log(F.col("rk").cast("double"))
+            ),
+            4,
+        ).alias("zipf_slope"),
+    )
