@@ -63,3 +63,77 @@ def test_write_corpus_partitioned(spark, tmp_path):
     plan = formatted_plan(back)
     assert "PartitionFilters" in plan
     assert back.count() == 334 or back.count() == 333
+
+
+def test_zorder_write_clusters_both_dims(spark, tmp_path):
+    """Z-order layout: per-file min/max boxes must be tight in BOTH clustered
+    dimensions, so a 2-D box predicate can skip most files — the property a
+    single-column sort cannot provide for the second column."""
+    from streamds_spark.io.layout import write_zordered
+
+    n = 40_000
+    # exact 200x200 grid: x and y independent (row/column decomposition)
+    df = spark.range(0, n).select(
+        (F.col("id") % 200).alias("x"),
+        (F.col("id") / 200).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath = str(tmp_path / "zordered")
+    spath = str(tmp_path / "xsorted")
+    write_zordered(df, zpath, cols=["x", "y"], bits=8, n_files=64)
+    write_corpus(df.repartitionByRange(64, "x"), spath, sort_col="x", n_files=None)
+
+    def file_boxes(path):
+        back = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        return [
+            tuple(r[1:])
+            for r in back.groupBy("f")
+            .agg(F.min("x"), F.max("x"), F.min("y"), F.max("y"))
+            .collect()
+        ]
+
+    zboxes, sboxes = file_boxes(zpath), file_boxes(spath)
+
+    def files_hit(boxes, qxmn, qxmx, qymn, qymx):
+        return sum(
+            1
+            for xmn, xmx, ymn, ymx in boxes
+            if xmx >= qxmn and xmn <= qxmx and ymx >= qymn and ymn <= qymx
+        )
+
+    # predicate on the NON-sorted dim y in [40,60]: every x-sorted file spans
+    # all of y (all 64 hit); z-order confines y to tiles → most files skipped
+    z_y = files_hit(zboxes, 0, 199, 40, 60)
+    s_y = files_hit(sboxes, 0, 199, 40, 60)
+    assert s_y == len(sboxes), "x-sorted layout cannot skip on y"
+    assert z_y <= len(zboxes) // 2, (z_y, len(zboxes))
+
+    # predicate on x must STILL skip under z-order (the trade: good on all
+    # dims instead of perfect on one)
+    z_x = files_hit(zboxes, 40, 60, 0, 199)
+    assert z_x <= len(zboxes) // 2, (z_x, len(zboxes))
+
+    # no rows lost, values intact
+    assert spark.read.parquet(zpath).agg(F.sum("payload")).first()[0] == n * (n - 1) // 2
+
+
+def test_interleave_bits_orders_like_morton_curve(spark):
+    """The generated key equals a reference Morton encoding computed in Python."""
+    from streamds_spark.io.layout import interleave_bits
+
+    rows = [(x, y) for x in range(0, 16) for y in range(0, 16)]
+    df = spark.createDataFrame(rows, "x: long, y: long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn(
+            "z", interleave_bits([F.col("x"), F.col("y")], bits=4)
+        ).collect()
+    }
+
+    def morton(x, y, bits=4):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x, y in rows}
