@@ -223,3 +223,57 @@ def skewproof_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(events.select("user_id"), "user_id", n_salts=16).select(
         "user_id", F.col("cnt").alias("n_events")
     )
+
+
+@query(
+    "value_outliers_mad",
+    oracle=r"""
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           round(any_value(d.med), 4) AS med,
+           round(m.mad, 4) AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.mad
+    """,
+)
+def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: |value - median| > 3·MAD per event_type.
+
+    Two grouped exact medians (event_type cardinality is tiny, so the median
+    buffers are small) + two BROADCAST joins of the per-type scalars back onto
+    the fact — the events table itself is scanned twice but never shuffled.
+    At 100 TB swap median→approx_percentile(0.5) to keep the agg buffers
+    bounded; the plan shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "mad")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("adev") > 3.0 * F.col("mad"), 1).otherwise(0)).alias(
+                "n_outliers"
+            ),
+            F.round(F.any_value("med"), 4).alias("med"),
+        )
+        .select(
+            "event_type", "n", "n_outliers", "med", F.round("mad", 4).alias("mad")
+        )
+    )

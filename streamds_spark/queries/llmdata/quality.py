@@ -210,3 +210,58 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "quality_deciles",
+    oracle=r"""
+    WITH sc AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) > 0
+                    THEN CAST(len(list_filter(list_filter(string_split_regex(text, '\s+'), w -> w <> ''),
+                              w -> list_contains(['the','a','of','and','to','in','is','it','for','on'], lower(w))))
+                         AS DOUBLE)
+                         / len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))
+                    ELSE 0.0 END AS score
+        FROM documents
+    ),
+    binned AS (
+        SELECT doc_id, n_chars, score,
+               ntile(10) OVER (ORDER BY score, doc_id) AS decile
+        FROM sc
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(score), 4) AS min_score,
+           round(max(score), 4) AS max_score,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM binned GROUP BY decile
+    """,
+)
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile report over the stopword-ratio quality score — the curriculum /
+    threshold-picking view ("what do I lose if I cut the bottom 20%?").
+
+    ntile runs over a GLOBAL order, which is a single-partition window — fine
+    here because the windowed rows are (doc_id, score) pairs, not documents.
+    At 100 TB you'd swap the exact ntile for approx_percentile bin edges
+    (one aggregate) and a broadcast range join; the report schema is identical."""
+    from streamds_spark.functions.text import stopword_ratio
+
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc = docs.select(
+        "doc_id", "n_chars", stopword_ratio(tokens(F.col("text"))).alias("score")
+    )
+    w = Window.orderBy("score", "doc_id")
+    return (
+        sc.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("score"), 4).alias("min_score"),
+            F.round(F.max("score"), 4).alias("max_score"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
