@@ -77,3 +77,34 @@ def test_single_scan_queries_have_bounded_exchanges(facts):
     # here means an accidental extra shuffle snuck into a basic operator
     for q, max_ex in [("wordcount", 2), ("group_count_users", 2), ("dedup_exact", 2)]:
         assert facts(q).n_exchanges <= max_ex, q
+
+
+def test_pii_redaction_is_map_only(facts):
+    """The scrub pass must ride the scan: no exchange, no UDF node, and the
+    scan reads only (doc_id, text)."""
+    f = facts("pii_redaction")
+    assert f.n_exchanges == 0, "regexp scrub must not shuffle"
+    assert any("doc_id" in s and "text" in s and "n_chars" not in s for s in f.read_schemas), (
+        f.read_schemas
+    )
+
+
+def test_embedding_dim_corr_has_no_join(facts):
+    """The sufficient-stats formulation must not plan a join (the naive
+    equivalent is a self-join on vec_id) and needs exactly one shuffle for
+    the 28-group aggregate."""
+    f = facts("embedding_dim_corr")
+    assert not f.has_broadcast_join and not f.has_sortmerge_join
+    assert f.n_exchanges <= 2, f.n_exchanges  # partial agg exchange (+AQE read)
+    assert f.has_partial_agg
+
+
+def test_vocab_overlap_broadcasts_vocab_sizes(facts):
+    f = facts("source_vocab_overlap")
+    assert f.has_broadcast_join, "per-source vocab counts must broadcast"
+
+
+def test_mad_outliers_broadcasts_per_type_scalars(facts):
+    f = facts("value_outliers_mad")
+    assert f.has_broadcast_join, "per-type median/MAD must broadcast onto the fact"
+    assert f.has_partial_agg
