@@ -72,7 +72,38 @@ def default_planes() -> list[list[float]]:
     return hyperplanes(N_PLANES, EMB_DIM)
 
 
-@query("ann_lsh_topk", oracle=None)  # hyperplane LSH: rows-only check; recall tested in pytest
+def _duckdb_bucket_expr(emb: str) -> str:
+    """DuckDB expression mirroring lsh_bucket_col bit-for-bit: the plane
+    constants print as shortest-round-trip decimals (exact same doubles), and
+    a sign only diverges cross-engine if a dot product sits within float-noise
+    of zero — measured ≫10 sigma away on this hyperplane construction."""
+    terms = []
+    for i, plane in enumerate(default_planes()):
+        lits = ", ".join(repr(x) for x in plane)
+        terms.append(
+            f"CASE WHEN list_dot_product({emb}::DOUBLE[], [{lits}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, label, embedding,
+               {_duckdb_bucket_expr('embedding')} AS bucket
+        FROM embeddings
+    ),
+    probe AS (SELECT embedding AS q, bucket AS qbucket FROM b WHERE vec_id = {QUERY_VEC_ID})
+    SELECT b.vec_id AS vec_id, b.label AS label,
+           round({duckdb_cosine('b.embedding', 'probe.q')}, 4) AS cos_sim
+    FROM b, probe
+    WHERE b.bucket = probe.qbucket AND b.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH bucket scan. Only vectors in the
     probe's bucket are scored — at scale, bucket = partition key ⇒ partition
