@@ -277,3 +277,102 @@ def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n", "n_outliers", "med", F.round("mad", 4).alias("mad")
         )
     )
+
+
+@query(
+    "retention_cohorts",
+    oracle=r"""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(datediff('day', f.cohort_week, date_trunc('week', e.ts)) / 7 AS INT)
+                   AS week_no
+        FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT CAST(cohort_week AS VARCHAR) AS cohort_week, week_no,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity GROUP BY cohort_week, week_no
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users bucketed by first-seen week, counted
+    distinct in each subsequent week. Two shuffles on user_id (first-seen agg
+    + the equi-join back onto events — co-partitioned, so AQE coalesces into
+    one logical exchange pair) and a final small aggregate; the cohort matrix
+    is weeks² rows."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_ts")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            F.col("cohort_ts").cast("date").alias("cohort_week"),
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_ts").cast("date"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_no"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_week").cast("string").alias("cohort_week"), "week_no"
+    ).agg(F.count("*").alias("n_active"))
+
+
+@query(
+    "rfm_scores",
+    oracle=r"""
+    WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    base AS (
+        SELECT o_custkey AS custkey,
+               datediff('day', max(o_orderdate), any_value(mx.maxd)) AS recency_days,
+               count(*) AS frequency,
+               round(sum(o_totalprice), 4) AS monetary
+        FROM orders CROSS JOIN mx
+        GROUP BY o_custkey
+    )
+    SELECT custkey, CAST(recency_days AS INT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary,
+           CAST(6 - ntile(5) OVER (ORDER BY recency_days, custkey) AS INT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency, custkey) AS INT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary, custkey) AS INT) AS m_score
+    FROM base
+    """,
+)
+def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary with quintile
+    scores (recency inverted so 5 = most recent). The corpus-wide max date is
+    a broadcast 1-row aggregate; the per-customer rollup is one shuffle. The
+    three global ntiles run over customer-count rows (already aggregated) —
+    at 100 TB swap for approx_percentile edges, same schema."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("maxd"))
+    base = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.any_value("maxd"), F.max("o_orderdate")).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+        )
+    )
+    return base.select(
+        "custkey",
+        F.col("recency_days").cast("int").alias("recency_days"),
+        "frequency",
+        "monetary",
+        (6 - F.ntile(5).over(Window.orderBy("recency_days", "custkey"))).cast("int").alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "custkey")).cast("int").alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "custkey")).cast("int").alias("m_score"),
+    )

@@ -4,12 +4,14 @@ Two tiers:
   ann_bruteforce_topk — exact top-k by cosine, a single codegen'd scan + TakeOrdered.
     At 100 TB this is the per-partition-local-topk → k-row driver merge plan
     (no global sort, no collect of the scan).
-  ann_lsh_topk — random-hyperplane LSH: N_PLANES deterministic (md5-seeded) hyperplanes
-    → an N_PLANES-bit bucket; search only the query's bucket. The bucket id is a plain
-    integer column, so at scale the table can be written bucketed/partitioned by
-    it and a probe becomes partition pruning. (rows-only driver check — the
-    hyperplane construction is not reasonably SQL-expressible; recall vs
-    brute-force is asserted in tests/test_similarity.py.)
+  ann_lsh_topk / ann_multiprobe_topk — random-hyperplane LSH: N_PLANES
+    deterministic (md5-seeded) hyperplanes → an N_PLANES-bit bucket; search only
+    the query's bucket (multi-probe adds all Hamming-distance-1 buckets). The
+    bucket id is a plain integer column, so at scale the table can be written
+    bucketed/partitioned by it and a probe becomes partition pruning. Both are
+    fully oracle-checked: the DuckDB twin rebuilds the buckets from the same
+    plane literals (see _duckdb_bucket_expr); recall vs brute-force is
+    additionally asserted in tests/test_similarity.py.
   kmeans_assign_step — one Lloyd's-algorithm assignment step (centroid per label,
     assign each vector to nearest centroid): posexplode → avg per (label, dim) →
     broadcast centroids → argmin. The iterative loop is driver-side over this
@@ -177,4 +179,56 @@ def kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("vec_id", F.col("c_label").alias("assigned_label"), F.round("dist2", 4).alias("dist2_r"))
+    )
+
+
+@query(
+    "ann_multiprobe_topk",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, label, embedding,
+               {_duckdb_bucket_expr('embedding')} AS bucket
+        FROM embeddings
+    ),
+    probe AS (
+        SELECT embedding AS q,
+               unnest([bucket, {", ".join(f"xor(bucket, {1 << i})" for i in range(N_PLANES))}])
+                   AS pbucket
+        FROM b WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT b.vec_id AS vec_id, b.label AS label,
+           round({duckdb_cosine('b.embedding', 'probe.q')}, 4) AS cos_sim
+    FROM b JOIN probe ON b.bucket = probe.pbucket
+    WHERE b.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: scan the probe's bucket plus every bucket at
+    Hamming distance 1 (flip each plane bit) — the standard recall/scan-cost
+    dial (Lv et al., multi-probe LSH). Buckets partition the table, so the
+    7-bucket probe reads 7/2^{N_PLANES} of the data and candidates cannot
+    duplicate; the probe side explodes to 7 rows and broadcasts."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    bucketed = emb.withColumn("bucket", lsh_bucket_col(F.col("v"), default_planes()))
+    probes = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("q"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(N_PLANES)],
+            )
+        ).alias("pbucket"),
+    )
+    return (
+        bucketed.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("pbucket")) & (F.col("vec_id") != QUERY_VEC_ID),
+        )
+        .select("vec_id", "label", F.round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
     )
