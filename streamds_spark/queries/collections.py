@@ -251,3 +251,65 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 4)
            AS rolling_median""",
     )
+
+
+@query(
+    "basket_brand_lift",
+    oracle=r"""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+    bc AS (SELECT brand, count(*) AS c FROM ob GROUP BY brand),
+    pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS together
+        FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY a.brand, b.brand
+    )
+    SELECT p.brand_a, p.brand_b, CAST(p.together AS BIGINT) AS together,
+           round(CAST(p.together AS DOUBLE) * n.n_orders / (ca.c * cb.c), 4) AS lift
+    FROM pairs p
+    JOIN bc ca ON ca.brand = p.brand_a
+    JOIN bc cb ON cb.brand = p.brand_b
+    CROSS JOIN n
+    WHERE p.together >= 5
+    """,
+)
+def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket brand co-occurrence with lift — the association-rule
+    screen. The order→brand set is deduped FIRST (distinct), so the
+    within-order pair join fans out over per-order brand counts (a handful),
+    never line items; brand marginals and the order count are brand-/1-row-
+    sized → broadcast. A together>=5 support floor keeps the output stable."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = ob.agg(F.countDistinct("okey").alias("n_orders"))
+    bc = ob.groupBy("brand").agg(F.count("*").alias("c"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b"))
+        .agg(F.count("*").alias("together"))
+        .filter(F.col("together") >= 5)
+    )
+    ca = F.broadcast(bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("ca")))
+    cb = F.broadcast(bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("cb")))
+    return (
+        pairs.join(ca, "brand_a")
+        .join(cb, "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "together",
+            F.round(
+                F.col("together").cast("double") * F.col("n_orders") / (F.col("ca") * F.col("cb")), 4
+            ).alias("lift"),
+        )
+    )

@@ -383,3 +383,45 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("a.t80"), F.col("b.t80")).alias("edit_dist"),
         )
     )
+
+
+@query(
+    "dedup_pair_graph_degree",
+    oracle="WITH "
+    + _duckdb_signature_sql()
+    + f""",
+    buckets AS (
+        {" UNION ALL ".join(
+            "SELECT doc_id, " + str(b) + " AS band, md5("
+            + " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+            + ") AS bucket FROM sig"
+            for b, cols in enumerate(_BAND_COLS)
+        )}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    deg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION ALL
+            SELECT doc_b AS doc_id FROM pairs
+        ) GROUP BY doc_id
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree
+    """,
+)
+def dedup_pair_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the LSH candidate-pair graph — the dedup
+    health/skew dashboard (a fat tail here is the mega-bucket early warning
+    that operators/dedup_pipeline's star cap addresses). Reuses the pair plan;
+    the degree histogram is two small aggregates over the pair list."""
+    pairs = _lsh_pairs_df(spark, sf_dir)
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
