@@ -278,25 +278,57 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket brand co-occurrence with lift — the association-rule
-    screen. The order→brand set is deduped FIRST (distinct), so the
-    within-order pair join fans out over per-order brand counts (a handful),
-    never line items; brand marginals and the order count are brand-/1-row-
-    sized → broadcast. A together>=5 support floor keeps the output stable."""
+    screen. The per-order brand set is built ONCE (collect_set: one shuffle on
+    orderkey, dedup inside the aggregate); pairs are then generated LOCALLY
+    from the sorted array (fan-out bounded by per-order brand count, no
+    self-join), and the brand marginals and order count consume the SAME
+    aggregated subtree — Spark plans ReusedExchange, so lineitem is scanned
+    once for all three. A together>=5 support floor keeps the output stable."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    sets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
     )
-    n = ob.agg(F.countDistinct("okey").alias("n_orders"))
-    bc = ob.groupBy("brand").agg(F.count("*").alias("c"))
-    a, b = ob.alias("a"), ob.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.brand") < F.col("b.brand")))
-        .groupBy(F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b"))
-        .agg(F.count("*").alias("together"))
-        .filter(F.col("together") >= 5)
+    # ONE explode emits pair rows, marginal rows (brand_b NULL), and an
+    # order-count marker row (both NULL), so pair counts, brand marginals,
+    # and n_orders all come out of a single downstream aggregate — one
+    # lineitem scan, one okey shuffle, one small agg. (Separate consumers of
+    # `sets` would each re-plan the whole subtree: column pruning makes them
+    # non-identical, defeating exchange reuse — the q11/q15 lesson.) The
+    # brand²-sized result is localCheckpoint'd so its three readers below
+    # reuse the materialized rows.
+    combined = sets.select(
+        F.explode(
+            F.expr(
+                """
+                concat(
+                  CASE WHEN size(brands) >= 2 THEN
+                    flatten(transform(sequence(1, size(brands) - 1),
+                      i -> transform(sequence(0, i - 1),
+                        j -> struct(brands[j] AS brand_a, brands[i] AS brand_b))))
+                  ELSE array() END,
+                  transform(brands, b -> struct(b AS brand_a, CAST(NULL AS STRING) AS brand_b)),
+                  array(struct(CAST(NULL AS STRING) AS brand_a, CAST(NULL AS STRING) AS brand_b))
+                )
+                """
+            )
+        ).alias("p")
+    )
+    agg = (
+        combined.groupBy(F.col("p.brand_a").alias("ba"), F.col("p.brand_b").alias("bb"))
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
+    n = agg.filter(F.col("ba").isNull()).select(F.col("cnt").alias("n_orders"))
+    bc = agg.filter(F.col("ba").isNotNull() & F.col("bb").isNull()).select(
+        F.col("ba").alias("brand"), F.col("cnt").alias("c")
+    )
+    pairs = agg.filter(
+        F.col("ba").isNotNull() & F.col("bb").isNotNull() & (F.col("cnt") >= 5)
+    ).select(
+        F.col("ba").alias("brand_a"), F.col("bb").alias("brand_b"), F.col("cnt").alias("together")
     )
     ca = F.broadcast(bc.select(F.col("brand").alias("brand_a"), F.col("c").alias("ca")))
     cb = F.broadcast(bc.select(F.col("brand").alias("brand_b"), F.col("c").alias("cb")))
