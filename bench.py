@@ -88,6 +88,19 @@ def main() -> None:
     lsh_candidate_pairs(minhash_signatures(scaled)).count()
     lsh_10x = round(time.time() - t0, 3)
 
+    # Corpus-health trackers (also outside the headline total): the KL agg
+    # forces the full tokenize+aggregate pipeline; the redaction scan is
+    # forced through an aggregate because count() alone would let Spark skip
+    # the regexp projection entirely.
+    t0 = time.time()
+    specs["source_unigram_kl"].fn(spark, sf_dir).count()
+    kl_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    specs["pii_redaction"].fn(spark, sf_dir).agg(
+        F.max("redacted_fp"), F.sum("n_emails")
+    ).collect()
+    pii_s = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -96,7 +109,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "extras": {"dedup_lsh_pairs_docs10x": lsh_10x},
+                "extras": {
+                    "dedup_lsh_pairs_docs10x": lsh_10x,
+                    "source_unigram_kl": kl_s,
+                    "pii_redaction_forced": pii_s,
+                },
             }
         )
     )
