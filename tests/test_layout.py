@@ -137,3 +137,24 @@ def test_interleave_bits_orders_like_morton_curve(spark):
         return z
 
     assert got == {(x, y): morton(x, y) for x, y in rows}
+
+
+def test_morton_key_preserves_dominance(spark):
+    """If a dominates b in every dimension (a.x >= b.x and a.y >= b.y), then
+    morton(a) >= morton(b) — the property that makes per-file z-key ranges
+    translate into per-dimension min/max bounds."""
+    import random
+
+    from streamds_spark.io.layout import interleave_bits
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(256), rng.randrange(256)) for _ in range(300)]
+    df = spark.createDataFrame(pts, "x: long, y: long")
+    z = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", interleave_bits([F.col("x"), F.col("y")], bits=8)).collect()
+    }
+    for (x1, y1) in pts[:60]:
+        for (x2, y2) in pts[:60]:
+            if x1 >= x2 and y1 >= y2:
+                assert z[(x1, y1)] >= z[(x2, y2)], ((x1, y1), (x2, y2))

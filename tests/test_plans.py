@@ -108,3 +108,15 @@ def test_mad_outliers_broadcasts_per_type_scalars(facts):
     f = facts("value_outliers_mad")
     assert f.has_broadcast_join, "per-type median/MAD must broadcast onto the fact"
     assert f.has_partial_agg
+
+
+def test_cohort_and_rfm_plans_stay_bounded(facts):
+    """retention_cohorts: user_id join co-partitions with the first-seen agg
+    (no broadcast needed, no single-partition stage). rfm_scores: only the
+    quintile windows over aggregated customer rows may serialize."""
+    f = facts("retention_cohorts")
+    assert f.n_single_partition == 0, "cohort pipeline must stay partitioned"
+    assert f.has_partial_agg
+    f = facts("rfm_scores")
+    assert f.n_single_partition <= 3
+    assert f.has_broadcast_join  # the 1-row max-date
