@@ -425,3 +425,90 @@ def dedup_pair_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = ends.groupBy("doc_id").agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "dedup_minhash_estimate_error",
+    oracle="WITH "
+    + _duckdb_signature_sql()
+    + f""",
+    buckets AS (
+        {" UNION ALL ".join(
+            "SELECT doc_id, " + str(b) + " AS band, md5("
+            + " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+            + ") AS bucket FROM sig"
+            for b, cols in enumerate(_BAND_COLS)
+        )}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT p.doc_a, p.doc_b,
+               ({" + ".join(
+                   f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(NUM_PERM)
+               )}) / CAST({NUM_PERM} AS DOUBLE) AS est_jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b
+    ),
+    ssets AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= {SHINGLE_N}
+                   THEN list_transform(range(1, len(t) - {SHINGLE_N} + 2),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE [] END) AS sset
+        FROM toks
+    )
+    SELECT e.doc_a, e.doc_b,
+           round(e.est_jaccard, 4) AS est_jaccard,
+           round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+                 nullif(len(list_distinct(list_concat(a.sset, b.sset))), 0), 4)
+               AS true_jaccard,
+           round(abs(e.est_jaccard -
+                 CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+                 nullif(len(list_distinct(list_concat(a.sset, b.sset))), 0)), 4)
+               AS abs_err
+    FROM est e
+    JOIN ssets a ON a.doc_id = e.doc_a
+    JOIN ssets b ON b.doc_id = e.doc_b
+    """,
+)
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate pair, the MinHash-
+    estimated Jaccard (matching signature components / k) against the TRUE
+    shingle-set Jaccard, with per-pair absolute error — the measurement that
+    justifies the (bands, rows) choice. Candidates and both verify joins are
+    bounded by the LSH pair list, so the whole audit stays linear in
+    candidates at 100 TB (the all-pairs version would be quadratic)."""
+    sig = _minhash_signature_df(spark, sf_dir)
+    pairs = _lsh_pairs_df(spark, sf_dir)
+    est_expr = sum(
+        F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
+        for i in range(NUM_PERM)
+    ) / F.lit(float(NUM_PERM))
+    est = (
+        pairs.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", est_expr.alias("est_jaccard"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    ssets = docs.select("doc_id", tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.array_distinct(shingles_expr("toks", SHINGLE_N)).alias("sset")
+    )
+    inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset"))).cast("double")
+    union = F.size(F.array_union(F.col("a.sset"), F.col("b.sset"))).cast("double")
+    true_j = inter / F.nullif(union, F.lit(0.0))
+    return (
+        est.join(ssets.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(ssets.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("est_jaccard", 4).alias("est_jaccard"),
+            F.round(true_j, 4).alias("true_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - true_j), 4).alias("abs_err"),
+        )
+    )
