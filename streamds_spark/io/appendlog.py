@@ -143,7 +143,7 @@ def get(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-def merge(spark: SparkSession, path: str) -> None:
+def merge(spark: SparkSession, path: str, keep_generations: int = 2) -> None:
     """MERGE: compact into a single ordered table — per-client append order
     preserved, cross-client order deterministic-but-arbitrary (client id
     order), matching the reference's mergeFile guarantee.
@@ -153,6 +153,10 @@ def merge(spark: SparkSession, path: str) -> None:
     crash at any point leaves the previous view intact, and appends committed
     while this ran stay visible as un-merged chunks (not in the manifest).
     Single-writer: run one merge at a time.
+
+    keep_generations retains that many newest committed generations (the live
+    one included) as immutable snapshots readable via get_at — each is the
+    log's state as of its merge point, so retention = time travel depth.
     """
     old_gen = _current_generation(path)
     snapshot = _live_chunk_files(path, old_gen)
@@ -197,8 +201,8 @@ def merge(spark: SparkSession, path: str) -> None:
             os.remove(p)
         except OSError:
             pass
-    if old_gen is not None:
-        shutil.rmtree(old_gen, ignore_errors=True)
+    for stale in list_generations(path)[: -max(1, keep_generations)]:
+        shutil.rmtree(os.path.join(path, "generations", stale), ignore_errors=True)
     for marker in os.listdir(path):
         if marker.startswith(".append-"):
             os.remove(os.path.join(path, marker))
@@ -208,3 +212,30 @@ def read_ordered(spark: SparkSession, path: str) -> DataFrame:
     """Read with the merge ordering applied (what the reference's readers see
     after a merge)."""
     return get(spark, path).orderBy("_client", "_seq", "_pos")
+
+
+def list_generations(path: str) -> list[str]:
+    """Committed generation names, oldest → newest (numeric merge order)."""
+    root = os.path.join(path, "generations")
+    if not os.path.isdir(root):
+        return []
+    gens = [
+        g
+        for g in os.listdir(root)
+        if g.startswith("g-")
+        and os.path.exists(os.path.join(root, g, "data", "_SUCCESS"))
+    ]
+    return sorted(gens, key=lambda g: int(g[2:]))
+
+
+def get_at(spark: SparkSession, path: str, generation: str) -> DataFrame:
+    """Snapshot read: the log exactly as of `generation`'s merge point (no
+    later chunks). Generations are immutable once committed, so this is a
+    consistent historical view for as long as merge retention keeps it."""
+    gen_dir = os.path.join(path, "generations", generation)
+    if not os.path.exists(os.path.join(gen_dir, "data", "_SUCCESS")):
+        raise FileNotFoundError(
+            f"generation {generation!r} not committed in {path} "
+            f"(have: {list_generations(path)})"
+        )
+    return spark.read.parquet(os.path.join(gen_dir, "data"))

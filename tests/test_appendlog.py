@@ -168,3 +168,38 @@ def test_streaming_into_appendlog_sink(spark, tmp_path):
     q.awaitTermination(120)
     words = sorted(r["word"] for r in appendlog.get(spark, log_path).collect())
     assert words == ["x", "x", "y", "z"]
+
+
+def test_generation_snapshots_time_travel(spark, tmp_path):
+    """Each committed generation is an immutable snapshot of the log at its
+    merge point; retention bounds how far back get_at can reach."""
+    path = str(tmp_path / "log")
+    appendlog.create(spark, path)
+    appendlog.append(spark.createDataFrame([("a",)], ["line"]), path, "c")
+    appendlog.merge(spark, path)  # g1 = {a}
+    appendlog.append(spark.createDataFrame([("b",)], ["line"]), path, "c")
+    appendlog.merge(spark, path)  # g2 = {a, b}
+    appendlog.append(spark.createDataFrame([("c",)], ["line"]), path, "c")
+
+    gens = appendlog.list_generations(path)
+    assert len(gens) == 2  # default retention keeps current + previous
+    g1, g2 = gens
+    assert {r["line"] for r in appendlog.get_at(spark, path, g1).collect()} == {"a"}
+    assert {r["line"] for r in appendlog.get_at(spark, path, g2).collect()} == {"a", "b"}
+    # the live view still sees the unmerged tail
+    assert {r["line"] for r in appendlog.get(spark, path).collect()} == {"a", "b", "c"}
+
+
+def test_generation_retention_gc(spark, tmp_path):
+    path = str(tmp_path / "log")
+    appendlog.create(spark, path)
+    for i in range(4):
+        appendlog.append(spark.createDataFrame([(f"x{i}",)], ["line"]), path, "c")
+        appendlog.merge(spark, path, keep_generations=1)
+    gens = appendlog.list_generations(path)
+    assert len(gens) == 1  # only the live generation survives
+    assert appendlog.get(spark, path).count() == 4
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        appendlog.get_at(spark, path, "g-0")
