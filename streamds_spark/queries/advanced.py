@@ -265,23 +265,40 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     types AS (SELECT DISTINCT event_type FROM events),
     observed AS (
+        -- exact integer micro-units: a double mean rounds differently across
+        -- engines at half boundaries (Spark rounds the shortest decimal
+        -- string, DuckDB the binary value — observed at sf0.1), so the mean
+        -- is carried as (Σvalue in 1e-6 units, count) and rounded half-up in
+        -- pure BIGINT arithmetic after the forward fill
         SELECT date_trunc('hour', ts) AS hr, event_type,
-               count(*) AS c, avg(value) AS v
+               count(*) AS c,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS t
         FROM events GROUP BY 1, 2
     ),
     joined AS (
-        SELECT s.hr, t.event_type, o.c, o.v
-        FROM spine s CROSS JOIN types t
-        LEFT JOIN observed o ON o.hr = s.hr AND o.event_type = t.event_type
+        SELECT s.hr, ty.event_type, o.c, o.t
+        FROM spine s CROSS JOIN types ty
+        LEFT JOIN observed o ON o.hr = s.hr AND o.event_type = ty.event_type
+    ),
+    filled AS (
+        SELECT hr, event_type, c,
+               last_value(t IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY hr
+                         ROWS UNBOUNDED PRECEDING) AS ff_t,
+               last_value(c IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY hr
+                         ROWS UNBOUNDED PRECEDING) AS ff_c
+        FROM joined
     )
     SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
            event_type,
            CAST(coalesce(c, 0) AS BIGINT) AS n_events,
-           round(last_value(v IGNORE NULLS)
-                     OVER (PARTITION BY event_type ORDER BY hr
-                           ROWS UNBOUNDED PRECEDING), 4) AS avg_value_ff,
+           -- half-up to 4 decimals in integer math (values are >= 0):
+           -- floor((2t + d) / 2d) with d = 100*c, result in 1e-4 units
+           CAST((2 * ff_t + 100 * ff_c) // (200 * ff_c) AS DOUBLE) / 10000.0
+               AS avg_value_ff,
            (c IS NULL) AS is_gap
-    FROM joined
+    FROM filled
     """,
 )
 def time_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,7 +325,14 @@ def time_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed = events.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("ohr"),
         F.col("event_type").alias("otype"),
-    ).agg(F.count("*").alias("c"), F.avg("value").alias("v"))
+    ).agg(
+        F.count("*").alias("c"),
+        # exact micro-unit sum; rounding happens in BIGINT math after the
+        # fill (see oracle comment — engine round() modes differ on doubles)
+        (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+        .cast("long")
+        .alias("t"),
+    )
     joined = (
         spine.crossJoin(F.broadcast(types))
         .join(
@@ -320,10 +344,19 @@ def time_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return joined.select(
+    filled = joined.select(
+        "hr",
+        "event_type",
+        "c",
+        F.last("t", ignorenulls=True).over(w).alias("ff_t"),
+        F.last("c", ignorenulls=True).over(w).alias("ff_c"),
+    )
+    # half-up to 4 decimals in integer math: floor((2t + d) / 2d), d = 100*c
+    q = F.expr("(2 * ff_t + 100 * ff_c) DIV (200 * ff_c)")
+    return filled.select(
         F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         "event_type",
         F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_events"),
-        F.round(F.last("v", ignorenulls=True).over(w), 4).alias("avg_value_ff"),
+        (q.cast("double") / F.lit(10000.0)).alias("avg_value_ff"),
         F.col("c").isNull().alias("is_gap"),
     )

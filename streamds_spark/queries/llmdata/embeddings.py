@@ -27,10 +27,10 @@ from streamds_spark.registry import query
     )
     SELECT dim,
            CAST(count(*) AS BIGINT) AS n,
-           round(avg(v), 4) AS mean,
+           round(avg(v), 4) + 0.0 AS mean,
            round(stddev_pop(v), 4) AS std,
-           round(min(v), 4) AS min_v,
-           round(max(v), 4) AS max_v
+           round(min(v), 4) + 0.0 AS min_v,
+           round(max(v), 4) + 0.0 AS max_v
     FROM e GROUP BY dim
     """,
 )
@@ -42,12 +42,15 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(F.posexplode("embedding").alias("pos", "v")).select(
         (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v")
     )
+    # "+ 0.0" normalizes IEEE negative zero: round() of a tiny negative mean
+    # yields -0.0, which one engine prints as "-0" and the other as "0"
+    # (observed at sf0.1); -0.0 + 0.0 = +0.0 in both.
     return e.groupBy("dim").agg(
         F.count("*").alias("n"),
-        F.round(F.avg("v"), 4).alias("mean"),
+        (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("mean"),
         F.round(F.stddev_pop("v"), 4).alias("std"),
-        F.round(F.min("v"), 4).alias("min_v"),
-        F.round(F.max("v"), 4).alias("max_v"),
+        (F.round(F.min("v"), 4) + F.lit(0.0)).alias("min_v"),
+        (F.round(F.max("v"), 4) + F.lit(0.0)).alias("max_v"),
     )
 
 
@@ -62,7 +65,7 @@ CORR_DIMS = 8  # leading dimensions included in the pairwise-correlation sweep
         FROM embeddings, unnest(generate_series(1, {CORR_DIMS})) AS t(i)
     )
     SELECT a.dim AS dim_i, b.dim AS dim_j,
-           round(corr(a.v, b.v), 4) AS pearson
+           round(corr(a.v, b.v), 4) + 0.0 AS pearson
     FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim < b.dim
     GROUP BY a.dim, b.dim
     """,
@@ -104,5 +107,8 @@ def embedding_dim_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
     vy = F.col("syy") - F.col("sy") * F.col("sy") / n
     return stats.select(
-        "dim_i", "dim_j", F.round(cov / F.sqrt(vx * vy), 4).alias("pearson")
+        "dim_i",
+        "dim_j",
+        # + 0.0: negative-zero normalization (see embedding_dim_stats)
+        (F.round(cov / F.sqrt(vx * vy), 4) + F.lit(0.0)).alias("pearson"),
     )

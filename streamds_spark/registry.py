@@ -11,7 +11,12 @@ Contract reminders (driver compares at sf=0.01):
   - column NAMES must match between Spark result and oracle result
     (driver sorts columns by name before hashing) — alias everything;
   - round float aggregates to 4 decimals on BOTH sides;
-  - cast DuckDB integer SUMs to BIGINT (DuckDB widens to HUGEINT, Spark doesn't).
+  - cast DuckDB integer SUMs to BIGINT (DuckDB widens to HUGEINT, Spark doesn't);
+  - add `+ 0.0` after round() on any signed float column: round(-1e-9, 4)
+    is IEEE -0.0, which engines print differently ("-0" vs "0");
+  - if a rounded mean feeds the comparison, build it as
+    CAST(sum(CAST(x AS DECIMAL)) AS DOUBLE)/count — a double sum's partial-agg
+    ORDER can flip round(.,4) at the half-ulp boundary (observed at sf0.1).
 """
 
 from __future__ import annotations
