@@ -376,3 +376,55 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(Window.orderBy("frequency", "custkey")).cast("int").alias("f_score"),
         F.ntile(5).over(Window.orderBy("monetary", "custkey")).cast("int").alias("m_score"),
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle=r"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS from_type, next_type AS to_type, count(*) AS c
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    tot AS (
+        SELECT from_type, CAST(sum(c) AS BIGINT) AS n FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, CAST(t.c AS BIGINT) AS c,
+           CAST((2 * t.c * 10000 + tot.n) // (2 * tot.n) AS DOUBLE) / 10000.0
+               AS p
+    FROM trans t JOIN tot USING (from_type)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition estimate between consecutive event types
+    per user: one window over the user's time-ordered stream (same shuffle a
+    sessionization pays), then an event-type²-sized aggregate; row totals
+    derive from that aggregate and broadcast. The probability rounds half-up
+    in integer math (c/n lands on exact 4-decimal halves for round counts —
+    the registry contract's engine-round divergence)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count("*").alias("c"))
+    )
+    tot = trans.groupBy("from_type").agg(F.sum("c").alias("n"))
+    return (
+        trans.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "c",
+            (
+                F.expr("(2 * c * 10000 + n) DIV (2 * n)").cast("double") / F.lit(10000.0)
+            ).alias("p"),
+        )
+    )
