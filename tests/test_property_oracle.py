@@ -220,3 +220,49 @@ def test_bre_to_java_matches_real_grep(pat, anchor_l, anchor_r):
         pytest.fail(f"translated pattern does not compile: {pat!r} -> {translated!r}")
     got = {line for line in corpus if rx.search(line)}
     assert got == expected, f"pattern {pat!r} -> {translated!r}"
+
+
+# --- regexp parity: the PII scrub patterns must behave identically in Java
+# regex (Spark) and RE2 (DuckDB) over arbitrary text --------------------------
+
+_pii_text = st.lists(
+    st.sampled_from(
+        ["user", "a", "1", "10", "255", "999", ".", "@", "-", "_", " ", "com",
+         "example.com", "@example.com", "10.0.0.1", "999.1.2.3", "x@y", "a@b.co",
+         "..", "@@", "%", "+tag", "3.14", "..1.2.3.4.."]
+    ),
+    min_size=0,
+    max_size=12,
+).map("".join)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(_pii_text, min_size=1, max_size=8))
+def test_pii_regex_parity(spark, texts):
+    from streamds_spark.queries.llmdata.redaction import EMAIL_RE, IP_RE
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i: int, t: string")
+    got = {
+        r.i: (r.ne, r.ni, r.red)
+        for r in df.select(
+            "i",
+            F.regexp_count("t", F.lit(EMAIL_RE)).alias("ne"),
+            F.regexp_count("t", F.lit(IP_RE)).alias("ni"),
+            F.regexp_replace(
+                F.regexp_replace("t", EMAIL_RE, "<EMAIL>"), IP_RE, "<IP>"
+            ).alias("red"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in rows:
+        ne, ni, red = con.execute(
+            f"SELECT len(regexp_extract_all(?, '{EMAIL_RE}')), "
+            f"len(regexp_extract_all(?, '{IP_RE}')), "
+            f"regexp_replace(regexp_replace(?, '{EMAIL_RE}', '<EMAIL>', 'g'), "
+            f"'{IP_RE}', '<IP>', 'g')",
+            [t, t, t],
+        ).fetchone()
+        assert got[i] == (ne, ni, red), (t, got[i], (ne, ni, red))
