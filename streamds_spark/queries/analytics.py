@@ -428,3 +428,33 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         )
     )
+
+
+@query(
+    "cumulative_distinct_users",
+    oracle=r"""
+    WITH firsts AS (
+        SELECT user_id, min(date_trunc('hour', ts)) AS h FROM events GROUP BY user_id
+    ),
+    per_hour AS (SELECT h, count(*) AS new_users FROM firsts GROUP BY h)
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY h) AS BIGINT) AS cum_users
+    FROM per_hour
+    """,
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users to date, per day — via the first-occurrence rewrite:
+    cumulative COUNT(DISTINCT) equals a running SUM of first-seen flags. The
+    naive windowed collect_set/count_distinct materializes the full user set
+    per output row (quadratic, unbounded window state); this is one user_id
+    aggregate + a date-sized running sum."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.date_trunc("hour", F.col("ts"))).alias("h"))
+    per_hour = firsts.groupBy("h").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_hour.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
