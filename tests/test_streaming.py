@@ -411,3 +411,77 @@ def test_midstream_kill_and_recover(spark, tmp_path):
     q2.awaitTermination(120)
     final = {r["word"]: r["count"] for r in read_latest_batch(spark, out).collect()}
     assert final == dict(golden)
+
+
+def test_streaming_incremental_dedup_against_store(spark, tmp_path):
+    """Continuous-ingest dedup: each micro-batch probes the persisted bucket
+    store, drops near-dups of everything already accepted (including docs
+    accepted by EARLIER batches of the same stream), and appends its kept
+    docs' buckets — the streaming assembly of operators/dedup_incremental."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from streamds_spark.operators.dedup_incremental import (
+        incremental_candidates,
+        write_bucket_store,
+    )
+
+    store = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "one two three four five six"),
+        ],
+        "doc_id: long, text: string",
+    )
+    write_bucket_store(base, store)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    kept_dir = str(tmp_path / "kept")
+    # batch A: one dup of corpus doc 0, one genuinely new doc (11)
+    spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),
+            (11, "seven eight nine ten eleven twelve"),
+        ],
+        "doc_id: long, text: string",
+    ).coalesce(1).write.parquet(os.path.join(src, "a"))
+    _time.sleep(1.1)  # file mtime orders the micro-batches
+    # batch B: dup of batch A's doc 11 (only catchable via the store append),
+    # plus a new doc
+    spark.createDataFrame(
+        [
+            (12, "seven eight nine ten eleven twelve"),
+            (13, "totally different payload words entirely here"),
+        ],
+        "doc_id: long, text: string",
+    ).coalesce(1).write.parquet(os.path.join(src, "b"))
+
+    def process(batch_df, batch_id):
+        dup_ids = (
+            incremental_candidates(batch_df, spark, store)
+            .select("new_id")
+            .distinct()
+        )
+        kept = batch_df.join(
+            dup_ids, batch_df.doc_id == dup_ids.new_id, "left_anti"
+        ).select("doc_id", "text")
+        write_bucket_store(kept, store, mode="append")
+        kept.select("doc_id").write.mode("append").parquet(kept_dir)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    kept_ids = {r.doc_id for r in spark.read.parquet(kept_dir).collect()}
+    assert kept_ids == {11, 13}, kept_ids  # 10 dups corpus, 12 dups batch A's 11
