@@ -99,3 +99,49 @@ def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rk"))
         .filter(F.col("rk") <= STRATUM_QUOTA)
     )
+
+
+WSAMPLE_K = 50
+
+
+@query(
+    "weighted_sample_topk",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ln(({duckdb_md5_int("CAST(doc_id AS VARCHAR)")} + 1.0) / 1152921504606846976.0)
+                   / n_chars AS k
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           round(k, 6) + 0.0 AS sample_key
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT {WSAMPLE_K}
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006): each
+    row gets key ln(u)/w for deterministic u = md5-uniform(0,1] and weight
+    w = n_chars; the top-k keys ARE a weighted sample without replacement.
+    One scan + TakeOrderedAndProject — no shuffle, no RNG state, reproducible
+    on any engine/cluster; this is how you draw a quality-weighted training
+    subset from 100 TB in a single pass."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (md5_int60(F.col("doc_id")) + F.lit(1.0)) / F.lit(float(1 << 60))
+    k = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            k.alias("k"),
+        )
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(WSAMPLE_K)
+        .select(
+            "doc_id",
+            "weight",
+            (F.round("k", 6) + F.lit(0.0)).alias("sample_key"),
+        )
+    )

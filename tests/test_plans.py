@@ -120,3 +120,9 @@ def test_cohort_and_rfm_plans_stay_bounded(facts):
     f = facts("rfm_scores")
     assert f.n_single_partition <= 3
     assert f.has_broadcast_join  # the 1-row max-date
+
+
+def test_weighted_sample_is_single_pass_topk(facts):
+    f = facts("weighted_sample_topk")
+    assert f.has_take_ordered, "ES sampling must be TakeOrdered, not global sort"
+    assert not f.has_broadcast_join and not f.has_sortmerge_join
