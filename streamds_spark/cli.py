@@ -52,6 +52,13 @@ def main(argv: list[str] | None = None) -> int:
     mg = sub.add_parser("merge", help="compact a table's append chunks")
     mg.add_argument("table")
 
+    dd = sub.add_parser("dedup", help="near-dup dedup a parquet corpus (MinHash-LSH)")
+    dd.add_argument("src", help="input parquet of documents")
+    dd.add_argument("dest", help="output parquet for kept documents")
+    dd.add_argument("--threshold", type=float, default=0.7, help="Jaccard keep threshold")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+
     sh = sub.add_parser(
         "shell",
         help="interactive terminal (the reference's command loop): SQL by "
@@ -122,6 +129,20 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "merge":
             appendlog.merge(spark, args.table)
             print(f"merged:{args.table}")
+    elif args.cmd == "dedup":
+        from streamds_spark.operators.dedup_pipeline import dedup_corpus
+
+        docs = spark.read.parquet(args.src)
+        kept, dropped = dedup_corpus(
+            docs,
+            threshold=args.threshold,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        kept.write.mode("overwrite").parquet(args.dest)
+        n_in = docs.count()
+        n_kept = spark.read.parquet(args.dest).count()
+        print(f"input:{n_in} kept:{n_kept} dropped:{n_in - n_kept}")
     elif args.cmd == "shell":
         _shell(spark, args.sf_dir, args.logs)
     return 0

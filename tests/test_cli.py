@@ -92,3 +92,23 @@ def test_cli_rainstorm_stream_mode(spark, tmp_path):
         line.split("\t") for line in out.strip().splitlines() if "\t" in line
     )
     assert got == {"x": "2", "y": "1", "z": "1"}
+
+
+def test_cli_dedup_command(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six"),
+        ],
+        "doc_id: long, text: string",
+    ).write.parquet(src)
+    dest = str(tmp_path / "kept.parquet")
+    from streamds_spark.cli import main
+
+    assert main(["dedup", src, dest]) == 0
+    out = capsys.readouterr().out
+    assert "input:3 kept:2 dropped:1" in out
+    kept_ids = {r.doc_id for r in spark.read.parquet(dest).collect()}
+    assert kept_ids == {0, 2}
