@@ -42,8 +42,10 @@ def __getattr__(name):
         "evaluate_pairs": ("streamds_spark.operators.dedup_pipeline", "evaluate_pairs"),
         "write_bucket_store": ("streamds_spark.operators.dedup_incremental", "write_bucket_store"),
         "incremental_candidates": ("streamds_spark.operators.dedup_incremental", "incremental_candidates"),
+        "asof_join": ("streamds_spark.operators.asof", "asof_join"),
         "compact_small_files": ("streamds_spark.io.layout", "compact_small_files"),
         "write_corpus": ("streamds_spark.io.layout", "write_corpus"),
+        "write_zordered": ("streamds_spark.io.layout", "write_zordered"),
         "read_jsonl": ("streamds_spark.io.sources", "read_jsonl"),
         "split_valid_rows": ("streamds_spark.io.sources", "split_valid_rows"),
     }
@@ -60,7 +62,7 @@ __all__ = [
     "dedup_corpus", "kmeans", "pagerank", "profile_table", "sql",
     "register_udfs", "QUERIES", "load_all", "build_ann_index", "ann_probe_topk",
     "build_ivf_index", "ivf_probe_topk", "evaluate_pairs", "compact_small_files",
-    "write_corpus", "read_jsonl", "split_valid_rows", "write_bucket_store",
-    "incremental_candidates",
+    "write_corpus", "write_zordered", "read_jsonl", "split_valid_rows",
+    "write_bucket_store", "incremental_candidates", "asof_join",
 ]
 __version__ = "0.1.0"

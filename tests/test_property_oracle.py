@@ -266,3 +266,55 @@ def test_pii_regex_parity(spark, texts):
             [t, t, t],
         ).fetchone()
         assert got[i] == (ne, ni, red), (t, got[i], (ne, ni, red))
+
+
+# --- as-of join vs DuckDB's native ASOF JOIN --------------------------------
+
+_asof_left = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=50),  # ts
+    ),
+    min_size=0,
+    max_size=20,
+)
+# unique (key, ts) on the right so the matched row is well-defined in both engines
+_asof_right = st.sets(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=50),
+    ),
+    min_size=0,
+    max_size=20,
+).map(sorted)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lrows=_asof_left, rrows=_asof_right)
+def test_asof_join_agreement(spark, lrows, rrows):
+    from streamds_spark.operators.asof import asof_join
+
+    lrows = [(k, t, i) for i, (k, t) in enumerate(lrows)]
+    rrows = [(k, t, 1000 + 10 * k + t) for (k, t) in rrows]
+    l = spark.createDataFrame(lrows, "k: int, t: int, lid: int") if lrows else spark.createDataFrame([], "k int, t int, lid int")
+    r = spark.createDataFrame(rrows, "k: int, t: int, rval: int") if rrows else spark.createDataFrame([], "k int, t int, rval int")
+    got = {
+        (row.k, row.t, row.lid): row.rval
+        for row in asof_join(l, r, on=["k"], left_ts="t", right_ts="t").collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (k INTEGER, t INTEGER, lid INTEGER)")
+    con.execute("CREATE TABLE r (k INTEGER, t INTEGER, rval INTEGER)")
+    if lrows:
+        con.executemany("INSERT INTO l VALUES (?, ?, ?)", lrows)
+    if rrows:
+        con.executemany("INSERT INTO r VALUES (?, ?, ?)", rrows)
+    want = {
+        (k, t, lid): rval
+        for k, t, lid, rval in con.execute(
+            "SELECT l.k, l.t, l.lid, r.rval FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.t >= r.t"
+        ).fetchall()
+    }
+    assert got == want
