@@ -161,3 +161,43 @@ def test_incremental_dedup_against_bucket_store(spark, tmp_path):
         for r in incremental_candidates(later, spark, store).collect()
     }
     assert (2000, 1000) in got2 and (2000, 100) in got2
+
+
+def test_resolve_groups_fuzz_vs_union_find(spark):
+    """Pointer-jumping CC must agree with a reference union-find on random
+    graphs — chains, stars, cycles, and disjoint unions all appear at this
+    size."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(8):
+        n = rng.randrange(2, 30)
+        m = rng.randrange(1, 40)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {a for e in edges for a in e}
+        want = {x: find(x) for x in touched}
+        # canonical rep = min of component
+        comp = {}
+        for x, r in want.items():
+            comp.setdefault(find(r), []).append(x)
+        want_min = {x: min(comp[find(x)]) for x in touched}
+
+        df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+        got = {r.node: r.rep for r in resolve_groups(df).collect()}
+        assert got == want_min, (trial, sorted(edges), got, want_min)
