@@ -14,15 +14,20 @@ from streamds_spark import registry as _registry
 from streamds_spark.queries import advanced  # noqa: F401
 from streamds_spark.queries import analytics  # noqa: F401
 from streamds_spark.queries import collections  # noqa: F401
+from streamds_spark.queries import graph  # noqa: F401
+from streamds_spark.queries import incremental  # noqa: F401
 from streamds_spark.queries import integrity  # noqa: F401
 from streamds_spark.queries import parity  # noqa: F401
+from streamds_spark.queries import timeseries  # noqa: F401
 from streamds_spark.queries import tpch  # noqa: F401
 from streamds_spark.queries import tpch2  # noqa: F401
 from streamds_spark.queries import tpch3  # noqa: F401
+from streamds_spark.queries.llmdata import bpe  # noqa: F401
 from streamds_spark.queries.llmdata import contamination  # noqa: F401
 from streamds_spark.queries.llmdata import corpus  # noqa: F401
 from streamds_spark.queries.llmdata import dedup  # noqa: F401
 from streamds_spark.queries.llmdata import embeddings  # noqa: F401
+from streamds_spark.queries.llmdata import heavyhitters  # noqa: F401
 from streamds_spark.queries.llmdata import multimodal  # noqa: F401
 from streamds_spark.queries.llmdata import quality  # noqa: F401
 from streamds_spark.queries.llmdata import redaction  # noqa: F401

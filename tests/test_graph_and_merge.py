@@ -1,0 +1,121 @@
+"""Unit tests for the round-3 operators: batch MERGE, degree-ordered triangle
+counting, and two-pass Misra-Gries heavy hitters (adversarial skew)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamds_spark.operators.heavy_hitters import heavy_hitters
+from streamds_spark.operators.merge import merge_into
+from streamds_spark.queries.graph import (
+    copurchase_edges,
+    oriented_by_degree,
+    triangle_count,
+)
+
+
+@pytest.fixture()
+def base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "k bigint, s string, v double, is_delete boolean"
+    )
+
+
+def test_merge_update_insert_delete(spark, base):
+    changes = _changes(
+        spark,
+        [
+            (2, "B", 99.0, False),  # update
+            (4, "d", 40.0, False),  # insert
+            (3, None, None, True),  # delete
+            (7, None, None, True),  # delete of absent key: no-op
+        ],
+    )
+    out = merge_into(base, changes, key="k", update_cols=("s", "v"))
+    got = {r["k"]: (r["s"], r["v"]) for r in out.collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 4: ("d", 40.0)}
+
+
+def test_merge_partial_update_keeps_base_for_null(spark, base):
+    # a NULL in an update column means "leave unchanged" (coalesce semantics)
+    changes = _changes(spark, [(1, None, 77.0, False)])
+    out = merge_into(base, changes, key="k", update_cols=("s", "v"))
+    got = {r["k"]: (r["s"], r["v"]) for r in out.collect()}
+    assert got[1] == ("a", 77.0)
+    assert got[2] == ("b", 20.0)
+
+
+def test_merge_is_single_shuffle_join(spark, base):
+    changes = _changes(spark, [(1, "x", 1.0, False)])
+    plan = merge_into(base, changes, "k", ("s",))._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan and ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["u", "v"])
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 has 4 triangles; plus a pendant edge (no new triangle)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = _edges(spark, k4 + [(3, 9)])
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_count_triangle_free(spark):
+    # bipartite graphs have no triangles
+    edges = _edges(spark, [(0, 10), (0, 11), (1, 10), (1, 11), (2, 10)])
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 0
+
+
+def test_orientation_is_acyclic_and_complete(spark):
+    edges = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    o = oriented_by_degree(edges).collect()
+    assert len(o) == 4  # every edge oriented exactly once
+    # out-degree of the max-degree node must be 0 or tiny: node 3 (deg 3)
+    out3 = sum(1 for r in o if r["s"] == 3)
+    assert out3 == 0
+
+
+def test_copurchase_edges_dedup(spark):
+    li = spark.createDataFrame(
+        [(1, 100), (1, 200), (1, 100), (2, 100), (2, 200)],
+        ["l_orderkey", "l_partkey"],
+    )
+    got = {(r["u"], r["v"]) for r in copurchase_edges(li).collect()}
+    assert got == {(100, 200)}
+
+
+def test_heavy_hitters_exact_on_skew(spark):
+    # 10_000 copies of 'hot', 5_000 of 'warm', 3_000 distinct singletons.
+    # With k=99 the threshold is n/100 = 180.x -> only hot and warm qualify.
+    rows = (
+        [("hot",)] * 10_000 + [("warm",)] * 5_000 + [(f"cold{i}",) for i in range(3_000)]
+    )
+    terms = spark.createDataFrame(rows, ["term"]).repartition(8)
+    got = {r["term"]: r["cnt"] for r in heavy_hitters(terms, k=99).collect()}
+    assert got == {"hot": 10_000, "warm": 5_000}
+
+
+def test_heavy_hitters_no_false_negatives_property(spark):
+    # adversarial: many mid-weight items right at the threshold boundary,
+    # spread over many partitions so candidates must survive MG compression
+    import collections
+
+    rows = []
+    for i in range(40):
+        rows += [(f"mid{i}",)] * (100 + i)
+    terms = spark.createDataFrame(rows, ["term"]).repartition(16)
+    n = len(rows)
+    k = 9
+    got = {r["term"]: r["cnt"] for r in heavy_hitters(terms, k=k).collect()}
+    true = collections.Counter(t for (t,) in rows)
+    expect = {t: c for t, c in true.items() if c * (k + 1) > n}
+    assert got == expect
