@@ -31,6 +31,7 @@ from streamds_spark.queries.llmdata import heavyhitters  # noqa: F401
 from streamds_spark.queries.llmdata import multimodal  # noqa: F401
 from streamds_spark.queries.llmdata import quality  # noqa: F401
 from streamds_spark.queries.llmdata import redaction  # noqa: F401
+from streamds_spark.queries.llmdata import retrieval  # noqa: F401
 from streamds_spark.queries.llmdata import sampling  # noqa: F401
 from streamds_spark.queries.llmdata import sharding  # noqa: F401
 from streamds_spark.queries.llmdata import similarity  # noqa: F401
