@@ -360,3 +360,80 @@ def time_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (q.cast("double") / F.lit(10000.0)).alias("avg_value_ff"),
         F.col("c").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "winsorized_stats_lineitem",
+    oracle="""
+    WITH bounds AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS lo,
+               quantile_cont(l_extendedprice, 0.95) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(b.lo, 4) AS p05,
+           round(b.hi, 4) AS p95,
+           round(CAST(sum(CAST(greatest(b.lo, least(b.hi, l.l_extendedprice))
+                               AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) + 0.0
+               AS winsorized_mean,
+           round(CAST(sum(CASE WHEN l.l_extendedprice BETWEEN b.lo AND b.hi
+                               THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
+                               ELSE 0 END) AS DOUBLE)
+                 / sum(CASE WHEN l.l_extendedprice BETWEEN b.lo AND b.hi
+                            THEN 1 ELSE 0 END), 4) + 0.0 AS trimmed_mean,
+           CAST(sum(CASE WHEN l.l_extendedprice < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_low,
+           CAST(sum(CASE WHEN l.l_extendedprice > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_high
+    FROM lineitem l JOIN bounds b USING (l_returnflag)
+    GROUP BY l.l_returnflag, b.lo, b.hi
+    """,
+)
+def winsorized_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics: winsorized mean (values clamped to
+    [p05, p95]) and trimmed mean (values outside dropped), plus clip counts.
+    Bounds come from an exact-percentile aggregate over the same table,
+    broadcast back (few groups, 2 doubles each); means carry DECIMAL(18,6)
+    sums so partial-agg order cannot perturb the rounded result (registry
+    contract). Two column-pruned scans + one broadcast join at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    j = li.join(F.broadcast(bounds), "l_returnflag")
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("l_extendedprice")))
+    inb = F.col("l_extendedprice").between(F.col("lo"), F.col("hi"))
+    return (
+        j.groupBy("l_returnflag", "lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(clamped.cast("decimal(18,6)")).cast("double").alias("wsum"),
+            F.sum(
+                F.when(inb, F.col("l_extendedprice").cast("decimal(18,6)")).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            )
+            .cast("double")
+            .alias("tsum"),
+            F.sum(inb.cast("long")).alias("tn"),
+            F.sum((F.col("l_extendedprice") < F.col("lo")).cast("long")).alias(
+                "n_clip_low"
+            ),
+            F.sum((F.col("l_extendedprice") > F.col("hi")).cast("long")).alias(
+                "n_clip_high"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.round("lo", 4).alias("p05"),
+            F.round("hi", 4).alias("p95"),
+            (F.round(F.col("wsum") / F.col("n"), 4) + 0.0).alias("winsorized_mean"),
+            (F.round(F.col("tsum") / F.col("tn"), 4) + 0.0).alias("trimmed_mean"),
+            "n_clip_low",
+            "n_clip_high",
+        )
+    )
