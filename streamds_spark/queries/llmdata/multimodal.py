@@ -107,3 +107,61 @@ def audio_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("rms"), 4).alias("avg_rms"),
         F.round(F.max("rms"), 4).alias("max_rms"),
     )
+
+
+# Real container magics first (what production data would carry), then the
+# synthetic IMG/AUD/VID magics that this environment's stub payloads use.
+MAGIC_SNIFF = [
+    ("png", b"\x89PNG\r\n\x1a\n"),
+    ("jpeg", b"\xff\xd8\xff"),
+    ("gif", b"GIF8"),
+    ("pdf", b"%PDF"),
+    ("zip", b"PK\x03\x04"),
+    ("riff", b"RIFF"),
+    ("synthetic-img", b"IMG"),
+    ("synthetic-aud", b"AUD"),
+    ("synthetic-vid", b"VID"),
+]
+
+
+@query(
+    "multimodal_filetype_sniff",
+    # Oracle is analytic (payload layout is exactly derivable from doc_id —
+    # same pattern as multimodal_decode_meta): kind = doc_id%3, size =
+    # 11-byte header + max(16, width*48//16) body, width = 64 + doc_id%64.
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'synthetic-img'
+                               WHEN 1 THEN 'synthetic-aud'
+                               ELSE 'synthetic-vid' END AS filetype,
+               CAST(64 + doc_id % 64 AS BIGINT) AS width
+        FROM documents
+    )
+    SELECT filetype,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(11 + greatest(16, (width * 48) // 16)) AS BIGINT) AS total_bytes
+    FROM m GROUP BY filetype
+    """,
+)
+def multimodal_filetype_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-type detection from magic bytes — the first pass of any multimodal
+    ingest (route payloads to the right decoder, quarantine unknowns). The
+    sniffer is a chained binary-prefix comparison over PNG/JPEG/GIF/PDF/ZIP/
+    RIFF plus the synthetic magics, entirely codegen'd (substring on the
+    binary column + literal compares — no UDF, no decode). Unknown payloads
+    fall through to 'unknown'. The binary column is only read for its first
+    8 bytes; Parquet column-index/page pruning keeps the scan cheap at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_media_table(docs)
+    detect = None
+    for name, prefix in MAGIC_SNIFF:
+        cond = F.substring(F.col("payload"), 1, len(prefix)) == F.lit(prefix)
+        detect = F.when(cond, name) if detect is None else detect.when(cond, name)
+    detect = detect.otherwise("unknown")
+    return media.select(
+        detect.alias("filetype"), F.octet_length("payload").alias("nb")
+    ).groupBy("filetype").agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.col("nb").cast("long")).alias("total_bytes"),
+    )

@@ -106,3 +106,36 @@ def test_audio_window_rms_plumbing(spark):
     expect0 = float(np.sqrt((amp[:PCM_WINDOW] ** 2).sum() / PCM_WINDOW))
     got0 = next(r["rms"] for r in rows if r["media_id"] == 1 and r["win"] == 0)
     assert abs(got0 - expect0) < 1e-9
+
+
+def test_filetype_sniffer_recognizes_real_magics(spark):
+    """The sniffer's real-format arms (never exercised by synthetic payloads)
+    must classify genuine container headers: PNG, JPEG, GIF, PDF, ZIP, RIFF,
+    and route garbage to 'unknown'."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from streamds_spark.queries.llmdata.multimodal import MAGIC_SNIFF
+
+    samples = [
+        ("png", b"\x89PNG\r\n\x1a\n" + b"\x00" * 20),
+        ("jpeg", b"\xff\xd8\xff\xe0" + b"\x00" * 20),
+        ("gif", b"GIF89a" + b"\x00" * 10),
+        ("pdf", b"%PDF-1.7\n%" + b"\x00" * 10),
+        ("zip", b"PK\x03\x04\x14\x00" + b"\x00" * 10),
+        ("riff", b"RIFF\x24\x00\x00\x00WAVE" + b"\x00" * 10),
+        ("synthetic-img", b"IMG" + b"\x00" * 16),
+        ("unknown", b"\x00\x01\x02\x03" + b"\x00" * 16),
+    ]
+    schema = StructType(
+        [StructField("expect", StringType()), StructField("payload", BinaryType())]
+    )
+    df = spark.createDataFrame(
+        [(e, bytearray(p)) for e, p in samples], schema=schema
+    )
+    detect = None
+    for name, prefix in MAGIC_SNIFF:
+        cond = F.substring(F.col("payload"), 1, len(prefix)) == F.lit(prefix)
+        detect = F.when(cond, name) if detect is None else detect.when(cond, name)
+    got = {r["expect"]: r["d"] for r in df.select("expect", detect.otherwise("unknown").alias("d")).collect()}
+    assert got == {e: e for e, _ in samples}
