@@ -1,0 +1,65 @@
+"""k-core decomposition: iteratively peel nodes of degree < k until the
+remaining subgraph's minimum degree is ≥ k (the classic Matula/Beck
+peeling, distributed as repeated degree-count + anti-join rounds).
+
+No reference analog (the reference has no graph surface); companion to the
+one-shot triangle census (queries/graph.py) and the fixpoint connected
+components (operators/dedup_pipeline.py).
+
+Scale posture: each round is one groupBy-degree shuffle plus an anti-join
+against the peeled set; the peeled set per round is usually tiny, so Spark
+broadcasts it (left_anti with a small right side). Lineage is truncated with
+localCheckpoint every round — without it the plan doubles per iteration and
+the driver OOMs on plan size long before data size matters. Rounds are
+bounded by the graph's degeneracy ordering depth, ~O(log n) on heavy-tailed
+graphs; `max_iter` caps pathological chains and raising it is safe because
+each round strictly shrinks the node set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kcore_nodes(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """Nodes of the k-core of the undirected simple graph `edges(u, v)`.
+
+    Returns DataFrame[node: <id type>, degree: bigint] — the node's degree
+    WITHIN the k-core (≥ k by construction). Empty result = no k-core.
+    Raises RuntimeError if max_iter rounds don't reach the fixpoint (each
+    round strictly shrinks the graph, so this only triggers on a peel chain
+    deeper than max_iter — rerun with a higher cap).
+    """
+    # Symmetrize once: adjacency with one row per directed half-edge.
+    adj = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    adj = adj.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = adj.groupBy("u").agg(F.count("*").alias("degree"))
+        low = deg.filter(F.col("degree") < k).select(F.col("u").alias("n"))
+        if low.isEmpty():
+            return deg.select(F.col("u").alias("node"), "degree")
+        adj = (
+            adj.join(F.broadcast(low), adj.u == low.n, "left_anti")
+            .join(F.broadcast(low), adj.v == low.n, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if adj.isEmpty():
+            return deg.filter(F.lit(False)).select(
+                F.col("u").alias("node"), "degree"
+            )
+    raise RuntimeError(f"k-core peeling did not converge in {max_iter} rounds")
+
+
+def kcore_summary(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """1-row census of the k-core: (k, n_core_nodes, n_core_edges,
+    min_core_degree)."""
+    core = kcore_nodes(edges, k, max_iter)
+    return core.agg(
+        F.lit(k).alias("k"),
+        F.count("*").cast("bigint").alias("n_core_nodes"),
+        (F.coalesce(F.sum("degree"), F.lit(0)) / 2).cast("bigint").alias("n_core_edges"),
+        F.min("degree").cast("bigint").alias("min_core_degree"),
+    )

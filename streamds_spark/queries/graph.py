@@ -117,3 +117,18 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(edges.agg(F.count("*").cast("bigint").alias("n_edges")))
         .crossJoin(triangle_count(edges))
     )
+
+
+KCORE_K = 4
+
+
+@query("kcore_copurchase", oracle=None)  # iterative peeling has no single-SQL twin;
+# tests/test_kcore.py fuzzes kcore_nodes against a pure-Python peeling reference
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census of the {K}-core of the part co-purchase graph (nodes surviving
+    iterative degree-<{K} peeling): the dense backbone that basket analytics
+    should run on. See operators/kcore.py for the peel loop's scale posture."""
+    from streamds_spark.operators.kcore import kcore_summary
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kcore_summary(copurchase_edges(li), KCORE_K)

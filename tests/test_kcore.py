@@ -1,0 +1,86 @@
+"""k-core peeling vs a pure-Python reference: crafted graphs with known cores
+plus randomized fuzz over small graphs."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from streamds_spark.operators.kcore import kcore_nodes, kcore_summary
+
+
+def _ref_kcore(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    """Reference peeling: returns {node: core_degree} of the k-core."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(ns) for n, ns in adj.items()}
+
+
+def _spark_kcore(spark, edges, k):
+    df = spark.createDataFrame(edges, ["u", "v"])
+    return {r["node"]: r["degree"] for r in kcore_nodes(df, k).collect()}
+
+
+def test_kcore_triangle_plus_tail(spark):
+    # triangle {1,2,3} is the 2-core; the tail 3-4-5 peels away
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    assert _spark_kcore(spark, edges, 2) == {1: 2, 2: 2, 3: 2}
+    # no 3-core at all
+    assert _spark_kcore(spark, edges, 3) == {}
+
+
+def test_kcore_clique_survives_whole(spark):
+    # K5 is its own 4-core; adding pendant nodes must not change it
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    pendants = [(0, 10), (10, 11), (2, 12)]
+    got = _spark_kcore(spark, k5 + pendants, 4)
+    assert got == {n: 4 for n in range(5)}
+
+
+def test_kcore_chain_peels_iteratively(spark):
+    # a path needs one peel round per endpoint layer — exercises multi-round
+    path = [(i, i + 1) for i in range(10)]
+    assert _spark_kcore(spark, path, 2) == {}
+
+
+def test_kcore_fuzz_vs_reference(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 18
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+                )
+                if a != b
+            }
+        )
+        for k in (2, 3):
+            assert _spark_kcore(spark, edges, k) == _ref_kcore(edges, k), (
+                trial,
+                k,
+            )
+
+
+def test_kcore_summary_shape(spark):
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    row = kcore_summary(spark.createDataFrame(k5, ["u", "v"]), 4).collect()[0]
+    assert (
+        row["k"],
+        row["n_core_nodes"],
+        row["n_core_edges"],
+        row["min_core_degree"],
+    ) == (4, 5, 10, 4)
