@@ -485,3 +485,55 @@ def test_streaming_incremental_dedup_against_store(spark, tmp_path):
 
     kept_ids = {r.doc_id for r in spark.read.parquet(kept_dir).collect()}
     assert kept_ids == {11, 13}, kept_ids  # 10 dups corpus, 12 dups batch A's 11
+
+
+def test_chained_streaming_window_aggregations(spark, tmp_path):
+    """Two stateful aggregations chained in ONE streaming query (Spark 4 /
+    SPARK-40925): 5-minute windowed counts re-aggregated into 10-minute
+    totals via window-of-window. Append mode — results flush when the
+    watermark (advanced by a late sentinel file) passes the outer window."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "f0.txt"), "w") as f:
+        f.write("2024-01-01T00:01:00 a\n")
+        f.write("2024-01-01T00:02:00 a\n")
+        f.write("2024-01-01T00:06:00 b\n")
+        f.write("2024-01-01T00:07:00 a\n")
+        f.write("2024-01-01T00:11:00 b\n")
+    with open(os.path.join(src, "f1.txt"), "w") as f:
+        f.write("2024-01-01T01:00:00 c\n")  # sentinel: advances the watermark
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .select(F.split("value", " ").alias("p"))
+        .select(
+            F.col("p").getItem(0).cast("timestamp").alias("ts"),
+            F.col("p").getItem(1).alias("etype"),
+        )
+    )
+    inner = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "etype")
+        .agg(F.count("*").alias("cnt"))
+    )
+    outer = inner.groupBy(F.window(F.col("window"), "10 minutes")).agg(
+        F.sum("cnt").alias("total")
+    )
+    rows = []
+    q = (
+        outer.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {str(r["window"]["start"]): r["total"] for r in rows}
+    # windows fully below the final watermark (00:55) have flushed;
+    # the sentinel's own window stays in state (never emitted)
+    assert got == {"2024-01-01 00:00:00": 4, "2024-01-01 00:10:00": 1}
