@@ -126,3 +126,54 @@ def test_weighted_sample_is_single_pass_topk(facts):
     f = facts("weighted_sample_topk")
     assert f.has_take_ordered, "ES sampling must be TakeOrdered, not global sort"
     assert not f.has_broadcast_join and not f.has_sortmerge_join
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Runtime semi-join reduction (the 100 TB shuffle-join saver): when a
+    selective dimension side can't broadcast, Spark should inject a bloom
+    filter built from the dim keys into the fact scan, cutting shuffle input
+    before the exchange. Pins that the engine's plans are eligible for this
+    optimizer path (it only fires on plain equi-join shapes)."""
+    from pyspark.sql import functions as F
+
+    from streamds_spark.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        orders = load_table(spark, "/root/testdata/sf0.001", "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "bloom filter not injected into fact side"
+        assert "bloom_filter_agg" in plan
+        # and the query still returns the right answer under the rewrite
+        assert j.collect()[0]["count"] > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
