@@ -25,6 +25,7 @@ from streamds_spark.catalog import load_table
 from streamds_spark.functions.hashing import (
     MINHASH_PRIME,
     md5_int28,
+    md5_int60,
     minhash_perm_constants,
 )
 from streamds_spark.functions.text import shingles_expr, tokens
@@ -512,3 +513,49 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est_jaccard") - true_j), 4).alias("abs_err"),
         )
     )
+
+
+SPAN_N = 8  # tokens per span shingle (cross-doc repeated-span detector)
+
+
+@query(
+    "repeated_ngram_spans",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(CASE WHEN len(t) >= {SPAN_N}
+                      THEN list_transform(range(1, len(t) - {SPAN_N} + 2),
+                           i -> ('0x' || substr(md5({" || ' ' || ".join(("t[i]" if j == 0 else f"t[i+{j}]") for j in range(SPAN_N))}), 1, 15))::BIGINT)
+                      ELSE [] END) AS h
+        FROM toks
+    ),
+    df AS (SELECT h, CAST(count(*) AS BIGINT) AS doc_freq FROM sh GROUP BY h)
+    SELECT doc_freq, CAST(count(*) AS BIGINT) AS n_spans
+    FROM df GROUP BY doc_freq
+    """,
+)
+def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span census: hash every {N}-token span, count
+    how many DISTINCT documents contain each span (doc_freq), and report the
+    doc_freq histogram — the scalable proxy for exact-substring dedup (the
+    suffix-array pass of "Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022): spans with doc_freq ≥ 2 are verbatim text
+    shared across documents.
+
+    Plan: explode spans (map-side), distinct per (doc, hash), two hash
+    aggregates — every stage partial-aggregates before its exchange, and the
+    span string never shuffles (only its 60-bit hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    spans = (
+        toks.filter(F.size("toks") >= SPAN_N)
+        .select("doc_id", F.explode(shingles_expr("toks", SPAN_N)).alias("g"))
+        .select("doc_id", md5_int60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    df_per_span = spans.groupBy("h").agg(F.count("*").alias("doc_freq"))
+    return df_per_span.groupBy("doc_freq").agg(F.count("*").alias("n_spans"))
