@@ -96,3 +96,85 @@ def unpivot_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    SELECT 'fk_orders_custkey' AS check_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+               AS n_violations
+    UNION ALL
+    SELECT 'fk_lineitem_orderkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'pk_customer_unique',
+           (SELECT CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer)
+    UNION ALL
+    SELECT 'nonpositive_quantity',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_quantity <= 0)
+    UNION ALL
+    SELECT 'empty_document_text',
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+            WHERE text IS NULL OR length(text) = 0)
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (the great-expectations/dbt-test
+    primitive): referential integrity via anti-joins, key uniqueness, domain
+    and non-null checks — one violations row per expectation, ready to gate a
+    pipeline on `max(n_violations) == 0`.
+
+    Plan: each FK check is a LeftAnti join (broadcast when the dim fits);
+    scalar checks are partial-aggregated scans; the union is a handful of
+    1-row aggregates — nothing here exceeds one shuffle per check at any
+    scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    documents = load_table(spark, sf_dir, "documents")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.coalesce(F.first("n"), F.lit(0)).cast("bigint").alias("n_violations"),
+        )
+
+    fk_orders = check(
+        "fk_orders_custkey",
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey, "left_anti"
+        ).agg(F.count("*").alias("n")),
+    )
+    fk_lineitem = check(
+        "fk_lineitem_orderkey",
+        lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+        ).agg(F.count("*").alias("n")),
+    )
+    pk_unique = check(
+        "pk_customer_unique",
+        customer.agg(
+            (F.count("*") - F.count_distinct(F.col("c_custkey"))).alias("n")
+        ),
+    )
+    nonpos = check(
+        "nonpositive_quantity",
+        lineitem.agg(F.sum((F.col("l_quantity") <= 0).cast("long")).alias("n")),
+    )
+    empty_doc = check(
+        "empty_document_text",
+        documents.agg(
+            F.sum(
+                (F.col("text").isNull() | (F.length("text") == 0)).cast("long")
+            ).alias("n")
+        ),
+    )
+    return (
+        fk_orders.unionByName(fk_lineitem)
+        .unionByName(pk_unique)
+        .unionByName(nonpos)
+        .unionByName(empty_doc)
+    )
