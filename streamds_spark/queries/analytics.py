@@ -458,3 +458,55 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+PCTL_ACCURACY = 100  # percentile_approx accuracy ⇒ rank error ≤ n/accuracy
+
+
+@query(
+    "approx_percentile_audit",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS exact_p50,
+           TRUE AS sketch_within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch QA for the 100 TB percentile path: percentile_approx (GK
+    sketch, mergeable partials — the only viable percentile at unbounded
+    scale) audited against its own rank-error guarantee. The sketch's median
+    estimate must sit at a rank within n/accuracy of n/2; the flag is
+    computed from actual rank counts of the estimate, so the row
+    hash-verifies only if the guarantee held. exact_p50 rides along as the
+    directly-comparable column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.percentile("l_extendedprice", F.lit(0.50)).alias("exact_p50"),
+        F.percentile_approx(
+            "l_extendedprice", F.lit(0.50), F.lit(PCTL_ACCURACY)
+        ).alias("approx_p50"),
+    )
+    ranked = li.join(F.broadcast(stats), "l_returnflag").groupBy(
+        "l_returnflag", "n", "exact_p50", "approx_p50"
+    ).agg(
+        F.sum((F.col("l_extendedprice") < F.col("approx_p50")).cast("long")).alias(
+            "n_below"
+        ),
+        F.sum((F.col("l_extendedprice") <= F.col("approx_p50")).cast("long")).alias(
+            "n_at_or_below"
+        ),
+    )
+    eps = F.col("n").cast("double") / PCTL_ACCURACY
+    half = F.col("n").cast("double") / 2
+    within = (F.col("n_below") <= half + eps) & (
+        F.col("n_at_or_below") >= half - eps
+    )
+    return ranked.select(
+        "l_returnflag",
+        "n",
+        F.round("exact_p50", 4).alias("exact_p50"),
+        within.alias("sketch_within_bound"),
+    )
