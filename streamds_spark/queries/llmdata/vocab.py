@@ -175,3 +175,62 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("zipf_slope"),
     )
+
+
+FEATURE_DIM = 32  # hashed feature-vector width
+
+
+@query(
+    "feature_hash_vectors",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+        FROM documents
+    ),
+    bks AS (  -- bucket each token ONCE; the per-j passes below compare ints
+        SELECT doc_id,
+               list_transform(t, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT
+                                      % {FEATURE_DIM}) AS b
+        FROM toks
+    )
+    SELECT doc_id,
+           list_transform(range(0, {FEATURE_DIM}),
+               j -> CAST(len(list_filter(b, x -> x = j)) AS INT)) AS features
+    FROM bks
+    """,
+)
+def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): fixed-{D}-dim term-frequency
+    vector per document, bucket = md5(token) mod {D} — no vocabulary pass; the
+    standard featurizer when the vocab doesn't fit or drifts. Bucket hash is
+    the cross-engine md5 int (functions/hashing.py) so both engines build
+    identical vectors.
+
+    Shape: explode → per-(doc, bucket) partial-agg count → per-doc map →
+    dense array. One shuffle on doc_id; md5 runs exactly ONCE per token.
+    (The pure-array formulation — 32 filter passes over the token array —
+    was 3× slower: CollapseProject inlines the bucket hash into every pass,
+    re-running md5 32× per token. Same lesson as text_winnowing_fingerprints.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("bigint"),
+        F.lit(FEATURE_DIM),
+    )
+    counts = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").cast("int").alias("c"))
+    )
+    maps = counts.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m")
+    )
+    return docs.select("doc_id").join(maps, "doc_id", "left").select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(FEATURE_DIM - 1)),
+            lambda j: F.coalesce(
+                F.element_at(F.col("m"), j.cast("bigint")), F.lit(0)
+            ).cast("int"),
+        ).alias("features"),
+    )
