@@ -33,6 +33,7 @@ from streamds_spark.queries.llmdata import quality  # noqa: F401
 from streamds_spark.queries.llmdata import redaction  # noqa: F401
 from streamds_spark.queries.llmdata import retrieval  # noqa: F401
 from streamds_spark.queries.llmdata import sampling  # noqa: F401
+from streamds_spark.queries.llmdata import segments  # noqa: F401
 from streamds_spark.queries.llmdata import sharding  # noqa: F401
 from streamds_spark.queries.llmdata import similarity  # noqa: F401
 from streamds_spark.queries.llmdata import textstats  # noqa: F401
