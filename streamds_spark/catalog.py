@@ -46,19 +46,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_workers_can_import(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-        # Read nanos as long, then floor-convert to a microsecond timestamp —
-        # the same truncation DuckDB applies, so oracle comparisons agree.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (round 1) and as
+        # TIMESTAMP(MICROS) without timezone (round 2+); nanosAsLong lets the
+        # NANOS layout load, normalize_events_ts makes both a plain TIMESTAMP.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
-
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("bigint"))
-            )
-        return df
+        return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events table's `ts` column to a plain TIMESTAMP.
+
+    The driver has shipped events.parquet with two physical layouts:
+      * TIMESTAMP(NANOS): Spark's reader rejects it outright; with
+        spark.sql.legacy.parquet.nanosAsLong=true it surfaces as bigint —
+        floor-divide to micros (the same truncation DuckDB applies) and
+        convert.
+      * TIMESTAMP(MICROS) without timezone: Spark infers TIMESTAMP_NTZ, which
+        unix_micros()/window() reject — cast to TIMESTAMP. The session tz is
+        pinned UTC by load_table, so the wall-clock fields are reinterpreted
+        as the same UTC instant and DuckDB naive-UTC comparisons stay exact.
+
+    Shared by the batch catalog and streaming tests so the two paths can never
+    diverge when the driver changes the physical type again.
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("bigint"))
+        )
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -301,7 +301,7 @@ def test_streaming_equals_batch_on_events_table(spark, tmp_path):
     the strongest form of the reference's 'streaming equals the batch answer'
     contract."""
     from pyspark.sql import functions as F
-    from streamds_spark.catalog import load_table
+    from streamds_spark.catalog import load_table, normalize_events_ts
 
     sf = "/root/testdata/sf0.001"
     batch = load_table(spark, sf, "events")
@@ -312,19 +312,19 @@ def test_streaming_equals_batch_on_events_table(spark, tmp_path):
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sv"))
         .collect()
     }
-    # stream the same parquet data (source must be a DIRECTORY; ts read as
-    # nanos-long and converted exactly like the catalog does)
+    # stream the same parquet data (source must be a DIRECTORY). The stream
+    # schema comes from a batch read of the same file and the ts column goes
+    # through the catalog's normalize_events_ts — whatever physical layout the
+    # driver ships (nanos-long or TIMESTAMP_NTZ), streaming and batch apply
+    # the SAME normalization and can't diverge.
     import shutil
 
     src_dir = str(tmp_path / "events_src")
     os.makedirs(src_dir)
     shutil.copy(f"{sf}/events.parquet", os.path.join(src_dir, "part-0.parquet"))
+    raw_schema = spark.read.parquet(src_dir).schema
     stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-        )
-        .parquet(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("bigint")))
+        normalize_events_ts(spark.readStream.schema(raw_schema).parquet(src_dir))
         .withColumn("hour", F.date_trunc("hour", "ts"))
         .groupBy("event_type", "hour")
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sv"))
