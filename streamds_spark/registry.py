@@ -119,7 +119,11 @@ def rotate_for_driver_window() -> None:
 
     def front_key(item: "tuple[int, str]") -> "tuple[int, int]":
         idx, name = item
-        if name in checked:  # checked and (by front membership) not green
+        if QUERIES[name].oracle is None:
+            # rows-only by design — can never turn green, so never let it
+            # occupy a window slot a hash-checkable query could use
+            cls = 3
+        elif name in checked:  # checked and (by front membership) not green
             cls = 0
         elif QUERIES[name].fn.__module__.startswith("streamds_spark.queries.llmdata"):
             cls = 1
