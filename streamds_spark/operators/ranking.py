@@ -1,0 +1,104 @@
+"""Distributed exact global ranking and ntile bucketing.
+
+The naive way to rank every row of a DataFrame globally is
+``row_number().over(Window.orderBy(...))`` — Spark moves the whole input to ONE
+partition (it warns ``WindowExec: No Partition Defined``), a scale-killer for
+per-row outputs (tolerable only for decile-sized reports).
+
+``with_global_rank`` computes the SAME exact ranks distributed:
+
+  1. sample B-1 range boundaries for the primary order column with
+     ``approxQuantile`` — collected ONCE to driver literals, so every job in
+     the query agrees on the same bucketing (a ``repartitionByRange`` would
+     re-sample boundaries per job, and a disagreement between the bucket-size
+     job and the final job would silently corrupt the rank offsets);
+  2. assign each row a bucket id with a codegen comparison chain (strictly by
+     the primary column, so equal keys never straddle a bucket boundary —
+     boundary quality only affects balance, never correctness);
+  3. per-bucket ``row_number`` over a window PARTITIONED by bucket id (one
+     hash exchange, B-way parallel sort — never a single-partition sort);
+  4. offset each bucket's local numbers by the count of all lower buckets —
+     bucket sizes are a B-row aggregate, collected and re-broadcast as a
+     literal map (same split-local numbering trick as the partitioned file
+     source, rainstorm.py).
+
+Exactness requires ``order_cols`` to be a total order (include a tie-break,
+e.g. the primary key): window ties are arbitrary in any engine, and oracle
+hash comparison needs determinism.
+
+Skew note: all rows sharing one primary-column value land in one bucket (their
+relative order is resolved by the in-bucket sort on the full key). A
+near-constant primary column degrades toward the single-partition sort — pick
+the highest-cardinality dimension first, as you would for any range exchange.
+
+ntile semantics (ANSI, matches Spark and DuckDB): with N rows and n buckets,
+q = N div n, r = N mod n; the first r buckets get q+1 rows. Given the exact
+1-based global rank this is closed-form arithmetic — no second pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Add an exact 1-based global row number ordered by ``order_cols``.
+
+    Distributed equivalent of ``row_number().over(Window.orderBy(*order_cols))``
+    — identical values, no single-partition WindowExec. ``order_cols[0]`` must
+    be numeric (boundaries come from ``approxQuantile``); the full list must be
+    a total order. Runs two tiny driver actions (quantile sketch + B-row bucket
+    sizes), both deterministic, before the main job.
+    """
+    primary = order_cols[0]
+    if num_buckets is None:
+        num_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    probes = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = sorted(set(df.approxQuantile(primary, probes, 0.01))) if probes else []
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(primary) > F.lit(b)).cast("int")
+    bucketed = df.withColumn("_rk_bucket", bucket)
+    # ≤ num_buckets rows — safe driver-side collect (like k-means centroids)
+    sizes = {
+        r["_rk_bucket"]: r["cnt"]
+        for r in bucketed.groupBy("_rk_bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for bid in sorted(sizes):
+        offsets[bid] = acc
+        acc += sizes[bid]
+    offset_expr = (
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[F.col("_rk_bucket")]
+        if offsets
+        else F.lit(0)
+    )
+    local = F.row_number().over(Window.partitionBy("_rk_bucket").orderBy(*order_cols))
+    return bucketed.withColumn(rank_col, (local + offset_expr).cast("bigint")).drop(
+        "_rk_bucket"
+    )
+
+
+def ntile_from_rank(rank: Column, n_total: Column, n_buckets: int) -> Column:
+    """Closed-form ANSI ntile bucket from an exact 1-based global rank.
+
+    With N rows, q = N div n and r = N mod n: buckets 1..r hold q+1 rows,
+    buckets r+1..n hold q. Pure arithmetic — pairs with ``with_global_rank``
+    to replace a global ``ntile().over(Window.orderBy(...))`` without the
+    single-partition sort. Handles N < n the way ntile does (row i → bucket i).
+    """
+    n = F.lit(n_buckets).cast("bigint")
+    q = F.floor(n_total.cast("bigint") / n).cast("bigint")
+    r = (n_total.cast("bigint") % n).cast("bigint")
+    big = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+    return (
+        F.when(rank <= big, F.floor((rank - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rank - big - 1) / F.greatest(q, F.lit(1))) + 1)
+        .cast("int")
+    )

@@ -34,6 +34,23 @@ class PlanFacts:
     has_take_ordered: bool
     n_exchanges: int
     n_single_partition: int  # Exchange SinglePartition = a serialization point
+    n_global_windows: int  # unpartitioned windows = whole input on one task
+
+
+def count_global_windows(df: DataFrame) -> int:
+    """Count window expressions with an EMPTY partition spec — the shape that
+    forces Spark to move the whole input to one task (`WindowExec: No
+    Partition Defined`). Parsed from the optimized logical plan: inside
+    `windowspecdefinition(part..., order ASC/DESC..., frame)` partition columns
+    print bare while order columns carry a sort direction, so a spec whose
+    FIRST argument is already a sort spec (or the frame) has no partition keys."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return len(
+        re.findall(
+            r"windowspecdefinition\(\s*(?:[^,()]*\s(?:ASC|DESC)\s|specifiedwindowframe)",
+            plan,
+        )
+    )
 
 
 def plan_facts(df: DataFrame) -> PlanFacts:
@@ -48,6 +65,7 @@ def plan_facts(df: DataFrame) -> PlanFacts:
         has_take_ordered="TakeOrderedAndProject" in p,
         n_exchanges=p.count("Exchange"),
         n_single_partition=p.count("SinglePartition"),
+        n_global_windows=count_global_windows(df),
     )
 
 

@@ -350,9 +350,13 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency/frequency/monetary with quintile
     scores (recency inverted so 5 = most recent). The corpus-wide max date is
     a broadcast 1-row aggregate; the per-customer rollup is one shuffle. The
-    three global ntiles run over customer-count rows (already aggregated) —
-    at 100 TB swap for approx_percentile edges, same schema."""
-    from pyspark.sql import Window
+    quintiles are EXACT ntile values (oracle hash-identical) computed
+    distributed: per-dimension bucketed global rank (operators/ranking.py —
+    approxQuantile boundary literals + per-bucket row_number + broadcast
+    offsets) and closed-form ANSI ntile arithmetic — no
+    `WindowExec: No Partition Defined` single-partition sort anywhere, so the
+    per-customer output survives a 100× customer count."""
+    from streamds_spark.operators.ranking import ntile_from_rank, with_global_rank
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
@@ -367,14 +371,29 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("monetary"),
         )
     )
-    return base.select(
-        "custkey",
-        F.col("recency_days").cast("int").alias("recency_days"),
-        "frequency",
-        "monetary",
-        (6 - F.ntile(5).over(Window.orderBy("recency_days", "custkey"))).cast("int").alias("r_score"),
-        F.ntile(5).over(Window.orderBy("frequency", "custkey")).cast("int").alias("f_score"),
-        F.ntile(5).over(Window.orderBy("monetary", "custkey")).cast("int").alias("m_score"),
+    # the rank passes re-read this per-customer aggregate several times —
+    # truncate lineage so each pass is a scan, not a re-aggregation of orders
+    # (at cluster scale this would be a checkpoint/staging table)
+    base = base.localCheckpoint()
+    n_total = F.lit(base.count())
+
+    def score(dim: str, out: str, invert: bool) -> DataFrame:
+        ranked = with_global_rank(base.select("custkey", dim), [dim, "custkey"], "_rk")
+        bucket = ntile_from_rank(F.col("_rk"), n_total, 5)
+        return ranked.select(
+            "custkey", ((6 - bucket) if invert else bucket).cast("int").alias(out)
+        )
+
+    return (
+        base.select(
+            "custkey",
+            F.col("recency_days").cast("int").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+        .join(score("recency_days", "r_score", invert=True), "custkey")
+        .join(score("frequency", "f_score", invert=False), "custkey")
+        .join(score("monetary", "m_score", invert=False), "custkey")
     )
 
 

@@ -112,14 +112,42 @@ def test_mad_outliers_broadcasts_per_type_scalars(facts):
 
 def test_cohort_and_rfm_plans_stay_bounded(facts):
     """retention_cohorts: user_id join co-partitions with the first-seen agg
-    (no broadcast needed, no single-partition stage). rfm_scores: only the
-    quintile windows over aggregated customer rows may serialize."""
+    (no broadcast needed, no single-partition stage). rfm_scores: quintiles
+    are distributed exact ranks (operators/ranking.py) — per-customer output
+    must never serialize through a global window."""
     f = facts("retention_cohorts")
     assert f.n_single_partition == 0, "cohort pipeline must stay partitioned"
     assert f.has_partial_agg
     f = facts("rfm_scores")
-    assert f.n_single_partition <= 3
+    assert f.n_global_windows == 0, "rfm quintiles must use distributed ranks"
+    assert f.n_single_partition <= 1  # the 1-row max-date aggregate only
     assert f.has_broadcast_join  # the 1-row max-date
+
+
+# Queries allowed to contain an UNPARTITIONED window (whole input to one task).
+# Each is report-shaped: the window input is already aggregated down to a
+# bounded row count before the window runs. Anything else must use
+# operators/ranking.py (distributed exact ranks) or partition its window.
+GLOBAL_WINDOW_ALLOWLIST = {
+    "cumulative_distinct_users",  # window over time-bucket rows (hours elapsed)
+    "ntile_customers",  # decile report over the customer aggregate; documented swap
+    "quality_deciles",  # decile report; documented approx_percentile swap at scale
+    "rrf_hybrid_search",  # rank windows run AFTER LIMIT 50 — ≤50-row input
+    "vocab_growth",  # growth curve over first-occurrence docs (vocab-bounded)
+    "zipf_slope",  # rank window over vocabulary rows; ZIPF_TOP regression input
+}
+
+
+def test_no_new_global_windows(spark):
+    """Repo-wide scale guard: sweep EVERY registered query's optimized plan and
+    fail if an unpartitioned window appears outside the explicit allowlist.
+    Exact set equality, so stale allowlist entries surface too."""
+    offenders = {}
+    for name, spec in SPECS.items():
+        n = plan_facts(spec.fn(spark, SF)).n_global_windows
+        if n:
+            offenders[name] = n
+    assert set(offenders) == GLOBAL_WINDOW_ALLOWLIST, offenders
 
 
 def test_weighted_sample_is_single_pass_topk(facts):
