@@ -109,6 +109,29 @@ def main() -> None:
     lsh_candidate_pairs(minhash_signatures(scaled)).count()
     lsh_10x = round(time.time() - t0, 3)
 
+    # Incremental-dedup scaling watch: probe a NEW batch (the base documents
+    # table) against a PERSISTED 10× corpus bucket store. Store build is the
+    # amortized-once cost (reported separately); the probe is the steady-state
+    # ingest cost — broadcast new-batch buckets, shuffle-free store scan.
+    import shutil
+    import tempfile
+
+    from streamds_spark.operators.dedup_incremental import (
+        incremental_candidates,
+        write_bucket_store,
+    )
+
+    store_dir = tempfile.mkdtemp(prefix="dedup_store_")
+    try:
+        t0 = time.time()
+        write_bucket_store(scaled, store_dir)
+        store_build_s = round(time.time() - t0, 3)
+        t0 = time.time()
+        incremental_candidates(docs, spark, store_dir).count()
+        incr_10x = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+
     # Corpus-health trackers (also outside the headline total): the KL agg
     # forces the full tokenize+aggregate pipeline; the redaction scan is
     # forced through an aggregate because count() alone would let Spark skip
@@ -132,6 +155,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "extras": {
                     "dedup_lsh_pairs_docs10x": lsh_10x,
+                    "dedup_incremental_docs10x": incr_10x,
+                    "dedup_incremental_store_build_docs10x": store_build_s,
                     "source_unigram_kl": kl_s,
                     "pii_redaction_forced": pii_s,
                     "headline_first_pass_total": round(cold_total, 3),
