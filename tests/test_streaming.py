@@ -346,6 +346,82 @@ def test_streaming_equals_batch_on_events_table(spark, tmp_path):
     assert got == expected
 
 
+def test_streaming_sessions_equal_batch_sessionize(spark, tmp_path):
+    """Streaming session_window over the REAL events table must produce the
+    batch sessionization answer (session_window_native, itself hash-checked
+    against the lag/cumsum DuckDB oracle). Append mode only emits a session
+    once the watermark passes its end, so a far-future SENTINEL event is fed
+    in a second file/microbatch to advance the watermark beyond every real
+    session — after filtering the sentinel, streaming must equal batch
+    exactly."""
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from streamds_spark.catalog import load_table, normalize_events_ts
+    from streamds_spark.registry import load_all
+    from streamds_spark.streaming.engine import session_windowed_counts
+
+    sf = "/root/testdata/sf0.001"
+    expected = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in load_all()["session_window_native"].fn(spark, sf).collect()
+    }
+
+    src_dir = str(tmp_path / "events_src")
+    os.makedirs(src_dir)
+    shutil.copy(f"{sf}/events.parquet", os.path.join(src_dir, "events.parquet"))
+    batch = load_table(spark, sf, "events")
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    sentinel = batch.limit(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.lit(max_ts) + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    sent_path = str(tmp_path / "sentinel")
+    sentinel.coalesce(1).write.parquet(sent_path)
+    sent_file = next(
+        f for f in os.listdir(sent_path) if f.endswith(".parquet") and not f.startswith("_")
+    )
+    dst = os.path.join(src_dir, "z_sentinel.parquet")
+    shutil.copy(os.path.join(sent_path, sent_file), dst)
+    # the file source orders by modification time (oldest first with
+    # maxFilesPerTrigger=1) — make the sentinel strictly newest so it forms
+    # the LAST microbatch and its watermark advance can't drop real events
+    now = _time.time()
+    os.utime(os.path.join(src_dir, "events.parquet"), (now - 60, now - 60))
+    os.utime(dst, (now, now))
+
+    raw_schema = spark.read.parquet(src_dir).schema
+    stream = session_windowed_counts(
+        normalize_events_ts(
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        ),
+        gap="30 minutes",
+        watermark="30 minutes",
+    )
+    rows = []
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"].strftime("%Y-%m-%d %H:%M:%S"), r["n_events"])
+        for r in rows
+        if r["user_id"] >= 0
+    }
+    assert got == expected
+
+
 def test_midstream_kill_and_recover(spark, tmp_path):
     """dokill parity (reference kills tasks 1.5s into the run,
     core_process_stream_DS.go:1706-1736): hard-stop a LIVE processing-time
