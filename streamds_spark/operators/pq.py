@@ -205,3 +205,126 @@ def adc_topk(
         .orderBy(F.asc("adc_dist2"), F.asc(id_col))
         .limit(topk)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the 100 TB composition — coarse k-means lists prune the scan,
+# PQ codes shrink what's read. A probe touches n_probe/n_lists of a table
+# that is itself ~32× smaller than the raw vectors.
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    n_lists: int = 8,
+    m: int = 8,
+    k_codes: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train coarse quantizer + PQ codebooks on the RESIDUALS-free layout
+    (codes over raw vectors — simpler and adequate at moderate n_lists), write
+    codes `partitionBy(list_id)`, persist both codebooks as JSON.
+
+    Build is the amortized-once cost; the probe path never reads raw vectors.
+    """
+    import json
+    import os
+
+    from streamds_spark.operators.kmeans import kmeans
+
+    assign, coarse = kmeans(emb, k=n_lists, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+    books = train_pq(emb, m=m, k=k_codes, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+    codes = encode_pq(emb, books, id_col=id_col, vec_col=vec_col)
+    listed = assign.withColumnRenamed("vec_id", id_col).withColumnRenamed("cid", "list_id")
+    (
+        codes.join(listed, id_col)
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(os.path.join(path, "codes"))
+    )
+    # raw vectors, same partitioning: read ONLY for exact rerank of the ADC
+    # shortlist (a pushed-down id lookup over the probed lists — shortlist-
+    # sized IO, never a full scan)
+    (
+        emb.select(F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v"))
+        .join(listed.withColumnRenamed(id_col, "vec_id"), "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    with open(os.path.join(path, "quantizers.json"), "w") as f:
+        json.dump({"coarse": coarse, "pq": books}, f)
+
+
+def ivfpq_probe_topk(
+    spark,
+    path: str,
+    qvec: list[float],
+    topk: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """ADC top-k over only the probed coarse lists: the scan carries a static
+    `list_id IN (...)` partition prune (PartitionFilters, verified by test),
+    then the ADC lookup scores codes in codegen and TakeOrdered merges k rows.
+    """
+    import json
+    import os
+
+    from streamds_spark.operators.ivf import nearest_lists
+
+    with open(os.path.join(path, "quantizers.json")) as f:
+        q = json.load(f)
+    lists = nearest_lists(qvec, q["coarse"], n_probe)
+    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
+        F.col("list_id").isin(lists)
+    )
+    return adc_topk(codes, q["pq"], qvec, topk=topk)
+
+
+def ivfpq_probe_topk_reranked(
+    spark,
+    path: str,
+    qvec: list[float],
+    topk: int = 10,
+    n_probe: int = 2,
+    shortlist: int = 4,
+) -> DataFrame:
+    """IVF-PQ probe with EXACT rerank: ADC ranks a `shortlist·topk` candidate
+    set from the compressed codes, then only those ids' raw vectors are read
+    back (id + list_id pushdown on the vectors table) and scored with exact
+    L2. Recall is then bounded by shortlist membership, not by quantization
+    error — the standard production PQ configuration.
+
+    Driver traffic: the shortlist id list (shortlist·topk longs). IO: the
+    probed lists' codes + shortlist-sized raw-vector lookups."""
+    import json
+    import os
+
+    from streamds_spark.operators.ivf import nearest_lists
+
+    with open(os.path.join(path, "quantizers.json")) as f:
+        q = json.load(f)
+    lists = nearest_lists(qvec, q["coarse"], n_probe)
+    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
+        F.col("list_id").isin(lists)
+    )
+    cand_ids = [
+        r["vec_id"]
+        for r in adc_topk(codes, q["pq"], qvec, topk=shortlist * topk).collect()
+    ]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    exact = F.aggregate(
+        F.zip_with(F.col("v"), qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        spark.read.parquet(os.path.join(path, "vectors"))
+        .filter(F.col("list_id").isin(lists) & F.col("vec_id").isin(cand_ids))
+        .select("vec_id", exact.alias("dist2"))
+        .orderBy(F.asc("dist2"), F.asc("vec_id"))
+        .limit(topk)
+    )

@@ -137,3 +137,66 @@ def test_adc_plan_is_scan_plus_takeordered(spark, emb):
     assert f.has_take_ordered, "ADC probe must be TakeOrdered, not global sort"
     assert f.n_exchanges == 0, "probe is map-only + driver-side k-row merge"
     assert f.n_global_windows == 0
+
+
+# ---- IVF-PQ composition ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfpq_index(spark, tmp_path_factory):
+    from streamds_spark.operators.pq import build_ivfpq_index
+
+    path = str(tmp_path_factory.mktemp("ivfpq"))
+    emb = load_table(spark, SF, "embeddings")
+    build_ivfpq_index(emb, path, n_lists=8, m=8, k_codes=16, max_iter=4)
+    return path, emb
+
+
+def test_ivfpq_probe_prunes_partitions(spark, ivfpq_index):
+    from streamds_spark.operators.pq import ivfpq_probe_topk
+    from streamds_spark.plans.audit import formatted_plan
+
+    path, emb = ivfpq_index
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    probe = ivfpq_probe_topk(spark, path, qvec, topk=5, n_probe=2)
+    plan = formatted_plan(probe)
+    assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters", 1)[1][:250]
+    rows = probe.collect()
+    assert len(rows) == 5
+    # the query vector's own code is its best reconstruction — it must appear
+    assert any(r["vec_id"] == 0 for r in rows)
+
+
+def test_ivfpq_recall_vs_bruteforce(spark, ivfpq_index):
+    """Recall contract on real embeddings (measured, not asserted blind):
+    raw ADC at m=8,k=16 plateaus ≈0.4 on these unstructured vectors —
+    quantization error, not list pruning (n_probe=8 = full scan scores the
+    same). The production configuration is ADC shortlist + EXACT rerank,
+    which measured 0.57/0.67/0.70 at n_probe 2/4/8; pin the middle point
+    with slack for k-means sensitivity."""
+    from streamds_spark.operators.pq import ivfpq_probe_topk, ivfpq_probe_topk_reranked
+
+    path, emb = ivfpq_index
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    adc_hits = rr_hits = total = 0
+    for probe_id in (3, 57, 101):
+        q = vecs[ids == probe_id][0]
+        exact = set(ids[np.argsort(((vecs - q) ** 2).sum(axis=1))[:10]])
+        adc = {
+            r["vec_id"]
+            for r in ivfpq_probe_topk(spark, path, q.tolist(), topk=20, n_probe=4).collect()
+        }
+        rr = {
+            r["vec_id"]
+            for r in ivfpq_probe_topk_reranked(
+                spark, path, q.tolist(), topk=10, n_probe=4, shortlist=5
+            ).collect()
+        }
+        adc_hits += len(exact & adc)
+        rr_hits += len(exact & rr)
+        total += 10
+    assert adc_hits / total >= 0.3, adc_hits / total
+    assert rr_hits / total >= 0.55, rr_hits / total
+    assert rr_hits >= adc_hits, "exact rerank must not lose recall vs raw ADC"
