@@ -39,4 +39,8 @@ from streamds_spark.queries.llmdata import similarity  # noqa: F401
 from streamds_spark.queries.llmdata import textstats  # noqa: F401
 from streamds_spark.queries.llmdata import vocab  # noqa: F401
 
+# imported LAST (and deliberately outside queries.llmdata): round-3+ additions
+# must queue behind the older never-checked backlog in the driver window
+from streamds_spark.queries import extras  # noqa: F401  isort: skip
+
 _registry.rotate_for_driver_window()

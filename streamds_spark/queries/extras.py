@@ -1,0 +1,181 @@
+"""Round-3 additions: production-pipeline resolution/diagnostic queries.
+
+Registered OUTSIDE queries.llmdata on purpose: the rotation
+(registry.rotate_for_driver_window) fronts never-checked llmdata queries
+before other never-checked ones, and these must queue BEHIND the round-2
+backlog (extended TPC-H etc.) rather than displace it from the driver's
+50-query window. This module is imported last for the same reason.
+
+No reference parity (the reference has no dedup/vector surface): these extend
+the LLM-data layer (SURVEY.md §6) with the steps a user runs AFTER candidate
+generation — cluster resolution (what to keep), tokenizer fertility (corpus
+mix diagnostics), and embedding-norm outliers (broken-vector detection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamds_spark.catalog import load_table
+from streamds_spark.functions.text import tokens
+from streamds_spark.functions.vectors import as_double, norm
+from streamds_spark.queries.llmdata.dedup import (
+    _BAND_COLS,
+    _duckdb_signature_sql,
+    _lsh_pairs_df,
+)
+from streamds_spark.registry import query
+
+_CLUSTER_LABELS_SQL = (
+    "WITH RECURSIVE "
+    + _duckdb_signature_sql()
+    + f""",
+    buckets AS (
+        {" UNION ALL ".join(
+            "SELECT doc_id, " + str(b) + " AS band, md5("
+            + " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+            + ") AS bucket FROM sig"
+            for b, cols in enumerate(_BAND_COLS)
+        )}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    bidir AS (
+        SELECT doc_a AS s, doc_b AS t FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(s, t) AS (
+        SELECT s, t FROM bidir
+        UNION
+        SELECT r.s, b.t FROM reach r JOIN bidir b ON r.t = b.s
+    ),
+    labels AS (
+        SELECT s AS node, least(s, min(t)) AS rep FROM reach GROUP BY s
+    ),
+    members AS (
+        SELECT d.doc_id, d.n_chars, coalesce(l.rep, d.doc_id) AS rep
+        FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+    )"""
+)
+
+
+@query(
+    "dedup_cluster_keep_best",
+    oracle=_CLUSTER_LABELS_SQL
+    + """
+    SELECT rep AS cluster_rep,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+           arg_max(doc_id, n_chars ORDER BY n_chars DESC, doc_id) AS keep_doc_id,
+           CAST(max(n_chars) AS BIGINT) AS keep_n_chars
+    FROM members GROUP BY rep
+    """,
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster RESOLUTION — the decision step after candidate
+    generation: connected components over the LSH pair graph (fixpoint
+    min-label propagation, operators/dedup_pipeline.resolve_groups), then per
+    cluster keep the highest-quality member (longest text, ties to lowest
+    doc_id). Singleton documents are their own cluster, so the output is the
+    post-dedup corpus manifest: one row per kept doc with how many it
+    displaced. All shuffles key on doc_id/rep — uniform at 100 TB; no global
+    ordering anywhere. The oracle recomputes components with a recursive
+    transitive-closure CTE and the same longest-text/lowest-id argmax."""
+    from streamds_spark.operators.dedup_pipeline import resolve_groups
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = _lsh_pairs_df(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    labels = resolve_groups(pairs)
+    members = docs.join(
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).withColumn("rep", F.coalesce("rep", "doc_id"))
+    return members.groupBy(F.col("rep").alias("cluster_rep")).agg(
+        F.count("*").alias("cluster_size"),
+        (F.count("*") - 1).alias("n_dropped"),
+        F.max_by("doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg")))
+        .alias("keep_doc_id"),
+        F.max("n_chars").alias("keep_n_chars"),
+    )
+
+
+@query(
+    "token_fertility_by_lang",
+    oracle=r"""
+    WITH t AS (
+        SELECT lang, source,
+               len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n_tokens,
+               n_chars
+        FROM documents
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST((2 * sum(n_chars) * 10000 + sum(n_tokens)) // (2 * sum(n_tokens))
+                AS DOUBLE) / 10000.0 AS chars_per_token
+    FROM t GROUP BY lang, source
+    """,
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (chars per whitespace token) by language × source —
+    the corpus-mix diagnostic that decides tokenizer/vocab budgets. One
+    codegen tokenize + one lang×source-sized aggregate; the ratio rounds
+    half-up in integer math (registry contract: engine round() divergence on
+    exact .xxxx5 halves)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", "source", F.size(tokens(F.col("text"))).alias("n_tokens"), "n_chars"
+    )
+    return t.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (
+            F.expr(
+                "CAST((2 * sum(n_chars) * 10000 + sum(n_tokens)) DIV (2 * sum(n_tokens)) AS DOUBLE)"
+            )
+            / F.lit(10000.0)
+        ).alias("chars_per_token"),
+    )
+
+
+@query(
+    "embedding_norm_outliers",
+    oracle=r"""
+    WITH norms AS (
+        SELECT vec_id, label,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT avg(nrm) AS mu, stddev_samp(nrm) AS sd FROM norms
+    )
+    SELECT vec_id, label,
+           round(nrm, 4) + 0.0 AS nrm,
+           CAST(abs(nrm - mu) > 3 * sd AS BOOLEAN) AS is_outlier
+    FROM norms CROSS JOIN stats
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broken-embedding detection: L2 norm per vector flagged at ±3σ from the
+    corpus mean — catches zeroed, clipped, or unnormalized vectors before
+    they poison ANN/SemDeDup. Norms are codegen array aggregates; the 1-row
+    (μ, σ) aggregate broadcasts onto the scan (the repo's standard
+    broadcast-of-1-row stat join) — two passes, no unbounded state."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select("vec_id", "label", norm(as_double(F.col("embedding"))).alias("nrm"))
+    stats = norms.agg(
+        F.avg("nrm").alias("mu"), F.stddev_samp("nrm").alias("sd")
+    )
+    return norms.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        "label",
+        (F.round(F.col("nrm"), 4) + F.lit(0.0)).alias("nrm"),
+        (F.abs(F.col("nrm") - F.col("mu")) > 3 * F.col("sd")).alias("is_outlier"),
+    )
