@@ -146,6 +146,88 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curriculum_order",
+    oracle="""
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars, doc_id) AS curriculum_rank
+    FROM documents
+    """,
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: every document's global position in a
+    shortest-first schedule (difficulty proxy: n_chars). Per-doc output, so a
+    global row_number window would serialize the corpus through one task —
+    this runs the distributed exact rank instead (operators/ranking.py:
+    approxQuantile bucket literals + per-bucket row_number + broadcast
+    offsets), which the oracle's window formulation value-checks
+    end-to-end. Also the registry's usage pin for the operator rfm_scores
+    builds on."""
+    from streamds_spark.operators.ranking import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return with_global_rank(docs, ["n_chars", "doc_id"], "curriculum_rank")
+
+
+_CLF_MOD = 1997  # weight lattice: w_j = ((j+1)·2654435761 mod 1997) − 998
+
+
+@query(
+    "quality_classifier_score",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+        FROM documents
+    ),
+    bks AS (
+        SELECT doc_id,
+               list_transform(t, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 32) AS b
+        FROM toks
+    ),
+    feats AS (
+        SELECT doc_id,
+               list_transform(range(0, 32),
+                   j -> CAST(len(list_filter(b, x -> x = j)) AS BIGINT)) AS f
+        FROM bks
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 32),
+                j -> (((j + 1) * 2654435761) % {_CLF_MOD} - 998) * f[j + 1]))
+               AS BIGINT) AS score_milli,
+           CAST(list_sum(list_transform(range(0, 32),
+                j -> (((j + 1) * 2654435761) % {_CLF_MOD} - 998) * f[j + 1])) > 0
+               AS BOOLEAN) AS keep
+    FROM feats
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (fastText-style linear classifier over
+    hashed term-frequency features): score = Σ w_b·tf_b with a fixed integer
+    weight lattice, keep = score > 0. INTEGER weights make the score exact
+    cross-engine (no float accumulation-order divergence); swapping trained
+    float weights in changes nothing structural. Plan: explode → (doc,
+    bucket) partial-agg → weighted sum — one shuffle on doc_id, weights live
+    in the expression (a real model would broadcast them). Bucket hash is the
+    cross-engine md5 int (functions/hashing.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("bigint"),
+        F.lit(32),
+    )
+    weight = ((bucket + 1) * F.lit(2654435761)) % _CLF_MOD - 998
+    scored = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .select("doc_id", weight.alias("wt"))
+        .groupBy("doc_id")
+        .agg(F.sum("wt").alias("score_milli"))
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("score_milli", F.lit(0)).alias("score_milli"),
+        (F.coalesce("score_milli", F.lit(0)) > 0).alias("keep"),
+    )
+
+
+@query(
     "embedding_norm_outliers",
     oracle=r"""
     WITH norms AS (
