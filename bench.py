@@ -132,6 +132,22 @@ def main() -> None:
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
 
+    # Bloom decontamination (outside the headline total): benchmark = first
+    # 5% of docs' shingles, corpus = the rest; two-phase bloom-prune + exact
+    # verify. Tracks the map-only probe's cost against corpus growth.
+    from streamds_spark.functions.text import shingles_expr, tokens
+    from streamds_spark.operators.bloom import bloom_decontaminate
+
+    sh = docs.select("doc_id", tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.explode(shingles_expr("toks", 3)).alias("shingle")
+    )
+    cut = int(n_ids * 0.05)
+    bench_sh = sh.filter(F.col("doc_id") < cut).select("shingle").distinct()
+    corpus_sh = sh.filter(F.col("doc_id") >= cut)
+    t0 = time.time()
+    bloom_decontaminate(corpus_sh, bench_sh).count()
+    bloom_s = round(time.time() - t0, 3)
+
     # Corpus-health trackers (also outside the headline total): the KL agg
     # forces the full tokenize+aggregate pipeline; the redaction scan is
     # forced through an aggregate because count() alone would let Spark skip
@@ -157,6 +173,7 @@ def main() -> None:
                     "dedup_lsh_pairs_docs10x": lsh_10x,
                     "dedup_incremental_docs10x": incr_10x,
                     "dedup_incremental_store_build_docs10x": store_build_s,
+                    "bloom_decontaminate": bloom_s,
                     "source_unigram_kl": kl_s,
                     "pii_redaction_forced": pii_s,
                     "headline_first_pass_total": round(cold_total, 3),
