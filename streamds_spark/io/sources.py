@@ -149,3 +149,100 @@ def split_valid_rows(
     )
     good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     return good, bad
+
+
+# ---------------------------------------------------------------------------
+# WARC (Web ARChive) — the container format of web-scale corpora (Common
+# Crawl et al.). Parsed with Content-Length-driven scanning, NOT delimiter
+# splitting: payloads may legally contain "WARC/1.0", so only the declared
+# byte count is trustworthy. Parallelism unit = file (exactly how web-corpus
+# Spark pipelines shard: thousands of ~1 GB .warc.gz segments), sequential
+# within a file — inherent, since per-record gzip members must decompress in
+# order. No external WARC library: the format is plain headers+bytes, and the
+# container ships none.
+# ---------------------------------------------------------------------------
+
+WARC_SCHEMA = (
+    "record_id string, warc_type string, target_uri string, warc_date string, "
+    "content_type string, content_length long, payload binary, source_file string"
+)
+
+
+def parse_warc_bytes(raw: bytes) -> "list[tuple]":
+    """Parse one WARC file's bytes into records (driver/executor-side pure
+    function — unit-testable without Spark). Handles uncompressed files and
+    gzip (both whole-file and the standard concatenated per-record members,
+    which GzipFile reads transparently)."""
+    import gzip
+    import io as _io
+
+    if raw[:2] == b"\x1f\x8b":
+        raw = gzip.GzipFile(fileobj=_io.BytesIO(raw)).read()
+    out = []
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and raw[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        if not raw.startswith(b"WARC/", pos):
+            raise ValueError(f"malformed WARC: expected version line at byte {pos}")
+        head_end = raw.index(b"\r\n\r\n", pos)
+        headers = {}
+        for line in raw[pos:head_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode()] = v.strip().decode("utf-8", "replace")
+        length = int(headers.get("content-length", "0"))
+        body_start = head_end + 4
+        payload = raw[body_start : body_start + length]
+        out.append(
+            (
+                headers.get("warc-record-id", ""),
+                headers.get("warc-type", ""),
+                headers.get("warc-target-uri", ""),
+                headers.get("warc-date", ""),
+                headers.get("content-type", ""),
+                length,
+                payload,
+            )
+        )
+        pos = body_start + length
+    return out
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC/WARC.GZ reader: binaryFile scan (one task per file — Spark lists
+    and distributes files; add more segment files for more parallelism, the
+    web-corpus norm) → mapInPandas parser → typed records with the payload as
+    an opaque binary column (decode downstream via functions/multimodal or a
+    text-extraction pass)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc_bytes(bytes(content)):
+                    rows.append(rec + (p,))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "record_id",
+                        "warc_type",
+                        "target_uri",
+                        "warc_date",
+                        "content_type",
+                        "content_length",
+                        "payload",
+                        "source_file",
+                    ],
+                )
+
+    return files.mapInPandas(parse, schema=WARC_SCHEMA)

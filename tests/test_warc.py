@@ -1,0 +1,101 @@
+"""WARC source (io/sources.read_warc): Content-Length-driven parsing must
+survive payloads containing the record delimiter, read gzip members, and
+distribute across files."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamds_spark.io.sources import parse_warc_bytes, read_warc
+
+
+def _record(rec_id: str, rtype: str, uri: str, payload: bytes) -> bytes:
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+TRICKY = b"embedded\r\n\r\nWARC/1.0\r\nfake header inside payload\r\n\r\nmore"
+
+
+def _warc_file() -> bytes:
+    return (
+        _record("aaa", "warcinfo", "", b"software: test\r\n")
+        + _record("bbb", "response", "http://example.com/1", b"hello world")
+        + _record("ccc", "response", "http://example.com/2", TRICKY)
+    )
+
+
+def test_parse_warc_bytes_survives_embedded_delimiters():
+    recs = parse_warc_bytes(_warc_file())
+    assert [r[1] for r in recs] == ["warcinfo", "response", "response"]
+    assert recs[2][6] == TRICKY  # payload byte-exact despite fake WARC header inside
+    assert recs[1][2] == "http://example.com/1"
+    assert all(r[5] == len(r[6]) for r in recs)
+
+
+def test_parse_warc_bytes_gzip_members():
+    # the Common Crawl layout: each record its own gzip member, concatenated
+    raw = b"".join(
+        gzip.compress(_record(f"r{i}", "response", f"http://x/{i}", b"p" * i))
+        for i in range(1, 4)
+    )
+    recs = parse_warc_bytes(raw)
+    assert len(recs) == 3 and [len(r[6]) for r in recs] == [1, 2, 3]
+
+
+def test_read_warc_distributes_across_files(spark, tmp_path):
+    d = str(tmp_path / "warcs")
+    os.makedirs(d)
+    with open(os.path.join(d, "seg-0.warc"), "wb") as f:
+        f.write(_warc_file())
+    with open(os.path.join(d, "seg-1.warc.gz"), "wb") as f:
+        f.write(gzip.compress(_warc_file()))
+    df = read_warc(spark, d)
+    rows = df.collect()
+    assert len(rows) == 6
+    assert {os.path.basename(r["source_file"].split("file:")[-1]) for r in rows} == {
+        "seg-0.warc",
+        "seg-1.warc.gz",
+    }
+    responses = df.filter(F.col("warc_type") == "response")
+    assert responses.count() == 4
+    # payloads byte-exact through the Arrow boundary
+    tricky = responses.filter(F.col("target_uri") == "http://example.com/2").collect()
+    assert all(bytes(r["payload"]) == TRICKY for r in tricky) and len(tricky) == 2
+
+
+def test_read_warc_feeds_text_pipeline(spark, tmp_path):
+    """The corpus-ingest path: WARC → response payloads → text column →
+    standard tokenize/quality ops run unchanged."""
+    d = str(tmp_path / "warcs2")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.warc"), "wb") as f:
+        f.write(
+            _record("x1", "response", "http://a", b"the quick brown fox")
+            + _record("x2", "response", "http://b", b"jumps over the lazy dog")
+        )
+    docs = (
+        read_warc(spark, d)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.col("target_uri").alias("url"),
+            F.col("payload").cast("string").alias("text"),
+        )
+    )
+    from streamds_spark.functions.text import tokens
+
+    counts = docs.select("url", F.size(tokens(F.col("text"))).alias("n_tokens")).collect()
+    assert {(r["url"], r["n_tokens"]) for r in counts} == {("http://a", 4), ("http://b", 5)}
