@@ -35,3 +35,39 @@ def stopword_ratio(toks: Column, stopwords=EN_STOPWORDS) -> Column:
     sw = F.array(*[F.lit(w) for w in stopwords])
     n_sw = F.size(F.filter(toks, lambda w: F.array_contains(sw, F.lower(w))))
     return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def html_to_text(col: Column) -> Column:
+    """Extract readable text from HTML — the step between a WARC response
+    payload and the documents table. Pure chained regexp_replace (codegen,
+    embarrassingly parallel, same posture as the PII scrub):
+
+      1. drop <script>/<style>/<head> blocks and HTML comments wholesale
+         (their contents are not prose);
+      2. turn block-level closers/openers into newlines so paragraph
+         structure survives for segment-level ops;
+      3. strip every remaining tag;
+      4. decode the half-dozen entities that dominate real pages (a full
+         entity table belongs in a lookup-join or UDF if ever needed);
+      5. collapse runs of whitespace, trim.
+
+    Regexes are case-insensitive ((?i)) and non-greedy; Java regex applies
+    DOTALL via (?s) for the block rules. Not a browser — malformed nesting
+    degrades to extra whitespace, never to dropped prose."""
+    c = F.regexp_replace(col, r"(?is)<(script|style|head)\b.*?</\1\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)\b[^>]*>", "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", "\""),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
+    c = F.regexp_replace(c, r"\s*\n\s*", "\n")
+    return F.trim(c)

@@ -99,3 +99,49 @@ def test_read_warc_feeds_text_pipeline(spark, tmp_path):
 
     counts = docs.select("url", F.size(tokens(F.col("text"))).alias("n_tokens")).collect()
     assert {(r["url"], r["n_tokens"]) for r in counts} == {("http://a", 4), ("http://b", 5)}
+
+
+# ---- HTML → text (the step after WARC) --------------------------------------
+
+
+def test_html_to_text_extraction(spark):
+    from streamds_spark.functions.text import html_to_text
+
+    html = (
+        "<html><head><title>skip me</title><style>p{color:red}</style></head>"
+        "<body><!-- comment --><h1>Title</h1><p>Para one with <b>bold</b> "
+        "&amp; entities &lt;tag&gt;.</p>\n<script>var x = '<p>not text</p>';"
+        "</script><ul><li>item A</li><li>item B</li></ul></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], ["id", "raw"])
+    got = df.select(html_to_text(F.col("raw")).alias("t")).first()["t"]
+    assert "skip me" not in got and "color:red" not in got
+    assert "not text" not in got and "comment" not in got
+    assert "Title" in got and "Para one with bold & entities <tag>." in got
+    assert "item A" in got and "item B" in got
+    # block boundaries became newlines (segment ops can split on them)
+    assert got.index("Title") < got.index("Para one")
+    assert "\n" in got
+
+
+def test_warc_html_to_documents_pipeline(spark, tmp_path):
+    """Full ingest: WARC response → html_to_text → tokenizable documents."""
+    import gzip
+    from streamds_spark.functions.text import html_to_text, tokens
+    from streamds_spark.io.sources import read_warc
+
+    d = str(tmp_path / "warc_html")
+    os.makedirs(d)
+    page = b"<html><body><p>alpha beta</p><p>gamma</p></body></html>"
+    with open(os.path.join(d, "seg.warc.gz"), "wb") as f:
+        f.write(gzip.compress(_record("h1", "response", "http://h", page)))
+    docs = (
+        read_warc(spark, d)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.col("target_uri").alias("url"),
+            html_to_text(F.col("payload").cast("string")).alias("text"),
+        )
+    )
+    r = docs.select("url", F.size(tokens(F.col("text"))).alias("n")).first()
+    assert (r["url"], r["n"]) == ("http://h", 3)
