@@ -228,6 +228,48 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_decontaminate_docs",
+    oracle=r"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                      ELSE [] END) AS shingle
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+              FROM documents)
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25),
+    corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 25)
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_shingles
+    FROM corpus c JOIN bench b USING (shingle)
+    GROUP BY c.doc_id
+    """,
+)
+def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via the Bloom two-phase plan
+    (operators/bloom.py): benchmark = shingles of docs 0-24, corpus = the
+    rest; the corpus side is pruned MAP-SIDE by a broadcast bloom bit array
+    and only survivors reach the exact verifying join. The oracle is the
+    plain equi-join — the two-phase plan's result is EXACT by construction
+    (bloom has no false negatives; the verify join removes false positives),
+    so the driver hash-checks that the fast plan changes nothing. At 100 TB
+    the pruned join shuffles (true hits + FP·n) rows instead of every corpus
+    shingle."""
+    from streamds_spark.functions.text import shingles_expr
+    from streamds_spark.operators.bloom import bloom_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.explode(shingles_expr("toks", 3)).alias("shingle")
+    )
+    bench = sh.filter(F.col("doc_id") < 25).select("shingle").distinct()
+    corpus = sh.filter(F.col("doc_id") >= 25)
+    return bloom_decontaminate(corpus, bench)
+
+
+@query(
     "embedding_norm_outliers",
     oracle=r"""
     WITH norms AS (
