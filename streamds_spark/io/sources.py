@@ -212,23 +212,44 @@ def parse_warc_bytes(raw: bytes) -> "list[tuple]":
     return out
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(spark: SparkSession, path: str, on_error: str = "fail") -> DataFrame:
     """WARC/WARC.GZ reader: binaryFile scan (one task per file — Spark lists
     and distributes files; add more segment files for more parallelism, the
     web-corpus norm) → mapInPandas parser → typed records with the payload as
     an opaque binary column (decode downstream via functions/multimodal or a
-    text-extraction pass)."""
+    text-extraction pass).
+
+    on_error (a corrupt segment must not kill a 100 TB ingest):
+      * "fail"       — raise (default; surfacing corruption loudly in tests);
+      * "quarantine" — emit one `warc_type='_parse_error'` row per bad file
+        (error text in content_type, raw bytes in payload) and keep going —
+        filter/route them like JSONL's split_valid_rows quarantine;
+      * "skip"       — drop bad files silently (for re-runs over known junk).
+    A file's records BEFORE the corrupt offset are still emitted."""
     from typing import Iterator
 
     import pandas as pd
 
+    if on_error not in ("fail", "quarantine", "skip"):
+        raise ValueError(f"on_error must be fail|quarantine|skip, got {on_error!r}")
     files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def parse(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                for rec in parse_warc_bytes(bytes(content)):
+                raw = bytes(content)
+                try:
+                    recs = parse_warc_bytes(raw)
+                except Exception as e:
+                    recs = _salvage_warc_prefix(raw)
+                    if on_error == "fail":
+                        raise ValueError(f"{p}: {e}") from e
+                    if on_error == "quarantine":
+                        recs = recs + [
+                            ("", "_parse_error", "", "", str(e), len(raw), raw)
+                        ]
+                for rec in recs:
                     rows.append(rec + (p,))
             if rows:
                 yield pd.DataFrame(
@@ -246,3 +267,41 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 )
 
     return files.mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+def _salvage_warc_prefix(raw: bytes) -> "list[tuple]":
+    """Records parseable before the first corrupt offset (gzip streams that
+    die mid-file decode to nothing salvageable — returns [])."""
+    import gzip
+    import io as _io
+
+    if raw[:2] == b"\x1f\x8b":
+        try:
+            raw = gzip.GzipFile(fileobj=_io.BytesIO(raw)).read()
+        except Exception:
+            return []
+    good: list[tuple] = []
+    pos = 0
+    while True:
+        try:
+            nxt = parse_warc_bytes(raw[pos:])
+        except Exception:
+            # bisect: reparse record-by-record until the failure point
+            try:
+                one_end = raw.index(b"\r\n\r\n", pos)
+                headers = {
+                    k.strip().lower(): v
+                    for k, _, v in (
+                        line.partition(b":")
+                        for line in raw[pos:one_end].split(b"\r\n")[1:]
+                    )
+                }
+                length = int(headers.get(b"content-length", b"0").strip())
+                rec = parse_warc_bytes(raw[pos : one_end + 4 + length + 4])
+                good.extend(rec)
+                pos = one_end + 4 + length
+                continue
+            except Exception:
+                return good
+        good.extend(nxt)
+        return good

@@ -145,3 +145,25 @@ def test_warc_html_to_documents_pipeline(spark, tmp_path):
     )
     r = docs.select("url", F.size(tokens(F.col("text"))).alias("n")).first()
     assert (r["url"], r["n"]) == ("http://h", 3)
+
+
+def test_read_warc_quarantines_corrupt_segment(spark, tmp_path):
+    """A truncated/garbage segment must not kill the scan in quarantine mode:
+    good files parse fully, the bad file yields its salvageable prefix plus
+    one _parse_error row; skip mode drops it; fail mode raises."""
+    d = str(tmp_path / "warc_bad")
+    os.makedirs(d)
+    with open(os.path.join(d, "good.warc"), "wb") as f:
+        f.write(_warc_file())
+    with open(os.path.join(d, "bad.warc"), "wb") as f:
+        f.write(_record("ok1", "response", "http://ok", b"salvage me") + b"GARBAGE-NOT-A-WARC-HEADER")
+    q = read_warc(spark, d, on_error="quarantine")
+    errs = q.filter(F.col("warc_type") == "_parse_error").collect()
+    assert len(errs) == 1 and "bad.warc" in errs[0]["source_file"]
+    # salvaged record before the corruption point survives
+    ok = q.filter(F.col("record_id").contains("ok1")).collect()
+    assert len(ok) == 1 and bytes(ok[0]["payload"]) == b"salvage me"
+    assert q.count() == 3 + 1 + 1  # good file + salvaged + error row
+    assert read_warc(spark, d, on_error="skip").count() == 3 + 1
+    with pytest.raises(Exception, match="bad.warc"):
+        read_warc(spark, d, on_error="fail").count()
