@@ -1,0 +1,93 @@
+"""Exact substring deduplication (Lee et al. 2022, "Deduplicating Training
+Data Makes Language Models Better") at L-token granularity.
+
+Every duplicated substring of ≥L tokens contains a duplicated L-token
+shingle, so: mark every shingle whose exact text occurs more than once in the
+corpus (any doc, including within-doc repeats), merge each document's marked
+positions into maximal spans, and strip those spans. This removes ALL text
+whose ≥L-token context appears elsewhere — the aggressive variant that keeps
+no occurrence (deterministic, order-free; keeping one canonical occurrence
+requires a global tie-break pass and is left to the caller by re-adding the
+cluster representative from dedup_cluster_keep_best).
+
+Scale shape — three bounded shuffles, no suffix array, no global ordering:
+  1. posexplode tokens → L-shingle at each position (arrays stay in codegen);
+  2. duplicated shingles via groupBy(shingle) HAVING count>1 — at 100 TB hash
+     the shingle first (xxhash64) so the exchange moves 8 bytes, not 8 tokens
+     (the registry query keeps raw strings for cross-engine oracle equality);
+  3. join marks back to positions (shuffle on shingle), then per-doc interval
+     merge: a window PARTITIONED by doc_id (running max of span ends →
+     group-start flags → cumulative group ids) — per-doc state only.
+Cleaned text is rebuilt with a two-argument filter lambda over the token
+array against the doc's merged spans — no UDF anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from streamds_spark.functions.text import shingles_expr, tokens
+
+
+def substring_dedup(
+    docs: DataFrame,
+    l_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_spans, n_tokens_removed, n_tokens, cleaned_text): strip
+    every maximal span covered by corpus-duplicated L-token shingles."""
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    pos = toked.select(
+        "doc_id",
+        F.posexplode(shingles_expr("toks", l_tokens)).alias("pos", "shingle"),
+    )
+    dup = (
+        pos.groupBy("shingle")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("shingle")
+    )
+    marked = pos.join(dup, "shingle").select("doc_id", "pos")
+
+    # merge [pos, pos+L) intervals per doc: running max end over positions
+    # seen so far; a position starting past it opens a new span group
+    w_order = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + l_tokens).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = marked.withColumn(
+        "new_span",
+        F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1).otherwise(0),
+    ).withColumn(
+        "grp",
+        F.sum("new_span").over(w_order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = grouped.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("start"), (F.max("pos") + l_tokens).alias("end")
+    )
+    doc_spans = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("end") - F.col("start")).alias("n_tokens_removed"),
+        F.sort_array(F.collect_list(F.struct("start", "end"))).alias("spans"),
+    )
+
+    joined = toked.join(doc_spans, "doc_id", "left")
+    # keep token i unless some span covers it (filter's 0-based index lambda)
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.coalesce(F.col("spans"), F.array()),
+            lambda s: (i >= s["start"]) & (i < s["end"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("n_tokens_removed", F.lit(0)).cast("bigint").alias("n_tokens_removed"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )

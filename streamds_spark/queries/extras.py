@@ -270,6 +270,73 @@ def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "substring_dedup_report",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, unnest(range(0, greatest(len(t) - 7, 0))) AS pos,
+               t[unnest(range(0, greatest(len(t) - 7, 0))) + 1] || ' ' ||
+               t[unnest(range(0, greatest(len(t) - 7, 0))) + 2] || ' ' ||
+               t[unnest(range(0, greatest(len(t) - 7, 0))) + 3] || ' ' ||
+               t[unnest(range(0, greatest(len(t) - 7, 0))) + 4] || ' ' ||
+               t[unnest(range(0, greatest(len(t) - 7, 0))) + 5] || ' ' ||
+               t[unnest(range(0, greatest(len(t) - 7, 0))) + 6] || ' ' ||
+               t[unnest(range(0, greatest(len(t) - 7, 0))) + 7] || ' ' ||
+               t[unnest(range(0, greatest(len(t) - 7, 0))) + 8] AS shingle
+        FROM toks
+    ),
+    dup AS (SELECT shingle FROM pos GROUP BY shingle HAVING count(*) > 1),
+    marked AS (SELECT doc_id, pos FROM pos JOIN dup USING (shingle)),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                     OR pos > max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_span
+        FROM marked
+    ),
+    grouped AS (
+        SELECT doc_id, pos,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS grp
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, grp, min(pos) AS s, max(pos) + 8 AS e
+        FROM grouped GROUP BY doc_id, grp
+    ),
+    report AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(e - s) AS BIGINT) AS n_tokens_removed
+        FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(r.n_spans, 0) AS n_spans,
+           coalesce(r.n_tokens_removed, 0) AS n_tokens_removed,
+           CAST(len(t.t) AS BIGINT) AS n_tokens
+    FROM toks t LEFT JOIN report r USING (doc_id)
+    """,
+)
+def substring_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup at 8-token granularity (Lee et al. 2022 shape):
+    per-doc count of maximal spans covered by corpus-duplicated 8-shingles
+    and tokens removed (operators/substring_dedup.py; cleaned-text
+    reconstruction is pytest-verified against a Python reference — the
+    oracle checks the span arithmetic cross-engine). Three bounded shuffles;
+    the only windows are per-doc interval merges."""
+    from streamds_spark.operators.substring_dedup import substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup(docs, 8).select(
+        "doc_id", "n_spans", "n_tokens_removed", "n_tokens"
+    )
+
+
+@query(
     "embedding_norm_outliers",
     oracle=r"""
     WITH norms AS (

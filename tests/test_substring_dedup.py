@@ -1,0 +1,119 @@
+"""Exact substring dedup (operators/substring_dedup.py) vs a transparent
+Python reference: same duplicated-shingle marking, same interval merge, same
+aggressive removal — byte-identical cleaned text."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamds_spark.catalog import load_table
+from streamds_spark.operators.substring_dedup import substring_dedup
+
+SF = "/root/testdata/sf0.001"
+L = 8
+
+
+def _py_reference(texts: dict[int, str], l_tokens: int = L) -> dict[int, tuple]:
+    toks = {d: [w for w in t.split() if w] for d, t in texts.items()}
+    counts: Counter = Counter()
+    for t in toks.values():
+        for i in range(len(t) - l_tokens + 1):
+            counts[" ".join(t[i : i + l_tokens])] += 1
+    out = {}
+    for d, t in toks.items():
+        marked = [
+            i
+            for i in range(len(t) - l_tokens + 1)
+            if counts[" ".join(t[i : i + l_tokens])] > 1
+        ]
+        spans = []
+        for i in marked:
+            if spans and i <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], i + l_tokens)
+            else:
+                spans.append([i, i + l_tokens])
+        removed = sum(e - s for s, e in spans)
+        cleaned = " ".join(
+            w for i, w in enumerate(t) if not any(s <= i < e for s, e in spans)
+        )
+        out[d] = (len(spans), removed, len(t), cleaned)
+    return out
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    boiler = "all rights reserved copyright notice follows here exactly"  # 8 tokens
+    texts = {
+        0: f"alpha beta {boiler} gamma delta",
+        1: f"unrelated words one two three four five six {boiler} tail",
+        2: "unique text with no repeats anywhere in this corpus at all",
+        3: f"{boiler} {boiler} double run",  # within-doc repeat + overlap merge
+        4: "short doc",  # shorter than L — no shingles
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    return texts, df
+
+
+def test_matches_python_reference_on_crafted_corpus(spark, crafted):
+    texts, df = crafted
+    ref = _py_reference(texts)
+    got = {
+        r["doc_id"]: (
+            r["n_spans"],
+            r["n_tokens_removed"],
+            r["n_tokens"],
+            r["cleaned_text"],
+        )
+        for r in substring_dedup(df, L).collect()
+    }
+    assert got == ref
+    # the boilerplate is gone from every doc, unique text untouched
+    assert "rights reserved" not in got[0][3] and "alpha beta" in got[0][3]
+    assert got[2][3] == texts[2]
+    assert got[4] == (0, 0, 2, "short doc")
+
+
+def test_matches_python_reference_on_real_documents(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(200)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    ref = _py_reference(texts)
+    got = {
+        r["doc_id"]: (
+            r["n_spans"],
+            r["n_tokens_removed"],
+            r["n_tokens"],
+            r["cleaned_text"],
+        )
+        for r in substring_dedup(docs, L).collect()
+    }
+    assert got == ref
+    assert sum(v[1] for v in got.values()) > 0, "synthetic docs repeat — expect spans"
+
+
+def test_every_duplicated_shingle_is_removed(spark, crafted):
+    """The operator's guarantee: no originally-duplicated L-shingle survives
+    in ANY cleaned document."""
+    texts, df = crafted
+    counts: Counter = Counter()
+    for t in texts.values():
+        w = t.split()
+        for i in range(len(w) - L + 1):
+            counts[" ".join(w[i : i + L])] += 1
+    dup = {s for s, c in counts.items() if c > 1}
+    cleaned = {
+        r["doc_id"]: r["cleaned_text"] for r in substring_dedup(df, L).collect()
+    }
+    for d, t in cleaned.items():
+        w = t.split()
+        for i in range(len(w) - L + 1):
+            assert " ".join(w[i : i + L]) not in dup, (d, i)
+
+
+def test_plan_has_no_global_windows(spark, crafted):
+    _, df = crafted
+    from streamds_spark.plans.audit import count_global_windows
+
+    assert count_global_windows(substring_dedup(df, L)) == 0
