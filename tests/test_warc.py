@@ -167,3 +167,44 @@ def test_read_warc_quarantines_corrupt_segment(spark, tmp_path):
     assert read_warc(spark, d, on_error="skip").count() == 3 + 1
     with pytest.raises(Exception, match="bad.warc"):
         read_warc(spark, d, on_error="fail").count()
+
+
+# ---- parser fuzz (no Spark needed) ------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+payload_st = st.binary(min_size=0, max_size=200)
+rtype_st = st.sampled_from(["response", "request", "metadata", "warcinfo"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(rtype_st, payload_st), min_size=1, max_size=8), st.booleans())
+def test_parse_warc_roundtrip_fuzz(records, gz):
+    """Any sequence of records — arbitrary binary payloads (CRLFs, fake WARC
+    headers, NULs), optionally gzipped — must round-trip byte-exactly."""
+    raw = b"".join(
+        _record(f"r{i}", t, f"http://fuzz/{i}", p) for i, (t, p) in enumerate(records)
+    )
+    if gz:
+        raw = gzip.compress(raw)
+    recs = parse_warc_bytes(raw)
+    assert len(recs) == len(records)
+    for (want_type, want_payload), got in zip(records, recs):
+        assert got[1] == want_type
+        assert got[6] == want_payload
+        assert got[5] == len(want_payload)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=1, max_size=300))
+def test_parse_warc_rejects_garbage_without_hanging(junk):
+    """Arbitrary non-WARC bytes must raise (or parse cleanly if they happen
+    to be valid) — never loop forever or return phantom records."""
+    if junk[:2] == b"\x1f\x8b":
+        return  # random bytes that fake a gzip magic die inside gzip — fine
+    try:
+        recs = parse_warc_bytes(junk)
+    except (ValueError, IndexError):
+        return
+    assert all(r[5] == len(r[6]) for r in recs)
