@@ -269,6 +269,54 @@ def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontaminate(corpus, bench)
 
 
+def _hard_negatives_oracle() -> str:
+    from streamds_spark.queries.llmdata.retrieval import QUERY_TERMS, _bm25_oracle_cte
+
+    all_terms = " AND ".join(f"tf_{t} > 0" for t in QUERY_TERMS)
+    n_matched = " + ".join(f"CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END" for t in QUERY_TERMS)
+    return f"""
+    WITH {_bm25_oracle_cte()}
+    SELECT b.doc_id, round(b.bm25, 4) AS bm25,
+           CAST({n_matched} AS INT) AS n_terms_matched
+    FROM bm25 b JOIN per_doc p USING (doc_id)
+    WHERE NOT ({all_terms})
+    ORDER BY round(b.bm25, 6) DESC, b.doc_id
+    LIMIT 20
+    """
+
+
+@query("hard_negatives_bm25", oracle=_hard_negatives_oracle())
+def hard_negatives_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval training: the 20 highest-BM25 docs
+    that match SOME query terms but not ALL of them — lexically confusable
+    non-answers, the negatives contrastive training actually needs (random
+    negatives are too easy). One scan + 1-row stats broadcast (the bm25
+    machinery) + TakeOrdered 20 — at 100 TB this is a map-only pass per
+    query batch; the rank never sees more than the top-k."""
+    from streamds_spark.queries.llmdata.retrieval import (
+        QUERY_TERMS,
+        _bm25_df,
+        _tf_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    matches = docs.select(
+        "doc_id",
+        sum((_tf_count(toks, t) > 0).cast("int") for t in QUERY_TERMS).alias(
+            "n_terms_matched"
+        ),
+    )
+    return (
+        _bm25_df(spark, sf_dir)
+        .join(matches, "doc_id")
+        .filter(F.col("n_terms_matched") < len(QUERY_TERMS))
+        .orderBy(F.desc(F.round("bm25", 6)), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.round("bm25", 4).alias("bm25"), "n_terms_matched")
+    )
+
+
 @query(
     "substring_dedup_report",
     oracle=r"""
