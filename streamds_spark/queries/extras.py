@@ -269,6 +269,65 @@ def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontaminate(corpus, bench)
 
 
+@query(
+    "corpus_report",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang, source, n_chars,
+               len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n_tokens,
+               md5(text) AS h
+        FROM documents
+    )
+    SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM t
+    UNION ALL SELECT 'n_langs', CAST(count(DISTINCT lang) AS DOUBLE) FROM t
+    UNION ALL SELECT 'n_sources', CAST(count(DISTINCT source) AS DOUBLE) FROM t
+    UNION ALL SELECT 'total_tokens', CAST(sum(n_tokens) AS DOUBLE) FROM t
+    UNION ALL SELECT 'total_chars', CAST(sum(n_chars) AS DOUBLE) FROM t
+    UNION ALL SELECT 'exact_dup_docs', CAST(count(*) - count(DISTINCT h) AS DOUBLE) FROM t
+    UNION ALL SELECT 'max_doc_tokens', CAST(max(n_tokens) AS DOUBLE) FROM t
+    UNION ALL SELECT 'min_doc_tokens', CAST(min(n_tokens) AS DOUBLE) FROM t
+    """,
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary in one call: size, language/source diversity,
+    token mass, exact-dup volume, length extremes — as (metric, value) rows
+    so downstream tooling consumes it uniformly. ONE scan: all metrics are
+    aggregates of the same tokenized projection (Spark computes them in a
+    single partial-agg pass; the unpivot is an 8-row transform). The deeper
+    per-family diagnostics (quality deciles, vocab growth, KL) stay their
+    own queries — this is the front page."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    agg = t.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+        (F.count("*") - F.countDistinct("h")).cast("double").alias("exact_dup_docs"),
+        F.max("n_tokens").cast("double").alias("max_doc_tokens"),
+        F.min("n_tokens").cast("double").alias("min_doc_tokens"),
+    )
+    metrics = [
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "total_tokens",
+        "total_chars",
+        "exact_dup_docs",
+        "max_doc_tokens",
+        "min_doc_tokens",
+    ]
+    stack = ", ".join(f"'{m}', {m}" for m in metrics)
+    return agg.selectExpr(f"stack({len(metrics)}, {stack}) AS (metric, value)")
+
+
 def _hard_negatives_oracle() -> str:
     from streamds_spark.queries.llmdata.retrieval import QUERY_TERMS, _bm25_oracle_cte
 
