@@ -259,6 +259,60 @@ def build_ivfpq_index(
         json.dump({"coarse": coarse, "pq": books}, f)
 
 
+def append_ivfpq_batch(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Ingest a NEW vector batch into an existing IVF-PQ index WITHOUT
+    retraining: assign each vector to its nearest coarse list and encode with
+    the persisted codebooks (both broadcast literals — map-only except the
+    k-list argmin, also expression-level), then APPEND to the partitioned
+    codes and vectors tables. Probes see the new rows immediately (fresh
+    directory listing per read; on a table format this is a transactional
+    append).
+
+    The standard index-maintenance contract: quantizers drift only if the
+    data distribution does — monitor recall (ivf_recall_at_k style) and
+    retrain offline when it degrades; appends stay cheap and constant-time
+    per batch, exactly like the dedup bucket store
+    (operators/dedup_incremental.py)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "quantizers.json")) as f:
+        q = json.load(f)
+    coarse, books = q["coarse"], q["pq"]
+    v = as_double(F.col(vec_col))
+    # nearest coarse centroid: squared-L2 against each centroid literal
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(float(x)) for x in cent]), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for cent in coarse
+        ]
+    )
+    list_id = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    base = new_emb.select(
+        F.col(id_col).alias("vec_id"), v.alias("v"), list_id.alias("list_id")
+    )
+    (
+        base.select(
+            "vec_id", encode_pq_expr(books, F.col("v")).alias("codes"), "list_id"
+        )
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(os.path.join(path, "codes"))
+    )
+    base.write.mode("append").partitionBy("list_id").parquet(
+        os.path.join(path, "vectors")
+    )
+
+
 def ivfpq_probe_topk(
     spark,
     path: str,

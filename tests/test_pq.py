@@ -200,3 +200,62 @@ def test_ivfpq_recall_vs_bruteforce(spark, ivfpq_index):
     assert adc_hits / total >= 0.3, adc_hits / total
     assert rr_hits / total >= 0.55, rr_hits / total
     assert rr_hits >= adc_hits, "exact rerank must not lose recall vs raw ADC"
+
+
+def test_ivfpq_append_batch_and_streaming_ingest(spark, tmp_path):
+    """Index maintenance: append-mode ingest (batch AND foreachBatch
+    streaming) must make new vectors probe-visible with codes identical to a
+    from-scratch encode — no retrain, constant-time per batch."""
+    from streamds_spark.operators.pq import (
+        append_ivfpq_batch,
+        build_ivfpq_index,
+        encode_pq,
+        ivfpq_probe_topk_reranked,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    old = emb.filter(F.col("vec_id") < 150)
+    new = emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 180))
+    path = str(tmp_path / "ivfpq_incr")
+    build_ivfpq_index(old, path, n_lists=4, m=8, k_codes=8, max_iter=3)
+
+    append_ivfpq_batch(new, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == 180
+    # appended codes match a fresh encode with the same codebooks
+    import json
+
+    with open(f"{path}/quantizers.json") as f:
+        books = json.load(f)["pq"]
+    want = {
+        r["vec_id"]: list(r["codes"]) for r in encode_pq(new, books).collect()
+    }
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in codes.filter(F.col("vec_id") >= 150).collect()
+    }
+    assert got == want
+
+    # a probe for an appended vector finds it (its own code = best reconstruction)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 160).first()["embedding"]]
+    top = ivfpq_probe_topk_reranked(spark, path, q, topk=5, n_probe=4).collect()
+    assert top[0]["vec_id"] == 160
+
+    # streaming ingest: the same append as a foreachBatch sink
+    stream_src = str(tmp_path / "stream_src")
+    emb.filter((F.col("vec_id") >= 180) & (F.col("vec_id") < 200)).write.parquet(stream_src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(stream_src).schema
+    ).parquet(stream_src)
+    qy = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, bid: append_ivfpq_batch(df, path))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination(120)
+    assert spark.read.parquet(f"{path}/codes").count() == 200
+    q2 = [float(x) for x in emb.filter(F.col("vec_id") == 190).first()["embedding"]]
+    top2 = ivfpq_probe_topk_reranked(spark, path, q2, topk=5, n_probe=4).collect()
+    assert top2[0]["vec_id"] == 190
