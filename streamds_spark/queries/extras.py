@@ -328,6 +328,109 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(f"stack({len(metrics)}, {stack}) AS (metric, value)")
 
 
+@query(
+    "dedup_rate_by_threshold",
+    oracle=_CLUSTER_LABELS_SQL.replace("WITH RECURSIVE ", "WITH ", 1).split(",\n    bidir AS")[0]
+    + r""",
+    ssets AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 3
+                   THEN list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE [] END) AS sset
+        FROM toks
+    ),
+    tj AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+                   nullif(len(list_distinct(list_concat(a.sset, b.sset))), 0) AS j
+        FROM pairs p
+        JOIN ssets a ON a.doc_id = p.doc_a
+        JOIN ssets b ON b.doc_id = p.doc_b
+    )
+    SELECT t.thr AS threshold,
+           CAST(count(CASE WHEN tj.j >= t.thr THEN 1 END) AS BIGINT) AS n_pairs
+    FROM tj CROSS JOIN
+         (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS thr) t
+    GROUP BY t.thr
+    """,
+)
+def dedup_rate_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DIAL: how many candidate pairs survive each Jaccard
+    verification threshold (0.5–0.9) — the number you look at before picking
+    the pipeline's cutoff. True Jaccard is computed once per LSH candidate
+    (bounded by the candidate list, never all-pairs) and the 5 thresholds
+    are a broadcast 5-row cross join over that small pair table."""
+    from streamds_spark.functions.text import shingles_expr
+    from streamds_spark.queries.llmdata.dedup import SHINGLE_N
+
+    pairs = _lsh_pairs_df(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    ssets = docs.select("doc_id", tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.array_distinct(shingles_expr("toks", SHINGLE_N)).alias("sset")
+    )
+    inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset"))).cast("double")
+    union = F.size(F.array_union(F.col("a.sset"), F.col("b.sset"))).cast("double")
+    tj = (
+        pairs.join(ssets.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(ssets.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+        .select((inter / F.nullif(union, F.lit(0.0))).alias("j"))
+    )
+    thresholds = spark.createDataFrame([(t,) for t in (0.5, 0.6, 0.7, 0.8, 0.9)], ["thr"])
+    return (
+        tj.crossJoin(F.broadcast(thresholds))
+        .groupBy(F.col("thr").alias("threshold"))
+        .agg(F.sum(F.when(F.col("j") >= F.col("thr"), 1).otherwise(0)).alias("n_pairs"))
+    )
+
+
+@query(
+    "adaptive_length_filter",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n_tokens
+        FROM documents
+    ),
+    cuts AS (
+        SELECT lang,
+               quantile_cont(n_tokens, 0.05) AS lo,
+               quantile_cont(n_tokens, 0.95) AS hi
+        FROM t GROUP BY lang
+    )
+    SELECT t.doc_id, t.lang, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           round(c.lo, 4) AS lo, round(c.hi, 4) AS hi,
+           CAST(t.n_tokens < c.lo OR t.n_tokens > c.hi AS BOOLEAN) AS is_outlier
+    FROM t JOIN cuts c USING (lang)
+    """,
+)
+def adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language ADAPTIVE length filtering: flag docs outside their own
+    language's [p05, p95] token-count band — fixed global cutoffs mis-filter
+    short-token languages. Exact percentiles per lang (lang-sized groups:
+    the aggregate is small even at 100 TB; the per-doc pass then joins the
+    lang-count-sized cut table broadcast). DuckDB quantile_cont and Spark
+    percentile share linear interpolation, so the bounds hash-match."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    cuts = t.groupBy("lang").agg(
+        F.expr("percentile(n_tokens, 0.05)").alias("lo_raw"),
+        F.expr("percentile(n_tokens, 0.95)").alias("hi_raw"),
+    )
+    return t.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round("lo_raw", 4).alias("lo"),
+        F.round("hi_raw", 4).alias("hi"),
+        ((F.col("n_tokens") < F.col("lo_raw")) | (F.col("n_tokens") > F.col("hi_raw"))).alias(
+            "is_outlier"
+        ),
+    )
+
+
 def _hard_negatives_oracle() -> str:
     from streamds_spark.queries.llmdata.retrieval import QUERY_TERMS, _bm25_oracle_cte
 
