@@ -59,6 +59,28 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
 
+    dc = sub.add_parser(
+        "decontaminate",
+        help="drop corpus docs sharing shingles with a benchmark parquet "
+        "(bloom prune + exact verify)",
+    )
+    dc.add_argument("src", help="input parquet of documents")
+    dc.add_argument("benchmark", help="parquet of benchmark/eval documents")
+    dc.add_argument("dest", help="output parquet for clean documents")
+    dc.add_argument("--shingle-n", type=int, default=3)
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--text-col", default="text")
+
+    ss = sub.add_parser(
+        "scrub-substrings",
+        help="strip corpus-duplicated spans (exact substring dedup, Lee et al.)",
+    )
+    ss.add_argument("src", help="input parquet of documents")
+    ss.add_argument("dest", help="output parquet with cleaned_text")
+    ss.add_argument("--l-tokens", type=int, default=8)
+    ss.add_argument("--id-col", default="doc_id")
+    ss.add_argument("--text-col", default="text")
+
     sh = sub.add_parser(
         "shell",
         help="interactive terminal (the reference's command loop): SQL by "
@@ -143,6 +165,53 @@ def main(argv: list[str] | None = None) -> int:
         n_in = docs.count()
         n_kept = spark.read.parquet(args.dest).count()
         print(f"input:{n_in} kept:{n_kept} dropped:{n_in - n_kept}")
+    elif args.cmd == "decontaminate":
+        from pyspark.sql import functions as F
+
+        from streamds_spark.functions.text import shingles_expr, tokens
+        from streamds_spark.operators.bloom import bloom_decontaminate
+
+        docs = spark.read.parquet(args.src)
+        bench = spark.read.parquet(args.benchmark)
+
+        def _shingles(df):
+            return df.select(
+                F.col(args.id_col).alias("doc_id"),
+                tokens(F.col(args.text_col)).alias("toks"),
+            ).select(
+                "doc_id", F.explode(shingles_expr("toks", args.shingle_n)).alias("shingle")
+            )
+
+        contaminated = bloom_decontaminate(
+            _shingles(docs), _shingles(bench).select("shingle").distinct()
+        ).select("doc_id")
+        clean = docs.join(
+            contaminated.withColumnRenamed("doc_id", args.id_col), args.id_col, "left_anti"
+        )
+        clean.write.mode("overwrite").parquet(args.dest)
+        n_in = docs.count()
+        n_out = spark.read.parquet(args.dest).count()
+        print(f"input:{n_in} clean:{n_out} contaminated:{n_in - n_out}")
+    elif args.cmd == "scrub-substrings":
+        from streamds_spark.operators.substring_dedup import substring_dedup
+
+        docs = spark.read.parquet(args.src)
+        cleaned = substring_dedup(
+            docs, args.l_tokens, id_col=args.id_col, text_col=args.text_col
+        )
+        cleaned.write.mode("overwrite").parquet(args.dest)
+        from pyspark.sql import functions as F
+
+        stats = spark.read.parquet(args.dest).agg(
+            F.count("*"),
+            F.sum("n_spans"),
+            F.sum("n_tokens_removed"),
+            F.sum("n_tokens"),
+        ).first()
+        print(
+            f"docs:{stats[0]} spans:{stats[1]} tokens_removed:{stats[2]} "
+            f"tokens_total:{stats[3]}"
+        )
     elif args.cmd == "shell":
         _shell(spark, args.sf_dir, args.logs)
     return 0

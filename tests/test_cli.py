@@ -112,3 +112,42 @@ def test_cli_dedup_command(spark, tmp_path, capsys):
     assert "input:3 kept:2 dropped:1" in out
     kept_ids = {r.doc_id for r in spark.read.parquet(dest).collect()}
     assert kept_ids == {0, 2}
+
+
+def test_cli_decontaminate_command(spark, tmp_path, capsys):
+    src = str(tmp_path / "corpus.parquet")
+    bench = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "completely unrelated clean document text here"),
+        ],
+        "doc_id: long, text: string",
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [(100, "quick brown fox jumps")], "doc_id: long, text: string"
+    ).write.parquet(bench)
+    dest = str(tmp_path / "clean.parquet")
+    from streamds_spark.cli import main
+
+    assert main(["decontaminate", src, bench, dest]) == 0
+    assert "input:2 clean:1 contaminated:1" in capsys.readouterr().out
+    assert {r.doc_id for r in spark.read.parquet(dest).collect()} == {1}
+
+
+def test_cli_scrub_substrings_command(spark, tmp_path, capsys):
+    boiler = "one two three four five six seven eight"  # 8 tokens, repeated
+    src = str(tmp_path / "docs2.parquet")
+    spark.createDataFrame(
+        [(0, f"intro {boiler} outro"), (1, f"{boiler} tail"), (2, "unique words only")],
+        "doc_id: long, text: string",
+    ).write.parquet(src)
+    dest = str(tmp_path / "scrubbed.parquet")
+    from streamds_spark.cli import main
+
+    assert main(["scrub-substrings", src, dest]) == 0
+    out = capsys.readouterr().out
+    assert "docs:3 spans:2 tokens_removed:16" in out
+    rows = {r.doc_id: r.cleaned_text for r in spark.read.parquet(dest).collect()}
+    assert rows[0] == "intro outro" and rows[1] == "tail"
+    assert rows[2] == "unique words only"
