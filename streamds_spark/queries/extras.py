@@ -385,6 +385,40 @@ def dedup_rate_by_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cross_source_dup_matrix",
+    oracle=_CLUSTER_LABELS_SQL.replace("WITH RECURSIVE ", "WITH ", 1).split(",\n    bidir AS")[0]
+    + r"""
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate each other: LSH candidate pairs bucketed by
+    the (unordered) source pair — the mixture diagnostic that finds mirror
+    sites and cross-source scrapes before sampling weights are chosen. The
+    pair table is candidate-bounded; the doc→source lookup joins on doc_id
+    (broadcast at report scale, co-partitioned shuffle at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = _lsh_pairs_df(spark, sf_dir)
+    joined = (
+        pairs.join(docs.withColumnRenamed("source", "sa"), pairs.doc_a == docs.doc_id)
+        .drop("doc_id")
+        .join(
+            docs.withColumnRenamed("source", "sb").withColumnRenamed("doc_id", "doc_id_b"),
+            F.col("doc_b") == F.col("doc_id_b"),
+        )
+    )
+    return joined.groupBy(
+        F.least("sa", "sb").alias("source_a"), F.greatest("sa", "sb").alias("source_b")
+    ).agg(F.count("*").alias("n_pairs"))
+
+
+@query(
     "adaptive_length_filter",
     oracle=r"""
     WITH t AS (
