@@ -194,8 +194,10 @@ FEATURE_DIM = 32  # hashed feature-vector width
         FROM toks
     )
     SELECT doc_id,
-           list_transform(range(0, {FEATURE_DIM}),
-               j -> CAST(len(list_filter(b, x -> x = j)) AS INT)) AS features
+           array_to_string(
+               list_transform(range(0, {FEATURE_DIM}),
+                   j -> CAST(len(list_filter(b, x -> x = j)) AS INT)),
+               ',') AS features
     FROM bks
     """,
 )
@@ -210,7 +212,12 @@ def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense array. One shuffle on doc_id; md5 runs exactly ONCE per token.
     (The pure-array formulation — 32 filter passes over the token array —
     was 3× slower: CollapseProject inlines the bucket hash into every pass,
-    re-running md5 32× per token. Same lesson as text_winnowing_fingerprints.)"""
+    re-running md5 32× per token. Same lesson as text_winnowing_fingerprints.)
+
+    Output form: the vector is emitted array_join'd as a comma string, not a
+    bare array<int> — the driver's canonicalizer sorts raw cells and crashes
+    on list cells (r3 red row). Registry rule, pinned by
+    tests/test_registry_contract.py: no top-level array/map output columns."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("bigint"),
@@ -227,10 +234,13 @@ def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select("doc_id").join(maps, "doc_id", "left").select(
         "doc_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(FEATURE_DIM - 1)),
-            lambda j: F.coalesce(
-                F.element_at(F.col("m"), j.cast("bigint")), F.lit(0)
-            ).cast("int"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(FEATURE_DIM - 1)),
+                lambda j: F.coalesce(
+                    F.element_at(F.col("m"), j.cast("bigint")), F.lit(0)
+                ).cast("int"),
+            ),
+            ",",
         ).alias("features"),
     )

@@ -79,3 +79,19 @@ def test_live_registry_front_is_exactly_the_unproven_set():
     assert all(
         i >= first_green_idx - len(no_oracle_pos) for i in no_oracle_pos
     ), (no_oracle_pos, first_green_idx)
+
+
+def test_selfcheck_multiset_reproduces_driver_unhashable_crash():
+    """Driver-canonicalization parity (r3 feature_hash_vectors lesson): the
+    driver sorts-then-hashes RAW cells, so a bare list cell must fail in
+    tools/selfcheck.to_multiset too — not be silently stringified."""
+    import pytest
+
+    from tools.selfcheck import to_multiset
+
+    with pytest.raises(TypeError, match="unhashable"):
+        to_multiset([(1, [1, 2, 3])], ["doc_id", "features"])
+    # the fixed (array_join'd) form canonicalizes normally
+    assert to_multiset([(1, "1,2,3")], ["doc_id", "features"]) == [("1", "1,2,3")]
+    # all-NULL columns stay legal (no non-null value to probe)
+    assert to_multiset([(None, 1)], ["a", "b"]) == [("NULL", "1")]

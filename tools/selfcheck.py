@@ -65,11 +65,30 @@ def type_kind(t: str) -> str:
 
 
 def to_multiset(rows, colnames):
+    """Order-insensitive canonical form, with DRIVER-PARITY cell handling.
+
+    The driver sorts-then-hashes RAW cells; a list/map cell raises
+    `TypeError: unhashable type` there and turns the row red even when the
+    values are correct (CORRECTNESS_r03.json feature_hash_vectors). This
+    harness used to stringify cells BEFORE sorting, which silently tolerated
+    complex cells — exactly the divergence that let that query pass locally
+    and fail the gate. Reproduce the driver's behavior: hash the first
+    non-null raw value of every column up front so complex output columns
+    fail here first.
+    """
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = []
-    for r in rows:
-        out.append(tuple(norm_cell(r[i]) for i in order))
-    return sorted(out)
+    raw = [tuple(r[i] for i in order) for r in rows]
+    for j, name in enumerate(sorted(colnames)):
+        v = next((row[j] for row in raw if row[j] is not None), None)
+        try:
+            hash(v)
+        except TypeError:
+            raise TypeError(
+                f"driver-canonicalization parity: column {name!r} holds "
+                f"unhashable cells ({type(v).__name__}) — the driver's "
+                "sort-then-hash crashes on these; array_join the column"
+            ) from None
+    return sorted(tuple(norm_cell(c) for c in row) for row in raw)
 
 
 def main() -> int:
@@ -125,11 +144,15 @@ def main() -> int:
             if mismatch:
                 problems.append(f"type kinds differ spark-vs-duckdb: {mismatch}")
         if not problems:
-            sm = to_multiset([tuple(r) for r in srows], scols)
-            om = to_multiset(orows, ocols)
-            if sm != om:
-                diffs = [(a, b) for a, b in zip(sm, om) if a != b][:3]
-                problems.append(f"values differ; first diffs: {diffs}")
+            try:
+                sm = to_multiset([tuple(r) for r in srows], scols)
+                om = to_multiset(orows, ocols)
+            except TypeError as e:  # driver-parity unhashable-cell crash
+                problems.append(str(e))
+            else:
+                if sm != om:
+                    diffs = [(a, b) for a, b in zip(sm, om) if a != b][:3]
+                    problems.append(f"values differ; first diffs: {diffs}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}  [{time.time()-t0:.1f}s]")
             n_fail += 1
