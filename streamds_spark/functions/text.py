@@ -58,14 +58,18 @@ def html_to_text(col: Column) -> Column:
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)\b[^>]*>", "\n")
     c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    # &amp; decodes LAST (standard unescape ordering): decoding it first
+    # turns doubly-escaped text like '&amp;lt;' (which renders as '&lt;')
+    # into '&lt;' and then a second pass would eat it — every other entity
+    # must be resolved before the ampersand itself is.
     for ent, ch in (
         ("&nbsp;", " "),
-        ("&amp;", "&"),
         ("&lt;", "<"),
         ("&gt;", ">"),
         ("&quot;", "\""),
         ("&#39;", "'"),
         ("&apos;", "'"),
+        ("&amp;", "&"),
     ):
         c = F.replace(c, F.lit(ent), F.lit(ch))
     c = F.regexp_replace(c, r"[ \t\r\f]+", " ")

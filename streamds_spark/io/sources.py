@@ -224,8 +224,11 @@ def read_warc(spark: SparkSession, path: str, on_error: str = "fail") -> DataFra
       * "quarantine" — emit one `warc_type='_parse_error'` row per bad file
         (error text in content_type, raw bytes in payload) and keep going —
         filter/route them like JSONL's split_valid_rows quarantine;
-      * "skip"       — drop bad files silently (for re-runs over known junk).
-    A file's records BEFORE the corrupt offset are still emitted."""
+      * "skip"       — drop bad FILES (no error row; for re-runs over known
+        junk) — a bad file's records BEFORE the corrupt offset are still
+        salvaged and emitted, like quarantine minus the error row.
+    The prefix salvage (an O(n²) record-by-record bisect) only runs for
+    quarantine/skip; "fail" raises immediately without paying for it."""
     from typing import Iterator
 
     import pandas as pd
@@ -242,9 +245,9 @@ def read_warc(spark: SparkSession, path: str, on_error: str = "fail") -> DataFra
                 try:
                     recs = parse_warc_bytes(raw)
                 except Exception as e:
-                    recs = _salvage_warc_prefix(raw)
                     if on_error == "fail":
                         raise ValueError(f"{p}: {e}") from e
+                    recs = _salvage_warc_prefix(raw)
                     if on_error == "quarantine":
                         recs = recs + [
                             ("", "_parse_error", "", "", str(e), len(raw), raw)

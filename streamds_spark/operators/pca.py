@@ -98,14 +98,12 @@ def pca(
         j = np.argmax(np.abs(comps[i]))
         if comps[i][j] < 0:
             comps[i] = -comps[i]
+    # ratio denominator = FULL spectrum variance, computed before truncation —
+    # kept components then report the fraction of total variance they explain
+    total = max(np.sum(np.maximum(eigvals, 0.0)), 1e-300)
     if n_components is not None:
         eigvals, comps = eigvals[:n_components], comps[:n_components]
-    total = max(np.sum(np.maximum(eigvals, 0.0)), 1e-300) if n_components is None else None
-    ratio = (
-        np.maximum(eigvals, 0.0) / total
-        if total is not None
-        else None
-    )
+    ratio = np.maximum(eigvals, 0.0) / total
     return {
         "n": n,
         "mean": mean,

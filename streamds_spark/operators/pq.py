@@ -238,9 +238,11 @@ def build_ivfpq_index(
     assign, coarse = kmeans(emb, k=n_lists, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
     books = train_pq(emb, m=m, k=k_codes, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
     codes = encode_pq(emb, books, id_col=id_col, vec_col=vec_col)
-    listed = assign.withColumnRenamed("vec_id", id_col).withColumnRenamed("cid", "list_id")
+    # kmeans and encode_pq both normalize the caller's id_col to `vec_id`,
+    # so every downstream join is on `vec_id` regardless of id_col
+    listed = assign.withColumnRenamed("cid", "list_id")
     (
-        codes.join(listed, id_col)
+        codes.join(listed, "vec_id")
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(os.path.join(path, "codes"))
@@ -250,7 +252,7 @@ def build_ivfpq_index(
     # sized IO, never a full scan)
     (
         emb.select(F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v"))
-        .join(listed.withColumnRenamed(id_col, "vec_id"), "vec_id")
+        .join(listed, "vec_id")
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(os.path.join(path, "vectors"))

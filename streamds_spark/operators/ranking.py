@@ -61,9 +61,15 @@ def with_global_rank(
         num_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     probes = [i / num_buckets for i in range(1, num_buckets)]
     bounds = sorted(set(df.approxQuantile(primary, probes, 0.01))) if probes else []
+    # NULL primary values: approxQuantile ignores them and (col > lit) is
+    # null — coalesce to False so null rows land in bucket 0, where the
+    # in-bucket sort's default asc_nulls_first puts them before every value,
+    # exactly matching row_number().over(Window.orderBy(primary)). (Heavily
+    # null columns concentrate in bucket 0 — same skew caveat as any
+    # near-constant primary.)
     bucket = F.lit(0)
     for b in bounds:
-        bucket = bucket + (F.col(primary) > F.lit(b)).cast("int")
+        bucket = bucket + F.coalesce(F.col(primary) > F.lit(b), F.lit(False)).cast("int")
     bucketed = df.withColumn("_rk_bucket", bucket)
     # ≤ num_buckets rows — safe driver-side collect (like k-means centroids)
     sizes = {

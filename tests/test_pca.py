@@ -71,3 +71,17 @@ def test_whitening_whitens(spark, emb):
     n, mean, cov = covariance_stats(whitened)
     np.testing.assert_allclose(mean, np.zeros(16), atol=1e-9)
     np.testing.assert_allclose(cov, np.eye(16), atol=1e-6)
+
+def test_pca_truncated_ratio_uses_full_spectrum(spark, emb):
+    """n_components must not change the ratio denominator (ADVICE r3: it was
+    None when truncated; a truncated ratio must be the fraction of TOTAL
+    variance, summing to < 1)."""
+    full = pca(load_table(spark, SF, "embeddings"))
+    k = 4
+    trunc = pca(load_table(spark, SF, "embeddings"), n_components=k)
+    assert trunc["explained_variance_ratio"] is not None
+    np.testing.assert_allclose(
+        trunc["explained_variance_ratio"], full["explained_variance_ratio"][:k],
+        rtol=1e-12,
+    )
+    assert 0.0 < trunc["explained_variance_ratio"].sum() < 1.0

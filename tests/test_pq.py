@@ -259,3 +259,22 @@ def test_ivfpq_append_batch_and_streaming_ingest(spark, tmp_path):
     q2 = [float(x) for x in emb.filter(F.col("vec_id") == 190).first()["embedding"]]
     top2 = ivfpq_probe_topk_reranked(spark, path, q2, topk=5, n_probe=4).collect()
     assert top2[0]["vec_id"] == 190
+
+
+def test_ivfpq_build_accepts_nondefault_id_col(spark, tmp_path):
+    """ADVICE r3: encode_pq aliases the id to vec_id while the listed join
+    used the caller's id_col — any id_col != 'vec_id' raised
+    AnalysisException. Build + probe must work with a renamed id."""
+    from streamds_spark.operators.pq import build_ivfpq_index, ivfpq_probe_topk
+
+    emb = (
+        load_table(spark, SF, "embeddings")
+        .limit(200)
+        .withColumnRenamed("vec_id", "doc_id")
+    )
+    path = str(tmp_path / "ivfpq_alt_id")
+    build_ivfpq_index(emb, path, n_lists=4, m=8, k_codes=8, max_iter=3, id_col="doc_id")
+    qvec = [float(x) for x in emb.filter(F.col("doc_id") == 0).first()["embedding"]]
+    rows = ivfpq_probe_topk(spark, path, qvec, topk=5, n_probe=4).collect()
+    assert len(rows) == 5
+    assert any(r["vec_id"] == 0 for r in rows)

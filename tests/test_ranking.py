@@ -76,3 +76,20 @@ def test_ntile_from_rank_matches_ntile(spark, n_rows, n_buckets):
         ).collect()
     }
     assert got == expected
+
+
+def test_with_global_rank_nulls_match_window_nulls_first(spark):
+    """NULL primary values must get the SAME ranks as the global window they
+    replace (default asc = NULLS FIRST), not null ranks / a TypeError from
+    comparing a None bucket size (ADVICE r3)."""
+    rng = random.Random(11)
+    rows = [
+        Row(id=i, v=None if i % 5 == 0 else rng.uniform(0, 100)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, schema="id int, v double").repartition(4)
+    got = {
+        r["id"]: r["rk"]
+        for r in with_global_rank(df, ["v", "id"], "rk", num_buckets=7).collect()
+    }
+    assert got == _ref_ranks(spark, df, ["v", "id"])
+    assert all(rk is not None for rk in got.values())

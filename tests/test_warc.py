@@ -124,6 +124,19 @@ def test_html_to_text_extraction(spark):
     assert "\n" in got
 
 
+def test_html_to_text_double_escaped_entities_single_decode(spark):
+    """ADVICE r3: '&amp;lt;' renders as the literal text '&lt;', NOT '<' —
+    the ampersand must decode LAST or escaped entities double-decode."""
+    from streamds_spark.functions.text import html_to_text
+
+    df = spark.createDataFrame(
+        [(1, "<p>write &amp;lt; for a literal &lt; and &amp;amp; for &amp;</p>")],
+        ["id", "raw"],
+    )
+    got = df.select(html_to_text(F.col("raw")).alias("t")).first()["t"]
+    assert got.strip() == "write &lt; for a literal < and &amp; for &"
+
+
 def test_warc_html_to_documents_pipeline(spark, tmp_path):
     """Full ingest: WARC response → html_to_text → tokenizable documents."""
     import gzip
