@@ -614,3 +614,27 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("nrm"), 4) + F.lit(0.0)).alias("nrm"),
         (F.abs(F.col("nrm") - F.col("mu")) > 3 * F.col("sd")).alias("is_outlier"),
     )
+
+
+@query(
+    "distinct_parts_exact",
+    oracle=r"""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_parts_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked exact twin of approx_distinct_parts (advanced.py:174):
+    HLL sketches aren't cross-engine comparable, so the approx query is
+    rows-only by design — this twin proves the same grouping/distinct shape
+    against the oracle, and tests/test_advanced.py bounds the sketch's error
+    against THIS exact count. Plan: partial distinct aggregation
+    (two-phase hash agg on (flag, partkey) then flag) — no global sort,
+    scales as the standard exact-distinct shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("cnt"),
+    )
