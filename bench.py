@@ -132,6 +132,18 @@ def main() -> None:
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
 
+    # Substring-dedup scaling watch (outside the headline total): the hashed-
+    # shingle path on the 10× corpus — the dup-mark groupBy and mark-back join
+    # exchange 8-byte xxhash64 keys instead of raw 8-token strings. Forced
+    # through an aggregate so the span-merge + rebuild actually run.
+    from streamds_spark.operators.substring_dedup import substring_dedup
+
+    t0 = time.time()
+    substring_dedup(scaled, 8, hash_shingles=True).agg(
+        F.sum("n_tokens_removed"), F.sum("n_spans")
+    ).collect()
+    substr_10x = round(time.time() - t0, 3)
+
     # Bloom decontamination (outside the headline total): benchmark = first
     # 5% of docs' shingles, corpus = the rest; two-phase bloom-prune + exact
     # verify. Tracks the map-only probe's cost against corpus growth.
@@ -173,6 +185,7 @@ def main() -> None:
                     "dedup_lsh_pairs_docs10x": lsh_10x,
                     "dedup_incremental_docs10x": incr_10x,
                     "dedup_incremental_store_build_docs10x": store_build_s,
+                    "substring_dedup_hashed_docs10x": substr_10x,
                     "bloom_decontaminate": bloom_s,
                     "source_unigram_kl": kl_s,
                     "pii_redaction_forced": pii_s,

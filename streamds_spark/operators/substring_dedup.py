@@ -35,9 +35,19 @@ def substring_dedup(
     l_tokens: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """(doc_id, n_spans, n_tokens_removed, n_tokens, cleaned_text): strip
-    every maximal span covered by corpus-duplicated L-token shingles."""
+    every maximal span covered by corpus-duplicated L-token shingles.
+
+    hash_shingles=True is the 100 TB path: the dup-mark groupBy and the
+    mark-back join key on xxhash64(shingle) — the corpus-wide exchanges move
+    8-byte longs instead of raw L-token strings (~10× smaller at L=8). The
+    hash is computed map-side BEFORE the first exchange, so the string never
+    leaves its scan task. A 64-bit collision marks one extra shingle as
+    duplicated (P ≈ n²/2⁶⁴ — at 10¹² shingles expect ~27 spurious marks
+    corpus-wide, each stripping one L-token span); the raw-string default
+    stays for exact cross-engine oracle equality."""
     toked = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
     )
@@ -45,6 +55,8 @@ def substring_dedup(
         "doc_id",
         F.posexplode(shingles_expr("toks", l_tokens)).alias("pos", "shingle"),
     )
+    if hash_shingles:
+        pos = pos.select("doc_id", "pos", F.xxhash64("shingle").alias("shingle"))
     dup = (
         pos.groupBy("shingle")
         .agg(F.count("*").alias("c"))

@@ -117,3 +117,39 @@ def test_plan_has_no_global_windows(spark, crafted):
     from streamds_spark.plans.audit import count_global_windows
 
     assert count_global_windows(substring_dedup(df, L)) == 0
+
+
+def test_hashed_shingle_path_equals_string_path(spark):
+    """hash_shingles=True (the 100 TB exchange-size path) must produce
+    byte-identical output to the raw-string default — xxhash64 only changes
+    the JOIN KEY representation, never which shingles count as duplicated."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    want = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in substring_dedup(docs, L).collect()
+    }
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in substring_dedup(docs, L, hash_shingles=True).collect()
+    }
+    assert got == want
+
+
+def test_hashed_path_exchanges_long_keys(spark, crafted):
+    """Plan pin: with hash_shingles=True the dup-mark aggregation and the
+    mark-back join key on a BIGINT xxhash64, i.e. every shingle exchange
+    carries 8-byte keys — and the raw string column is gone from the
+    exchange's input projection."""
+    _, df = crafted
+    plan = (
+        substring_dedup(df, L, hash_shingles=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "xxhash64" in plan
+    # every hashpartitioning on the shingle key is on the long (L-suffixed) col
+    import re
+
+    keys = re.findall(r"hashpartitioning\(shingle#\d+(L?)", plan)
+    assert keys and all(suffix == "L" for suffix in keys), keys
