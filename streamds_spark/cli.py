@@ -81,6 +81,20 @@ def main(argv: list[str] | None = None) -> int:
     ss.add_argument("--id-col", default="doc_id")
     ss.add_argument("--text-col", default="text")
 
+    iw = sub.add_parser(
+        "ingest-warc",
+        help="WARC segments -> documents parquet (html extraction + quality "
+        "scoring; the pretraining front door)",
+    )
+    iw.add_argument("src", help="WARC file/dir/glob (.warc or .warc.gz)")
+    iw.add_argument("dest", help="output parquet of documents")
+    iw.add_argument("--on-error", default="quarantine", choices=["fail", "quarantine", "skip"])
+    iw.add_argument("--min-tokens", type=int, default=5)
+    iw.add_argument(
+        "--all", action="store_true",
+        help="write every scored doc (default writes keep=true only)",
+    )
+
     sh = sub.add_parser(
         "shell",
         help="interactive terminal (the reference's command loop): SQL by "
@@ -212,6 +226,20 @@ def main(argv: list[str] | None = None) -> int:
             f"docs:{stats[0]} spans:{stats[1]} tokens_removed:{stats[2]} "
             f"tokens_total:{stats[3]}"
         )
+    elif args.cmd == "ingest-warc":
+        from pyspark.sql import functions as F
+
+        from streamds_spark.operators.ingest import warc_to_documents
+
+        scored = warc_to_documents(
+            spark, args.src, on_error=args.on_error, min_tokens=args.min_tokens
+        )
+        out = scored if args.all else scored.filter("keep").drop("keep")
+        out.write.mode("overwrite").parquet(args.dest)
+        stats = scored.agg(
+            F.count("*"), F.sum(F.col("keep").cast("int")), F.sum("n_tokens")
+        ).first()
+        print(f"responses:{stats[0]} kept:{stats[1]} tokens:{stats[2]}")
     elif args.cmd == "shell":
         _shell(spark, args.sf_dir, args.logs)
     return 0
