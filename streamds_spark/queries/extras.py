@@ -638,3 +638,83 @@ def distinct_parts_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_partkey").alias("n_parts"),
         F.count("*").alias("cnt"),
     )
+
+
+# --- PQ/ADC driver-checkable twin ------------------------------------------
+# The IVF-PQ index operators are pytest-only by nature (stateful index on
+# disk); this query gives the COMPRESSED ANN path a driver CORRECTNESS row.
+# Everything runs on an integer lattice so both engines compute bit-identical
+# distances: embeddings are floored to integers (floor(x*1000) — an exact
+# IEEE op, unlike round), the codebook and query vector are integer-valued
+# closed forms, and every squared-distance sum stays exactly representable in
+# doubles — no float-canonicalization risk anywhere.
+_PQ_M, _PQ_SUBD, _PQ_K, _PQ_TOPK = 8, 8, 4, 20
+
+
+def _pq_cb_int(s: int, c, d) -> str:
+    """Codebook entry as a DuckDB scalar over lambda vars c, d."""
+    return f"((({c} * 31 + {d} * 7 + {s} * 13) % 21 - 10) * 100)"
+
+
+def _pq_oracle_sql() -> str:
+    code_cols = []
+    for s in range(_PQ_M):
+        scored = (
+            f"list_transform(range(0, {_PQ_K}), cc -> "
+            f"list_sum(list_transform(range(0, {_PQ_SUBD}), d -> "
+            f"pow(v[{s * _PQ_SUBD} + d + 1] - {_pq_cb_int(s, 'cc', 'd')}, 2))))"
+        )
+        code_cols.append(
+            f"(list_position({scored}, list_min({scored})) - 1) AS c{s}"
+        )
+    adc_terms = []
+    for s in range(_PQ_M):
+        qv = f"((({s * _PQ_SUBD} + d) * 17) % 13 - 6) * 500"
+        adc_terms.append(
+            f"list_sum(list_transform(range(0, {_PQ_SUBD}), d -> "
+            f"pow(({qv}) - {_pq_cb_int(s, f'c{s}', 'd')}, 2)))"
+        )
+    return f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 1000)) AS v
+        FROM embeddings
+    ),
+    codes AS (
+        SELECT vec_id, {", ".join(code_cols)} FROM e
+    )
+    SELECT vec_id, CAST({" + ".join(adc_terms)} AS BIGINT) AS adc_dist
+    FROM codes
+    ORDER BY adc_dist, vec_id
+    LIMIT {_PQ_TOPK}
+    """
+
+
+@query("pq_adc_rank_check", oracle=_pq_oracle_sql())
+def pq_adc_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode + ADC top-k (operators/pq.py encode_pq_expr + adc_topk) on a
+    deterministic integer lattice, hash-checked against a DuckDB replica of
+    the same codebook/LUT math — proof the compressed ANN scoring path (code
+    assignment tie-breaks, LUT lookups, distance accumulation) is exact, not
+    just recall-tested. Plan: map-only encode + one TakeOrdered, same as the
+    production probe."""
+    from streamds_spark.operators.pq import adc_topk, encode_pq_expr
+
+    cb = [
+        [
+            [float(((c * 31 + d * 7 + s * 13) % 21 - 10) * 100) for d in range(_PQ_SUBD)]
+            for c in range(_PQ_K)
+        ]
+        for s in range(_PQ_M)
+    ]
+    qvec = [float(((j * 17) % 13 - 6) * 500) for j in range(_PQ_M * _PQ_SUBD)]
+    emb = load_table(spark, sf_dir, "embeddings")
+    lat = emb.select(
+        "vec_id",
+        F.transform(
+            as_double(F.col("embedding")), lambda x: F.floor(x * 1000).cast("double")
+        ).alias("v"),
+    )
+    codes = lat.select("vec_id", encode_pq_expr(cb, F.col("v")).alias("codes"))
+    top = adc_topk(codes, cb, qvec, topk=_PQ_TOPK)
+    return top.select("vec_id", F.col("adc_dist2").cast("bigint").alias("adc_dist"))

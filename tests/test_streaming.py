@@ -8,6 +8,8 @@ from __future__ import annotations
 import os
 from collections import Counter
 
+import pytest
+
 from streamds_spark.operators.rainstorm import RainStormJob
 from streamds_spark.streaming.engine import (
     read_latest_batch,
@@ -346,14 +348,19 @@ def test_streaming_equals_batch_on_events_table(spark, tmp_path):
     assert got == expected
 
 
-def test_streaming_sessions_equal_batch_sessionize(spark, tmp_path):
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+def test_streaming_sessions_equal_batch_sessionize(spark, tmp_path, sf):
     """Streaming session_window over the REAL events table must produce the
     batch sessionization answer (session_window_native, itself hash-checked
     against the lag/cumsum DuckDB oracle). Append mode only emits a session
     once the watermark passes its end, so a far-future SENTINEL event is fed
     in a second file/microbatch to advance the watermark beyond every real
     session — after filtering the sentinel, streaming must equal batch
-    exactly."""
+    exactly.
+
+    Runs at sf0.001 AND sf0.1 (100k events / 1500 users / ~40k sessions):
+    the scale point exercises real state-store pressure and multi-partition
+    watermark coordination, not just the semantics."""
     import shutil
     import time as _time
 
@@ -361,8 +368,6 @@ def test_streaming_sessions_equal_batch_sessionize(spark, tmp_path):
     from streamds_spark.catalog import load_table, normalize_events_ts
     from streamds_spark.registry import load_all
     from streamds_spark.streaming.engine import session_windowed_counts
-
-    sf = "/root/testdata/sf0.001"
     expected = {
         (r["user_id"], r["session_start"], r["n_events"])
         for r in load_all()["session_window_native"].fn(spark, sf).collect()
