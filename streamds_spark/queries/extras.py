@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamds_spark.catalog import load_table
+from streamds_spark.functions.hashing import md5_int60
 from streamds_spark.functions.text import tokens
 from streamds_spark.functions.vectors import as_double, norm
 from streamds_spark.queries.llmdata.dedup import (
@@ -718,3 +719,149 @@ def pq_adc_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = lat.select("vec_id", encode_pq_expr(cb, F.col("v")).alias("codes"))
     top = adc_topk(codes, cb, qvec, topk=_PQ_TOPK)
     return top.select("vec_id", F.col("adc_dist2").cast("bigint").alias("adc_dist"))
+
+
+# --- DSIR-style importance weighting ----------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023, public method):
+# estimate target/raw distributions over HASHED n-gram features (here: hashed
+# unigrams, the same cross-engine md5 bucket as feature_hash_vectors), weight
+# every raw doc by its log likelihood ratio, and select the top quantile.
+_DSIR_DIM = 256  # hashed feature buckets
+_DSIR_TARGET = ("src0", "src1", "src2", "src3")  # the "curated" slice
+_DSIR_KEEP_FRAC = 0.25
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(unnest(
+                    list_filter(string_split_regex(text, '\s+'), w -> w <> ''))), 1, 15)
+               )::BIGINT % {_DSIR_DIM} AS b
+        FROM documents
+    ),
+    tcnt AS (
+        SELECT b, count(*) AS c FROM tok
+        WHERE source IN {_DSIR_TARGET} GROUP BY b
+    ),
+    rcnt AS (
+        SELECT b, count(*) AS c FROM tok
+        WHERE source NOT IN {_DSIR_TARGET} GROUP BY b
+    ),
+    tot AS (
+        SELECT (SELECT sum(c) FROM tcnt) AS tn, (SELECT sum(c) FROM rcnt) AS rn
+    ),
+    lut AS (  -- Laplace-smoothed per-bucket log ratio, D rows
+        SELECT buckets.b,
+               ln((coalesce(tcnt.c, 0) + 1.0) / (tot.tn + {_DSIR_DIM}))
+             - ln((coalesce(rcnt.c, 0) + 1.0) / (tot.rn + {_DSIR_DIM})) AS llr
+        FROM (SELECT unnest(range(0, {_DSIR_DIM})) AS b) buckets
+        LEFT JOIN tcnt USING (b) LEFT JOIN rcnt USING (b) CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT tok.doc_id, sum(lut.llr) AS w
+        FROM tok JOIN lut USING (b)
+        WHERE tok.source NOT IN {_DSIR_TARGET}
+        GROUP BY tok.doc_id
+    ),
+    cut AS (SELECT quantile_cont(w, {1 - _DSIR_KEEP_FRAC}) AS q FROM scored)
+    SELECT doc_id,
+           round(w, 4) + 0.0 AS log_weight,
+           CAST(w >= cut.q AS BOOLEAN) AS selected
+    FROM scored CROSS JOIN cut
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): per-doc log importance weight
+    log p_target(x)/p_raw(x) under hashed-unigram bag models (Laplace
+    smoothed), plus the top-25%-by-weight selection verdict.
+
+    Scale shape: one tokenize pass builds per-bucket counts (D=256 rows per
+    side — broadcast); the per-doc score joins the D-row LUT onto the token
+    stream map-side and partial-aggregates by doc_id (one shuffle). The
+    selection threshold is a 1-row exact percentile broadcast back. At
+    100 TB nothing driver-side ever exceeds D rows. Interpolated quantile
+    matches DuckDB's quantile_cont via percentile()."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("w")
+    ).select("doc_id", "source", (md5_int60(F.col("w")) % _DSIR_DIM).alias("b"))
+    is_target = F.col("source").isin(*_DSIR_TARGET)
+    tcnt = tok.filter(is_target).groupBy("b").agg(F.count("*").alias("tc"))
+    rcnt = tok.filter(~is_target).groupBy("b").agg(F.count("*").alias("rc"))
+    buckets = spark.range(_DSIR_DIM).select(F.col("id").alias("b"))
+    tot_t = tcnt.agg(F.sum("tc")).collect()[0][0]
+    tot_r = rcnt.agg(F.sum("rc")).collect()[0][0]
+    lut = (
+        buckets.join(tcnt, "b", "left")
+        .join(rcnt, "b", "left")
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("tc", F.lit(0)) + 1.0) / F.lit(float(tot_t + _DSIR_DIM)))
+                - F.log((F.coalesce("rc", F.lit(0)) + 1.0) / F.lit(float(tot_r + _DSIR_DIM)))
+            ).alias("llr"),
+        )
+    )
+    scored = (
+        tok.filter(~is_target)
+        .join(F.broadcast(lut), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("llr").alias("w"))
+    )
+    cut = scored.agg(
+        F.percentile("w", F.lit(1 - _DSIR_KEEP_FRAC)).alias("q")
+    )
+    return scored.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        (F.round(F.col("w"), 4) + F.lit(0.0)).alias("log_weight"),
+        (F.col("w") >= F.col("q")).alias("selected"),
+    )
+
+
+# --- Deterministic epoch shuffle --------------------------------------------
+_SHUFFLE_SEED = 42
+_SHUFFLE_SHARDS = 8
+
+
+@query(
+    "epoch_shuffle_order",
+    oracle=rf"""
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('epoch-{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15)
+               )::BIGINT AS hv
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(hv % {_SHUFFLE_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % {_SHUFFLE_SHARDS}
+                                   ORDER BY hv, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle: every worker can compute its
+    shard's read order with no coordination — shard = h % S and position =
+    rank of h within the shard, where h = md5('epoch-<seed>:' || doc_id).
+    Reseeding the epoch string gives a fresh permutation; the same seed
+    always replays identically (the checkpoint/resume contract).
+
+    Scale shape: one map pass computes h; the only shuffle is the window
+    PARTITIONED by shard (S-way parallel sort, no global ordering). At 100 TB
+    set S ≈ number of training readers and each shard sorts independently."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    h = docs.select(
+        "doc_id",
+        md5_int60(F.concat(F.lit(f"epoch-{_SHUFFLE_SEED}:"), F.col("doc_id"))).alias("hv"),
+    )
+    shard = (F.col("hv") % _SHUFFLE_SHARDS).cast("int")
+    w = Window.partitionBy(shard).orderBy("hv", "doc_id")
+    return h.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
