@@ -308,3 +308,93 @@ def _salvage_warc_prefix(raw: bytes) -> "list[tuple]":
                 return good
         good.extend(nxt)
         return good
+
+
+# --- WebDataset-style tar shards ---------------------------------------------
+
+TAR_SCHEMA = (
+    "shard string, key string, ext string, content_length bigint, payload binary"
+)
+
+
+def read_tar_shards(spark: SparkSession, path: str, on_error: str = "fail") -> DataFrame:
+    """WebDataset-style .tar / .tar.gz shard reader — the de-facto layout for
+    large multimodal training sets (samples stored as `<key>.<ext>` members,
+    e.g. 000123.jpg + 000123.txt + 000123.json in one shard).
+
+    Same scale shape as read_warc: binaryFile scan distributes SHARDS (one
+    task per tar — parallelism = shard count, the WebDataset contract), an
+    Arrow-batched mapInPandas unpacks members with stdlib tarfile. Returns
+    one row per member: (shard, key, ext, content_length, payload), where
+    key/ext split on the FIRST dot of the basename (WebDataset rule: the key
+    is everything before the first dot, so `x.seg.png` → ext 'seg.png').
+
+    on_error: 'fail' raises on a corrupt shard; 'quarantine' emits one
+    ext='_parse_error' row per bad shard (error text in the payload);
+    'skip' drops bad shards silently. Directories and PAX/global headers are
+    ignored (non-file members).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    if on_error not in ("fail", "quarantine", "skip"):
+        raise ValueError(f"on_error must be fail|quarantine|skip, got {on_error!r}")
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def unpack(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import io as _io
+        import os as _os
+        import tarfile
+
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                try:
+                    # r:* autodetects gz/bz2/xz compression from magic bytes
+                    with tarfile.open(fileobj=_io.BytesIO(raw), mode="r:*") as tf:
+                        for m in tf:
+                            if not m.isfile():
+                                continue
+                            base = _os.path.basename(m.name)
+                            key, dot, ext = base.partition(".")
+                            data = tf.extractfile(m).read()
+                            rows.append((p, key, ext if dot else "", len(data), data))
+                except Exception as e:
+                    if on_error == "fail":
+                        raise ValueError(f"{p}: {e}") from e
+                    if on_error == "quarantine":
+                        rows.append((p, "", "_parse_error", len(raw), str(e).encode()))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["shard", "key", "ext", "content_length", "payload"]
+                )
+
+    return files.mapInPandas(unpack, schema=TAR_SCHEMA)
+
+
+def webdataset_samples(members: DataFrame, text_exts: tuple = ("txt", "json", "cls")) -> DataFrame:
+    """Regroup tar members into one row per SAMPLE (shard, key): binary
+    members stay in a `parts` map<ext, binary>, small text members are also
+    decoded into `texts` map<ext, string> for direct column access.
+
+    One shuffle on (shard, key) — at 100 TB samples are contiguous within a
+    shard, so with shard-partitioned input this aggregation is map-side-
+    mergeable; downstream multimodal UDFs (functions/multimodal.py) consume
+    the map columns per Arrow batch."""
+    from pyspark.sql import functions as F
+
+    texts = F.map_filter(
+        F.map_from_entries(F.collect_list(F.struct("ext", "payload"))),
+        lambda k, v: k.isin(*text_exts),
+    )
+    return (
+        members.filter(F.col("ext") != "_parse_error")
+        .groupBy("shard", "key")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("ext", "payload"))).alias("parts"),
+            F.transform_values(texts, lambda k, v: v.cast("string")).alias("texts"),
+            F.count("*").alias("n_parts"),
+        )
+    )
