@@ -38,6 +38,7 @@ from streamds_spark.queries.llmdata import sharding  # noqa: F401
 from streamds_spark.queries.llmdata import similarity  # noqa: F401
 from streamds_spark.queries.llmdata import textstats  # noqa: F401
 from streamds_spark.queries.llmdata import vocab  # noqa: F401
+from streamds_spark.queries.llmdata import webfilter  # noqa: F401
 
 # imported LAST (and deliberately outside queries.llmdata): round-3+ additions
 # must queue behind the older never-checked backlog in the driver window

@@ -1,0 +1,499 @@
+"""Web-corpus hygiene filters: the published Gopher quality rules, C4-style
+line cleaning, mojibake (encoding-damage) detection, and a unicode script
+profile.
+
+These are the document-level gates a 100 TB pretraining pipeline runs between
+raw ingest (WARC -> html_to_text) and dedup/tokenization. Everything here is a
+map-only scan over `documents` except the Gopher n-gram-repetition signals,
+which need one doc-local groupBy chain (shuffle keys are (doc_id, ...) so AQE
+coalesces them; text column pruning pushes into the parquet scan either way).
+
+Public sources for the rule definitions (re-derived, not copied):
+  - Gopher rules: Rae et al. 2021, "Scaling Language Models" (arXiv:2112.11446),
+    Appendix A1.1 (document filters) / A1.2 (repetition filters).
+  - C4 cleaning: Raffel et al. 2020, "Exploring the Limits of Transfer
+    Learning" (arXiv:1910.10683), section 2.2.
+Where the papers leave the character-accounting ambiguous (duplicate-line /
+duplicate-n-gram char fractions), the exact formula used on BOTH engines is
+stated in the docstring so the oracle is well-defined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamds_spark.catalog import load_table
+from streamds_spark.functions.text import tokens
+from streamds_spark.registry import query
+
+# Gopher's stop-word gate uses this fixed 8-word set (A1.1: "contains at least
+# two of the following English words").
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GSW_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+# Thresholds from Rae et al. 2021 Table A1 (repetition) + A1.1 (quality).
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "min_stopword_hits": 2,
+    "max_dup_line_frac": 0.30,
+    "max_dup_line_char_frac": 0.20,
+    "max_top2gram_char_frac": 0.20,
+    "max_top3gram_char_frac": 0.18,
+    "max_top4gram_char_frac": 0.16,
+    "max_dup5gram_char_frac": 0.15,
+    "max_dup10gram_char_frac": 0.10,
+}
+
+
+def _ngram_struct_expr(n_values: tuple[int, ...]) -> str:
+    """SQL expr producing array<struct<n:int, g:string>> of all n-grams for
+    every n in n_values, from an array column `toks` — so ONE posexplode +
+    ONE doc-local groupBy covers every n-gram family Gopher needs, instead of
+    a shuffle per n."""
+    parts = []
+    for n in n_values:
+        joined = ", ".join(f"toks[i + {j}]" for j in range(n))
+        parts.append(
+            f"CASE WHEN size(toks) >= {n} THEN "
+            f"transform(sequence(0, size(toks) - {n}), "
+            f"i -> named_struct('n', {n}, 'g', concat_ws(' ', {joined}))) "
+            f"ELSE array() END"
+        )
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _duckdb_ngram_cte(n: int) -> str:
+    """DuckDB CTE body: (doc_id, n, g) rows of n-grams (1-indexed lists)."""
+    joined = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return (
+        f"SELECT doc_id, {n} AS n, unnest(CASE WHEN len(t) >= {n} "
+        f"THEN list_transform(range(1, len(t) - {n} + 2), i -> {joined}) "
+        f"ELSE [] END) AS g FROM toks"
+    )
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, length(text) AS n_chars_t,
+               list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t,
+               string_split(text, chr(10)) AS lines,
+               len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_symbols
+        FROM documents
+    ),
+    toks2 AS (SELECT doc_id, n_chars_t, n_symbols, lines, t AS toks FROM toks),
+    word_stats AS (
+        SELECT doc_id, n_chars_t, n_symbols,
+               len(toks) AS n_words,
+               CASE WHEN len(toks) > 0 THEN
+                   CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks)
+               ELSE 0.0 END AS mean_word_len,
+               CASE WHEN len(toks) > 0 THEN
+                   CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                   / len(toks) ELSE 0.0 END AS alpha_word_frac,
+               len(list_filter(toks, w -> list_contains([{_GSW_SQL}], lower(w))))
+                   AS stopword_hits,
+               CASE WHEN len(toks) > 0 THEN CAST(n_symbols AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS symbol_word_ratio
+        FROM toks2
+    ),
+    line_rows AS (
+        SELECT doc_id, unnest(lines) AS line FROM toks2
+    ),
+    line_flags AS (
+        SELECT doc_id, count(*) AS n_lines,
+               sum(CASE WHEN regexp_matches(line, '^\s*([-*•])') THEN 1 ELSE 0 END) AS n_bullet,
+               sum(CASE WHEN regexp_matches(line, '(\.\.\.|…)\s*$') THEN 1 ELSE 0 END) AS n_ellipsis
+        FROM line_rows GROUP BY doc_id
+    ),
+    line_dups AS (
+        SELECT doc_id,
+               sum(c) AS total_lines, sum(c * length(line)) AS total_line_chars,
+               sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS dup_lines,
+               sum(CASE WHEN c > 1 THEN (c - 1) * length(line) ELSE 0 END) AS dup_line_chars
+        FROM (SELECT doc_id, line, count(*) AS c FROM line_rows GROUP BY doc_id, line)
+        GROUP BY doc_id
+    ),
+    grams AS (
+        {_duckdb_ngram_cte(2)} UNION ALL {_duckdb_ngram_cte(3)} UNION ALL
+        {_duckdb_ngram_cte(4)} UNION ALL {_duckdb_ngram_cte(5)} UNION ALL
+        {_duckdb_ngram_cte(10)}
+    ),
+    gram_counts AS (
+        SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g
+    ),
+    gram_stats AS (
+        SELECT doc_id, n,
+               max(c * length(g)) AS top_chars,
+               sum(CASE WHEN c > 1 THEN (c - 1) * length(g) ELSE 0 END) AS dup_chars
+        FROM gram_counts GROUP BY doc_id, n
+    ),
+    gram_pivot AS (
+        SELECT doc_id,
+               max(CASE WHEN n = 2 THEN top_chars END) AS top2_chars,
+               max(CASE WHEN n = 3 THEN top_chars END) AS top3_chars,
+               max(CASE WHEN n = 4 THEN top_chars END) AS top4_chars,
+               max(CASE WHEN n = 5 THEN dup_chars END) AS dup5_chars,
+               max(CASE WHEN n = 10 THEN dup_chars END) AS dup10_chars
+        FROM gram_stats GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(w.n_words AS INT) AS n_words,
+           round(w.mean_word_len, 4) AS mean_word_len,
+           round(w.symbol_word_ratio, 4) AS symbol_word_ratio,
+           round(w.alpha_word_frac, 4) AS alpha_word_frac,
+           CAST(w.stopword_hits AS INT) AS stopword_hits,
+           round(CAST(coalesce(lf.n_bullet, 0) AS DOUBLE) / lf.n_lines, 4) AS bullet_line_frac,
+           round(CAST(coalesce(lf.n_ellipsis, 0) AS DOUBLE) / lf.n_lines, 4) AS ellipsis_line_frac,
+           round(CAST(ld.dup_lines AS DOUBLE) / ld.total_lines, 4) AS dup_line_frac,
+           round(CASE WHEN ld.total_line_chars > 0
+                 THEN CAST(ld.dup_line_chars AS DOUBLE) / ld.total_line_chars
+                 ELSE 0.0 END, 4) AS dup_line_char_frac,
+           round(CAST(coalesce(g.top2_chars, 0) AS DOUBLE) / w.n_chars_t, 4) AS top2gram_char_frac,
+           round(CAST(coalesce(g.top3_chars, 0) AS DOUBLE) / w.n_chars_t, 4) AS top3gram_char_frac,
+           round(CAST(coalesce(g.top4_chars, 0) AS DOUBLE) / w.n_chars_t, 4) AS top4gram_char_frac,
+           round(CAST(coalesce(g.dup5_chars, 0) AS DOUBLE) / w.n_chars_t, 4) AS dup5gram_char_frac,
+           round(CAST(coalesce(g.dup10_chars, 0) AS DOUBLE) / w.n_chars_t, 4) AS dup10gram_char_frac,
+           (w.n_words >= 50 AND w.n_words <= 100000
+            AND w.mean_word_len >= 3.0 AND w.mean_word_len <= 10.0
+            AND w.symbol_word_ratio <= 0.1
+            AND CAST(coalesce(lf.n_bullet, 0) AS DOUBLE) / lf.n_lines <= 0.9
+            AND CAST(coalesce(lf.n_ellipsis, 0) AS DOUBLE) / lf.n_lines <= 0.3
+            AND w.alpha_word_frac >= 0.8
+            AND w.stopword_hits >= 2
+            AND CAST(ld.dup_lines AS DOUBLE) / ld.total_lines <= 0.30
+            AND (CASE WHEN ld.total_line_chars > 0
+                 THEN CAST(ld.dup_line_chars AS DOUBLE) / ld.total_line_chars
+                 ELSE 0.0 END) <= 0.20
+            AND CAST(coalesce(g.top2_chars, 0) AS DOUBLE) / w.n_chars_t <= 0.20
+            AND CAST(coalesce(g.top3_chars, 0) AS DOUBLE) / w.n_chars_t <= 0.18
+            AND CAST(coalesce(g.top4_chars, 0) AS DOUBLE) / w.n_chars_t <= 0.16
+            AND CAST(coalesce(g.dup5_chars, 0) AS DOUBLE) / w.n_chars_t <= 0.15
+            AND CAST(coalesce(g.dup10_chars, 0) AS DOUBLE) / w.n_chars_t <= 0.10)
+               AS gopher_keep
+    FROM word_stats w
+    JOIN line_flags lf USING (doc_id)
+    JOIN line_dups ld USING (doc_id)
+    LEFT JOIN gram_pivot g USING (doc_id)
+    WHERE w.n_chars_t > 0
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher rule set (Rae et al. 2021 A1) per document, plus the
+    composed keep flag.
+
+    Char-accounting conventions (fixed on both engines):
+      - dup_line_char_frac = sum over repeated line VALUES of
+        (count-1) * len(line), over total line chars (chars beyond the first
+        occurrence count as duplicated);
+      - topNgram_char_frac = max over n-grams of count * len(gram) / len(text)
+        (the paper's "fraction of characters contained within the most
+        frequently-occurring n-gram"; gram length includes its inner spaces);
+      - dupNgram_char_frac = sum over grams with count>1 of
+        (count-1) * len(gram) / len(text). Overlapping occurrences are NOT
+        de-overlapped (deterministic, one aggregation; strictly an upper
+        bound on the paper's span-marking variant).
+
+    Scale shape: the word/line signals are a single map-only pass; the n-gram
+    signals are ONE posexplode of (n, gram) structs for n in {2,3,4,5,10} and
+    one (doc_id, n, gram) groupBy — doc-local keys, so no global hotspots, and
+    AQE right-sizes the exchange. At 100 TB this is the same shuffle shape as
+    minhash shingling, which is already benched.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_t"),
+        tokens(F.col("text")).alias("toks"),
+        F.split(F.col("text"), "\n").alias("lines"),
+        F.expr(r"regexp_count(text, '#|\\.\\.\\.|…')").alias("n_symbols"),
+    )
+
+    n_words = F.size("toks")
+    gsw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    word_stats = t.select(
+        "doc_id",
+        "n_chars_t",
+        n_words.alias("n_words"),
+        F.when(
+            n_words > 0,
+            F.aggregate("toks", F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
+            / n_words,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_word_len"),
+        F.when(
+            n_words > 0,
+            F.size(F.filter("toks", lambda w: w.rlike("[A-Za-z]"))).cast("double") / n_words,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("alpha_word_frac"),
+        F.size(F.filter("toks", lambda w: F.array_contains(gsw, F.lower(w)))).alias(
+            "stopword_hits"
+        ),
+        F.when(n_words > 0, F.col("n_symbols").cast("double") / n_words)
+        .otherwise(F.lit(0.0))
+        .alias("symbol_word_ratio"),
+    )
+
+    line_rows = t.select("doc_id", F.explode("lines").alias("line"))
+    line_flags = line_rows.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("line").rlike(r"^\s*([-*•])"), 1).otherwise(0)).alias("n_bullet"),
+        F.sum(F.when(F.col("line").rlike(r"(\.\.\.|…)\s*$"), 1).otherwise(0)).alias(
+            "n_ellipsis"
+        ),
+    )
+    line_dups = (
+        line_rows.groupBy("doc_id", "line")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("total_lines"),
+            F.sum(F.col("c") * F.length("line")).alias("total_line_chars"),
+            F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0)).alias("dup_lines"),
+            F.sum(
+                F.when(F.col("c") > 1, (F.col("c") - 1) * F.length("line")).otherwise(0)
+            ).alias("dup_line_chars"),
+        )
+    )
+
+    grams = t.select(
+        "doc_id", F.explode(F.expr(_ngram_struct_expr((2, 3, 4, 5, 10)))).alias("ng")
+    ).select("doc_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    gram_stats = (
+        grams.groupBy("doc_id", "n", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.max(F.col("c") * F.length("g")).alias("top_chars"),
+            F.sum(
+                F.when(F.col("c") > 1, (F.col("c") - 1) * F.length("g")).otherwise(0)
+            ).alias("dup_chars"),
+        )
+    )
+    gram_pivot = gram_stats.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("top_chars"))).alias(f"top{n}_chars")
+            for n in (2, 3, 4)
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("dup_chars"))).alias(f"dup{n}_chars")
+            for n in (5, 10)
+        ],
+    )
+
+    th = GOPHER_THRESHOLDS
+    j = (
+        word_stats.join(line_flags, "doc_id")
+        .join(line_dups, "doc_id")
+        .join(gram_pivot, "doc_id", "left")
+    )
+    bullet_f = F.coalesce("n_bullet", F.lit(0)).cast("double") / F.col("n_lines")
+    ellipsis_f = F.coalesce("n_ellipsis", F.lit(0)).cast("double") / F.col("n_lines")
+    dup_line_f = F.col("dup_lines").cast("double") / F.col("total_lines")
+    dup_line_char_f = F.when(
+        F.col("total_line_chars") > 0,
+        F.col("dup_line_chars").cast("double") / F.col("total_line_chars"),
+    ).otherwise(F.lit(0.0))
+    gram_f = {
+        name: F.coalesce(name + "_chars", F.lit(0)).cast("double") / F.col("n_chars_t")
+        for name in ("top2", "top3", "top4", "dup5", "dup10")
+    }
+    keep = (
+        (F.col("n_words") >= th["min_words"])
+        & (F.col("n_words") <= th["max_words"])
+        & (F.col("mean_word_len") >= th["min_mean_word_len"])
+        & (F.col("mean_word_len") <= th["max_mean_word_len"])
+        & (F.col("symbol_word_ratio") <= th["max_symbol_word_ratio"])
+        & (bullet_f <= th["max_bullet_line_frac"])
+        & (ellipsis_f <= th["max_ellipsis_line_frac"])
+        & (F.col("alpha_word_frac") >= th["min_alpha_word_frac"])
+        & (F.col("stopword_hits") >= th["min_stopword_hits"])
+        & (dup_line_f <= th["max_dup_line_frac"])
+        & (dup_line_char_f <= th["max_dup_line_char_frac"])
+        & (gram_f["top2"] <= th["max_top2gram_char_frac"])
+        & (gram_f["top3"] <= th["max_top3gram_char_frac"])
+        & (gram_f["top4"] <= th["max_top4gram_char_frac"])
+        & (gram_f["dup5"] <= th["max_dup5gram_char_frac"])
+        & (gram_f["dup10"] <= th["max_dup10gram_char_frac"])
+    )
+    return j.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.round("mean_word_len", 4).alias("mean_word_len"),
+        F.round("symbol_word_ratio", 4).alias("symbol_word_ratio"),
+        F.round("alpha_word_frac", 4).alias("alpha_word_frac"),
+        F.col("stopword_hits").cast("int").alias("stopword_hits"),
+        F.round(bullet_f, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_f, 4).alias("ellipsis_line_frac"),
+        F.round(dup_line_f, 4).alias("dup_line_frac"),
+        F.round(dup_line_char_f, 4).alias("dup_line_char_frac"),
+        F.round(gram_f["top2"], 4).alias("top2gram_char_frac"),
+        F.round(gram_f["top3"], 4).alias("top3gram_char_frac"),
+        F.round(gram_f["top4"], 4).alias("top4gram_char_frac"),
+        F.round(gram_f["dup5"], 4).alias("dup5gram_char_frac"),
+        F.round(gram_f["dup10"], 4).alias("dup10gram_char_frac"),
+        keep.alias("gopher_keep"),
+    )
+
+
+@query(
+    "c4_line_filter",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT doc_id,
+               string_split(text, chr(10)) AS lines,
+               (regexp_matches(lower(text), 'lorem ipsum') OR contains(text, '{'))
+                   AS page_dropped
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, page_dropped, len(lines) AS n_lines,
+               list_filter(lines, l ->
+                   regexp_matches(l, '[.!?"]\s*$')
+                   AND len(list_filter(string_split_regex(l, '\s+'), w -> w <> '')) >= 3
+                   AND NOT regexp_matches(lower(l), 'javascript')) AS keep_lines
+        FROM per_doc
+    )
+    SELECT doc_id,
+           CAST(n_lines AS INT) AS n_lines,
+           CAST(CASE WHEN page_dropped THEN 0 ELSE len(keep_lines) END AS INT) AS n_kept_lines,
+           CAST(CASE WHEN page_dropped THEN 0
+                ELSE coalesce(length(array_to_string(keep_lines, chr(10))), 0)
+                END AS INT) AS cleaned_chars,
+           page_dropped
+    FROM kept
+    """,
+)
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning pass (Raffel et al. 2020 §2.2), restated as per-line keep
+    rules + page-level drops:
+
+      line kept iff: ends in terminal punctuation (. ! ? \"), has >= 3
+      whitespace words, and does not mention 'javascript' (case-insensitive);
+      page dropped iff: text contains 'lorem ipsum' (case-insensitive) or '{'.
+
+    Pure higher-order Catalyst expressions on the `lines` array — a map-only
+    scan, no shuffle; at 100 TB this runs at parquet-read speed with `text`
+    as the only column read.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    page_dropped = F.lower(F.col("text")).rlike("lorem ipsum") | F.col("text").contains("{")
+    keep_lines = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"]\s*$')
+        & (F.size(tokens(l)) >= 3)
+        & ~F.lower(l).rlike("javascript"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("int").alias("n_lines"),
+        F.when(page_dropped, F.lit(0))
+        .otherwise(F.size(keep_lines))
+        .cast("int")
+        .alias("n_kept_lines"),
+        F.when(page_dropped, F.lit(0))
+        .otherwise(F.length(F.array_join(keep_lines, "\n")))
+        .cast("int")
+        .alias("cleaned_chars"),
+        page_dropped.alias("page_dropped"),
+    )
+
+
+# Mojibake signatures: UTF-8 bytes of common punctuation/letters re-decoded as
+# latin-1/cp1252 ('â€™', 'â€œ', 'Ã©', 'Â '), the replacement char, and a
+# mid-text BOM. Kept as one alternation so both engines count identically.
+_MOJIBAKE_PATTERN = "â€.|Ã[‰©¨¤¼¶«»€‚ƒ]|Â[ °±²]|�|﻿"
+
+
+@query(
+    "mojibake_score",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_MOJIBAKE_PATTERN}')) AS INT) AS mojibake_hits,
+           CAST(len(regexp_extract_all(text, '�')) AS INT) AS replacement_chars,
+           (len(regexp_extract_all(text, '{_MOJIBAKE_PATTERN}')) > 0) AS is_suspect
+    FROM documents
+    """,
+)
+def mojibake_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage detector (ftfy-style heuristic, re-derived): counts
+    classic UTF-8-as-latin-1 double-decode signatures, replacement characters,
+    and stray BOMs. Map-only regexp_count — codegen'd, no shuffle; the cheap
+    pre-gate before any expensive transcoding repair step."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = F.expr(f"regexp_count(text, '{_MOJIBAKE_PATTERN}')")
+    return docs.select(
+        "doc_id",
+        hits.cast("int").alias("mojibake_hits"),
+        F.expr("regexp_count(text, '�')").cast("int").alias("replacement_chars"),
+        (hits > 0).alias("is_suspect"),
+    )
+
+
+# Script ranges as literal characters (not \u escapes) so the Java regex and
+# RE2 engines see byte-identical patterns.
+_SCRIPTS = {
+    "latin": "[A-Za-z]",
+    "digit": "[0-9]",
+    "cjk": f"[{chr(0x4E00)}-{chr(0x9FFF)}]",
+    "cyrillic": f"[{chr(0x0400)}-{chr(0x04FF)}]",
+    "arabic": f"[{chr(0x0600)}-{chr(0x06FF)}]",
+    "greek": f"[{chr(0x0370)}-{chr(0x03FF)}]",
+}
+
+
+@query(
+    "script_profile",
+    oracle=rf"""
+    WITH per_doc AS (
+        SELECT lang,
+               length(text) AS n,
+               {', '.join(
+                   f"len(regexp_extract_all(text, '{pat}')) AS c_{name}"
+                   for name, pat in _SCRIPTS.items()
+               )}
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS docs,
+           {', '.join(
+               f"round(CAST(sum(c_{name}) AS DOUBLE) / sum(n), 4) AS {name}_frac"
+               for name in _SCRIPTS
+           )}
+    FROM per_doc GROUP BY lang
+    """,
+)
+def script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script mix per language tag: fraction of characters in each
+    major script range, aggregated corpus-wide. The lang-id sanity check a
+    multilingual pipeline runs before choosing per-language filters — a
+    lang='en' shard with high CJK fraction means the tagger is broken.
+    Map-only regexp_count per script + one tiny groupBy(lang)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    per_doc = docs.select(
+        "lang",
+        F.length("text").alias("n"),
+        *[
+            F.expr(f"regexp_count(text, '{pat}')").alias(f"c_{name}")
+            for name, pat in _SCRIPTS.items()
+        ],
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        *[
+            F.round(F.sum(f"c_{name}").cast("double") / F.sum("n"), 4).alias(f"{name}_frac")
+            for name in _SCRIPTS
+        ],
+    )

@@ -1,0 +1,141 @@
+"""Web-corpus hygiene filters (queries/llmdata/webfilter.py) on realistic
+fixture documents — the registry runs these over the synthetic word-salad
+`documents` table, so the line/punctuation/mojibake rule logic is exercised
+here with text that actually has newlines, bullets, duplicate lines, repeated
+n-grams, and encoding damage."""
+
+from __future__ import annotations
+
+import pytest
+
+from streamds_spark.queries.llmdata.webfilter import (
+    GOPHER_THRESHOLDS,
+    c4_line_filter,
+    gopher_quality_flags,
+    mojibake_score,
+    script_profile,
+)
+
+GOOD_BODY = (
+    "the quick brown fox jumps over the lazy dog and then runs away to have "
+    "a rest with plenty of friends that come along for dinner every single "
+    "evening because they enjoy good company and be happy about all of it "
+    "while the moon rises over the quiet hills of the valley town tonight "
+    "and every cat naps softly near the warm fire place downstairs again"
+)
+
+
+def _write_docs(spark, tmp_out, rows):
+    df = spark.createDataFrame(
+        [(i, text, "en", "fixture", len(text)) for i, text in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_out}/documents.parquet")
+    return tmp_out
+
+
+class TestGopher:
+    def test_clean_doc_keeps(self, spark, tmp_out):
+        sf = _write_docs(spark, tmp_out, [GOOD_BODY])
+        row = gopher_quality_flags(spark, sf).collect()[0]
+        assert row.n_words >= GOPHER_THRESHOLDS["min_words"]
+        assert row.stopword_hits >= 2
+        assert row.alpha_word_frac == 1.0
+        assert row.gopher_keep is True
+
+    def test_too_short_rejected(self, spark, tmp_out):
+        sf = _write_docs(spark, tmp_out, ["too short to pass the fifty word gate"])
+        row = gopher_quality_flags(spark, sf).collect()[0]
+        assert row.n_words < 50 and row.gopher_keep is False
+
+    def test_duplicate_lines_rejected(self, spark, tmp_out):
+        dup_line = "this exact line repeats many times in the page."
+        text = GOOD_BODY + "\n" + "\n".join([dup_line] * 10)
+        sf = _write_docs(spark, tmp_out, [text])
+        row = gopher_quality_flags(spark, sf).collect()[0]
+        # 9 of 11 lines are repeats of an earlier value
+        assert row.dup_line_frac == round(9 / 11, 4)
+        assert row.dup_line_char_frac > GOPHER_THRESHOLDS["max_dup_line_char_frac"]
+        assert row.gopher_keep is False
+
+    def test_repeated_ngram_rejected(self, spark, tmp_out):
+        text = GOOD_BODY + " " + ("click here to buy now " * 30)
+        sf = _write_docs(spark, tmp_out, [text])
+        row = gopher_quality_flags(spark, sf).collect()[0]
+        assert row.dup5gram_char_frac > GOPHER_THRESHOLDS["max_dup5gram_char_frac"]
+        assert row.gopher_keep is False
+
+    def test_bullet_lines_rejected(self, spark, tmp_out):
+        bullets = "\n".join(f"- item number {i} in the list" for i in range(20))
+        sf = _write_docs(spark, tmp_out, [bullets])
+        row = gopher_quality_flags(spark, sf).collect()[0]
+        assert row.bullet_line_frac == 1.0 and row.gopher_keep is False
+
+    def test_symbol_ratio(self, spark, tmp_out):
+        text = "see more ... and more ... # tags # everywhere # now"
+        sf = _write_docs(spark, tmp_out, [text])
+        row = gopher_quality_flags(spark, sf).collect()[0]
+        # 2 ellipses + 3 hashes over 12 whitespace tokens
+        assert row.symbol_word_ratio == round(5 / 12, 4)
+
+    def test_no_alpha_words(self, spark, tmp_out):
+        sf = _write_docs(spark, tmp_out, ["12 34 56 78 90 11 22 33"])
+        row = gopher_quality_flags(spark, sf).collect()[0]
+        assert row.alpha_word_frac == 0.0 and row.gopher_keep is False
+
+
+class TestC4:
+    def test_line_rules(self, spark, tmp_out):
+        text = "\n".join(
+            [
+                "This line ends with proper punctuation.",  # kept
+                "no terminal punctuation here",  # dropped: no punct
+                "Short.",  # dropped: < 3 words
+                "Please enable javascript to continue.",  # dropped: javascript
+                'He said "stop right there."',  # kept
+            ]
+        )
+        sf = _write_docs(spark, tmp_out, [text])
+        row = c4_line_filter(spark, sf).collect()[0]
+        assert row.n_lines == 5
+        assert row.n_kept_lines == 2
+        assert row.page_dropped is False
+        kept = ["This line ends with proper punctuation.", 'He said "stop right there."']
+        assert row.cleaned_chars == len("\n".join(kept))
+
+    @pytest.mark.parametrize("poison", ["some Lorem Ipsum filler text.", "code { display }"])
+    def test_page_drops(self, spark, tmp_out, poison):
+        sf = _write_docs(spark, tmp_out, ["A good line stays here.\n" + poison])
+        row = c4_line_filter(spark, sf).collect()[0]
+        assert row.page_dropped is True
+        assert row.n_kept_lines == 0 and row.cleaned_chars == 0
+
+
+class TestMojibake:
+    def test_detects_double_decode(self, spark, tmp_out):
+        sf = _write_docs(
+            spark,
+            tmp_out,
+            [
+                "itâ€™s a classic â€œquoteâ€ gone wrong with cafÃ© Ã©clair",
+                "clean text with no encoding damage at all",
+                "bad byte � here and � there",
+            ],
+        )
+        rows = {r.doc_id: r for r in mojibake_score(spark, sf).collect()}
+        assert rows[0].is_suspect is True and rows[0].mojibake_hits >= 3
+        assert rows[1].is_suspect is False and rows[1].mojibake_hits == 0
+        assert rows[2].replacement_chars == 2 and rows[2].is_suspect is True
+
+
+class TestScriptProfile:
+    def test_script_fractions(self, spark, tmp_out):
+        # 10 latin letters + 2 spaces + 4 CJK chars
+        sf = _write_docs(spark, tmp_out, ["hello world 你好世界 42"])
+        row = script_profile(spark, sf).collect()[0]
+        n = len("hello world 你好世界 42")
+        assert row.docs == 1
+        assert row.latin_frac == round(10 / n, 4)
+        assert row.cjk_frac == round(4 / n, 4)
+        assert row.digit_frac == round(2 / n, 4)
+        assert row.cyrillic_frac == 0.0
