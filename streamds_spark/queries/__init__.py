@@ -28,6 +28,7 @@ from streamds_spark.queries.llmdata import corpus  # noqa: F401
 from streamds_spark.queries.llmdata import dedup  # noqa: F401
 from streamds_spark.queries.llmdata import embeddings  # noqa: F401
 from streamds_spark.queries.llmdata import heavyhitters  # noqa: F401
+from streamds_spark.queries.llmdata import lshplan  # noqa: F401
 from streamds_spark.queries.llmdata import multimodal  # noqa: F401
 from streamds_spark.queries.llmdata import quality  # noqa: F401
 from streamds_spark.queries.llmdata import redaction  # noqa: F401

@@ -329,3 +329,58 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_noncentroid_cos",
         F.coalesce(F.col("neardup_pairs"), F.lit(0)).cast("bigint").alias("neardup_pairs"),
     )
+
+
+# RAG-style chunking: fixed token window with overlap. Chunk starts are every
+# CHUNK_STRIDE tokens while < n; each chunk takes up to CHUNK_WIDTH tokens
+# (the tail chunk may be shorter). chunk_idx = start / stride.
+CHUNK_WIDTH = 32
+CHUNK_STRIDE = 24
+
+
+@query(
+    "chunk_documents_overlap",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, t, unnest(range(0, len(t), {CHUNK_STRIDE})) AS s
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(s // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(s AS INT) AS start_token,
+           CAST(len(list_slice(t, s + 1, s + {CHUNK_WIDTH})) AS INT) AS n_chunk_tokens,
+           array_to_string(list_slice(t, s + 1, s + {CHUNK_WIDTH}), ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for retrieval/context building:
+    CHUNK_WIDTH-token chunks every CHUNK_STRIDE tokens (8-token overlap), tail
+    chunk short. The overlap guarantees any CHUNK_WIDTH-STRIDE-token span is
+    fully contained in some chunk — the standard RAG indexing layout.
+
+    Plan: one explode of per-doc start offsets (a doc-local sequence — no
+    shuffle at all; chunking is map-side) followed by codegen slice/concat.
+    At 100 TB the output is written bucketed by doc_id so chunk->doc joins
+    stay co-located."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("t")).where(F.size("t") > 0)
+    starts = t.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.size("t") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    chunk = F.slice(F.col("t"), F.col("s") + 1, F.lit(CHUNK_WIDTH))
+    return starts.select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.col("s").cast("int").alias("start_token"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
