@@ -1,0 +1,128 @@
+"""Mergeable sketch operators. First entry: a Count-Min sketch over corpus
+term frequencies (Cormode & Muthukrishnan 2005 — public algorithm, re-derived)
+whose hash functions are md5-derived, so the ENTIRE sketch is bit-identical
+across engines and the estimate query is hash-checked against the DuckDB
+oracle — unlike HLL (approx_distinct_parts), whose engine-internal sketch
+can only get a rows-only check.
+
+Why a sketch when groupBy(term) is exact? At 100 TB the exact vocabulary is
+billions of keys; the CMS collapses the aggregation state to D×W counters
+(here 4×512 = 2 KiB of longs). The groupBy below has only D·W distinct keys,
+so Spark's partial (map-side) aggregation reduces each task's output to ≤2048
+rows before the exchange — the shuffle is kilobytes regardless of corpus
+size, and sketches from any two corpus shards merge by cell-wise addition
+(the property streaming/incremental ingest needs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamds_spark.catalog import load_table
+from streamds_spark.functions.hashing import duckdb_md5_int, md5_int60
+from streamds_spark.functions.text import tokens
+from streamds_spark.registry import query
+
+CMS_DEPTH = 4  # independent hash rows; P(overestimate by >2eN) <= 2^-D
+CMS_WIDTH = 512  # counters per row
+CMS_TOPK = 20
+
+
+def cms_cell(term, j: int):
+    """Row-j counter index for a term (identical in the DuckDB oracle)."""
+    return md5_int60(F.concat(F.lit(f"cms{j}:"), term)) % CMS_WIDTH
+
+
+def build_cms(term_counts: DataFrame) -> DataFrame:
+    """(j, cell, cellsum) sketch rows from a (term, c) frequency relation.
+    One explode to D rows per term + a 2048-key groupBy (map-side combined)."""
+    rows = term_counts.select(
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), cms_cell(F.col("term"), j).alias("cell")
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("jc"),
+    )
+    return rows.groupBy(F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell")).agg(
+        F.sum("c").alias("cellsum")
+    )
+
+
+@query(
+    "cms_term_estimates",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS term
+        FROM documents
+    ),
+    counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    sketch AS (
+        SELECT j, {duckdb_md5_int("'cms' || j || ':' || term")} % {CMS_WIDTH} AS cell,
+               sum(c) AS cellsum
+        FROM counts CROSS JOIN range(0, {CMS_DEPTH}) t(j)
+        GROUP BY 1, 2
+    ),
+    top AS (SELECT term, c FROM counts ORDER BY c DESC, term LIMIT {CMS_TOPK}),
+    probes AS (
+        SELECT term, c, j,
+               {duckdb_md5_int("'cms' || j || ':' || term")} % {CMS_WIDTH} AS cell
+        FROM top CROSS JOIN range(0, {CMS_DEPTH}) t(j)
+    )
+    SELECT p.term,
+           CAST(p.c AS BIGINT) AS exact_count,
+           CAST(min(s.cellsum) AS BIGINT) AS cms_estimate,
+           CAST(min(s.cellsum) - p.c AS BIGINT) AS overestimate
+    FROM probes p JOIN sketch s ON p.j = s.j AND p.cell = s.cell
+    GROUP BY p.term, p.c
+    """,
+)
+def cms_term_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min estimates for the top-{CMS_TOPK} corpus terms, alongside the
+    exact counts: estimate = min over the D rows of the hashed cell's sum, so
+    overestimate >= 0 always (the CMS guarantee) and is hash-checked exactly
+    because the md5 cell hashes agree across engines.
+
+    Plan: one exact term-count aggregate feeds both the sketch build (2048-key
+    groupBy, fully map-side combined) and the probe side; the probe joins the
+    2 KiB sketch broadcast. At 100 TB the exact `counts` CTE disappears — the
+    sketch builds directly from exploded tokens at the same 2048-key shuffle
+    cost, and exact counts exist only for whatever probe set you verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    term_counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    sketch = build_cms(term_counts)
+    top = term_counts.orderBy(F.col("c").desc(), "term").limit(CMS_TOPK)
+    probes = top.select(
+        "term",
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), cms_cell(F.col("term"), j).alias("cell")
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("jc"),
+    ).select("term", "c", F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell"))
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("term", "c")
+        .agg(F.min("cellsum").alias("cms_estimate"))
+    )
+    return est.select(
+        "term",
+        F.col("c").cast("bigint").alias("exact_count"),
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("c")).cast("bigint").alias("overestimate"),
+    )
