@@ -347,6 +347,33 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def c4_stat_columns() -> list:
+    """The C4 cleaning pass as a reusable column list over a `text` column —
+    shared verbatim by the batch query below and streaming ingest (the
+    expressions are stateless, so readStream applies them unchanged; see
+    tests/test_webfilter.py::test_c4_columns_stream_equals_batch)."""
+    lines = F.split(F.col("text"), "\n")
+    page_dropped = F.lower(F.col("text")).rlike("lorem ipsum") | F.col("text").contains("{")
+    keep_lines = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"]\s*$')
+        & (F.size(tokens(l)) >= 3)
+        & ~F.lower(l).rlike("javascript"),
+    )
+    return [
+        F.size(lines).cast("int").alias("n_lines"),
+        F.when(page_dropped, F.lit(0))
+        .otherwise(F.size(keep_lines))
+        .cast("int")
+        .alias("n_kept_lines"),
+        F.when(page_dropped, F.lit(0))
+        .otherwise(F.length(F.array_join(keep_lines, "\n")))
+        .cast("int")
+        .alias("cleaned_chars"),
+        page_dropped.alias("page_dropped"),
+    ]
+
+
 @query(
     "c4_line_filter",
     oracle=r"""
@@ -388,27 +415,7 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the only column read.
     """
     docs = load_table(spark, sf_dir, "documents")
-    lines = F.split(F.col("text"), "\n")
-    page_dropped = F.lower(F.col("text")).rlike("lorem ipsum") | F.col("text").contains("{")
-    keep_lines = F.filter(
-        lines,
-        lambda l: l.rlike(r'[.!?"]\s*$')
-        & (F.size(tokens(l)) >= 3)
-        & ~F.lower(l).rlike("javascript"),
-    )
-    return docs.select(
-        "doc_id",
-        F.size(lines).cast("int").alias("n_lines"),
-        F.when(page_dropped, F.lit(0))
-        .otherwise(F.size(keep_lines))
-        .cast("int")
-        .alias("n_kept_lines"),
-        F.when(page_dropped, F.lit(0))
-        .otherwise(F.length(F.array_join(keep_lines, "\n")))
-        .cast("int")
-        .alias("cleaned_chars"),
-        page_dropped.alias("page_dropped"),
-    )
+    return docs.select("doc_id", *c4_stat_columns())
 
 
 # Mojibake signatures: UTF-8 bytes of common punctuation/letters re-decoded as

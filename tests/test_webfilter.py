@@ -128,6 +128,45 @@ class TestMojibake:
         assert rows[2].replacement_chars == 2 and rows[2].is_suspect is True
 
 
+def test_c4_columns_stream_equals_batch(spark, tmp_out):
+    """The C4 expressions are stateless Catalyst columns, so the exact same
+    c4_stat_columns() list runs on readStream — filter-at-ingest and
+    filter-in-batch can never diverge because they share the expression
+    objects."""
+    from streamds_spark.queries.llmdata.webfilter import c4_stat_columns
+
+    texts = [
+        "Good line one stays here.\nshort\nAnother keeper line stays too.",
+        "lorem ipsum dolor sit amet.",
+        "Line mentioning javascript gets dropped.\nBut this line is fine.",
+    ]
+    sf = _write_docs(spark, tmp_out, texts)
+
+    batch = {
+        r.doc_id: r for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", *c4_stat_columns())
+        .collect()
+    }
+    stream_df = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .parquet(f"{sf}/documents.parquet")
+        .select("doc_id", *c4_stat_columns())
+    )
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("c4_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    streamed = {r.doc_id: r for r in spark.sql("SELECT * FROM c4_stream").collect()}
+    assert len(streamed) == len(texts)
+    for i in streamed:
+        assert streamed[i] == batch[i]
+
+
 class TestScriptProfile:
     def test_script_fractions(self, spark, tmp_out):
         # 10 latin letters + 2 spaces + 4 CJK chars
