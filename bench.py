@@ -173,6 +173,16 @@ def main() -> None:
     ).collect()
     pii_s = round(time.time() - t0, 3)
 
+    # Gopher rule-set pass (round-4 addition, outside the headline total so
+    # round-over-round totals stay comparable): the n-gram repetition signals
+    # are the expensive part — one (n, gram) posexplode + doc-local groupBy,
+    # the same shuffle family as minhash shingling.
+    t0 = time.time()
+    specs["gopher_quality_flags"].fn(spark, sf_dir).agg(
+        F.sum(F.col("gopher_keep").cast("int")), F.sum("n_words")
+    ).collect()
+    gopher_s = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -189,6 +199,7 @@ def main() -> None:
                     "bloom_decontaminate": bloom_s,
                     "source_unigram_kl": kl_s,
                     "pii_redaction_forced": pii_s,
+                    "gopher_quality_flags_forced": gopher_s,
                     "headline_first_pass_total": round(cold_total, 3),
                 },
             }

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamds_spark.catalog import load_table
-from streamds_spark.functions.text import tokens
+from streamds_spark.functions.text import shingles_expr, tokens
 from streamds_spark.registry import query
 
 # Gopher's stop-word gate uses this fixed 8-word set (A1.1: "contains at least
@@ -53,21 +53,40 @@ GOPHER_THRESHOLDS = {
 }
 
 
-def _ngram_struct_expr(n_values: tuple[int, ...]) -> str:
-    """SQL expr producing array<struct<n:int, g:string>> of all n-grams for
-    every n in n_values, from an array column `toks` — so ONE posexplode +
-    ONE doc-local groupBy covers every n-gram family Gopher needs, instead of
-    a shuffle per n."""
-    parts = []
-    for n in n_values:
-        joined = ", ".join(f"toks[i + {j}]" for j in range(n))
-        parts.append(
-            f"CASE WHEN size(toks) >= {n} THEN "
-            f"transform(sequence(0, size(toks) - {n}), "
-            f"i -> named_struct('n', {n}, 'g', concat_ws(' ', {joined}))) "
-            f"ELSE array() END"
-        )
-    return "concat(" + ", ".join(parts) + ")"
+_TAIL = "filter(sequence(1, size({a})), i -> i >= 2)"  # 1-based positions 2..m
+
+
+def _dup_runs_sql(arr: str, per_item: str) -> str:
+    """SQL expr: sum of `per_item` over every element of a SORTED, NON-EMPTY
+    array that equals its predecessor — i.e. sum over runs of (count-1) *
+    per_item, the map-side replacement for a doc-local groupBy + HAVING c>1.
+    One linear pass, no intermediate run structs (higher-order functions are
+    interpreted per row, so pass count is the whole cost model)."""
+    item = per_item.format(v=f"element_at({arr}, i)")
+    return (
+        f"aggregate({_TAIL.format(a=arr)}, CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + IF(element_at({arr}, i) = element_at({arr}, i - 1), "
+        f"CAST({item} AS BIGINT), CAST(0 AS BIGINT)))"
+    )
+
+
+def _top_run_chars_sql(arr: str) -> str:
+    """SQL expr: max over runs of run_length * value_length for a SORTED,
+    NON-EMPTY array (the "chars in the most frequent n-gram" signal), as one
+    linear fold carrying (current run length, best product)."""
+    eq = f"element_at({arr}, i) = element_at({arr}, i - 1)"
+    item_len = f"CAST(length(element_at({arr}, i)) AS BIGINT)"
+    return (
+        f"aggregate({_TAIL.format(a=arr)}, "
+        f"named_struct('run', CAST(1 AS BIGINT), "
+        f"'best', CAST(length(element_at({arr}, 1)) AS BIGINT)), "
+        f"(acc, i) -> IF({eq}, "
+        f"named_struct('run', acc.run + 1, "
+        f"'best', greatest(acc.best, (acc.run + 1) * {item_len})), "
+        f"named_struct('run', CAST(1 AS BIGINT), "
+        f"'best', greatest(acc.best, {item_len}))), "
+        f"acc -> acc.best)"
+    )
 
 
 def _duckdb_ngram_cte(n: int) -> str:
@@ -203,11 +222,17 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         de-overlapped (deterministic, one aggregation; strictly an upper
         bound on the paper's span-marking variant).
 
-    Scale shape: the word/line signals are a single map-only pass; the n-gram
-    signals are ONE posexplode of (n, gram) structs for n in {2,3,4,5,10} and
-    one (doc_id, n, gram) groupBy — doc-local keys, so no global hotspots, and
-    AQE right-sizes the exchange. At 100 TB this is the same shuffle shape as
-    minhash shingling, which is already benched.
+    Scale shape: every Gopher signal is DOC-LOCAL, so the whole rule set is
+    ONE map-only projection — no explode, no groupBy, no join, no shuffle at
+    all. Per-doc duplicate counting (lines and each n-gram family) is
+    array_sort + single-pass adjacent-equal folds (_dup_runs_sql /
+    _top_run_chars_sql), the map-side equivalent of the groupBy a first draft
+    would reach for. Higher-order functions evaluate interpreted per row, so
+    each stat is exactly one linear pass over its sorted array — no
+    intermediate run structs, no re-inlined subtrees. At 100 TB this runs at parquet-scan speed with `text` the only
+    column read; contrast text_repetition_score, which keeps the exploded
+    groupBy shape as the general pattern when per-key state does NOT fit a
+    row.
     """
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     t = docs.select(
@@ -218,9 +243,26 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(r"regexp_count(text, '#|\\.\\.\\.|…')").alias("n_symbols"),
     )
 
+    # Sorted arrays for run-length dup counting. Empty gram arrays (doc
+    # shorter than n tokens) are replaced by [''] so element_at stays in
+    # bounds under ANSI mode; the dummy run has length*count contribution 0.
+    def _nonempty_sorted(col):
+        return F.array_sort(
+            F.when(F.size(col) == 0, F.array(F.lit(""))).otherwise(col)
+        )
+
+    arrs = t.select(
+        "*",
+        _nonempty_sorted(F.col("lines")).alias("lsort"),
+        *[
+            _nonempty_sorted(shingles_expr("toks", n)).alias(f"g{n}")
+            for n in (2, 3, 4, 5, 10)
+        ],
+    )
+
     n_words = F.size("toks")
     gsw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
-    word_stats = t.select(
+    stats = arrs.select(
         "doc_id",
         "n_chars_t",
         n_words.alias("n_words"),
@@ -243,70 +285,30 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_words > 0, F.col("n_symbols").cast("double") / n_words)
         .otherwise(F.lit(0.0))
         .alias("symbol_word_ratio"),
-    )
-
-    line_rows = t.select("doc_id", F.explode("lines").alias("line"))
-    line_flags = line_rows.groupBy("doc_id").agg(
-        F.count("*").alias("n_lines"),
-        F.sum(F.when(F.col("line").rlike(r"^\s*([-*•])"), 1).otherwise(0)).alias("n_bullet"),
-        F.sum(F.when(F.col("line").rlike(r"(\.\.\.|…)\s*$"), 1).otherwise(0)).alias(
-            "n_ellipsis"
-        ),
-    )
-    line_dups = (
-        line_rows.groupBy("doc_id", "line")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("total_lines"),
-            F.sum(F.col("c") * F.length("line")).alias("total_line_chars"),
-            F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0)).alias("dup_lines"),
-            F.sum(
-                F.when(F.col("c") > 1, (F.col("c") - 1) * F.length("line")).otherwise(0)
-            ).alias("dup_line_chars"),
-        )
-    )
-
-    grams = t.select(
-        "doc_id", F.explode(F.expr(_ngram_struct_expr((2, 3, 4, 5, 10)))).alias("ng")
-    ).select("doc_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
-    gram_stats = (
-        grams.groupBy("doc_id", "n", "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id", "n")
-        .agg(
-            F.max(F.col("c") * F.length("g")).alias("top_chars"),
-            F.sum(
-                F.when(F.col("c") > 1, (F.col("c") - 1) * F.length("g")).otherwise(0)
-            ).alias("dup_chars"),
-        )
-    )
-    gram_pivot = gram_stats.groupBy("doc_id").agg(
-        *[
-            F.max(F.when(F.col("n") == n, F.col("top_chars"))).alias(f"top{n}_chars")
-            for n in (2, 3, 4)
-        ],
-        *[
-            F.max(F.when(F.col("n") == n, F.col("dup_chars"))).alias(f"dup{n}_chars")
-            for n in (5, 10)
-        ],
+        F.size("lines").alias("n_lines"),
+        F.size(F.filter("lines", lambda l: l.rlike(r"^\s*([-*•])"))).alias("n_bullet"),
+        F.size(F.filter("lines", lambda l: l.rlike(r"(\.\.\.|…)\s*$"))).alias("n_ellipsis"),
+        F.expr(_dup_runs_sql("lsort", "1")).alias("dup_lines"),
+        F.expr(
+            "aggregate(lines, CAST(0 AS BIGINT), "
+            "(acc, l) -> acc + CAST(length(l) AS BIGINT))"
+        ).alias("total_line_chars"),
+        F.expr(_dup_runs_sql("lsort", "length({v})")).alias("dup_line_chars"),
+        *[F.expr(_top_run_chars_sql(f"g{n}")).alias(f"top{n}_chars") for n in (2, 3, 4)],
+        *[F.expr(_dup_runs_sql(f"g{n}", "length({v})")).alias(f"dup{n}_chars") for n in (5, 10)],
     )
 
     th = GOPHER_THRESHOLDS
-    j = (
-        word_stats.join(line_flags, "doc_id")
-        .join(line_dups, "doc_id")
-        .join(gram_pivot, "doc_id", "left")
-    )
-    bullet_f = F.coalesce("n_bullet", F.lit(0)).cast("double") / F.col("n_lines")
-    ellipsis_f = F.coalesce("n_ellipsis", F.lit(0)).cast("double") / F.col("n_lines")
-    dup_line_f = F.col("dup_lines").cast("double") / F.col("total_lines")
+    j = stats
+    bullet_f = F.col("n_bullet").cast("double") / F.col("n_lines")
+    ellipsis_f = F.col("n_ellipsis").cast("double") / F.col("n_lines")
+    dup_line_f = F.col("dup_lines").cast("double") / F.col("n_lines")
     dup_line_char_f = F.when(
         F.col("total_line_chars") > 0,
         F.col("dup_line_chars").cast("double") / F.col("total_line_chars"),
     ).otherwise(F.lit(0.0))
     gram_f = {
-        name: F.coalesce(name + "_chars", F.lit(0)).cast("double") / F.col("n_chars_t")
+        name: F.col(name + "_chars").cast("double") / F.col("n_chars_t")
         for name in ("top2", "top3", "top4", "dup5", "dup10")
     }
     keep = (
