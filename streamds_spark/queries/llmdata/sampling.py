@@ -145,3 +145,56 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("k", 6) + F.lit(0.0)).alias("sample_key"),
         )
     )
+
+
+_DOMAIN_CAP = 40
+
+
+@query(
+    "domain_cap_sample",
+    oracle=rf"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {duckdb_md5_int("'domaincap:' || CAST(doc_id AS VARCHAR)")}, doc_id
+               ) AS rk,
+               count(*) OVER (PARTITION BY source) AS domain_docs
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS INT) AS keep_rank,
+           CAST(domain_docs AS BIGINT) AS domain_docs
+    FROM ranked WHERE rk <= {_DOMAIN_CAP}
+    """,
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the FineWeb/RefinedWeb-style guard against a
+    single site dominating the mix): keep at most {_DOMAIN_CAP} docs per
+    source, chosen by a deterministic md5 shuffle within the domain so the
+    kept subset is an unbiased sample, not the crawl-order head.
+
+    Plan: one window PARTITIONED by source — bounded per-domain partitions,
+    no global ordering. At 100 TB a mega-domain (the skew case) is exactly
+    the thing this operator truncates; AQE's skew split handles the sort of
+    the few domains above its threshold."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_int60(F.concat(F.lit("domaincap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    wc = Window.partitionBy("source")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).alias("keep_rank"),
+            F.count("*").over(wc).alias("domain_docs"),
+        )
+        .filter(F.col("keep_rank") <= _DOMAIN_CAP)
+        .select(
+            "doc_id",
+            "source",
+            F.col("keep_rank").cast("int").alias("keep_rank"),
+            F.col("domain_docs").cast("bigint").alias("domain_docs"),
+        )
+    )

@@ -248,3 +248,112 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
     )
+
+
+# Stopword families for the multi-language voting upgrade of text_lang_id.
+# Small, high-frequency function words per language (public linguistic
+# knowledge); overlaps (fr/es 'la', 'de') are fine — argmax voting with an
+# alphabetical tie-break decides.
+LANG_STOPWORDS = {
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with"),
+    "es": ("el", "los", "que", "y", "en", "un", "por", "como"),
+    "fr": ("le", "les", "et", "des", "une", "est", "dans", "pour"),
+}
+
+
+@query(
+    "lang_id_multi",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, len(toks) AS n,
+               {', '.join(
+                   f"len(list_filter(toks, w -> list_contains(["
+                   + ", ".join(f"'{w}'" for w in ws)
+                   + f"], w))) AS c_{lang}"
+                   for lang, ws in sorted(LANG_STOPWORDS.items())
+               )}
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           {', '.join(
+               f"round(CAST(c_{lang} AS DOUBLE) / n, 4) AS score_{lang}"
+               for lang in sorted(LANG_STOPWORDS)
+           )},
+           CASE greatest(c_de, c_en, c_es, c_fr)
+                WHEN c_de THEN 'de' WHEN c_en THEN 'en'
+                WHEN c_es THEN 'es' ELSE 'fr' END AS lang_guess
+    FROM scored
+    """,
+)
+def lang_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-language ID by stopword-family voting: per-language hit rates
+    over {de, en, es, fr} function-word sets, argmax with alphabetical
+    tie-break (the CASE checks languages in sorted order, so the first
+    language attaining the max wins — identical in both engines). Map-only;
+    real pipelines swap the families for fastText-style n-gram profiles, the
+    plan shape is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    ).where(F.size("toks") > 0)
+    langs = sorted(LANG_STOPWORDS)
+    def _family_count(ws):
+        fam = F.array(*[F.lit(x) for x in ws])
+        return F.size(F.filter("toks", lambda w: F.array_contains(fam, w)))
+
+    counts = [
+        _family_count(LANG_STOPWORDS[lang]).alias(f"c_{lang}") for lang in langs
+    ]
+    scored = t.select("doc_id", F.size("toks").alias("n"), *counts)
+    best = F.greatest(*[F.col(f"c_{lang}") for lang in langs])
+    guess = F.when(F.col("c_de") == best, "de")
+    for lang in ("en", "es"):
+        guess = guess.when(F.col(f"c_{lang}") == best, lang)
+    guess = guess.otherwise("fr")
+    return scored.select(
+        "doc_id",
+        *[
+            F.round(F.col(f"c_{lang}").cast("double") / F.col("n"), 4).alias(
+                f"score_{lang}"
+            )
+            for lang in langs
+        ],
+        guess.alias("lang_guess"),
+    )
+
+
+@query(
+    "sentence_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[.!?]+(\s|$)')) AS INT) AS n_sentences,
+           CAST(len(regexp_extract_all(text, ',|;|:')) AS INT) AS n_clause_marks,
+           round(CASE WHEN len(regexp_extract_all(text, '[.!?]+(\s|$)')) > 0
+                 THEN CAST(length(text) AS DOUBLE)
+                      / len(regexp_extract_all(text, '[.!?]+(\s|$)'))
+                 ELSE 0.0 END, 4) AS avg_sentence_chars
+    FROM documents
+    """,
+)
+def sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats via terminator counting (a lookbehind-free
+    rule so the Java and RE2 regex engines agree): sentence ends are runs of
+    .!? followed by whitespace or end-of-text. Map-only regexp_count — the
+    cheap pre-pass before a real segmenter, and the denominator for
+    sentences-per-doc style quality gates."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_sent = F.expr(r"regexp_count(text, '[.!?]+(\\s|$)')")
+    return docs.select(
+        "doc_id",
+        n_sent.cast("int").alias("n_sentences"),
+        F.expr("regexp_count(text, ',|;|:')").cast("int").alias("n_clause_marks"),
+        F.round(
+            F.when(n_sent > 0, F.length("text").cast("double") / n_sent).otherwise(0.0), 4
+        ).alias("avg_sentence_chars"),
+    )

@@ -506,3 +506,37 @@ def script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name in _SCRIPTS
         ],
     )
+
+
+# License / rights phrases that flag a document for legal review before it
+# enters a training mix. Lowercased substring alternation — deliberately
+# high-recall; the downstream reviewer prunes false positives.
+_LICENSE_PATTERN = (
+    "creative commons|all rights reserved|licensed under|gnu general public"
+    "|apache license|mit license|do not (redistribute|reproduce)|©"
+)
+
+
+@query(
+    "license_flag_docs",
+    oracle=rf"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(CASE WHEN regexp_matches(lower(text), '{_LICENSE_PATTERN}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+           round(CAST(sum(CASE WHEN regexp_matches(lower(text), '{_LICENSE_PATTERN}')
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS flag_rate
+    FROM documents GROUP BY source
+    """,
+)
+def license_flag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rights/license phrase detector rolled up per source: the cheap
+    map-only gate that routes docs with license boilerplate to review before
+    training. One regexp per doc + a tiny groupBy(source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = F.lower(F.col("text")).rlike(_LICENSE_PATTERN).cast("int")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum(flagged).cast("bigint").alias("flagged_docs"),
+        F.round(F.sum(flagged).cast("double") / F.count("*"), 4).alias("flag_rate"),
+    )
