@@ -1,7 +1,8 @@
-"""Z-order layout (operators/zorder.py): Morton key correctness vs a Python
-reference, and the file-skipping payoff — a z-ordered write gives every file a
-bounded rectangle in (x, y) space, so footer min/max stats prune reads
-filtered on EITHER column; a single-column sort only helps one of them."""
+"""Z-order layout: three-way key equality (Python reference == portable SQL ==
+io/layout.interleave_bits), cross-engine SQL portability, and the file-skipping
+payoff — a z-ordered write gives every file a bounded rectangle in (x, y)
+space, so footer min/max stats prune reads filtered on EITHER column; a
+single-column sort only helps one of them."""
 
 from __future__ import annotations
 
@@ -9,23 +10,24 @@ import random
 
 from pyspark.sql import functions as F
 
-from streamds_spark.operators.zorder import (
-    layout_file_stats,
-    write_zorder_layout,
-    zorder_key,
-    zorder_py,
-    zorder_sql,
-)
+from streamds_spark.io.layout import interleave_bits, write_zordered
+from streamds_spark.operators.zorder import layout_file_stats, zorder_py, zorder_sql
 
 
-def test_key_matches_python_reference(spark):
+def test_key_three_way_equality(spark):
+    """zorder_sql (oracle-portable) == interleave_bits (canonical writer path)
+    == zorder_py (reference) — pins that the oracle-checked key really is the
+    key the clustered write sorts by."""
     rng = random.Random(7)
     rows = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
-    df = spark.createDataFrame(rows, "x long, y long").withColumn(
-        "z", zorder_key("x", "y", bits=16)
+    df = spark.createDataFrame(rows, "x long, y long").select(
+        "x",
+        "y",
+        F.expr(zorder_sql("x", "y", bits=16)).alias("z_sql"),
+        interleave_bits([F.col("x"), F.col("y")], 16).alias("z_impl"),
     )
     for r in df.collect():
-        assert r.z == zorder_py(r.x, r.y, 16)
+        assert r.z_sql == r.z_impl == zorder_py(r.x, r.y, 16)
 
 
 def test_sql_form_is_engine_portable(spark):
@@ -62,7 +64,7 @@ def test_layout_prunes_on_both_dims(spark, tmp_out):
 
     zpath = f"{tmp_out}/zorder"
     spath = f"{tmp_out}/xsort"
-    write_zorder_layout(df, "x", "y", zpath, n_files=16, bits=12)
+    write_zordered(df, zpath, ["x", "y"], bits=12, n_files=16)
     df.repartitionByRange(16, "x").write.parquet(spath)
 
     zstats = [r.asDict() for r in layout_file_stats(spark, zpath, "x", "y").collect()]
