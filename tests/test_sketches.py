@@ -67,3 +67,49 @@ def test_partial_aggregation_bounds_shuffle(spark):
     plan = build_cms(tc)._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in plan or "HashAggregate" in plan
     assert plan.count("Exchange") == 1  # exactly one exchange: the 2048-key agg
+
+
+def test_streaming_sketch_merge_equals_batch(spark, tmp_path):
+    """Ingest-time sketching: build a CMS per micro-batch in foreachBatch,
+    merge cell-wise, and land exactly on the batch-mode sketch of the full
+    input — the pattern that gives a 100 TB stream a live frequency sketch
+    with kilobytes of state per shard."""
+    import os
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    all_rows = []
+    for c in range(4):
+        lines = [words[(c + i) % len(words)] for i in range(40)]
+        all_rows += lines
+        with open(os.path.join(src, f"chunk_{c}.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    merged: dict[tuple[int, int], int] = {}
+
+    def sketch_batch(df, _bid):
+        tc = df.select(F.col("value").alias("term")).groupBy("term").agg(
+            F.count("*").alias("c")
+        )
+        for r in build_cms(tc).collect():
+            merged[(r.j, r.cell)] = merged.get((r.j, r.cell), 0) + r.cellsum
+
+    q = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_tc = (
+        spark.createDataFrame([(w,) for w in all_rows], "term string")
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    batch_sketch = {(r.j, r.cell): r.cellsum for r in build_cms(batch_tc).collect()}
+    assert merged == batch_sketch
