@@ -173,28 +173,28 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     source, chosen by a deterministic md5 shuffle within the domain so the
     kept subset is an unbiased sample, not the crawl-order head.
 
-    Plan: one window PARTITIONED by source — bounded per-domain partitions,
-    no global ordering. At 100 TB a mega-domain (the skew case) is exactly
-    the thing this operator truncates; AQE's skew split handles the sort of
-    the few domains above its threshold."""
+    Plan: the rank filter sits DIRECTLY above the row_number window so Spark
+    inserts WindowGroupLimit (Partial before the exchange + Final after —
+    each task ships at most {cap} rows per domain into the shuffle; pinned by
+    tests/test_plans.py). Domain totals come from a separate tiny
+    groupBy(source) joined by broadcast, NOT a count(*) window — a second
+    window function over the same partition would block the group-limit
+    pushdown and re-sort every domain. At 100 TB a mega-domain (the skew
+    case) is exactly the thing the partial group limit truncates at the map
+    side."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     h = md5_int60(F.concat(F.lit("domaincap:"), F.col("doc_id").cast("string")))
     w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
-    wc = Window.partitionBy("source")
-    return (
-        docs.select(
-            "doc_id",
-            "source",
-            F.row_number().over(w).alias("keep_rank"),
-            F.count("*").over(wc).alias("domain_docs"),
-        )
+    kept = (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("keep_rank"))
         .filter(F.col("keep_rank") <= _DOMAIN_CAP)
-        .select(
-            "doc_id",
-            "source",
-            F.col("keep_rank").cast("int").alias("keep_rank"),
-            F.col("domain_docs").cast("bigint").alias("domain_docs"),
-        )
+    )
+    totals = docs.groupBy("source").agg(F.count("*").alias("domain_docs"))
+    return kept.join(F.broadcast(totals), "source").select(
+        "doc_id",
+        "source",
+        F.col("keep_rank").cast("int").alias("keep_rank"),
+        F.col("domain_docs").cast("bigint").alias("domain_docs"),
     )

@@ -205,3 +205,53 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ranked_topk_uses_window_group_limit(spark):
+    """Per-group top-k via row_number + rank filter must compile to
+    WindowGroupLimit (Spark 3.5+): each task keeps only k rows per group
+    BEFORE the shuffle/sort, so a 100 TB per-domain top-k never materializes
+    full per-group sorts. Pins the rank-pushdown eligibility of the repo's
+    window+filter idiom (domain_cap_sample is this exact shape)."""
+    plan = (
+        SPECS["domain_cap_sample"]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_parquet_aggregate_pushdown_available(spark, tmp_path):
+    """MIN/MAX/COUNT over parquet can be answered from footer statistics
+    (spark.sql.parquet.aggregatePushdown): a 100 TB `SELECT count(*), max(x)`
+    health check should read metadata, not data. Pins that the feature
+    engages on our corpus-writer output (plain columns, no filters)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "agg_pd")
+    spark.range(10_000).selectExpr("id", "id % 7 AS k").write.parquet(path)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.parquet.aggregatePushdown",
+            "spark.sql.sources.useV1SourceList",  # pushdown is a V2-scan feature
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = spark.read.parquet(path).agg(
+            F.count("*").alias("n"), F.min("id").alias("lo"), F.max("id").alias("hi")
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [COUNT(*)" in plan
+        r = df.collect()[0]
+        assert (r.n, r.lo, r.hi) == (10_000, 0, 9_999)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
