@@ -130,3 +130,64 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         F.lead("o_orderkey").over(w).isNull().alias("is_current"),
     )
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle=f"""
+    WITH snap_b AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 37 = 0 THEN 'U' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               CASE WHEN o_orderkey % 37 = 0
+                    THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 53 <> 1
+        UNION ALL
+        SELECT o_orderkey + {_INSERT_SHIFT}, o_custkey, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % 41 = 3
+    ),
+    a AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+    d AS (
+        SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+                    WHEN a.o_orderkey IS NULL THEN 'added'
+                    WHEN (a.o_custkey IS DISTINCT FROM b.o_custkey
+                          OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                          OR a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+                         THEN 'changed' END AS change_type
+        FROM a FULL OUTER JOIN snap_b b USING (o_orderkey)
+    )
+    SELECT o_orderkey, change_type FROM d WHERE change_type IS NOT NULL
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two snapshots of orders (B derived deterministically from A with
+    the same delete/update/insert recipe the MERGE harness uses) via
+    operators/diff.table_diff — the recovered change set must be exactly the
+    applied one, which the oracle reconstructs independently with a FULL
+    OUTER JOIN + IS DISTINCT FROM. One key-partitioned shuffle; unchanged
+    rows never leave the join."""
+    from streamds_spark.operators.diff import table_diff
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    a = load_table(spark, sf_dir, "orders").select(*cols)
+    base = a.filter(F.col("o_orderkey") % 53 != 1)
+    updated = base.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 37 == 0, F.lit("U")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    ).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 37 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserted = (
+        a.filter(F.col("o_orderkey") % 41 == 3)
+        .withColumn("o_orderkey", F.col("o_orderkey") + _INSERT_SHIFT)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    snap_b = updated.unionByName(inserted)
+    return table_diff(a, snap_b, keys=["o_orderkey"])
