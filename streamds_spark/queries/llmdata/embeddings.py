@@ -112,3 +112,146 @@ def embedding_dim_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         # + 0.0: negative-zero normalization (see embedding_dim_stats)
         (F.round(cov / F.sqrt(vx * vy), 4) + F.lit(0.0)).alias("pearson"),
     )
+
+
+# Matryoshka truncation check: pair selection is deterministic (vec_id with
+# vec_id + _MRL_STEP) so both engines score the same pairs.
+_MRL_STEP = 37
+_MRL_DIMS = (64, 32, 16)  # full, half, quarter of the 64-dim embeddings
+
+
+def _duckdb_cos_prefix(a: str, b: str, d: int) -> str:
+    dot = f"list_sum(list_transform(range(1, {d} + 1), i -> {a}[i] * {b}[i]))"
+    na = f"sqrt(list_sum(list_transform(range(1, {d} + 1), i -> {a}[i] * {a}[i])))"
+    nb = f"sqrt(list_sum(list_transform(range(1, {d} + 1), i -> {b}[i] * {b}[i])))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+@query(
+    "matryoshka_truncation_quality",
+    oracle=rf"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+        FROM e a JOIN e b ON b.vec_id = a.vec_id + {_MRL_STEP}
+    ),
+    cos AS (
+        SELECT id_a, id_b,
+               {', '.join(
+                   f"CAST(round({_duckdb_cos_prefix('va', 'vb', d)}, 8) "
+                   f"AS DECIMAL(12,8)) AS cos_{d}"
+                   for d in _MRL_DIMS
+               )}
+        FROM pairs
+    ),
+    s AS (
+        SELECT count(*) AS n, sum(cos_64) AS sy, sum(cos_64 * cos_64) AS syy,
+               {', '.join(
+                   f"sum(abs(cos_{d} - cos_64)) AS sabs_{d}, "
+                   f"sum(cos_{d}) AS sx_{d}, sum(cos_{d} * cos_{d}) AS sxx_{d}, "
+                   f"sum(cos_{d} * cos_64) AS sxy_{d}"
+                   for d in _MRL_DIMS[1:]
+               )}
+        FROM cos
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           {', '.join(
+               f"round(CAST(sabs_{d} AS DOUBLE) / n, 4) AS mae_{d}"
+               for d in _MRL_DIMS[1:]
+           )},
+           {', '.join(
+               f"round((n * CAST(sxy_{d} AS DOUBLE) "
+               f"- CAST(sx_{d} AS DOUBLE) * CAST(sy AS DOUBLE)) "
+               f"/ sqrt((n * CAST(sxx_{d} AS DOUBLE) "
+               f"- CAST(sx_{d} AS DOUBLE) * CAST(sx_{d} AS DOUBLE)) "
+               f"* (n * CAST(syy AS DOUBLE) "
+               f"- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS corr_{d}"
+               for d in _MRL_DIMS[1:]
+           )}
+    FROM s
+    """,
+)
+def matryoshka_truncation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much cosine structure survives truncating embeddings to the first
+    32 / 16 dims (the Matryoshka-representation question: can the ANN index
+    run on a prefix and rerank on the full vector?): mean |cos_d - cos_64|
+    and corr(cos_d, cos_64) over a deterministic pair sample (vec_id paired
+    with vec_id+{_MRL_STEP}).
+
+    Plan: ONE self-equi-join on a shifted key (no cross join — the pair
+    sample is linear in table size), prefix cosines as codegen aggregates
+    over array slices, then a single global reduce. Per-pair cosines are
+    rounded to 8 decimals and summed as DECIMALs (exact, order-independent),
+    so MAE and the corr sufficient statistics are bit-identical across
+    engines — a double sum's partial-agg order could flip round(.,4) (see
+    registry header). At 100 TB you'd sample ids by hash instead of taking
+    all; the shape is unchanged."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.alias("a")
+    b = e.select((F.col("vec_id") - _MRL_STEP).alias("join_id"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("a.vec_id") == F.col("join_id")).select(
+        F.col("a.v").alias("va"), "vb"
+    )
+
+    def cos_prefix(d: int):
+        dot = F.expr(
+            f"aggregate(zip_with(slice(va, 1, {d}), slice(vb, 1, {d}), "
+            f"(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+        )
+        na = F.sqrt(
+            F.expr(
+                f"aggregate(slice(va, 1, {d}), CAST(0.0 AS DOUBLE), "
+                f"(acc, x) -> acc + x * x)"
+            )
+        )
+        nb = F.sqrt(
+            F.expr(
+                f"aggregate(slice(vb, 1, {d}), CAST(0.0 AS DOUBLE), "
+                f"(acc, x) -> acc + x * x)"
+            )
+        )
+        return dot / (na * nb)
+
+    cos = pairs.select(
+        *[
+            F.round(cos_prefix(d), 8).cast("decimal(12,8)").alias(f"cos_{d}")
+            for d in _MRL_DIMS
+        ]
+    )
+    s = cos.agg(
+        F.count("*").alias("n"),
+        F.sum("cos_64").alias("sy"),
+        F.sum(F.col("cos_64") * F.col("cos_64")).alias("syy"),
+        *[
+            agg
+            for d in _MRL_DIMS[1:]
+            for agg in (
+                F.sum(F.abs(F.col(f"cos_{d}") - F.col("cos_64"))).alias(f"sabs_{d}"),
+                F.sum(f"cos_{d}").alias(f"sx_{d}"),
+                F.sum(F.col(f"cos_{d}") * F.col(f"cos_{d}")).alias(f"sxx_{d}"),
+                F.sum(F.col(f"cos_{d}") * F.col("cos_64")).alias(f"sxy_{d}"),
+            )
+        ],
+    )
+    n = F.col("n")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+
+    def corr_col(d: int):
+        sx = F.col(f"sx_{d}").cast("double")
+        sxx = F.col(f"sxx_{d}").cast("double")
+        sxy = F.col(f"sxy_{d}").cast("double")
+        return F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4
+        )
+
+    return s.select(
+        n.cast("bigint").alias("n_pairs"),
+        *[
+            F.round(F.col(f"sabs_{d}").cast("double") / n, 4).alias(f"mae_{d}")
+            for d in _MRL_DIMS[1:]
+        ],
+        *[corr_col(d).alias(f"corr_{d}") for d in _MRL_DIMS[1:]],
+    )

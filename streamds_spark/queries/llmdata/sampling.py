@@ -198,3 +198,76 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_rank").cast("int").alias("keep_rank"),
         F.col("domain_docs").cast("bigint").alias("domain_docs"),
     )
+
+
+@query(
+    "mixture_rate_planner",
+    oracle=rf"""
+    WITH n AS (
+        SELECT source,
+               count(*) AS docs,
+               sum(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')))
+                   AS toks
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, docs, toks,
+               1 + ({duckdb_md5_int("'mix:' || source")} % 5) AS wraw
+        FROM n
+    ),
+    tot AS (SELECT sum(wraw) AS wtot FROM w),
+    t AS (
+        SELECT min(CAST(toks AS DOUBLE) * wtot / wraw) AS tstar
+        FROM w CROSS JOIN tot
+    )
+    SELECT w.source,
+           CAST(w.docs AS BIGINT) AS docs,
+           CAST(w.toks AS BIGINT) AS toks,
+           round(CAST(w.wraw AS DOUBLE) / tot.wtot, 4) AS target_share,
+           round(CAST(w.wraw AS DOUBLE) / tot.wtot * t.tstar / w.toks, 4)
+               AS sample_rate,
+           CAST(floor(CAST(w.wraw AS DOUBLE) / tot.wtot * t.tstar) AS BIGINT)
+               AS sampled_toks
+    FROM w CROSS JOIN tot CROSS JOIN t
+    """,
+)
+def mixture_rate_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing planner: given target mixture shares per source (here a
+    deterministic md5-derived weight so both engines agree) and the tokens
+    actually available, compute the largest corpus achievable WITHOUT
+    upsampling — T* = min_s(toks_s / share_s) — and each source's sampling
+    rate and token budget. The binding source gets rate 1.0; everything else
+    downsamples. This is the arithmetic in front of mixture_sample /
+    dsir_importance_weights: plan the rates, then hash-threshold sample.
+
+    Plan: one groupBy(source) over tokenized docs (20-key agg), then scalar
+    broadcasts — the planning math is free next to the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.size(F.filter(F.split("text", r"\s+"), lambda w: w != ""))).alias(
+            "toks"
+        ),
+    )
+    w = n.withColumn(
+        "wraw", 1 + md5_int60(F.concat(F.lit("mix:"), F.col("source"))) % 5
+    )
+    tot = w.agg(F.sum("wraw").alias("wtot"))
+    t = w.crossJoin(F.broadcast(tot)).agg(
+        F.min(F.col("toks").cast("double") * F.col("wtot") / F.col("wraw")).alias(
+            "tstar"
+        )
+    )
+    share = F.col("wraw").cast("double") / F.col("wtot")
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            F.col("docs").cast("bigint").alias("docs"),
+            F.col("toks").cast("bigint").alias("toks"),
+            F.round(share, 4).alias("target_share"),
+            F.round(share * F.col("tstar") / F.col("toks"), 4).alias("sample_rate"),
+            F.floor(share * F.col("tstar")).cast("bigint").alias("sampled_toks"),
+        )
+    )
