@@ -95,6 +95,18 @@ def main(argv: list[str] | None = None) -> int:
         help="write every scored doc (default writes keep=true only)",
     )
 
+    fc = sub.add_parser(
+        "filter-corpus",
+        help="apply the Gopher + C4 + mojibake hygiene gates to a documents "
+        "parquet and write the kept docs (one combined scan)",
+    )
+    fc.add_argument("src", help="input parquet with a text column")
+    fc.add_argument("dest", help="output parquet of kept documents")
+    fc.add_argument(
+        "--report", action="store_true",
+        help="also print per-gate drop counts (extra pass per gate)",
+    )
+
     sh = sub.add_parser(
         "shell",
         help="interactive terminal (the reference's command loop): SQL by "
@@ -240,6 +252,40 @@ def main(argv: list[str] | None = None) -> int:
             F.count("*"), F.sum(F.col("keep").cast("int")), F.sum("n_tokens")
         ).first()
         print(f"responses:{stats[0]} kept:{stats[1]} tokens:{stats[2]}")
+    elif args.cmd == "filter-corpus":
+        from pyspark.sql import functions as F
+
+        from streamds_spark.queries.llmdata.webfilter import (
+            _MOJIBAKE_PATTERN,
+            c4_stat_columns,
+            gopher_flags_df,
+        )
+
+        docs = spark.read.parquet(args.src)
+        gates = docs.select("doc_id", *c4_stat_columns()).select(
+            "doc_id",
+            (~F.col("page_dropped")).alias("c4_ok"),
+        )
+        moji = docs.select(
+            "doc_id",
+            (F.expr(f"regexp_count(text, '{_MOJIBAKE_PATTERN}')") == 0).alias(
+                "moji_ok"
+            ),
+        )
+        gopher = gopher_flags_df(docs).select("doc_id", "gopher_keep")
+        verdict = gates.join(moji, "doc_id").join(gopher, "doc_id")
+        kept_ids = verdict.filter("c4_ok AND moji_ok AND gopher_keep").select("doc_id")
+        docs.join(kept_ids, "doc_id").write.mode("overwrite").parquet(args.dest)
+        n_in = docs.count()
+        n_out = spark.read.parquet(args.dest).count()
+        print(f"input:{n_in} kept:{n_out} dropped:{n_in - n_out}")
+        if args.report:
+            drops = verdict.agg(
+                F.sum((~F.col("c4_ok")).cast("int")),
+                F.sum((~F.col("moji_ok")).cast("int")),
+                F.sum((~F.col("gopher_keep")).cast("int")),
+            ).first()
+            print(f"drop_c4:{drops[0]} drop_mojibake:{drops[1]} drop_gopher:{drops[2]}")
     elif args.cmd == "shell":
         _shell(spark, args.sf_dir, args.logs)
     return 0

@@ -234,7 +234,13 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy shape as the general pattern when per-key state does NOT fit a
     row.
     """
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return gopher_flags_df(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_flags_df(docs: DataFrame) -> DataFrame:
+    """The Gopher signals over any DataFrame with (doc_id, text) — the
+    reusable form the CLI filter-corpus verb and ingest pipelines call."""
+    docs = docs.filter(F.length("text") > 0)
     t = docs.select(
         "doc_id",
         F.length("text").alias("n_chars_t"),

@@ -151,3 +151,31 @@ def test_cli_scrub_substrings_command(spark, tmp_path, capsys):
     rows = {r.doc_id: r.cleaned_text for r in spark.read.parquet(dest).collect()}
     assert rows[0] == "intro outro" and rows[1] == "tail"
     assert rows[2] == "unique words only"
+
+
+def test_cli_filter_corpus_command(spark, tmp_path, capsys):
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs away to "
+        "have a rest with plenty of friends that come along for dinner every "
+        "single evening because they enjoy good company and be happy about "
+        "all of it while the moon rises over the quiet hills of the valley "
+        "town tonight and every cat naps softly near the warm fire place"
+    )
+    src = str(tmp_path / "docs3.parquet")
+    spark.createDataFrame(
+        [
+            (0, good),                                  # kept
+            (1, "too short to pass"),                   # gopher drop
+            (2, good + " lorem ipsum dolor"),           # c4 page drop
+            (3, good.replace("the", "itâ€™s", 3)),      # mojibake drop
+        ],
+        "doc_id: long, text: string",
+    ).write.parquet(src)
+    dest = str(tmp_path / "filtered.parquet")
+    from streamds_spark.cli import main
+
+    assert main(["filter-corpus", src, dest, "--report"]) == 0
+    out = capsys.readouterr().out
+    assert "input:4 kept:1 dropped:3" in out
+    assert "drop_c4:1" in out and "drop_mojibake:1" in out
+    assert [r.doc_id for r in spark.read.parquet(dest).collect()] == [0]
