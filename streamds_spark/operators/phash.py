@@ -1,0 +1,149 @@
+"""Perceptual image hashing (pHash) + near-duplicate detection over binary
+media columns — image dedup for a multimodal training corpus, built on the
+same Arrow-batched plumbing as functions/multimodal.py.
+
+Algorithm (classic pHash, public knowledge): grayscale → 32×32 → 2-D DCT-II →
+keep the low-frequency 8×8 block (minus the DC term) → threshold at the
+median → 64-bit hash. Visually-similar images agree on most bits, so
+near-duplicates are pairs with small Hamming distance.
+
+Pixel source: the container has no image codecs, so pixels come from the
+SAME deterministic stub decode the rest of the multimodal layer uses
+(synth_payload's md5-chained bytes tiled to width×height). A real deployment
+swaps _stub_pixels for PIL/`cv2` inside the same mapInPandas — schema, batch
+shape, and everything downstream are unchanged.
+
+Scale shape: hashing is map-only (Arrow batches, numpy DCT via one matmul
+per image). Candidate pairing reuses the SimHash trick — split the 64-bit
+hash into 4 16-bit bands; any pair within Hamming distance 3 of each other
+shares at least one full band (pigeonhole), so a (band_idx, band_value)
+equi-join finds all such pairs without an all-pairs comparison, and the
+exact Hamming check on xor prunes false candidates. Same posture as
+dedup_simhash, which is driver-verified.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+PHASH_SIZE = 32  # DCT input side
+PHASH_BLOCK = 8  # low-frequency block side
+N_BANDS = 4  # 16-bit bands over the 64-bit hash
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (so dct2(a) = M @ a @ M.T)."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    m[0, :] = np.sqrt(1.0 / n)
+    return m
+
+
+_DCT_M = _dct_matrix(PHASH_SIZE)
+
+
+def _stub_pixels(payload: bytes) -> np.ndarray:
+    """STUB pixel decode for synth_payload blobs (md5-chained body bytes
+    tiled to width*height grayscale). A real impl decodes the codec here."""
+    width, height = struct.unpack(">II", payload[3:11])
+    body = np.frombuffer(payload[11:], dtype=np.uint8)
+    if body.size == 0:
+        body = np.zeros(1, dtype=np.uint8)
+    reps = -(-(width * height) // body.size)
+    return np.tile(body, reps)[: width * height].reshape(height, width)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash of a grayscale image array."""
+    h, w = pixels.shape
+    # box-resample to PHASH_SIZE x PHASH_SIZE (nearest grid sampling)
+    ys = (np.arange(PHASH_SIZE) * h) // PHASH_SIZE
+    xs = (np.arange(PHASH_SIZE) * w) // PHASH_SIZE
+    small = pixels[np.ix_(ys, xs)].astype(np.float64)
+    freq = _DCT_M @ small @ _DCT_M.T
+    block = freq[:PHASH_BLOCK, :PHASH_BLOCK].flatten()
+    vals = block[1:]  # drop the DC coefficient
+    med = np.median(vals)
+    bits = vals > med
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+PHASH_SCHEMA = StructType(
+    [StructField("media_id", LongType()), StructField("phash", LongType())]
+)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """(media_id, phash) for every image payload, Arrow-batched map-only."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = _stub_pixels(bytes(payload))
+                # signed 64-bit for Spark LongType
+                hv = phash64(px)
+                out.append(
+                    {"media_id": mid, "phash": hv - (1 << 64) if hv >= 1 << 63 else hv}
+                )
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs (id_a < id_b, hamming <= max_hamming) via
+    banded candidate join + exact popcount verify. Complete for
+    max_hamming < N_BANDS (pigeonhole); raise N_BANDS for looser radii."""
+    bands = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("media_id", "phash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -165,3 +165,21 @@ def multimodal_filetype_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_files"),
         F.sum(F.col("nb").cast("long")).alias("total_bytes"),
     )
+
+
+@query("image_phash_neardups", oracle=None)  # rows-only: DCT isn't SQL-expressible
+def image_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup census via perceptual hashing: synthesize the media
+    table from documents, pHash every image payload (operators/phash.py:
+    stub pixels → 32×32 → DCT → 64-bit hash), find pairs within Hamming 3 by
+    the banded candidate join, and report the pair-count histogram by
+    distance. Rows-only check (the DCT has no DuckDB twin); the hash and the
+    band-join completeness are pinned by tests/test_phash.py against a
+    brute-force reference."""
+    from streamds_spark.functions.multimodal import synth_media_table
+    from streamds_spark.operators.phash import image_phash, phash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_media_table(docs).filter(F.col("kind") == "img")
+    pairs = phash_neardup_pairs(image_phash(media), max_hamming=3)
+    return pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs"))

@@ -1,0 +1,93 @@
+"""Perceptual image hash (operators/phash.py): DCT correctness, hash
+stability under small perturbations, and banded near-dup pair completeness."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+from streamds_spark.functions.multimodal import synth_payload
+from streamds_spark.operators.phash import (
+    PHASH_SIZE,
+    _dct_matrix,
+    _stub_pixels,
+    image_phash,
+    phash64,
+    phash_neardup_pairs,
+)
+
+
+def test_dct_matrix_matches_definition():
+    n = 8
+    m = _dct_matrix(n)
+    a = np.arange(n * n, dtype=float).reshape(n, n)
+    got = m @ a @ m.T
+    # direct DCT-II (orthonormal) definition
+    want = np.zeros((n, n))
+    for k in range(n):
+        for l in range(n):
+            s = 0.0
+            for i in range(n):
+                for j in range(n):
+                    s += (
+                        a[i, j]
+                        * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+                        * np.cos(np.pi * (2 * j + 1) * l / (2 * n))
+                    )
+            ck = np.sqrt(1 / n) if k == 0 else np.sqrt(2 / n)
+            cl = np.sqrt(1 / n) if l == 0 else np.sqrt(2 / n)
+            want[k, l] = ck * cl * s
+    assert np.allclose(got, want)
+
+
+def test_identical_pixels_identical_hash():
+    px = _stub_pixels(synth_payload("seed-1"))
+    assert phash64(px) == phash64(px.copy())
+
+
+def test_small_noise_small_hamming():
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(48, 64)).astype(np.uint8)
+    noisy = px.astype(int).copy()
+    idx = rng.integers(0, px.size, size=20)
+    noisy.flat[idx] = np.clip(noisy.flat[idx] + rng.integers(-8, 9, size=20), 0, 255)
+    h1, h2 = phash64(px), phash64(noisy.astype(np.uint8))
+    assert bin(h1 ^ h2).count("1") <= 10
+
+    other = rng.integers(0, 256, size=(48, 64)).astype(np.uint8)
+    assert bin(h1 ^ phash64(other)).count("1") >= 16
+
+
+def test_image_phash_and_pair_join(spark):
+    payloads = [(i, synth_payload(f"s{i}")) for i in range(20)]
+    payloads.append((100, synth_payload("s3")))  # exact duplicate of media 3
+    media = spark.createDataFrame(payloads, "media_id long, payload binary")
+    hashes = image_phash(media)
+    pairs = phash_neardup_pairs(hashes, max_hamming=3).collect()
+    assert any(p.id_a == 3 and p.id_b == 100 and p.hamming == 0 for p in pairs)
+
+
+def test_band_join_is_complete_at_radius(spark):
+    """Every planted pair within Hamming 3 must be found (pigeonhole over the
+    4 bands) — verified against brute force on random hashes."""
+    rng = random.Random(9)
+    hashes = [rng.getrandbits(63) for _ in range(60)]
+    # plant close pairs: flip up to 3 random bits
+    for i in range(10):
+        base = hashes[i]
+        flipped = base
+        for _ in range(rng.randint(0, 3)):
+            flipped ^= 1 << rng.randrange(64)
+        hashes.append(flipped)
+    df = spark.createDataFrame(
+        [(i, h - (1 << 64) if h >= 1 << 63 else h) for i, h in enumerate(hashes)],
+        "media_id long, phash long",
+    )
+    got = {(r.id_a, r.id_b) for r in phash_neardup_pairs(df, max_hamming=3).collect()}
+    want = set()
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            if bin((hashes[i] ^ hashes[j]) & ((1 << 64) - 1)).count("1") <= 3:
+                want.add((i, j))
+    assert got == want
