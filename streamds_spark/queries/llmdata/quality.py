@@ -265,3 +265,75 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
     )
+
+
+_PREF_K = 5  # pairs per source
+
+
+@query(
+    "preference_pairs",
+    oracle=rf"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))
+                   AS n_toks
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_toks,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_toks DESC, doc_id) AS rk_top,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_toks ASC, doc_id) AS rk_bot
+        FROM scored
+    )
+    SELECT t.source,
+           CAST(t.rk_top AS INT) AS pair_rank,
+           t.doc_id AS chosen_id,
+           b.doc_id AS rejected_id,
+           CAST(t.n_toks - b.n_toks AS BIGINT) AS margin
+    FROM ranked t
+    JOIN ranked b ON b.source = t.source AND b.rk_bot = t.rk_top
+    WHERE t.rk_top <= {_PREF_K} AND t.doc_id <> b.doc_id
+    """,
+)
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly (RLHF/DPO data prep): within each source,
+    pair the k-th best document with the k-th worst by a quality proxy
+    (token count here; swap in quality_classifier_score for the modeled
+    version) and report the quality margin. Deterministic rank tie-breaks
+    make the pairing replayable.
+
+    Plan: both rank windows PARTITION BY source (rank filter directly above
+    each window — WindowGroupLimit-eligible like domain_cap_sample), then a
+    (source, rank) equi-join of two k-row-per-source sides."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_toks"),
+    )
+    w_top = Window.partitionBy("source").orderBy(F.col("n_toks").desc(), "doc_id")
+    w_bot = Window.partitionBy("source").orderBy(F.col("n_toks").asc(), "doc_id")
+    top = scored.select(
+        "source", "doc_id", "n_toks", F.row_number().over(w_top).alias("pair_rank")
+    ).filter(F.col("pair_rank") <= _PREF_K)
+    bot = scored.select(
+        "source",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("n_toks").alias("bot_toks"),
+        F.row_number().over(w_bot).alias("pair_rank"),
+    ).filter(F.col("pair_rank") <= _PREF_K)
+    return (
+        top.join(bot, ["source", "pair_rank"])
+        .filter(F.col("doc_id") != F.col("rejected_id"))
+        .select(
+            "source",
+            F.col("pair_rank").cast("int").alias("pair_rank"),
+            F.col("doc_id").alias("chosen_id"),
+            "rejected_id",
+            (F.col("n_toks") - F.col("bot_toks")).cast("bigint").alias("margin"),
+        )
+    )
