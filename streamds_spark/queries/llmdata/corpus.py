@@ -186,3 +186,81 @@ def llm_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").alias("total_tokens"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+@query(
+    "llm_pipeline_v2",
+    oracle=r"""
+    WITH gated AS (
+        SELECT doc_id, source, n_chars, text,
+               len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n_toks
+        FROM documents
+        WHERE len(regexp_extract_all(text, 'â€.|Ã[‰©¨¤¼¶«»€‚ƒ]|Â[ °±²]|�|﻿')) = 0
+          AND NOT (regexp_matches(lower(text), 'lorem ipsum') OR contains(text, '{'))
+    ),
+    quality AS (
+        SELECT * FROM gated WHERE n_toks >= 10 AND n_chars BETWEEN 100 AND 2000
+    ),
+    deduped AS (
+        SELECT * FROM quality
+        WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY md5(text))
+    ),
+    capped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source
+                ORDER BY ('0x' || substr(md5('domaincap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                         doc_id) AS rk
+            FROM deduped
+        ) WHERE rk <= 40
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum((n_toks + 23) // 24) AS BIGINT) AS n_chunks,
+           CAST(sum(list_sum(list_transform(range(0, n_toks, 24),
+                                            s -> least(32, n_toks - s)))) AS BIGINT)
+               AS chunk_tokens
+    FROM capped GROUP BY source
+    """,
+)
+def llm_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 composed pipeline in ONE plan: encoding-damage gate →
+    C4 page gate → length quality → exact dedup (min-id per content hash) →
+    per-domain cap (40, deterministic md5 shuffle) → 32/24 sliding-window
+    chunk accounting, rolled up per source. Each stage is the already-
+    verified standalone operator's expression; composing them fuses into
+    scan → window → window → agg with no Python in the loop. At 100 TB
+    insert the LSH near-dup and bloom-decontamination stages between dedup
+    and cap — same shape."""
+    from pyspark.sql import Window as W
+
+    from streamds_spark.functions.hashing import md5_int60
+
+    docs = load_table(spark, sf_dir, "documents")
+    moji = F.expr("regexp_count(text, 'â€.|Ã[‰©¨¤¼¶«»€‚ƒ]|Â[ °±²]|�|﻿')")
+    page_drop = F.lower(F.col("text")).rlike("lorem ipsum") | F.col("text").contains("{")
+    gated = docs.filter((moji == 0) & ~page_drop).withColumn(
+        "n_toks", F.size(tokens(F.col("text")))
+    )
+    quality = gated.filter(
+        (F.col("n_toks") >= 10) & F.col("n_chars").between(100, 2000)
+    )
+    wh = W.partitionBy(F.md5(F.col("text").cast("binary")))
+    deduped = (
+        quality.withColumn("keep_id", F.min("doc_id").over(wh))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+    )
+    wcap = W.partitionBy("source").orderBy(
+        md5_int60(F.concat(F.lit("domaincap:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    capped = deduped.withColumn("rk", F.row_number().over(wcap)).filter(F.col("rk") <= 40)
+    chunk_tokens = F.expr(
+        "aggregate(sequence(0, n_toks - 1, 24), CAST(0 AS BIGINT), "
+        "(acc, s) -> acc + least(32, n_toks - s))"
+    )
+    return capped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.floor((F.col("n_toks") + 23) / 24)).cast("bigint").alias("n_chunks"),
+        F.sum(chunk_tokens).cast("bigint").alias("chunk_tokens"),
+    )
