@@ -337,3 +337,54 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_toks") - F.col("bot_toks")).cast("bigint").alias("margin"),
         )
     )
+
+
+@query(
+    "logreg_gradient_check",
+    oracle=r"""
+    WITH tf AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS j,
+               count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        w -> w <> '')) AS tok
+              FROM documents)
+        GROUP BY doc_id, 2
+    ),
+    labeled AS (
+        SELECT tf.doc_id, tf.j, tf.c,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM tf JOIN documents d ON tf.doc_id = d.doc_id
+    ),
+    grad AS (
+        SELECT j, CAST(sum((1 - 2 * y) * c) AS BIGINT) AS grad2
+        FROM labeled GROUP BY j
+    )
+    SELECT j, grad2 FROM grad ORDER BY abs(grad2) DESC, j LIMIT 20
+    """,
+)
+def logreg_gradient_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first GD iteration of the distributed quality-classifier trainer
+    (operators/logreg.py), made exactly checkable: at w=0 every residual is
+    0.5 - y, so with raw term counts the gradient is sum((0.5 - y) * c) —
+    reported doubled as the integer grad2 = sum((1-2y)*c), which both
+    engines compute exactly. Labels: y = 1 iff lang='en'. Top-20 features by
+    |gradient| — the machinery (hashing, doc join, feature-keyed aggregate)
+    is the trainer's per-iteration data path."""
+    docs = load_table(spark, sf_dir, "documents")
+    from streamds_spark.functions.hashing import md5_int60
+
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .select("doc_id", (md5_int60(F.col("tok")) % 1024).alias("j"))
+        .groupBy("doc_id", "j")
+        .agg(F.count("*").alias("c"))
+    )
+    y = docs.select("doc_id", (F.col("lang") == "en").cast("int").alias("y"))
+    grad = (
+        tf.join(y, "doc_id")
+        .groupBy("j")
+        .agg(F.sum((1 - 2 * F.col("y")) * F.col("c")).cast("bigint").alias("grad2"))
+    )
+    return grad.orderBy(F.abs("grad2").desc(), "j").limit(20)
