@@ -174,9 +174,10 @@ def main() -> None:
     pii_s = round(time.time() - t0, 3)
 
     # Gopher rule-set pass (round-4 addition, outside the headline total so
-    # round-over-round totals stay comparable): the n-gram repetition signals
-    # are the expensive part — one (n, gram) posexplode + doc-local groupBy,
-    # the same shuffle family as minhash shingling.
+    # round-over-round totals stay comparable): a single map-only projection
+    # (array_sort + adjacent-equal folds, zero exchanges) — the cost is
+    # interpreted higher-order-function evaluation per doc, parallelized by
+    # input splits, not a shuffle.
     t0 = time.time()
     specs["gopher_quality_flags"].fn(spark, sf_dir).agg(
         F.sum(F.col("gopher_keep").cast("int")), F.sum("n_words")

@@ -98,7 +98,7 @@ def main(argv: list[str] | None = None) -> int:
     fc = sub.add_parser(
         "filter-corpus",
         help="apply the Gopher + C4 + mojibake hygiene gates to a documents "
-        "parquet and write the kept docs (one combined scan)",
+        "parquet and write the kept docs (all gates evaluated in one scan)",
     )
     fc.add_argument("src", help="input parquet with a text column")
     fc.add_argument("dest", help="output parquet of kept documents")
@@ -257,23 +257,33 @@ def main(argv: list[str] | None = None) -> int:
 
         from streamds_spark.queries.llmdata.webfilter import (
             _MOJIBAKE_PATTERN,
-            c4_stat_columns,
+            c4_page_dropped_col,
             gopher_flags_df,
         )
 
         docs = spark.read.parquet(args.src)
-        gates = docs.select("doc_id", *c4_stat_columns()).select(
-            "doc_id",
-            (~F.col("page_dropped")).alias("c4_ok"),
+        # all three gates fold into the Gopher projection's first select —
+        # one scan computes the whole verdict, no per-gate joins. Empty-text
+        # docs are dropped by gopher_flags_df up front; the left join +
+        # coalesce below charges them to the gopher counter so the --report
+        # accounting always explains every dropped row.
+        verdict_core = gopher_flags_df(
+            docs,
+            extra_cols={
+                "c4_ok": ~c4_page_dropped_col(),
+                "moji_ok": F.expr(f"regexp_count(text, '{_MOJIBAKE_PATTERN}')") == 0,
+            },
+        ).select("doc_id", "gopher_keep", "c4_ok", "moji_ok")
+        verdict = (
+            docs.select("doc_id")
+            .join(verdict_core, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("gopher_keep", F.lit(False)).alias("gopher_keep"),
+                F.coalesce("c4_ok", F.lit(True)).alias("c4_ok"),
+                F.coalesce("moji_ok", F.lit(True)).alias("moji_ok"),
+            )
         )
-        moji = docs.select(
-            "doc_id",
-            (F.expr(f"regexp_count(text, '{_MOJIBAKE_PATTERN}')") == 0).alias(
-                "moji_ok"
-            ),
-        )
-        gopher = gopher_flags_df(docs).select("doc_id", "gopher_keep")
-        verdict = gates.join(moji, "doc_id").join(gopher, "doc_id")
         kept_ids = verdict.filter("c4_ok AND moji_ok AND gopher_keep").select("doc_id")
         docs.join(kept_ids, "doc_id").write.mode("overwrite").parquet(args.dest)
         n_in = docs.count()

@@ -79,14 +79,21 @@ def train_logreg(
                 + F.log1p(F.exp(-F.abs("s")))
             ).alias("ll"),
         )
-        agg = resid.agg(F.sum("ll").alias("ll")).collect()[0]
-        losses.append(float(agg.ll) / n_docs)
-        grad_rows = (
-            features.join(resid.select("doc_id", "r"), "doc_id")
-            .groupBy("j")
-            .agg(F.sum(F.col("r") * F.col("v")).alias("g"))
-            .collect()
-        )
+        # the loss collect and the gradient collect are two Spark actions —
+        # cache the per-doc residuals so the scores shuffle runs once per
+        # iteration, not twice
+        resid = resid.cache()
+        try:
+            agg = resid.agg(F.sum("ll").alias("ll")).collect()[0]
+            losses.append(float(agg.ll) / n_docs)
+            grad_rows = (
+                features.join(resid.select("doc_id", "r"), "doc_id")
+                .groupBy("j")
+                .agg(F.sum(F.col("r") * F.col("v")).alias("g"))
+                .collect()
+            )
+        finally:
+            resid.unpersist()
         for row in grad_rows:
             w[row.j] = w.get(row.j, 0.0) - lr * row.g / n_docs
     return w, losses

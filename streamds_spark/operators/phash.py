@@ -4,8 +4,9 @@ same Arrow-batched plumbing as functions/multimodal.py.
 
 Algorithm (classic pHash, public knowledge): grayscale → 32×32 → 2-D DCT-II →
 keep the low-frequency 8×8 block (minus the DC term) → threshold at the
-median → 64-bit hash. Visually-similar images agree on most bits, so
-near-duplicates are pairs with small Hamming distance.
+median → 63-bit hash (63 coefficients survive the DC drop). Visually-similar
+images agree on most bits, so near-duplicates are pairs with small Hamming
+distance.
 
 Pixel source: the container has no image codecs, so pixels come from the
 SAME deterministic stub decode the rest of the multimodal layer uses
@@ -64,7 +65,11 @@ def _stub_pixels(payload: bytes) -> np.ndarray:
 
 
 def phash64(pixels: np.ndarray) -> int:
-    """64-bit perceptual hash of a grayscale image array."""
+    """Perceptual hash of a grayscale image array. NOTE: the classic
+    construction thresholds the 8x8 low-frequency block MINUS the DC term,
+    so the hash is effectively 63 bits (the top bit is always 0 and the
+    fourth 16-bit band carries 15 usable bits — slightly coarser buckets
+    there, same completeness guarantee)."""
     h, w = pixels.shape
     # box-resample to PHASH_SIZE x PHASH_SIZE (nearest grid sampling)
     ys = (np.arange(PHASH_SIZE) * h) // PHASH_SIZE
@@ -94,11 +99,8 @@ def image_phash(media: DataFrame) -> DataFrame:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 px = _stub_pixels(bytes(payload))
-                # signed 64-bit for Spark LongType
-                hv = phash64(px)
-                out.append(
-                    {"media_id": mid, "phash": hv - (1 << 64) if hv >= 1 << 63 else hv}
-                )
+                # 63-bit value (see phash64) — always fits a signed LongType
+                out.append({"media_id": mid, "phash": phash64(px)})
             yield pd.DataFrame(out, columns=["media_id", "phash"])
 
     return media.select("media_id", "payload").mapInPandas(batches, schema=PHASH_SCHEMA)
@@ -108,6 +110,11 @@ def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-duplicate image pairs (id_a < id_b, hamming <= max_hamming) via
     banded candidate join + exact popcount verify. Complete for
     max_hamming < N_BANDS (pigeonhole); raise N_BANDS for looser radii."""
+    if max_hamming >= N_BANDS:
+        raise ValueError(
+            f"banded join is only complete for max_hamming < {N_BANDS} bands; "
+            f"got {max_hamming} — raise N_BANDS for a looser radius"
+        )
     bands = hashes.select(
         "media_id",
         "phash",

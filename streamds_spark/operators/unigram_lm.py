@@ -146,11 +146,15 @@ def train_unigram_lm(
 ) -> "tuple[dict, list]":
     """Run seeded hard-EM; returns (piece -> logp, per-iteration total loss).
 
-    Each iteration: segment, count, re-estimate probs, then keep the top
-    `prune_frac` of multi-char pieces by probability (chars always survive)
-    until the inventory reaches vocab_size. Loss = -sum(word_freq *
-    best_path_logp), which is non-increasing under hard EM re-estimation on
-    a fixed inventory (pruning can raise it — tracked per iteration)."""
+    Each iteration: segment, count, re-estimate probs, then shrink the
+    multi-char inventory by prune_frac (never below the vocab_size floor,
+    and chars always survive so every string stays segmentable). After the
+    last iteration the multi-char pieces are truncated so the TOTAL
+    inventory (chars + multis) is at most max(vocab_size, n_chars) — the
+    returned dict honors the requested vocab_size whenever the character
+    set alone doesn't exceed it. Loss = -sum(word_freq * best_path_logp),
+    non-increasing under hard EM re-estimation on a fixed inventory
+    (pruning can raise it — tracked per iteration)."""
     # cache the word table: every EM iteration re-reads it, and it is the
     # vocabulary-sized reduction of the corpus (NOT collected to the driver —
     # at 100 TB the distinct-word table can be 10^8 rows)
@@ -184,6 +188,15 @@ def train_unigram_lm(
         )
         keep = max(vocab_size, int(len(multi) * prune_frac))
         logp = {p: s for p, s in logp.items() if len(p) == 1} | dict(multi[:keep])
+
+    # final truncation to the requested size: chars are mandatory, multis
+    # fill the remaining budget in probability order
+    chars = {p: s for p, s in logp.items() if len(p) == 1}
+    budget = max(vocab_size - len(chars), 0)
+    multi = sorted(
+        ((p, s) for p, s in logp.items() if len(p) > 1), key=lambda t: (-t[1], t[0])
+    )
+    logp = chars | dict(multi[:budget])
     return logp, losses
 
 

@@ -121,12 +121,10 @@ def unigram_segment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamds_spark.operators.unigram_lm import _viterbi
 
     docs = load_table(spark, sf_dir, "documents")
+    from streamds_spark.functions.text import tokens
+
     words = (
-        docs.select(
-            F.explode(
-                F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
-            ).alias("word")
-        )
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
         .distinct()
         .filter(F.length("word") <= 8)
         .orderBy("word")

@@ -188,15 +188,22 @@ def llm_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from streamds_spark.queries.llmdata.webfilter import (  # noqa: E402  (shared gate defs)
+    _MOJIBAKE_PATTERN,
+    C4_PAGE_DROP_SQL,
+    c4_page_dropped_col,
+)
+
+
 @query(
     "llm_pipeline_v2",
-    oracle=r"""
+    oracle=rf"""
     WITH gated AS (
         SELECT doc_id, source, n_chars, text,
                len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n_toks
         FROM documents
-        WHERE len(regexp_extract_all(text, 'â€.|Ã[‰©¨¤¼¶«»€‚ƒ]|Â[ °±²]|�|﻿')) = 0
-          AND NOT (regexp_matches(lower(text), 'lorem ipsum') OR contains(text, '{'))
+        WHERE len(regexp_extract_all(text, '{_MOJIBAKE_PATTERN}')) = 0
+          AND NOT {C4_PAGE_DROP_SQL}
     ),
     quality AS (
         SELECT * FROM gated WHERE n_toks >= 10 AND n_chars BETWEEN 100 AND 2000
@@ -237,9 +244,8 @@ def llm_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamds_spark.functions.hashing import md5_int60
 
     docs = load_table(spark, sf_dir, "documents")
-    moji = F.expr("regexp_count(text, 'â€.|Ã[‰©¨¤¼¶«»€‚ƒ]|Â[ °±²]|�|﻿')")
-    page_drop = F.lower(F.col("text")).rlike("lorem ipsum") | F.col("text").contains("{")
-    gated = docs.filter((moji == 0) & ~page_drop).withColumn(
+    moji = F.expr(f"regexp_count(text, '{_MOJIBAKE_PATTERN}')")
+    gated = docs.filter((moji == 0) & ~c4_page_dropped_col()).withColumn(
         "n_toks", F.size(tokens(F.col("text")))
     )
     quality = gated.filter(

@@ -242,12 +242,12 @@ def mixture_rate_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one groupBy(source) over tokenized docs (20-key agg), then scalar
     broadcasts — the planning math is free next to the scan."""
+    from streamds_spark.functions.text import tokens
+
     docs = load_table(spark, sf_dir, "documents")
     n = docs.groupBy("source").agg(
         F.count("*").alias("docs"),
-        F.sum(F.size(F.filter(F.split("text", r"\s+"), lambda w: w != ""))).alias(
-            "toks"
-        ),
+        F.sum(F.size(tokens(F.col("text")))).alias("toks"),
     )
     w = n.withColumn(
         "wraw", 1 + md5_int60(F.concat(F.lit("mix:"), F.col("source"))) % 5

@@ -3,10 +3,11 @@ line cleaning, mojibake (encoding-damage) detection, and a unicode script
 profile.
 
 These are the document-level gates a 100 TB pretraining pipeline runs between
-raw ingest (WARC -> html_to_text) and dedup/tokenization. Everything here is a
-map-only scan over `documents` except the Gopher n-gram-repetition signals,
-which need one doc-local groupBy chain (shuffle keys are (doc_id, ...) so AQE
-coalesces them; text column pruning pushes into the parquet scan either way).
+raw ingest (WARC -> html_to_text) and dedup/tokenization. EVERYTHING here is a
+map-only scan over `documents` — including the Gopher n-gram-repetition
+signals, which compile to array_sort + single-pass adjacent-equal folds
+instead of an explode/groupBy (zero exchanges; text column pruning pushes
+into the parquet scan).
 
 Public sources for the rule definitions (re-derived, not copied):
   - Gopher rules: Rae et al. 2021, "Scaling Language Models" (arXiv:2112.11446),
@@ -237,9 +238,17 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_flags_df(load_table(spark, sf_dir, "documents"))
 
 
-def gopher_flags_df(docs: DataFrame) -> DataFrame:
+def gopher_flags_df(docs: DataFrame, extra_cols: "dict | None" = None) -> DataFrame:
     """The Gopher signals over any DataFrame with (doc_id, text) — the
-    reusable form the CLI filter-corpus verb and ingest pipelines call."""
+    reusable form the CLI filter-corpus verb and ingest pipelines call.
+
+    extra_cols: optional {name: Column} computed from the RAW doc columns in
+    the same first projection and threaded through to the output — lets a
+    caller fold additional text gates (C4, mojibake) into this one scan
+    instead of re-reading the source per gate. Docs with empty/NULL text are
+    dropped up front (they fail the min-word gate by definition); callers
+    accounting for every input row should coalesce against the source."""
+    extra_cols = extra_cols or {}
     docs = docs.filter(F.length("text") > 0)
     t = docs.select(
         "doc_id",
@@ -247,6 +256,7 @@ def gopher_flags_df(docs: DataFrame) -> DataFrame:
         tokens(F.col("text")).alias("toks"),
         F.split(F.col("text"), "\n").alias("lines"),
         F.expr(r"regexp_count(text, '#|\\.\\.\\.|…')").alias("n_symbols"),
+        *[col.alias(name) for name, col in extra_cols.items()],
     )
 
     # Sorted arrays for run-length dup counting. Empty gram arrays (doc
@@ -302,6 +312,7 @@ def gopher_flags_df(docs: DataFrame) -> DataFrame:
         F.expr(_dup_runs_sql("lsort", "length({v})")).alias("dup_line_chars"),
         *[F.expr(_top_run_chars_sql(f"g{n}")).alias(f"top{n}_chars") for n in (2, 3, 4)],
         *[F.expr(_dup_runs_sql(f"g{n}", "length({v})")).alias(f"dup{n}_chars") for n in (5, 10)],
+        *[F.col(name) for name in extra_cols],
     )
 
     th = GOPHER_THRESHOLDS
@@ -352,7 +363,17 @@ def gopher_flags_df(docs: DataFrame) -> DataFrame:
         F.round(gram_f["dup5"], 4).alias("dup5gram_char_frac"),
         F.round(gram_f["dup10"], 4).alias("dup10gram_char_frac"),
         keep.alias("gopher_keep"),
+        *[F.col(name) for name in extra_cols],
     )
+
+
+# C4's page-level drop, shared between c4_stat_columns, the CLI verb, and the
+# composed llm_pipeline_v2 (Spark and oracle forms of the SAME rule).
+C4_PAGE_DROP_SQL = "(regexp_matches(lower(text), 'lorem ipsum') OR contains(text, '{'))"
+
+
+def c4_page_dropped_col():
+    return F.lower(F.col("text")).rlike("lorem ipsum") | F.col("text").contains("{")
 
 
 def c4_stat_columns() -> list:
@@ -361,7 +382,7 @@ def c4_stat_columns() -> list:
     expressions are stateless, so readStream applies them unchanged; see
     tests/test_webfilter.py::test_c4_columns_stream_equals_batch)."""
     lines = F.split(F.col("text"), "\n")
-    page_dropped = F.lower(F.col("text")).rlike("lorem ipsum") | F.col("text").contains("{")
+    page_dropped = c4_page_dropped_col()
     keep_lines = F.filter(
         lines,
         lambda l: l.rlike(r'[.!?"]\s*$')

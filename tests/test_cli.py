@@ -168,6 +168,7 @@ def test_cli_filter_corpus_command(spark, tmp_path, capsys):
             (1, "too short to pass"),                   # gopher drop
             (2, good + " lorem ipsum dolor"),           # c4 page drop
             (3, good.replace("the", "itâ€™s", 3)),      # mojibake drop
+            (4, ""),                                    # empty text: gopher drop
         ],
         "doc_id: long, text: string",
     ).write.parquet(src)
@@ -176,6 +177,7 @@ def test_cli_filter_corpus_command(spark, tmp_path, capsys):
 
     assert main(["filter-corpus", src, dest, "--report"]) == 0
     out = capsys.readouterr().out
-    assert "input:4 kept:1 dropped:3" in out
-    assert "drop_c4:1" in out and "drop_mojibake:1" in out
+    assert "input:5 kept:1 dropped:4" in out
+    # every dropped row is explained by a gate counter (empty text -> gopher)
+    assert "drop_c4:1" in out and "drop_mojibake:1" in out and "drop_gopher:" in out
     assert [r.doc_id for r in spark.read.parquet(dest).collect()] == [0]
