@@ -95,6 +95,27 @@ def main(argv: list[str] | None = None) -> int:
         help="write every scored doc (default writes keep=true only)",
     )
 
+    tt = sub.add_parser(
+        "train-tokenizer",
+        help="train a subword tokenizer on a documents parquet and write the "
+        "model as JSON (unigram-LM pieces+logp, or ordered BPE merges)",
+    )
+    tt.add_argument("src", help="input parquet with a text column")
+    tt.add_argument("model", help="output JSON model path")
+    tt.add_argument("--algo", default="unigram", choices=["unigram", "bpe"])
+    tt.add_argument("--vocab-size", type=int, default=400)
+    tt.add_argument("--iters", type=int, default=3, help="EM iters / BPE merges x100")
+    tt.add_argument("--merges", type=int, default=50, help="BPE merge count")
+
+    tk = sub.add_parser(
+        "tokenize",
+        help="apply a trained unigram model to a documents parquet -> "
+        "(doc_id, pieces) parquet",
+    )
+    tk.add_argument("src", help="input parquet with a text column")
+    tk.add_argument("model", help="unigram JSON model from train-tokenizer")
+    tk.add_argument("dest", help="output parquet")
+
     fc = sub.add_parser(
         "filter-corpus",
         help="apply the Gopher + C4 + mojibake hygiene gates to a documents "
@@ -252,6 +273,49 @@ def main(argv: list[str] | None = None) -> int:
             F.count("*"), F.sum(F.col("keep").cast("int")), F.sum("n_tokens")
         ).first()
         print(f"responses:{stats[0]} kept:{stats[1]} tokens:{stats[2]}")
+    elif args.cmd == "train-tokenizer":
+        import json as _json
+
+        docs = spark.read.parquet(args.src)
+        if args.algo == "unigram":
+            from streamds_spark.operators.unigram_lm import train_unigram_lm
+
+            logp, losses = train_unigram_lm(
+                docs, vocab_size=args.vocab_size, iters=args.iters
+            )
+            model = {"algo": "unigram", "pieces": logp}
+            print(
+                f"algo:unigram pieces:{len(logp)} "
+                f"loss:{losses[0]:.1f}->{losses[-1]:.1f}"
+            )
+        else:
+            from streamds_spark.operators.bpe import train_bpe
+
+            merges, _ = train_bpe(docs, n_merges=args.merges)
+            model = {"algo": "bpe", "merges": [[a, b] for a, b, _ in merges]}
+            print(f"algo:bpe merges:{len(merges)}")
+        with open(args.model, "w") as f:
+            _json.dump(model, f)
+    elif args.cmd == "tokenize":
+        import json as _json
+
+        from streamds_spark.operators.unigram_lm import tokenize_with_vocab
+
+        with open(args.model) as f:
+            model = _json.load(f)
+        if model.get("algo") != "unigram":
+            parser.error("tokenize currently applies unigram models only")
+        docs = spark.read.parquet(args.src)
+        out = tokenize_with_vocab(docs, model["pieces"]).select(
+            "doc_id", "pieces"
+        )
+        out.write.mode("overwrite").parquet(args.dest)
+        from pyspark.sql import functions as F
+
+        stats = spark.read.parquet(args.dest).agg(
+            F.count("*"), F.sum(F.size("pieces"))
+        ).first()
+        print(f"docs:{stats[0]} pieces_total:{stats[1]}")
     elif args.cmd == "filter-corpus":
         from pyspark.sql import functions as F
 

@@ -181,3 +181,36 @@ def test_cli_filter_corpus_command(spark, tmp_path, capsys):
     # every dropped row is explained by a gate counter (empty text -> gopher)
     assert "drop_c4:1" in out and "drop_mojibake:1" in out and "drop_gopher:" in out
     assert [r.doc_id for r in spark.read.parquet(dest).collect()] == [0]
+
+
+def test_cli_tokenizer_roundtrip(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs4.parquet")
+    spark.createDataFrame(
+        [(i, "running runner runs the runway again " * 3) for i in range(6)],
+        "doc_id: long, text: string",
+    ).write.parquet(src)
+    model = str(tmp_path / "tok.json")
+    dest = str(tmp_path / "pieces.parquet")
+    from streamds_spark.cli import main
+
+    assert main(["train-tokenizer", src, model, "--iters", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "algo:unigram pieces:" in out
+
+    assert main(["tokenize", src, model, dest]) == 0
+    out = capsys.readouterr().out
+    assert "docs:6" in out
+    rows = spark.read.parquet(dest).collect()
+    # losslessness: pieces rejoin to the whitespace-stripped text
+    src_rows = {r.doc_id: r.text for r in spark.read.parquet(src).collect()}
+    for r in rows:
+        assert "".join(r.pieces) == src_rows[r.doc_id].replace(" ", "")
+
+    # BPE path writes an ordered merge list
+    model2 = str(tmp_path / "tok_bpe.json")
+    assert main(["train-tokenizer", src, model2, "--algo", "bpe", "--merges", "10"]) == 0
+    import json
+
+    with open(model2) as f:
+        m = json.load(f)
+    assert m["algo"] == "bpe" and len(m["merges"]) == 10
