@@ -104,7 +104,10 @@ def main(argv: list[str] | None = None) -> int:
     tt.add_argument("model", help="output JSON model path")
     tt.add_argument("--algo", default="unigram", choices=["unigram", "bpe"])
     tt.add_argument("--vocab-size", type=int, default=400)
-    tt.add_argument("--iters", type=int, default=3, help="EM iters / BPE merges x100")
+    tt.add_argument(
+        "--iters", type=int, default=3,
+        help="unigram EM iterations (>=1; ignored for --algo bpe)",
+    )
     tt.add_argument("--merges", type=int, default=50, help="BPE merge count")
 
     tk = sub.add_parser(
@@ -125,7 +128,8 @@ def main(argv: list[str] | None = None) -> int:
     fc.add_argument("dest", help="output parquet of kept documents")
     fc.add_argument(
         "--report", action="store_true",
-        help="also print per-gate drop counts (extra pass per gate)",
+        help="also print per-gate drop counts (one extra aggregation over "
+        "the combined verdict)",
     )
 
     sh = sub.add_parser(
@@ -278,13 +282,15 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = spark.read.parquet(args.src)
         if args.algo == "unigram":
+            if args.iters < 1:
+                parser.error("--iters must be >= 1 for unigram training")
             from streamds_spark.operators.unigram_lm import train_unigram_lm
 
             logp, losses = train_unigram_lm(
                 docs, vocab_size=args.vocab_size, iters=args.iters
             )
             model = {"algo": "unigram", "pieces": logp}
-            print(
+            summary = (
                 f"algo:unigram pieces:{len(logp)} "
                 f"loss:{losses[0]:.1f}->{losses[-1]:.1f}"
             )
@@ -293,9 +299,10 @@ def main(argv: list[str] | None = None) -> int:
 
             merges, _ = train_bpe(docs, n_merges=args.merges)
             model = {"algo": "bpe", "merges": [[a, b] for a, b, _ in merges]}
-            print(f"algo:bpe merges:{len(merges)}")
+            summary = f"algo:bpe merges:{len(merges)}"
         with open(args.model, "w") as f:
             _json.dump(model, f)
+        print(summary)
     elif args.cmd == "tokenize":
         import json as _json
 

@@ -85,6 +85,10 @@ def train_logreg(
         resid = resid.cache()
         try:
             agg = resid.agg(F.sum("ll").alias("ll")).collect()[0]
+            if agg.ll is None:
+                raise ValueError(
+                    "features and labels share no doc_ids — nothing to train on"
+                )
             losses.append(float(agg.ll) / n_docs)
             grad_rows = (
                 features.join(resid.select("doc_id", "r"), "doc_id")

@@ -190,13 +190,16 @@ def train_unigram_lm(
         logp = {p: s for p, s in logp.items() if len(p) == 1} | dict(multi[:keep])
 
     # final truncation to the requested size: chars are mandatory, multis
-    # fill the remaining budget in probability order
+    # fill the remaining budget in probability order; renormalize so the
+    # returned model is a proper distribution even when mass was dropped
     chars = {p: s for p, s in logp.items() if len(p) == 1}
     budget = max(vocab_size - len(chars), 0)
     multi = sorted(
         ((p, s) for p, s in logp.items() if len(p) > 1), key=lambda t: (-t[1], t[0])
     )
     logp = chars | dict(multi[:budget])
+    log_mass = math.log(sum(math.exp(v) for v in logp.values()))
+    logp = {p: v - log_mass for p, v in logp.items()}
     return logp, losses
 
 
@@ -212,12 +215,19 @@ def tokenize_with_vocab(
 
     @pandas_udf(ArrayType(StringType()))
     def tok_udf(texts):
+        import re
+
         lp = bc.value
+        # ASCII \s+ to match the training-side tokens() (Java regex \s is
+        # ASCII-only; Python's is unicode-aware without re.ASCII) — train
+        # and apply must agree on word boundaries
+        ws = re.compile(r"\s+", re.ASCII)
 
         def go(t):
             out = []
-            for w in (t or "").split():
-                out.extend(_viterbi(w, lp, MAX_PIECE_LEN))
+            for w in ws.split(t or ""):
+                if w:
+                    out.extend(_viterbi(w, lp, MAX_PIECE_LEN))
             return out
 
         return texts.map(go)

@@ -9,6 +9,11 @@ from pyspark.sql import functions as F
 from streamds_spark.catalog import load_table
 from streamds_spark.functions.text import tokens
 from streamds_spark.registry import query
+from streamds_spark.queries.llmdata.webfilter import (
+    _MOJIBAKE_PATTERN,
+    C4_PAGE_DROP_SQL,
+    c4_page_dropped_col,
+)
 
 
 @query(
@@ -186,13 +191,6 @@ def llm_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").alias("total_tokens"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
-
-
-from streamds_spark.queries.llmdata.webfilter import (  # noqa: E402  (shared gate defs)
-    _MOJIBAKE_PATTERN,
-    C4_PAGE_DROP_SQL,
-    c4_page_dropped_col,
-)
 
 
 @query(
