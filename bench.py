@@ -3,11 +3,18 @@
 line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
 
 Each query is executed to completion (count() materializes the whole plan; the
-driver-side result is never collected). Timing is min-of-2 wall-clock per
+driver-side result is never collected). Timing is min-of-3 wall-clock per
 query after session warm-up — the first pass pays one-time JIT/codegen
 compilation that a long-lived session amortizes away (the cold first-pass
 total is reported in extras). Run order is fixed for comparability across
 rounds.
+
+Idle-box protocol (round 5, per VERDICT r4): two rounds of one-directional
+drift on the shuffle-heavy queries traced to background load on a shared box,
+not plan changes. Before timing, the harness polls /proc/loadavg and waits
+(up to IDLE_MAX_WAIT_S) for the 1-minute load to drop under IDLE_LOAD_GATE;
+the observed load at timing start and any wait spent are recorded in extras
+so a number taken on a busy box is visibly flagged rather than silently noisy.
 """
 
 from __future__ import annotations
@@ -43,6 +50,30 @@ HEADLINE = [
 ]
 
 
+IDLE_LOAD_GATE = 4.0  # 1-min load below this ≈ quiet on a 32-cpu box
+IDLE_MAX_WAIT_S = 120.0
+
+
+def _load1() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return -1.0  # unknown platform — skip the gate, report -1
+
+
+def _wait_for_idle() -> "tuple[float, float]":
+    """Block until the box looks idle (or the wait budget runs out).
+    Returns (load1 at timing start, seconds spent waiting)."""
+    waited = 0.0
+    load = _load1()
+    while load >= IDLE_LOAD_GATE and waited < IDLE_MAX_WAIT_S:
+        time.sleep(5.0)
+        waited += 5.0
+        load = _load1()
+    return load, waited
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -68,17 +99,21 @@ def main() -> None:
     specs["distinct_values"].fn(spark, sf_dir).count()
     specs["topk_parts"].fn(spark, sf_dir).count()
 
-    # Each query runs twice and the MIN is reported: the first pass still pays
-    # per-plan JIT/codegen compilation (measured 2x total inflation on a cold
-    # JVM), which a long-lived cluster session never re-pays — min-of-2 is the
-    # steady-state per-query cost the 100 TB posture cares about. The cold
-    # first-pass total is recorded in extras for transparency.
+    # Gate on an idle box before the first timed query (see module docstring).
+    load_at_start, idle_wait_s = _wait_for_idle()
+
+    # Each query runs three times and the MIN is reported: the first pass
+    # still pays per-plan JIT/codegen compilation (measured 2x total inflation
+    # on a cold JVM), which a long-lived cluster session never re-pays —
+    # min-of-3 is the steady-state per-query cost the 100 TB posture cares
+    # about and smooths per-query scheduler/GC variance on a shared box. The
+    # cold first-pass total is recorded in extras for transparency.
     timings: dict[str, float] = {}
     cold_total = 0.0
     for name in HEADLINE:
         spec = specs[name]
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             spec.fn(spark, sf_dir).count()
             runs.append(time.time() - t0)
@@ -202,6 +237,8 @@ def main() -> None:
                     "pii_redaction_forced": pii_s,
                     "gopher_quality_flags_forced": gopher_s,
                     "headline_first_pass_total": round(cold_total, 3),
+                    "load1_at_timing_start": load_at_start,
+                    "idle_wait_s": idle_wait_s,
                 },
             }
         )

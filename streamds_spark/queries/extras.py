@@ -777,36 +777,51 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     log p_target(x)/p_raw(x) under hashed-unigram bag models (Laplace
     smoothed), plus the top-25%-by-weight selection verdict.
 
-    Scale shape: one tokenize pass builds per-bucket counts (D=256 rows per
-    side — broadcast); the per-doc score joins the D-row LUT onto the token
-    stream map-side and partial-aggregates by doc_id (one shuffle). The
-    selection threshold is a 1-row exact percentile broadcast back. At
-    100 TB nothing driver-side ever exceeds D rows. Interpolated quantile
-    matches DuckDB's quantile_cont via percentile()."""
+    Scale shape: exactly TWO corpus passes. Pass 1 tokenizes once and builds
+    BOTH per-bucket count sides in a single groupBy (conditional sums), then
+    collects the <=D=256 result rows ONCE; the totals are folded driver-side
+    from those same rows (no standalone count jobs — the module's "nothing
+    driver-side ever exceeds D rows" contract licenses this). Pass 2 scores:
+    the per-bucket log-likelihood-ratio LUT is inlined as literal count maps
+    (map-side element_at lookup — no join, no broadcast exchange) and
+    partial-aggregates by doc_id (one shuffle). The log() stays a JVM-side
+    expression over the literal counts, so values are bit-identical to the
+    former broadcast-join formulation. The selection threshold is a 1-row
+    exact percentile broadcast back. Interpolated quantile matches DuckDB's
+    quantile_cont via percentile()."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "source", F.explode(tokens(F.col("text"))).alias("w")
     ).select("doc_id", "source", (md5_int60(F.col("w")) % _DSIR_DIM).alias("b"))
     is_target = F.col("source").isin(*_DSIR_TARGET)
-    tcnt = tok.filter(is_target).groupBy("b").agg(F.count("*").alias("tc"))
-    rcnt = tok.filter(~is_target).groupBy("b").agg(F.count("*").alias("rc"))
-    buckets = spark.range(_DSIR_DIM).select(F.col("id").alias("b"))
-    tot_t = tcnt.agg(F.sum("tc")).collect()[0][0]
-    tot_r = rcnt.agg(F.sum("rc")).collect()[0][0]
-    lut = (
-        buckets.join(tcnt, "b", "left")
-        .join(rcnt, "b", "left")
-        .select(
-            "b",
-            (
-                F.log((F.coalesce("tc", F.lit(0)) + 1.0) / F.lit(float(tot_t + _DSIR_DIM)))
-                - F.log((F.coalesce("rc", F.lit(0)) + 1.0) / F.lit(float(tot_r + _DSIR_DIM)))
-            ).alias("llr"),
+    # ONE corpus pass for both count sides; ONE <=D-row collect for everything
+    cnt_rows = (
+        tok.groupBy("b")
+        .agg(
+            F.sum(F.when(is_target, 1).otherwise(0)).alias("tc"),
+            F.sum(F.when(~is_target, 1).otherwise(0)).alias("rc"),
         )
+        .collect()
+    )
+    tc_by_b = {int(r["b"]): int(r["tc"]) for r in cnt_rows if r["tc"]}
+    rc_by_b = {int(r["b"]): int(r["rc"]) for r in cnt_rows if r["rc"]}
+    tot_t = sum(tc_by_b.values())
+    tot_r = sum(rc_by_b.values())
+
+    def _count_lookup(by_b: "dict[int, int]") -> F.Column:
+        if not by_b:
+            return F.lit(0)
+        m = F.create_map(
+            *[x for b, c in by_b.items() for x in (F.lit(b).cast("bigint"), F.lit(c))]
+        )
+        return F.coalesce(F.element_at(m, F.col("b")), F.lit(0))
+
+    llr = F.log((_count_lookup(tc_by_b) + 1.0) / F.lit(float(tot_t + _DSIR_DIM))) - F.log(
+        (_count_lookup(rc_by_b) + 1.0) / F.lit(float(tot_r + _DSIR_DIM))
     )
     scored = (
         tok.filter(~is_target)
-        .join(F.broadcast(lut), "b")
+        .withColumn("llr", llr)
         .groupBy("doc_id")
         .agg(F.sum("llr").alias("w"))
     )
@@ -881,7 +896,7 @@ def _zorder_oracle_sql() -> str:
 @query("zorder_key_orders", oracle=_zorder_oracle_sql())
 def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) key over (customer, order-day) — the clustering key
-    operators/zorder.write_zorder_layout range-partitions 100 TB fact tables
+    io/layout.write_zordered range-partitions 100 TB fact tables
     on so parquet footer stats prune reads filtered on EITHER column. The
     bit-interleave is one codegen'd arithmetic expression (zorder_sql emits
     the identical SQL for Spark and the DuckDB oracle); the layout write and
