@@ -141,6 +141,21 @@ def main(argv: list[str] | None = None) -> int:
     sh.add_argument("--logs", default=None, help="log dir/glob for grep commands")
 
     args = parser.parse_args(argv)
+
+    # The corpus verbs lazily read src while overwriting dest — if the two
+    # resolve to the same path the overwrite clobbers the input mid-read and
+    # the job fails or loses data. Refuse up front (benchmark is an input too).
+    if args.cmd in ("dedup", "decontaminate", "scrub-substrings", "ingest-warc",
+                    "tokenize", "filter-corpus"):
+        import os as _os
+
+        inputs = [args.src] + ([args.benchmark] if args.cmd == "decontaminate" else [])
+        for inp in inputs:
+            if _os.path.realpath(inp) == _os.path.realpath(args.dest):
+                parser.error(
+                    f"dest must differ from input path {inp!r}: the overwrite "
+                    "would clobber the input while the plan is still reading it"
+                )
     from streamds_spark.session import get_spark
 
     spark = get_spark("streamds-cli")

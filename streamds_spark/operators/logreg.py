@@ -55,9 +55,15 @@ def train_logreg(
 ) -> "tuple[dict, list]":
     """Batch GD for logistic regression; returns (weights {j: w}, per-iter
     mean log-loss). features = (doc_id, j, v) [cached by caller for iteration
-    reuse], labels = (doc_id, y) with y in {0, 1}."""
+    reuse], labels = (doc_id, y) with y in {0, 1}.
+
+    The loss/gradient denominator is the number of docs actually present in
+    the scores-labels join (counted in the same aggregate as the loss — no
+    extra job), NOT labels.count(): a labeled doc with no feature rows (e.g.
+    empty/whitespace-only text yields no tokens and hence no bias row from
+    hashed_tf) contributes nothing to the sums and must not deflate the mean
+    loss or shrink the effective step size."""
     spark = features.sparkSession
-    n_docs = labels.count()
     w: dict = {}
     losses = []
     for _ in range(iters):
@@ -84,11 +90,14 @@ def train_logreg(
         # iteration, not twice
         resid = resid.cache()
         try:
-            agg = resid.agg(F.sum("ll").alias("ll")).collect()[0]
+            agg = resid.agg(
+                F.sum("ll").alias("ll"), F.count("*").alias("n")
+            ).collect()[0]
             if agg.ll is None:
                 raise ValueError(
                     "features and labels share no doc_ids — nothing to train on"
                 )
+            n_docs = int(agg.n)
             losses.append(float(agg.ll) / n_docs)
             grad_rows = (
                 features.join(resid.select("doc_id", "r"), "doc_id")

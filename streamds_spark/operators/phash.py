@@ -16,10 +16,12 @@ shape, and everything downstream are unchanged.
 
 Scale shape: hashing is map-only (Arrow batches, numpy DCT via one matmul
 per image). Candidate pairing reuses the SimHash trick — split the 64-bit
-hash into 4 16-bit bands; any pair within Hamming distance 3 of each other
+hash into B equal bands; any pair within Hamming distance B-1 of each other
 shares at least one full band (pigeonhole), so a (band_idx, band_value)
 equi-join finds all such pairs without an all-pairs comparison, and the
-exact Hamming check on xor prunes false candidates. Same posture as
+exact Hamming check on xor prunes false candidates. B defaults to 4 (16-bit
+bands, radius <= 3) and widens to 8 or 16 bands for looser radii (see
+phash_neardup_pairs for the collision-rate tradeoff). Same posture as
 dedup_simhash, which is driver-verified.
 """
 
@@ -56,7 +58,15 @@ _DCT_M = _dct_matrix(PHASH_SIZE)
 def _stub_pixels(payload: bytes) -> np.ndarray:
     """STUB pixel decode for synth_payload blobs (md5-chained body bytes
     tiled to width*height grayscale). A real impl decodes the codec here."""
+    if len(payload) < 11:
+        raise ValueError(
+            f"not a synth_payload blob: {len(payload)} bytes (< 11-byte "
+            "header of magic + >II width/height) — real codecs are not "
+            "available in this environment; see functions/multimodal.py"
+        )
     width, height = struct.unpack(">II", payload[3:11])
+    if width == 0 or height == 0:
+        raise ValueError(f"degenerate image dimensions {width}x{height}")
     body = np.frombuffer(payload[11:], dtype=np.uint8)
     if body.size == 0:
         body = np.zeros(1, dtype=np.uint8)
@@ -106,15 +116,34 @@ def image_phash(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(batches, schema=PHASH_SCHEMA)
 
 
-def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+def phash_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 3, n_bands: int | None = None
+) -> DataFrame:
     """Near-duplicate image pairs (id_a < id_b, hamming <= max_hamming) via
     banded candidate join + exact popcount verify. Complete for
-    max_hamming < N_BANDS (pigeonhole); raise N_BANDS for looser radii."""
-    if max_hamming >= N_BANDS:
+    max_hamming < n_bands (pigeonhole: a pair differing in <= max_hamming
+    bits must agree on at least one full band).
+
+    n_bands defaults to the narrowest complete scheme for the radius: 4
+    bands of 16 bits (radius <= 3), 8 bands of 8 bits (radius <= 7), or 16
+    bands of 4 bits (radius <= 15). The tradeoff is explicit: wider radius
+    means narrower bands, so random-pair band collisions rise from
+    4/2^16 to 8/2^8 to 16/2^4 — candidate volume stays O(sum of bucket^2),
+    never all-pairs, but the near-dup workload should pick the TIGHTEST
+    radius it can (image near-dup convention is <= 8-10, i.e. 16 bands only
+    when genuinely needed). Radius >= 16 is refused: 2-bit bands collide on
+    a quarter of random pairs, which IS effectively all-pairs."""
+    if n_bands is None:
+        n_bands = next((b for b in (N_BANDS, 8, 16) if max_hamming < b), 0)
+    if not n_bands or max_hamming >= n_bands:
         raise ValueError(
-            f"banded join is only complete for max_hamming < {N_BANDS} bands; "
-            f"got {max_hamming} — raise N_BANDS for a looser radius"
+            f"banded join is only complete for max_hamming < n_bands; got "
+            f"radius {max_hamming} with {n_bands or '>16 required'} bands"
         )
+    if 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64; got {n_bands}")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     bands = hashes.select(
         "media_id",
         "phash",
@@ -123,11 +152,11 @@ def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("phash"), 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("phash"), width * b)
+                        .bitwiseAND(F.lit(mask))
                         .alias("val"),
                     )
-                    for b in range(N_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bv"),

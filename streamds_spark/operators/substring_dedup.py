@@ -4,11 +4,18 @@ Data Makes Language Models Better") at L-token granularity.
 Every duplicated substring of ≥L tokens contains a duplicated L-token
 shingle, so: mark every shingle whose exact text occurs more than once in the
 corpus (any doc, including within-doc repeats), merge each document's marked
-positions into maximal spans, and strip those spans. This removes ALL text
-whose ≥L-token context appears elsewhere — the aggressive variant that keeps
-no occurrence (deterministic, order-free; keeping one canonical occurrence
-requires a global tie-break pass and is left to the caller by re-adding the
-cluster representative from dedup_cluster_keep_best).
+positions into maximal spans, and strip those spans. Two variants:
+
+  keep_one=False (default): the aggressive variant — ALL occurrences of a
+  duplicated shingle are stripped (deterministic, order-free).
+
+  keep_one=True: Lee et al.'s practical recipe — ONE canonical occurrence of
+  each duplicated shingle survives, chosen by the deterministic global
+  tie-break min(doc_id, pos), so the duplicated text still exists exactly
+  once in the cleaned corpus. Canonicity is per-shingle: a canonical
+  occurrence can still be stripped if an OVERLAPPING different shingle marks
+  its positions (the same approximation Lee et al. accept — exactness is at
+  shingle granularity, not span granularity).
 
 Scale shape — three bounded shuffles, no suffix array, no global ordering:
   1. posexplode tokens → L-shingle at each position (arrays stay in codegen);
@@ -36,6 +43,7 @@ def substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_shingles: bool = False,
+    keep_one: bool = False,
 ) -> DataFrame:
     """(doc_id, n_spans, n_tokens_removed, n_tokens, cleaned_text): strip
     every maximal span covered by corpus-duplicated L-token shingles.
@@ -47,7 +55,13 @@ def substring_dedup(
     leaves its scan task. A 64-bit collision marks one extra shingle as
     duplicated (P ≈ n²/2⁶⁴ — at 10¹² shingles expect ~27 spurious marks
     corpus-wide, each stripping one L-token span); the raw-string default
-    stays for exact cross-engine oracle equality."""
+    stays for exact cross-engine oracle equality.
+
+    keep_one=True preserves the min(doc_id, pos) occurrence of each
+    duplicated shingle (module docstring): ONE extra aggregate on the
+    dup-occurrence relation (min struct per shingle — partial-agg friendly,
+    same shingle shuffle key as the mark-back join, so at 100 TB it rides
+    the exchange that already exists) and an equi-filter against it."""
     toked = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
     )
@@ -63,7 +77,21 @@ def substring_dedup(
         .filter(F.col("c") > 1)
         .select("shingle")
     )
-    marked = pos.join(dup, "shingle").select("doc_id", "pos")
+    occ = pos.join(dup, "shingle")
+    if keep_one:
+        canon = occ.groupBy("shingle").agg(
+            F.min(F.struct("doc_id", "pos")).alias("canon")
+        )
+        marked = (
+            occ.join(canon, "shingle")
+            .filter(
+                (F.col("doc_id") != F.col("canon.doc_id"))
+                | (F.col("pos") != F.col("canon.pos"))
+            )
+            .select("doc_id", "pos")
+        )
+    else:
+        marked = occ.select("doc_id", "pos")
 
     # merge [pos, pos+L) intervals per doc: running max end over positions
     # seen so far; a position starting past it opens a new span group

@@ -34,7 +34,13 @@ def zorder_sql(xcol: str, ycol: str, bits: int = 16) -> str:
     """Morton-interleave SQL expression for two non-negative int expressions,
     valid in BOTH Spark SQL and DuckDB (only >>, <<, &, CAST, +). Bit b of x
     lands at position 2b, bit b of y at 2b+1 — the same layout as
-    io/layout.interleave_bits([x, y], bits), which tests pin by equality."""
+    io/layout.interleave_bits([x, y], bits), which tests pin by equality.
+
+    CONTRACT: inputs must already fit in `bits` bits (non-negative,
+    < 2**bits). Wider values are silently TRUNCATED — high bits are dropped,
+    so distinct (x, y) pairs can collide on the same zkey. Pre-mask at the
+    call site (e.g. `col % 4096` for bits=12, as zorder_key_orders does);
+    zorder_py raises on out-of-range inputs to catch this in tests."""
     terms = []
     for i in range(bits):
         terms.append(f"(((CAST({xcol} AS BIGINT) >> {i}) & 1) << {2 * i})")
@@ -43,7 +49,13 @@ def zorder_sql(xcol: str, ycol: str, bits: int = 16) -> str:
 
 
 def zorder_py(x: int, y: int, bits: int = 16) -> int:
-    """Python reference for tests."""
+    """Python reference for tests. Enforces the zorder_sql input contract
+    (the SQL form silently truncates; the reference refuses instead)."""
+    if not (0 <= x < (1 << bits) and 0 <= y < (1 << bits)):
+        raise ValueError(
+            f"zorder inputs must be in [0, 2**{bits}); got ({x}, {y}) — "
+            "pre-mask the columns (zorder_sql truncates silently here)"
+        )
     z = 0
     for i in range(bits):
         z |= ((x >> i) & 1) << (2 * i)

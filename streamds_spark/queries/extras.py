@@ -582,6 +582,83 @@ def substring_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "substring_dedup_keep_one",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, unnest(range(0, greatest(len(t) - 7, 0))) AS pos,
+               t[unnest(range(0, greatest(len(t) - 7, 0))) + 1] || ' ' ||
+               t[unnest(range(0, greatest(len(t) - 7, 0))) + 2] || ' ' ||
+               t[unnest(range(0, greatest(len(t) - 7, 0))) + 3] || ' ' ||
+               t[unnest(range(0, greatest(len(t) - 7, 0))) + 4] || ' ' ||
+               t[unnest(range(0, greatest(len(t) - 7, 0))) + 5] || ' ' ||
+               t[unnest(range(0, greatest(len(t) - 7, 0))) + 6] || ' ' ||
+               t[unnest(range(0, greatest(len(t) - 7, 0))) + 7] || ' ' ||
+               t[unnest(range(0, greatest(len(t) - 7, 0))) + 8] AS shingle
+        FROM toks
+    ),
+    dup AS (SELECT shingle FROM pos GROUP BY shingle HAVING count(*) > 1),
+    marked AS (  -- all occurrences EXCEPT the (doc_id, pos)-min canonical one
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY shingle
+                                      ORDER BY doc_id, pos) AS rn
+            FROM pos JOIN dup USING (shingle)
+        ) WHERE rn > 1
+    ),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                     OR pos > max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_span
+        FROM marked
+    ),
+    grouped AS (
+        SELECT doc_id, pos,
+               sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS grp
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, grp, min(pos) AS s, max(pos) + 8 AS e
+        FROM grouped GROUP BY doc_id, grp
+    ),
+    report AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(e - s) AS BIGINT) AS n_tokens_removed
+        FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(r.n_spans, 0) AS n_spans,
+           coalesce(r.n_tokens_removed, 0) AS n_tokens_removed,
+           CAST(len(t.t) AS BIGINT) AS n_tokens
+    FROM toks t LEFT JOIN report r USING (doc_id)
+    """,
+)
+def substring_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-canonical substring dedup (Lee et al. 2022's practical
+    recipe): identical to substring_dedup_report, except ONE occurrence of
+    each corpus-duplicated 8-shingle — the global min(doc_id, pos) — is
+    preserved, so the duplicated text survives exactly once in the cleaned
+    corpus. The canonical pick is one extra aggregate on the dup-occurrence
+    relation (min struct per shingle, same shuffle key as the mark-back
+    join); per-doc removal totals are the cross-engine check here, and
+    cleaned-text reconstruction parity is pytest-verified against a Python
+    reference (tests/test_substring_dedup.py)."""
+    from streamds_spark.operators.substring_dedup import substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup(docs, 8, keep_one=True).select(
+        "doc_id", "n_spans", "n_tokens_removed", "n_tokens"
+    )
+
+
+@query(
     "embedding_norm_outliers",
     oracle=r"""
     WITH norms AS (

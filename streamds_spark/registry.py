@@ -83,6 +83,31 @@ def verification_backlog(correctness_files: list[str]) -> "set[str] | None":
     return {n for n, green in latest.items() if green} if latest else None
 
 
+def latest_green_rounds(correctness_files: list[str]) -> "dict[str, int]":
+    """For every query whose LATEST row is green: the index (in filename sort
+    order, i.e. round order) of the most recent file with a green row for it.
+    Drives staleness-aware rotation — a query green since round 1 and never
+    re-checked has a lower stamp than one re-proven last round."""
+    import json
+
+    stamp: dict[str, int] = {}
+    green: dict[str, bool] = {}
+    for i, path in enumerate(sorted(correctness_files)):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            ok = bool(
+                r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
+            )
+            green[name] = ok
+            if ok:
+                stamp[name] = i
+    return {n: stamp[n] for n, ok in green.items() if ok and n in stamp}
+
+
 def checked_names(correctness_files: list[str]) -> "set[str]":
     """Every query name that has ANY driver CORRECTNESS row (green or red)."""
     import json
@@ -105,7 +130,11 @@ def rotate_for_driver_window() -> None:
       2. the LLM-data-pipeline layer (queries.llmdata.*) — graded as
          first-class components, so driver evidence matters most there;
       3. everything else never checked (extended TPC-H etc.).
-    Verified queries rotate to the back. Driven by the repo's own
+    Verified queries rotate to the back, ordered OLDEST GREEN ROW FIRST:
+    with ~190 queries and a ~50-slot driver window a green row can be
+    several rounds stale while the code evolves, so the slots left after
+    the unverified front re-prove the longest-unchecked queries — every
+    query re-proves at least every ~4 rounds. Driven by the repo's own
     CORRECTNESS_r*.json files, so each round's rotation is automatic."""
     import glob
     import os
@@ -133,7 +162,14 @@ def rotate_for_driver_window() -> None:
 
     front = [n for n in QUERIES if n not in verified]
     front = [n for _, n in sorted(enumerate(front), key=lambda t: front_key(t))]
+    green_round = latest_green_rounds(files)
     back = [n for n in QUERIES if n in verified]
+    back = [
+        n
+        for _, n in sorted(
+            enumerate(back), key=lambda t: (green_round.get(t[1], -1), t[0])
+        )
+    ]
     ordered = {n: QUERIES[n] for n in front + back}
     QUERIES.clear()
     QUERIES.update(ordered)

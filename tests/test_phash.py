@@ -91,3 +91,56 @@ def test_band_join_is_complete_at_radius(spark):
             if bin((hashes[i] ^ hashes[j]) & ((1 << 64) - 1)).count("1") <= 3:
                 want.add((i, j))
     assert got == want
+
+
+def test_band_join_complete_at_radius_7_and_15(spark):
+    """The widened band tables (8x8-bit, 16x4-bit) stay complete at their
+    pigeonhole radii — verified against brute force on random hashes with
+    planted near-pairs at the exact radius boundary."""
+    rng = random.Random(23)
+    hashes = [rng.getrandbits(63) for _ in range(50)]
+    for radius in (7, 15):
+        for i in range(8):
+            flipped = hashes[i]
+            for _ in range(radius):  # exactly at the boundary
+                flipped ^= 1 << rng.randrange(63)
+            hashes.append(flipped)
+    df = spark.createDataFrame(
+        [(i, h - (1 << 64) if h >= 1 << 63 else h) for i, h in enumerate(hashes)],
+        "media_id long, phash long",
+    )
+
+    def brute(radius):
+        return {
+            (i, j)
+            for i in range(len(hashes))
+            for j in range(i + 1, len(hashes))
+            if bin((hashes[i] ^ hashes[j]) & ((1 << 64) - 1)).count("1") <= radius
+        }
+
+    for radius, bands in ((7, 8), (15, 16)):
+        got = {
+            (r.id_a, r.id_b)
+            for r in phash_neardup_pairs(df, max_hamming=radius).collect()
+        }
+        assert got == brute(radius), f"incomplete at radius {radius} ({bands} bands)"
+
+
+def test_band_join_rejects_impossible_radii():
+    import pytest
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame([(1, 5)], "media_id long, phash long")
+    with pytest.raises(ValueError, match="banded join"):
+        phash_neardup_pairs(df, max_hamming=16)  # 2-bit bands refused
+    with pytest.raises(ValueError, match="divide 64"):
+        phash_neardup_pairs(df, max_hamming=3, n_bands=6)
+
+
+def test_stub_pixels_rejects_short_payload():
+    import pytest
+
+    with pytest.raises(ValueError, match="synth_payload"):
+        _stub_pixels(b"\x00\x01")

@@ -81,6 +81,40 @@ def test_live_registry_front_is_exactly_the_unproven_set():
     ), (no_oracle_pos, first_green_idx)
 
 
+def test_latest_green_rounds_stamps_most_recent_green(tmp_path):
+    from streamds_spark.registry import latest_green_rounds
+
+    r1 = _write(tmp_path, "CORRECTNESS_r01.json", {"a": GREEN, "b": GREEN, "c": GREEN})
+    r2 = _write(tmp_path, "CORRECTNESS_r02.json", {"b": GREEN, "c": RED})
+    stamps = latest_green_rounds([r2, r1])  # order-insensitive (filename sort)
+    # a: green only in r1 → stamp 0; b: re-proven in r2 → stamp 1;
+    # c: latest row red → not verified at all, no stamp
+    assert stamps == {"a": 0, "b": 1}
+
+
+def test_verified_back_is_ordered_oldest_green_first():
+    """On the real repo state: within the verified back of the registry
+    order, green-row age must be non-decreasing — the driver's spare window
+    slots re-check the stalest queries first."""
+    import glob
+    import os
+
+    from streamds_spark.registry import latest_green_rounds, load_all
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    if not files:
+        return
+    green = verification_backlog(files)
+    stamps = latest_green_rounds(files)
+    names = list(load_all())
+    back_stamps = [stamps[n] for n in names if n in green]
+    assert back_stamps == sorted(back_stamps), "verified back not age-ordered"
+    # and the stalest stamp leads, so round-5's window re-proves r1-era rows
+    if back_stamps:
+        assert back_stamps[0] == min(stamps.values())
+
+
 def test_selfcheck_multiset_reproduces_driver_unhashable_crash():
     """Driver-canonicalization parity (r3 feature_hash_vectors lesson): the
     driver sorts-then-hashes RAW cells, so a bare list cell must fail in

@@ -135,6 +135,103 @@ def test_hashed_shingle_path_equals_string_path(spark):
     assert got == want
 
 
+def _py_reference_keep_one(texts: dict[int, str], l_tokens: int = L) -> dict[int, tuple]:
+    """Keep-one variant of _py_reference: the globally-first occurrence
+    (min (doc_id, pos)) of each duplicated shingle is NOT marked."""
+    toks = {d: [w for w in t.split() if w] for d, t in texts.items()}
+    occs: dict[str, list] = {}
+    for d in sorted(toks):
+        t = toks[d]
+        for i in range(len(t) - l_tokens + 1):
+            occs.setdefault(" ".join(t[i : i + l_tokens]), []).append((d, i))
+    canon = {s: min(o) for s, o in occs.items() if len(o) > 1}
+    out = {}
+    for d, t in toks.items():
+        marked = [
+            i
+            for i in range(len(t) - l_tokens + 1)
+            if " ".join(t[i : i + l_tokens]) in canon
+            and canon[" ".join(t[i : i + l_tokens])] != (d, i)
+        ]
+        spans = []
+        for i in marked:
+            if spans and i <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], i + l_tokens)
+            else:
+                spans.append([i, i + l_tokens])
+        removed = sum(e - s for s, e in spans)
+        cleaned = " ".join(
+            w for i, w in enumerate(t) if not any(s <= i < e for s, e in spans)
+        )
+        out[d] = (len(spans), removed, len(t), cleaned)
+    return out
+
+
+def test_keep_one_matches_python_reference_on_crafted(spark, crafted):
+    texts, df = crafted
+    ref = _py_reference_keep_one(texts)
+    got = {
+        r["doc_id"]: (
+            r["n_spans"],
+            r["n_tokens_removed"],
+            r["n_tokens"],
+            r["cleaned_text"],
+        )
+        for r in substring_dedup(df, L, keep_one=True).collect()
+    }
+    assert got == ref
+    # doc 0 holds the global-min occurrence of the boilerplate — it survives
+    assert "rights reserved" in got[0][3]
+    # later occurrences are stripped
+    assert "rights reserved" not in got[1][3]
+    # within-doc repeat in doc 3: the first occurrence there is NOT canonical
+    # (doc 0 owns it), so both of doc 3's copies go
+    assert "rights reserved" not in got[3][3]
+
+
+def test_keep_one_matches_python_reference_on_real_documents(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(200)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    ref = _py_reference_keep_one(texts)
+    got = {
+        r["doc_id"]: (
+            r["n_spans"],
+            r["n_tokens_removed"],
+            r["n_tokens"],
+            r["cleaned_text"],
+        )
+        for r in substring_dedup(docs, L, keep_one=True).collect()
+    }
+    assert got == ref
+
+
+def test_keep_one_removes_subset_of_aggressive(spark):
+    """keep_one can only UNDO removals relative to the aggressive variant —
+    per doc its tokens-removed count is <= the aggressive count, and the
+    corpus-wide total is strictly smaller when any duplicate exists."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(200)
+    agg = {r["doc_id"]: r["n_tokens_removed"] for r in substring_dedup(docs, L).collect()}
+    one = {
+        r["doc_id"]: r["n_tokens_removed"]
+        for r in substring_dedup(docs, L, keep_one=True).collect()
+    }
+    assert all(one[d] <= agg[d] for d in agg)
+    assert sum(one.values()) < sum(agg.values())
+
+
+def test_keep_one_hashed_path_equals_string_path(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(200)
+    want = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in substring_dedup(docs, L, keep_one=True).collect()
+    }
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in substring_dedup(docs, L, keep_one=True, hash_shingles=True).collect()
+    }
+    assert got == want
+
+
 def test_hashed_path_exchanges_long_keys(spark, crafted):
     """Plan pin: with hash_shingles=True the dup-mark aggregation and the
     mark-back join key on a BIGINT xxhash64, i.e. every shingle exchange
