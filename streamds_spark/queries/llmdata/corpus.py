@@ -236,25 +236,47 @@ def llm_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified standalone operator's expression; composing them fuses into
     scan → window → window → agg with no Python in the loop. At 100 TB
     insert the LSH near-dup and bloom-decontamination stages between dedup
-    and cap — same shape."""
-    from pyspark.sql import Window as W
+    and cap — same shape.
 
-    from streamds_spark.functions.hashing import md5_int60
-
+    The stages are module-level functions (pipeline_gate /
+    pipeline_exact_dedup / pipeline_cap_report) shared VERBATIM with the
+    continuous twin (streaming/llm_pipeline.py), whose stream==batch
+    equality test rides on exactly this decomposition."""
     docs = load_table(spark, sf_dir, "documents")
+    return pipeline_cap_report(pipeline_exact_dedup(pipeline_gate(docs)))
+
+
+def pipeline_gate(docs: DataFrame) -> DataFrame:
+    """Hygiene + quality gates, all map-only (hence directly usable on an
+    unbounded stream): mojibake-free, C4 page rules, >=10 tokens, 100-2000
+    chars. Adds n_toks."""
     moji = F.expr(f"regexp_count(text, '{_MOJIBAKE_PATTERN}')")
     gated = docs.filter((moji == 0) & ~c4_page_dropped_col()).withColumn(
         "n_toks", F.size(tokens(F.col("text")))
     )
-    quality = gated.filter(
-        (F.col("n_toks") >= 10) & F.col("n_chars").between(100, 2000)
-    )
-    wh = W.partitionBy(F.md5(F.col("text").cast("binary")))
-    deduped = (
+    return gated.filter((F.col("n_toks") >= 10) & F.col("n_chars").between(100, 2000))
+
+
+def pipeline_exact_dedup(quality: DataFrame) -> DataFrame:
+    """Exact dedup: keep the min-doc_id occurrence per content hash (window
+    min avoids a self-join). Global over the input relation — the streaming
+    twin applies it per micro-batch and handles cross-batch occurrences with
+    its persisted hash store."""
+    wh = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    return (
         quality.withColumn("keep_id", F.min("doc_id").over(wh))
         .filter(F.col("doc_id") == F.col("keep_id"))
+        .drop("keep_id")
     )
-    wcap = W.partitionBy("source").orderBy(
+
+
+def pipeline_cap_report(deduped: DataFrame) -> DataFrame:
+    """Per-domain cap (40, deterministic md5 shuffle) + 32/24 sliding-window
+    chunk accounting rolled up per source — the finalize/report stage, run on
+    the corpus store contents in the streaming posture."""
+    from streamds_spark.functions.hashing import md5_int60
+
+    wcap = Window.partitionBy("source").orderBy(
         md5_int60(F.concat(F.lit("domaincap:"), F.col("doc_id").cast("string"))),
         "doc_id",
     )

@@ -1,0 +1,218 @@
+"""Continuous LLM-corpus ingest — the streaming twin of the batch
+`llm_pipeline_v2` query (queries/llmdata/corpus.py), closing the loop on the
+reference's whole premise: RainStorm exists so a pipeline RUNS CONTINUOUSLY
+(`core_process_stream_DS.go:454-721` — source → operators → sink with
+exactly-once), and this is that posture for the pretraining-data stack:
+
+    readStream documents
+      → hygiene + quality gates   (pipeline_gate — map-only, in-plan on the
+                                   unbounded DataFrame, shared VERBATIM with
+                                   the batch query)
+      → per-batch exact dedup     (pipeline_exact_dedup on the micro-batch)
+      → cross-batch exact dedup   (anti-join against the persisted
+                                   content-hash store)
+      → near-dup probe            (MinHash buckets vs the persisted bucket
+                                   store — operators/dedup_incremental.py's
+                                   broadcast-probe shape, run per batch)
+      → appendlog corpus store    (io/appendlog.append_batch — idempotent
+                                   batchId chunk dirs, exactly-once)
+
+Exactly-once across crash/replay: every per-batch write is keyed by batchId
+(appendlog chunk dir, hash-store dir, bucket-store dir) in overwrite mode, so
+a replayed micro-batch rewrites its own dirs instead of duplicating; and both
+probes read ONLY store dirs with id < the current batchId, so a replayed
+batch never collides with its own half-written state.
+
+Streaming dedup semantics vs batch: the batch rule keeps the min-doc_id
+occurrence per content hash over the WHOLE corpus; the stream keeps the
+FIRST-ARRIVING batch's occurrence (min doc_id within that batch). The two
+agree whenever ingest order is doc_id order — the equality test's setup —
+and first-arrival is the natural production policy (an already-published doc
+is never retracted because a lower-id duplicate arrives later).
+
+The domain-cap + chunk-accounting report (pipeline_cap_report) is a
+global-rank computation and therefore runs on the CORPUS STORE contents
+(finalize-time), not inside the stream — same rule, same code, applied where
+a global view exists.
+
+Scale shape: gates are map-only per split; the per-batch dedup window
+partitions by content hash (batch-sized state); both store probes broadcast
+the SMALL batch side and scan the store shuffle-free; corpus/bucket/hash
+stores grow by one batch-keyed parquet dir per trigger (no read-modify-write
+anywhere). At 100 TB steady state each trigger's cost tracks the batch, not
+the corpus — the same measured posture as dedup_incremental (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from streamds_spark.io import appendlog
+from streamds_spark.operators.dedup_pipeline import lsh_band_buckets, minhash_signatures
+
+
+@dataclass(frozen=True)
+class CorpusStreamPaths:
+    """Directory layout under one work dir: everything batch-keyed."""
+
+    work_dir: str
+
+    @property
+    def checkpoint(self) -> str:
+        return os.path.join(self.work_dir, "checkpoint")
+
+    @property
+    def corpus(self) -> str:  # appendlog table of kept documents
+        return os.path.join(self.work_dir, "corpus")
+
+    @property
+    def hash_store(self) -> str:  # seen content hashes, batch=N dirs
+        return os.path.join(self.work_dir, "hash_store")
+
+    @property
+    def bucket_store(self) -> str:  # MinHash band buckets, batch=N dirs
+        return os.path.join(self.work_dir, "bucket_store")
+
+
+def _committed_store_dirs(root: str, before_batch: int) -> list[str]:
+    """Store dirs from batches strictly BEFORE the given one (committed only).
+    Replay safety: a re-run batch must not probe its own prior half-write."""
+    out = []
+    for d in _glob.glob(os.path.join(root, "batch=*")):
+        try:
+            bid = int(os.path.basename(d).split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid < before_batch and os.path.exists(os.path.join(d, "_SUCCESS")):
+            out.append(d)
+    return sorted(out)
+
+
+def _seen_hashes(spark: SparkSession, paths: CorpusStreamPaths, batch_id: int) -> DataFrame | None:
+    dirs = _committed_store_dirs(paths.hash_store, batch_id)
+    return spark.read.parquet(*dirs) if dirs else None
+
+
+def _corpus_buckets(spark: SparkSession, paths: CorpusStreamPaths, batch_id: int) -> DataFrame | None:
+    dirs = _committed_store_dirs(paths.bucket_store, batch_id)
+    return spark.read.parquet(*dirs) if dirs else None
+
+
+def process_corpus_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    paths: CorpusStreamPaths,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> None:
+    """One micro-batch of the ingest pipeline (gates already applied in-plan).
+
+    Writes three batch-keyed artifacts (all overwrite-idempotent):
+      corpus/chunks/batch-…      kept documents (+ n_neardup_cands flag)
+      hash_store/batch=N         this batch's new content hashes
+      bucket_store/batch=N       this batch's kept docs' MinHash buckets
+    """
+    from streamds_spark.queries.llmdata.corpus import pipeline_exact_dedup
+
+    spark = batch_df.sparkSession
+    hashed = batch_df.withColumn("_h", F.md5(F.col("text").cast("binary")))
+
+    # within-batch exact dedup (the batch rule verbatim), then cross-batch:
+    # drop docs whose content hash is already in the store
+    local = pipeline_exact_dedup(hashed)
+    seen = _seen_hashes(spark, paths, batch_id)
+    if seen is not None:
+        local = local.join(
+            F.broadcast(seen.select(F.col("h").alias("_h")).distinct()),
+            "_h",
+            "left_anti",
+        )
+    # batch is re-read for hashes + buckets + the sink write — cache it
+    local = local.cache()
+    try:
+        # near-dup probe against the persisted corpus buckets (flag, don't
+        # drop: near-dup POLICY is a downstream choice; the batch twin has no
+        # near-dup stage, so flagging keeps stream==batch equality testable)
+        new_buckets = lsh_band_buckets(
+            minhash_signatures(local, num_perm), bands
+        )
+        corpus_b = _corpus_buckets(spark, paths, batch_id)
+        if corpus_b is not None:
+            cands = (
+                corpus_b.join(
+                    F.broadcast(
+                        new_buckets.select(F.col("doc_id").alias("new_id"), "band", "bucket")
+                    ),
+                    ["band", "bucket"],
+                )
+                .select("new_id", F.col("doc_id").alias("corpus_id"))
+                .distinct()
+                .groupBy("new_id")
+                .agg(F.count("*").alias("n_neardup_cands"))
+            )
+            kept = local.join(
+                cands.withColumnRenamed("new_id", "doc_id"), "doc_id", "left"
+            ).withColumn(
+                "n_neardup_cands", F.coalesce("n_neardup_cands", F.lit(0))
+            )
+        else:
+            kept = local.withColumn("n_neardup_cands", F.lit(0).cast("bigint"))
+
+        appendlog.append_batch(
+            kept.drop("_h"), paths.corpus, "llm-stream", batch_id
+        )
+        local.select(F.col("_h").alias("h")).distinct().write.mode("overwrite").parquet(
+            os.path.join(paths.hash_store, f"batch={int(batch_id)}")
+        )
+        new_buckets.write.mode("overwrite").parquet(
+            os.path.join(paths.bucket_store, f"batch={int(batch_id)}")
+        )
+    finally:
+        local.unpersist()
+
+
+def run_llm_corpus_stream(
+    spark: SparkSession,
+    src_dir: str,
+    work_dir: str,
+    max_files_per_trigger: int | None = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Launch the continuous corpus-ingest pipeline over a parquet documents
+    dir (schema inferred from the existing files; new files stream in).
+    available_now=True drains current input and stops (the test/drain mode);
+    False tails the directory forever (the production posture)."""
+    from streamds_spark.queries.llmdata.corpus import pipeline_gate
+
+    paths = CorpusStreamPaths(work_dir)
+    appendlog.create(spark, paths.corpus)
+    schema = spark.read.parquet(src_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    gated = pipeline_gate(reader.parquet(src_dir))
+
+    writer = gated.writeStream.option("checkpointLocation", paths.checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.foreachBatch(
+        lambda df, bid: process_corpus_batch(df, bid, paths)
+    ).start()
+
+
+def corpus_report(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Finalize-time report over the streamed corpus store: the SAME
+    pipeline_cap_report the batch query ends with, applied to the appendlog
+    contents — so after draining the same input, this equals
+    llm_pipeline_v2's output row-for-row (pinned by
+    tests/test_llm_pipeline_stream.py)."""
+    from streamds_spark.queries.llmdata.corpus import pipeline_cap_report
+
+    docs = appendlog.get(spark, CorpusStreamPaths(work_dir).corpus)
+    return pipeline_cap_report(docs.select("doc_id", "source", "n_toks"))

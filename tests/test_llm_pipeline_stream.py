@@ -1,0 +1,173 @@
+"""Streaming twin of llm_pipeline_v2 (streaming/llm_pipeline.py): the
+continuous ingest pipeline (readStream → hygiene gates → per-batch + hash-
+store exact dedup → bucket-store near-dup probe → appendlog corpus store)
+must reproduce the batch pipeline's output after draining the same input —
+including across a stop, new data, and a checkpointed restart."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from streamds_spark.catalog import load_table
+from streamds_spark.io import appendlog
+from streamds_spark.queries.llmdata.corpus import (
+    pipeline_cap_report,
+    pipeline_exact_dedup,
+    pipeline_gate,
+)
+from streamds_spark.streaming.llm_pipeline import (
+    CorpusStreamPaths,
+    corpus_report,
+    run_llm_corpus_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _split_into_files(spark, src_dir: str, n_files: int = 4) -> None:
+    """Write the sf0.001 documents as n doc_id-ordered parquet files with
+    ascending mtimes, so the file stream delivers them oldest-first in
+    doc_id order (the setup under which streaming first-arrival dedup ==
+    batch min-doc_id dedup; see the module docstring)."""
+    tbl = pq.read_table(os.path.join(SF, "documents.parquet"))
+    tbl = tbl.sort_by("doc_id")
+    n = tbl.num_rows
+    os.makedirs(src_dir, exist_ok=True)
+    now = time.time()
+    for i in range(n_files):
+        part = tbl.slice(i * n // n_files, (i + 1) * n // n_files - i * n // n_files)
+        path = os.path.join(src_dir, f"{i:03d}.parquet")
+        pq.write_table(part, path)
+        os.utime(path, (now - 100 + i, now - 100 + i))
+
+
+@pytest.fixture(scope="module")
+def drained(spark, tmp_path_factory):
+    """Run the stream to drain over 4 files; return (src_dir, work_dir)."""
+    root = tmp_path_factory.mktemp("llmstream")
+    src_dir, work_dir = str(root / "src"), str(root / "work")
+    _split_into_files(spark, src_dir)
+    q = run_llm_corpus_stream(spark, src_dir, work_dir)
+    q.awaitTermination(timeout=300)
+    assert not q.isActive
+    return src_dir, work_dir
+
+
+def test_stream_equals_batch_kept_set(spark, drained):
+    """The streamed corpus holds exactly the batch pipeline's post-dedup doc
+    set (gates + exact dedup), each doc exactly once."""
+    _, work_dir = drained
+    corpus = appendlog.get(spark, CorpusStreamPaths(work_dir).corpus)
+    got = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    docs = load_table(spark, SF, "documents")
+    want = sorted(
+        r["doc_id"]
+        for r in pipeline_exact_dedup(pipeline_gate(docs)).select("doc_id").collect()
+    )
+    assert got == want
+    assert len(got) == len(set(got)), "duplicate doc_ids in the corpus store"
+    assert len(got) > 0
+
+
+def test_stream_report_equals_llm_pipeline_v2(spark, drained):
+    """corpus_report over the streamed store == the driver-green batch query
+    llm_pipeline_v2, row for row."""
+    _, work_dir = drained
+    from streamds_spark.registry import load_all
+
+    got = sorted(tuple(r) for r in corpus_report(spark, work_dir).collect())
+    want = sorted(
+        tuple(r) for r in load_all()["llm_pipeline_v2"].fn(spark, SF).collect()
+    )
+    assert got == want
+
+
+def test_restart_ingests_only_new_unique_docs(spark, drained):
+    """Add a 5th file (one exact duplicate of an already-ingested doc under a
+    new id, one near-duplicate, one fresh unique doc); restart the stream on
+    the SAME checkpoint. The exact dup is dropped by the hash store, the
+    near-dup is ingested but flagged by the bucket-store probe, the fresh doc
+    is ingested — and nothing already in the corpus duplicates."""
+    src_dir, work_dir = drained
+    corpus_before = appendlog.get(spark, CorpusStreamPaths(work_dir).corpus)
+    before_ids = {r["doc_id"] for r in corpus_before.select("doc_id").collect()}
+    base = (
+        corpus_before.select("doc_id", "source", "n_chars", "text")
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+
+    near_text = " ".join(
+        w if i != 3 else "PERTURBED" for i, w in enumerate(base["text"].split())
+    )
+    fresh_text = " ".join(f"fresh{i} unique token stream" for i in range(12))
+    new_rows = [
+        # exact duplicate content, new id → hash store must drop it
+        {"doc_id": 900001, "source": base["source"], "lang": "en",
+         "n_chars": base["n_chars"], "text": base["text"]},
+        # near duplicate → kept, but the bucket probe should flag candidates
+        {"doc_id": 900002, "source": base["source"], "lang": "en",
+         "n_chars": len(near_text), "text": near_text},
+        # fresh unique doc
+        {"doc_id": 900003, "source": base["source"], "lang": "en",
+         "n_chars": len(fresh_text), "text": fresh_text},
+    ]
+    schema = pq.read_table(os.path.join(SF, "documents.parquet")).schema
+    cols = {
+        name: [r.get(name) for r in new_rows]
+        for name in schema.names
+    }
+    tbl = pa.table(cols, schema=pa.schema([schema.field(n) for n in schema.names]))
+    pq.write_table(tbl, os.path.join(src_dir, "004.parquet"))
+
+    q = run_llm_corpus_stream(spark, src_dir, work_dir)
+    q.awaitTermination(timeout=300)
+    assert not q.isActive
+
+    corpus = appendlog.get(spark, CorpusStreamPaths(work_dir).corpus)
+    rows = {r["doc_id"]: r for r in corpus.collect()}
+    ids = sorted(rows)
+    assert len(ids) == len(set(ids))
+    assert 900001 not in rows, "exact-duplicate content must be dropped"
+    # the near-dup and fresh docs pass gates only if long enough — both are
+    gate_ids = {
+        r["doc_id"]
+        for r in pipeline_gate(
+            spark.createDataFrame(
+                [(r["doc_id"], r["source"], r["lang"], r["n_chars"], r["text"])
+                 for r in new_rows],
+                "doc_id long, source string, lang string, n_chars long, text string",
+            )
+        ).collect()
+    }
+    if 900002 in gate_ids:
+        assert 900002 in rows
+        assert rows[900002]["n_neardup_cands"] > 0, "near-dup not flagged"
+    if 900003 in gate_ids:
+        assert 900003 in rows
+    # everything previously ingested is still there, exactly once
+    assert before_ids <= set(ids)
+
+
+def test_replay_probe_excludes_own_batch_state(tmp_path):
+    """_committed_store_dirs must never return the probing batch's own dir —
+    the replay-safety invariant (a re-run batch would otherwise anti-join
+    against its own half-written hashes and drop all its docs)."""
+    from streamds_spark.streaming.llm_pipeline import _committed_store_dirs
+
+    root = tmp_path / "store"
+    for bid, committed in [(0, True), (1, True), (2, False), (3, True)]:
+        d = root / f"batch={bid}"
+        d.mkdir(parents=True)
+        if committed:
+            (d / "_SUCCESS").touch()
+    got = _committed_store_dirs(str(root), 3)
+    assert [os.path.basename(p) for p in got] == ["batch=0", "batch=1"]
