@@ -73,18 +73,67 @@ def synth_payload(seed: str, kind: str = "img", width: int = 64, height: int = 4
     return bytes(header + out[:n])
 
 
+def _pil_image_module():
+    """Pillow's Image module if installed, else None — the real-codec gate.
+    Pure-Python Pillow is not in this container; when a deployment provides
+    it, decode_image_pixels and _fake_decode use it with no other change."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def _fake_decode(payload: bytes) -> tuple[str, int, int]:
-    """STUB DECODER — stands in for PIL.Image.open / ffprobe, which are not in
-    this container. Parses the synthetic header written by synth_payload."""
+    """STUB DECODER for synthetic blobs — stands in for PIL.Image.open /
+    ffprobe. Non-synthetic payloads fall through to Pillow when installed
+    (real-codec path), else raise the documented guard."""
     magic = payload[:3]
     kind = {v: k for k, v in MAGIC.items()}.get(magic)
     if kind is None:
+        image_mod = _pil_image_module()
+        if image_mod is not None:
+            import io
+
+            with image_mod.open(io.BytesIO(payload)) as im:
+                return "img", int(im.width), int(im.height)
         raise NotImplementedError(
-            "real codec decode not available in this environment; payload is not "
-            "a synthetic blob (expected IMG/AUD/VID magic)"
+            "real codec decode not available in this environment (Pillow not "
+            "installed); payload is not a synthetic blob (expected IMG/AUD/VID "
+            "magic)"
         )
     width, height = struct.unpack(">II", payload[3:11])
     return kind, width, height
+
+
+def decode_image_pixels(payload: bytes):
+    """Grayscale uint8 pixel array (h×w) for an image payload: synthetic
+    blobs decode via the deterministic stub; real image bytes (PNG/JPEG/...)
+    decode via Pillow when installed — the swap point the multimodal layer
+    documents, now wired so providing the dependency IS the deployment step.
+    Raises NotImplementedError for real payloads without Pillow."""
+    import numpy as np
+
+    if payload[:3] == MAGIC["img"]:
+        if len(payload) < 11:
+            raise ValueError(f"truncated synthetic image blob ({len(payload)} bytes)")
+        width, height = struct.unpack(">II", payload[3:11])
+        body = np.frombuffer(payload[11:], dtype=np.uint8)
+        if body.size == 0:
+            body = np.zeros(1, dtype=np.uint8)
+        reps = -(-(width * height) // body.size)
+        return np.tile(body, reps)[: width * height].reshape(height, width)
+    image_mod = _pil_image_module()
+    if image_mod is None:
+        raise NotImplementedError(
+            "real image decode requires Pillow, which is not installed in "
+            "this environment (synthetic IMG blobs decode without it)"
+        )
+    import io
+
+    with image_mod.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("L"), dtype=np.uint8)
 
 
 def decode_media(df: DataFrame) -> DataFrame:

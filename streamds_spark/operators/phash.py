@@ -102,13 +102,19 @@ PHASH_SCHEMA = StructType(
 
 
 def image_phash(media: DataFrame) -> DataFrame:
-    """(media_id, phash) for every image payload, Arrow-batched map-only."""
+    """(media_id, phash) for every image payload, Arrow-batched map-only.
+
+    Pixels come from functions/multimodal.decode_image_pixels: synthetic
+    blobs via the deterministic stub, real image bytes via Pillow when the
+    deployment provides it (env-gated; tests/test_phash.py has the
+    real-decode test, skipped cleanly without the dependency)."""
+    from streamds_spark.functions.multimodal import decode_image_pixels
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = _stub_pixels(bytes(payload))
+                px = decode_image_pixels(bytes(payload))
                 # 63-bit value (see phash64) — always fits a signed LongType
                 out.append({"media_id": mid, "phash": phash64(px)})
             yield pd.DataFrame(out, columns=["media_id", "phash"])

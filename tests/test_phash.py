@@ -144,3 +144,55 @@ def test_stub_pixels_rejects_short_payload():
 
     with pytest.raises(ValueError, match="synth_payload"):
         _stub_pixels(b"\x00\x01")
+
+
+def test_real_payload_without_pillow_raises_guard():
+    import pytest
+
+    from streamds_spark.functions.multimodal import (
+        _pil_image_module,
+        decode_image_pixels,
+    )
+
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    if _pil_image_module() is None:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_image_pixels(png_magic)
+    else:
+        # with Pillow installed a malformed PNG is a decode error, not a guard
+        with pytest.raises(Exception):
+            decode_image_pixels(png_magic)
+
+
+def test_phash_on_real_pixels_via_pillow(spark):
+    """Real-codec path (skipped when Pillow is absent): encode genuine PNGs,
+    hash through the SAME image_phash plumbing, and verify a noisy copy is
+    near its original while a different image is far."""
+    import pytest
+
+    from streamds_spark.functions.multimodal import _pil_image_module
+
+    image_mod = _pil_image_module()
+    if image_mod is None:
+        pytest.skip("Pillow not installed — real-codec path is env-gated")
+    import io
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(48, 64)).astype(np.uint8)
+    noisy = np.clip(
+        base.astype(int) + rng.integers(-4, 5, size=base.shape), 0, 255
+    ).astype(np.uint8)
+    other = rng.integers(0, 256, size=(48, 64)).astype(np.uint8)
+
+    def png(arr):
+        buf = io.BytesIO()
+        image_mod.fromarray(arr, mode="L").save(buf, format="PNG")
+        return buf.getvalue()
+
+    media = spark.createDataFrame(
+        [(0, png(base)), (1, png(noisy)), (2, png(other))],
+        "media_id long, payload binary",
+    )
+    h = {r["media_id"]: r["phash"] for r in image_phash(media).collect()}
+    assert bin(h[0] ^ h[1]).count("1") <= 10
+    assert bin(h[0] ^ h[2]).count("1") >= 16
