@@ -58,10 +58,13 @@ def substring_dedup(
     stays for exact cross-engine oracle equality.
 
     keep_one=True preserves the min(doc_id, pos) occurrence of each
-    duplicated shingle (module docstring): ONE extra aggregate on the
-    dup-occurrence relation (min struct per shingle — partial-agg friendly,
-    same shingle shuffle key as the mark-back join, so at 100 TB it rides
-    the exchange that already exists) and an equi-filter against it."""
+    duplicated shingle (module docstring): a row_number window PARTITIONED
+    by shingle (ordered doc_id, pos) on the dup-occurrence relation, keeping
+    rn > 1 — ONE shuffle on the shingle key the mark-back join already
+    pays, no extra join (plan census: 8 exchanges, same as the aggressive
+    variant). Groups are occurrence lists of one duplicated shingle, so the
+    per-group sort is tiny; a boilerplate shingle duplicated 10⁶ times
+    co-locates on one reducer either way (the join form shares that skew)."""
     toked = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
     )
@@ -79,15 +82,10 @@ def substring_dedup(
     )
     occ = pos.join(dup, "shingle")
     if keep_one:
-        canon = occ.groupBy("shingle").agg(
-            F.min(F.struct("doc_id", "pos")).alias("canon")
-        )
+        w_canon = Window.partitionBy("shingle").orderBy("doc_id", "pos")
         marked = (
-            occ.join(canon, "shingle")
-            .filter(
-                (F.col("doc_id") != F.col("canon.doc_id"))
-                | (F.col("pos") != F.col("canon.pos"))
-            )
+            occ.withColumn("rn", F.row_number().over(w_canon))
+            .filter(F.col("rn") > 1)
             .select("doc_id", "pos")
         )
     else:
