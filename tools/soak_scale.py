@@ -53,6 +53,15 @@ def run_substr(docs) -> None:
     ).collect()
 
 
+def run_dedup_e2e(docs) -> None:
+    """Full dedup_corpus: capped LSH candidates -> exact-Jaccard verify ->
+    fixpoint connected components -> keep-best resolution."""
+    from streamds_spark.operators.dedup_pipeline import dedup_corpus
+
+    kept, _ = dedup_corpus(docs)
+    kept.count()
+
+
 def run_bloom(docs) -> None:
     from streamds_spark.functions.text import shingles_expr, tokens
     from streamds_spark.operators.bloom import bloom_decontaminate
@@ -66,7 +75,12 @@ def run_bloom(docs) -> None:
     bloom_decontaminate(sh.filter(F.col("doc_id") >= cut), bench_sh).count()
 
 
-PATHS = {"lsh": run_lsh, "substr": run_substr, "bloom": run_bloom}
+PATHS = {
+    "lsh": run_lsh,
+    "substr": run_substr,
+    "bloom": run_bloom,
+    "dedup_e2e": run_dedup_e2e,
+}
 
 
 def main() -> None:
