@@ -11,10 +11,14 @@ rounds.
 
 Idle-box protocol (round 5, per VERDICT r4): two rounds of one-directional
 drift on the shuffle-heavy queries traced to background load on a shared box,
-not plan changes. Before timing, the harness polls /proc/loadavg and waits
-(up to IDLE_MAX_WAIT_S) for the 1-minute load to drop under IDLE_LOAD_GATE;
-the observed load at timing start and any wait spent are recorded in extras
-so a number taken on a busy box is visibly flagged rather than silently noisy.
+not plan changes. Before the session/warm-up burst (so the harness's own load
+is never mistaken for background load), the harness polls /proc/loadavg and
+waits (up to IDLE_MAX_WAIT_S) for the 1-minute load to drop under
+IDLE_LOAD_GATE; the observed pre-existing load and any wait spent are
+recorded in extras so a number taken on a busy box is visibly flagged rather
+than silently noisy. Guest loadavg cannot see HOST-level contention in a VM;
+cross-run disagreement at recorded-low load is that signature (BASELINE.md
+round-5 notes).
 """
 
 from __future__ import annotations
@@ -78,6 +82,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     specs = load_all()
+    # Gate on an idle box BEFORE the warm-up burst: polling after warm-up
+    # would measure the harness's own just-generated load (1-min loadavg
+    # decays slowly), misattributing self-load to background activity — the
+    # exact confusion the gate exists to resolve. What we record here is the
+    # pre-existing background load the timings are exposed to.
+    load_at_start, idle_wait_s = _wait_for_idle()
     spark = get_spark("bench")
     # Warm up the JVM, codegen, and the parquet read path (footer parsing,
     # filesystem) so the first timed query doesn't absorb session startup.
@@ -98,9 +108,6 @@ def main() -> None:
     # two non-headline registry queries warm codegen + AQE machinery
     specs["distinct_values"].fn(spark, sf_dir).count()
     specs["topk_parts"].fn(spark, sf_dir).count()
-
-    # Gate on an idle box before the first timed query (see module docstring).
-    load_at_start, idle_wait_s = _wait_for_idle()
 
     # Each query runs three times and the MIN is reported: the first pass
     # still pays per-plan JIT/codegen compilation (measured 2x total inflation

@@ -119,6 +119,8 @@ def decode_image_pixels(payload: bytes):
         if len(payload) < 11:
             raise ValueError(f"truncated synthetic image blob ({len(payload)} bytes)")
         width, height = struct.unpack(">II", payload[3:11])
+        if width == 0 or height == 0:
+            raise ValueError(f"degenerate image dimensions {width}x{height}")
         body = np.frombuffer(payload[11:], dtype=np.uint8)
         if body.size == 0:
             body = np.zeros(1, dtype=np.uint8)
@@ -173,13 +175,25 @@ RESIZED_SCHEMA = StructType(
 
 def resize_media(df: DataFrame, out_width: int, out_height: int) -> DataFrame:
     """Resize pass: subsamples the fake pixel bytes deterministically (a real
-    impl calls the codec here; the batch shape / schema contract is identical)."""
+    impl calls the codec here; the batch shape / schema contract is identical).
+
+    SYNTHETIC BLOBS ONLY: the byte-subsample below is meaningless on real
+    codec bytes, so non-synthetic payloads are refused loudly even when
+    Pillow is installed (a real resize must decode → resample → re-encode;
+    decode_image_pixels is the decode half of that path)."""
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
+                if b[:3] not in MAGIC.values():
+                    raise NotImplementedError(
+                        "resize_media only supports synthetic blobs: real "
+                        "image resize requires a codec re-encode step "
+                        "(decode via decode_image_pixels, resample, encode) "
+                        f"— got a non-synthetic payload for media_id={media_id}"
+                    )
                 kind, w, h = _fake_decode(b)
                 body = b[11:]
                 n_out = max(16, out_width * out_height // 16)

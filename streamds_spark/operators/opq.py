@@ -96,3 +96,15 @@ def rotate_query(qvec: "list[float]", opq: dict) -> list[float]:
     r = np.asarray(opq["rot"], dtype=np.float64)
     mu = np.asarray(opq["mean"], dtype=np.float64)
     return [float(x) for x in r @ (np.asarray(qvec, dtype=np.float64) - mu)]
+
+
+def anisotropic_demo_vectors(n: int = 1500, d: int = 64, seed: int = 11) -> np.ndarray:
+    """Deterministic correlated vectors with a steep spectrum spread across
+    ALL coordinates (random orthogonal mixing), so contiguous PQ slices see
+    wildly unequal variance — the regime this operator exists for. Shared by
+    the test suite and the recall harness (tools/opq_recall.py); NOT data
+    for any query — a demo/measurement generator only."""
+    rng = np.random.default_rng(seed)
+    scales = np.geomspace(30.0, 0.1, d)
+    q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    return (rng.standard_normal((n, d)) * scales) @ q.T

@@ -148,6 +148,11 @@ def phash_neardup_pairs(
         )
     if 64 % n_bands:
         raise ValueError(f"n_bands must divide 64; got {n_bands}")
+    if n_bands > 16:
+        # bands narrower than 4 bits collide on >= 1/16 of random pairs —
+        # the all-pairs regime the docstring refuses, also when the caller
+        # picks n_bands explicitly
+        raise ValueError(f"n_bands must be <= 16 (band width >= 4 bits); got {n_bands}")
     width = 64 // n_bands
     mask = (1 << width) - 1
     bands = hashes.select(

@@ -57,41 +57,18 @@ def load_all() -> dict[str, QuerySpec]:
     return QUERIES
 
 
-def verification_backlog(correctness_files: list[str]) -> "set[str] | None":
-    """Names whose LATEST driver CORRECTNESS row is fully green (rows+schema+
-    hash). Returns None when no round has run yet (no rotation possible).
-
-    Later rounds override earlier ones per query name, so a query that
-    regresses (or whose oracle changes and fails) automatically rotates back
-    into the checked window next round.
-    """
+def _scan_correctness(
+    correctness_files: list[str],
+) -> "dict[str, tuple[bool, int]] | None":
+    """ONE parse of the CORRECTNESS files (filename-sorted = round order):
+    per query name, (latest row is fully green, index of the newest file
+    with a green row). None when there is no readable data at all — the
+    single definition of 'green' every helper below derives from."""
     import json
 
     if not correctness_files:
         return None
-    latest: dict[str, bool] = {}
-    for path in sorted(correctness_files):
-        try:
-            with open(path) as f:
-                rows = json.load(f)
-        except (OSError, ValueError):
-            continue
-        for name, r in rows.items():
-            latest[name] = bool(
-                r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
-            )
-    return {n for n, green in latest.items() if green} if latest else None
-
-
-def latest_green_rounds(correctness_files: list[str]) -> "dict[str, int]":
-    """For every query whose LATEST row is green: the index (in filename sort
-    order, i.e. round order) of the most recent file with a green row for it.
-    Drives staleness-aware rotation — a query green since round 1 and never
-    re-checked has a lower stamp than one re-proven last round."""
-    import json
-
-    stamp: dict[str, int] = {}
-    green: dict[str, bool] = {}
+    latest: dict[str, tuple[bool, int]] = {}
     for i, path in enumerate(sorted(correctness_files)):
         try:
             with open(path) as f:
@@ -102,24 +79,37 @@ def latest_green_rounds(correctness_files: list[str]) -> "dict[str, int]":
             ok = bool(
                 r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
             )
-            green[name] = ok
-            if ok:
-                stamp[name] = i
-    return {n: stamp[n] for n, ok in green.items() if ok and n in stamp}
+            stamp = i if ok else latest.get(name, (False, -1))[1]
+            latest[name] = (ok, stamp)
+    return latest or None
+
+
+def verification_backlog(correctness_files: list[str]) -> "set[str] | None":
+    """Names whose LATEST driver CORRECTNESS row is fully green (rows+schema+
+    hash). Returns None when no round has run yet (no rotation possible).
+
+    Later rounds override earlier ones per query name, so a query that
+    regresses (or whose oracle changes and fails) automatically rotates back
+    into the checked window next round.
+    """
+    latest = _scan_correctness(correctness_files)
+    if latest is None:
+        return None
+    return {n for n, (green, _) in latest.items() if green}
+
+
+def latest_green_rounds(correctness_files: list[str]) -> "dict[str, int]":
+    """For every query whose LATEST row is green: the index (in filename sort
+    order, i.e. round order) of the most recent file with a green row for it.
+    Drives staleness-aware rotation — a query green since round 1 and never
+    re-checked has a lower stamp than one re-proven last round."""
+    latest = _scan_correctness(correctness_files) or {}
+    return {n: stamp for n, (green, stamp) in latest.items() if green and stamp >= 0}
 
 
 def checked_names(correctness_files: list[str]) -> "set[str]":
     """Every query name that has ANY driver CORRECTNESS row (green or red)."""
-    import json
-
-    seen: set[str] = set()
-    for path in sorted(correctness_files):
-        try:
-            with open(path) as f:
-                seen.update(json.load(f).keys())
-        except (OSError, ValueError):
-            continue
-    return seen
+    return set(_scan_correctness(correctness_files) or {})
 
 
 def rotate_for_driver_window() -> None:
@@ -141,10 +131,14 @@ def rotate_for_driver_window() -> None:
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
-    verified = verification_backlog(files)
+    latest = _scan_correctness(files)  # one parse feeds all three views
+    if not latest:
+        return
+    verified = {n for n, (green, _) in latest.items() if green}
     if not verified:
         return
-    checked = checked_names(files)
+    checked = set(latest)
+    green_round = {n: s for n, (green, s) in latest.items() if green and s >= 0}
 
     def front_key(item: "tuple[int, str]") -> "tuple[int, int]":
         idx, name = item
@@ -162,7 +156,6 @@ def rotate_for_driver_window() -> None:
 
     front = [n for n in QUERIES if n not in verified]
     front = [n for _, n in sorted(enumerate(front), key=lambda t: front_key(t))]
-    green_round = latest_green_rounds(files)
     back = [n for n in QUERIES if n in verified]
     back = [
         n

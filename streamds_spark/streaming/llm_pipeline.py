@@ -124,16 +124,23 @@ def process_corpus_batch(
     hashed = batch_df.withColumn("_h", F.md5(F.col("text").cast("binary")))
 
     # within-batch exact dedup (the batch rule verbatim), then cross-batch:
-    # drop docs whose content hash is already in the store
+    # drop docs whose content hash is already in the store. Broadcast shape
+    # matters at 100 TB: the STORE grows with the corpus and must never be
+    # the broadcast side — semi-join it against the broadcast batch hashes
+    # (store scans once, shuffle-free; the hit set is <= batch-sized), then
+    # anti-join the small hit set back. Same posture as the bucket probe.
     local = pipeline_exact_dedup(hashed)
     seen = _seen_hashes(spark, paths, batch_id)
     if seen is not None:
-        local = local.join(
-            F.broadcast(seen.select(F.col("h").alias("_h")).distinct()),
-            "_h",
-            "left_anti",
+        batch_h = local.select("_h").distinct()
+        hits = (
+            seen.select(F.col("h").alias("_h"))
+            .join(F.broadcast(batch_h), "_h", "left_semi")
+            .distinct()
         )
-    # batch is re-read for hashes + buckets + the sink write — cache it
+        local = local.join(F.broadcast(hits), "_h", "left_anti")
+    # batch is re-read for hashes + buckets + the sink write — cache it (the
+    # first materialization also runs the store scan exactly once)
     local = local.cache()
     try:
         # near-dup probe against the persisted corpus buckets (flag, don't

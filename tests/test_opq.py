@@ -9,6 +9,7 @@ import pytest
 
 from streamds_spark.catalog import load_table
 from streamds_spark.operators.opq import (
+    anisotropic_demo_vectors as _anisotropic_vectors,
     eigenvalue_allocation,
     rotate_query,
     rotate_vectors,
@@ -57,16 +58,6 @@ def test_rotation_is_orthonormal_and_distance_preserving(spark):
     # rotate_query lives in the same space as rotate_vectors
     q = rotate_query(raw[ids[0]].tolist(), opq)
     assert np.allclose(q, rot[ids[0]], atol=1e-8)
-
-
-def _anisotropic_vectors(n: int = 1500, d: int = 64, seed: int = 11) -> np.ndarray:
-    """Correlated vectors with a steep spectrum spread across ALL coordinates
-    (random orthogonal mixing), so contiguous PQ slices see wildly unequal
-    variance — the case parametric OPQ fixes."""
-    rng = np.random.default_rng(seed)
-    scales = np.geomspace(30.0, 0.1, d)
-    q, _ = np.linalg.qr(rng.standard_normal((d, d)))
-    return (rng.standard_normal((n, d)) * scales) @ q.T
 
 
 def test_opq_halves_pq_distortion_on_anisotropic_data(spark):

@@ -137,6 +137,9 @@ def test_band_join_rejects_impossible_radii():
         phash_neardup_pairs(df, max_hamming=16)  # 2-bit bands refused
     with pytest.raises(ValueError, match="divide 64"):
         phash_neardup_pairs(df, max_hamming=3, n_bands=6)
+    # explicit n_bands must not bypass the all-pairs refusal either
+    with pytest.raises(ValueError, match="band width"):
+        phash_neardup_pairs(df, max_hamming=20, n_bands=32)
 
 
 def test_stub_pixels_rejects_short_payload():
@@ -144,6 +147,32 @@ def test_stub_pixels_rejects_short_payload():
 
     with pytest.raises(ValueError, match="synth_payload"):
         _stub_pixels(b"\x00\x01")
+
+
+def test_decode_rejects_degenerate_dimensions():
+    import struct as _struct
+
+    import pytest
+
+    from streamds_spark.functions.multimodal import decode_image_pixels
+
+    blob = b"IMG" + _struct.pack(">II", 0, 48) + b"\x01" * 16
+    with pytest.raises(ValueError, match="degenerate"):
+        decode_image_pixels(blob)
+
+
+def test_resize_media_refuses_real_payloads(spark):
+    """resize_media's byte-subsample is meaningless on codec bytes — real
+    payloads must fail loudly even when Pillow is installed (it would
+    otherwise wrap sliced PNG bytes in a fake-blob header, silently)."""
+    import pytest
+
+    from streamds_spark.functions.multimodal import resize_media
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    media = spark.createDataFrame([(1, png)], "media_id long, payload binary")
+    with pytest.raises(Exception, match="synthetic"):
+        resize_media(media, 8, 8).collect()
 
 
 def test_real_payload_without_pillow_raises_guard():

@@ -82,9 +82,9 @@ def main() -> None:
         }
 
     # anisotropic synthetic (the OPQ regime)
-    from tests.test_opq import _anisotropic_vectors
+    from streamds_spark.operators.opq import anisotropic_demo_vectors
 
-    vecs = _anisotropic_vectors()
+    vecs = anisotropic_demo_vectors()
     ids = np.arange(len(vecs))
     df = spark.createDataFrame(
         [(int(i), v.tolist()) for i, v in enumerate(vecs)],
