@@ -132,6 +132,16 @@ def main(argv: list[str] | None = None) -> int:
         "the combined verdict)",
     )
 
+    st = sub.add_parser(
+        "stream-corpus",
+        help="continuously ingest a documents parquet dir through the "
+        "hygiene -> dedup -> appendlog pipeline (exactly-once; drains "
+        "current input by default, --tail keeps following the dir)",
+    )
+    st.add_argument("src", help="parquet documents dir (new files stream in)")
+    st.add_argument("work", help="work dir: checkpoint + corpus + dedup stores")
+    st.add_argument("--tail", action="store_true", help="keep running (production mode)")
+
     sh = sub.add_parser(
         "shell",
         help="interactive terminal (the reference's command loop): SQL by "
@@ -146,15 +156,17 @@ def main(argv: list[str] | None = None) -> int:
     # resolve to the same path the overwrite clobbers the input mid-read and
     # the job fails or loses data. Refuse up front (benchmark is an input too).
     if args.cmd in ("dedup", "decontaminate", "scrub-substrings", "ingest-warc",
-                    "tokenize", "filter-corpus"):
+                    "tokenize", "filter-corpus", "stream-corpus"):
         import os as _os
 
+        out = args.work if args.cmd == "stream-corpus" else args.dest
         inputs = [args.src] + ([args.benchmark] if args.cmd == "decontaminate" else [])
         for inp in inputs:
-            if _os.path.realpath(inp) == _os.path.realpath(args.dest):
+            if _os.path.realpath(inp) == _os.path.realpath(out):
                 parser.error(
-                    f"dest must differ from input path {inp!r}: the overwrite "
-                    "would clobber the input while the plan is still reading it"
+                    f"output dir must differ from input path {inp!r}: writing "
+                    "there would clobber the input while the plan is still "
+                    "reading it"
                 )
     from streamds_spark.session import get_spark
 
@@ -338,6 +350,19 @@ def main(argv: list[str] | None = None) -> int:
             F.count("*"), F.sum(F.size("pieces"))
         ).first()
         print(f"docs:{stats[0]} pieces_total:{stats[1]}")
+    elif args.cmd == "stream-corpus":
+        from streamds_spark.io import appendlog
+        from streamds_spark.streaming.llm_pipeline import (
+            CorpusStreamPaths,
+            run_llm_corpus_stream,
+        )
+
+        q = run_llm_corpus_stream(
+            spark, args.src, args.work, available_now=not args.tail
+        )
+        q.awaitTermination()
+        n = appendlog.get(spark, CorpusStreamPaths(args.work).corpus).count()
+        print(f"corpus_docs:{n}")
     elif args.cmd == "filter-corpus":
         from pyspark.sql import functions as F
 

@@ -271,3 +271,48 @@ def mixture_rate_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(share * F.col("tstar")).cast("bigint").alias("sampled_toks"),
         )
     )
+
+
+# Train/valid/test assignment — keyed on the CONTENT hash, not doc_id, so
+# byte-identical documents always co-assign (the standard leakage guard:
+# an exact duplicate of a training doc must never land in the eval split).
+_SPLIT_SALT = "split-v1:"
+_SPLIT_TRAIN, _SPLIT_VALID = 980, 990  # per-mille cut points
+
+
+@query(
+    "train_valid_test_split",
+    oracle=rf"""
+    SELECT doc_id, source,
+           CASE WHEN b < {_SPLIT_TRAIN} THEN 'train'
+                WHEN b < {_SPLIT_VALID} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, source,
+               ('0x' || substr(md5('{_SPLIT_SALT}' || md5(text)), 1, 15))::BIGINT
+                   % 1000 AS b
+        FROM documents
+    )
+    """,
+)
+def train_valid_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/valid/test assignment, hashed on the
+    CONTENT hash (salted) rather than the id: exact-duplicate texts land in
+    the same split regardless of their ids — the train/eval leakage guard a
+    dedup-imperfect corpus needs. Reseeding the salt re-rolls the split;
+    the same salt replays identically on any engine (same md5 idiom as
+    epoch_shuffle_order). Map-only — at 100 TB this is a projection fused
+    into whatever scan writes the split manifests."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        md5_int60(
+            F.concat(F.lit(_SPLIT_SALT), F.md5(F.col("text").cast("binary")))
+        )
+        % 1000
+    )
+    split = (
+        F.when(b < _SPLIT_TRAIN, "train")
+        .when(b < _SPLIT_VALID, "valid")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", "source", split.alias("split"))

@@ -214,3 +214,34 @@ def test_cli_tokenizer_roundtrip(spark, tmp_path, capsys):
     with open(model2) as f:
         m = json.load(f)
     assert m["algo"] == "bpe" and len(m["merges"]) == 10
+
+
+def test_cli_stream_corpus_command(spark, tmp_path, capsys):
+    """stream-corpus drains a documents dir through the continuous pipeline
+    and reports the corpus size; re-running on the same work dir is a no-op
+    (checkpoint already consumed the input)."""
+    src = str(tmp_path / "docs_stream")
+    work = str(tmp_path / "work")
+    text = "one two three four five six seven eight nine ten eleven twelve " * 4
+    spark.createDataFrame(
+        [(i, "src0", "en", len(text), text + f"tail{i}") for i in range(8)],
+        "doc_id long, source string, lang string, n_chars long, text string",
+    ).write.parquet(src)
+    from streamds_spark.cli import main
+
+    assert main(["stream-corpus", src, work]) == 0
+    out = capsys.readouterr().out
+    n = int(out.split("corpus_docs:")[1].strip())
+    assert n > 0
+    # idempotent re-run: nothing new to ingest
+    assert main(["stream-corpus", src, work]) == 0
+    out2 = capsys.readouterr().out
+    assert int(out2.split("corpus_docs:")[1].strip()) == n
+
+
+def test_cli_stream_corpus_rejects_work_inside_src(tmp_path):
+    from streamds_spark.cli import main
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["stream-corpus", str(tmp_path), str(tmp_path)])
