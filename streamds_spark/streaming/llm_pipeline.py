@@ -142,13 +142,16 @@ def process_corpus_batch(
     # batch is re-read for hashes + buckets + the sink write — cache it (the
     # first materialization also runs the store scan exactly once)
     local = local.cache()
+    new_buckets = None
     try:
         # near-dup probe against the persisted corpus buckets (flag, don't
         # drop: near-dup POLICY is a downstream choice; the batch twin has no
-        # near-dup stage, so flagging keeps stream==batch equality testable)
+        # near-dup stage, so flagging keeps stream==batch equality testable).
+        # The batch's MinHash is the dominant per-batch compute and feeds
+        # BOTH the candidate join and the store write — cache it.
         new_buckets = lsh_band_buckets(
             minhash_signatures(local, num_perm), bands
-        )
+        ).cache()
         corpus_b = _corpus_buckets(spark, paths, batch_id)
         if corpus_b is not None:
             cands = (
@@ -182,6 +185,8 @@ def process_corpus_batch(
         )
     finally:
         local.unpersist()
+        if new_buckets is not None:
+            new_buckets.unpersist()
 
 
 def run_llm_corpus_stream(
