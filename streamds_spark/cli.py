@@ -80,6 +80,16 @@ def main(argv: list[str] | None = None) -> int:
     ss.add_argument("--l-tokens", type=int, default=8)
     ss.add_argument("--id-col", default="doc_id")
     ss.add_argument("--text-col", default="text")
+    ss.add_argument(
+        "--keep-one", action="store_true",
+        help="preserve one canonical occurrence (min id,pos) of each "
+        "duplicated span instead of stripping all (Lee et al. recipe)",
+    )
+    ss.add_argument(
+        "--hash-shingles", action="store_true",
+        help="exchange 8-byte xxhash64 keys instead of raw shingle strings "
+        "(the large-corpus shuffle-size path; output is bit-identical)",
+    )
 
     iw = sub.add_parser(
         "ingest-warc",
@@ -275,7 +285,12 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = spark.read.parquet(args.src)
         cleaned = substring_dedup(
-            docs, args.l_tokens, id_col=args.id_col, text_col=args.text_col
+            docs,
+            args.l_tokens,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            hash_shingles=args.hash_shingles,
+            keep_one=args.keep_one,
         )
         cleaned.write.mode("overwrite").parquet(args.dest)
         from pyspark.sql import functions as F

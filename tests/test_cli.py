@@ -152,6 +152,14 @@ def test_cli_scrub_substrings_command(spark, tmp_path, capsys):
     assert rows[0] == "intro outro" and rows[1] == "tail"
     assert rows[2] == "unique words only"
 
+    # --keep-one: doc 0 owns the min (doc_id, pos) occurrence and keeps it
+    dest2 = str(tmp_path / "scrubbed_keep.parquet")
+    assert main(["scrub-substrings", src, dest2, "--keep-one", "--hash-shingles"]) == 0
+    out = capsys.readouterr().out
+    assert "docs:3 spans:1 tokens_removed:8" in out
+    rows = {r.doc_id: r.cleaned_text for r in spark.read.parquet(dest2).collect()}
+    assert rows[0] == f"intro {boiler} outro" and rows[1] == "tail"
+
 
 def test_cli_filter_corpus_command(spark, tmp_path, capsys):
     good = (

@@ -8,7 +8,9 @@ log10(t_100x / t_10x): ~1.0 = linear, >1.3 = a hidden super-linear step or
 memory cliff that local ×10 runs can't see.
 
 Usage: python tools/soak_scale.py [sf_dir] [--skip lsh,substr,bloom]
-Prints one JSON line; findings go into BASELINE.md's round table.
+                                  [--factors 1,10,100]
+Prints one JSON line; findings go into BASELINE.md's round table. The
+exponent is reported between the top two factors given.
 """
 
 from __future__ import annotations
@@ -88,6 +90,11 @@ def main() -> None:
     skip = set()
     if "--skip" in sys.argv:
         skip = set(sys.argv[sys.argv.index("--skip") + 1].split(","))
+    factors = (1, 10, 100)
+    if "--factors" in sys.argv:
+        factors = tuple(
+            int(x) for x in sys.argv[sys.argv.index("--factors") + 1].split(",")
+        )
     spark = get_spark("soak")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_ids = docs.agg(F.max("doc_id")).collect()[0][0] + 1
@@ -98,13 +105,16 @@ def main() -> None:
         if name in skip:
             continue
         row: dict = {}
-        for factor in (1, 10, 100):
+        for factor in factors:
             scaled = scaled_docs(docs, factor, n_ids)
             t0 = time.time()
             fn(scaled)
             row[f"x{factor}"] = round(time.time() - t0, 2)
-        # per-decade exponent from the upper decade (the one that matters)
-        row["exp_10_to_100"] = round(math.log10(row["x100"] / row["x10"]), 3)
+        # exponent between the top two factors (the decade that matters)
+        hi, lo = factors[-1], factors[-2]
+        row[f"exp_{lo}_to_{hi}"] = round(
+            math.log(row[f"x{hi}"] / row[f"x{lo}"]) / math.log(hi / lo), 3
+        )
         out["paths"][name] = row
         print(f"# {name}: {row}", file=sys.stderr)
     print(json.dumps(out))
