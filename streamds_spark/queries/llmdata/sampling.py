@@ -241,7 +241,11 @@ def mixture_rate_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsir_importance_weights: plan the rates, then hash-threshold sample.
 
     Plan: one groupBy(source) over tokenized docs (20-key agg), then scalar
-    broadcasts — the planning math is free next to the scan."""
+    broadcasts — the planning math is free next to the scan. The 20-row
+    aggregate feeds three branches (tot, tstar, final select); the lazy
+    localCheckpoint shares ONE corpus scan across them at runtime instead
+    of three replicated subtrees deduped only by runtime exchange reuse
+    (pre-AQE census 20 exchanges → 12)."""
     from streamds_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -251,7 +255,7 @@ def mixture_rate_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = n.withColumn(
         "wraw", 1 + md5_int60(F.concat(F.lit("mix:"), F.col("source"))) % 5
-    )
+    ).localCheckpoint(eager=False)
     tot = w.agg(F.sum("wraw").alias("wtot"))
     t = w.crossJoin(F.broadcast(tot)).agg(
         F.min(F.col("toks").cast("double") * F.col("wtot") / F.col("wraw")).alias(

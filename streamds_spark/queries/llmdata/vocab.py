@@ -114,10 +114,21 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     One corpus-sized shuffle builds (source, term) counts with map-side partial
     aggregation; term totals and per-source totals derive from that SAME
     aggregate (no second scan) and are vocabulary-/source-sized → broadcast.
+    The lazy localCheckpoint makes that sharing STRUCTURAL — the four
+    consumers (main join, stot, ct, ctot) read one materialization at
+    runtime instead of relying on ReusedExchange across four replicated
+    subtrees (pre-AQE census 22 exchanges → 14; the lazy form keeps the
+    full lineage visible in explain until first action, eager would
+    collapse it further but runs a job at plan-build time, which a
+    driver-contract query must not).
     P(term|source) > 0 always implies P(term|corpus) > 0, so the log is total."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
-    st = tok.groupBy("source", "term").agg(F.count("*").alias("c"))
+    st = (
+        tok.groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     stot = st.groupBy("source").agg(F.sum("c").alias("n"))
     ct = st.groupBy("term").agg(F.sum("c").alias("cc"))
     ctot = st.agg(F.sum("c").alias("nn"))
