@@ -348,16 +348,24 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "tokenize":
         import json as _json
 
-        from streamds_spark.operators.unigram_lm import tokenize_with_vocab
-
         with open(args.model) as f:
             model = _json.load(f)
-        if model.get("algo") != "unigram":
-            parser.error("tokenize currently applies unigram models only")
         docs = spark.read.parquet(args.src)
-        out = tokenize_with_vocab(docs, model["pieces"]).select(
-            "doc_id", "pieces"
-        )
+        if model.get("algo") == "unigram":
+            from streamds_spark.operators.unigram_lm import tokenize_with_vocab
+
+            out = tokenize_with_vocab(docs, model["pieces"]).select(
+                "doc_id", "pieces"
+            )
+        elif model.get("algo") == "bpe":
+            from streamds_spark.operators.bpe import apply_bpe
+
+            out = apply_bpe(docs, model["merges"]).select("doc_id", "pieces")
+        else:
+            parser.error(
+                f"unknown tokenizer model algo {model.get('algo')!r} "
+                "(expected 'unigram' or 'bpe')"
+            )
         out.write.mode("overwrite").parquet(args.dest)
         from pyspark.sql import functions as F
 

@@ -79,6 +79,45 @@ def apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
     return vocab.select("word", "cnt", fold.alias("syms"))
 
 
+def apply_bpe(
+    docs: DataFrame,
+    merges: "list[tuple[str, str]] | list[list[str]]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pieces): segment documents with an ALREADY-TRAINED ordered
+    merge list — the inference half of the BPE story (train_bpe is the
+    learning half; the CLI's `tokenize` verb dispatches here for BPE
+    models). Unseen words segment fine: BPE applies merges to a fresh
+    character symbolization, no training vocab needed.
+
+    Scale shape mirrors training: the merge folds run over the DISTINCT-WORD
+    table (Heaps-law-sized), localCheckpoint'ed every few merges to bound
+    lineage; the corpus pass is one posexplode + a word-keyed join + per-doc
+    regroup (sort by position, flatten) — no Python anywhere."""
+    vocab = word_symbol_table(docs, text_col).localCheckpoint()
+    for i, m in enumerate(merges):
+        a, b = m[0], m[1]
+        vocab = apply_merge(vocab, a, b)
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            vocab = vocab.localCheckpoint()
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    regroup = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+            lambda s: s["syms"],
+        )
+    )
+    return (
+        tok.join(vocab.select("word", "syms"), "word")
+        .groupBy("doc_id")
+        .agg(regroup.alias("pieces"))
+    )
+
+
 def train_bpe(docs: DataFrame, n_merges: int, text_col: str = "text"):
     """Learn `n_merges` BPE merges. Returns (merges, vocab): the ordered merge
     list [(a, b, pair_count), ...] and the final symbolized vocab DataFrame.

@@ -90,3 +90,43 @@ def test_quote_safe_symbols(spark):
     merges, vocab_df = train_bpe(docs, n_merges=1)
     assert merges[0][:2] == ("'", "x") or merges[0][:2] == ("d", "'")
     vocab_df.collect()  # must not raise a parse error
+
+
+def test_apply_bpe_matches_reference_on_unseen_text(spark):
+    """apply_bpe segments NEW documents (including unseen words) with a
+    trained merge list exactly as the reference per-word greedy fold does,
+    and per-doc piece order follows token order."""
+    from streamds_spark.operators.bpe import apply_bpe
+
+    train = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"])
+    merges, _ = train_bpe(train, n_merges=8)
+
+    apply_texts = {10: "low lower lowest", 11: "newest wide new", 12: "zz"}
+    apply_df = spark.createDataFrame(list(apply_texts.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: list(r["pieces"])
+        for r in apply_bpe(apply_df, [(a, b) for a, b, _ in merges]).collect()
+    }
+
+    def ref_segment(word):
+        syms = list(word) + ["</w>"]
+        for a, b, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    want = {
+        d: [p for w in t.split() for p in ref_segment(w)]
+        for d, t in apply_texts.items()
+    }
+    assert got == want
+    # losslessness: pieces rejoin to the original text modulo whitespace
+    for d, t in apply_texts.items():
+        assert "".join(got[d]).replace("</w>", "") == t.replace(" ", "")

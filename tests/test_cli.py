@@ -224,6 +224,27 @@ def test_cli_tokenizer_roundtrip(spark, tmp_path, capsys):
     assert m["algo"] == "bpe" and len(m["merges"]) == 10
 
 
+def test_cli_tokenize_applies_bpe_models(spark, tmp_path, capsys):
+    """tokenize dispatches on the model's algo: a BPE model from
+    train-tokenizer --algo bpe now applies (was unigram-only)."""
+    src = str(tmp_path / "docs5.parquet")
+    spark.createDataFrame(
+        [(i, "low lower lowest newest new wide " * 2) for i in range(4)],
+        "doc_id: long, text: string",
+    ).write.parquet(src)
+    model = str(tmp_path / "bpe.json")
+    dest = str(tmp_path / "bpe_pieces.parquet")
+    from streamds_spark.cli import main
+
+    assert main(["train-tokenizer", src, model, "--algo", "bpe", "--merges", "6"]) == 0
+    assert "algo:bpe merges:" in capsys.readouterr().out
+    assert main(["tokenize", src, model, dest]) == 0
+    assert "docs:4" in capsys.readouterr().out
+    src_rows = {r.doc_id: r.text for r in spark.read.parquet(src).collect()}
+    for r in spark.read.parquet(dest).collect():
+        assert "".join(r.pieces).replace("</w>", "") == src_rows[r.doc_id].replace(" ", "")
+
+
 def test_cli_stream_corpus_command(spark, tmp_path, capsys):
     """stream-corpus drains a documents dir through the continuous pipeline
     and reports the corpus size; re-running on the same work dir is a no-op
