@@ -157,6 +157,42 @@ def test_restart_ingests_only_new_unique_docs(spark, drained):
     assert before_ids <= set(ids)
 
 
+def test_torn_first_attempt_state_is_overwritten(spark, tmp_path):
+    """Crash-recovery: pre-plant half-written batch-0 state (no _SUCCESS
+    anywhere — a writer killed mid-batch) in all three stores; the stream's
+    real batch 0 must overwrite it and the final corpus must still equal
+    the batch pipeline exactly — the exactly-once claim, exercised."""
+    src_dir, work_dir = str(tmp_path / "src"), str(tmp_path / "work")
+    _split_into_files(spark, src_dir, n_files=2)
+    paths = CorpusStreamPaths(work_dir)
+    torn = [
+        os.path.join(paths.hash_store, "batch=0"),
+        os.path.join(paths.bucket_store, "batch=0"),
+        os.path.join(paths.corpus, "chunks", "batch-llm-stream-000000000"),
+    ]
+    for d in torn:
+        os.makedirs(d)
+        with open(os.path.join(d, "part-junk.parquet"), "wb") as f:
+            f.write(b"\x00torn half-write, not real parquet")
+
+    q = run_llm_corpus_stream(spark, src_dir, work_dir)
+    q.awaitTermination(timeout=300)
+    assert not q.isActive
+
+    corpus = appendlog.get(spark, CorpusStreamPaths(work_dir).corpus)
+    got = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    docs = load_table(spark, SF, "documents")
+    want = sorted(
+        r["doc_id"]
+        for r in pipeline_exact_dedup(pipeline_gate(docs)).select("doc_id").collect()
+    )
+    assert got == want
+    # the junk bytes are gone: every torn dir was overwritten and committed
+    for d in torn:
+        assert not os.path.exists(os.path.join(d, "part-junk.parquet")), d
+        assert os.path.exists(os.path.join(d, "_SUCCESS")), d
+
+
 def test_replay_probe_excludes_own_batch_state(tmp_path):
     """_committed_store_dirs must never return the probing batch's own dir —
     the replay-safety invariant (a re-run batch would otherwise anti-join
