@@ -109,6 +109,13 @@ def main() -> None:
     specs["distinct_values"].fn(spark, sf_dir).count()
     specs["topk_parts"].fn(spark, sf_dir).count()
 
+    # Second load sample at timing start: the PRE-warm-up sample above is the
+    # gated "was the box clean" signal; this one catches background load that
+    # arrived DURING the multi-minute warm-up (it also includes our own
+    # decaying warm-up load, so read the pair together — clean pre + high
+    # here on an otherwise idle run is self-load, both high is a busy box).
+    load_at_timing = _load1()
+
     # Each query runs three times and the MIN is reported: the first pass
     # still pays per-plan JIT/codegen compilation (measured 2x total inflation
     # on a cold JVM), which a long-lived cluster session never re-pays —
@@ -244,7 +251,8 @@ def main() -> None:
                     "pii_redaction_forced": pii_s,
                     "gopher_quality_flags_forced": gopher_s,
                     "headline_first_pass_total": round(cold_total, 3),
-                    "load1_at_timing_start": load_at_start,
+                    "load1_pre_warmup": load_at_start,
+                    "load1_at_timing_start": load_at_timing,
                     "idle_wait_s": idle_wait_s,
                 },
             }

@@ -171,12 +171,20 @@ def main(argv: list[str] | None = None) -> int:
 
         out = args.work if args.cmd == "stream-corpus" else args.dest
         inputs = [args.src] + ([args.benchmark] if args.cmd == "decontaminate" else [])
+        out_real = _os.path.realpath(out)
         for inp in inputs:
-            if _os.path.realpath(inp) == _os.path.realpath(out):
+            inp_real = _os.path.realpath(inp)
+            # equality clobbers the input mid-read; an output NESTED inside
+            # the input dir is just as bad for stream-corpus (the file
+            # stream tailing src would ingest its own output files)
+            nested = out_real == inp_real or out_real.startswith(
+                inp_real + _os.sep
+            )
+            if nested:
                 parser.error(
-                    f"output dir must differ from input path {inp!r}: writing "
-                    "there would clobber the input while the plan is still "
-                    "reading it"
+                    f"output dir must not be {inp_real!r} or inside it: "
+                    "writing there would clobber or feed back into the "
+                    "input while the plan is still reading it"
                 )
     from streamds_spark.session import get_spark
 

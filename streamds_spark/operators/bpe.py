@@ -111,10 +111,18 @@ def apply_bpe(
             lambda s: s["syms"],
         )
     )
-    return (
+    grouped = (
         tok.join(vocab.select("word", "syms"), "word")
         .groupBy("doc_id")
         .agg(regroup.alias("pieces"))
+    )
+    # empty/whitespace-only docs have no token rows and would vanish in the
+    # join+groupBy — keep them with pieces=[] (parity with the unigram
+    # tokenizer, which emits every input doc)
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(grouped, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("pieces", F.array().cast("array<string>")).alias("pieces"),
     )
 
 

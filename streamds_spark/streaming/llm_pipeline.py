@@ -129,19 +129,23 @@ def process_corpus_batch(
     # the broadcast side — semi-join it against the broadcast batch hashes
     # (store scans once, shuffle-free; the hit set is <= batch-sized), then
     # anti-join the small hit set back. Same posture as the bucket probe.
-    local = pipeline_exact_dedup(hashed)
+    # cache the gate+dedup batch subtree BEFORE the store probe: batch_h's
+    # broadcast and the anti-join's probe side both read it, and it is the
+    # expensive part of the per-batch plan
+    pre = pipeline_exact_dedup(hashed).cache()
+    local = pre
     seen = _seen_hashes(spark, paths, batch_id)
     if seen is not None:
-        batch_h = local.select("_h").distinct()
+        batch_h = pre.select("_h").distinct()
         hits = (
             seen.select(F.col("h").alias("_h"))
             .join(F.broadcast(batch_h), "_h", "left_semi")
             .distinct()
         )
-        local = local.join(F.broadcast(hits), "_h", "left_anti")
-    # batch is re-read for hashes + buckets + the sink write — cache it (the
-    # first materialization also runs the store scan exactly once)
-    local = local.cache()
+        # cache the post-probe result too: three consumers follow (buckets,
+        # sink write, hash write), and without this each would re-run the
+        # store scan behind `hits`
+        local = pre.join(F.broadcast(hits), "_h", "left_anti").cache()
     new_buckets = None
     try:
         # near-dup probe against the persisted corpus buckets (flag, don't
@@ -184,7 +188,9 @@ def process_corpus_batch(
             os.path.join(paths.bucket_store, f"batch={int(batch_id)}")
         )
     finally:
-        local.unpersist()
+        pre.unpersist()
+        if local is not pre:
+            local.unpersist()
         if new_buckets is not None:
             new_buckets.unpersist()
 

@@ -272,5 +272,21 @@ def test_cli_stream_corpus_rejects_work_inside_src(tmp_path):
     from streamds_spark.cli import main
     import pytest
 
+    # exact same path
     with pytest.raises(SystemExit):
         main(["stream-corpus", str(tmp_path), str(tmp_path)])
+    # work dir NESTED inside the tailed src dir — the stream would ingest
+    # its own output files
+    with pytest.raises(SystemExit):
+        main(["stream-corpus", str(tmp_path), str(tmp_path / "work")])
+    # sibling dir with a shared name prefix must NOT be rejected
+    (tmp_path / "docs").mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"doc_id": [1], "source": ["s"], "lang": ["en"],
+                  "n_chars": [100], "text": ["x " * 60]}),
+        str(tmp_path / "docs" / "d.parquet"),
+    )
+    assert main(["stream-corpus", str(tmp_path / "docs"), str(tmp_path / "docs-work")]) == 0

@@ -95,6 +95,11 @@ def main() -> None:
         factors = tuple(
             int(x) for x in sys.argv[sys.argv.index("--factors") + 1].split(",")
         )
+    if len(factors) < 2 or sorted(set(factors)) != list(factors):
+        raise SystemExit(
+            f"--factors needs >= 2 strictly-increasing values (got {factors}): "
+            "the exponent is computed between the top two"
+        )
     spark = get_spark("soak")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_ids = docs.agg(F.max("doc_id")).collect()[0][0] + 1
