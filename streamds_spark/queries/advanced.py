@@ -437,3 +437,56 @@ def winsorized_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clip_high",
         )
     )
+
+
+@query(
+    "interval_overlap_pairs",
+    oracle=r"""
+    WITH o AS (
+        SELECT o_orderkey AS k, o_custkey AS c,
+               datediff('day', DATE '1970-01-01', o_orderdate) AS s
+        FROM orders
+    )
+    SELECT a.c AS o_custkey, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM o a JOIN o b
+      ON a.c = b.c AND a.k < b.k AND a.s <= b.s + 7 AND b.s <= a.s + 7
+    GROUP BY a.c
+    """,
+)
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided interval join: per customer, pairs of their orders whose
+    7-day fulfillment windows [orderdate, orderdate+7d] overlap
+    (o_custkey, n_pairs) — the concurrency-detection query shape.
+
+    Plan: operators/interval_join.overlap_join — each window explodes to at
+    most two 8-day bins, the join is a pure (bin, custkey) equi-join with the
+    overlap + responsibility predicates as post-conditions (NO nested-loop
+    join; each overlapping pair emitted exactly once by the bin holding the
+    overlap start). The a.key < b.key filter dedupes the symmetric pair and
+    drops self-matches. Scales as a normal keyed equi-join: skewed customers
+    or hot weeks are AQE-splittable."""
+    from streamds_spark.operators.interval_join import overlap_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("s"),
+    )
+    a = o.select(
+        F.col("o_orderkey").alias("a_key"),
+        "o_custkey",
+        F.col("s").alias("a_s"),
+        (F.col("s") + 7).alias("a_e"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("b_key"),
+        "o_custkey",
+        F.col("s").alias("b_s"),
+        (F.col("s") + 7).alias("b_e"),
+    )
+    pairs = overlap_join(
+        a, b, "a_s", "a_e", "b_s", "b_e", bin_size=8, keys=["o_custkey"]
+    ).filter(F.col("a_key") < F.col("b_key"))
+    return pairs.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )

@@ -1,0 +1,95 @@
+r"""CCNet-style perplexity filtering: an interpolated Kneser-Ney bigram LM
+trained on a trusted reference slice of the corpus, scoring every document.
+
+Wenzek et al. 2020 (CCNet) rank web documents by perplexity under a KenLM
+trained on Wikipedia and keep the low-perplexity head/middle; here the
+"trusted" slice is the corpus's alphabetically-first source (deterministic in
+both engines) and the model is the interpolated-KN bigram from
+operators/ngram_lm.py — the same train-on-reference / score-everything shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamds_spark.catalog import load_table
+from streamds_spark.operators.ngram_lm import (
+    doc_bigrams,
+    kn_bigram_model,
+    kn_doc_nll,
+    kn_score_bigrams,
+)
+from streamds_spark.registry import query
+
+
+@query(
+    "kn_perplexity_filter",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+               unnest(list_transform(range(2, len(t) + 1), i -> t[i])) AS w2
+        FROM toks WHERE len(t) >= 2
+    ),
+    pair AS (
+        SELECT w1 AS b1, w2 AS b2, count(*) AS c2 FROM big
+        WHERE source = (SELECT min(source) FROM documents)
+        GROUP BY w1, w2
+    ),
+    lft AS (
+        SELECT b1 AS u1, CAST(sum(c2) AS DOUBLE) AS c1,
+               CAST(count(*) AS DOUBLE) AS n1f
+        FROM pair GROUP BY b1
+    ),
+    rgt AS (
+        SELECT b2 AS v2, CAST(count(*) AS DOUBLE) AS n1b FROM pair GROUP BY b2
+    ),
+    tot AS (SELECT CAST(sum(n1b) AS DOUBLE) AS bt FROM rgt),
+    sc AS (
+        SELECT doc_id,
+               greatest(
+                   CASE WHEN c1 IS NOT NULL THEN
+                       greatest(CAST(COALESCE(c2, 0) AS DOUBLE)
+                                - CAST(0.75 AS DOUBLE), 0.0) / c1
+                       + CAST(0.75 AS DOUBLE) * n1f / c1
+                         * (COALESCE(n1b, 0.0) / bt)
+                   ELSE COALESCE(n1b, 0.0) / bt END,
+                   1e-10) AS p
+        FROM big
+        LEFT JOIN pair ON w1 = b1 AND w2 = b2
+        LEFT JOIN lft ON w1 = u1
+        LEFT JOIN rgt ON w2 = v2
+        CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(ln(p)), 4) + 0.0 AS avg_nll
+    FROM sc GROUP BY doc_id
+    """,
+)
+def kn_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under an interpolated
+    Kneser-Ney bigram LM trained on the alphabetically-first source
+    (doc_id, n_bigrams, avg_nll); rank/threshold on avg_nll to filter.
+
+    Plan: one bigram explode shared by train and score branches; training is
+    two vocabulary-sized partial aggs of the pair-count table; scoring is
+    three left joins shuffling on w1/w2 (Zipf skew AQE-splittable; model
+    tables deliberately NOT broadcast — web-scale bigram vocabs are too big)
+    plus a broadcast 1-row N1+(**) total. The reference-source selector is a
+    broadcast 1-row min(source) join, not a collect. No UDFs; docs with <2
+    tokens are absent from the output by contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    big = doc_bigrams(docs, keep=("doc_id", "source"))
+    ref = docs.agg(F.min("source").alias("ref_src"))
+    train = big.crossJoin(F.broadcast(ref)).filter(
+        F.col("source") == F.col("ref_src")
+    )
+    model = kn_bigram_model(train.select("w1", "w2"))
+    scored = kn_score_bigrams(big.select("doc_id", "w1", "w2"), model)
+    return kn_doc_nll(scored)

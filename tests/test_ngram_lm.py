@@ -1,0 +1,140 @@
+"""Interpolated Kneser-Ney bigram LM: pure-Python parity, exact
+normalization, and OOV backoff behavior."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamds_spark.operators.ngram_lm import (
+    doc_bigrams,
+    kn_bigram_model,
+    kn_doc_nll,
+    kn_score_bigrams,
+)
+
+D = 0.75
+FLOOR = 1e-10
+
+TRAIN = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "a cat and a dog",
+    "the cat saw the dog",
+]
+SCORE = [
+    (0, "the cat sat"),          # all bigrams seen
+    (1, "the zebra sat"),        # seen w1, unseen w2 / unseen w1, seen w2
+    (2, "qq zz"),                # both fully OOV -> floor
+    (3, "single"),               # <2 tokens -> absent from output
+]
+
+
+def py_kn(train_sentences):
+    """Pure-Python reference for the interpolated-KN bigram model."""
+    c2 = {}
+    for s in train_sentences:
+        t = s.split()
+        for w1, w2 in zip(t, t[1:]):
+            c2[(w1, w2)] = c2.get((w1, w2), 0) + 1
+    c1, n1f, n1b = {}, {}, {}
+    for (w1, w2), c in c2.items():
+        c1[w1] = c1.get(w1, 0) + c
+        n1f[w1] = n1f.get(w1, 0) + 1
+        n1b[w2] = n1b.get(w2, 0) + 1
+    bt = float(sum(n1b.values()))
+
+    def p(w1, w2):
+        pcont = n1b.get(w2, 0) / bt
+        if w1 in c1:
+            val = max(c2.get((w1, w2), 0) - D, 0.0) / c1[w1] + D * n1f[
+                w1
+            ] / c1[w1] * pcont
+        else:
+            val = pcont
+        return max(val, FLOOR)
+
+    return p, c1, n1f, c2, n1b, bt
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    train = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(TRAIN)], "doc_id int, text string"
+    )
+    return kn_bigram_model(doc_bigrams(train).select("w1", "w2"))
+
+
+def test_matches_python_reference(spark, model):
+    docs = spark.createDataFrame(SCORE, "doc_id int, text string")
+    scored = kn_score_bigrams(doc_bigrams(docs), model)
+    rows = scored.select("doc_id", "w1", "w2", "p").collect()
+    pref, *_ = py_kn(TRAIN)
+    assert rows, "no scored bigrams"
+    for r in rows:
+        assert r.p == pytest.approx(pref(r.w1, r.w2), abs=1e-12), (r.w1, r.w2)
+    # doc 3 has a single token: no bigrams, absent by contract
+    assert {r.doc_id for r in rows} == {0, 1, 2}
+
+
+def test_exact_normalization_over_vocabulary(spark, model):
+    """For every seen left word, P(.|w1) sums to exactly 1 over the full
+    continuation vocabulary: the discounted mass D*N1+(w1.)/c(w1.) is
+    restored by the Pcont backoff term."""
+    vocab = [r.v2 for r in model["right"].select("v2").collect()]
+    lefts = [r.u1 for r in model["left"].select("u1").collect()]
+    grid = spark.createDataFrame(
+        [(w1, w2) for w1 in lefts for w2 in vocab], "w1 string, w2 string"
+    ).withColumn("doc_id", F.lit(0))
+    sums = (
+        kn_score_bigrams(grid, model)
+        .groupBy("w1")
+        .agg(F.sum("p").alias("total"))
+        .collect()
+    )
+    assert len(sums) == len(lefts)
+    for r in sums:
+        assert r.total == pytest.approx(1.0, abs=1e-9), r.w1
+
+
+def test_oov_backoff_chain(spark, model):
+    docs = spark.createDataFrame(
+        [(0, "zzz the"), (1, "zzz qqq")], "doc_id int, text string"
+    )
+    rows = {
+        (r.w1, r.w2): r.p
+        for r in kn_score_bigrams(doc_bigrams(docs), model).collect()
+    }
+    _, _, _, _, n1b, bt = py_kn(TRAIN)
+    # unseen w1, seen w2 -> pure continuation probability
+    assert rows[("zzz", "the")] == pytest.approx(n1b["the"] / bt, abs=1e-12)
+    # both unseen -> floor (guards log(0))
+    assert rows[("zzz", "qqq")] == FLOOR
+
+
+def test_doc_nll_aggregation(spark, model):
+    docs = spark.createDataFrame(SCORE[:1], "doc_id int, text string")
+    out = kn_doc_nll(kn_score_bigrams(doc_bigrams(docs), model)).collect()
+    assert len(out) == 1
+    pref, *_ = py_kn(TRAIN)
+    t = SCORE[0][1].split()
+    expected = -sum(
+        math.log(pref(a, b)) for a, b in zip(t, t[1:])
+    ) / (len(t) - 1)
+    assert out[0].n_bigrams == len(t) - 1
+    assert out[0].avg_nll == pytest.approx(round(expected, 4), abs=1e-9)
+
+
+def test_no_nested_loop_in_scoring_plan(spark, model):
+    """Scoring is three equi-joins + one broadcast 1-row total: the plan must
+    not fall back to a cartesian/nested-loop join for the model lookups."""
+    docs = spark.createDataFrame(SCORE, "doc_id int, text string")
+    plan = (
+        kn_score_bigrams(doc_bigrams(docs), model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the only nested-loop allowed is the broadcast of the 1-row total
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
