@@ -384,3 +384,80 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("int").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+@query(
+    "cdc_chunk_sharing",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 1
+    ),
+    pos AS (
+        SELECT doc_id, text, unnest(range(8, n + 1)) AS i FROM d WHERE n >= 8
+    ),
+    bnd AS (
+        SELECT doc_id, i FROM pos
+        WHERE substr(md5(substr(text, CAST(i AS INT) - 7, 8)), 1, 1) = '0'
+    ),
+    body AS (
+        SELECT doc_id,
+               COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s,
+               i AS e
+        FROM bnd
+    ),
+    tail AS (
+        SELECT d.doc_id, COALESCE(b.mx, 0) + 1 AS s, d.n AS e
+        FROM d LEFT JOIN (SELECT doc_id, max(i) AS mx FROM bnd GROUP BY doc_id) b
+          USING (doc_id)
+        WHERE COALESCE(b.mx, 0) < d.n
+    ),
+    spans AS (SELECT * FROM body UNION ALL SELECT * FROM tail),
+    chunks AS (
+        SELECT spans.doc_id, s, e,
+               md5(substr(text, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS h
+        FROM spans JOIN d USING (doc_id)
+    ),
+    sharing AS (SELECT h, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY h)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) + 0.0 AS shared_ratio
+    FROM chunks JOIN sharing USING (h)
+    GROUP BY doc_id
+    """,
+)
+def cdc_chunk_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunk boilerplate profile: chunk every document with
+    windowed-hash CDC (operators/cdc.py, window 8, boundary p=1/16), count
+    chunks whose content hash recurs in OTHER documents
+    (doc_id, n_chunks, n_shared, shared_ratio) — the chunk-granularity
+    cross-doc dedup signal that survives insertions/deletions that would
+    shift every fixed-size chunk.
+
+    Plan: map-only position explode + boundary filter, one doc-partitioned
+    lag window, one doc-keyed join to slice chunk text, then a groupBy on
+    the uniform md5 chunk hash for the sharing counts — no global windows,
+    no UDFs; hash-checked against the DuckDB twin."""
+    from streamds_spark.operators.cdc import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = cdc_chunks(docs, window=8, prefix="0")
+    sharing = chunks.groupBy(F.col("chunk_hash").alias("h")).agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    shared_flag = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        chunks.join(sharing, chunks.chunk_hash == F.col("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(shared_flag).cast("bigint").alias("n_shared"),
+            (
+                F.round(
+                    F.sum(shared_flag).cast("double") / F.count("*"), 4
+                )
+                + F.lit(0.0)
+            ).alias("shared_ratio"),
+        )
+    )
