@@ -57,8 +57,13 @@ def cdc_chunks(
     win_md5 = F.md5(
         F.encode(F.expr(f"substring(text, i - {window - 1}, {window})"), "UTF-8")
     )
-    bnd = pos.filter(F.substring(win_md5, 1, len(prefix)) == prefix).select(
-        "doc_id", "i"
+    # boundaries feed three consumers (body spans, per-doc max, tail) — share
+    # the one filtered relation structurally rather than re-running the
+    # position explode + per-position md5 per branch (lazy: no plan-build job)
+    bnd = (
+        pos.filter(F.substring(win_md5, 1, len(prefix)) == prefix)
+        .select("doc_id", "i")
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("doc_id").orderBy("i")
     body = bnd.select(

@@ -74,9 +74,16 @@ def kn_bigram_model(train_bigrams: DataFrame) -> dict[str, DataFrame]:
       total: (bt,)               one row: N1+(**) as double
     All are aggregates of the pair-count table, so their size tracks
     vocabulary, not corpus rows."""
-    pair = train_bigrams.groupBy(
-        F.col("w1").alias("b1"), F.col("w2").alias("b2")
-    ).agg(F.count("*").alias("c2"))
+    # the pair-count table feeds FOUR consumers (left/right/total rollups +
+    # the scoring join) — a lazy localCheckpoint makes the sharing structural
+    # (one vocab-sized materialization at first action) instead of relying on
+    # runtime ReusedExchange across four replicated count subtrees; lazy so
+    # no job runs at plan-build time (driver contract)
+    pair = (
+        train_bigrams.groupBy(F.col("w1").alias("b1"), F.col("w2").alias("b2"))
+        .agg(F.count("*").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
     left = pair.groupBy(F.col("b1").alias("u1")).agg(
         F.sum("c2").cast("double").alias("c1"),
         F.count("*").cast("double").alias("n1f"),

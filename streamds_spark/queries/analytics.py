@@ -529,3 +529,52 @@ def approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("exact_p50", 4).alias("exact_p50"),
         within.alias("sketch_within_bound"),
     )
+
+
+@query(
+    "equidepth_histogram_price",
+    oracle=r"""
+    WITH r AS (
+        SELECT l_extendedprice AS p,
+               ntile(16) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                   AS bucket
+        FROM lineitem
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(p), 4) + 0.0 AS lo, round(max(p), 4) + 0.0 AS hi
+    FROM r GROUP BY bucket
+    """,
+)
+def equidepth_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style equi-depth histogram of l_extendedprice: 16 buckets of
+    (near-)equal row count with their value ranges (bucket, n_rows, lo, hi) —
+    the optimizer-statistics primitive for selectivity estimation, and the
+    equal-mass complement of the equal-width value_histogram.
+
+    Plan: the distributed exact global rank (approxQuantile pre-bucketing +
+    per-bucket row_number + broadcast offsets — no single-partition
+    WindowExec) feeds the closed-form ANSI ntile arithmetic, then a 16-row
+    aggregate. The ranked relation is localCheckpoint'd (staging table at
+    cluster scale) so the 1-row n_total aggregate doesn't re-run the rank
+    pipeline. Ties at bucket boundaries are broken by (orderkey, linenumber)
+    so both engines split them identically."""
+    from streamds_spark.operators.ranking import ntile_from_rank, with_global_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("p"), "l_orderkey", "l_linenumber"
+    )
+    ranked = with_global_rank(
+        li, ["p", "l_orderkey", "l_linenumber"], "_rk"
+    ).localCheckpoint()
+    tot = ranked.agg(F.max("_rk").alias("n_total"))
+    bucket = ntile_from_rank(F.col("_rk"), F.col("n_total"), 16)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select("p", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (F.round(F.min("p"), 4) + F.lit(0.0)).alias("lo"),
+            (F.round(F.max("p"), 4) + F.lit(0.0)).alias("hi"),
+        )
+    )

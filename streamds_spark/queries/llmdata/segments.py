@@ -442,7 +442,9 @@ def cdc_chunk_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamds_spark.operators.cdc import cdc_chunks
 
     docs = load_table(spark, sf_dir, "documents")
-    chunks = cdc_chunks(docs, window=8, prefix="0")
+    # the chunk relation feeds both the sharing aggregate and the final join —
+    # one lazy materialization instead of chunking the corpus twice
+    chunks = cdc_chunks(docs, window=8, prefix="0").localCheckpoint(eager=False)
     sharing = chunks.groupBy(F.col("chunk_hash").alias("h")).agg(
         F.countDistinct("doc_id").alias("nd")
     )
