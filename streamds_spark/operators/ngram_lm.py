@@ -114,11 +114,17 @@ def kn_probability_expr(discount: float = 0.75, floor: float = 1e-10) -> Column:
 
 
 def kn_score_bigrams(
-    bigrams: DataFrame, model: dict[str, DataFrame], discount: float = 0.75
+    bigrams: DataFrame,
+    model: dict[str, DataFrame],
+    discount: float = 0.75,
+    total_literal: float | None = None,
 ) -> DataFrame:
     """Attach P(w2|w1) to every bigram row (column `p`). Three left joins —
     pair counts on (w1,w2), left stats on w1, right stats on w2 — plus the
-    broadcast 1-row total. Unseen words fall through the KN backoff chain."""
+    1-row total, either broadcast-crossJoined (batch default) or inlined as
+    a literal via `total_literal` (required for STREAMING inputs, where a
+    stream-static cross join is not a supported shape). Unseen words fall
+    through the KN backoff chain."""
     scored = (
         bigrams.join(
             model["pair"],
@@ -127,10 +133,46 @@ def kn_score_bigrams(
         )
         .join(model["left"], bigrams.w1 == F.col("u1"), "left")
         .join(model["right"], bigrams.w2 == F.col("v2"), "left")
-        .crossJoin(F.broadcast(model["total"]))
     )
+    if total_literal is None:
+        scored = scored.crossJoin(F.broadcast(model["total"]))
+    else:
+        scored = scored.withColumn("bt", F.lit(float(total_literal)))
     return scored.withColumn("p", kn_probability_expr(discount)).drop(
         "b1", "b2", "u1", "v2"
+    )
+
+
+_MODEL_PARTS = ("pair", "left", "right", "total")
+
+
+def save_kn_model(model: dict[str, DataFrame], path: str) -> None:
+    """Persist the four model tables as parquet under `path` — the
+    train-once artifact for continuous scoring. The pair table is the only
+    corpus-derived one and is vocabulary-sized; at web scale the write is a
+    normal distributed parquet job."""
+    for part in _MODEL_PARTS:
+        model[part].write.mode("overwrite").parquet(f"{path}/{part}")
+
+
+def load_kn_model(spark, path: str) -> dict[str, DataFrame]:
+    """Load a persisted model (see save_kn_model)."""
+    return {part: spark.read.parquet(f"{path}/{part}") for part in _MODEL_PARTS}
+
+
+def kn_score_stream(
+    stream_docs: DataFrame, model: dict[str, DataFrame], discount: float = 0.75
+) -> DataFrame:
+    """Score a STREAMING documents DataFrame (doc_id, text, ...) against a
+    static (persisted) model: per-bigram probabilities in append mode via
+    stream-static left joins — the train-once / score-continuously half of
+    the CCNet recipe. The 1-row N1+(**) total is collected ONCE at stream
+    setup (a single scalar; the model is static by definition) and inlined
+    as a literal, since stream-static CROSS joins are unsupported. Per-doc
+    aggregation belongs in foreachBatch or a watermarked agg downstream."""
+    bt = float(model["total"].collect()[0].bt)
+    return kn_score_bigrams(
+        doc_bigrams(stream_docs), model, discount, total_literal=bt
     )
 
 

@@ -138,3 +138,108 @@ def test_no_nested_loop_in_scoring_plan(spark, model):
     assert "CartesianProduct" not in plan
     # the only nested-loop allowed is the broadcast of the 1-row total
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_save_load_roundtrip(spark, model, tmp_path):
+    from streamds_spark.operators.ngram_lm import load_kn_model, save_kn_model
+
+    path = str(tmp_path / "kn_model")
+    save_kn_model(model, path)
+    loaded = load_kn_model(spark, path)
+    docs = spark.createDataFrame(SCORE, "doc_id int, text string")
+    before = {
+        (r.doc_id, r.w1, r.w2): r.p
+        for r in kn_score_bigrams(doc_bigrams(docs), model).collect()
+    }
+    after = {
+        (r.doc_id, r.w1, r.w2): r.p
+        for r in kn_score_bigrams(doc_bigrams(docs), loaded).collect()
+    }
+    assert before == after
+
+
+def test_stream_scoring_equals_batch(spark, model, tmp_path):
+    """Train once, score continuously: a file stream scored against the
+    persisted model in foreachBatch lands on exactly the batch scores."""
+    import os
+
+    from streamds_spark.operators.ngram_lm import load_kn_model, save_kn_model
+
+    mpath = str(tmp_path / "kn_model")
+    save_kn_model(model, mpath)
+    loaded = load_kn_model(spark, mpath)
+
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src)
+    for i, (doc_id, text) in enumerate(SCORE):
+        spark.createDataFrame(
+            [(doc_id, text)], "doc_id int, text string"
+        ).coalesce(1).write.parquet(f"{src}/chunk_{i}")
+    out = str(tmp_path / "scores_out")
+
+    bt = float(loaded["total"].collect()[0].bt)
+
+    def score_batch(df, _bid):
+        scored = kn_score_bigrams(
+            doc_bigrams(df), loaded, total_literal=bt
+        )
+        kn_doc_nll(scored).write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema("doc_id int, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/chunk_*")
+        .writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    docs = spark.createDataFrame(SCORE, "doc_id int, text string")
+    batch = {
+        r.doc_id: (r.n_bigrams, r.avg_nll)
+        for r in kn_doc_nll(kn_score_bigrams(doc_bigrams(docs), model)).collect()
+    }
+    streamed = {
+        r.doc_id: (r.n_bigrams, r.avg_nll)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert streamed == batch
+
+
+def test_stream_static_join_transform(spark, model, tmp_path):
+    """kn_score_stream: the direct stream-static append-mode transform (no
+    foreachBatch) produces the batch per-bigram probabilities."""
+    import os
+
+    from streamds_spark.operators.ngram_lm import kn_score_stream
+
+    src = str(tmp_path / "docs_in2")
+    os.makedirs(src)
+    spark.createDataFrame(SCORE, "doc_id int, text string").coalesce(1).write.parquet(
+        f"{src}/all"
+    )
+    stream = (
+        spark.readStream.schema("doc_id int, text string").parquet(f"{src}/all")
+    )
+    q = (
+        kn_score_stream(stream, model)
+        .select("doc_id", "w1", "w2", "p")
+        .writeStream.format("memory")
+        .queryName("kn_stream_scores")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.w1, r.w2): r.p
+        for r in spark.sql("select * from kn_stream_scores").collect()
+    }
+    docs = spark.createDataFrame(SCORE, "doc_id int, text string")
+    want = {
+        (r.doc_id, r.w1, r.w2): r.p
+        for r in kn_score_bigrams(doc_bigrams(docs), model).collect()
+    }
+    assert got == want
