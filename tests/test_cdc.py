@@ -97,3 +97,88 @@ def test_contract_guard(spark):
         cdc_chunks(docs, prefix="Z")
     with pytest.raises(ValueError, match="window"):
         cdc_chunks(docs, window=1)
+
+
+class TestGearCDC:
+    """FastCDC-style gear variant: numpy path vs the sequential reference."""
+
+    def _spark_gear(self, spark, texts, **kw):
+        from streamds_spark.operators.cdc import cdc_chunks_gear
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        )
+        out = {}
+        for r in cdc_chunks_gear(docs, **kw).collect():
+            out.setdefault(r.doc_id, []).append((r.s, r.e, r.chunk_hash))
+        return {k: sorted(v) for k, v in out.items()}
+
+    def _ref(self, text, mask_bits=5, min_len=16, max_len=128):
+        from streamds_spark.operators.cdc import gear_boundaries
+
+        data = text.encode("utf-8")
+        bounds = gear_boundaries(data, mask_bits, min_len, max_len)
+        spans, prev = [], 0
+        for b in bounds:
+            spans.append((prev + 1, b, _md5_bytes(data[prev:b])))
+            prev = b
+        return sorted(spans)
+
+    def test_matches_sequential_reference(self, spark):
+        texts = FIXTURES + ["x" * 500, "ab" * 300]
+        got = self._spark_gear(spark, texts)
+        for i, t in enumerate(texts):
+            if not t:
+                assert i not in got
+                continue
+            assert got[i] == self._ref(t), f"doc {i}"
+
+    def test_min_max_clamps_and_coverage(self, spark):
+        texts = ["the quick brown fox jumps over the lazy dog " * 30]
+        got = self._spark_gear(spark, texts, mask_bits=4, min_len=8, max_len=64)
+        spans = sorted(got[0])
+        n = len(texts[0].encode("utf-8"))
+        assert spans[0][0] == 1 and spans[-1][1] == n
+        for (s1, e1, _), (s2, e2, _) in zip(spans, spans[1:]):
+            assert s2 == e1 + 1
+        lens = [e - s + 1 for s, e, _ in spans]
+        assert all(ln <= 64 for ln in lens)
+        assert all(ln >= 8 for ln in lens[:-1])  # final chunk may be short
+
+    def test_shift_resistance(self, spark):
+        # non-periodic text: periodic fixtures collapse to a handful of
+        # DISTINCT chunk hashes, making set overlap too coarse to measure
+        import random
+
+        rng = random.Random(42)
+        words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "iota"]
+        base = " ".join(rng.choice(words) for _ in range(400))
+        shifted = "X" + base
+        hb = {h for _, _, h in self._ref(base)}
+        hs = {h for _, _, h in self._ref(shifted)}
+        assert len(hb) >= 30  # enough distinct chunks for the ratio to mean something
+        assert len(hb & hs) >= 0.9 * len(hb)
+
+    def test_partitioning_invariance(self, spark):
+        from streamds_spark.operators.cdc import cdc_chunks_gear
+
+        texts = [w * k for k, w in enumerate(["alpha ", "beta ", "gamma "] * 7, 1)]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        )
+        one = sorted(map(tuple, cdc_chunks_gear(docs.coalesce(1)).collect()))
+        many = sorted(map(tuple, cdc_chunks_gear(docs.repartition(4)).collect()))
+        assert one == many
+
+    def test_guards(self, spark):
+        from streamds_spark.operators.cdc import cdc_chunks_gear
+
+        docs = spark.createDataFrame([(0, "x")], "doc_id int, text string")
+        with pytest.raises(ValueError, match="mask_bits"):
+            cdc_chunks_gear(docs, mask_bits=0)
+        with pytest.raises(ValueError, match="mask_bits"):
+            cdc_chunks_gear(docs, min_len=10, max_len=5)
+
+
+def _md5_bytes(b: bytes) -> str:
+    return hashlib.md5(b).hexdigest()
