@@ -18,7 +18,8 @@ the two-sided interval case. Cited for parity bookkeeping only.
 
 Scale design (100 TB):
   - The only shuffle is the (bin, *keys) equi-join — sort-merge or AQE-
-    picked; no nested-loop fallback (plan-pinned in tests/test_plans.py).
+    picked; no nested-loop fallback (plan-pinned in
+    tests/test_interval_join.py::test_plan_is_equi_join_not_nested_loop).
   - Explode factor is (interval_width / bin_size) + 1 rows per interval:
     pick bin_size near the typical interval width so the factor stays ~2.
   - Hot bins (dense regions) are plain join skew — AQE skew-join splits
@@ -75,6 +76,8 @@ def overlap_join(
         raise ValueError(
             f"left/right share non-key columns {sorted(clash)}; rename before joining"
         )
+    if _BIN in left.columns or _BIN in right.columns:
+        raise ValueError(f"column name {_BIN!r} is reserved by overlap_join")
     if not float(bin_size) > 0:
         raise ValueError(f"bin_size must be > 0, got {bin_size!r}")
     lb = _explode_bins(left, l_start, l_end, bin_size).alias("l")

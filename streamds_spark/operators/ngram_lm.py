@@ -139,7 +139,7 @@ def kn_score_bigrams(
     else:
         scored = scored.withColumn("bt", F.lit(float(total_literal)))
     return scored.withColumn("p", kn_probability_expr(discount)).drop(
-        "b1", "b2", "u1", "v2"
+        "b1", "b2", "u1", "v2", "c2", "c1", "n1f", "n1b", "bt"
     )
 
 

@@ -37,8 +37,8 @@ from streamds_spark.queries.llmdata import sampling  # noqa: F401
 from streamds_spark.queries.llmdata import segments  # noqa: F401
 from streamds_spark.queries.llmdata import sharding  # noqa: F401
 from streamds_spark.queries.llmdata import similarity  # noqa: F401
-from streamds_spark.queries.llmdata import sketches  # noqa: F401
 from streamds_spark.queries.llmdata import ngram_lm  # noqa: F401
+from streamds_spark.queries.llmdata import sketches  # noqa: F401
 from streamds_spark.queries.llmdata import textnorm  # noqa: F401
 from streamds_spark.queries.llmdata import textstats  # noqa: F401
 from streamds_spark.queries.llmdata import vocab  # noqa: F401
