@@ -233,6 +233,22 @@ def main() -> None:
     ).collect()
     gopher_s = round(time.time() - t0, 3)
 
+    # Round-5 operator trackers (outside the headline total): the KN
+    # perplexity train+score pipeline, the CDC chunk-sharing profile, and the
+    # gear-hash chunker (its mapInPandas throughput vs the built-ins variant
+    # above it is the per-round watch).
+    from streamds_spark.operators.cdc import cdc_chunks_gear
+
+    t0 = time.time()
+    specs["kn_perplexity_filter"].fn(spark, sf_dir).count()
+    kn_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    specs["cdc_chunk_sharing"].fn(spark, sf_dir).count()
+    cdc_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    cdc_chunks_gear(load_table(spark, sf_dir, "documents")).count()
+    cdc_gear_s = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -250,6 +266,9 @@ def main() -> None:
                     "source_unigram_kl": kl_s,
                     "pii_redaction_forced": pii_s,
                     "gopher_quality_flags_forced": gopher_s,
+                    "kn_perplexity_filter": kn_s,
+                    "cdc_chunk_sharing": cdc_s,
+                    "cdc_chunks_gear": cdc_gear_s,
                     "headline_first_pass_total": round(cold_total, 3),
                     "load1_pre_warmup": load_at_start,
                     "load1_at_timing_start": load_at_timing,
