@@ -129,6 +129,45 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("model", help="unigram JSON model from train-tokenizer")
     tk.add_argument("dest", help="output parquet")
 
+    tl = sub.add_parser(
+        "train-lm",
+        help="train an interpolated Kneser-Ney bigram LM on a documents "
+        "parquet and persist it (the CCNet reference-corpus model)",
+    )
+    tl.add_argument("src", help="input parquet with a text column")
+    tl.add_argument("dest", help="output model dir (four parquet tables)")
+    tl.add_argument(
+        "--source", default=None,
+        help="train only on rows with this source value (default: all rows)",
+    )
+
+    sl = sub.add_parser(
+        "score-lm",
+        help="score a documents parquet against a persisted KN model -> "
+        "(doc_id, n_bigrams, avg_nll) parquet; rank/threshold on avg_nll "
+        "to perplexity-filter",
+    )
+    sl.add_argument("src", help="input parquet with a text column")
+    sl.add_argument("model", help="model dir from train-lm")
+    sl.add_argument("dest", help="output parquet of per-doc scores")
+
+    cc = sub.add_parser(
+        "chunk-corpus",
+        help="content-defined-chunk a documents parquet -> "
+        "(doc_id, s, e, chunk_hash) parquet",
+    )
+    cc.add_argument("src", help="input parquet with a text column")
+    cc.add_argument("dest", help="output parquet of chunk spans")
+    cc.add_argument(
+        "--algo", choices=("md5", "gear"), default="gear",
+        help="md5 = windowed built-ins variant (char offsets, SQL-twin "
+        "semantics); gear = FastCDC-style with min/max clamps (byte "
+        "offsets, faster)",
+    )
+    cc.add_argument("--mask-bits", type=int, default=5)
+    cc.add_argument("--min-len", type=int, default=16)
+    cc.add_argument("--max-len", type=int, default=128)
+
     fc = sub.add_parser(
         "filter-corpus",
         help="apply the Gopher + C4 + mojibake hygiene gates to a documents "
@@ -166,11 +205,14 @@ def main(argv: list[str] | None = None) -> int:
     # resolve to the same path the overwrite clobbers the input mid-read and
     # the job fails or loses data. Refuse up front (benchmark is an input too).
     if args.cmd in ("dedup", "decontaminate", "scrub-substrings", "ingest-warc",
-                    "tokenize", "filter-corpus", "stream-corpus"):
+                    "tokenize", "filter-corpus", "stream-corpus",
+                    "train-lm", "score-lm", "chunk-corpus"):
         import os as _os
 
         out = args.work if args.cmd == "stream-corpus" else args.dest
         inputs = [args.src] + ([args.benchmark] if args.cmd == "decontaminate" else [])
+        if args.cmd == "score-lm":
+            inputs.append(args.model)
         out_real = _os.path.realpath(out)
         for inp in inputs:
             inp_real = _os.path.realpath(inp)
@@ -394,6 +436,50 @@ def main(argv: list[str] | None = None) -> int:
         q.awaitTermination()
         n = appendlog.get(spark, CorpusStreamPaths(args.work).corpus).count()
         print(f"corpus_docs:{n}")
+    elif args.cmd == "train-lm":
+        from pyspark.sql import functions as F
+
+        from streamds_spark.operators.ngram_lm import (
+            doc_bigrams,
+            kn_bigram_model,
+            save_kn_model,
+        )
+
+        docs = spark.read.parquet(args.src)
+        if args.source is not None:
+            docs = docs.filter(F.col("source") == args.source)
+        model = kn_bigram_model(doc_bigrams(docs).select("w1", "w2"))
+        save_kn_model(model, args.dest)
+        n_pairs = spark.read.parquet(f"{args.dest}/pair").count()
+        print(f"bigram_types:{n_pairs} model:{args.dest}")
+    elif args.cmd == "score-lm":
+        from streamds_spark.operators.ngram_lm import (
+            doc_bigrams,
+            kn_doc_nll,
+            kn_score_bigrams,
+            load_kn_model,
+        )
+
+        docs = spark.read.parquet(args.src)
+        model = load_kn_model(spark, args.model)
+        scored = kn_doc_nll(kn_score_bigrams(doc_bigrams(docs), model))
+        scored.write.mode("overwrite").parquet(args.dest)
+        print(f"scored:{spark.read.parquet(args.dest).count()}")
+    elif args.cmd == "chunk-corpus":
+        from streamds_spark.operators.cdc import cdc_chunks, cdc_chunks_gear
+
+        docs = spark.read.parquet(args.src)
+        if args.algo == "gear":
+            chunks = cdc_chunks_gear(
+                docs,
+                mask_bits=args.mask_bits,
+                min_len=args.min_len,
+                max_len=args.max_len,
+            )
+        else:
+            chunks = cdc_chunks(docs)
+        chunks.write.mode("overwrite").parquet(args.dest)
+        print(f"docs:{docs.count()} chunks:{spark.read.parquet(args.dest).count()}")
     elif args.cmd == "filter-corpus":
         from pyspark.sql import functions as F
 

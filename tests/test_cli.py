@@ -290,3 +290,57 @@ def test_cli_stream_corpus_rejects_work_inside_src(tmp_path):
         str(tmp_path / "docs" / "d.parquet"),
     )
     assert main(["stream-corpus", str(tmp_path / "docs"), str(tmp_path / "docs-work")]) == 0
+
+
+def test_cli_train_score_lm(spark, tmp_path, capsys):
+    src = str(tmp_path / "lm_docs.parquet")
+    spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat", "wiki"),
+            (1, "the dog sat on the log", "wiki"),
+            (2, "zz qq gibberish stream", "web"),
+            (3, "the cat saw the dog", "web"),
+        ],
+        "doc_id: long, text: string, source: string",
+    ).write.parquet(src)
+    model = str(tmp_path / "kn_model")
+    dest = str(tmp_path / "lm_scores.parquet")
+    from streamds_spark.cli import main
+
+    assert main(["train-lm", src, model, "--source", "wiki"]) == 0
+    assert "bigram_types:" in capsys.readouterr().out
+    assert main(["score-lm", src, model, dest]) == 0
+    assert "scored:4" in capsys.readouterr().out
+    rows = {r.doc_id: r.avg_nll for r in spark.read.parquet(dest).collect()}
+    # in-domain text scores lower NLL than OOV gibberish (the filter signal)
+    assert rows[0] < rows[2]
+    # model dir is an input to score-lm: refuse dest clobbering it
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["score-lm", src, model, model])
+
+
+def test_cli_chunk_corpus(spark, tmp_path, capsys):
+    src = str(tmp_path / "chunk_docs.parquet")
+    spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 10) for i in range(4)],
+        "doc_id: long, text: string",
+    ).write.parquet(src)
+    from streamds_spark.cli import main
+
+    for algo in ("gear", "md5"):
+        dest = str(tmp_path / f"chunks_{algo}.parquet")
+        assert main(["chunk-corpus", src, dest, "--algo", algo]) == 0
+        assert "docs:4 chunks:" in capsys.readouterr().out
+        rows = spark.read.parquet(dest).collect()
+        assert rows and {r.doc_id for r in rows} == {0, 1, 2, 3}
+        # spans start at 1 and are contiguous per doc
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault(r.doc_id, []).append((r.s, r.e))
+        for spans in per_doc.values():
+            spans.sort()
+            assert spans[0][0] == 1
+            for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+                assert s2 == e1 + 1
