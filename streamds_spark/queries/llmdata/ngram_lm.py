@@ -93,3 +93,100 @@ def kn_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = kn_bigram_model(train.select("w1", "w2"))
     scored = kn_score_bigrams(big.select("doc_id", "w1", "w2"), model)
     return kn_doc_nll(scored)
+
+
+@query(
+    "kn_ppl_buckets",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+               unnest(list_transform(range(2, len(t) + 1), i -> t[i])) AS w2
+        FROM toks WHERE len(t) >= 2
+    ),
+    pair AS (
+        SELECT w1 AS b1, w2 AS b2, count(*) AS c2 FROM big
+        WHERE source = (SELECT min(source) FROM documents)
+        GROUP BY w1, w2
+    ),
+    lft AS (
+        SELECT b1 AS u1, CAST(sum(c2) AS DOUBLE) AS c1,
+               CAST(count(*) AS DOUBLE) AS n1f
+        FROM pair GROUP BY b1
+    ),
+    rgt AS (
+        SELECT b2 AS v2, CAST(count(*) AS DOUBLE) AS n1b FROM pair GROUP BY b2
+    ),
+    tot AS (SELECT CAST(sum(n1b) AS DOUBLE) AS bt FROM rgt),
+    sc AS (
+        SELECT doc_id, source,
+               greatest(
+                   CASE WHEN c1 IS NOT NULL THEN
+                       greatest(CAST(COALESCE(c2, 0) AS DOUBLE)
+                                - CAST(0.75 AS DOUBLE), 0.0) / c1
+                       + CAST(0.75 AS DOUBLE) * n1f / c1
+                         * (COALESCE(n1b, 0.0) / bt)
+                   ELSE COALESCE(n1b, 0.0) / bt END,
+                   1e-10) AS p
+        FROM big
+        LEFT JOIN pair ON w1 = b1 AND w2 = b2
+        LEFT JOIN lft ON w1 = u1
+        LEFT JOIN rgt ON w2 = v2
+        CROSS JOIN tot
+    ),
+    perdoc AS (
+        SELECT doc_id, source, round(-avg(ln(p)), 4) + 0.0 AS avg_nll
+        FROM sc GROUP BY doc_id, source
+    ),
+    lab AS (
+        SELECT source, avg_nll,
+               ntile(3) OVER (PARTITION BY source ORDER BY avg_nll, doc_id)
+                   AS bucket
+        FROM perdoc
+    )
+    SELECT source, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(avg_nll), 4) + 0.0 AS min_nll,
+           round(max(avg_nll), 4) + 0.0 AS max_nll
+    FROM lab GROUP BY source, bucket
+    """,
+)
+def kn_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's published output shape: per source, split documents into
+    head/middle/tail terciles of KN perplexity (bucket 1 = head = lowest
+    NLL = most reference-like) and summarize each bucket
+    (source, bucket, n_docs, min_nll, max_nll) — the dial a corpus curator
+    reads to pick a per-source keep fraction.
+
+    Plan: the same train+score pipeline as kn_perplexity_filter, then a
+    SOURCE-partitioned ntile (the repo's accepted window shape — never a
+    global window; CCNet itself buckets per language) over the ROUNDED
+    per-doc score so both engines sort identical keys, and a ≤3·n_sources
+    row summary. At 100 TB the per-source window is the one sort that
+    matters; a production curator would swap it for sampled tercile
+    thresholds, which changes no other stage."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    big = doc_bigrams(docs, keep=("doc_id", "source"))
+    ref = docs.agg(F.min("source").alias("ref_src"))
+    train = big.crossJoin(F.broadcast(ref)).filter(
+        F.col("source") == F.col("ref_src")
+    )
+    model = kn_bigram_model(train.select("w1", "w2"))
+    scored = kn_score_bigrams(big.select("doc_id", "source", "w1", "w2"), model)
+    perdoc = scored.groupBy("doc_id", "source").agg(
+        (F.round(-F.avg(F.log("p")), 4) + F.lit(0.0)).alias("avg_nll")
+    )
+    w = W.partitionBy("source").orderBy("avg_nll", "doc_id")
+    lab = perdoc.select("source", "avg_nll", F.ntile(3).over(w).alias("bucket"))
+    return lab.groupBy("source", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.round(F.min("avg_nll"), 4) + F.lit(0.0)).alias("min_nll"),
+        (F.round(F.max("avg_nll"), 4) + F.lit(0.0)).alias("max_nll"),
+    )
