@@ -179,6 +179,54 @@ def session_windowed_counts(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_ts: str,
+    r_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-STREAM inner join on `key` with a time-interval
+    bound: right events within [l_ts, l_ts + max_delay] of a left event —
+    the click→purchase attribution shape, and the last Structured Streaming
+    join surface (stream-static joins live in the corpus pipeline; this is
+    the two-unbounded-sides case the reference's RainStorm could never
+    express).
+
+    State-boundedness is the whole design: BOTH sides are watermarked and
+    the join condition bounds r_ts relative to l_ts, so Spark derives a
+    state-eviction horizon for each side — buffered rows are dropped once
+    the other stream's watermark passes their join window, keeping the state
+    store proportional to (event rate × max_delay), not to stream history.
+    An unbounded-condition stream-stream join would accumulate state
+    forever; this API makes the bound mandatory.
+
+    Column contract: left/right must be disjoint except `key` (returned
+    once, from the left side). Inner-join matches emit immediately (the
+    watermark only gates state eviction, not emission)."""
+    clash = (set(left.columns) & set(right.columns)) - {key}
+    if clash:
+        raise ValueError(
+            f"left/right share non-key columns {sorted(clash)}; rename before joining"
+        )
+    l = left.withWatermark(l_ts, watermark).alias("l")
+    r = right.withWatermark(r_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{r_ts}") >= F.col(f"l.{l_ts}"))
+        & (
+            F.col(f"r.{r_ts}")
+            <= F.col(f"l.{l_ts}") + F.expr(f"interval {max_delay}")
+        )
+    )
+    out = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}") for c in right.columns if c != key
+    ]
+    return l.join(r, cond).select(*out)
+
+
 def stream_kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -618,3 +618,72 @@ def test_chained_streaming_window_aggregations(spark, tmp_path):
     # windows fully below the final watermark (00:55) have flushed;
     # the sentinel's own window stays in state (never emitted)
     assert got == {"2024-01-01 00:00:00": 4, "2024-01-01 00:10:00": 1}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream interval join (click->purchase attribution)
+    equals the batch join with the same time-bound condition."""
+    import datetime as dt
+    import os
+
+    from streamds_spark.streaming.engine import stream_stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    clicks = [(1, ts(0), "c1"), (1, ts(40), "c2"), (2, ts(5), "c3"), (3, ts(10), "c4")]
+    buys = [(1, ts(20), "p1"), (1, ts(50), "p2"), (2, ts(90), "p3"), (4, ts(15), "p4")]
+    # expected within 30 min after the click: c1->p1, c2->p2; p3 too late, p4 no click
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    os.makedirs(cdir), os.makedirs(pdir)
+    spark.createDataFrame(
+        clicks, "user_id int, c_ts timestamp, click_id string"
+    ).coalesce(1).write.parquet(f"{cdir}/a")
+    spark.createDataFrame(
+        buys, "user_id int, p_ts timestamp, buy_id string"
+    ).coalesce(1).write.parquet(f"{pdir}/a")
+
+    cs = spark.readStream.schema("user_id int, c_ts timestamp, click_id string").parquet(
+        f"{cdir}/a"
+    )
+    ps = spark.readStream.schema("user_id int, p_ts timestamp, buy_id string").parquet(
+        f"{pdir}/a"
+    )
+    joined = stream_stream_interval_join(
+        cs, ps, "user_id", "c_ts", "p_ts", max_delay="30 minutes",
+        watermark="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.click_id, r.buy_id)
+        for r in spark.sql("select * from ssj_out").collect()
+    }
+    assert got == {("c1", "p1"), ("c2", "p2")}
+
+    # batch twin with the identical condition agrees
+    bc = spark.createDataFrame(clicks, "user_id int, c_ts timestamp, click_id string")
+    bp = spark.createDataFrame(buys, "uid int, p_ts timestamp, buy_id string")
+    from pyspark.sql import functions as F
+
+    batch = bc.join(
+        bp,
+        (bc.user_id == bp.uid)
+        & (bp.p_ts >= bc.c_ts)
+        & (bp.p_ts <= bc.c_ts + F.expr("interval 30 minutes")),
+    )
+    assert {(r.click_id, r.buy_id) for r in batch.collect()} == got
+
+    # contract guard: overlapping non-key columns refused
+    import pytest
+
+    with pytest.raises(ValueError, match="share non-key columns"):
+        stream_stream_interval_join(cs, cs, "user_id", "c_ts", "c_ts")
