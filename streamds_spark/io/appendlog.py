@@ -80,6 +80,59 @@ def append_batch(df: DataFrame, path: str, client_id: str, batch_id: int) -> Non
     chunk.write.mode("overwrite").parquet(dest)
 
 
+def append_batch_txn(df: DataFrame, path: str, client_id: str, batch_id: int) -> None:
+    """Transactional APPEND for streaming micro-batches — the pointer-commit
+    variant of append_batch for logs with CONCURRENT readers.
+
+    append_batch's overwrite mode has a visibility window: a replayed batch
+    deletes the dir (and its _SUCCESS) before rewriting, so a reader landing
+    mid-rewrite sees the batch vanish and reappear. Here the data lands in a
+    hidden attempt dir (`chunks/.txn-<client>-<bid>-<uuid>`, invisible to
+    every reader scan), and the batch becomes visible only when a pointer
+    file (`chunks/txnptr-<client>-<bid>`) is os.replace'd onto it — atomic on
+    POSIX, same discipline as the generation CURRENT pointer. A replay writes
+    a NEW attempt dir and swings the same pointer: readers see the old
+    attempt or the new one, never a partial dir and never neither.
+    """
+    seq = int(batch_id)
+    chunk = (
+        df.withColumn("_client", F.lit(client_id))
+        .withColumn("_seq", F.lit(seq).cast("long"))
+        .withColumn("_pos", F.monotonically_increasing_id())
+    )
+    chunks_root = os.path.join(path, "chunks")
+    attempt = f".txn-{client_id}-{seq:09d}-{uuid.uuid4().hex[:8]}"
+    chunk.write.mode("overwrite").parquet(os.path.join(chunks_root, attempt))
+    ptr = os.path.join(chunks_root, f"txnptr-{client_id}-{seq:09d}")
+    old_attempt = None
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            old_attempt = f.read().strip()
+    tmp = ptr + f".tmp-{uuid.uuid4().hex[:6]}"
+    with open(tmp, "w") as f:
+        f.write(attempt)
+    os.replace(tmp, ptr)  # commit point
+    if old_attempt and old_attempt != attempt:
+        shutil.rmtree(os.path.join(chunks_root, old_attempt), ignore_errors=True)
+
+
+def _txn_pointers(chunks_root: str) -> list[tuple[str, str]]:
+    """Committed (pointer_name, attempt_dir_abspath) pairs. A pointer whose
+    attempt dir lacks _SUCCESS is impossible via append_batch_txn (the write
+    commits before the pointer swings) — skipped defensively for torn
+    storage, mirroring _current_generation."""
+    out = []
+    for ptr in sorted(_glob.glob(os.path.join(chunks_root, "txnptr-*"))):
+        if ".tmp-" in os.path.basename(ptr):
+            continue  # orphaned pre-commit pointer temp (crash before replace)
+        with open(ptr) as f:
+            attempt = f.read().strip()
+        d = os.path.join(chunks_root, attempt)
+        if os.path.exists(os.path.join(d, "_SUCCESS")):
+            out.append((os.path.basename(ptr), d))
+    return out
+
+
 def _current_generation(path: str) -> str | None:
     """Resolve the live generation dir via the CURRENT pointer, trusting it
     only if the generation's data write committed (_SUCCESS)."""
@@ -95,6 +148,12 @@ def _current_generation(path: str) -> str | None:
 
 
 def _merged_chunk_names(gen_dir: str | None) -> set[str]:
+    """Manifest entries: either a chunk file path relative to chunks/ (plain
+    appends) or `dir:<reldir>` subsuming a WHOLE batch subdirectory. Dir-level
+    entries exist because a replayed streaming batch rewrites its dir with
+    fresh random part filenames — file-level keys would let the rewrite leak
+    back into reads as duplicates of rows already folded into the generation;
+    the dir key makes post-merge replay a true no-op."""
     if gen_dir is None:
         return set()
     manifest = os.path.join(gen_dir, "merged_chunks.txt")
@@ -112,6 +171,8 @@ def _live_chunk_files(path: str, gen_dir: str | None) -> list[str]:
     relative to chunks/ so same-named part files in different batch dirs never
     collide."""
     merged = _merged_chunk_names(gen_dir)
+    merged_dirs = {m[len("dir:") :] for m in merged if m.startswith("dir:")}
+    merged_txn = {m[len("txn:") :] for m in merged if m.startswith("txn:")}
     chunks_root = os.path.join(path, "chunks")
     out = []
     for p in _glob.glob(os.path.join(chunks_root, "**", "*.parquet"), recursive=True):
@@ -120,8 +181,16 @@ def _live_chunk_files(path: str, gen_dir: str | None) -> list[str]:
             os.path.join(os.path.dirname(p), "_SUCCESS")
         ):
             continue  # torn batch dir — replay will overwrite it
+        if os.path.dirname(rel) in merged_dirs:
+            continue  # whole batch dir already folded in (even if replayed)
         if rel not in merged:
             out.append(p)
+    # transactional batches: hidden attempt dirs (dot-prefixed — the glob
+    # above never matches them) become visible only through their pointer
+    for ptr_name, attempt_dir in _txn_pointers(chunks_root):
+        if ptr_name in merged_txn:
+            continue  # batch folded into the generation (even if replayed)
+        out.extend(_glob.glob(os.path.join(attempt_dir, "*.parquet")))
     return sorted(out)
 
 
@@ -183,10 +252,31 @@ def merge(spark: SparkSession, path: str, keep_generations: int = 2) -> None:
     # chunks/, matching _live_chunk_files)
     chunks_root = os.path.join(path, "chunks")
     prev_merged = _merged_chunk_names(old_gen)
+    new_entries: set[str] = set()
+    for p in snapshot:
+        rel = os.path.relpath(p, chunks_root)
+        parent = os.path.dirname(rel)
+        if parent and parent.startswith(".txn-"):
+            # transactional batch: subsume by POINTER NAME — a post-merge
+            # replay writes a fresh attempt dir under the same pointer, and
+            # only the pointer identity survives that rewrite
+            client_seq = parent[len(".txn-") :].rsplit("-", 1)[0]
+            new_entries.add("txn:txnptr-" + client_seq)
+        elif parent:
+            # streaming batch dir: subsume the DIR, not its part filenames —
+            # a post-merge replay rewrites the dir with new random filenames,
+            # and the dir key keeps that rewrite out of every future read
+            new_entries.add("dir:" + parent)
+        else:
+            new_entries.add(rel)
+    manifest_entries = prev_merged | new_entries
+    # everything the manifest subsumes is reclaimable — including state a
+    # post-merge replay rewrote since the PREVIOUS merge (its rows are in
+    # the generation already; readers skip it either way)
+    subsumed_dirs = {m[len("dir:") :] for m in manifest_entries if m.startswith("dir:")}
+    subsumed_txn = {m[len("txn:") :] for m in manifest_entries if m.startswith("txn:")}
     with open(os.path.join(gen_dir, "merged_chunks.txt"), "w") as f:
-        for name in sorted(
-            prev_merged | {os.path.relpath(p, chunks_root) for p in snapshot}
-        ):
+        for name in sorted(manifest_entries):
             f.write(name + "\n")
 
     tmp_ptr = os.path.join(path, "CURRENT.tmp")
@@ -201,6 +291,15 @@ def merge(spark: SparkSession, path: str, keep_generations: int = 2) -> None:
             os.remove(p)
         except OSError:
             pass
+    for d in subsumed_dirs:
+        shutil.rmtree(os.path.join(chunks_root, d), ignore_errors=True)
+    for ptr_name, attempt_dir in _txn_pointers(chunks_root):
+        if ptr_name in subsumed_txn:
+            shutil.rmtree(attempt_dir, ignore_errors=True)
+            try:
+                os.remove(os.path.join(chunks_root, ptr_name))
+            except OSError:
+                pass
     for stale in list_generations(path)[: -max(1, keep_generations)]:
         shutil.rmtree(os.path.join(path, "generations", stale), ignore_errors=True)
     for marker in os.listdir(path):

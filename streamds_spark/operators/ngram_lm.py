@@ -113,6 +113,9 @@ def kn_probability_expr(discount: float = 0.75, floor: float = 1e-10) -> Column:
     )
 
 
+_BIGRAM_RESERVED = ("b1", "b2", "u1", "v2", "c2", "c1", "n1f", "n1b", "bt")
+
+
 def kn_score_bigrams(
     bigrams: DataFrame,
     model: dict[str, DataFrame],
@@ -125,6 +128,13 @@ def kn_score_bigrams(
     a literal via `total_literal` (required for STREAMING inputs, where a
     stream-static cross join is not a supported shape). Unseen words fall
     through the KN backoff chain."""
+    clash = [c for c in bigrams.columns if c in _BIGRAM_RESERVED]
+    if clash:
+        raise ValueError(
+            f"bigrams DataFrame carries reserved model column(s) {clash}; "
+            f"rename them — {_BIGRAM_RESERVED} are joined in and dropped here "
+            "(same contract as overlap_join's reserved _BIN guard)"
+        )
     scored = (
         bigrams.join(
             model["pair"],
@@ -176,11 +186,181 @@ def kn_score_stream(
     )
 
 
+def doc_trigrams(
+    docs: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """(*keep, w1, w2, w3) stream of adjacent whitespace-token triples;
+    documents with fewer than three tokens produce no rows."""
+    toks = docs.select(
+        *keep, tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= 3)
+    return toks.select(
+        *keep,
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 2)").alias("w1"),
+                F.expr("slice(t, 2, size(t) - 2)").alias("w2"),
+                F.expr("slice(t, 3, size(t) - 2)").alias("w3"),
+            )
+        ).alias("p"),
+    ).select(
+        *keep,
+        F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
+        F.col("p.w3").alias("w3"),
+    )
+
+
+def kn_trigram_model(train_trigrams: DataFrame) -> dict[str, DataFrame]:
+    """Interpolated Kneser-Ney TRIGRAM model (Chen & Goodman 1999: highest
+    order uses raw counts, every lower order uses CONTINUATION counts) from a
+    (w1, w2, w3) stream — the 5-gram-KenLM-shaped upgrade of the bigram
+    filter, one more count-table rollup deep.
+
+    Six DataFrames, all aggregates of the trigram-type table (so their size
+    tracks vocabulary, not corpus rows):
+      tri:   (a1, a2, a3, c3)   trigram occurrence counts
+      ctx:   (x1, x2, cx, n3f)  c(w1 w2 *) and N1+(w1 w2 *)
+      cont2: (y2, y3, cc2)      N1+(* w2 w3)   — the bigram-level
+                                continuation counts (distinct left contexts)
+      ctx2:  (z2, ccz, n2f)     N1+(* w2 *) = sum over w3, and the number of
+                                distinct w3 types following w2
+      cont1: (v3, n1b)          N1+(* * w3) in continuation space
+      total: (bt,)              one row: total distinct (w2, w3) types
+    """
+    tri = (
+        train_trigrams.groupBy(
+            F.col("w1").alias("a1"),
+            F.col("w2").alias("a2"),
+            F.col("w3").alias("a3"),
+        )
+        .agg(F.count("*").alias("c3"))
+        .localCheckpoint(eager=False)  # feeds ctx, cont2, and the score join
+    )
+    ctx = tri.groupBy(F.col("a1").alias("x1"), F.col("a2").alias("x2")).agg(
+        F.sum("c3").cast("double").alias("cx"),
+        F.count("*").cast("double").alias("n3f"),
+    )
+    # tri rows are distinct (a1,a2,a3) types, so count(*) per (a2,a3) IS the
+    # number of distinct left contexts N1+(*w2w3)
+    cont2 = (
+        tri.groupBy(F.col("a2").alias("y2"), F.col("a3").alias("y3"))
+        .agg(F.count("*").cast("double").alias("cc2"))
+        .localCheckpoint(eager=False)  # feeds ctx2, cont1, and the score join
+    )
+    ctx2 = cont2.groupBy(F.col("y2").alias("z2")).agg(
+        F.sum("cc2").cast("double").alias("ccz"),
+        F.count("*").cast("double").alias("n2f"),
+    )
+    cont1 = cont2.groupBy(F.col("y3").alias("v3")).agg(
+        F.count("*").cast("double").alias("n1b")
+    )
+    total = cont1.agg(F.sum("n1b").cast("double").alias("bt"))
+    return {
+        "tri": tri,
+        "ctx": ctx,
+        "cont2": cont2,
+        "ctx2": ctx2,
+        "cont1": cont1,
+        "total": total,
+    }
+
+
+def kn3_probability_expr(discount: float = 0.75, floor: float = 1e-10) -> Column:
+    """P(w3|w1,w2) over a row left-joined with all five trigram-model tables.
+    Three-level interpolation, each level exactly normalized (property-tested):
+      p1 = N1+(**w3) / N1+(***)                       (continuation unigram)
+      p2 = max(cc2-D,0)/ccz + D*n2f/ccz * p1           if w2 seen, else p1
+      p3 = max(c3-D,0)/cx  + D*n3f/cx  * p2            if (w1,w2) seen, else p2
+    """
+    d = F.lit(float(discount))
+    p1 = F.coalesce(F.col("n1b"), F.lit(0.0)) / F.col("bt")
+    p2 = F.when(
+        F.col("ccz").isNotNull(),
+        F.greatest(F.coalesce(F.col("cc2"), F.lit(0.0)) - d, F.lit(0.0))
+        / F.col("ccz")
+        + d * F.col("n2f") / F.col("ccz") * p1,
+    ).otherwise(p1)
+    p3 = F.when(
+        F.col("cx").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("c3"), F.lit(0)).cast("double") - d, F.lit(0.0)
+        )
+        / F.col("cx")
+        + d * F.col("n3f") / F.col("cx") * p2,
+    ).otherwise(p2)
+    return F.greatest(p3, F.lit(float(floor)))
+
+
+_TRIGRAM_RESERVED = (
+    "a1", "a2", "a3", "c3", "x1", "x2", "cx", "n3f",
+    "y2", "y3", "cc2", "z2", "ccz", "n2f", "v3", "n1b", "bt",
+)
+
+
+def kn3_score_trigrams(
+    trigrams: DataFrame,
+    model: dict[str, DataFrame],
+    discount: float = 0.75,
+    total_literal: float | None = None,
+) -> DataFrame:
+    """Attach P(w3|w1,w2) to every trigram row (column `p`): five left
+    equi-joins against the model tables — none broadcast, web-scale trigram
+    vocabularies are shuffle-joined on their word keys exactly like the
+    bigram scorer — plus the 1-row total (broadcast crossJoin, or inlined as
+    a literal for streaming inputs)."""
+    clash = [c for c in trigrams.columns if c in _TRIGRAM_RESERVED]
+    if clash:
+        raise ValueError(
+            f"trigrams DataFrame carries reserved model column(s) {clash}; "
+            f"rename them — {_TRIGRAM_RESERVED} are joined in and dropped here"
+        )
+    scored = (
+        trigrams.join(
+            model["tri"],
+            (trigrams.w1 == F.col("a1"))
+            & (trigrams.w2 == F.col("a2"))
+            & (trigrams.w3 == F.col("a3")),
+            "left",
+        )
+        .join(
+            model["ctx"],
+            (trigrams.w1 == F.col("x1")) & (trigrams.w2 == F.col("x2")),
+            "left",
+        )
+        .join(
+            model["cont2"],
+            (trigrams.w2 == F.col("y2")) & (trigrams.w3 == F.col("y3")),
+            "left",
+        )
+        .join(model["ctx2"], trigrams.w2 == F.col("z2"), "left")
+        .join(model["cont1"], trigrams.w3 == F.col("v3"), "left")
+    )
+    if total_literal is None:
+        scored = scored.crossJoin(F.broadcast(model["total"]))
+    else:
+        scored = scored.withColumn("bt", F.lit(float(total_literal)))
+    return scored.withColumn("p", kn3_probability_expr(discount)).drop(
+        *_TRIGRAM_RESERVED
+    )
+
+
+def kn3_doc_nll(scored_trigrams: DataFrame) -> DataFrame:
+    """Per-document mean negative trigram log-likelihood, full precision:
+    (doc_id, n_trigrams, avg_nll)."""
+    return scored_trigrams.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_trigrams"),
+        (-F.avg(F.log("p"))).alias("avg_nll"),
+    )
+
+
 def kn_doc_nll(scored_bigrams: DataFrame) -> DataFrame:
     """Per-document mean negative log-likelihood (the CCNet ranking score;
     ppl = exp(avg_nll), kept in log space for float stability):
-    (doc_id, n_bigrams, avg_nll)."""
+    (doc_id, n_bigrams, avg_nll). avg_nll is FULL precision — rounding for
+    DuckDB-oracle parity belongs in the registered query layer, not here,
+    where it would bake ranking ties into the persisted score-lm artifact."""
     return scored_bigrams.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_bigrams"),
-        (F.round(-F.avg(F.log("p")), 4) + F.lit(0.0)).alias("avg_nll"),
+        (-F.avg(F.log("p"))).alias("avg_nll"),
     )

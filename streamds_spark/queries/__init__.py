@@ -30,6 +30,7 @@ from streamds_spark.queries.llmdata import embeddings  # noqa: F401
 from streamds_spark.queries.llmdata import heavyhitters  # noqa: F401
 from streamds_spark.queries.llmdata import lshplan  # noqa: F401
 from streamds_spark.queries.llmdata import multimodal  # noqa: F401
+from streamds_spark.queries.llmdata import ngram_lm  # noqa: F401
 from streamds_spark.queries.llmdata import quality  # noqa: F401
 from streamds_spark.queries.llmdata import redaction  # noqa: F401
 from streamds_spark.queries.llmdata import retrieval  # noqa: F401
@@ -37,7 +38,6 @@ from streamds_spark.queries.llmdata import sampling  # noqa: F401
 from streamds_spark.queries.llmdata import segments  # noqa: F401
 from streamds_spark.queries.llmdata import sharding  # noqa: F401
 from streamds_spark.queries.llmdata import similarity  # noqa: F401
-from streamds_spark.queries.llmdata import ngram_lm  # noqa: F401
 from streamds_spark.queries.llmdata import sketches  # noqa: F401
 from streamds_spark.queries.llmdata import textnorm  # noqa: F401
 from streamds_spark.queries.llmdata import textstats  # noqa: F401

@@ -16,9 +16,13 @@ from pyspark.sql import functions as F
 from streamds_spark.catalog import load_table
 from streamds_spark.operators.ngram_lm import (
     doc_bigrams,
+    doc_trigrams,
+    kn3_doc_nll,
+    kn3_score_trigrams,
     kn_bigram_model,
     kn_doc_nll,
     kn_score_bigrams,
+    kn_trigram_model,
 )
 from streamds_spark.registry import query
 
@@ -92,7 +96,108 @@ def kn_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = kn_bigram_model(train.select("w1", "w2"))
     scored = kn_score_bigrams(big.select("doc_id", "w1", "w2"), model)
-    return kn_doc_nll(scored)
+    # round(.,4)+0.0 lives HERE (oracle-parity normalization), not in the
+    # operator — kn_doc_nll keeps full precision for real ranking use
+    return kn_doc_nll(scored).withColumn(
+        "avg_nll", F.round("avg_nll", 4) + F.lit(0.0)
+    )
+
+
+@query(
+    "kn3_perplexity_filter",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(t) - 1), i -> t[i])) AS w1,
+               unnest(list_transform(range(2, len(t)), i -> t[i])) AS w2,
+               unnest(list_transform(range(3, len(t) + 1), i -> t[i])) AS w3
+        FROM toks WHERE len(t) >= 3
+    ),
+    tcnt AS (
+        SELECT w1 AS a1, w2 AS a2, w3 AS a3, count(*) AS c3 FROM tri
+        WHERE source = (SELECT min(source) FROM documents)
+        GROUP BY w1, w2, w3
+    ),
+    ctx AS (
+        SELECT a1 AS x1, a2 AS x2, CAST(sum(c3) AS DOUBLE) AS cx,
+               CAST(count(*) AS DOUBLE) AS n3f
+        FROM tcnt GROUP BY a1, a2
+    ),
+    cont2 AS (
+        SELECT a2 AS y2, a3 AS y3, CAST(count(*) AS DOUBLE) AS cc2
+        FROM tcnt GROUP BY a2, a3
+    ),
+    ctx2 AS (
+        SELECT y2 AS z2, CAST(sum(cc2) AS DOUBLE) AS ccz,
+               CAST(count(*) AS DOUBLE) AS n2f
+        FROM cont2 GROUP BY y2
+    ),
+    cont1 AS (
+        SELECT y3 AS v3, CAST(count(*) AS DOUBLE) AS n1b FROM cont2 GROUP BY y3
+    ),
+    tot AS (SELECT CAST(sum(n1b) AS DOUBLE) AS bt FROM cont1),
+    joined AS (
+        SELECT doc_id, c3, cx, n3f, cc2, ccz, n2f, n1b, bt
+        FROM tri
+        LEFT JOIN tcnt ON w1 = a1 AND w2 = a2 AND w3 = a3
+        LEFT JOIN ctx ON w1 = x1 AND w2 = x2
+        LEFT JOIN cont2 ON w2 = y2 AND w3 = y3
+        LEFT JOIN ctx2 ON w2 = z2
+        LEFT JOIN cont1 ON w3 = v3
+        CROSS JOIN tot
+    ),
+    sp1 AS (SELECT *, COALESCE(n1b, 0.0) / bt AS p1 FROM joined),
+    sp2 AS (
+        SELECT *, CASE WHEN ccz IS NOT NULL THEN
+                   greatest(COALESCE(cc2, 0.0) - CAST(0.75 AS DOUBLE), 0.0)
+                       / ccz
+                   + CAST(0.75 AS DOUBLE) * n2f / ccz * p1
+               ELSE p1 END AS p2
+        FROM sp1
+    ),
+    sc AS (
+        SELECT doc_id, greatest(
+            CASE WHEN cx IS NOT NULL THEN
+                greatest(CAST(COALESCE(c3, 0) AS DOUBLE)
+                         - CAST(0.75 AS DOUBLE), 0.0) / cx
+                + CAST(0.75 AS DOUBLE) * n3f / cx * p2
+            ELSE p2 END,
+            1e-10) AS p
+        FROM sp2
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           round(-avg(ln(p)), 4) + 0.0 AS avg_nll
+    FROM sc GROUP BY doc_id
+    """,
+)
+def kn3_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bigram filter upgraded to interpolated Kneser-Ney TRIGRAMS with
+    bigram→unigram continuation backoff (real CCNet-style filters run 5-gram
+    KenLM; each extra order is one more count-table rollup of this exact
+    shape). (doc_id, n_trigrams, avg_nll); docs with <3 tokens absent.
+
+    Plan: one trigram explode shared by train and score branches; training is
+    FOUR vocabulary-sized rollups chained off the trigram-type table (two
+    lazy-localCheckpointed fan-out points: tri feeds ctx/cont2/score, cont2
+    feeds ctx2/cont1/score); scoring is five left equi-joins shuffling on
+    word keys — model tables deliberately NOT broadcast — plus the broadcast
+    1-row total. No UDFs anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    tri = doc_trigrams(docs, keep=("doc_id", "source"))
+    ref = docs.agg(F.min("source").alias("ref_src"))
+    train = tri.crossJoin(F.broadcast(ref)).filter(
+        F.col("source") == F.col("ref_src")
+    )
+    model = kn_trigram_model(train.select("w1", "w2", "w3"))
+    scored = kn3_score_trigrams(tri.select("doc_id", "w1", "w2", "w3"), model)
+    return kn3_doc_nll(scored).withColumn(
+        "avg_nll", F.round("avg_nll", 4) + F.lit(0.0)
+    )
 
 
 @query(

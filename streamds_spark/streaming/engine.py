@@ -211,6 +211,21 @@ def stream_stream_interval_join(
         raise ValueError(
             f"left/right share non-key columns {sorted(clash)}; rename before joining"
         )
+    # max_delay is interpolated into F.expr — validate the `<number> <unit>`
+    # shape up front so a malformed string fails HERE with a clear message
+    # instead of as an opaque plan-time AnalysisException (and an expression
+    # can never ride in through the f-string)
+    import re as _re
+
+    if not _re.fullmatch(
+        r"\d+\s+(?:microsecond|millisecond|second|minute|hour|day|week)s?",
+        max_delay.strip(),
+        _re.IGNORECASE,
+    ):
+        raise ValueError(
+            f"max_delay must look like '<number> <unit>' (e.g. '1 hour', "
+            f"'90 seconds'), got {max_delay!r}"
+        )
     l = left.withWatermark(l_ts, watermark).alias("l")
     r = right.withWatermark(r_ts, watermark).alias("r")
     cond = (

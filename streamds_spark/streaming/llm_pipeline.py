@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import glob as _glob
 import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,16 +81,44 @@ class CorpusStreamPaths:
         return os.path.join(self.work_dir, "bucket_store")
 
 
+def _committed_segment_hi(root: str, before_batch: int) -> int:
+    """Highest committed compaction segment usable by a probe running batch
+    `before_batch` (segments cover the batch-id prefix 0..hi inclusive).
+    Compaction only folds batches at or below the checkpoint's durable
+    frontier, and replays only re-run batches ABOVE that frontier, so a
+    segment with hi >= before_batch cannot occur in a live stream — the
+    filter is defensive for out-of-band callers."""
+    best = -1
+    for d in _glob.glob(os.path.join(root, "segment=*")):
+        try:
+            hi = int(os.path.basename(d).split("=", 1)[1])
+        except ValueError:
+            continue
+        if hi < before_batch and os.path.exists(os.path.join(d, "_SUCCESS")):
+            best = max(best, hi)
+    return best
+
+
 def _committed_store_dirs(root: str, before_batch: int) -> list[str]:
     """Store dirs from batches strictly BEFORE the given one (committed only).
-    Replay safety: a re-run batch must not probe its own prior half-write."""
+    Replay safety: a re-run batch must not probe its own prior half-write.
+
+    Compaction-aware: if a committed `segment=<hi>` exists (the prefix
+    0..hi bin-packed into one dir by compact_stores), it replaces every
+    batch dir with id <= hi — including any dir a post-compaction replay
+    rewrote, which is what makes replayed batches no-ops after compaction."""
+    seg_hi = _committed_segment_hi(root, before_batch)
     out = []
+    if seg_hi >= 0:
+        out.append(os.path.join(root, f"segment={seg_hi}"))
     for d in _glob.glob(os.path.join(root, "batch=*")):
         try:
             bid = int(os.path.basename(d).split("=", 1)[1])
         except ValueError:
             continue
-        if bid < before_batch and os.path.exists(os.path.join(d, "_SUCCESS")):
+        if seg_hi < bid < before_batch and os.path.exists(
+            os.path.join(d, "_SUCCESS")
+        ):
             out.append(d)
     return sorted(out)
 
@@ -102,6 +131,100 @@ def _seen_hashes(spark: SparkSession, paths: CorpusStreamPaths, batch_id: int) -
 def _corpus_buckets(spark: SparkSession, paths: CorpusStreamPaths, batch_id: int) -> DataFrame | None:
     dirs = _committed_store_dirs(paths.bucket_store, batch_id)
     return spark.read.parquet(*dirs) if dirs else None
+
+
+def _durable_frontier(paths: CorpusStreamPaths) -> int:
+    """Highest batch id the stream's checkpoint has COMMITTED (the
+    `checkpoint/commits/<id>` marker is written after foreachBatch returns).
+    Batches at or below this id can never be replayed, so they are safe to
+    fold into a compaction segment; -1 means nothing committed yet."""
+    commits = os.path.join(paths.checkpoint, "commits")
+    best = -1
+    if os.path.isdir(commits):
+        for name in os.listdir(commits):
+            if name.isdigit():
+                best = max(best, int(name))
+    return best
+
+
+def _compact_one_store(
+    spark: SparkSession, root: str, upto_batch: int, num_files: int | None
+) -> int:
+    """Fold committed `batch=N` dirs (N <= upto_batch) plus the previous
+    segment into one new `segment=<hi>` dir. Crash-safe by construction:
+    the new segment is invisible until its _SUCCESS lands (readers keep
+    using the old segment + batch dirs), and GC of subsumed dirs is
+    best-effort afterwards — a crash anywhere leaves a consistent view.
+    Returns the number of batch dirs folded (0 = nothing to do)."""
+    old_hi = _committed_segment_hi(root, upto_batch + 1)
+    to_fold = []
+    for d in _glob.glob(os.path.join(root, "batch=*")):
+        try:
+            bid = int(os.path.basename(d).split("=", 1)[1])
+        except ValueError:
+            continue
+        if old_hi < bid <= upto_batch and os.path.exists(
+            os.path.join(d, "_SUCCESS")
+        ):
+            to_fold.append((bid, d))
+        elif bid <= old_hi:
+            # garbage from a batch replayed after a previous compaction —
+            # readers already skip it (bid <= segment hi); reclaim it
+            shutil.rmtree(d, ignore_errors=True)
+    if not to_fold:
+        return 0
+    new_hi = max(bid for bid, _ in to_fold)
+    parts = [d for _, d in to_fold]
+    if old_hi >= 0:
+        parts.append(os.path.join(root, f"segment={old_hi}"))
+    df = spark.read.parquet(*parts)
+    if num_files is not None:
+        df = df.coalesce(max(1, num_files))
+    df.write.mode("overwrite").parquet(os.path.join(root, f"segment={new_hi}"))
+    # _SUCCESS is the commit point; everything below is reclaim
+    for _, d in to_fold:
+        shutil.rmtree(d, ignore_errors=True)
+    if old_hi >= 0:
+        shutil.rmtree(os.path.join(root, f"segment={old_hi}"), ignore_errors=True)
+    return len(to_fold)
+
+
+def compact_stores(
+    spark: SparkSession,
+    work_dir: str,
+    upto_batch: int | None = None,
+    num_files: int | None = None,
+    merge_corpus: bool = True,
+) -> dict:
+    """Maintenance compaction for the continuous pipeline's state (run it
+    between triggers, same single-writer discipline as appendlog.merge).
+
+    The hash/bucket stores and the corpus appendlog each grow by one parquet
+    dir per trigger; after ~10^4 triggers the per-batch probe's file listing
+    becomes the bottleneck (the small-files wall — the reference hits the
+    same wall and answers with HyDFS merge, core_process_utils.go:2040-2146).
+    This folds every batch dir at or below the checkpoint's durable frontier
+    (or an explicit `upto_batch`) into one `segment=<hi>` dir per store and
+    runs appendlog.merge on the corpus. Probe results are identical before
+    and after, and a batch replayed AFTER compaction is a no-op: its
+    rewritten dirs fall at or below the segment's hi / inside the merge
+    manifest's dir entries, so no reader ever sees them
+    (tests/test_llm_pipeline_stream.py pins both properties)."""
+    paths = CorpusStreamPaths(work_dir)
+    if upto_batch is None:
+        upto_batch = _durable_frontier(paths)
+    stats = {"upto_batch": upto_batch, "hash_store": 0, "bucket_store": 0}
+    if upto_batch < 0:
+        return stats
+    stats["hash_store"] = _compact_one_store(
+        spark, paths.hash_store, upto_batch, num_files
+    )
+    stats["bucket_store"] = _compact_one_store(
+        spark, paths.bucket_store, upto_batch, num_files
+    )
+    if merge_corpus:
+        appendlog.merge(spark, paths.corpus)
+    return stats
 
 
 def process_corpus_batch(

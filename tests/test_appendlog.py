@@ -3,6 +3,8 @@ user-semantics parity)."""
 
 from __future__ import annotations
 
+import glob as _glob
+
 from streamds_spark.io import appendlog
 
 
@@ -136,6 +138,91 @@ def test_append_batch_idempotent_replay(spark, tmp_path):
     assert [r["line"] for r in appendlog.read_ordered(spark, path).collect()] == [
         "a", "b", "c", "d",
     ]
+
+
+def test_append_batch_replay_after_merge_noops(spark, tmp_path):
+    """A batch replayed AFTER its chunk dir was folded into a generation must
+    stay invisible: the rewrite lands with NEW random part filenames, so the
+    manifest subsumes the whole DIR (dir: entries), not the old filenames —
+    otherwise the replay would re-surface rows the generation already holds."""
+    import os
+
+    path = str(tmp_path / "log")
+    appendlog.create(spark, path)
+    df = spark.createDataFrame([("a",), ("b",)], ["line"])
+    appendlog.append_batch(df, path, "stream1", 0)
+    appendlog.append_batch(spark.createDataFrame([("c",)], ["line"]), path, "stream1", 1)
+    appendlog.merge(spark, path)
+    # post-merge redelivery of batch 0 (crash between sink write and
+    # checkpoint commit, maintenance merge ran before the restart)
+    appendlog.append_batch(df, path, "stream1", 0)
+    assert [r["line"] for r in appendlog.read_ordered(spark, path).collect()] == [
+        "a", "b", "c",
+    ]
+    # a second merge reclaims the replay's dir without duplicating anything
+    appendlog.merge(spark, path)
+    assert [r["line"] for r in appendlog.read_ordered(spark, path).collect()] == [
+        "a", "b", "c",
+    ]
+    assert not [
+        d for d in os.listdir(os.path.join(path, "chunks")) if d.startswith("batch-")
+    ]
+
+
+def test_txn_append_reader_during_crash_window(spark, tmp_path):
+    """append_batch_txn's visibility contract, probed DURING simulated crash
+    windows: a reader concurrent with (a) a first-attempt write that dies
+    before the pointer swing, (b) a replay rewrite that dies mid-write, and
+    (c) a completed replay, must see — respectively — nothing, the OLD
+    committed attempt, and the new attempt. Never a partial dir, never a
+    vanished batch (the window append_batch's delete-then-rewrite has)."""
+    import os
+
+    path = str(tmp_path / "log")
+    appendlog.create(spark, path)
+    chunks = os.path.join(path, "chunks")
+
+    # (a) batch 0's first attempt crashed mid-write: attempt dir with torn
+    # bytes, pointer never swung → the log reads as empty-of-batches
+    torn = os.path.join(chunks, ".txn-s1-000000000-deadbeef")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-junk.parquet"), "wb") as f:
+        f.write(b"\x00torn")
+    assert appendlog._live_chunk_files(path, None) == []
+
+    # recovery: the replayed batch 0 commits
+    df = spark.createDataFrame([("a",), ("b",)], ["line"])
+    appendlog.append_batch_txn(df, path, "s1", 0)
+    assert sorted(r["line"] for r in appendlog.get(spark, path).collect()) == ["a", "b"]
+
+    # (b) a SECOND replay of batch 0 crashes mid-write (new attempt dir, torn,
+    # pointer still on the committed attempt) → reader sees the old data,
+    # exactly once — the batch never vanishes mid-rewrite
+    torn2 = os.path.join(chunks, ".txn-s1-000000000-feedface")
+    os.makedirs(torn2)
+    with open(os.path.join(torn2, "part-junk.parquet"), "wb") as f:
+        f.write(b"\x00torn again")
+    assert sorted(r["line"] for r in appendlog.get(spark, path).collect()) == ["a", "b"]
+
+    # (c) the replay completes: pointer swings atomically, still exactly once
+    appendlog.append_batch_txn(df, path, "s1", 0)
+    appendlog.append_batch_txn(spark.createDataFrame([("c",)], ["line"]), path, "s1", 1)
+    assert [r["line"] for r in appendlog.read_ordered(spark, path).collect()] == [
+        "a", "b", "c",
+    ]
+
+    # merge folds txn batches by pointer identity; a post-merge replay of
+    # batch 1 (fresh attempt dir, same pointer) stays invisible
+    appendlog.merge(spark, path)
+    appendlog.append_batch_txn(spark.createDataFrame([("c",)], ["line"]), path, "s1", 1)
+    assert [r["line"] for r in appendlog.read_ordered(spark, path).collect()] == [
+        "a", "b", "c",
+    ]
+    appendlog.merge(spark, path)
+    assert [r["line"] for r in appendlog.read_ordered(spark, path).collect()] == [
+        "a", "b", "c",
+    ]
+    assert not _glob.glob(os.path.join(chunks, "txnptr-*")), "pointers reclaimed"
 
 
 def test_streaming_into_appendlog_sink(spark, tmp_path):

@@ -193,6 +193,86 @@ def test_torn_first_attempt_state_is_overwritten(spark, tmp_path):
         assert os.path.exists(os.path.join(d, "_SUCCESS")), d
 
 
+def test_compaction_preserves_probes_and_replay_noops(spark, tmp_path):
+    """compact_stores folds the per-trigger batch dirs into one segment per
+    store + merges the corpus appendlog — and NOTHING observable changes:
+    store contents, corpus contents and report are identical pre/post, and a
+    batch replayed AFTER compaction (Structured Streaming's redelivery of an
+    uncommitted trigger, landing after a maintenance window) is a no-op."""
+    from streamds_spark.streaming.llm_pipeline import (
+        _committed_store_dirs,
+        compact_stores,
+        process_corpus_batch,
+    )
+
+    src_dir, work_dir = str(tmp_path / "src"), str(tmp_path / "work")
+    _split_into_files(spark, src_dir, n_files=3)
+    q = run_llm_corpus_stream(spark, src_dir, work_dir)
+    q.awaitTermination(timeout=300)
+    assert not q.isActive
+    paths = CorpusStreamPaths(work_dir)
+
+    def snapshot():
+        probe = 10**6  # a future batch's view
+        hashes = sorted(
+            r["h"]
+            for r in spark.read.parquet(
+                *_committed_store_dirs(paths.hash_store, probe)
+            ).collect()
+        )
+        buckets = sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                *_committed_store_dirs(paths.bucket_store, probe)
+            )
+            .select("doc_id", "band", "bucket")
+            .collect()
+        )
+        corpus = sorted(
+            tuple(r)
+            for r in appendlog.get(spark, paths.corpus)
+            .select("doc_id", "source", "text", "n_neardup_cands")
+            .collect()
+        )
+        report = sorted(tuple(r) for r in corpus_report(spark, work_dir).collect())
+        return hashes, buckets, corpus, report
+
+    before = snapshot()
+    stats = compact_stores(spark, work_dir)
+    assert stats["upto_batch"] == 2, "3 files at 1/trigger = batches 0..2 committed"
+    assert stats["hash_store"] == 3 and stats["bucket_store"] == 3
+    # the per-trigger dirs are gone; one committed segment remains per store
+    for root in (paths.hash_store, paths.bucket_store):
+        assert not [d for d in os.listdir(root) if d.startswith("batch=")]
+        assert os.path.exists(os.path.join(root, "segment=2", "_SUCCESS"))
+    assert snapshot() == before
+
+    # replay batch 0 post-compaction (gated input, exactly as foreachBatch
+    # would deliver it): writes land but no reader may ever see them
+    schema = spark.read.parquet(src_dir).schema
+    batch0 = pipeline_gate(
+        spark.read.schema(schema).parquet(os.path.join(src_dir, "000.parquet"))
+    )
+    process_corpus_batch(batch0, 0, paths)
+    assert snapshot() == before
+    # and the next maintenance pass reclaims the replay's garbage dirs
+    compact_stores(spark, work_dir)
+    for root in (paths.hash_store, paths.bucket_store):
+        assert not [d for d in os.listdir(root) if d.startswith("batch=")]
+    assert snapshot() == before
+
+
+def test_compact_stores_noop_without_commits(spark, tmp_path):
+    """No checkpoint commits yet → nothing is durable → compaction must not
+    touch anything (a batch still subject to replay can never be folded)."""
+    from streamds_spark.streaming.llm_pipeline import compact_stores
+
+    work_dir = str(tmp_path / "work")
+    os.makedirs(work_dir)
+    stats = compact_stores(spark, work_dir, merge_corpus=False)
+    assert stats == {"upto_batch": -1, "hash_store": 0, "bucket_store": 0}
+
+
 def test_replay_probe_excludes_own_batch_state(tmp_path):
     """_committed_store_dirs must never return the probing batch's own dir —
     the replay-safety invariant (a re-run batch would otherwise anti-join

@@ -122,7 +122,9 @@ def test_doc_nll_aggregation(spark, model):
         math.log(pref(a, b)) for a, b in zip(t, t[1:])
     ) / (len(t) - 1)
     assert out[0].n_bigrams == len(t) - 1
-    assert out[0].avg_nll == pytest.approx(round(expected, 4), abs=1e-9)
+    # full precision — the round(.,4) oracle normalization lives in the
+    # registered query layer, not the operator
+    assert out[0].avg_nll == pytest.approx(expected, rel=1e-12)
 
 
 def test_no_nested_loop_in_scoring_plan(spark, model):
@@ -243,3 +245,153 @@ def test_stream_static_join_transform(spark, model, tmp_path):
         for r in kn_score_bigrams(doc_bigrams(docs), model).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Trigram model (kn_trigram_model / kn3_score_trigrams)
+
+from streamds_spark.operators.ngram_lm import (  # noqa: E402
+    doc_trigrams,
+    kn3_doc_nll,
+    kn3_score_trigrams,
+    kn_trigram_model,
+)
+
+SCORE3 = [
+    (0, "the cat sat on"),        # all trigrams seen
+    (1, "the cat saw a zebra"),   # mixes seen context / unseen continuation
+    (2, "qq zz yy"),              # fully OOV -> floor
+    (3, "two words"),             # <3 tokens -> absent from output
+]
+
+
+def py_kn3(train_sentences):
+    """Pure-Python interpolated-KN trigram reference (Chen & Goodman:
+    raw counts at the top order, continuation counts below)."""
+    c3 = {}
+    for s in train_sentences:
+        t = s.split()
+        for w1, w2, w3 in zip(t, t[1:], t[2:]):
+            c3[(w1, w2, w3)] = c3.get((w1, w2, w3), 0) + 1
+    cx, n3f, cc2 = {}, {}, {}
+    for (w1, w2, w3), c in c3.items():
+        cx[(w1, w2)] = cx.get((w1, w2), 0) + c
+        n3f[(w1, w2)] = n3f.get((w1, w2), 0) + 1
+        cc2[(w2, w3)] = cc2.get((w2, w3), 0) + 1
+    ccz, n2f, n1b = {}, {}, {}
+    for (w2, w3), c in cc2.items():
+        ccz[w2] = ccz.get(w2, 0) + c
+        n2f[w2] = n2f.get(w2, 0) + 1
+        n1b[w3] = n1b.get(w3, 0) + 1
+    bt = float(sum(n1b.values()))
+
+    def p(w1, w2, w3):
+        p1 = n1b.get(w3, 0) / bt
+        if w2 in ccz:
+            p2 = max(cc2.get((w2, w3), 0) - D, 0.0) / ccz[w2] + D * n2f[
+                w2
+            ] / ccz[w2] * p1
+        else:
+            p2 = p1
+        if (w1, w2) in cx:
+            p3 = max(c3.get((w1, w2, w3), 0) - D, 0.0) / cx[(w1, w2)] + D * n3f[
+                (w1, w2)
+            ] / cx[(w1, w2)] * p2
+        else:
+            p3 = p2
+        return max(p3, FLOOR)
+
+    return p, cx, ccz, n1b, bt
+
+
+@pytest.fixture(scope="module")
+def model3(spark):
+    train = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(TRAIN)], "doc_id int, text string"
+    )
+    return kn_trigram_model(doc_trigrams(train).select("w1", "w2", "w3"))
+
+
+def test_trigram_matches_python_reference(spark, model3):
+    docs = spark.createDataFrame(SCORE3, "doc_id int, text string")
+    rows = (
+        kn3_score_trigrams(doc_trigrams(docs), model3)
+        .select("doc_id", "w1", "w2", "w3", "p")
+        .collect()
+    )
+    pref, *_ = py_kn3(TRAIN)
+    assert rows, "no scored trigrams"
+    for r in rows:
+        assert r.p == pytest.approx(pref(r.w1, r.w2, r.w3), abs=1e-12), (
+            r.w1, r.w2, r.w3,
+        )
+    # doc 3 has two tokens: no trigrams, absent by contract
+    assert {r.doc_id for r in rows} == {0, 1, 2}
+
+
+def test_trigram_exact_normalization(spark, model3):
+    """For every seen context (w1,w2), P(.|w1,w2) sums to exactly 1 over the
+    continuation vocabulary — and so does the backoff bigram level for every
+    seen w2: the discounted mass at each order is exactly restored one order
+    down (the interpolated-KN invariant, now two levels deep)."""
+    vocab = [r.v3 for r in model3["cont1"].select("v3").collect()]
+    ctxs = [(r.x1, r.x2) for r in model3["ctx"].select("x1", "x2").collect()]
+    grid = spark.createDataFrame(
+        [(a, b, w) for a, b in ctxs for w in vocab],
+        "w1 string, w2 string, w3 string",
+    ).withColumn("doc_id", F.lit(0))
+    sums = (
+        kn3_score_trigrams(grid, model3)
+        .groupBy("w1", "w2")
+        .agg(F.sum("p").alias("total"))
+        .collect()
+    )
+    assert len(sums) == len(ctxs)
+    for r in sums:
+        assert r.total == pytest.approx(1.0, abs=1e-9), (r.w1, r.w2)
+
+
+def test_trigram_oov_backoff_chain(spark, model3):
+    docs = spark.createDataFrame(
+        [(0, "zzz qqq the"), (1, "zzz the cat"), (2, "zzz qqq vvv")],
+        "doc_id int, text string",
+    )
+    rows = {
+        (r.w1, r.w2, r.w3): r.p
+        for r in kn3_score_trigrams(doc_trigrams(docs), model3).collect()
+    }
+    pref, cx, ccz, n1b, bt = py_kn3(TRAIN)
+    # unseen context, unseen w2 -> pure continuation unigram
+    assert ("zzz", "qqq") not in cx and "qqq" not in ccz
+    assert rows[("zzz", "qqq", "the")] == pytest.approx(
+        n1b["the"] / bt, abs=1e-12
+    )
+    # unseen context, seen w2 -> bigram-level continuation backoff
+    assert rows[("zzz", "the", "cat")] == pytest.approx(
+        pref("zzz", "the", "cat"), abs=1e-12
+    )
+    # everything unseen -> floor
+    assert rows[("zzz", "qqq", "vvv")] == FLOOR
+
+
+def test_trigram_doc_nll(spark, model3):
+    docs = spark.createDataFrame(SCORE3[:1], "doc_id int, text string")
+    out = kn3_doc_nll(kn3_score_trigrams(doc_trigrams(docs), model3)).collect()
+    pref, *_ = py_kn3(TRAIN)
+    t = SCORE3[0][1].split()
+    expected = -sum(
+        math.log(pref(a, b, c)) for a, b, c in zip(t, t[1:], t[2:])
+    ) / (len(t) - 2)
+    assert out[0].n_trigrams == len(t) - 2
+    assert out[0].avg_nll == pytest.approx(expected, rel=1e-12)
+
+
+def test_reserved_column_guards(spark, model, model3):
+    bad2 = spark.createDataFrame([("a", "b", 1.0)], "w1 string, w2 string, c1 double")
+    with pytest.raises(ValueError, match="reserved model column"):
+        kn_score_bigrams(bad2, model)
+    bad3 = spark.createDataFrame(
+        [("a", "b", "c", 1.0)], "w1 string, w2 string, w3 string, ccz double"
+    )
+    with pytest.raises(ValueError, match="reserved model column"):
+        kn3_score_trigrams(bad3, model3)
