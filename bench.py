@@ -249,6 +249,33 @@ def main() -> None:
     cdc_chunks_gear(load_table(spark, sf_dir, "documents")).count()
     cdc_gear_s = round(time.time() - t0, 3)
 
+    # Round-6 multi-tenant tracker (outside the headline total): three
+    # headline queries run SIMULTANEOUSLY from three threads under FAIR
+    # scheduler pools on the one session. Wall clock vs the serial sum of
+    # their individual min-of-3 times gauges how well concurrent tenants
+    # overlap (1.0× = perfect overlap-free sharing is impossible; anything
+    # well under the serial sum means the scheduler interleaves stages).
+    import threading
+
+    from streamds_spark.session import scheduler_pool
+
+    conc_queries = ["q1_pricing_summary", "q5_local_supplier_volume", "dedup_exact"]
+
+    def _run_pooled(nm: str) -> None:
+        with scheduler_pool(spark, f"bench-{nm}"):
+            specs[nm].fn(spark, sf_dir).count()
+
+    t0 = time.time()
+    conc_threads = [
+        threading.Thread(target=_run_pooled, args=(nm,)) for nm in conc_queries
+    ]
+    for th in conc_threads:
+        th.start()
+    for th in conc_threads:
+        th.join()
+    conc_wall_s = round(time.time() - t0, 3)
+    conc_serial_s = round(sum(timings[nm] for nm in conc_queries), 3)
+
     print(
         json.dumps(
             {
@@ -269,6 +296,8 @@ def main() -> None:
                     "kn_perplexity_filter": kn_s,
                     "cdc_chunk_sharing": cdc_s,
                     "cdc_chunks_gear": cdc_gear_s,
+                    "concurrent_3way_wall": conc_wall_s,
+                    "concurrent_3way_serial_sum": conc_serial_s,
                     "headline_first_pass_total": round(cold_total, 3),
                     "load1_pre_warmup": load_at_start,
                     "load1_at_timing_start": load_at_timing,

@@ -191,6 +191,20 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("work", help="work dir: checkpoint + corpus + dedup stores")
     st.add_argument("--tail", action="store_true", help="keep running (production mode)")
 
+    cs = sub.add_parser(
+        "compact-store",
+        help="maintenance compaction of a stream-corpus work dir: fold the "
+        "per-trigger hash/bucket/chunk store dirs at or below the "
+        "checkpoint's durable frontier into one segment each, and merge "
+        "the corpus appendlog (run between triggers; probe results are "
+        "identical before and after)",
+    )
+    cs.add_argument("work", help="stream-corpus work dir")
+    cs.add_argument(
+        "--num-files", type=int, default=None,
+        help="coalesce each segment to this many files (default: natural)",
+    )
+
     sh = sub.add_parser(
         "shell",
         help="interactive terminal (the reference's command loop): SQL by "
@@ -436,6 +450,14 @@ def main(argv: list[str] | None = None) -> int:
         q.awaitTermination()
         n = appendlog.get(spark, CorpusStreamPaths(args.work).corpus).count()
         print(f"corpus_docs:{n}")
+    elif args.cmd == "compact-store":
+        from streamds_spark.streaming.llm_pipeline import compact_stores
+
+        stats = compact_stores(spark, args.work, num_files=args.num_files)
+        print(
+            "compacted upto_batch:{upto_batch} hash:{hash_store} "
+            "bucket:{bucket_store} chunk:{chunk_store}".format(**stats)
+        )
     elif args.cmd == "train-lm":
         from pyspark.sql import functions as F
 

@@ -108,3 +108,51 @@ def ntile_from_rank(rank: Column, n_total: Column, n_buckets: int) -> Column:
         .otherwise(r + F.floor((rank - big - 1) / F.greatest(q, F.lit(1))) + 1)
         .cast("int")
     )
+
+
+def approx_equidepth_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+    accuracy: int = 10000,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Approximate equi-depth bucketing — the sketch path for when the exact
+    distributed rank hits the 100 TB wall (even with_global_rank pays one
+    full-key B-way sort; a histogram/report rarely needs exact depths).
+
+    One percentile_approx aggregate (Greenwald-Khanna sketch: mergeable
+    partials, bounded memory) yields the n-1 inner edges; assignment back is
+    a broadcast of ONE row and a map-side filter-count over the edges array —
+    no window, no rank, no per-row shuffle beyond what the caller had.
+
+    Error bound (GK guarantee, audited by the *_approx_audit registry
+    queries): each edge's true rank is within N/accuracy of its target, so
+    any bucket's population deviates from the exact ANSI-ntile depth by at
+    most 2·N/accuracy (both of its edges displaced adversarially).
+
+    Ties: rows equal to an edge value land in the LOWER bucket on both
+    engines (strict `>` comparison) — deterministic, though bucket depths
+    then absorb the whole tie group, exactly like exact ntile on ties.
+    """
+    if not 1 <= n_buckets <= 10_000:
+        raise ValueError(f"n_buckets must be in [1, 10000], got {n_buckets}")
+    if bucket_col in df.columns or "_edges" in df.columns:
+        raise ValueError(f"reserved column {bucket_col!r}/'_edges' already present")
+    pcts = F.array(
+        *[F.lit(k / n_buckets) for k in range(1, n_buckets)]
+    )
+    edges = df.agg(
+        F.percentile_approx(value_col, pcts, F.lit(accuracy)).alias("_edges")
+    )
+    bucket = (
+        F.lit(1)
+        + F.size(
+            F.filter("_edges", lambda e: F.col(value_col) > e)
+        )
+    ).cast("int")
+    return (
+        df.crossJoin(F.broadcast(edges))
+        .withColumn(bucket_col, bucket)
+        .drop("_edges")
+    )

@@ -52,3 +52,50 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
     )
     return salted_fact.join(salted_dim, [key, "_salt"], how).drop("_salt")
+
+
+def skew_report(
+    df: DataFrame, key: str, n_partitions: int = 32, top_k: int = 20
+) -> DataFrame:
+    """One-scan skew diagnostic feeding the toolbox decision above: for the
+    `top_k` heaviest values of `key`, report mass, share, and the ratio of
+    that mass to one reducer's fair budget (n_rows / n_partitions — use the
+    job's spark.sql.shuffle.partitions, or the cluster's target partition
+    count at 100 TB).
+
+    Decision rule (encoded in the `recommendation` column):
+      budget_ratio <= 1   → 'hash-shuffle'  — no key outweighs a reducer;
+                            the plain exchange is already balanced.
+      budget_ratio > 1    → 'salt:<n>' with n = ceil(budget_ratio) — a single
+                            reducer would carry ratio× its fair share; salt
+                            the fact side at least n ways (salted_join), or
+                            broadcast the dim if it fits, or rely on AQE
+                            skew splitting when the consumer is a plain join.
+
+    Cost: ONE shuffle of count partials on `key` (map-side combined), then
+    key-count-table-sized arithmetic + a driver-sized top-k. Run it on a
+    sample or the full input — the shape is the same."""
+    if n_partitions < 1 or top_k < 1:
+        raise ValueError(f"need n_partitions/top_k >= 1, got {n_partitions}/{top_k}")
+    counts = df.groupBy(F.col(key).alias("key_value")).agg(
+        F.count("*").alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").cast("double").alias("_total"))
+    budget = F.col("_total") / F.lit(float(n_partitions))
+    ratio = F.col("n_rows").cast("double") / budget
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key_value",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.round(F.col("n_rows") / F.col("_total"), 4).alias("share"),
+            F.round(ratio, 4).alias("budget_ratio"),
+            F.when(ratio <= 1.0, F.lit("hash-shuffle"))
+            .otherwise(
+                F.concat(F.lit("salt:"), F.ceil(ratio).cast("bigint").cast("string"))
+            )
+            .alias("recommendation"),
+        )
+        .orderBy(F.desc("n_rows"), "key_value")
+        .limit(top_k)
+    )

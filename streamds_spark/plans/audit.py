@@ -82,3 +82,54 @@ def plan_report(df: DataFrame) -> str:
         if pf.strip():
             lines.append(f"pushed: {pf}")
     return "\n".join(lines)
+
+
+def executed_shuffle_bytes(df: DataFrame) -> int:
+    """Execute THIS DataFrame's plan and return total shuffle bytes written
+    across every exchange in the executed (post-AQE) physical plan — the
+    cost number exchange COUNTS can't give (a 16-byte 1-row broadcast and a
+    full-corpus repartition both count as one exchange; only bytes separate
+    them). Used by gen_plan_inventory's --exec-bytes census so plan
+    regressions surface as byte growth, not just shape changes.
+
+    Traversal notes: AQE wraps the plan in AdaptiveSparkPlanExec (final plan
+    behind .executedPlan()); materialized stages hide their exchange behind
+    *QueryStageExec.plan(); ReusedExchangeExec is NOT followed (the reused
+    shuffle was written once, and following it would double-count)."""
+    df.collect()  # populate metrics on this exact queryExecution
+    total = 0
+    seen: set[int] = set()
+
+    def walk(node) -> None:
+        nonlocal total
+        if node is None:
+            return
+        ident = node.id() if hasattr(node, "id") else id(node)
+        cls = node.getClass().getSimpleName()
+        if cls == "ReusedExchangeExec":
+            return
+        key = (cls, ident)
+        if key in seen:
+            return
+        seen.add(key)
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "shuffleBytesWritten":
+                total += kv._2().value()
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+        # subqueries (scalar/ IN) execute their own stages
+        sq = node.subqueries()
+        for i in range(sq.size()):
+            walk(sq.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return int(total)

@@ -545,7 +545,9 @@ def approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r GROUP BY bucket
     """,
 )
-def equidepth_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+def equidepth_histogram_price(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
     """ANALYZE-style equi-depth histogram of l_extendedprice: 16 buckets of
     (near-)equal row count with their value ranges (bucket, n_rows, lo, hi) —
     the optimizer-statistics primitive for selectivity estimation, and the
@@ -558,11 +560,29 @@ def equidepth_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster scale) so the 1-row n_total aggregate doesn't re-run the rank
     pipeline. Ties at bucket boundaries are broken by (orderkey, linenumber)
     so both engines split them identically."""
-    from streamds_spark.operators.ranking import ntile_from_rank, with_global_rank
+    from streamds_spark.operators.ranking import (
+        approx_equidepth_buckets,
+        ntile_from_rank,
+        with_global_rank,
+    )
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("p"), "l_orderkey", "l_linenumber"
     )
+    if not exact:
+        # sketch path (exact=False): ONE percentile_approx aggregate for the
+        # 15 inner edges + a broadcast map-side assignment — no rank, no
+        # B-way sort; depths off by ≤2N/accuracy (bound audited by
+        # equidepth_approx_audit and the paired divergence test)
+        return (
+            approx_equidepth_buckets(li.select("p"), "p", 16)
+            .groupBy("bucket")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                (F.round(F.min("p"), 4) + F.lit(0.0)).alias("lo"),
+                (F.round(F.max("p"), 4) + F.lit(0.0)).alias("hi"),
+            )
+        )
     ranked = with_global_rank(
         li, ["p", "l_orderkey", "l_linenumber"], "_rk"
     ).localCheckpoint()
@@ -578,3 +598,52 @@ def equidepth_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.max("p"), 4) + F.lit(0.0)).alias("hi"),
         )
     )
+
+
+@query(
+    "equidepth_approx_audit",
+    oracle=r"""
+    SELECT CAST(i AS INT) AS edge_idx, TRUE AS within_bound
+    FROM generate_series(1, 15) t(i)
+    """,
+)
+def equidepth_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-error audit for the approximate equi-depth histogram path
+    (equidepth_histogram_price(exact=False)): each of the 15 sketch edges
+    must sit at a true rank within N/accuracy of its k·N/16 target — the GK
+    guarantee, checked against EXACT rank counts (tie-proof form: an edge
+    inside a tie group is in-bound iff the group's rank span intersects the
+    tolerance window). The oracle row is literal TRUE×15, so the query
+    hash-verifies only if the sketch honored its bound on this data.
+
+    Plan: one percentile_approx aggregate (1 row, broadcast) + ONE map-side
+    pass computing all 30 exact rank counts as conditional sums — no window,
+    no join, no rank machinery; this audit shape is exactly what a 100 TB
+    deployment runs as a canary next to the sketch path."""
+    from streamds_spark.operators.ranking import approx_equidepth_buckets  # noqa: F401
+
+    n_b = 16
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("p")
+    )
+    pcts = F.array(*[F.lit(k / n_b) for k in range(1, n_b)])
+    edges = li.agg(
+        F.percentile_approx("p", pcts, F.lit(PCTL_ACCURACY)).alias("_edges")
+    )
+    aggs = [F.count("*").alias("n")]
+    for k in range(1, n_b):
+        e = F.element_at("_edges", k)
+        aggs.append(F.sum((F.col("p") < e).cast("long")).alias(f"below_{k}"))
+        aggs.append(F.sum((F.col("p") <= e).cast("long")).alias(f"ate_{k}"))
+    row = li.crossJoin(F.broadcast(edges)).agg(*aggs)
+    eps = F.col("n").cast("double") / PCTL_ACCURACY
+    checks = []
+    for k in range(1, n_b):
+        target = F.col("n").cast("double") * (k / n_b)
+        ok = (F.col(f"below_{k}") <= target + eps) & (
+            F.col(f"ate_{k}") >= target - eps
+        )
+        checks.append(F.struct(F.lit(k).alias("edge_idx"), ok.alias("within_bound")))
+    return row.select(
+        F.explode(F.array(*checks)).alias("c")
+    ).select(F.col("c.edge_idx").cast("int").alias("edge_idx"), "c.within_bound")

@@ -439,7 +439,9 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t JOIN cuts c USING (lang)
     """,
 )
-def adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def adaptive_length_filter(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
     """Per-language ADAPTIVE length filtering: flag docs outside their own
     language's [p05, p95] token-count band — fixed global cutoffs mis-filter
     short-token languages. Exact percentiles per lang (lang-sized groups:
@@ -450,10 +452,24 @@ def adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", "lang", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
     )
-    cuts = t.groupBy("lang").agg(
-        F.expr("percentile(n_tokens, 0.05)").alias("lo_raw"),
-        F.expr("percentile(n_tokens, 0.95)").alias("hi_raw"),
-    )
+    if exact:
+        cuts = t.groupBy("lang").agg(
+            F.expr("percentile(n_tokens, 0.05)").alias("lo_raw"),
+            F.expr("percentile(n_tokens, 0.95)").alias("hi_raw"),
+        )
+    else:
+        # exact=False: GK-sketch percentiles (mergeable partials, bounded
+        # agg buffers) — the 100 TB path when per-lang groups are no longer
+        # "small"; bounds are data values within N_lang/accuracy rank error
+        # (audited by adaptive_length_approx_audit + the paired test)
+        cuts = t.groupBy("lang").agg(
+            F.percentile_approx("n_tokens", F.lit(0.05), F.lit(10000))
+            .cast("double")
+            .alias("lo_raw"),
+            F.percentile_approx("n_tokens", F.lit(0.95), F.lit(10000))
+            .cast("double")
+            .alias("hi_raw"),
+        )
     return t.join(F.broadcast(cuts), "lang").select(
         "doc_id",
         "lang",
@@ -464,6 +480,96 @@ def adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+@query(
+    "adaptive_length_approx_audit",
+    oracle="""
+    SELECT DISTINCT lang, TRUE AS lo_within_bound, TRUE AS hi_within_bound
+    FROM documents
+    """,
+)
+def adaptive_length_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-error audit for adaptive_length_filter(exact=False): each lang's
+    sketch p05/p95 must sit at a true rank within N_lang/accuracy of target
+    (tie-proof two-sided check against EXACT rank counts, same form as
+    approx_percentile_audit). Oracle is literal TRUE per lang — the row
+    hash-verifies only if the GK guarantee held on this data.
+
+    Plan: one groupBy(lang) sketch agg (broadcast — lang-count-sized), one
+    map-side conditional-sum pass per lang for the exact ranks. No window."""
+    acc = 10000
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    cuts = t.groupBy("lang").agg(
+        F.percentile_approx("n_tokens", F.lit(0.05), F.lit(acc)).alias("lo_a"),
+        F.percentile_approx("n_tokens", F.lit(0.95), F.lit(acc)).alias("hi_a"),
+    )
+    ranked = (
+        t.join(F.broadcast(cuts), "lang")
+        .groupBy("lang", "lo_a", "hi_a")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("n_tokens") < F.col("lo_a")).cast("long")).alias("lo_below"),
+            F.sum((F.col("n_tokens") <= F.col("lo_a")).cast("long")).alias("lo_ate"),
+            F.sum((F.col("n_tokens") < F.col("hi_a")).cast("long")).alias("hi_below"),
+            F.sum((F.col("n_tokens") <= F.col("hi_a")).cast("long")).alias("hi_ate"),
+        )
+    )
+    eps = F.col("n").cast("double") / acc
+    lo_t = F.col("n").cast("double") * 0.05
+    hi_t = F.col("n").cast("double") * 0.95
+    return ranked.select(
+        "lang",
+        ((F.col("lo_below") <= lo_t + eps) & (F.col("lo_ate") >= lo_t - eps)).alias(
+            "lo_within_bound"
+        ),
+        ((F.col("hi_below") <= hi_t + eps) & (F.col("hi_ate") >= hi_t - eps)).alias(
+            "hi_within_bound"
+        ),
+    )
+
+
+@query(
+    "skew_report_sources",
+    oracle="""
+    WITH c AS (
+        SELECT source AS key_value, count(*) AS n_rows
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total FROM c)
+    SELECT key_value,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           round(CAST(n_rows AS DOUBLE) / total, 4) AS share,
+           round(CAST(n_rows AS DOUBLE) / (total / 32.0), 4) AS budget_ratio,
+           CASE WHEN CAST(n_rows AS DOUBLE) / (total / 32.0) <= 1.0
+                THEN 'hash-shuffle'
+                ELSE 'salt:' || CAST(CAST(ceil(CAST(n_rows AS DOUBLE)
+                                              / (total / 32.0)) AS BIGINT)
+                                     AS VARCHAR)
+           END AS recommendation
+    FROM c CROSS JOIN t
+    ORDER BY n_rows DESC, key_value
+    LIMIT 20
+    """,
+)
+def skew_report_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic over documents.source at a 32-partition budget
+    (operators/skewjoin.skew_report): per heavy key, its mass, corpus share,
+    ratio to one reducer's fair load, and the encoded decision — salt count
+    if a single reducer would straggle, plain hash shuffle otherwise. The
+    source column IS skewed by construction (few sources over the whole
+    corpus), so this exercises the 'salt:<n>' branch the salted_join
+    operator exists for; nothing before this round MEASURED when to use it.
+
+    Plan: one map-combined count shuffle on the key + a broadcast 1-row
+    total + a driver-sized top-k (TakeOrdered). Scale-invariant shape."""
+    from streamds_spark.operators.skewjoin import skew_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return skew_report(docs, "source", n_partitions=32, top_k=20)
 
 
 def _hard_negatives_oracle() -> str:

@@ -238,7 +238,9 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM binned GROUP BY decile
     """,
 )
-def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_deciles(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
     """Decile report over the stopword-ratio quality score — the curriculum /
     threshold-picking view ("what do I lose if I cut the bottom 20%?").
 
@@ -254,6 +256,23 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = docs.select(
         "doc_id", "n_chars", stopword_ratio(tokens(F.col("text"))).alias("score")
     )
+    if not exact:
+        # exact=False IS that documented swap: sketch edges + map-side
+        # assignment (no window at all); depths off by ≤2N/accuracy plus
+        # boundary tie groups (ties land whole in the lower decile) —
+        # divergence quantified by tests/test_approx_variants.py
+        from streamds_spark.operators.ranking import approx_equidepth_buckets
+
+        return (
+            approx_equidepth_buckets(sc, "score", 10, bucket_col="decile")
+            .groupBy("decile")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.round(F.min("score"), 4).alias("min_score"),
+                F.round(F.max("score"), 4).alias("max_score"),
+                F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            )
+        )
     w = Window.orderBy("score", "doc_id")
     return (
         sc.withColumn("decile", F.ntile(10).over(w))

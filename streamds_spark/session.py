@@ -12,6 +12,7 @@ Scale stance (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
@@ -61,5 +62,30 @@ def get_spark(app_name: str = "streamds_spark", shuffle_partitions: int | None =
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # FAIR root scheduling: one engine session serves CONCURRENT queries
+        # (the reference serves concurrent grep/RainStorm sessions from its
+        # 10 nodes, core_process.go:455-478). In FAIR mode Spark creates a
+        # pool on demand per distinct spark.scheduler.pool value (weight 1,
+        # FIFO within), so each query submitted under its own pool via
+        # scheduler_pool() gets a fair share of the executor slots instead
+        # of queueing behind a long-running neighbor's stages.
+        .config("spark.scheduler.mode", "FAIR")
     )
     return builder.getOrCreate()
+
+
+@contextlib.contextmanager
+def scheduler_pool(spark: SparkSession, pool: str):
+    """Run the enclosed job submissions (batch actions or writeStream.start
+    calls) under a named FAIR pool. Thread-scoped: Spark reads the pool from
+    a thread-local property at submission time, and a streaming query's
+    micro-batches inherit the properties captured at start() — so each
+    concurrent tenant sets its own pool from its own thread. Restores the
+    previous pool (or clears it) on exit."""
+    sc = spark.sparkContext
+    prev = sc.getLocalProperty("spark.scheduler.pool")
+    sc.setLocalProperty("spark.scheduler.pool", pool)
+    try:
+        yield
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", prev)

@@ -80,6 +80,10 @@ class CorpusStreamPaths:
     def bucket_store(self) -> str:  # MinHash band buckets, batch=N dirs
         return os.path.join(self.work_dir, "bucket_store")
 
+    @property
+    def chunk_store(self) -> str:  # gear-CDC chunk hashes, batch=N dirs
+        return os.path.join(self.work_dir, "chunk_store")
+
 
 def _committed_segment_hi(root: str, before_batch: int) -> int:
     """Highest committed compaction segment usable by a probe running batch
@@ -213,7 +217,12 @@ def compact_stores(
     paths = CorpusStreamPaths(work_dir)
     if upto_batch is None:
         upto_batch = _durable_frontier(paths)
-    stats = {"upto_batch": upto_batch, "hash_store": 0, "bucket_store": 0}
+    stats = {
+        "upto_batch": upto_batch,
+        "hash_store": 0,
+        "bucket_store": 0,
+        "chunk_store": 0,
+    }
     if upto_batch < 0:
         return stats
     stats["hash_store"] = _compact_one_store(
@@ -222,6 +231,10 @@ def compact_stores(
     stats["bucket_store"] = _compact_one_store(
         spark, paths.bucket_store, upto_batch, num_files
     )
+    if os.path.isdir(paths.chunk_store):
+        stats["chunk_store"] = _compact_one_store(
+            spark, paths.chunk_store, upto_batch, num_files
+        )
     if merge_corpus:
         appendlog.merge(spark, paths.corpus)
     return stats
@@ -310,6 +323,17 @@ def process_corpus_batch(
         new_buckets.write.mode("overwrite").parquet(
             os.path.join(paths.bucket_store, f"batch={int(batch_id)}")
         )
+        # sub-document granularity: gear-CDC chunk hashes of this batch's
+        # kept docs (map-only, zero shuffle) land in their own batch-keyed
+        # store — cross-document boilerplate sharing is a finalize-time
+        # grouping over the store (chunk_sharing_report), the same
+        # global-view split as the cap report. Written LAST of the three
+        # stores; idempotence is the same overwrite-by-batchId contract.
+        from streamds_spark.operators.cdc import cdc_chunks_gear
+
+        cdc_chunks_gear(local.select("doc_id", "text")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(paths.chunk_store, f"batch={int(batch_id)}"))
     finally:
         pre.unpersist()
         if local is not pre:
@@ -345,6 +369,36 @@ def run_llm_corpus_stream(
     return writer.foreachBatch(
         lambda df, bid: process_corpus_batch(df, bid, paths)
     ).start()
+
+
+def chunk_sharing_report(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Finalize-time sub-document dedup profile over the STREAMED chunk
+    store: per kept document, how many of its gear-CDC chunks recur in other
+    kept documents — cdc_chunk_sharing's grouping (doc_id, n_chunks,
+    n_shared, shared_ratio), computed over the store the stream built one
+    batch at a time. After draining the same input this equals the batch
+    computation (gear-chunk the batch pipeline's kept set, same grouping)
+    row-for-row — pinned by tests/test_llm_pipeline_stream.py, including
+    across store compaction."""
+    paths = CorpusStreamPaths(work_dir)
+    dirs = _committed_store_dirs(paths.chunk_store, 2**62)
+    chunks = spark.read.parquet(*dirs).localCheckpoint(eager=False)
+    sharing = chunks.groupBy(F.col("chunk_hash").alias("h")).agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    shared_flag = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        chunks.join(sharing, chunks.chunk_hash == F.col("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(shared_flag).cast("bigint").alias("n_shared"),
+            (
+                F.round(F.sum(shared_flag).cast("double") / F.count("*"), 4)
+                + F.lit(0.0)
+            ).alias("shared_ratio"),
+        )
+    )
 
 
 def corpus_report(spark: SparkSession, work_dir: str) -> DataFrame:

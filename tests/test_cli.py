@@ -266,6 +266,13 @@ def test_cli_stream_corpus_command(spark, tmp_path, capsys):
     assert main(["stream-corpus", src, work]) == 0
     out2 = capsys.readouterr().out
     assert int(out2.split("corpus_docs:")[1].strip()) == n
+    # maintenance compaction over the same work dir: corpus count unchanged
+    assert main(["compact-store", work]) == 0
+    out3 = capsys.readouterr().out
+    assert "compacted upto_batch:" in out3
+    assert main(["stream-corpus", src, work]) == 0
+    out4 = capsys.readouterr().out
+    assert int(out4.split("corpus_docs:")[1].strip()) == n
 
 
 def test_cli_stream_corpus_rejects_work_inside_src(tmp_path):

