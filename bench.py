@@ -245,6 +245,15 @@ def main() -> None:
     t0 = time.time()
     specs["cdc_chunk_sharing"].fn(spark, sf_dir).count()
     cdc_s = round(time.time() - t0, 3)
+
+    # Round-6 operator trackers: the 5-gram KN filter (the production-order
+    # CCNet dial, generic order-n construction) and SemDeDup.
+    t0 = time.time()
+    specs["kn5_perplexity_filter"].fn(spark, sf_dir).count()
+    kn5_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    specs["semantic_dedup_keep"].fn(spark, sf_dir).count()
+    semdedup_s = round(time.time() - t0, 3)
     t0 = time.time()
     cdc_chunks_gear(load_table(spark, sf_dir, "documents")).count()
     cdc_gear_s = round(time.time() - t0, 3)
@@ -294,6 +303,8 @@ def main() -> None:
                     "pii_redaction_forced": pii_s,
                     "gopher_quality_flags_forced": gopher_s,
                     "kn_perplexity_filter": kn_s,
+                    "kn5_perplexity_filter": kn5_s,
+                    "semantic_dedup_keep": semdedup_s,
                     "cdc_chunk_sharing": cdc_s,
                     "cdc_chunks_gear": cdc_gear_s,
                     "concurrent_3way_wall": conc_wall_s,

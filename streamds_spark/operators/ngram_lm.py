@@ -364,3 +364,170 @@ def kn_doc_nll(scored_bigrams: DataFrame) -> DataFrame:
         F.count("*").cast("bigint").alias("n_bigrams"),
         (-F.avg(F.log("p"))).alias("avg_nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Generic order-n interpolated Kneser-Ney (the bigram/trigram construction
+# above, folded into one recursion — real CCNet-style filters run 5-gram
+# KenLM, and every extra order is one more continuation-count rollup)
+
+
+def doc_ngrams(
+    docs: DataFrame,
+    order: int,
+    text_col: str = "text",
+    keep: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """(*keep, w1..w{order}) stream of adjacent whitespace-token n-grams;
+    documents with fewer than `order` tokens produce no rows."""
+    if not 2 <= order <= 8:
+        raise ValueError(f"order must be in [2, 8], got {order}")
+    toks = docs.select(*keep, tokens(F.col(text_col)).alias("t")).filter(
+        F.size("t") >= order
+    )
+    return toks.select(
+        *keep,
+        F.explode(
+            F.arrays_zip(
+                *[
+                    F.expr(f"slice(t, {k + 1}, size(t) - {order - 1})").alias(
+                        f"w{k + 1}"
+                    )
+                    for k in range(order)
+                ]
+            )
+        ).alias("g"),
+    ).select(*keep, *[F.col(f"g.w{k + 1}").alias(f"w{k + 1}") for k in range(order)])
+
+
+def kn_ngram_model(train_ngrams: DataFrame, order: int) -> dict[str, DataFrame]:
+    """Order-n interpolated-KN model from a (w1..wn) stream — raw counts at
+    the top order, continuation counts (distinct left-extension types) at
+    every level below, exactly the Chen & Goodman recursion the bigram and
+    trigram models above instantiate by hand.
+
+    Tables (all rollups of the n-gram-TYPE table — vocabulary-sized):
+      lvl{n}:           (g{n}_1..g{n}_n, c{n})    raw n-gram counts
+      lvl{k}, k<n:      (g{k}_1..g{k}_k, c{k})    cc_k = distinct types in
+                        lvl{k+1} sharing the last-k-gram (lvl rows are
+                        distinct types, so count(*) IS the distinct count)
+      ctx{k}, k>=2:     (x{k}_1..x{k}_{k-1}, t{k}, y{k})   per-context
+                        total mass and continuation-type count of lvl{k}
+      total:            (bt,)   1 row: sum of lvl1 counts
+    Every lvl table feeds the next rollup, its own ctx rollup, and the
+    scoring join — shared via lazy localCheckpoint."""
+    if not 2 <= order <= 8:
+        raise ValueError(f"order must be in [2, 8], got {order}")
+    model: dict[str, DataFrame] = {}
+    lvl = (
+        train_ngrams.groupBy(
+            *[F.col(f"w{i + 1}").alias(f"g{order}_{i + 1}") for i in range(order)]
+        )
+        .agg(F.count("*").alias(f"c{order}"))
+        .localCheckpoint(eager=False)
+    )
+    model[f"lvl{order}"] = lvl
+    for k in range(order - 1, 0, -1):
+        # last-k-gram of the level-(k+1) key: positions (k+1-k+1 .. k+1)
+        upper = model[f"lvl{k + 1}"]
+        lvl_k = (
+            upper.groupBy(
+                *[
+                    F.col(f"g{k + 1}_{i + 2}").alias(f"g{k}_{i + 1}")
+                    for i in range(k)
+                ]
+            )
+            .agg(F.count("*").cast("double").alias(f"c{k}"))
+            .localCheckpoint(eager=False)
+        )
+        model[f"lvl{k}"] = lvl_k
+    for k in range(order, 1, -1):
+        model[f"ctx{k}"] = (
+            model[f"lvl{k}"]
+            .groupBy(
+                *[F.col(f"g{k}_{i + 1}").alias(f"x{k}_{i + 1}") for i in range(k - 1)]
+            )
+            .agg(
+                F.sum(f"c{k}").cast("double").alias(f"t{k}"),
+                F.count("*").cast("double").alias(f"y{k}"),
+            )
+        )
+    model["total"] = model["lvl1"].agg(F.sum("c1").cast("double").alias("bt"))
+    return model
+
+
+def kn_ngram_probability_expr(
+    order: int, discount: float = 0.75, floor: float = 1e-10
+) -> Column:
+    """P(wn | w1..w{n-1}) over a row left-joined with all model tables:
+    p1 = c1/bt, then for k = 2..n:
+    p_k = max(cnt_k - D, 0)/t_k + D*y_k/t_k * p_{k-1} if ctx seen else p_{k-1}."""
+    d = F.lit(float(discount))
+    p = F.coalesce(F.col("c1"), F.lit(0.0)) / F.col("bt")
+    for k in range(2, order + 1):
+        cnt = F.coalesce(F.col(f"c{k}"), F.lit(0)).cast("double")
+        seen = (
+            F.greatest(cnt - d, F.lit(0.0)) / F.col(f"t{k}")
+            + d * F.col(f"y{k}") / F.col(f"t{k}") * p
+        )
+        p = F.when(F.col(f"t{k}").isNotNull(), seen).otherwise(p)
+    return F.greatest(p, F.lit(float(floor)))
+
+
+def kn_ngram_score(
+    ngrams: DataFrame,
+    model: dict[str, DataFrame],
+    order: int,
+    discount: float = 0.75,
+    total_literal: float | None = None,
+) -> DataFrame:
+    """Attach P(wn|w1..w{n-1}) (column `p`) to every n-gram row: 2(n-1)
+    left equi-joins (one lvl + one ctx per order, shuffled on word keys —
+    model tables never broadcast) plus the 1-row total."""
+    reserved = [c for c in ngrams.columns if c == "bt" or _KN_COL.match(c)]
+    if reserved:
+        raise ValueError(
+            f"ngrams DataFrame carries reserved model column(s) {reserved}"
+        )
+    scored = ngrams
+    for k in range(order, 0, -1):
+        # lvl{k} keys the LAST k score words: w{order-k+1}..w{order}
+        cond = None
+        for i in range(k):
+            c = F.col(f"w{order - k + i + 1}") == F.col(f"g{k}_{i + 1}")
+            cond = c if cond is None else (cond & c)
+        scored = scored.join(model[f"lvl{k}"], cond, "left").drop(
+            *[f"g{k}_{i + 1}" for i in range(k)]
+        )
+    for k in range(order, 1, -1):
+        # ctx{k} keys the last k words MINUS the final one
+        cond = None
+        for i in range(k - 1):
+            c = F.col(f"w{order - k + i + 1}") == F.col(f"x{k}_{i + 1}")
+            cond = c if cond is None else (cond & c)
+        scored = scored.join(model[f"ctx{k}"], cond, "left").drop(
+            *[f"x{k}_{i + 1}" for i in range(k - 1)]
+        )
+    if total_literal is None:
+        scored = scored.crossJoin(F.broadcast(model["total"]))
+    else:
+        scored = scored.withColumn("bt", F.lit(float(total_literal)))
+    drop_cols = ["bt"] + [f"c{k}" for k in range(1, order + 1)] + [
+        c for k in range(2, order + 1) for c in (f"t{k}", f"y{k}")
+    ]
+    return scored.withColumn(
+        "p", kn_ngram_probability_expr(order, discount)
+    ).drop(*drop_cols)
+
+
+import re as _re  # noqa: E402
+
+_KN_COL = _re.compile(r"^(c\d+|t\d+|y\d+|g\d+_\d+|x\d+_\d+)$")
+
+
+def kn_ngram_doc_nll(scored: DataFrame) -> DataFrame:
+    """(doc_id, n_ngrams, avg_nll) — full precision, as kn_doc_nll."""
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_ngrams"),
+        (-F.avg(F.log("p"))).alias("avg_nll"),
+    )

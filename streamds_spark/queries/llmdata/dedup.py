@@ -559,3 +559,53 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_per_span = spans.groupBy("h").agg(F.count("*").alias("doc_freq"))
     return df_per_span.groupBy("doc_freq").agg(F.count("*").alias("n_spans"))
+
+
+@query(
+    "semantic_dedup_keep",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+        SELECT vec_id, v,
+               CAST((CASE WHEN v[1] >= 0 THEN 32 ELSE 0 END)
+                  + (CASE WHEN v[2] >= 0 THEN 16 ELSE 0 END)
+                  + (CASE WHEN v[3] >= 0 THEN 8 ELSE 0 END)
+                  + (CASE WHEN v[4] >= 0 THEN 4 ELSE 0 END)
+                  + (CASE WHEN v[5] >= 0 THEN 2 ELSE 0 END)
+                  + (CASE WHEN v[6] >= 0 THEN 1 ELSE 0 END) AS INT)
+                   AS cluster_id
+        FROM e
+    ),
+    drops AS (
+        SELECT DISTINCT bb.vec_id AS ib
+        FROM b a JOIN b bb
+          ON a.cluster_id = bb.cluster_id AND bb.vec_id > a.vec_id
+        WHERE round(
+                list_dot_product(a.v, bb.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(bb.v, bb.v))), 4) >= 0.8
+    )
+    SELECT b.vec_id, b.cluster_id, (drops.ib IS NULL) AS is_kept
+    FROM b LEFT JOIN drops ON b.vec_id = drops.ib
+    """,
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: sign-bucket
+    clustering on the first 6 dimensions (64 training-free clusters), then
+    within-cluster cosine >= 0.8 drops every above-threshold row except the
+    lowest id — (vec_id, cluster_id, is_kept). Semantic near-dups survive
+    paraphrase, so this is the dedup family MinHash/SimHash text shingles
+    cannot provide.
+
+    Plan (operators/semdedup.py): map-side cluster assignment, ONE
+    cluster-keyed self-join for candidates (quadratic only within a
+    cluster — the knob is cluster granularity, same discipline as LSH
+    mega-bucket caps), a distinct + left join for the keep flags. Cosines
+    round to 4 decimals before the threshold compare on both engines."""
+    from streamds_spark.functions.vectors import as_double
+    from streamds_spark.operators.semdedup import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    return semdedup(emb, threshold=0.8, n_sign_bits=6)

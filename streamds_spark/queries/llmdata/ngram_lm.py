@@ -295,3 +295,142 @@ def kn_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.min("avg_nll"), 4) + F.lit(0.0)).alias("min_nll"),
         (F.round(F.max("avg_nll"), 4) + F.lit(0.0)).alias("max_nll"),
     )
+
+
+def _kn_ngram_oracle(order: int, discount: float = 0.75) -> str:
+    """Generate the DuckDB twin of the generic order-n KN pipeline — the
+    same CTE chain the hand-written bigram/trigram oracles above instantiate,
+    emitted for any order (the Spark side is kn_ngram_model/kn_ngram_score,
+    proven bit-identical to the hand-written models at orders 2 and 3 by
+    tests/test_ngram_lm.py)."""
+    n = order
+    d = f"CAST({discount} AS DOUBLE)"
+    grams = ",\n               ".join(
+        f"unnest(list_transform(range({k}, len(t) + {k - n + 1}), i -> t[i])) AS w{k}"
+        for k in range(1, n + 1)
+    )
+    parts = [
+        r"""WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+        FROM documents
+    )""",
+        f"""gram AS (
+        SELECT doc_id, source,
+               {grams}
+        FROM toks WHERE len(t) >= {n}
+    )""",
+    ]
+    top_keys = ", ".join(f"w{i} AS g{n}_{i}" for i in range(1, n + 1))
+    parts.append(
+        f"""lvl{n} AS (
+        SELECT {top_keys}, count(*) AS c{n} FROM gram
+        WHERE source = (SELECT min(source) FROM documents)
+        GROUP BY {", ".join(f"w{i}" for i in range(1, n + 1))}
+    )"""
+    )
+    for k in range(n - 1, 0, -1):
+        keys = ", ".join(f"g{k + 1}_{i + 2} AS g{k}_{i + 1}" for i in range(k))
+        grp = ", ".join(f"g{k + 1}_{i + 2}" for i in range(k))
+        parts.append(
+            f"""lvl{k} AS (
+        SELECT {keys}, CAST(count(*) AS DOUBLE) AS c{k}
+        FROM lvl{k + 1} GROUP BY {grp}
+    )"""
+        )
+    for k in range(n, 1, -1):
+        keys = ", ".join(f"g{k}_{i + 1} AS x{k}_{i + 1}" for i in range(k - 1))
+        grp = ", ".join(f"g{k}_{i + 1}" for i in range(k - 1))
+        parts.append(
+            f"""ctx{k} AS (
+        SELECT {keys}, CAST(sum(c{k}) AS DOUBLE) AS t{k},
+               CAST(count(*) AS DOUBLE) AS y{k}
+        FROM lvl{k} GROUP BY {grp}
+    )"""
+        )
+    parts.append(f"tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS bt FROM lvl1)")
+    joins = []
+    for k in range(n, 0, -1):
+        on = " AND ".join(
+            f"w{n - k + i + 1} = g{k}_{i + 1}" for i in range(k)
+        )
+        joins.append(f"LEFT JOIN lvl{k} ON {on}")
+    for k in range(n, 1, -1):
+        on = " AND ".join(
+            f"w{n - k + i + 1} = x{k}_{i + 1}" for i in range(k - 1)
+        )
+        joins.append(f"LEFT JOIN ctx{k} ON {on}")
+    cols = ", ".join(
+        [f"CAST(c{n} AS DOUBLE) AS c{n}"]
+        + [f"c{k}" for k in range(n - 1, 0, -1)]
+        + [f"t{k}, y{k}" for k in range(n, 1, -1)]
+    )
+    parts.append(
+        f"""joined AS (
+        SELECT doc_id, {cols}, bt
+        FROM gram
+        {chr(10).join("        " + j for j in joins)}
+        CROSS JOIN tot
+    )"""
+    )
+    parts.append("sp1 AS (SELECT *, COALESCE(c1, 0.0) / bt AS p1 FROM joined)")
+    for k in range(2, n + 1):
+        parts.append(
+            f"""sp{k} AS (
+        SELECT *, CASE WHEN t{k} IS NOT NULL THEN
+                   greatest(COALESCE(c{k}, 0.0) - {d}, 0.0) / t{k}
+                   + {d} * y{k} / t{k} * p{k - 1}
+               ELSE p{k - 1} END AS p{k}
+        FROM sp{k - 1}
+    )"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+           round(-avg(ln(greatest(p{n}, 1e-10))), 4) + 0.0 AS avg_nll
+    FROM sp{n} GROUP BY doc_id
+    """
+    )
+
+
+@query("kn5_perplexity_filter", oracle=_kn_ngram_oracle(5))
+def kn5_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CCNet dial: 5-gram interpolated Kneser-Ney (what production
+    KenLM filters actually run), built by the GENERIC order-n construction
+    (operators/ngram_lm.kn_ngram_model — one recursion replacing the
+    hand-written bigram/trigram models, proven bit-identical to them at
+    orders 2/3). (doc_id, n_ngrams, avg_nll); docs with <5 tokens absent.
+
+    Plan: one 5-gram explode shared by train/score; training is EIGHT
+    vocabulary-sized rollups (lvl5→lvl1 continuation chain + ctx5..ctx2),
+    each lazily checkpointed at its fan-out; scoring is nine left
+    equi-joins shuffled on word keys (no model broadcast) + the 1-row
+    total. The DuckDB twin is GENERATED by the same recursion
+    (_kn_ngram_oracle), so Spark and oracle stay structurally in lockstep
+    at any order. No UDFs anywhere."""
+    from streamds_spark.operators.ngram_lm import (
+        doc_ngrams,
+        kn_ngram_doc_nll,
+        kn_ngram_model,
+        kn_ngram_score,
+    )
+
+    order = 5
+    docs = load_table(spark, sf_dir, "documents")
+    grams = doc_ngrams(docs, order, keep=("doc_id", "source"))
+    ref = docs.agg(F.min("source").alias("ref_src"))
+    train = grams.crossJoin(F.broadcast(ref)).filter(
+        F.col("source") == F.col("ref_src")
+    )
+    model = kn_ngram_model(
+        train.select(*[f"w{i}" for i in range(1, order + 1)]), order
+    )
+    scored = kn_ngram_score(
+        grams.select("doc_id", *[f"w{i}" for i in range(1, order + 1)]),
+        model,
+        order,
+    )
+    return kn_ngram_doc_nll(scored).withColumn(
+        "avg_nll", F.round("avg_nll", 4) + F.lit(0.0)
+    )

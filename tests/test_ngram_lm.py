@@ -395,3 +395,147 @@ def test_reserved_column_guards(spark, model, model3):
     )
     with pytest.raises(ValueError, match="reserved model column"):
         kn3_score_trigrams(bad3, model3)
+
+
+# ---------------------------------------------------------------------------
+# Generic order-n construction (kn_ngram_model / kn_ngram_score)
+
+from streamds_spark.operators.ngram_lm import (  # noqa: E402
+    doc_ngrams,
+    kn_ngram_doc_nll,
+    kn_ngram_model,
+    kn_ngram_score,
+)
+
+
+def py_kn_n(train_sentences, order, D=0.75, floor=1e-10):
+    """Pure-Python generic interpolated-KN reference for any order."""
+    lvl = {}
+    top = {}
+    for s in train_sentences:
+        t = s.split()
+        for i in range(len(t) - order + 1):
+            g = tuple(t[i : i + order])
+            top[g] = top.get(g, 0) + 1
+    lvl[order] = top
+    for k in range(order - 1, 0, -1):
+        lower = {}
+        for g in lvl[k + 1]:
+            lower[g[1:]] = lower.get(g[1:], 0) + 1
+        lvl[k] = lower
+    ctx = {}
+    for k in range(order, 1, -1):
+        t_k, y_k = {}, {}
+        for g, c in lvl[k].items():
+            t_k[g[:-1]] = t_k.get(g[:-1], 0) + c
+            y_k[g[:-1]] = y_k.get(g[:-1], 0) + 1
+        ctx[k] = (t_k, y_k)
+    bt = float(sum(lvl[1].values()))
+
+    def p(gram):
+        val = lvl[1].get(gram[-1:], 0) / bt
+        for k in range(2, order + 1):
+            t_k, y_k = ctx[k]
+            c = gram[-k:-1] if k > 1 else ()
+            if c in t_k:
+                cnt = lvl[k].get(gram[-k:], 0)
+                val = max(cnt - D, 0.0) / t_k[c] + D * y_k[c] / t_k[c] * val
+        return max(val, floor)
+
+    return p
+
+
+def test_generic_order2_bit_identical_to_bigram(spark, model):
+    train = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(TRAIN)], "doc_id int, text string"
+    )
+    docs = spark.createDataFrame(SCORE, "doc_id int, text string")
+    g2 = kn_ngram_model(doc_ngrams(train, 2).select("w1", "w2"), 2)
+    a = {
+        (r.w1, r.w2): r.p for r in kn_score_bigrams(doc_bigrams(docs), model).collect()
+    }
+    b = {
+        (r.w1, r.w2): r.p
+        for r in kn_ngram_score(doc_ngrams(docs, 2), g2, 2).collect()
+    }
+    assert a == b  # bit-identical, not approx
+
+
+def test_generic_order3_bit_identical_to_trigram(spark, model3):
+    train = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(TRAIN)], "doc_id int, text string"
+    )
+    docs = spark.createDataFrame(SCORE3, "doc_id int, text string")
+    g3 = kn_ngram_model(doc_ngrams(train, 3).select("w1", "w2", "w3"), 3)
+    a = {
+        (r.w1, r.w2, r.w3): r.p
+        for r in kn3_score_trigrams(doc_trigrams(docs), model3).collect()
+    }
+    b = {
+        (r.w1, r.w2, r.w3): r.p
+        for r in kn_ngram_score(doc_ngrams(docs, 3), g3, 3).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-14), k
+
+
+def test_generic_order4_matches_python_reference(spark):
+    order = 4
+    train = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(TRAIN)], "doc_id int, text string"
+    )
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the zebra"), (1, "a dog and a cat sat")],
+        "doc_id int, text string",
+    )
+    cols = [f"w{i}" for i in range(1, order + 1)]
+    m = kn_ngram_model(doc_ngrams(train, order).select(*cols), order)
+    pref = py_kn_n(TRAIN, order)
+    rows = kn_ngram_score(doc_ngrams(docs, order), m, order).collect()
+    assert rows
+    for r in rows:
+        gram = tuple(getattr(r, c) for c in cols)
+        assert r.p == pytest.approx(pref(gram), abs=1e-12), gram
+
+
+def test_generic_order4_normalization(spark):
+    """Sum of P(.|ctx) over the continuation vocabulary == 1 for every seen
+    context — the KN invariant at depth 3 of the backoff chain."""
+    order = 4
+    train = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(TRAIN)], "doc_id int, text string"
+    )
+    cols = [f"w{i}" for i in range(1, order + 1)]
+    m = kn_ngram_model(doc_ngrams(train, order).select(*cols), order)
+    vocab = [r[0] for r in m["lvl1"].select("g1_1").collect()]
+    ctxs = [tuple(r) for r in m[f"ctx{order}"].select(
+        *[f"x{order}_{i + 1}" for i in range(order - 1)]
+    ).collect()]
+    grid = spark.createDataFrame(
+        [c + (w,) for c in ctxs for w in vocab],
+        ", ".join(f"w{i} string" for i in range(1, order + 1)),
+    ).withColumn("doc_id", F.lit(0))
+    sums = (
+        kn_ngram_score(grid, m, order)
+        .groupBy(*[f"w{i}" for i in range(1, order)])
+        .agg(F.sum("p").alias("total"))
+        .collect()
+    )
+    assert len(sums) == len(ctxs)
+    for r in sums:
+        assert r.total == pytest.approx(1.0, abs=1e-9), tuple(r)
+
+
+def test_generic_guards(spark):
+    train = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(TRAIN)], "doc_id int, text string"
+    )
+    with pytest.raises(ValueError, match="order"):
+        doc_ngrams(train, 1)
+    with pytest.raises(ValueError, match="order"):
+        kn_ngram_model(doc_ngrams(train, 2), 9)
+    m = kn_ngram_model(doc_ngrams(train, 2).select("w1", "w2"), 2)
+    bad = spark.createDataFrame([("a", "b", 1.0)], "w1 string, w2 string, t2 double")
+    with pytest.raises(ValueError, match="reserved"):
+        kn_ngram_score(bad, m, 2)
