@@ -140,6 +140,11 @@ def main(argv: list[str] | None = None) -> int:
         "--source", default=None,
         help="train only on rows with this source value (default: all rows)",
     )
+    tl.add_argument(
+        "--order", type=int, default=2,
+        help="n-gram order (2 = classic bigram layout; 3-8 use the generic "
+        "order-n model with a meta.json the scorer auto-detects)",
+    )
 
     sl = sub.add_parser(
         "score-lm",
@@ -470,11 +475,28 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(args.src)
         if args.source is not None:
             docs = docs.filter(F.col("source") == args.source)
-        model = kn_bigram_model(doc_bigrams(docs).select("w1", "w2"))
-        save_kn_model(model, args.dest)
-        n_pairs = spark.read.parquet(f"{args.dest}/pair").count()
-        print(f"bigram_types:{n_pairs} model:{args.dest}")
+        if args.order == 2:
+            model = kn_bigram_model(doc_bigrams(docs).select("w1", "w2"))
+            save_kn_model(model, args.dest)
+            n_pairs = spark.read.parquet(f"{args.dest}/pair").count()
+            print(f"bigram_types:{n_pairs} model:{args.dest}")
+        else:
+            from streamds_spark.operators.ngram_lm import (
+                doc_ngrams,
+                kn_ngram_model,
+                save_kn_ngram_model,
+            )
+
+            cols = [f"w{i}" for i in range(1, args.order + 1)]
+            model = kn_ngram_model(
+                doc_ngrams(docs, args.order).select(*cols), args.order
+            )
+            save_kn_ngram_model(model, args.order, args.dest)
+            n_types = spark.read.parquet(f"{args.dest}/lvl{args.order}").count()
+            print(f"order:{args.order} ngram_types:{n_types} model:{args.dest}")
     elif args.cmd == "score-lm":
+        import os as _os
+
         from streamds_spark.operators.ngram_lm import (
             doc_bigrams,
             kn_doc_nll,
@@ -483,8 +505,22 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         docs = spark.read.parquet(args.src)
-        model = load_kn_model(spark, args.model)
-        scored = kn_doc_nll(kn_score_bigrams(doc_bigrams(docs), model))
+        if _os.path.exists(_os.path.join(args.model, "meta.json")):
+            from streamds_spark.operators.ngram_lm import (
+                doc_ngrams,
+                kn_ngram_doc_nll,
+                kn_ngram_model,  # noqa: F401 (API surface)
+                kn_ngram_score,
+                load_kn_ngram_model,
+            )
+
+            model, order = load_kn_ngram_model(spark, args.model)
+            scored = kn_ngram_doc_nll(
+                kn_ngram_score(doc_ngrams(docs, order), model, order)
+            )
+        else:
+            model = load_kn_model(spark, args.model)
+            scored = kn_doc_nll(kn_score_bigrams(doc_bigrams(docs), model))
         scored.write.mode("overwrite").parquet(args.dest)
         print(f"scored:{spark.read.parquet(args.dest).count()}")
     elif args.cmd == "chunk-corpus":

@@ -531,3 +531,37 @@ def kn_ngram_doc_nll(scored: DataFrame) -> DataFrame:
         F.count("*").cast("bigint").alias("n_ngrams"),
         (-F.avg(F.log("p"))).alias("avg_nll"),
     )
+
+
+def save_kn_ngram_model(model: dict[str, DataFrame], order: int, path: str) -> None:
+    """Persist a generic order-n model: every lvl/ctx table + total as
+    parquet, plus a meta.json carrying the order (the load-side dispatch
+    key). Same train-once artifact contract as save_kn_model."""
+    import json
+    import os
+
+    parts = (
+        [f"lvl{k}" for k in range(1, order + 1)]
+        + [f"ctx{k}" for k in range(2, order + 1)]
+        + ["total"]
+    )
+    for part in parts:
+        model[part].write.mode("overwrite").parquet(f"{path}/{part}")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"order": order}, f)
+
+
+def load_kn_ngram_model(spark, path: str) -> tuple[dict[str, DataFrame], int]:
+    """Load a persisted generic model; returns (model, order)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        order = int(json.load(f)["order"])
+    parts = (
+        [f"lvl{k}" for k in range(1, order + 1)]
+        + [f"ctx{k}" for k in range(2, order + 1)]
+        + ["total"]
+    )
+    return {p: spark.read.parquet(f"{path}/{p}") for p in parts}, order

@@ -79,10 +79,16 @@ def _bm25_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = term_scores[0]
     for ts in term_scores[1:]:
         score = score + ts
+    n_hit = sum(
+        (F.col(f"tf_{t}") > 0).cast("int") for t in QUERY_TERMS
+    )
     return scored.filter(
         sum(F.col(f"tf_{t}") for t in QUERY_TERMS) > 0
     ).select(
-        "doc_id", F.col("dl").alias("n_tokens"), score.alias("bm25")
+        "doc_id",
+        F.col("dl").alias("n_tokens"),
+        score.alias("bm25"),
+        n_hit.alias("n_terms_hit"),
     )
 
 
@@ -210,3 +216,112 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rrf_score"),
     )
+
+
+@query(
+    "retrieval_eval_ndcg",
+    oracle=f"""
+    WITH {_bm25_oracle_cte()},
+    rel AS (
+        SELECT b.doc_id, round(b.bm25, 6) AS score,
+               (CASE WHEN p.tf_spark > 0 THEN 1 ELSE 0 END
+                + CASE WHEN p.tf_window > 0 THEN 1 ELSE 0 END
+                + CASE WHEN p.tf_hash > 0 THEN 1 ELSE 0 END) AS g
+        FROM bm25 b JOIN per_doc p USING (doc_id)
+    ),
+    sys AS (
+        SELECT doc_id, g,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM rel QUALIFY rnk <= 10
+    ),
+    ideal AS (
+        SELECT g, row_number() OVER (ORDER BY g DESC, doc_id) AS rnk
+        FROM rel QUALIFY rnk <= 10
+    ),
+    sums AS (
+        SELECT
+          (SELECT sum((pow(2.0, g) - 1) / log2(rnk + 1.0)) FROM sys
+            WHERE rnk <= 5) AS dcg5,
+          (SELECT sum((pow(2.0, g) - 1) / log2(rnk + 1.0)) FROM sys) AS dcg10,
+          (SELECT sum((pow(2.0, g) - 1) / log2(rnk + 1.0)) FROM ideal
+            WHERE rnk <= 5) AS idcg5,
+          (SELECT sum((pow(2.0, g) - 1) / log2(rnk + 1.0)) FROM ideal) AS idcg10,
+          (SELECT CAST(sum(CASE WHEN g >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / 5.0
+             FROM sys WHERE rnk <= 5) AS p5,
+          (SELECT CAST(sum(CASE WHEN g >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0
+             FROM sys) AS p10
+    )
+    SELECT 5 AS k, round(dcg5 / idcg5, 4) + 0.0 AS ndcg,
+           round(p5, 4) + 0.0 AS precision_graded
+    FROM sums
+    UNION ALL
+    SELECT 10 AS k, round(dcg10 / idcg10, 4) + 0.0 AS ndcg,
+           round(p10, 4) + 0.0 AS precision_graded
+    FROM sums
+    """,
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval QUALITY metrics for the BM25 ranking — nDCG@k and graded
+    precision@k (k = 5, 10) against a term-coverage relevance grade
+    (g = how many of the fixed query's terms the document contains, 0-3;
+    "relevant" for precision = g >= 2). This is the eval half every
+    retrieval stack needs next to its rankers: DCG with the standard
+    (2^g - 1)/log2(rank+1) gain, ideal ranking by grade.
+
+    Plan: the BM25 candidate pass (map-only + 1-row broadcast stats), two
+    TakeOrdered top-10 lists (system by score, ideal by grade — never a
+    global sort), rank windows over the 10-row lists, conditional-sum
+    metric aggregates, one 2-row output. Rank ties broken by doc_id on
+    round(score, 6) in both engines."""
+    cand = _bm25_df(spark, sf_dir).select(
+        "doc_id",
+        F.round("bm25", 6).alias("score"),
+        F.col("n_terms_hit").alias("g"),
+    )
+    # the candidate relation feeds both top-10 lists — share it
+    cand = cand.localCheckpoint(eager=False)
+    sys_top = cand.orderBy(F.desc("score"), "doc_id").limit(10)
+    ideal_top = cand.orderBy(F.desc("g"), "doc_id").limit(10)
+    w_sys = Window.orderBy(F.desc("score"), "doc_id")
+    w_ideal = Window.orderBy(F.desc("g"), "doc_id")
+    gain = lambda: (F.pow(F.lit(2.0), F.col("g")) - 1) / F.log2(F.col("rnk") + 1.0)  # noqa: E731
+    sys_r = sys_top.withColumn("rnk", F.row_number().over(w_sys))
+    ideal_r = ideal_top.withColumn("rnk", F.row_number().over(w_ideal))
+    sys_sums = sys_r.agg(
+        F.sum(F.when(F.col("rnk") <= 5, gain())).alias("dcg5"),
+        F.sum(gain()).alias("dcg10"),
+        (
+            F.sum(F.when((F.col("rnk") <= 5) & (F.col("g") >= 2), 1).otherwise(0))
+            .cast("double")
+            / 5.0
+        ).alias("p5"),
+        (
+            F.sum(F.when(F.col("g") >= 2, 1).otherwise(0)).cast("double") / 10.0
+        ).alias("p10"),
+    )
+    ideal_sums = ideal_r.agg(
+        F.sum(F.when(F.col("rnk") <= 5, gain())).alias("idcg5"),
+        F.sum(gain()).alias("idcg10"),
+    )
+    both = sys_sums.crossJoin(F.broadcast(ideal_sums))
+    rows = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(5).alias("k"),
+                    (F.round(F.col("dcg5") / F.col("idcg5"), 4) + F.lit(0.0)).alias(
+                        "ndcg"
+                    ),
+                    (F.round(F.col("p5"), 4) + F.lit(0.0)).alias("precision_graded"),
+                ),
+                F.struct(
+                    F.lit(10).alias("k"),
+                    (F.round(F.col("dcg10") / F.col("idcg10"), 4) + F.lit(0.0)).alias(
+                        "ndcg"
+                    ),
+                    (F.round(F.col("p10"), 4) + F.lit(0.0)).alias("precision_graded"),
+                ),
+            )
+        ).alias("m")
+    )
+    return rows.select("m.k", "m.ndcg", "m.precision_graded")

@@ -327,6 +327,42 @@ def test_cli_train_score_lm(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["score-lm", src, model, model])
 
+    # --order 3: the generic model persists with meta.json and the scorer
+    # auto-detects it; same filter signal, trigram-level scores
+    model3 = str(tmp_path / "kn3_model")
+    dest3 = str(tmp_path / "lm3_scores.parquet")
+    assert main(["train-lm", src, model3, "--source", "wiki", "--order", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "order:3 ngram_types:" in out
+    assert main(["score-lm", src, model3, dest3]) == 0
+    assert "scored:4" in capsys.readouterr().out
+    rows3 = {r.doc_id: r.avg_nll for r in spark.read.parquet(dest3).collect()}
+    assert rows3[0] < rows3[2]
+    # CLI output == in-session generic scoring (persisted model round trip)
+    from pyspark.sql import functions as F
+
+    from streamds_spark.operators.ngram_lm import (
+        doc_ngrams,
+        kn_ngram_doc_nll,
+        kn_ngram_model,
+        kn_ngram_score,
+    )
+
+    docs = spark.read.parquet(src)
+    m = kn_ngram_model(
+        doc_ngrams(docs.filter(F.col("source") == "wiki"), 3).select(
+            "w1", "w2", "w3"
+        ),
+        3,
+    )
+    want = {
+        r.doc_id: r.avg_nll
+        for r in kn_ngram_doc_nll(
+            kn_ngram_score(doc_ngrams(docs, 3), m, 3)
+        ).collect()
+    }
+    assert rows3 == pytest.approx(want)
+
 
 def test_cli_chunk_corpus(spark, tmp_path, capsys):
     src = str(tmp_path / "chunk_docs.parquet")

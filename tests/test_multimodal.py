@@ -139,3 +139,55 @@ def test_filetype_sniffer_recognizes_real_magics(spark):
         detect = F.when(cond, name) if detect is None else detect.when(cond, name)
     got = {r["expect"]: r["d"] for r in df.select("expect", detect.otherwise("unknown").alias("d")).collect()}
     assert got == {e: e for e, _ in samples}
+
+
+def test_image_dimensions_from_real_headers(spark):
+    """Header-side dimension parsing (no codec): real container bytes for
+    PNG/GIF/BMP parse to their true dimensions with pure expressions; JPEG
+    identifies but defers dims (variable-offset SOF); junk -> NULLs."""
+    import struct
+    import zlib
+
+    from streamds_spark.functions.multimodal import image_dimensions_cols
+
+    def png(w, h):
+        ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        chunk = b"IHDR" + ihdr
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr))
+            + chunk
+            + struct.pack(">I", zlib.crc32(chunk))
+        )
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+    def bmp(w, h):
+        # 14-byte file header + BITMAPINFOHEADER
+        return (
+            b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+            + struct.pack("<IiiHH", 40, w, h, 1, 24) + b"\x00" * 24
+        )
+
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00\x10JFIF\x00" + b"\x00" * 8
+    rows = [
+        (0, png(640, 480)),
+        (1, gif(320, 200)),
+        (2, bmp(128, 64)),
+        (3, jpeg),
+        (4, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(rows, "media_id int, payload binary")
+    got = {
+        r["media_id"]: (r["format"], r["img_width"], r["img_height"])
+        for r in df.select("media_id", *image_dimensions_cols()).collect()
+    }
+    assert got[0] == ("png", 640, 480)
+    assert got[1] == ("gif", 320, 200)
+    assert got[2] == ("bmp", 128, 64)
+    assert got[3] == ("jpeg", None, None)
+    assert got[4] == (None, None, None)
+    # and the plan stays pure expressions: no Python evaluation anywhere
+    plan = df.select(*image_dimensions_cols())._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "mapInPandas" not in plan

@@ -132,6 +132,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "cumulative_distinct_users",  # window over time-bucket rows (hours elapsed)
     "ntile_customers",  # decile report over the customer aggregate; documented swap
     "quality_deciles",  # decile report; documented approx_percentile swap at scale
+    "retrieval_eval_ndcg",  # rank windows run AFTER LIMIT 10 — ≤10-row input
     "rrf_hybrid_search",  # rank windows run AFTER LIMIT 50 — ≤50-row input
     "vocab_growth",  # growth curve over first-occurrence docs (vocab-bounded)
     "zipf_slope",  # rank window over vocabulary rows; ZIPF_TOP regression input
@@ -255,3 +256,53 @@ def test_parquet_aggregate_pushdown_available(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_semdedup_single_cluster_shuffle_no_cartesian(spark):
+    """semantic_dedup_keep: the candidate stage must be an equi-join on the
+    cluster id (shuffle or broadcast hash), never a cartesian/nested-loop —
+    the whole point of clustering before comparing."""
+    from streamds_spark.plans.audit import formatted_plan
+
+    df = SPECS["semantic_dedup_keep"].fn(spark, SF)
+    p = formatted_plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p[:2000]
+
+
+def test_kn5_model_tables_not_broadcast(spark):
+    """kn5_perplexity_filter: the nine model-table joins must be PLANNABLE as
+    shuffles on word keys — at web scale the n-gram vocabulary cannot
+    broadcast, so only the explicitly-hinted 1-row relations (total,
+    min-source selector) may carry a broadcast hint. Size-based planning
+    would broadcast everything at sf0.001, so the size path is disabled for
+    the pin: whatever still broadcasts is hint-driven by construction."""
+    from streamds_spark.plans.audit import formatted_plan
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = formatted_plan(SPECS["kn5_perplexity_filter"].fn(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    n_bc = p.count("BroadcastExchange")
+    assert n_bc <= 2, f"expected <=2 hinted broadcasts (1-row relations), got {n_bc}"
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, "model joins must shuffle"
+    # the hinted 1-row cross joins legitimately plan as broadcast nested
+    # loops; an UNBROADCAST cartesian is the only forbidden shape
+    assert "CartesianProduct" not in p
+
+
+def test_retrieval_eval_uses_take_ordered(facts):
+    """retrieval_eval_ndcg: both top-10 lists must be TakeOrdered (local
+    top-k + driver merge), never a global sort of the candidate set."""
+    f = facts("retrieval_eval_ndcg")
+    assert f.has_take_ordered
+    assert f.n_single_partition <= 2, "only the 10-row rank windows may serialize"
+
+
+def test_approx_equidepth_is_one_agg_plus_map(facts):
+    """equidepth_approx_audit: no window anywhere (the whole point of the
+    sketch path) and only 1-row-aggregate exchanges — never a rank/sort."""
+    f = facts("equidepth_approx_audit")
+    assert f.n_global_windows == 0
+    assert f.n_exchanges <= 6, f.n_exchanges
