@@ -218,6 +218,15 @@ def main(argv: list[str] | None = None) -> int:
     sh.add_argument("--sf-dir", default=None, help="TESTDATA dir to register as views")
     sh.add_argument("--logs", default=None, help="log dir/glob for grep commands")
 
+    sv = sub.add_parser(
+        "serve",
+        help="multi-tenant query server (the reference leader's TCP session "
+        "surface): line-delimited-JSON requests, one FAIR pool per client",
+    )
+    sv.add_argument("sf_dir", help="default TESTDATA dir queries run against")
+    sv.add_argument("--host", default="127.0.0.1", help="bind address")
+    sv.add_argument("--port", type=int, default=0, help="port (0 = ephemeral)")
+
     args = parser.parse_args(argv)
 
     # The corpus verbs lazily read src while overwriting dest — if the two
@@ -584,6 +593,20 @@ def main(argv: list[str] | None = None) -> int:
             print(f"drop_c4:{drops[0]} drop_mojibake:{drops[1]} drop_gopher:{drops[2]}")
     elif args.cmd == "shell":
         _shell(spark, args.sf_dir, args.logs)
+    elif args.cmd == "serve":
+        from streamds_spark.server import start_server
+
+        server = start_server(spark, args.sf_dir, host=args.host, port=args.port)
+        host, port = server.server_address[:2]
+        print(f"serving:{host}:{port}", flush=True)
+        try:
+            # foreground until EOF on stdin or interrupt (test-drivable: close
+            # stdin to stop), mirroring the reference leader's lifetime
+            sys.stdin.read()
+        except KeyboardInterrupt:
+            pass
+        server.shutdown()
+        server.server_close()
     return 0
 
 

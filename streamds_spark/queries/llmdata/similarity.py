@@ -232,3 +232,150 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+@query(
+    "cluster_quality_metrics",
+    oracle="""
+    WITH pos AS (
+        SELECT vec_id, label,
+               unnest(embedding::DOUBLE[]) AS x,
+               unnest(range(1, len(embedding) + 1)) AS d
+        FROM embeddings
+    ),
+    cent AS (SELECT label, d, avg(x) AS cx FROM pos GROUP BY label, d),
+    gm AS (SELECT d, avg(x) AS gx FROM pos GROUP BY d),
+    pv AS (
+        SELECT p.vec_id, p.label, sum((p.x - c.cx) * (p.x - c.cx)) AS dist2
+        FROM pos p JOIN cent c ON p.label = c.label AND p.d = c.d
+        GROUP BY p.vec_id, p.label
+    ),
+    pc AS (
+        SELECT label, count(*) AS n_vecs, sum(dist2) AS wss,
+               avg(sqrt(dist2)) AS s
+        FROM pv GROUP BY label
+    ),
+    bssl AS (
+        SELECT c.label, sum((c.cx - g.gx) * (c.cx - g.gx)) AS cdist2
+        FROM cent c JOIN gm g ON c.d = g.d GROUP BY c.label
+    ),
+    tot AS (
+        SELECT sum(pc.n_vecs) AS n, count(*) AS k, sum(pc.wss) AS wss_tot,
+               sum(pc.n_vecs * b.cdist2) AS bss
+        FROM pc JOIN bssl b ON pc.label = b.label
+    ),
+    dij AS (
+        SELECT ci.label AS i, cj.label AS j,
+               sqrt(sum((ci.cx - cj.cx) * (ci.cx - cj.cx))) AS dist
+        FROM cent ci JOIN cent cj ON ci.d = cj.d AND ci.label <> cj.label
+        GROUP BY ci.label, cj.label
+    ),
+    db AS (
+        SELECT d.i AS label, max((si.s + sj.s) / d.dist) AS db_i
+        FROM dij d
+        JOIN pc si ON si.label = d.i
+        JOIN pc sj ON sj.label = d.j
+        GROUP BY d.i
+    )
+    SELECT pc.label AS label, pc.n_vecs AS n_vecs,
+           round(pc.wss, 4) + 0.0 AS wss_r,
+           round(pc.s, 4) + 0.0 AS scatter_r,
+           round(db.db_i, 4) + 0.0 AS db_i_r,
+           round((tot.bss / (tot.k - 1)) / (tot.wss_tot / (tot.n - tot.k)), 4)
+               + 0.0 AS ch_r,
+           round((SELECT avg(db_i) FROM db), 4) + 0.0 AS db_r
+    FROM pc JOIN db ON pc.label = db.label CROSS JOIN tot
+    """,
+)
+def cluster_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality report for a labeled embedding table — the eval the
+    k-means / SemDeDup stack needs before trusting its clusters: per-cluster
+    size, within-cluster sum of squares (WSS), mean member-to-centroid
+    distance (scatter s_i), the per-cluster Davies-Bouldin component
+    max_j (s_i+s_j)/d_ij, plus the two corpus-level indices repeated on every
+    row: Calinski-Harabasz (BSS/(k-1))/(WSS/(n-k)) and Davies-Bouldin
+    avg_i(db_i).
+
+    Plan shape at 100 TB: ONE pass over the exploded vectors builds the
+    centroid table (k x dim rows — partial aggregates map-side), one
+    centroid-broadcast join computes every vector's distance to its own
+    centroid (shuffle keyed on vec_id), and everything after that is
+    k-sized: k x k centroid-pair distances, k-row aggregates, a 1-row
+    totals relation cross-joined back. No global window, no all-pairs over
+    vectors — the only O(n) stages are the two scans the math forces."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    pos = emb.select(
+        "vec_id", "label", F.posexplode(F.col("v")).alias("d0", "x")
+    ).withColumn("d", F.col("d0") + 1)
+    # pos feeds three branches (centroids, global mean, per-vector dists) —
+    # share the exploded scan instead of recomputing it
+    pos = pos.localCheckpoint(eager=False)
+    cent = pos.groupBy("label", "d").agg(F.avg("x").alias("cx"))
+    cent = cent.localCheckpoint(eager=False)  # k*dim rows, feeds 3 branches
+    gm = pos.groupBy("d").agg(F.avg("x").alias("gx"))
+    pv = (
+        pos.join(F.broadcast(cent), ["label", "d"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))).alias("dist2"))
+    )
+    pc = pv.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("dist2").alias("wss"),
+        F.avg(F.sqrt("dist2")).alias("s"),
+    )
+    pc = pc.localCheckpoint(eager=False)  # k rows, feeds 4 branches
+    bssl = (
+        cent.join(F.broadcast(gm), "d")
+        .groupBy("label")
+        .agg(F.sum((F.col("cx") - F.col("gx")) * (F.col("cx") - F.col("gx"))).alias("cdist2"))
+    )
+    tot = (
+        pc.join(F.broadcast(bssl), "label")
+        .agg(
+            F.sum("n_vecs").alias("n"),
+            F.count("*").alias("k"),
+            F.sum("wss").alias("wss_tot"),
+            F.sum(F.col("n_vecs") * F.col("cdist2")).alias("bss"),
+        )
+    )
+    ci = cent.select(F.col("label").alias("i"), "d", F.col("cx").alias("cxi"))
+    cj = cent.select(F.col("label").alias("j"), "d", F.col("cx").alias("cxj"))
+    dij = (
+        ci.join(F.broadcast(cj), "d")
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sqrt(F.sum((F.col("cxi") - F.col("cxj")) * (F.col("cxi") - F.col("cxj")))).alias("dist"))
+    )
+    si = pc.select(F.col("label").alias("i"), F.col("s").alias("s_i"))
+    sj = pc.select(F.col("label").alias("j"), F.col("s").alias("s_j"))
+    db = (
+        dij.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .groupBy(F.col("i").alias("label"))
+        .agg(F.max((F.col("s_i") + F.col("s_j")) / F.col("dist")).alias("db_i"))
+    )
+    db = db.localCheckpoint(eager=False)  # k rows, feeds the report + db avg
+    db_avg = db.agg(F.avg("db_i").alias("db_avg"))
+    return (
+        pc.join(db, "label")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(db_avg))
+        .select(
+            "label",
+            "n_vecs",
+            (F.round("wss", 4) + F.lit(0.0)).alias("wss_r"),
+            (F.round("s", 4) + F.lit(0.0)).alias("scatter_r"),
+            (F.round("db_i", 4) + F.lit(0.0)).alias("db_i_r"),
+            (
+                F.round(
+                    (F.col("bss") / (F.col("k") - 1))
+                    / (F.col("wss_tot") / (F.col("n") - F.col("k"))),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("ch_r"),
+            (F.round("db_avg", 4) + F.lit(0.0)).alias("db_r"),
+        )
+    )

@@ -1,0 +1,141 @@
+"""Interactive query server: one shared SparkSession serving concurrent
+clients over a line-delimited-JSON TCP protocol.
+
+Reference parity: StreamDS is an *interactive, multi-tenant* system — the
+leader accepts client connections and serves concurrent grep / RainStorm
+sessions against the shared cluster (`distributed_log_querier/core_process/
+core_process.go:259-349` GREP request/response over TCP; session dispatch
+`core_process.go:455-478`). This module is that operational surface on
+Spark: a ThreadingTCPServer in front of ONE SparkSession, each connection
+running its requests under its own FAIR scheduler pool
+(`session.scheduler_pool`), so tenants share executor slots fairly instead
+of convoying FIFO behind each other.
+
+Protocol (one JSON object per line, response is one JSON line):
+  {"cmd": "list"}                      -> {"ok": true, "queries": [...]}
+  {"cmd": "ping"}                      -> {"ok": true, "pong": true}
+  {"query": "<name>", "sf_dir": "...", "limit": N}
+      -> {"ok": true, "query": ..., "columns": [...], "rows": [[...], ...],
+          "n_rows": N, "truncated": bool}
+  anything else / failures             -> {"ok": false, "error": "..."}
+
+Scale discipline: the server NEVER collects an unbounded result — it
+collects `limit + 1` rows (default 100, hard cap 10_000) and reports
+`truncated` instead; a client that wants a full export should run the
+query to a sink, not through a socket. Cell values are JSON-coerced with
+`default=str` so dates/decimals/binary survive transport.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+from typing import Any
+
+from streamds_spark.registry import load_all
+from streamds_spark.session import scheduler_pool
+
+DEFAULT_LIMIT = 100
+MAX_LIMIT = 10_000
+MAX_REQUEST_BYTES = 64 * 1024  # a request is one small JSON line, not data
+
+
+def _json_cell(v: Any) -> Any:
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return v
+
+
+def _run_request(spark, default_sf_dir: str, req: dict, pool: str) -> dict:
+    if req.get("cmd") == "ping":
+        return {"ok": True, "pong": True}
+    if req.get("cmd") == "list":
+        return {"ok": True, "queries": sorted(load_all())}
+    name = req.get("query")
+    if not isinstance(name, str):
+        return {"ok": False, "error": "request needs 'query' or 'cmd'"}
+    specs = load_all()
+    if name not in specs:
+        return {"ok": False, "error": f"unknown query {name!r}"}
+    sf_dir = req.get("sf_dir", default_sf_dir)
+    limit = req.get("limit", DEFAULT_LIMIT)
+    if not isinstance(limit, int) or not (1 <= limit <= MAX_LIMIT):
+        return {"ok": False, "error": f"limit must be an int in [1, {MAX_LIMIT}]"}
+    # per-connection FAIR pool: concurrent tenants each get a fair share of
+    # the executor slots (thread-scoped local property, see session.py)
+    with scheduler_pool(spark, pool):
+        df = specs[name].fn(spark, sf_dir)
+        rows = df.limit(limit + 1).collect()
+    truncated = len(rows) > limit
+    rows = rows[:limit]
+    return {
+        "ok": True,
+        "query": name,
+        "columns": df.columns,
+        "rows": [[_json_cell(v) for v in r] for r in rows],
+        "n_rows": len(rows),
+        "truncated": truncated,
+    }
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self) -> None:  # one connection = one tenant session
+        server: QueryServer = self.server  # type: ignore[assignment]
+        pool = f"client-{self.client_address[0]}-{self.client_address[1]}"
+        while True:
+            line = self.rfile.readline(MAX_REQUEST_BYTES)
+            if not line:
+                return
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+                resp = _run_request(server.spark, server.sf_dir, req, pool)
+            except Exception as e:  # noqa: BLE001 — protocol boundary
+                resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+            try:
+                self.wfile.write(
+                    (json.dumps(resp, default=str) + "\n").encode("utf-8")
+                )
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                return
+
+
+class QueryServer(socketserver.ThreadingTCPServer):
+    """Localhost-by-default threading server over a shared SparkSession."""
+
+    daemon_threads = True
+    allow_reuse_address = True
+
+    def __init__(self, spark, sf_dir: str, host: str = "127.0.0.1", port: int = 0):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        super().__init__((host, port), _Handler)
+
+
+def start_server(
+    spark, sf_dir: str, host: str = "127.0.0.1", port: int = 0
+) -> QueryServer:
+    """Bind + serve in a daemon thread; returns the server (read the bound
+    port from `server.server_address`, stop with `server.shutdown()`)."""
+    server = QueryServer(spark, sf_dir, host=host, port=port)
+    t = threading.Thread(target=server.serve_forever, daemon=True, name="streamds-serve")
+    t.start()
+    return server
+
+
+def request(host: str, port: int, req: dict, timeout: float = 120.0) -> dict:
+    """One-shot client helper (used by the CLI and tests)."""
+    with socket.create_connection((host, port), timeout=timeout) as s:
+        s.sendall((json.dumps(req) + "\n").encode("utf-8"))
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+    return json.loads(buf.decode("utf-8"))

@@ -1,0 +1,134 @@
+"""Query server: the reference leader's interactive TCP surface
+(core_process.go:259-349 GREP request/response, :455-478 session dispatch)
+re-expressed as one SparkSession serving concurrent line-JSON clients under
+per-connection FAIR pools. Verifies: result parity with direct execution,
+3-way concurrent clients each getting correct isolated answers, truncation
+discipline (never an unbounded collect), and the error contract."""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+
+from streamds_spark.registry import load_all
+from streamds_spark.server import request, start_server
+
+SF = "/root/testdata/sf0.001"
+
+
+def _start(spark):
+    server = start_server(spark, SF)
+    host, port = server.server_address[:2]
+    return server, host, port
+
+
+def test_ping_list_and_parity_with_direct_execution(spark):
+    server, host, port = _start(spark)
+    try:
+        assert request(host, port, {"cmd": "ping"})["pong"] is True
+        names = request(host, port, {"cmd": "list"})["queries"]
+        assert "wordcount" in names and len(names) > 200
+
+        resp = request(host, port, {"query": "wordcount"})
+        assert resp["ok"] and not resp["truncated"]
+        direct = load_all()["wordcount"].fn(spark, SF).collect()
+        got = {tuple(r) for r in resp["rows"]}
+        want = {tuple(r) for r in direct}
+        assert got == want
+        assert resp["columns"] == load_all()["wordcount"].fn(spark, SF).columns
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_concurrent_clients_isolated_answers(spark):
+    """3 clients issue DIFFERENT queries at once over persistent connections;
+    each must get its own correct answer (no cross-talk, no serialization
+    failure). Each connection runs under its own FAIR pool."""
+    server, host, port = _start(spark)
+    queries = ["distinct_values", "group_count_users", "orders_by_dow"]
+    direct = {
+        q: {tuple(str(v) for v in r) for r in load_all()[q].fn(spark, SF).collect()}
+        for q in queries
+    }
+    results: dict[str, set] = {}
+    errors: list[str] = []
+
+    def client(q: str):
+        try:
+            with socket.create_connection((host, port), timeout=300) as s:
+                f = s.makefile("rwb")
+                for _ in range(2):  # two rounds on one connection
+                    f.write((json.dumps({"query": q, "limit": 1000}) + "\n").encode())
+                    f.flush()
+                    resp = json.loads(f.readline())
+                    assert resp["ok"], resp
+                    results[q] = {tuple(str(v) for v in r) for r in resp["rows"]}
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"{q}: {e}")
+
+    threads = [threading.Thread(target=client, args=(q,)) for q in queries]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+        assert not t.is_alive(), "server convoyed a client"
+    try:
+        assert errors == []
+        for q in queries:
+            assert results[q] == direct[q], q
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_truncation_and_error_contract(spark):
+    server, host, port = _start(spark)
+    try:
+        # lag_lead_deltas returns 10000 rows at sf0.001 — the server must cap
+        resp = request(host, port, {"query": "lag_lead_deltas", "limit": 5})
+        assert resp["ok"] and resp["truncated"] and resp["n_rows"] == 5
+
+        assert not request(host, port, {"query": "no_such_query"})["ok"]
+        assert not request(host, port, {"query": "wordcount", "limit": 0})["ok"]
+        assert not request(host, port, {"nonsense": 1})["ok"]
+        # malformed JSON must produce an error line, not kill the connection
+        with socket.create_connection((host, port), timeout=60) as s:
+            f = s.makefile("rwb")
+            f.write(b"{not json\n")
+            f.flush()
+            resp = json.loads(f.readline())
+            assert not resp["ok"] and "Error" in resp["error"] or "error" in resp
+            f.write((json.dumps({"cmd": "ping"}) + "\n").encode())
+            f.flush()
+            assert json.loads(f.readline())["ok"]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_cli_serve_smoke(tmp_path):
+    """The CLI verb binds, prints the port, serves one request, and exits
+    when stdin closes."""
+    import subprocess
+    import sys
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "streamds_spark.cli", "serve", SF, "--port", "0"],
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        cwd="/root/repo",
+        text=True,
+    )
+    try:
+        line = proc.stdout.readline().strip()
+        assert line.startswith("serving:127.0.0.1:")
+        port = int(line.rsplit(":", 1)[1])
+        assert request("127.0.0.1", port, {"cmd": "ping"})["pong"] is True
+        proc.stdin.close()
+        assert proc.wait(timeout=120) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
