@@ -255,3 +255,83 @@ def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("features"),
     )
+
+
+# candidate vocabulary sizes: real tokenizer sizing sweeps 2^15..2^17, but the
+# synthetic corpus has a ~31-term vocabulary — the small cuts keep the curve
+# non-degenerate there while the large one shows saturation
+COVERAGE_CUTS = [8, 16, 24, 4096]
+
+
+@query(
+    "token_coverage_curve",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS term
+        FROM documents
+    ),
+    tc AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rk FROM tc
+    ),
+    tot AS (SELECT sum(c) AS total FROM tc)
+    SELECT k.top_v AS top_v,
+           CAST(coalesce(sum(CASE WHEN r.rk <= k.top_v THEN r.c END), 0)
+                AS BIGINT) AS covered_tokens,
+           round(CAST(coalesce(sum(CASE WHEN r.rk <= k.top_v THEN r.c END), 0)
+                      AS DOUBLE) / t.total, 4) + 0.0 AS coverage_r
+    FROM (VALUES ({"), (".join(str(v) for v in COVERAGE_CUTS)})) k(top_v),
+         ranked r, tot t
+    GROUP BY k.top_v, t.total
+    """,
+)
+def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-coverage curve for vocabulary sizing: for each candidate
+    vocabulary size V, the fraction of ALL token occurrences covered by the
+    top-V most frequent terms — the dial that decides a tokenizer's vocab
+    size / OOV budget before a training run (the complement of each row is
+    the UNK rate a V-word vocab would pay).
+
+    Scale shape: term counts partial-aggregate map-side to a vocabulary-
+    sized relation; ranking uses the repo's distributed exact rank
+    (operators/ranking.py — range-bucketed, NO single-partition window,
+    unlike zipf_slope's allowlisted report window); the curve itself is ONE
+    conditional aggregate over vocab rows exploded to {len(COVERAGE_CUTS)}
+    output rows."""
+    from streamds_spark.operators.ranking import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    tc = tok.groupBy("term").agg(F.count("*").alias("c"))
+    ranked = with_global_rank(
+        tc.withColumn("negc", -F.col("c")), ["negc", "term"], rank_col="rk"
+    )
+    sums = ranked.agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("rk") <= v, F.col("c"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"cov{v}")
+            for v in COVERAGE_CUTS
+        ],
+        F.sum("c").alias("total"),
+    )
+    rows = sums.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(v).alias("top_v"),
+                        F.col(f"cov{v}").alias("covered_tokens"),
+                        (
+                            F.round(
+                                F.col(f"cov{v}").cast("double") / F.col("total"), 4
+                            )
+                            + F.lit(0.0)
+                        ).alias("coverage_r"),
+                    )
+                    for v in COVERAGE_CUTS
+                ]
+            )
+        ).alias("m")
+    )
+    return rows.select("m.top_v", "m.covered_tokens", "m.coverage_r")
