@@ -195,6 +195,11 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("src", help="parquet documents dir (new files stream in)")
     st.add_argument("work", help="work dir: checkpoint + corpus + dedup stores")
     st.add_argument("--tail", action="store_true", help="keep running (production mode)")
+    st.add_argument(
+        "--metrics", default=None, metavar="JSONL",
+        help="record per-batch StreamingQueryProgress to this JSONL file and "
+        "print a throughput summary on exit (the ops flight recorder)",
+    )
 
     cs = sub.add_parser(
         "compact-store",
@@ -458,12 +463,31 @@ def main(argv: list[str] | None = None) -> int:
             run_llm_corpus_stream,
         )
 
+        cap = None
+        if args.metrics:
+            from streamds_spark.streaming.metrics import attach
+
+            cap = attach(spark, jsonl_path=args.metrics)
         q = run_llm_corpus_stream(
             spark, args.src, args.work, available_now=not args.tail
         )
+        qid = str(q.id)
         q.awaitTermination()
         n = appendlog.get(spark, CorpusStreamPaths(args.work).corpus).count()
         print(f"corpus_docs:{n}")
+        if cap is not None:
+            import json as _json
+            import time as _time
+
+            from streamds_spark.streaming.metrics import throughput_report
+
+            # listener delivery is async; give the bus a moment to drain
+            for _ in range(100):
+                if qid in cap.terminated:
+                    break
+                _time.sleep(0.1)
+            print("metrics:" + _json.dumps(throughput_report(cap.progress(qid))))
+            spark.streams.removeListener(cap)
     elif args.cmd == "compact-store":
         from streamds_spark.streaming.llm_pipeline import compact_stores
 

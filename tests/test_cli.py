@@ -275,6 +275,33 @@ def test_cli_stream_corpus_command(spark, tmp_path, capsys):
     assert int(out4.split("corpus_docs:")[1].strip()) == n
 
 
+def test_cli_stream_corpus_metrics_flag(spark, tmp_path, capsys):
+    """--metrics records per-batch progress JSONL and prints the throughput
+    summary (ops flight recorder for the continuous pipeline)."""
+    import json
+
+    src = str(tmp_path / "docs_m")
+    work = str(tmp_path / "work_m")
+    jsonl = str(tmp_path / "progress.jsonl")
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu " * 4
+    spark.createDataFrame(
+        [(i, "src0", "en", len(text), text + f"tail{i}") for i in range(6)],
+        "doc_id long, source string, lang string, n_chars long, text string",
+    ).write.parquet(src)
+    from streamds_spark.cli import main
+
+    assert main(["stream-corpus", src, work, "--metrics", jsonl]) == 0
+    out = capsys.readouterr().out
+    assert "corpus_docs:" in out and "metrics:" in out
+    rep = json.loads(out.split("metrics:")[1].strip())
+    assert rep["n_batches"] >= 1
+    assert rep["total_input_rows"] == 6
+    assert rep["rows_per_sec"] > 0
+    with open(jsonl) as f:
+        lines = [json.loads(ln) for ln in f if ln.strip()]
+    assert sum(e.get("numInputRows", 0) for e in lines) == 6
+
+
 def test_cli_stream_corpus_rejects_work_inside_src(tmp_path):
     from streamds_spark.cli import main
     import pytest
