@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from streamds_spark.catalog import load_table
 from streamds_spark.functions.hashing import duckdb_md5_int, md5_int60
 from streamds_spark.functions.text import tokens
+from streamds_spark.operators.hll import duckdb_hll_sql, hll_estimate, hll_registers
 from streamds_spark.registry import query
 
 CMS_DEPTH = 4  # independent hash rows; P(overestimate by >2eN) <= 2^-D
@@ -125,4 +126,53 @@ def cms_term_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("bigint").alias("exact_count"),
         F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
         (F.col("cms_estimate") - F.col("c")).cast("bigint").alias("overestimate"),
+    )
+
+
+@query(
+    "hll_distinct_parts",
+    oracle=f"""
+    WITH hll AS ({duckdb_hll_sql("lineitem", "l_partkey").strip()}),
+    exact AS (SELECT count(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
+    SELECT CAST(hll.n_registers AS BIGINT) AS n_registers,
+           round(hll.est, 4) + 0.0 AS est_r,
+           CAST(exact.exact_distinct AS BIGINT) AS exact_distinct,
+           round(abs(hll.est - exact.exact_distinct)
+                 / exact.exact_distinct, 4) + 0.0 AS rel_err_r
+    FROM hll, exact
+    """,
+)
+def hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-part estimate from the REGISTER-TABLE sketch
+    (operators/hll.py) next to the exact count — the auditable twin of
+    `approx_distinct_parts` (whose HLL++ buffer is opaque and therefore
+    rows-only). Here the sketch is a 256-row relation built from
+    deterministic md5 bit arithmetic DuckDB replays character for
+    character, so the ESTIMATE ITSELF is hash-checked, and the same
+    register relation is what the streaming store persists and merges
+    (union + max — see tests/test_hll.py for the mergeability proof).
+
+    Plan: one map-only hash pass + a 256-group aggregate (map-side
+    combined) for the sketch; the exact count is its own distinct shuffle,
+    present only because the report compares the two. At 100 TB you run
+    the sketch side alone: the shuffle payload is <=256 rows per partition
+    forever."""
+    li = load_table(spark, sf_dir, "lineitem")
+    est = hll_estimate(hll_registers(li, "l_partkey"))
+    exact = li.agg(F.countDistinct("l_partkey").alias("exact_distinct"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("n_registers").cast("bigint").alias("n_registers"),
+            (F.round("est", 4) + F.lit(0.0)).alias("est_r"),
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            (
+                F.round(
+                    F.abs(F.col("est") - F.col("exact_distinct"))
+                    / F.col("exact_distinct"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("rel_err_r"),
+        )
     )
