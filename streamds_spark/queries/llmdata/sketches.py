@@ -176,3 +176,122 @@ def hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err_r"),
         )
     )
+
+
+def _cms_cell_sql(keyexpr: str) -> str:
+    """DuckDB twin of cms_cell with j supplied by a VALUES join."""
+    return (
+        f"((('0x' || substr(md5('cms' || j || ':' || CAST({keyexpr} AS VARCHAR))"
+        f", 1, 15))::BIGINT) % {CMS_WIDTH})"
+    )
+
+
+@query(
+    "cms_join_size_estimate",
+    oracle=f"""
+    WITH fa AS (
+        SELECT user_id AS k, count(*) AS c FROM events GROUP BY user_id
+    ),
+    fb AS (
+        SELECT user_id AS k, count(*) AS c FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    cmsa AS (
+        SELECT j, {_cms_cell_sql('k')} AS cell, sum(c) AS cs
+        FROM fa, (VALUES (0), (1), (2), (3)) js(j)
+        GROUP BY j, cell
+    ),
+    cmsb AS (
+        SELECT j, {_cms_cell_sql('k')} AS cell, sum(c) AS cs
+        FROM fb, (VALUES (0), (1), (2), (3)) js(j)
+        GROUP BY j, cell
+    ),
+    est_self AS (
+        SELECT min(s) AS est FROM (
+            SELECT j, sum(cs * cs) AS s FROM cmsa GROUP BY j
+        )
+    ),
+    est_cross AS (
+        SELECT min(s) AS est FROM (
+            SELECT a.j AS j, sum(a.cs * b.cs) AS s
+            FROM cmsa a JOIN cmsb b ON a.j = b.j AND a.cell = b.cell
+            GROUP BY a.j
+        )
+    ),
+    ex_self AS (SELECT sum(c * c) AS x FROM fa),
+    ex_cross AS (
+        SELECT sum(fa.c * fb.c) AS x FROM fa JOIN fb ON fa.k = fb.k
+    )
+    SELECT 'events_selfjoin' AS pair,
+           CAST(ex_self.x AS BIGINT) AS exact_rows,
+           CAST(est_self.est AS BIGINT) AS est_rows,
+           round(CAST(est_self.est AS DOUBLE) / ex_self.x, 4) + 0.0
+               AS over_ratio_r
+    FROM ex_self, est_self
+    UNION ALL
+    SELECT 'events_x_purchases',
+           CAST(ex_cross.x AS BIGINT),
+           CAST(est_cross.est AS BIGINT),
+           round(CAST(est_cross.est AS DOUBLE) / ex_cross.x, 4) + 0.0
+    FROM ex_cross, est_cross
+    """,
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from Count-Min inner products (the AGMS/CMS
+    planner primitive: Alon-Gilbert-Matias-Szegedy F2 / Cormode-Muthukrishnan
+    §4.3): |A join B on k| = sum_k fA(k)*fB(k), estimated as the MIN over
+    the D hash rows of the sketch inner product sum_cell csA*csB — an upper
+    bound that never under-estimates (collisions only add mass; proven as a
+    property test in tests/test_sketches_joinsize.py). Reported for the
+    events self-join (F2 — the shuffle-blowup number for a skewed key) and
+    events x purchases, next to the exact answers.
+
+    Why it matters at 100 TB: the estimate needs ONE pass per side into a
+    {CMS_DEPTH}x{CMS_WIDTH} sketch (map-side combined, KB-sized, mergeable
+    across partitions/batches) — the join itself would shuffle terabytes to
+    discover the same number. The exact sides here exist only because the
+    report audits the estimate."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    fa = ev.groupBy(F.col("user_id").alias("term")).agg(F.count("*").alias("c"))
+    fb = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("term"))
+        .agg(F.count("*").alias("c"))
+    )
+    # each frequency relation feeds its sketch AND an exact side
+    fa = fa.localCheckpoint(eager=False)
+    fb = fb.localCheckpoint(eager=False)
+    cmsa = build_cms(fa).withColumnRenamed("cellsum", "ca")
+    cmsa = cmsa.localCheckpoint(eager=False)  # feeds self + cross products
+    cmsb = build_cms(fb).withColumnRenamed("cellsum", "cb")
+    est_self = (
+        cmsa.groupBy("j")
+        .agg(F.sum(F.col("ca") * F.col("ca")).alias("s"))
+        .agg(F.min("s").alias("est"))
+    )
+    est_cross = (
+        cmsa.join(cmsb, ["j", "cell"])
+        .groupBy("j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("s"))
+        .agg(F.min("s").alias("est"))
+    )
+    ex_self = fa.agg(F.sum(F.col("c") * F.col("c")).alias("x"))
+    fb_r = fb.withColumnRenamed("c", "c_b")
+    ex_cross = (
+        fa.join(fb_r, "term")
+        .agg(F.sum(F.col("c") * F.col("c_b")).alias("x"))
+    )
+
+    def report(pair: str, ex: DataFrame, est: DataFrame) -> DataFrame:
+        return ex.crossJoin(F.broadcast(est)).select(
+            F.lit(pair).alias("pair"),
+            F.col("x").cast("bigint").alias("exact_rows"),
+            F.col("est").cast("bigint").alias("est_rows"),
+            (
+                F.round(F.col("est").cast("double") / F.col("x"), 4) + F.lit(0.0)
+            ).alias("over_ratio_r"),
+        )
+
+    return report("events_selfjoin", ex_self, est_self).unionByName(
+        report("events_x_purchases", ex_cross, est_cross)
+    )
