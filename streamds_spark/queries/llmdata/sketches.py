@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 from streamds_spark.catalog import load_table
 from streamds_spark.functions.hashing import duckdb_md5_int, md5_int60
 from streamds_spark.functions.text import tokens
-from streamds_spark.operators.hll import duckdb_hll_sql, hll_estimate, hll_registers
+from streamds_spark.operators.hll import (
+    duckdb_hll_sql,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
 from streamds_spark.registry import query
 
 CMS_DEPTH = 4  # independent hash rows; P(overestimate by >2eN) <= 2^-D
@@ -294,4 +299,86 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return report("events_selfjoin", ex_self, est_self).unionByName(
         report("events_x_purchases", ex_cross, est_cross)
+    )
+
+
+SETOP_SPLIT = "1998-01-01"  # lineitem ship-date split for the two key sets
+
+
+@query(
+    "hll_set_ops_parts",
+    oracle=f"""
+    WITH est_a AS ({duckdb_hll_sql(
+        f"(SELECT l_partkey FROM lineitem WHERE l_shipdate < TIMESTAMP '{SETOP_SPLIT}') ta",
+        "l_partkey").strip()}),
+    est_b AS ({duckdb_hll_sql(
+        f"(SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '{SETOP_SPLIT}') tb",
+        "l_partkey").strip()}),
+    est_u AS ({duckdb_hll_sql("lineitem", "l_partkey").strip()}),
+    exact AS (
+        SELECT count(DISTINCT CASE WHEN l_shipdate < TIMESTAMP '{SETOP_SPLIT}'
+                                   THEN l_partkey END) AS a,
+               count(DISTINCT CASE WHEN l_shipdate >= TIMESTAMP '{SETOP_SPLIT}'
+                                   THEN l_partkey END) AS b,
+               count(DISTINCT l_partkey) AS u
+        FROM lineitem
+    )
+    SELECT CAST(exact.a AS BIGINT) AS a_exact,
+           CAST(exact.b AS BIGINT) AS b_exact,
+           CAST(exact.u AS BIGINT) AS union_exact,
+           CAST(exact.a + exact.b - exact.u AS BIGINT) AS inter_exact,
+           round(est_a.est, 4) + 0.0 AS a_est_r,
+           round(est_b.est, 4) + 0.0 AS b_est_r,
+           round(est_u.est, 4) + 0.0 AS union_est_r,
+           round(est_a.est + est_b.est - est_u.est, 4) + 0.0 AS inter_est_r
+    FROM exact, est_a, est_b, est_u
+    """,
+)
+def hll_set_ops_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA: distinct parts shipped before/after {SETOP_SPLIT},
+    their union (= the MERGED register tables — sketch union is lossless,
+    the HLL property an engine exploits to parallelize and incrementalize),
+    and the intersection by inclusion-exclusion est_a + est_b - est_union
+    (the standard estimator; noisier than the parts, which is why the exact
+    columns sit beside it). Every estimate is deterministic register
+    arithmetic — hash-exact against DuckDB.
+
+    Plan: ONE scan builds both period sketches (conditional projections),
+    each a 256-row relation; union registers come from merging those two —
+    no third scan in the Spark plan (the oracle recomputes it from the
+    table, which is numerically identical because merge is lossless)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate")
+    before = li.filter(F.col("l_shipdate") < SETOP_SPLIT)
+    after = li.filter(F.col("l_shipdate") >= SETOP_SPLIT)
+    regs_a = hll_registers(before, "l_partkey").localCheckpoint(eager=False)
+    regs_b = hll_registers(after, "l_partkey").localCheckpoint(eager=False)
+    regs_u = hll_merge(regs_a, regs_b)
+    est_a = hll_estimate(regs_a).select(F.col("est").alias("ea"))
+    est_b = hll_estimate(regs_b).select(F.col("est").alias("eb"))
+    est_u = hll_estimate(regs_u).select(F.col("est").alias("eu"))
+    exact = li.agg(
+        F.countDistinct(
+            F.when(F.col("l_shipdate") < SETOP_SPLIT, F.col("l_partkey"))
+        ).alias("a"),
+        F.countDistinct(
+            F.when(F.col("l_shipdate") >= SETOP_SPLIT, F.col("l_partkey"))
+        ).alias("b"),
+        F.countDistinct("l_partkey").alias("u"),
+    )
+    return (
+        exact.crossJoin(F.broadcast(est_a))
+        .crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .select(
+            F.col("a").cast("bigint").alias("a_exact"),
+            F.col("b").cast("bigint").alias("b_exact"),
+            F.col("u").cast("bigint").alias("union_exact"),
+            (F.col("a") + F.col("b") - F.col("u")).cast("bigint").alias("inter_exact"),
+            (F.round("ea", 4) + F.lit(0.0)).alias("a_est_r"),
+            (F.round("eb", 4) + F.lit(0.0)).alias("b_est_r"),
+            (F.round("eu", 4) + F.lit(0.0)).alias("union_est_r"),
+            (
+                F.round(F.col("ea") + F.col("eb") - F.col("eu"), 4) + F.lit(0.0)
+            ).alias("inter_est_r"),
+        )
     )

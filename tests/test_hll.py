@@ -52,6 +52,25 @@ def test_accuracy_both_regimes(spark):
     assert abs(est_b - 8000) / 8000 < 4 * sigma
 
 
+def test_set_ops_inclusion_exclusion(spark):
+    """Known overlap: A = [0, 4000), B = [2000, 6000) -> |A∩B| = 2000. The
+    inclusion-exclusion estimate compounds three sketches' noise, so the
+    tolerance is wider than a single estimate's — but it must land in the
+    right decade and the union estimate must match the merged registers."""
+    a = spark.range(0, 4000).select(F.col("id").alias("k"))
+    b = spark.range(2000, 6000).select(F.col("id").alias("k"))
+    ra, rb = hll_registers(a, "k"), hll_registers(b, "k")
+    ea = hll_estimate(ra).first()["est"]
+    eb = hll_estimate(rb).first()["est"]
+    eu = hll_estimate(hll_merge(ra, rb)).first()["est"]
+    # merged registers must equal the sketch of the concatenated input
+    ru = hll_registers(a.unionByName(b), "k")
+    assert _regs_dict(hll_merge(ra, rb)) == _regs_dict(ru)
+    assert abs(eu - 6000) / 6000 < 4 * (1.04 / math.sqrt(M))
+    inter = ea + eb - eu
+    assert 2000 * 0.4 < inter < 2000 * 1.9  # compounded-noise band
+
+
 def test_streaming_register_store(spark, tmp_path):
     """Distinct-user counting over a file stream with a PERSISTED register
     store: every trigger sketches its batch, merges into the store, and the
