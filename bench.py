@@ -258,6 +258,20 @@ def main() -> None:
     cdc_chunks_gear(load_table(spark, sf_dir, "documents")).count()
     cdc_gear_s = round(time.time() - t0, 3)
 
+    # Late-round-6 trackers: the register-table HLL distinct (map-only hash
+    # pass + 256-group agg + the exact-count audit side), the clustering-
+    # quality report (exploded-vector centroid pass + k-sized tail), and the
+    # vocab-sizing coverage curve (distributed exact rank over term counts).
+    t0 = time.time()
+    specs["hll_distinct_parts"].fn(spark, sf_dir).count()
+    hll_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    specs["cluster_quality_metrics"].fn(spark, sf_dir).count()
+    cqual_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    specs["token_coverage_curve"].fn(spark, sf_dir).count()
+    tcov_s = round(time.time() - t0, 3)
+
     # Round-6 multi-tenant tracker (outside the headline total): three
     # headline queries run SIMULTANEOUSLY from three threads under FAIR
     # scheduler pools on the one session. Wall clock vs the serial sum of
@@ -307,6 +321,9 @@ def main() -> None:
                     "semantic_dedup_keep": semdedup_s,
                     "cdc_chunk_sharing": cdc_s,
                     "cdc_chunks_gear": cdc_gear_s,
+                    "hll_distinct_parts": hll_s,
+                    "cluster_quality_metrics": cqual_s,
+                    "token_coverage_curve": tcov_s,
                     "concurrent_3way_wall": conc_wall_s,
                     "concurrent_3way_serial_sum": conc_serial_s,
                     "headline_first_pass_total": round(cold_total, 3),
