@@ -79,7 +79,11 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     arithmetic, so two engines agree bit-for-bit given equal registers."""
     agg = registers.agg(
         F.count("*").alias("n_registers"),
-        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("s_seen"),
+        # coalesce: an EMPTY register table (no keys seen yet) must linear-
+        # count to 0, not propagate sum()'s NULL into the estimate
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))), F.lit(0.0)
+        ).alias("s_seen"),
     )
     s = (F.lit(M) - F.col("n_registers")).cast("double") + F.col("s_seen")
     e_raw = F.lit(ALPHA * M * M) / s

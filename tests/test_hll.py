@@ -52,6 +52,16 @@ def test_accuracy_both_regimes(spark):
     assert abs(est_b - 8000) / 8000 < 4 * sigma
 
 
+def test_empty_input_linear_counts_to_zero(spark):
+    """No keys seen yet (first trigger of a fresh store): the estimate must
+    be 0.0, not NULL — sum() over an empty register table is NULL without
+    the coalesce."""
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    row = hll_estimate(hll_registers(empty, "k")).first()
+    assert row["n_registers"] == 0
+    assert row["est"] == 0.0
+
+
 def test_set_ops_inclusion_exclusion(spark):
     """Known overlap: A = [0, 4000), B = [2000, 6000) -> |A∩B| = 2000. The
     inclusion-exclusion estimate compounds three sketches' noise, so the
