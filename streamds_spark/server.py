@@ -60,6 +60,20 @@ def _run_request(spark, default_sf_dir: str, req: dict, pool: str) -> dict:
     if name not in specs:
         return {"ok": False, "error": f"unknown query {name!r}"}
     sf_dir = req.get("sf_dir", default_sf_dir)
+    if req.get("explain"):
+        # price the query before running it: plan text + the census facts
+        # (exchanges, global windows) a tenant checks before a big submit
+        from streamds_spark.plans.audit import formatted_plan, plan_facts
+
+        df = specs[name].fn(spark, sf_dir)
+        facts = plan_facts(df)
+        return {
+            "ok": True,
+            "query": name,
+            "plan": formatted_plan(df),
+            "n_exchanges": facts.n_exchanges,
+            "n_global_windows": facts.n_global_windows,
+        }
     limit = req.get("limit", DEFAULT_LIMIT)
     if not isinstance(limit, int) or not (1 <= limit <= MAX_LIMIT):
         return {"ok": False, "error": f"limit must be an int in [1, {MAX_LIMIT}]"}

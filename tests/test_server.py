@@ -90,6 +90,11 @@ def test_truncation_and_error_contract(spark):
         resp = request(host, port, {"query": "lag_lead_deltas", "limit": 5})
         assert resp["ok"] and resp["truncated"] and resp["n_rows"] == 5
 
+        # explain mode: plan text + census facts, no execution
+        ex = request(host, port, {"query": "wordcount", "explain": True})
+        assert ex["ok"] and "Physical Plan" in ex["plan"]
+        assert ex["n_exchanges"] >= 0 and ex["n_global_windows"] == 0
+
         assert not request(host, port, {"query": "no_such_query"})["ok"]
         assert not request(host, port, {"query": "wordcount", "limit": 0})["ok"]
         assert not request(host, port, {"nonsense": 1})["ok"]
