@@ -60,6 +60,16 @@ def _run_request(spark, default_sf_dir: str, req: dict, pool: str) -> dict:
     if name not in specs:
         return {"ok": False, "error": f"unknown query {name!r}"}
     sf_dir = req.get("sf_dir", default_sf_dir)
+    if req.get("lineage"):
+        # impact analysis: which source columns feed each output column
+        from streamds_spark.plans.lineage import column_lineage
+
+        lin = column_lineage(specs[name].fn(spark, sf_dir))
+        return {
+            "ok": True,
+            "query": name,
+            "lineage": {c: sorted([t, col] for t, col in s) for c, s in lin.items()},
+        }
     if req.get("explain"):
         # price the query before running it: plan text + the census facts
         # (exchanges, global windows) a tenant checks before a big submit

@@ -94,6 +94,13 @@ def test_truncation_and_error_contract(spark):
         ex = request(host, port, {"query": "wordcount", "explain": True})
         assert ex["ok"] and "Physical Plan" in ex["plan"]
         assert ex["n_exchanges"] >= 0 and ex["n_global_windows"] == 0
+        # lineage mode: impact analysis over the wire
+        ln = request(host, port, {"query": "q3_shipping_priority", "lineage": True})
+        assert ln["ok"]
+        assert ln["lineage"]["revenue"] == [
+            ["lineitem.parquet", "l_discount"],
+            ["lineitem.parquet", "l_extendedprice"],
+        ]
 
         assert not request(host, port, {"query": "no_such_query"})["ok"]
         assert not request(host, port, {"query": "wordcount", "limit": 0})["ok"]
