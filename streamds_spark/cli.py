@@ -232,6 +232,14 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--host", default="127.0.0.1", help="bind address")
     sv.add_argument("--port", type=int, default=0, help="port (0 = ephemeral)")
 
+    ln = sub.add_parser(
+        "lineage",
+        help="column-level lineage of a registered query (which source "
+        "columns feed each output column; driver-side, runs no jobs)",
+    )
+    ln.add_argument("query", help="registered query name")
+    ln.add_argument("sf_dir", help="TESTDATA dir the query builds against")
+
     args = parser.parse_args(argv)
 
     # The corpus verbs lazily read src while overwriting dest — if the two
@@ -617,6 +625,14 @@ def main(argv: list[str] | None = None) -> int:
             print(f"drop_c4:{drops[0]} drop_mojibake:{drops[1]} drop_gopher:{drops[2]}")
     elif args.cmd == "shell":
         _shell(spark, args.sf_dir, args.logs)
+    elif args.cmd == "lineage":
+        from streamds_spark.plans.lineage import lineage_report
+        from streamds_spark.registry import load_all
+
+        specs = load_all()
+        if args.query not in specs:
+            parser.error(f"unknown query {args.query!r} (see QUERIES.md)")
+        print(lineage_report(specs[args.query].fn(spark, args.sf_dir)))
     elif args.cmd == "serve":
         from streamds_spark.server import start_server
 

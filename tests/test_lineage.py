@@ -64,6 +64,18 @@ def test_lineage_runs_no_jobs(spark):
     assert len(after) == len(before)
 
 
+def test_cli_lineage_verb(spark, capsys):
+    from streamds_spark.cli import main
+
+    assert main(["lineage", "q3_shipping_priority", SF]) == 0
+    out = capsys.readouterr().out
+    assert "revenue <- lineitem.parquet.l_discount, lineitem.parquet.l_extendedprice" in out
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["lineage", "no_such_query", SF])
+
+
 def test_every_headline_query_resolves(spark):
     """No '?' markers on the bench headline set — the shapes we rely on all
     resolve to concrete source columns or literals."""
