@@ -85,6 +85,41 @@ def _walk(node, env: dict[int, set]) -> None:
             env[a.exprId().id()] = merged
         return
 
+    if cls == "Expand":
+        # cube/rollup/grouping-sets, hopping windows, unpivot: each output
+        # attr i is computed by the i-th expression of EVERY projection row
+        try:
+            projections = [_seq(p) for p in _seq(node.projections())]
+            for i, a in enumerate(out_attrs):
+                srcs: set = set()
+                for proj in projections:
+                    if i < len(proj):
+                        for rid in _attr_ids(proj[i].references()):
+                            srcs |= env.get(rid, set())
+                env[a.exprId().id()] = srcs
+            return
+        except Exception:  # noqa: BLE001 — fall through to generic path
+            pass
+
+    if cls in {
+        "MapInPandas",
+        "PythonMapInArrow",
+        "MapInArrow",
+        "FlatMapGroupsInPandas",
+        "FlatMapGroupsInPandasWithState",
+        "TransformWithStateInPandas",
+    }:
+        # opaque Python stage: every output column may depend on any input
+        # column of the batch — coarse, but true (and honest about the
+        # boundary where expression-level tracking stops)
+        child_srcs: set = set()
+        for kid in _seq(node.children()):
+            for ka in _seq(kid.output()):
+                child_srcs |= env.get(ka.exprId().id(), set())
+        for a in out_attrs:
+            env[a.exprId().id()] = set(child_srcs)
+        return
+
     if cls == "Generate":
         gen_refs: set = set()
         try:

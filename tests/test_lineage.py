@@ -64,6 +64,26 @@ def test_lineage_runs_no_jobs(spark):
     assert len(after) == len(before)
 
 
+def test_expand_shapes_resolve(spark):
+    """cube/rollup/grouping-sets, hopping windows, and unpivot lower to the
+    Expand node — each output column must resolve through the i-th
+    expression of every projection row."""
+    specs = load_all()
+    for name in [
+        "cube_events",
+        "rollup_orders",
+        "grouping_sets_orders",
+        "hopping_window_counts",
+        "unpivot_order_stats",
+    ]:
+        lin = column_lineage(specs[name].fn(spark, SF))
+        bad = {c: s for c, s in lin.items() if any(t == "?" for t, _ in s)}
+        assert not bad, (name, bad)
+    # spot-check semantic correctness, not just resolution
+    lin_u = column_lineage(specs["unpivot_order_stats"].fn(spark, SF))
+    assert ("orders.parquet", "o_totalprice") in lin_u["val"]
+
+
 def test_cli_lineage_verb(spark, capsys):
     from streamds_spark.cli import main
 
