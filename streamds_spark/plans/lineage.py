@@ -160,6 +160,46 @@ def _walk(node, env: dict[int, set]) -> None:
             env[aid] = {("?", a.name())}
 
 
+def referenced_source_columns(df: DataFrame) -> dict[str, set]:
+    """{relation -> {source columns referenced ANYWHERE in the plan}} —
+    outputs, filters, join keys, sort keys, window specs, everything.
+
+    This is the column set a perfectly-pruned scan reads: compare it against
+    each scan's ReadSchema to prove column pruning reached the parquet
+    footer (tests/test_pruning_vs_lineage.py does exactly that)."""
+    plan = df._jdf.queryExecution().analyzed()  # noqa: SLF001
+    env: dict[int, set] = {}
+    _walk(plan, env)
+
+    touched: set = set()
+
+    def collect(node) -> None:
+        for child in _seq(node.children()):
+            collect(child)
+        if not _seq(node.children()):
+            return  # leaf outputs only count when something references them
+        try:
+            exprs = _seq(node.expressions())
+        except Exception:  # noqa: BLE001
+            exprs = []
+        for e in exprs:
+            try:
+                for rid in _attr_ids(e.references()):
+                    touched.update(env.get(rid, set()))
+            except Exception:  # noqa: BLE001
+                continue
+
+    collect(plan)
+    # plan outputs count as referenced even when the plan is a bare scan
+    for a in _seq(plan.output()):
+        touched.update(env.get(a.exprId().id(), set()))
+    by_rel: dict[str, set] = {}
+    for t, c in touched:
+        if t != "?":
+            by_rel.setdefault(t, set()).add(c)
+    return by_rel
+
+
 def column_lineage(df: DataFrame) -> dict[str, set]:
     """{output column -> {(relation, source column), ...}} for a DataFrame.
 
