@@ -232,6 +232,24 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--host", default="127.0.0.1", help="bind address")
     sv.add_argument("--port", type=int, default=0, help="port (0 = ephemeral)")
 
+    pp = sub.add_parser(
+        "prepare",
+        help="END-TO-END training-data preparation: hygiene gates -> "
+        "dedup -> (optional) decontamination -> tokenizer train+apply -> "
+        "token-budget packing -> hash-sharded parquet, with a per-stage "
+        "manifest",
+    )
+    pp.add_argument("src", help="raw documents parquet dir")
+    pp.add_argument("dest", help="output dir (stage dirs + shards + manifest)")
+    pp.add_argument("--benchmark", default=None, help="eval parquet to decontaminate against")
+    pp.add_argument("--tokenizer", choices=["bpe", "unigram"], default="bpe")
+    pp.add_argument("--merges", type=int, default=200, help="BPE merge count")
+    pp.add_argument("--vocab-size", type=int, default=200, help="unigram vocab")
+    pp.add_argument("--iters", type=int, default=2, help="unigram EM iterations")
+    pp.add_argument("--threshold", type=float, default=0.7, help="near-dup Jaccard")
+    pp.add_argument("--block-tokens", type=int, default=1024)
+    pp.add_argument("--shards", type=int, default=8)
+
     ln = sub.add_parser(
         "lineage",
         help="column-level lineage of a registered query (which source "
@@ -245,13 +263,17 @@ def main(argv: list[str] | None = None) -> int:
     # The corpus verbs lazily read src while overwriting dest — if the two
     # resolve to the same path the overwrite clobbers the input mid-read and
     # the job fails or loses data. Refuse up front (benchmark is an input too).
-    if args.cmd in ("dedup", "decontaminate", "scrub-substrings", "ingest-warc",
+    if args.cmd in ("dedup", "decontaminate", "scrub-substrings", "ingest-warc", "prepare",
                     "tokenize", "filter-corpus", "stream-corpus",
                     "train-lm", "score-lm", "chunk-corpus"):
         import os as _os
 
         out = args.work if args.cmd == "stream-corpus" else args.dest
-        inputs = [args.src] + ([args.benchmark] if args.cmd == "decontaminate" else [])
+        inputs = [args.src] + (
+            [args.benchmark]
+            if args.cmd in ("decontaminate", "prepare") and args.benchmark
+            else []
+        )
         if args.cmd == "score-lm":
             inputs.append(args.model)
         out_real = _os.path.realpath(out)
@@ -625,6 +647,25 @@ def main(argv: list[str] | None = None) -> int:
             print(f"drop_c4:{drops[0]} drop_mojibake:{drops[1]} drop_gopher:{drops[2]}")
     elif args.cmd == "shell":
         _shell(spark, args.sf_dir, args.logs)
+    elif args.cmd == "prepare":
+        import json as _json
+
+        from streamds_spark.pipeline import prepare_corpus
+
+        manifest = prepare_corpus(
+            spark,
+            args.src,
+            args.dest,
+            benchmark=args.benchmark,
+            tokenizer=args.tokenizer,
+            merges=args.merges,
+            vocab_size=args.vocab_size,
+            iters=args.iters,
+            threshold=args.threshold,
+            block_tokens=args.block_tokens,
+            n_shards=args.shards,
+        )
+        print("manifest:" + _json.dumps(manifest))
     elif args.cmd == "lineage":
         from streamds_spark.plans.lineage import lineage_report
         from streamds_spark.registry import load_all

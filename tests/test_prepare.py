@@ -1,0 +1,107 @@
+"""End-to-end prepare pipeline (streamds_spark/pipeline.py + CLI verb):
+raw docs -> gates -> dedup -> decontamination -> tokenize -> pack -> shards,
+with per-stage manifest accounting, pack-budget invariants, and no doc
+lost or duplicated between tokenization and the shard output."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from streamds_spark.pipeline import pack_tokenized, prepare_corpus
+
+
+def _mk_docs(spark, path, n=30):
+    rows = []
+    for i in range(n):
+        # mutually DISSIMILAR docs (distinct vocabulary per doc) so only the
+        # planted duplicates trip the near-dup threshold
+        text = " ".join(f"word{i}x{j}" for j in range(30))
+        rows.append((i, "src0", "en", text))
+    # exact duplicate of doc 0 and a near-duplicate of doc 1 -> dedup fodder
+    rows.append((100, "src0", "en", rows[0][3]))
+    rows.append((101, "src0", "en", rows[1][3] + " word1xtiny"))
+    # junk that the hygiene gate must drop (too short)
+    rows.append((102, "src0", "en", "short"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string, text string")
+    df = df.withColumn("n_chars", F.length("text").cast("bigint"))
+    df.write.mode("overwrite").parquet(path)
+    return df
+
+
+def test_prepare_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "raw")
+    bench = str(tmp_path / "bench")
+    out = str(tmp_path / "out")
+    _mk_docs(spark, src)
+    # benchmark containing doc 5's text -> decontamination must remove it
+    spark.read.parquet(src).filter(F.col("doc_id") == 5).select(
+        "doc_id", "text"
+    ).write.mode("overwrite").parquet(bench)
+
+    manifest = prepare_corpus(
+        spark, src, out, benchmark=bench, merges=30, block_tokens=64, n_shards=4
+    )
+    # stage accounting: monotone nonincreasing, junk + dups + contaminated gone
+    assert manifest["input_docs"] == 33
+    assert manifest["gated_docs"] == 32  # 'short' dropped
+    assert manifest["deduped_docs"] < manifest["gated_docs"]  # dup collapsed
+    assert manifest["clean_docs"] == manifest["deduped_docs"] - 1  # doc 5 out
+    assert manifest["packed_docs"] == manifest["clean_docs"]
+    assert manifest["total_tokens"] > 0 and manifest["n_packs"] >= 1
+    # doc 5 really is gone; doc 100 (exact dup) gone; doc 0 survives
+    shards = spark.read.parquet(f"{out}/shards")
+    ids = {r["doc_id"] for r in shards.select("doc_id").collect()}
+    assert 5 not in ids and 100 not in ids and 0 in ids
+    # every doc exactly once
+    assert shards.count() == shards.select("doc_id").distinct().count()
+    # manifest file matches the return value
+    with open(f"{out}/manifest.json") as f:
+        assert json.load(f) == manifest
+    # tokenizer artifact exists and is loadable
+    with open(f"{out}/tokenizer.json") as f:
+        model = json.load(f)
+    assert model["algo"] == "bpe" and model["merges"]
+
+
+def test_pack_budget_invariant(spark):
+    """Start-offset packing: a pack may overshoot the budget by at most one
+    document; packs within a shard are contiguous starting at 0."""
+    rows = [(i, [f"t{j}" for j in range(5 + (i * 7) % 23)]) for i in range(200)]
+    tok = spark.createDataFrame(rows, "doc_id long, pieces array<string>")
+    packed = pack_tokenized(tok, block_tokens=50, n_shards=4)
+    stats = (
+        packed.groupBy("shard", "pack_id")
+        .agg(F.sum("n_tokens").alias("pt"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    for r in stats:
+        assert r["pt"] < 50 + r["mx"] + 1
+    for shard_rows in [
+        sorted(r["pack_id"] for r in stats if r["shard"] == s) for s in range(4)
+    ]:
+        if shard_rows:
+            assert shard_rows[0] == 0
+            assert shard_rows == list(range(len(shard_rows)))
+    # all docs packed exactly once
+    assert packed.count() == 200
+
+
+def test_cli_prepare_verb(spark, tmp_path, capsys):
+    src = str(tmp_path / "raw")
+    out = str(tmp_path / "out")
+    _mk_docs(spark, src, n=12)
+    from streamds_spark.cli import main
+
+    assert main(["prepare", src, out, "--merges", "20", "--block-tokens", "64",
+                 "--shards", "2"]) == 0
+    outtext = capsys.readouterr().out
+    assert "manifest:" in outtext
+    m = json.loads(outtext.split("manifest:")[1].strip())
+    assert m["packed_docs"] > 0
+    # nesting guard: dest inside src refused
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["prepare", src, f"{src}/nested"])
