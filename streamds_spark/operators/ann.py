@@ -59,6 +59,24 @@ def build_ann_index(
         .partitionBy("bucket")
         .parquet(path)
     )
+    # sidecar meta (SIBLING file — a stray JSON inside the dataset dir would
+    # confuse partition discovery) so probes/servers recover the build params
+    import json as _json
+
+    with open(index_meta_path(path), "w") as f:
+        _json.dump({"n_planes": n_planes, "dim": dim}, f)
+
+
+def index_meta_path(index_path: str) -> str:
+    return index_path.rstrip("/") + "._meta.json"
+
+
+def load_index_meta(index_path: str) -> dict:
+    """{'n_planes': N, 'dim': D} written at build time."""
+    import json as _json
+
+    with open(index_meta_path(index_path)) as f:
+        return _json.load(f)
 
 
 def probe_buckets(

@@ -53,6 +53,50 @@ def _run_request(spark, default_sf_dir: str, req: dict, pool: str) -> dict:
         return {"ok": True, "pong": True}
     if req.get("cmd") == "list":
         return {"ok": True, "queries": sorted(load_all())}
+    if req.get("cmd") == "ann":
+        # vector-search endpoint over a persisted LSH index: reads ONLY the
+        # probe's bucket partitions (static pruning), returns k rows
+        from streamds_spark.operators.ann import ann_probe_topk, load_index_meta
+
+        vec = req.get("vector")
+        index = req.get("index")
+        k = req.get("k", 10)
+        flip = req.get("flip_bits", 0)
+        if not isinstance(index, str):
+            return {"ok": False, "error": "ann needs 'index' (index dir path)"}
+        if not (
+            isinstance(vec, list)
+            and vec
+            and all(isinstance(x, (int, float)) for x in vec)
+        ):
+            return {"ok": False, "error": "ann needs 'vector' (list of numbers)"}
+        if not isinstance(k, int) or not (1 <= k <= 1000):
+            return {"ok": False, "error": "k must be an int in [1, 1000]"}
+        try:
+            meta = load_index_meta(index)
+        except OSError as e:
+            return {"ok": False, "error": f"no index meta at {index!r}: {e}"}
+        if len(vec) != meta["dim"]:
+            return {
+                "ok": False,
+                "error": f"vector dim {len(vec)} != index dim {meta['dim']}",
+            }
+        with scheduler_pool(spark, pool):
+            rows = ann_probe_topk(
+                spark,
+                index,
+                [float(x) for x in vec],
+                k=k,
+                n_planes=meta["n_planes"],
+                n_flip_bits=flip,
+            ).collect()
+        return {
+            "ok": True,
+            "neighbors": [
+                {"vec_id": r["vec_id"], "label": r["label"], "cos_sim": r["cos_sim"]}
+                for r in rows
+            ],
+        }
     name = req.get("query")
     if not isinstance(name, str):
         return {"ok": False, "error": "request needs 'query' or 'cmd'"}

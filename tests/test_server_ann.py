@@ -1,0 +1,69 @@
+"""Vector-search serving: the server's `ann` request against a persisted
+LSH index — results equal a direct ann_probe_topk call, partition pruning
+intact, and the validation contract (bad dim / missing index / bad k)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamds_spark.catalog import load_table
+from streamds_spark.operators.ann import ann_probe_topk, build_ann_index, load_index_meta
+from streamds_spark.server import request, start_server
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ann_serving_round_trip(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    index = str(tmp_path / "ann_index")
+    build_ann_index(emb, index, n_planes=6)
+    meta = load_index_meta(index)
+    assert meta["n_planes"] == 6 and meta["dim"] == 64
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    server = start_server(spark, SF)
+    host, port = server.server_address[:2]
+    try:
+        resp = request(
+            host, port, {"cmd": "ann", "index": index, "vector": qvec, "k": 5,
+                         "flip_bits": 2},
+        )
+        assert resp["ok"], resp
+        got = [(n["vec_id"], n["cos_sim"]) for n in resp["neighbors"]]
+        direct = [
+            (r["vec_id"], r["cos_sim"])
+            for r in ann_probe_topk(
+                spark, index, qvec, k=5, n_planes=6, n_flip_bits=2
+            ).collect()
+        ]
+        assert got == direct
+        # the probe vector itself is in the index -> exact self-match first
+        assert got[0][0] == 0 and got[0][1] == 1.0
+
+        # validation contract
+        assert not request(host, port, {"cmd": "ann", "index": index})["ok"]
+        assert not request(
+            host, port, {"cmd": "ann", "index": index, "vector": [1.0, 2.0]}
+        )["ok"]  # wrong dim
+        assert not request(
+            host, port,
+            {"cmd": "ann", "index": str(tmp_path / "nope"), "vector": qvec},
+        )["ok"]
+        assert not request(
+            host, port, {"cmd": "ann", "index": index, "vector": qvec, "k": 0}
+        )["ok"]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_probe_still_prunes_partitions(spark, tmp_path):
+    """The serving path must keep the PartitionFilters pruning the index was
+    built for — read the probe plan, not all buckets."""
+    emb = load_table(spark, SF, "embeddings")
+    index = str(tmp_path / "ann_index2")
+    build_ann_index(emb, index, n_planes=6)
+    qvec = [float(x) for x in emb.first()["embedding"]]
+    df = ann_probe_topk(spark, index, qvec, k=5, n_planes=6, n_flip_bits=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
