@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from streamds_spark.catalog import load_table
 from streamds_spark.functions.hashing import duckdb_md5_int, md5_int60
 from streamds_spark.functions.text import tokens
+from streamds_spark.operators.hll import ALPHA as _HLL_ALPHA
 from streamds_spark.operators.hll import (
     duckdb_hll_sql,
     hll_estimate,
@@ -28,6 +29,10 @@ from streamds_spark.operators.hll import (
     hll_registers,
 )
 from streamds_spark.registry import query
+
+HLL_M = 256
+HLL_ALPHA_M2 = _HLL_ALPHA * 256 * 256
+HEX = "0123456789abcdef"
 
 CMS_DEPTH = 4  # independent hash rows; P(overestimate by >2eN) <= 2^-D
 CMS_WIDTH = 512  # counters per row
@@ -381,4 +386,122 @@ def hll_set_ops_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("ea") + F.col("eb") - F.col("eu"), 4) + F.lit(0.0)
             ).alias("inter_est_r"),
         )
+    )
+
+
+@query(
+    "hll_distinct_terms_by_source",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT source,
+               md5(CAST(unnest(list_filter(string_split_regex(text, '\\s+'),
+                                           w -> w <> '')) AS VARCHAR)) AS h
+        FROM documents
+    ),
+    bits AS (
+        SELECT source,
+               (instr('{HEX}', substr(h, 1, 1)) - 1) * 16
+               + instr('{HEX}', substr(h, 2, 1)) - 1 AS bucket,
+               regexp_replace(substr(h, 3, 15), '^0+', '') AS t
+        FROM keyed
+    ),
+    regs AS (
+        SELECT source, bucket,
+               max(CASE WHEN length(t) = 0 THEN 61
+                        ELSE (15 - length(t)) * 4 + 4
+                             - CAST(floor(log2(instr('{HEX}', substr(t, 1, 1)) - 1))
+                                    AS INTEGER)
+                   END) AS max_rho
+        FROM bits GROUP BY source, bucket
+    ),
+    agg AS (
+        SELECT source, count(*) AS n_registers,
+               sum(pow(2.0, -max_rho)) AS s_seen
+        FROM regs GROUP BY source
+    ),
+    est AS (
+        SELECT source,
+               CASE WHEN {HLL_ALPHA_M2} / (({HLL_M} - n_registers) + s_seen)
+                         <= {2.5 * 256} AND {HLL_M} - n_registers > 0
+                    THEN {256.0} * ln({256.0} / ({HLL_M} - n_registers))
+                    ELSE {HLL_ALPHA_M2} / (({HLL_M} - n_registers) + s_seen)
+               END AS e
+        FROM agg
+    ),
+    exact AS (
+        SELECT source, count(DISTINCT term) AS x FROM (
+            SELECT source,
+                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      w -> w <> '')) AS term
+            FROM documents
+        ) GROUP BY source
+    )
+    SELECT est.source AS source,
+           round(est.e, 4) + 0.0 AS est_r,
+           CAST(exact.x AS BIGINT) AS exact_distinct
+    FROM est JOIN exact ON est.source = exact.source
+    ORDER BY source
+    """,
+)
+def hll_distinct_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-WISE HyperLogLog — the pattern production counters actually run
+    (distinct users per day, distinct tokens per source): ONE pass builds a
+    256-register sketch PER GROUP (`groupBy(source, bucket).max(rho)` —
+    shuffle payload <= groups x m rows regardless of input size), and each
+    group's estimate is deterministic register arithmetic, hash-exact vs
+    DuckDB next to the exact count. This is what the register-table design
+    buys over the opaque HLL++ buffer: per-group sketches are plain rows
+    you can persist, merge across days, and re-aggregate to coarser groups
+    (source -> corpus) without rescanning."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    keyed = terms.select("source", F.md5(F.col("term").cast("string")).alias("h"))
+    bits = keyed.select(
+        "source",
+        F.expr(
+            f"(instr('{HEX}', substring(h, 1, 1)) - 1) * 16"
+            f" + instr('{HEX}', substring(h, 2, 1)) - 1"
+        ).cast("int").alias("bucket"),
+        F.expr("regexp_replace(substring(h, 3, 15), '^0+', '')").alias("t"),
+    )
+    rhos = bits.select(
+        "source",
+        "bucket",
+        F.expr(
+            "CASE WHEN length(t) = 0 THEN 61"
+            " ELSE (15 - length(t)) * 4 + 4"
+            f" - CAST(floor(log2(instr('{HEX}', substring(t, 1, 1)) - 1)) AS INT)"
+            " END"
+        ).cast("int").alias("rho"),
+    )
+    regs = rhos.groupBy("source", "bucket").agg(F.max("rho").alias("max_rho"))
+    agg = regs.groupBy("source").agg(
+        F.count("*").alias("n_registers"),
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))), F.lit(0.0)
+        ).alias("s_seen"),
+    )
+    m = 256
+    alpha_m2 = HLL_ALPHA_M2
+    s = (F.lit(m) - F.col("n_registers")).cast("double") + F.col("s_seen")
+    e_raw = F.lit(alpha_m2) / s
+    v_zero = F.lit(m) - F.col("n_registers")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(e_raw)
+    exact = terms.groupBy("source").agg(
+        F.countDistinct("term").alias("exact_distinct")
+    )
+    return (
+        agg.select("source", (F.round(est, 4) + F.lit(0.0)).alias("est_r"))
+        .join(exact, "source")
+        .select(
+            "source",
+            "est_r",
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        )
+        .orderBy("source")
     )

@@ -52,6 +52,32 @@ def test_accuracy_both_regimes(spark):
     assert abs(est_b - 8000) / 8000 < 4 * sigma
 
 
+def test_groupwise_rollup_to_corpus(spark):
+    """Per-group sketches re-aggregate to coarser groups without rescanning:
+    max-merging every source's registers must equal the whole-corpus sketch
+    (the composability hll_distinct_terms_by_source's docstring promises)."""
+    from streamds_spark.catalog import load_table
+    from streamds_spark.functions.text import tokens as _tokens
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    terms = docs.select(F.explode(_tokens(F.col("text"))).alias("term"))
+    whole = hll_registers(terms, "term")
+    # group-wise registers (same construction as the registered query)
+    keyed = docs.select(
+        "source", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    # build per-source registers independently, then max-merge
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    parts = [
+        hll_registers(
+            keyed.filter(F.col("source") == s).select("term"), "term"
+        )
+        for s in sources
+    ]
+    merged = hll_merge(*parts)
+    assert _regs_dict(merged) == _regs_dict(whole)
+
+
 def test_empty_input_linear_counts_to_zero(spark):
     """No keys seen yet (first trigger of a fresh store): the estimate must
     be 0.0, not NULL — sum() over an empty register table is NULL without
