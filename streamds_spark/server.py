@@ -53,6 +53,37 @@ def _run_request(spark, default_sf_dir: str, req: dict, pool: str) -> dict:
         return {"ok": True, "pong": True}
     if req.get("cmd") == "list":
         return {"ok": True, "queries": sorted(load_all())}
+    if isinstance(req.get("sql"), str):
+        # raw read-only SQL over the TESTDATA views — the reference shell's
+        # SQL dialect served multi-tenant. Guard: SELECT/WITH only; Spark
+        # temp views are session-global, so registration is idempotent and
+        # shared (all tenants read the same sf_dir snapshot).
+        sql = req["sql"].strip()
+        head = sql.lstrip("( \n\t").split(None, 1)
+        if not head or head[0].upper() not in ("SELECT", "WITH", "VALUES"):
+            return {
+                "ok": False,
+                "error": "only SELECT/WITH/VALUES statements are served",
+            }
+        limit = req.get("limit", DEFAULT_LIMIT)
+        if not isinstance(limit, int) or not (1 <= limit <= MAX_LIMIT):
+            return {"ok": False, "error": f"limit must be an int in [1, {MAX_LIMIT}]"}
+        from streamds_spark.catalog import register_views
+
+        sf_dir = req.get("sf_dir", default_sf_dir)
+        with scheduler_pool(spark, pool):
+            register_views(spark, sf_dir)
+            df = spark.sql(sql)
+            rows = df.limit(limit + 1).collect()
+        truncated = len(rows) > limit
+        rows = rows[:limit]
+        return {
+            "ok": True,
+            "columns": df.columns,
+            "rows": [[_json_cell(v) for v in r] for r in rows],
+            "n_rows": len(rows),
+            "truncated": truncated,
+        }
     if req.get("cmd") == "ann":
         # vector-search endpoint over a persisted LSH index: reads ONLY the
         # probe's bucket partitions (static pruning), returns k rows

@@ -94,6 +94,23 @@ def test_truncation_and_error_contract(spark):
         ex = request(host, port, {"query": "wordcount", "explain": True})
         assert ex["ok"] and "Physical Plan" in ex["plan"]
         assert ex["n_exchanges"] >= 0 and ex["n_global_windows"] == 0
+        # raw SQL: read-only statements over the TESTDATA views
+        sq = request(
+            host, port,
+            {"sql": "SELECT o_orderpriority, count(*) AS c FROM orders "
+                    "GROUP BY o_orderpriority ORDER BY o_orderpriority"},
+        )
+        assert sq["ok"] and sq["columns"] == ["o_orderpriority", "c"]
+        assert len(sq["rows"]) == 5 and not sq["truncated"]
+        # write statements refused
+        for bad in ["DROP TABLE orders", "INSERT INTO orders VALUES (1)",
+                    "CREATE TABLE x (a int)"]:
+            assert not request(host, port, {"sql": bad})["ok"]
+        # CTE allowed
+        assert request(
+            host, port, {"sql": "WITH t AS (SELECT 1 AS a) SELECT * FROM t"}
+        )["ok"]
+
         # lineage mode: impact analysis over the wire
         ln = request(host, port, {"query": "q3_shipping_priority", "lineage": True})
         assert ln["ok"]
