@@ -85,14 +85,13 @@ def _run_request(spark, default_sf_dir: str, req: dict, pool: str) -> dict:
             "truncated": truncated,
         }
     if req.get("cmd") == "ann":
-        # vector-search endpoint over a persisted LSH index: reads ONLY the
-        # probe's bucket partitions (static pruning), returns k rows
-        from streamds_spark.operators.ann import ann_probe_topk, load_index_meta
-
+        # vector-search endpoint over a persisted index: kind 'lsh' (default,
+        # hyperplane-bucket partitions) or 'ivf' (coarse-quantizer lists) —
+        # both read ONLY the probe's partitions (static pruning), k rows back
         vec = req.get("vector")
         index = req.get("index")
         k = req.get("k", 10)
-        flip = req.get("flip_bits", 0)
+        kind = req.get("kind", "lsh")
         if not isinstance(index, str):
             return {"ok": False, "error": "ann needs 'index' (index dir path)"}
         if not (
@@ -103,26 +102,49 @@ def _run_request(spark, default_sf_dir: str, req: dict, pool: str) -> dict:
             return {"ok": False, "error": "ann needs 'vector' (list of numbers)"}
         if not isinstance(k, int) or not (1 <= k <= 1000):
             return {"ok": False, "error": "k must be an int in [1, 1000]"}
-        try:
-            meta = load_index_meta(index)
-        except OSError as e:
-            return {"ok": False, "error": f"no index meta at {index!r}: {e}"}
-        if len(vec) != meta["dim"]:
-            return {
-                "ok": False,
-                "error": f"vector dim {len(vec)} != index dim {meta['dim']}",
-            }
+        qvec = [float(x) for x in vec]
+        if kind == "lsh":
+            from streamds_spark.operators.ann import ann_probe_topk, load_index_meta
+
+            flip = req.get("flip_bits", 0)
+            try:
+                meta = load_index_meta(index)
+            except OSError as e:
+                return {"ok": False, "error": f"no index meta at {index!r}: {e}"}
+            if len(qvec) != meta["dim"]:
+                return {
+                    "ok": False,
+                    "error": f"vector dim {len(qvec)} != index dim {meta['dim']}",
+                }
+            probe = lambda: ann_probe_topk(  # noqa: E731
+                spark, index, qvec, k=k,
+                n_planes=meta["n_planes"], n_flip_bits=flip,
+            )
+        elif kind == "ivf":
+            from streamds_spark.operators.ivf import ivf_probe_topk, load_centroids
+
+            n_probe = req.get("n_probe", 2)
+            if not isinstance(n_probe, int) or not (1 <= n_probe <= 64):
+                return {"ok": False, "error": "n_probe must be an int in [1, 64]"}
+            try:
+                dim = len(load_centroids(index)[0])
+            except OSError as e:
+                return {"ok": False, "error": f"no centroids at {index!r}: {e}"}
+            if len(qvec) != dim:
+                return {
+                    "ok": False,
+                    "error": f"vector dim {len(qvec)} != index dim {dim}",
+                }
+            probe = lambda: ivf_probe_topk(  # noqa: E731
+                spark, index, qvec, k=k, n_probe=n_probe
+            )
+        else:
+            return {"ok": False, "error": f"unknown ann kind {kind!r}"}
         with scheduler_pool(spark, pool):
-            rows = ann_probe_topk(
-                spark,
-                index,
-                [float(x) for x in vec],
-                k=k,
-                n_planes=meta["n_planes"],
-                n_flip_bits=flip,
-            ).collect()
+            rows = probe().collect()
         return {
             "ok": True,
+            "kind": kind,
             "neighbors": [
                 {"vec_id": r["vec_id"], "label": r["label"], "cos_sim": r["cos_sim"]}
                 for r in rows

@@ -57,6 +57,45 @@ def test_ann_serving_round_trip(spark, tmp_path):
         server.server_close()
 
 
+def test_ivf_serving_round_trip(spark, tmp_path):
+    """kind='ivf': served neighbors equal a direct ivf_probe_topk call; the
+    scale-path index (coarse quantizer lists) behind the same endpoint."""
+    from streamds_spark.operators.ivf import build_ivf_index, ivf_probe_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    index = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, index, n_lists=8, max_iter=3)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    server = start_server(spark, SF)
+    host, port = server.server_address[:2]
+    try:
+        resp = request(
+            host, port,
+            {"cmd": "ann", "kind": "ivf", "index": index, "vector": qvec,
+             "k": 5, "n_probe": 3},
+        )
+        assert resp["ok"] and resp["kind"] == "ivf", resp
+        got = [(n["vec_id"], n["cos_sim"]) for n in resp["neighbors"]]
+        direct = [
+            (r["vec_id"], r["cos_sim"])
+            for r in ivf_probe_topk(spark, index, qvec, k=5, n_probe=3).collect()
+        ]
+        assert got == direct
+        assert got[0][0] == 0 and got[0][1] == 1.0  # self-match
+        assert not request(
+            host, port,
+            {"cmd": "ann", "kind": "ivf", "index": index, "vector": qvec,
+             "n_probe": 0},
+        )["ok"]
+        assert not request(
+            host, port,
+            {"cmd": "ann", "kind": "nope", "index": index, "vector": qvec},
+        )["ok"]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_probe_still_prunes_partitions(spark, tmp_path):
     """The serving path must keep the PartitionFilters pruning the index was
     built for — read the probe plan, not all buckets."""
