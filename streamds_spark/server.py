@@ -17,6 +17,14 @@ Protocol (one JSON object per line, response is one JSON line):
   {"query": "<name>", "sf_dir": "...", "limit": N}
       -> {"ok": true, "query": ..., "columns": [...], "rows": [[...], ...],
           "n_rows": N, "truncated": bool}
+  {"query": "<name>", "explain": true} -> plan text + exchange/window facts
+  {"query": "<name>", "lineage": true} -> per-output-column source columns
+  {"sql": "SELECT ...", "limit": N}    -> read-only SQL over the table views
+                                          (SELECT/WITH/VALUES only)
+  {"cmd": "ann", "index": dir, "vector": [...], "k": N,
+   "kind": "lsh"|"ivf", "flip_bits"/"n_probe": M}
+      -> {"ok": true, "neighbors": [{vec_id, label, cos_sim}, ...]}
+         (reads ONLY the probe's index partitions)
   anything else / failures             -> {"ok": false, "error": "..."}
 
 Scale discipline: the server NEVER collects an unbounded result — it
