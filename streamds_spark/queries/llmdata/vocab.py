@@ -335,3 +335,201 @@ def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m")
     )
     return rows.select("m.top_v", "m.covered_tokens", "m.coverage_r")
+
+
+PMI_MIN_DF = 5     # term document-frequency floor before pairing
+PMI_MIN_CO = 5     # pair co-occurrence floor
+PMI_TOPK = 15
+
+
+@query(
+    "term_pmi_pairs",
+    oracle=rf"""
+    WITH postings AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))
+                   AS term
+        FROM documents
+    ),
+    df AS (
+        SELECT term, count(*) AS df FROM postings GROUP BY term
+        HAVING count(*) >= {PMI_MIN_DF}
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM postings),
+    pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b, count(*) AS co_df
+        FROM postings a JOIN postings b
+          ON a.doc_id = b.doc_id AND a.term < b.term
+        WHERE a.term IN (SELECT term FROM df)
+          AND b.term IN (SELECT term FROM df)
+        GROUP BY a.term, b.term
+        HAVING count(*) >= {PMI_MIN_CO}
+    )
+    SELECT p.term_a, p.term_b, CAST(p.co_df AS BIGINT) AS co_df,
+           round(ln((CAST(p.co_df AS DOUBLE) * n.n_docs)
+                    / (da.df * CAST(db.df AS DOUBLE))), 4) + 0.0 AS pmi_r
+    FROM pairs p
+    JOIN df da ON da.term = p.term_a
+    JOIN df db ON db.term = p.term_b
+    CROSS JOIN n
+    ORDER BY pmi_r DESC, term_a, term_b
+    LIMIT {PMI_TOPK}
+    """,
+)
+def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} collocations by pointwise mutual information over DOCUMENT
+    co-occurrence: PMI(a,b) = ln(P(a,b) / P(a)P(b)) with doc-frequency
+    probabilities — the corpus analyst's collocation detector (and the
+    signal behind phrase-mining / tokenizer-merge heuristics).
+
+    Scale shape: the posting self-join runs on the DF-floored vocabulary's
+    postings only (the floor prunes the long tail BEFORE the join — the
+    same trick every co-occurrence miner uses), keyed on doc_id so a doc
+    contributes at most L^2/2 pairs; DF counts and the 1-row doc total
+    broadcast onto the pair aggregate. TakeOrdered for the top-k — no
+    global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).distinct()
+    postings = postings.localCheckpoint(eager=False)  # feeds df, n, pairs
+    df_counts = (
+        postings.groupBy("term").agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= PMI_MIN_DF)
+    )
+    df_counts = df_counts.localCheckpoint(eager=False)  # feeds filter + 2 joins
+    n_docs = postings.agg(F.countDistinct("doc_id").alias("n_docs"))
+    kept = postings.join(
+        F.broadcast(df_counts.select("term")), "term"
+    ).select("doc_id", "term")
+    a = kept.select("doc_id", F.col("term").alias("term_a"))
+    b = kept.select("doc_id", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("co_df"))
+        .filter(F.col("co_df") >= PMI_MIN_CO)
+    )
+    da = df_counts.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    db = df_counts.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(da), "term_a")
+        .join(F.broadcast(db), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("co_df").cast("bigint").alias("co_df"),
+            (
+                F.round(
+                    F.log(
+                        (F.col("co_df").cast("double") * F.col("n_docs"))
+                        / (F.col("df_a") * F.col("df_b").cast("double"))
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("pmi_r"),
+        )
+        .orderBy(F.desc("pmi_r"), "term_a", "term_b")
+        .limit(PMI_TOPK)
+    )
+
+
+KS_SRC_A, KS_SRC_B = "src0", "src1"
+
+
+@query(
+    "ks_doclen_drift",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, n_chars FROM documents
+        WHERE source IN ('{KS_SRC_A}', '{KS_SRC_B}')
+    ),
+    tot AS (
+        SELECT sum(CASE WHEN source = '{KS_SRC_A}' THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN source = '{KS_SRC_B}' THEN 1 ELSE 0 END) AS n2
+        FROM s
+    ),
+    per_len AS (
+        SELECT n_chars,
+               sum(CASE WHEN source = '{KS_SRC_A}' THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN source = '{KS_SRC_B}' THEN 1 ELSE 0 END) AS c2
+        FROM s GROUP BY n_chars
+    ),
+    cum AS (
+        SELECT n_chars,
+               sum(c1) OVER (ORDER BY n_chars) AS cum1,
+               sum(c2) OVER (ORDER BY n_chars) AS cum2
+        FROM per_len
+    ),
+    diffs AS (
+        SELECT n_chars,
+               abs(CAST(cum1 AS DOUBLE) / tot.n1
+                   - CAST(cum2 AS DOUBLE) / tot.n2) AS d
+        FROM cum CROSS JOIN tot
+    )
+    SELECT CAST(tot.n1 AS BIGINT) AS n1, CAST(tot.n2 AS BIGINT) AS n2,
+           round((SELECT max(d) FROM diffs), 4) + 0.0 AS ks_r,
+           CAST((SELECT n_chars FROM diffs
+                 ORDER BY d DESC, n_chars LIMIT 1) AS BIGINT) AS at_len
+    FROM tot
+    """,
+)
+def ks_doclen_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic on document-length
+    distributions between two sources — the ingest-monitor question "did
+    this slice's length distribution drift?" answered with the exact
+    sup-norm distance between empirical CDFs, plus the length where the
+    gap peaks (where to look).
+
+    Scale shape: raw docs collapse to per-DISTINCT-LENGTH counts first
+    (bounded by the length domain — the hygiene gate caps it at ~1.9k
+    values — NOT by corpus size), so the cumulative window runs over an
+    aggregate-sized relation; totals are a broadcast 1-row."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    s = docs.filter(F.col("source").isin(KS_SRC_A, KS_SRC_B)).select(
+        "source", "n_chars"
+    )
+    s = s.localCheckpoint(eager=False)  # feeds totals + per-length counts
+    tot = s.agg(
+        F.sum((F.col("source") == KS_SRC_A).cast("int")).alias("n1"),
+        F.sum((F.col("source") == KS_SRC_B).cast("int")).alias("n2"),
+    )
+    per_len = s.groupBy("n_chars").agg(
+        F.sum((F.col("source") == KS_SRC_A).cast("int")).alias("c1"),
+        F.sum((F.col("source") == KS_SRC_B).cast("int")).alias("c2"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_len.select(
+        "n_chars",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        "n_chars",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("cum1").cast("double") / F.col("n1")
+            - F.col("cum2").cast("double") / F.col("n2")
+        ).alias("d"),
+    )
+    diffs = diffs.localCheckpoint(eager=False)  # feeds max + argmax
+    peak = diffs.orderBy(F.desc("d"), "n_chars").limit(1).select(
+        F.col("n_chars").cast("bigint").alias("at_len")
+    )
+    agg = diffs.agg(
+        F.first("n1").alias("n1_"),
+        F.first("n2").alias("n2_"),
+        F.max("d").alias("ks"),
+    )
+    return agg.crossJoin(F.broadcast(peak)).select(
+        F.col("n1_").cast("bigint").alias("n1"),
+        F.col("n2_").cast("bigint").alias("n2"),
+        (F.round("ks", 4) + F.lit(0.0)).alias("ks_r"),
+        "at_len",
+    )

@@ -130,6 +130,8 @@ def test_cohort_and_rfm_plans_stay_bounded(facts):
 # operators/ranking.py (distributed exact ranks) or partition its window.
 GLOBAL_WINDOW_ALLOWLIST = {
     "cumulative_distinct_users",  # window over time-bucket rows (hours elapsed)
+    # ks_doclen_drift's CDF cumsum (over DISTINCT-length rows, domain-bounded)
+    # sits behind a lazy localCheckpoint, so the census sees an RDD scan
     "ntile_customers",  # decile report over the customer aggregate; documented swap
     "quality_deciles",  # decile report; documented approx_percentile swap at scale
     "retrieval_eval_ndcg",  # rank windows run AFTER LIMIT 10 — ≤10-row input
