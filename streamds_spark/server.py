@@ -25,6 +25,8 @@ Protocol (one JSON object per line, response is one JSON line):
    "kind": "lsh"|"ivf", "flip_bits"/"n_probe": M}
       -> {"ok": true, "neighbors": [{vec_id, label, cos_sim}, ...]}
          (reads ONLY the probe's index partitions)
+  {"cmd": "status"}                    -> uptime + per-kind served/error
+                                          counters
   anything else / failures             -> {"ok": false, "error": "..."}
 
 Scale discipline: the server NEVER collects an unbounded result — it
@@ -40,6 +42,7 @@ import json
 import socket
 import socketserver
 import threading
+import time as _time
 from typing import Any
 
 from streamds_spark.registry import load_all
@@ -209,6 +212,22 @@ def _run_request(spark, default_sf_dir: str, req: dict, pool: str) -> dict:
     }
 
 
+def _req_kind(req: dict) -> str:
+    if not isinstance(req, dict):
+        return "invalid"
+    if isinstance(req.get("cmd"), str):
+        return req["cmd"]
+    if isinstance(req.get("sql"), str):
+        return "sql"
+    if req.get("lineage"):
+        return "lineage"
+    if req.get("explain"):
+        return "explain"
+    if isinstance(req.get("query"), str):
+        return "query"
+    return "invalid"
+
+
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:  # one connection = one tenant session
         server: QueryServer = self.server  # type: ignore[assignment]
@@ -220,11 +239,21 @@ class _Handler(socketserver.StreamRequestHandler):
             line = line.strip()
             if not line:
                 continue
+            kind = "invalid"
             try:
                 req = json.loads(line)
-                resp = _run_request(server.spark, server.sf_dir, req, pool)
+                kind = _req_kind(req)
+                if kind == "status":
+                    # operational heartbeat: uptime + per-kind served/error
+                    # counters (the reference leader prints per-query
+                    # latency/counts to console; this is that signal as a
+                    # queryable endpoint)
+                    resp = {"ok": True, "status": server.status()}
+                else:
+                    resp = _run_request(server.spark, server.sf_dir, req, pool)
             except Exception as e:  # noqa: BLE001 — protocol boundary
                 resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+            server.note(kind, bool(resp.get("ok")))
             try:
                 self.wfile.write(
                     (json.dumps(resp, default=str) + "\n").encode("utf-8")
@@ -243,7 +272,25 @@ class QueryServer(socketserver.ThreadingTCPServer):
     def __init__(self, spark, sf_dir: str, host: str = "127.0.0.1", port: int = 0):
         self.spark = spark
         self.sf_dir = sf_dir
+        self._t0 = _time.time()
+        self._stats_lock = threading.Lock()
+        self._served: dict[str, int] = {}
+        self._errors = 0
         super().__init__((host, port), _Handler)
+
+    def note(self, kind: str, ok: bool) -> None:
+        with self._stats_lock:
+            self._served[kind] = self._served.get(kind, 0) + 1
+            if not ok:
+                self._errors += 1
+
+    def status(self) -> dict:
+        with self._stats_lock:
+            return {
+                "uptime_s": round(_time.time() - self._t0, 1),
+                "served": dict(sorted(self._served.items())),
+                "errors": self._errors,
+            }
 
 
 def start_server(

@@ -137,6 +137,28 @@ def test_truncation_and_error_contract(spark):
         server.server_close()
 
 
+def test_status_counters(spark):
+    """status: uptime + per-kind served/error counters accumulate across
+    clients (the reference leader's console reporting as an endpoint)."""
+    server, host, port = _start(spark)
+    try:
+        request(host, port, {"cmd": "ping"})
+        request(host, port, {"query": "distinct_values"})
+        request(host, port, {"query": "no_such_query"})
+        request(host, port, {"sql": "SELECT 1 AS a"})
+        st = request(host, port, {"cmd": "status"})
+        assert st["ok"]
+        s = st["status"]
+        assert s["uptime_s"] >= 0
+        assert s["served"]["ping"] == 1
+        assert s["served"]["query"] == 2  # incl. the unknown-query error
+        assert s["served"]["sql"] == 1
+        assert s["errors"] == 1
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_eight_client_mixed_soak(spark):
     """8 concurrent clients, 3 rounds each, mixed request types (rows,
     explain, lineage, list) — zero errors, every answer correct for ITS
