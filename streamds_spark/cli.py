@@ -249,6 +249,11 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--threshold", type=float, default=0.7, help="near-dup Jaccard")
     pp.add_argument("--block-tokens", type=int, default=1024)
     pp.add_argument("--shards", type=int, default=8)
+    pp.add_argument(
+        "--resume", action="store_true",
+        help="reuse existing committed stage outputs (_SUCCESS present) "
+        "instead of recomputing them",
+    )
 
     ln = sub.add_parser(
         "lineage",
@@ -664,6 +669,7 @@ def main(argv: list[str] | None = None) -> int:
             threshold=args.threshold,
             block_tokens=args.block_tokens,
             n_shards=args.shards,
+            resume=args.resume,
         )
         print("manifest:" + _json.dumps(manifest))
     elif args.cmd == "lineage":

@@ -95,33 +95,50 @@ def prepare_corpus(
     n_shards: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    resume: bool = False,
 ) -> dict:
-    """Run the full preparation; returns (and writes) the stage manifest."""
+    """Run the full preparation; returns (and writes) the stage manifest.
+
+    With resume=True, any stage whose output parquet already exists (with a
+    _SUCCESS marker — torn outputs are recomputed) is READ instead of
+    recomputed: restart a failed 100 TB run at the stage that died without
+    paying for upstream again. The tokenizer/pack stages always rerun —
+    they are downstream of whatever changed, and the tokenizer artifact is
+    cheap relative to the corpus stages."""
     from streamds_spark.operators.dedup_pipeline import dedup_corpus
     from streamds_spark.queries.llmdata.corpus import pipeline_gate
+
+    def _done(stage_path: str) -> bool:
+        return resume and os.path.exists(os.path.join(stage_path, "_SUCCESS"))
+
+    def _stage(stage_path: str, compute) -> DataFrame:
+        if not _done(stage_path):
+            compute().write.mode("overwrite").parquet(stage_path)
+        return spark.read.parquet(stage_path)
 
     docs = spark.read.parquet(src)
     if "n_chars" not in docs.columns:
         docs = docs.withColumn("n_chars", F.length(text_col).cast("bigint"))
     manifest: dict = {"input_docs": docs.count()}
 
-    gated = pipeline_gate(docs)
-    gated.write.mode("overwrite").parquet(f"{out_dir}/01_gated.parquet")
-    gated = spark.read.parquet(f"{out_dir}/01_gated.parquet")
+    gated = _stage(f"{out_dir}/01_gated.parquet", lambda: pipeline_gate(docs))
     manifest["gated_docs"] = gated.count()
 
-    kept, _dropped = dedup_corpus(
-        gated, threshold=threshold, id_col=id_col, text_col=text_col
+    kept = _stage(
+        f"{out_dir}/02_deduped.parquet",
+        lambda: dedup_corpus(
+            gated, threshold=threshold, id_col=id_col, text_col=text_col
+        )[0],
     )
-    kept.write.mode("overwrite").parquet(f"{out_dir}/02_deduped.parquet")
-    kept = spark.read.parquet(f"{out_dir}/02_deduped.parquet")
     manifest["deduped_docs"] = kept.count()
 
     if benchmark is not None:
-        bench = spark.read.parquet(benchmark)
-        clean = _decontaminate(kept, bench, id_col, text_col)
-        clean.write.mode("overwrite").parquet(f"{out_dir}/03_clean.parquet")
-        clean = spark.read.parquet(f"{out_dir}/03_clean.parquet")
+        clean = _stage(
+            f"{out_dir}/03_clean.parquet",
+            lambda: _decontaminate(
+                kept, spark.read.parquet(benchmark), id_col, text_col
+            ),
+        )
         manifest["clean_docs"] = clean.count()
     else:
         clean = kept

@@ -65,6 +65,42 @@ def test_prepare_end_to_end(spark, tmp_path):
     assert model["algo"] == "bpe" and model["merges"]
 
 
+def test_resume_skips_completed_stages(spark, tmp_path):
+    """resume=True reads existing stage outputs instead of recomputing:
+    upstream stage files keep their mtimes, a deleted downstream stage is
+    rebuilt, and the manifest is unchanged."""
+    import os
+
+    src = str(tmp_path / "raw")
+    out = str(tmp_path / "out")
+    _mk_docs(spark, src, n=12)
+    m1 = prepare_corpus(spark, src, out, merges=20, block_tokens=64, n_shards=2)
+
+    def _mtimes(stage):
+        d = f"{out}/{stage}"
+        return {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+
+    gated_before = _mtimes("01_gated.parquet")
+    # kill the dedup stage output; resume must rebuild IT but not the gate
+    import shutil
+
+    shutil.rmtree(f"{out}/02_deduped.parquet")
+    m2 = prepare_corpus(
+        spark, src, out, merges=20, block_tokens=64, n_shards=2, resume=True
+    )
+    assert m2 == m1
+    assert _mtimes("01_gated.parquet") == gated_before  # untouched
+    # torn stage (no _SUCCESS) is recomputed, not trusted
+    os.remove(f"{out}/02_deduped.parquet/_SUCCESS")
+    before = _mtimes("01_gated.parquet")
+    m3 = prepare_corpus(
+        spark, src, out, merges=20, block_tokens=64, n_shards=2, resume=True
+    )
+    assert m3 == m1
+    assert _mtimes("01_gated.parquet") == before
+    assert os.path.exists(f"{out}/02_deduped.parquet/_SUCCESS")
+
+
 def test_pack_budget_invariant(spark):
     """Start-offset packing: a pack may overshoot the budget by at most one
     document; packs within a shard are contiguous starting at 0."""
