@@ -44,8 +44,11 @@ from pyspark.sql import functions as F
 
 def create(spark: SparkSession, path: str) -> None:
     """CREATE: initialize an empty log dir (idempotent like the reference's
-    createfile + overwrite-on-create)."""
+    createfile + overwrite-on-create). The `_APPENDLOG` marker tags the dir
+    as this layout so tooling (resultcache) can recognize log-backed reads
+    without guessing from path shapes."""
     os.makedirs(os.path.join(path, "chunks"), exist_ok=True)
+    open(os.path.join(path, "_APPENDLOG"), "w").close()
 
 
 def append(df: DataFrame, path: str, client_id: str) -> None:
@@ -104,16 +107,16 @@ def append_batch_txn(df: DataFrame, path: str, client_id: str, batch_id: int) ->
     attempt = f".txn-{client_id}-{seq:09d}-{uuid.uuid4().hex[:8]}"
     chunk.write.mode("overwrite").parquet(os.path.join(chunks_root, attempt))
     ptr = os.path.join(chunks_root, f"txnptr-{client_id}-{seq:09d}")
-    old_attempt = None
-    if os.path.exists(ptr):
-        with open(ptr) as f:
-            old_attempt = f.read().strip()
     tmp = ptr + f".tmp-{uuid.uuid4().hex[:6]}"
     with open(tmp, "w") as f:
         f.write(attempt)
     os.replace(tmp, ptr)  # commit point
-    if old_attempt and old_attempt != attempt:
-        shutil.rmtree(os.path.join(chunks_root, old_attempt), ignore_errors=True)
+    # The superseded attempt dir (if any) is NOT reclaimed here: a concurrent
+    # reader that already resolved the pointer to the old attempt may not have
+    # opened its files yet (Spark lists lazily), and deleting at commit time
+    # reopens exactly the visibility race this variant exists to close. The
+    # old dir is unreachable through the pointer from now on; merge() — the
+    # single-writer maintenance pass — reclaims superseded attempts.
 
 
 def _txn_pointers(chunks_root: str) -> list[tuple[str, str]]:
@@ -196,20 +199,71 @@ def _live_chunk_files(path: str, gen_dir: str | None) -> list[str]:
 
 def get(spark: SparkSession, path: str) -> DataFrame:
     """GET: full view with per-client ordering columns (_client, _seq) —
-    the live generation (if any) plus chunks appended since it was cut."""
+    the live generation (if any) plus chunks appended since it was cut.
+
+    ONE parquet relation over the explicit file list (not a union of
+    generation ∪ chunks): all files share the schema by construction (the
+    generation is merged chunks), and the single-relation plan keeps the
+    query SHAPE identical before and after a merge — which is what lets the
+    result cache recognize a post-compaction read as the same logical query
+    (resultcache keys log-backed scans on the logical manifest, not file
+    stats)."""
     gen_dir = _current_generation(path)
-    chunks = _live_chunk_files(path, gen_dir)
-    parts = []
+    files = list(_live_chunk_files(path, gen_dir))
     if gen_dir is not None:
-        parts.append(spark.read.parquet(os.path.join(gen_dir, "data")))
-    if chunks:
-        parts.append(spark.read.parquet(*chunks))
-    if not parts:  # empty log: preserve the pre-generations error behavior
+        files.extend(_glob.glob(os.path.join(gen_dir, "data", "*.parquet")))
+    if not files:  # empty log: preserve the pre-generations error behavior
         return spark.read.parquet(os.path.join(path, "chunks"))
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
-    return df
+    return spark.read.parquet(*sorted(files))
+
+
+def file_logical_identity(file_path: str) -> tuple[str, list[str]] | None:
+    """Map a physical file inside an append-log to (log root, logical batch
+    identities) — the content key that is INVARIANT under merge/compaction:
+
+      chunks/<file>                      → its path relative to chunks/
+      chunks/<batchdir>/<file>           → 'dir:<batchdir>'
+      chunks/.txn-<c>-<seq>-<uuid>/<f>   → 'txn:txnptr-<c>-<seq>'
+      generations/<g>/data/<file>        → that generation's manifest lines
+                                           (the chunks it folded in — a
+                                           generation is immutable, so its
+                                           manifest IS its content)
+
+    merge() moves live-chunk identities verbatim into the new generation's
+    manifest, so the UNION of identities across a log's read set is equal
+    before and after a merge — and gains a member on any genuine append.
+    Returns None for paths that are not inside a marker-tagged (_APPENDLOG)
+    log, so callers fall back to stat-based keys for ordinary parquet."""
+    p = file_path[len("file:") :] if file_path.startswith("file:") else file_path
+    parts = p.split(os.sep)
+    for marker in ("chunks", "generations"):
+        if marker not in parts[:-1]:
+            continue
+        i = len(parts) - 2 - parts[-2::-1].index(marker)  # last dir occurrence
+        root = os.sep.join(parts[:i])
+        if not os.path.exists(os.path.join(root, "_APPENDLOG")):
+            continue
+        if marker == "chunks":
+            rel = os.sep.join(parts[i + 1 :])
+            parent = os.path.dirname(rel)
+            if parent.startswith(".txn-"):
+                client_seq = parent[len(".txn-") :].rsplit("-", 1)[0]
+                return root, ["txn:txnptr-" + client_seq]
+            if parent:
+                return root, ["dir:" + parent]
+            return root, [rel]
+        # generations/<g>/data/<file>
+        if len(parts) < i + 4 or parts[i + 2] != "data":
+            continue
+        gen = parts[i + 1]
+        manifest = os.path.join(root, "generations", gen, "merged_chunks.txt")
+        try:
+            with open(manifest) as f:
+                entries = sorted({line.strip() for line in f if line.strip()})
+        except OSError:
+            entries = []
+        return root, entries or ["gen:" + gen]
+    return None
 
 
 def merge(spark: SparkSession, path: str, keep_generations: int = 2) -> None:
@@ -229,6 +283,7 @@ def merge(spark: SparkSession, path: str, keep_generations: int = 2) -> None:
     """
     old_gen = _current_generation(path)
     snapshot = _live_chunk_files(path, old_gen)
+    open(os.path.join(path, "_APPENDLOG"), "w").close()  # upgrade pre-marker logs
 
     gen = f"g-{time.monotonic_ns()}"
     gen_dir = os.path.join(path, "generations", gen)
@@ -293,6 +348,12 @@ def merge(spark: SparkSession, path: str, keep_generations: int = 2) -> None:
             pass
     for d in subsumed_dirs:
         shutil.rmtree(os.path.join(chunks_root, d), ignore_errors=True)
+    ptr_target: dict[str, str] = {}
+    for ptr in _glob.glob(os.path.join(chunks_root, "txnptr-*")):
+        if ".tmp-" in os.path.basename(ptr):
+            continue
+        with open(ptr) as f:
+            ptr_target[os.path.basename(ptr)] = f.read().strip()
     for ptr_name, attempt_dir in _txn_pointers(chunks_root):
         if ptr_name in subsumed_txn:
             shutil.rmtree(attempt_dir, ignore_errors=True)
@@ -300,6 +361,18 @@ def merge(spark: SparkSession, path: str, keep_generations: int = 2) -> None:
                 os.remove(os.path.join(chunks_root, ptr_name))
             except OSError:
                 pass
+    # superseded txn attempts: a replay swung its pointer to a new attempt and
+    # left the old dir behind (append_batch_txn defers reclaim to THIS
+    # single-writer pass so commit never races a reader). Reclaim an attempt
+    # when its pointer targets a different dir OR the whole batch was just
+    # folded into the generation; an attempt with NO pointer ever recorded is
+    # a commit in flight — kept.
+    for d in _glob.glob(os.path.join(chunks_root, ".txn-*")):
+        name = os.path.basename(d)
+        ptr_name = "txnptr-" + name[len(".txn-") :].rsplit("-", 1)[0]
+        tgt = ptr_target.get(ptr_name)
+        if (tgt is not None and tgt != name) or ptr_name in subsumed_txn:
+            shutil.rmtree(d, ignore_errors=True)
     for stale in list_generations(path)[: -max(1, keep_generations)]:
         shutil.rmtree(os.path.join(path, "generations", stale), ignore_errors=True)
     for marker in os.listdir(path):

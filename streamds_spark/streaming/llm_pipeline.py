@@ -382,6 +382,13 @@ def chunk_sharing_report(spark: SparkSession, work_dir: str) -> DataFrame:
     across store compaction."""
     paths = CorpusStreamPaths(work_dir)
     dirs = _committed_store_dirs(paths.chunk_store, 2**62)
+    if not dirs:
+        # pre-chunk_store work dir or nothing committed yet: an empty report,
+        # not a read error (same guard shape as _corpus_buckets)
+        return spark.createDataFrame(
+            [],
+            "doc_id bigint, n_chunks bigint, n_shared bigint, shared_ratio double",
+        )
     chunks = spark.read.parquet(*dirs).localCheckpoint(eager=False)
     sharing = chunks.groupBy(F.col("chunk_hash").alias("h")).agg(
         F.countDistinct("doc_id").alias("nd")

@@ -290,3 +290,50 @@ def test_generation_retention_gc(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         appendlog.get_at(spark, path, "g-0")
+
+
+def test_txn_superseded_attempt_deferred_to_merge(spark, tmp_path):
+    """A replayed txn batch leaves its superseded attempt dir on disk (commit
+    never deletes — a concurrent reader may still hold the old resolution);
+    merge(), the single-writer maintenance pass, reclaims it."""
+    path = str(tmp_path / "log")
+    appendlog.create(spark, path)
+    appendlog.append_batch_txn(
+        spark.createDataFrame([("old",)], ["line"]), path, "c", 0
+    )
+    appendlog.append_batch_txn(
+        spark.createDataFrame([("new1",), ("new2",)], ["line"]), path, "c", 0
+    )
+    attempts = _glob.glob(str(tmp_path / "log" / "chunks" / ".txn-c-*"))
+    assert len(attempts) == 2  # superseded attempt retained at commit time
+    # readers resolve the pointer: only the replayed content is visible
+    assert sorted(r["line"] for r in appendlog.get(spark, path).collect()) == [
+        "new1",
+        "new2",
+    ]
+    appendlog.merge(spark, path)
+    assert _glob.glob(str(tmp_path / "log" / "chunks" / ".txn-c-*")) == []
+    assert sorted(r["line"] for r in appendlog.get(spark, path).collect()) == [
+        "new1",
+        "new2",
+    ]
+
+
+def test_txn_inflight_attempt_survives_merge(spark, tmp_path):
+    """An attempt dir with no committed pointer (a commit in flight) must NOT
+    be reclaimed by merge."""
+    import os
+
+    path = str(tmp_path / "log")
+    appendlog.create(spark, path)
+    appendlog.append_batch_txn(
+        spark.createDataFrame([("a",)], ["line"]), path, "c", 0
+    )
+    # simulate a writer that has landed its attempt but not yet swung the
+    # pointer: a bare attempt dir with no txnptr
+    inflight = str(tmp_path / "log" / "chunks" / ".txn-d-000000007-deadbeef")
+    spark.createDataFrame([("pending",)], ["line"]).write.parquet(inflight)
+    appendlog.merge(spark, path)
+    assert os.path.isdir(inflight)  # kept: its commit may still land
+    # and it stays invisible to readers until its pointer commits
+    assert sorted(r["line"] for r in appendlog.get(spark, path).collect()) == ["a"]

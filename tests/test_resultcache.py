@@ -75,3 +75,91 @@ def test_fingerprint_is_session_stable_and_column_sensitive(spark):
     )
     fp3, _ = plan_fingerprint(other)
     assert fp3 != fp1
+
+
+def test_nondeterministic_plans_never_cached(spark, tmp_path):
+    """A plan whose value depends on run time / randomness / placement would
+    canonicalize identically tomorrow over unchanged files — it must compute
+    fresh every call (cacheable=False), while an equivalent deterministic
+    query still caches."""
+    import os
+
+    from streamds_spark.io.resultcache import nondeterministic_classes
+
+    cache = str(tmp_path / "cache")
+    src = f"{SF}/orders.parquet"
+    base = spark.read.parquet(src)
+    nondet_cols = [
+        F.current_date(),
+        F.current_timestamp(),
+        F.rand(42),  # seeded rand is still partition-layout-dependent
+        F.expr("uuid()"),
+        F.monotonically_increasing_id(),
+        F.input_file_name(),
+    ]
+    for col in nondet_cols:
+        df = base.select(F.col("o_orderkey"), col.alias("c"))
+        fp, cacheable = plan_fingerprint(df)
+        assert not cacheable, f"{col} should be uncacheable"
+        r = cached(df, cache)
+        assert not r.hit and not r.cacheable
+        r2 = cached(df, cache)  # and is NEVER served from cache
+        assert not r2.hit and not r2.cacheable
+    assert not os.path.exists(cache)  # nothing was materialized
+    assert nondeterministic_classes(
+        base.select(F.current_date().alias("d"))
+    ) == {"CurrentDate"}
+    # the equivalent deterministic query still hits
+    det = base.select(
+        "o_orderkey", F.lit("2026-08-14").cast("date").alias("c")
+    )
+    first = cached(det, cache)
+    assert first.cacheable and not first.hit
+    assert cached(det, cache).hit
+    # a column merely NAMED like a nondeterministic fn does not false-positive
+    named = base.select(F.col("o_orderkey").alias("rand"))
+    assert plan_fingerprint(named)[1]
+
+
+def test_appendlog_manifest_keying_survives_compaction(spark, tmp_path):
+    """Log-backed reads are keyed on the log's logical batch identities, so
+    compaction (which rewrites every physical file) keeps the cache warm,
+    while a genuine append invalidates."""
+    from streamds_spark.io import appendlog
+
+    log = str(tmp_path / "log")
+    cache = str(tmp_path / "cache")
+    appendlog.create(spark, log)
+    data = spark.createDataFrame(
+        [(i, f"v{i % 4}") for i in range(20)], "id int, v string"
+    )
+    appendlog.append_batch_txn(data, log, "c1", 0)
+    appendlog.append_batch_txn(data.filter("id >= 10"), log, "c1", 1)
+
+    def q():
+        return (
+            appendlog.get(spark, log)
+            .groupBy("v")
+            .agg(F.count("*").alias("n"))
+        )
+
+    a = cached(q(), cache)
+    assert a.cacheable and not a.hit
+    want = {(r["v"], r["n"]) for r in a.df.collect()}
+    assert cached(q(), cache).hit
+
+    appendlog.merge(spark, log)  # compaction: every physical file replaced
+    c = cached(q(), cache)
+    assert c.hit and c.fingerprint == a.fingerprint
+    assert {(r["v"], r["n"]) for r in c.df.collect()} == want
+
+    # a genuine append is a new logical batch -> miss, then warm again
+    appendlog.append_batch_txn(data.filter("id < 3"), log, "c1", 2)
+    d = cached(q(), cache)
+    assert not d.hit and d.fingerprint != a.fingerprint
+    assert cached(q(), cache).hit
+
+    # and the second compaction again keeps THAT entry warm
+    appendlog.merge(spark, log)
+    e = cached(q(), cache)
+    assert e.hit and e.fingerprint == d.fingerprint
