@@ -5,29 +5,51 @@ Reference parity: StreamDS is an *interactive, multi-tenant* system — the
 leader accepts client connections and serves concurrent grep / RainStorm
 sessions against the shared cluster (`distributed_log_querier/core_process/
 core_process.go:259-349` GREP request/response over TCP; session dispatch
-`core_process.go:455-478`). This module is that operational surface on
-Spark: a ThreadingTCPServer in front of ONE SparkSession, each connection
+and kill `core_process.go:455-478`). This module is that operational surface
+on Spark: a ThreadingTCPServer in front of ONE SparkSession, each connection
 running its requests under its own FAIR scheduler pool
 (`session.scheduler_pool`), so tenants share executor slots fairly instead
 of convoying FIFO behind each other.
 
 Protocol (one JSON object per line, response is one JSON line):
-  {"cmd": "list"}                      -> {"ok": true, "queries": [...]}
   {"cmd": "ping"}                      -> {"ok": true, "pong": true}
-  {"query": "<name>", "sf_dir": "...", "limit": N}
+  {"cmd": "list"}                      -> {"ok": true, "queries": [...]}
+  {"query": "<name>", "limit": N}
       -> {"ok": true, "query": ..., "columns": [...], "rows": [[...], ...],
           "n_rows": N, "truncated": bool}
   {"query": "<name>", "explain": true} -> plan text + exchange/window facts
   {"query": "<name>", "lineage": true} -> per-output-column source columns
   {"sql": "SELECT ...", "limit": N}    -> read-only SQL over the table views
-                                          (SELECT/WITH/VALUES only)
+                                          (parse-level guard: any Command /
+                                          INSERT anywhere in the statement is
+                                          refused; views are registered ONCE
+                                          at startup on the server's pinned
+                                          sf_dir — a per-request sf_dir that
+                                          differs is refused, never silently
+                                          re-registered under other tenants)
   {"cmd": "ann", "index": dir, "vector": [...], "k": N,
    "kind": "lsh"|"ivf", "flip_bits"/"n_probe": M}
       -> {"ok": true, "neighbors": [{vec_id, label, cos_sim}, ...]}
          (reads ONLY the probe's index partitions)
   {"cmd": "status"}                    -> uptime + per-kind served/error
-                                          counters
+                                          counters + in-flight count
+  {"cmd": "pipeline_status"}           -> progress of the attached streaming
+                                          ingest (per-query batch counts /
+                                          rates, checkpoint frontier, store
+                                          dir counts) — see attach_pipeline
+  {"cmd": "cancel", "tag": "..."}      -> cancel the in-flight request that
+                                          was submitted with that "tag"
   anything else / failures             -> {"ok": false, "error": "..."}
+
+Runaway-query control (reference leader parity — it can observe and kill a
+session): every data-bearing request runs under its own Spark job group
+(thread-scoped, like the FAIR pool). A watchdog timer cancels the group at
+the deadline (`timeout_s` per request, else the server default), and
+`{"cmd": "cancel"}` cancels by tag from any other connection. Cancellation
+interrupts the running tasks (`interruptOnCancel`) and fails fast any
+not-yet-submitted job of the same request, so executor slots come back
+immediately and the CONNECTION SURVIVES — the tenant gets
+`{"ok": false, "error": "timeout ..."}` and can issue the next request.
 
 Scale discipline: the server NEVER collects an unbounded result — it
 collects `limit + 1` rows (default 100, hard cap 10_000) and reports
@@ -43,6 +65,7 @@ import socket
 import socketserver
 import threading
 import time as _time
+import uuid
 from typing import Any
 
 from streamds_spark.registry import load_all
@@ -51,12 +74,46 @@ from streamds_spark.session import scheduler_pool
 DEFAULT_LIMIT = 100
 MAX_LIMIT = 10_000
 MAX_REQUEST_BYTES = 64 * 1024  # a request is one small JSON line, not data
+MAX_TIMEOUT_S = 3600.0
+
+# statement node names that mutate state but are NOT Command subclasses in
+# Catalyst's parsed tree (INSERT parses to a plain unary node)
+_MUTATING_NODES = frozenset({"InsertIntoStatement", "InsertIntoDir"})
 
 
 def _json_cell(v: Any) -> Any:
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return v
+
+
+def _reject_non_query(spark, sql: str) -> str | None:
+    """Parse-level read-only guard: returns a refusal message unless the
+    statement is a pure logical query plan. A first-keyword check is NOT
+    enough — Spark accepts CTE-prefixed mutations ('WITH t AS (...) INSERT
+    INTO ...'), so the whole parsed tree is walked and any Command node
+    (DDL/DML/SET/EXPLAIN/CACHE/...) or INSERT statement anywhere refuses the
+    request. Driver-side parse only — nothing is analyzed or executed."""
+    try:
+        plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)  # noqa: SLF001
+    except Exception as e:  # noqa: BLE001 — surface the parse error verbatim
+        return f"parse error: {str(e)[:500]}"
+    command_cls = spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+        "org.apache.spark.sql.catalyst.plans.logical.Command"
+    )
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if command_cls.isInstance(node) or name in _MUTATING_NODES:
+            return (
+                f"read-only server: {name} is not allowed "
+                "(only query statements are served)"
+            )
+        it = node.children().iterator()
+        while it.hasNext():
+            stack.append(it.next())
+    return None
 
 
 def _run_request(spark, default_sf_dir: str, req: dict, pool: str) -> dict:
@@ -66,24 +123,27 @@ def _run_request(spark, default_sf_dir: str, req: dict, pool: str) -> dict:
         return {"ok": True, "queries": sorted(load_all())}
     if isinstance(req.get("sql"), str):
         # raw read-only SQL over the TESTDATA views — the reference shell's
-        # SQL dialect served multi-tenant. Guard: SELECT/WITH only; Spark
-        # temp views are session-global, so registration is idempotent and
-        # shared (all tenants read the same sf_dir snapshot).
+        # SQL dialect served multi-tenant. Views are session-global and were
+        # registered ONCE at server start on the pinned sf_dir; accepting a
+        # per-request sf_dir here would createOrReplaceTempView under every
+        # concurrent tenant mid-query.
         sql = req["sql"].strip()
-        head = sql.lstrip("( \n\t").split(None, 1)
-        if not head or head[0].upper() not in ("SELECT", "WITH", "VALUES"):
+        err = _reject_non_query(spark, sql)
+        if err is not None:
+            return {"ok": False, "error": err}
+        if "sf_dir" in req and req["sf_dir"] != default_sf_dir:
             return {
                 "ok": False,
-                "error": "only SELECT/WITH/VALUES statements are served",
+                "error": (
+                    "sql is served on the server's pinned sf_dir "
+                    f"({default_sf_dir!r}); per-request sf_dir would swap the "
+                    "shared views under concurrent tenants"
+                ),
             }
         limit = req.get("limit", DEFAULT_LIMIT)
         if not isinstance(limit, int) or not (1 <= limit <= MAX_LIMIT):
             return {"ok": False, "error": f"limit must be an int in [1, {MAX_LIMIT}]"}
-        from streamds_spark.catalog import register_views
-
-        sf_dir = req.get("sf_dir", default_sf_dir)
         with scheduler_pool(spark, pool):
-            register_views(spark, sf_dir)
             df = spark.sql(sql)
             rows = df.limit(limit + 1).collect()
         truncated = len(rows) > limit
@@ -228,6 +288,10 @@ def _req_kind(req: dict) -> str:
     return "invalid"
 
 
+# request kinds answered from driver-side state only — no job group/watchdog
+_CONTROL_KINDS = frozenset({"ping", "list", "status", "pipeline_status", "cancel", "invalid"})
+
+
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:  # one connection = one tenant session
         server: QueryServer = self.server  # type: ignore[assignment]
@@ -249,8 +313,14 @@ class _Handler(socketserver.StreamRequestHandler):
                     # latency/counts to console; this is that signal as a
                     # queryable endpoint)
                     resp = {"ok": True, "status": server.status()}
-                else:
+                elif kind == "cancel":
+                    resp = server.cancel(req)
+                elif kind == "pipeline_status":
+                    resp = server.pipeline_status()
+                elif kind in _CONTROL_KINDS:
                     resp = _run_request(server.spark, server.sf_dir, req, pool)
+                else:
+                    resp = server.run_guarded(req, pool)
             except Exception as e:  # noqa: BLE001 — protocol boundary
                 resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
             server.note(kind, bool(resp.get("ok")))
@@ -269,15 +339,159 @@ class QueryServer(socketserver.ThreadingTCPServer):
     daemon_threads = True
     allow_reuse_address = True
 
-    def __init__(self, spark, sf_dir: str, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        spark,
+        sf_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        timeout_s: float | None = None,
+    ):
         self.spark = spark
         self.sf_dir = sf_dir
+        self.timeout_s = timeout_s  # default per-request deadline (None = off)
         self._t0 = _time.time()
         self._stats_lock = threading.Lock()
         self._served: dict[str, int] = {}
         self._errors = 0
+        self._req_n = 0
+        self._active: dict[str, tuple[str, dict]] = {}  # tag -> (group, state)
+        self._inflight = 0
+        self._pipeline: tuple[Any, str] | None = None
+        # the shared SQL views are registered ONCE here, on the pinned sf_dir:
+        # tenants all read the same snapshot, and no request path re-registers
+        from streamds_spark.catalog import register_views
+
+        register_views(spark, sf_dir)
         super().__init__((host, port), _Handler)
 
+    # -- runaway-query control ---------------------------------------------
+    def _cancel_group(self, group: str) -> None:
+        sc = self.spark.sparkContext
+        try:
+            # also fails fast jobs of this request not yet submitted
+            sc._jsc.sc().cancelJobGroupAndFutureJobs(group)  # noqa: SLF001
+        except Exception:  # noqa: BLE001 — older API surface
+            sc.cancelJobGroup(group)
+
+    def run_guarded(self, req: dict, pool: str) -> dict:
+        """Run one data-bearing request under its own job group with an
+        optional watchdog deadline. Thread-scoped like the FAIR pool: the
+        group id is attached to every job this thread submits."""
+        timeout_s = req.get("timeout_s", self.timeout_s)
+        if timeout_s is not None and not (
+            isinstance(timeout_s, (int, float)) and 0 < timeout_s <= MAX_TIMEOUT_S
+        ):
+            return {
+                "ok": False,
+                "error": f"timeout_s must be a number in (0, {MAX_TIMEOUT_S}]",
+            }
+        tag = req.get("tag")
+        if tag is not None and not isinstance(tag, str):
+            return {"ok": False, "error": "tag must be a string"}
+        sc = self.spark.sparkContext
+        with self._stats_lock:
+            self._req_n += 1
+            # globally unique (uuid): cancelJobGroupAndFutureJobs poisons a
+            # group id for the lifetime of the SparkContext, so ids must
+            # never be reused across requests OR server instances
+            group = f"streamds-req-{self._req_n}-{uuid.uuid4().hex[:8]}"
+            self._inflight += 1
+        state = {"timeout": False, "cancelled": False}
+        if tag is not None:
+            with self._stats_lock:
+                self._active[tag] = (group, state)
+        timer: threading.Timer | None = None
+        sc.setJobGroup(group, f"streamds-server {pool}", interruptOnCancel=True)
+        try:
+            if timeout_s is not None:
+
+                def _fire() -> None:
+                    state["timeout"] = True
+                    self._cancel_group(group)
+
+                timer = threading.Timer(float(timeout_s), _fire)
+                timer.daemon = True
+                timer.start()
+            return _run_request(self.spark, self.sf_dir, req, pool)
+        except Exception as e:  # noqa: BLE001
+            if state["timeout"]:
+                return {
+                    "ok": False,
+                    "error": f"timeout: cancelled after {timeout_s}s",
+                    "timeout": True,
+                }
+            if state["cancelled"]:
+                return {"ok": False, "error": "cancelled", "cancelled": True}
+            return {"ok": False, "error": f"{type(e).__name__}: {str(e)[:2000]}"}
+        finally:
+            if timer is not None:
+                timer.cancel()
+            for prop in (
+                "spark.jobGroup.id",
+                "spark.job.description",
+                "spark.job.interruptOnCancel",
+            ):
+                sc.setLocalProperty(prop, None)
+            with self._stats_lock:
+                self._inflight -= 1
+                if tag is not None and self._active.get(tag, (None,))[0] == group:
+                    del self._active[tag]
+
+    def cancel(self, req: dict) -> dict:
+        """Cancel an in-flight tagged request from any connection (the
+        reference leader's kill-session verb)."""
+        tag = req.get("tag")
+        if not isinstance(tag, str):
+            return {"ok": False, "error": "cancel needs 'tag' (string)"}
+        with self._stats_lock:
+            entry = self._active.get(tag)
+        if entry is None:
+            return {"ok": True, "cancelled": False, "tag": tag}
+        group, state = entry
+        state["cancelled"] = True
+        self._cancel_group(group)
+        return {"ok": True, "cancelled": True, "tag": tag}
+
+    # -- streaming-pipeline observability ----------------------------------
+    def attach_pipeline(self, capture, work_dir: str) -> None:
+        """Expose a running ingest pipeline over the socket: `capture` is a
+        streaming/metrics.ProgressCapture registered on this session, and
+        `work_dir` the llm_pipeline work dir (checkpoint + stores)."""
+        self._pipeline = (capture, work_dir)
+
+    def pipeline_status(self) -> dict:
+        if self._pipeline is None:
+            return {"ok": False, "error": "no pipeline attached to this server"}
+        from streamds_spark.streaming.llm_pipeline import (
+            CorpusStreamPaths,
+            _committed_store_dirs,
+            _durable_frontier,
+        )
+        from streamds_spark.streaming.metrics import throughput_report
+
+        capture, work_dir = self._pipeline
+        paths = CorpusStreamPaths(work_dir)
+        queries = {
+            qid: throughput_report(capture.progress(qid))
+            for qid in capture.query_ids()
+        }
+        stores = {
+            name: len(_committed_store_dirs(getattr(paths, name), 2**62))
+            for name in ("hash_store", "bucket_store", "chunk_store")
+        }
+        return {
+            "ok": True,
+            "pipeline": {
+                "work_dir": work_dir,
+                "queries": queries,
+                "durable_frontier": _durable_frontier(paths),
+                "committed_store_dirs": stores,
+                "terminated": dict(capture.terminated),
+            },
+        }
+
+    # -- counters -----------------------------------------------------------
     def note(self, kind: str, ok: bool) -> None:
         with self._stats_lock:
             self._served[kind] = self._served.get(kind, 0) + 1
@@ -290,15 +504,20 @@ class QueryServer(socketserver.ThreadingTCPServer):
                 "uptime_s": round(_time.time() - self._t0, 1),
                 "served": dict(sorted(self._served.items())),
                 "errors": self._errors,
+                "inflight": self._inflight,
             }
 
 
 def start_server(
-    spark, sf_dir: str, host: str = "127.0.0.1", port: int = 0
+    spark,
+    sf_dir: str,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    timeout_s: float | None = None,
 ) -> QueryServer:
     """Bind + serve in a daemon thread; returns the server (read the bound
     port from `server.server_address`, stop with `server.shutdown()`)."""
-    server = QueryServer(spark, sf_dir, host=host, port=port)
+    server = QueryServer(spark, sf_dir, host=host, port=port, timeout_s=timeout_s)
     t = threading.Thread(target=server.serve_forever, daemon=True, name="streamds-serve")
     t.start()
     return server

@@ -68,6 +68,12 @@ class ProgressCapture(StreamingQueryListener):
         with self._lock:
             return list(self._by_query.get(query_id, ()))
 
+    def query_ids(self) -> list[str]:
+        """Ids of every query that has reported at least one progress event
+        (the server's pipeline_status enumerates these)."""
+        with self._lock:
+            return list(self._by_query)
+
 
 def attach(spark, keep: int = DEFAULT_KEEP, jsonl_path: str | None = None) -> ProgressCapture:
     """Register a ProgressCapture on the session; returns it (detach with

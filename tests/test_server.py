@@ -244,3 +244,175 @@ def test_cli_serve_smoke(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+SLOW_SQL = (
+    "SELECT count(*) AS c FROM lineitem a CROSS JOIN lineitem b CROSS JOIN lineitem c"
+)
+
+
+def test_read_only_guard_is_parse_level(spark):
+    """The SQL guard walks the PARSED plan: CTE-prefixed mutations (which a
+    first-keyword check lets through) and every Command are refused; pure
+    queries — CTE or VALUES included — are served."""
+    server, host, port = _start(spark)
+    try:
+        rejected = [
+            "WITH t AS (SELECT 1 AS a) INSERT INTO orders SELECT * FROM t",
+            "WITH t AS (SELECT 1 AS a) INSERT OVERWRITE DIRECTORY '/tmp/nope' "
+            "USING parquet SELECT * FROM t",
+            "INSERT OVERWRITE DIRECTORY '/tmp/nope' USING parquet SELECT 1",
+            "SET spark.sql.shuffle.partitions=1",
+            "EXPLAIN SELECT 1",
+            "CACHE TABLE zz AS SELECT 1",
+            "DROP TABLE orders",
+            "CREATE TABLE zz(a INT) USING parquet",
+        ]
+        for sql in rejected:
+            resp = request(host, port, {"sql": sql})
+            assert not resp["ok"], sql
+            assert "read-only" in resp["error"] or "parse error" in resp["error"]
+        allowed = [
+            "WITH t AS (SELECT 1 AS a) SELECT * FROM t",
+            "VALUES (1), (2)",
+            "SELECT count(*) AS c FROM orders",
+        ]
+        for sql in allowed:
+            assert request(host, port, {"sql": sql})["ok"], sql
+        # the shared views are pinned to the server's sf_dir: a request naming
+        # a DIFFERENT sf_dir on the sql path is refused, never re-registered
+        other = request(
+            host, port,
+            {"sql": "SELECT 1 AS a", "sf_dir": "/root/testdata/sf0.01"},
+        )
+        assert not other["ok"] and "pinned" in other["error"]
+        same = request(host, port, {"sql": "SELECT 1 AS a", "sf_dir": SF})
+        assert same["ok"]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_timeout_cancels_runaway_query_and_server_survives(spark):
+    """A deliberately unbounded query (triple cross join) is cancelled at the
+    per-request deadline, the tenant gets a timeout error, and the NEXT
+    request on the same server completes normally."""
+    import time
+
+    server, host, port = _start(spark)
+    try:
+        t0 = time.time()
+        resp = request(host, port, {"sql": SLOW_SQL, "timeout_s": 2}, timeout=300)
+        wall = time.time() - t0
+        assert not resp["ok"] and resp.get("timeout") is True
+        assert "timeout" in resp["error"]
+        assert wall < 60, f"cancellation took {wall:.0f}s"
+        # executor slots are back: a normal request right after succeeds
+        ok = request(host, port, {"sql": "SELECT count(*) AS c FROM orders"})
+        assert ok["ok"]
+        named = request(host, port, {"query": "distinct_values"})
+        assert named["ok"]
+        # invalid timeout_s is refused up front
+        bad = request(host, port, {"query": "wordcount", "timeout_s": -1})
+        assert not bad["ok"] and "timeout_s" in bad["error"]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_cancel_verb_kills_tagged_request(spark):
+    """{"cmd": "cancel", "tag": ...} from a second connection cancels the
+    in-flight tagged request (the reference leader's kill-session verb)."""
+    import time
+
+    server, host, port = _start(spark)
+    results: dict[str, dict] = {}
+    try:
+        def runaway():
+            results["slow"] = request(
+                host, port, {"sql": SLOW_SQL, "tag": "runaway"}, timeout=300
+            )
+
+        t = threading.Thread(target=runaway)
+        t.start()
+        deadline = time.time() + 60
+        while "runaway" not in server._active and time.time() < deadline:
+            time.sleep(0.05)
+        assert "runaway" in server._active, "tagged request never registered"
+        time.sleep(0.5)  # let the job start submitting
+        c = request(host, port, {"cmd": "cancel", "tag": "runaway"})
+        assert c["ok"] and c["cancelled"] is True
+        t.join(timeout=60)
+        assert not t.is_alive(), "cancelled request did not return"
+        assert not results["slow"]["ok"]
+        assert results["slow"].get("cancelled") is True or results["slow"].get("timeout")
+        # unknown tag: ok, nothing cancelled
+        none = request(host, port, {"cmd": "cancel", "tag": "ghost"})
+        assert none["ok"] and none["cancelled"] is False
+        # server still healthy
+        assert request(host, port, {"sql": "SELECT 1 AS a"})["ok"]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_pipeline_status_over_socket(spark, tmp_path):
+    """The server can watch the RUNNING ingest pipeline (reference leader's
+    console relay): pipeline_status reports batch counts/frontier advancing
+    from nothing to drained."""
+    import time
+
+    from streamds_spark.streaming import metrics
+    from streamds_spark.streaming.llm_pipeline import run_llm_corpus_stream
+
+    src_dir, work_dir = str(tmp_path / "src"), str(tmp_path / "work")
+    _split_documents_files(src_dir, n_files=2)
+    capture = metrics.attach(spark)
+    server, host, port = _start(spark)
+    try:
+        before = request(host, port, {"cmd": "pipeline_status"})
+        assert not before["ok"]  # nothing attached yet
+        server.attach_pipeline(capture, work_dir)
+        st0 = request(host, port, {"cmd": "pipeline_status"})
+        assert st0["ok"] and st0["pipeline"]["durable_frontier"] == -1
+
+        q = run_llm_corpus_stream(spark, src_dir, work_dir)
+        q.awaitTermination(timeout=300)
+        assert not q.isActive
+        # listener delivery is async: poll briefly for the progress events
+        deadline = time.time() + 30
+        st = None
+        while time.time() < deadline:
+            st = request(host, port, {"cmd": "pipeline_status"})["pipeline"]
+            reports = [r for r in st["queries"].values() if r.get("n_batches", 0) >= 1]
+            if reports and st["durable_frontier"] >= 1:
+                break
+            time.sleep(0.5)
+        assert st is not None and st["durable_frontier"] >= 1
+        reports = [r for r in st["queries"].values() if r.get("n_batches", 0) >= 1]
+        assert reports and reports[0]["total_input_rows"] > 0
+        assert st["committed_store_dirs"]["hash_store"] >= 1
+        assert st["committed_store_dirs"]["chunk_store"] >= 1
+    finally:
+        spark.streams.removeListener(capture)
+        server.shutdown()
+        server.server_close()
+
+
+def _split_documents_files(src_dir: str, n_files: int = 2) -> None:
+    """documents.parquet split into n files with ascending mtimes (one file
+    per trigger)."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(SF, "documents.parquet")).sort_by("doc_id")
+    n = tbl.num_rows
+    os.makedirs(src_dir, exist_ok=True)
+    now = time.time()
+    for i in range(n_files):
+        part = tbl.slice(i * n // n_files, (i + 1) * n // n_files - i * n // n_files)
+        path = os.path.join(src_dir, f"{i:03d}.parquet")
+        pq.write_table(part, path)
+        os.utime(path, (now - 100 + i, now - 100 + i))
