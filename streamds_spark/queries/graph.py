@@ -131,15 +131,70 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KCORE_K = 4
+KCORE_K = 80  # chosen so the peel actually iterates at test SFs: 5 rounds at
+# sf0.01/sf0.1, and an empty core at sf0.001 (every node peeled) — a trivial
+# fixpoint (k below the graph's min degree) would prove nothing about the loop
 
 
-@query("kcore_copurchase", oracle=None)  # iterative peeling has no single-SQL twin;
-# tests/test_kcore.py fuzzes kcore_nodes against a pure-Python peeling reference
+@query(
+    "kcore_copurchase",
+    oracle=f"""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+    -- Matula/Beck peeling as a recursive fixpoint: alive(iter) holds the
+    -- surviving node set after `iter` peel rounds. Each round recomputes
+    -- in-subgraph degrees and keeps nodes with deg >= k; the EXISTS guard
+    -- stops the recursion at the first round that peels nothing (otherwise
+    -- UNION ALL would re-emit the fixpoint forever).
+    alive(iter, node) AS (
+        SELECT 0, n FROM (SELECT DISTINCT a AS n FROM adj)
+      UNION ALL
+        SELECT * FROM (
+          WITH cur AS (SELECT iter, node FROM alive),
+          degs AS (
+            SELECT c.iter, c.node, count(c2.node) AS deg
+            FROM cur c
+            LEFT JOIN adj ON adj.a = c.node
+            LEFT JOIN cur c2 ON c2.node = adj.b
+            GROUP BY c.iter, c.node
+          )
+          SELECT d.iter + 1, d.node FROM degs d
+          WHERE d.deg >= {KCORE_K}
+            AND EXISTS (SELECT 1 FROM degs x WHERE x.deg < {KCORE_K})
+        )
+    ),
+    final AS (
+        SELECT node FROM alive WHERE iter = (SELECT max(iter) FROM alive)
+    ),
+    core AS (
+        SELECT f.node,
+               (SELECT count(*) FROM adj JOIN final f2 ON f2.node = adj.b
+                 WHERE adj.a = f.node) AS degree
+        FROM final f
+    )
+    SELECT CAST({KCORE_K} AS INTEGER) AS k,
+           CAST(count(*) AS BIGINT) AS n_core_nodes,
+           CAST(COALESCE(sum(degree), 0) / 2 AS BIGINT) AS n_core_edges,
+           CAST(min(degree) AS BIGINT) AS min_core_degree
+    FROM core WHERE degree >= {KCORE_K}
+    """,
+)
 def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Census of the {K}-core of the part co-purchase graph (nodes surviving
     iterative degree-<{K} peeling): the dense backbone that basket analytics
-    should run on. See operators/kcore.py for the peel loop's scale posture."""
+    should run on. See operators/kcore.py for the peel loop's scale posture.
+
+    The DuckDB twin runs the SAME peeling as a recursive CTE (working table =
+    the full alive set per round, nested-CTE degrees, EXISTS stop guard), so
+    the distributed fixpoint loop is hash-exact oracle-checked — the last
+    `alive` generation is the core, and the final filter also covers the
+    everything-peeled case (last generation all below k -> empty census)."""
     from streamds_spark.operators.kcore import kcore_summary
 
     li = load_table(spark, sf_dir, "lineitem")
