@@ -20,6 +20,8 @@ When to prefer what (the engine's skew toolbox):
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -98,4 +100,85 @@ def skew_report(
         )
         .orderBy(F.desc("n_rows"), "key_value")
         .limit(top_k)
+    )
+
+
+@dataclass(frozen=True)
+class SkewJoinChoice:
+    """The decision record skew_aware_join returns next to its result:
+    which strategy fired and the numbers that chose it."""
+
+    df: DataFrame
+    strategy: str  # 'broadcast' | 'plain' | 'salted'
+    dim_rows: int
+    budget_ratio: float | None  # None when broadcast short-circuited
+    n_salts: int | None  # set only for 'salted'
+
+
+def skew_aware_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "inner",
+    n_partitions: int | None = None,
+    broadcast_threshold_rows: int = 1_000_000,
+    max_salts: int = 64,
+    salt_by: str | None = None,
+) -> SkewJoinChoice:
+    """Equi-join fact⋈dim on `key`, auto-applying skew_report's documented
+    decision rule instead of leaving it as advice:
+
+      1. |dim| <= broadcast_threshold_rows      -> broadcast join (no shuffle
+         at all — skew is irrelevant when the dim rides along with every
+         fact partition). The row threshold is the caller's proxy for the
+         ~8 GB broadcast working-memory budget.
+      2. else max budget_ratio over fact.key <= 1 -> plain hash-shuffle join
+         (no key outweighs one reducer's fair share; AQE still splits any
+         residual runtime skew).
+      3. else                                    -> salted_join with
+         n_salts = clamp(ceil(max budget_ratio), 2..max_salts) — exactly the
+         'salt:<n>' recommendation skew_report prints.
+
+    Cost of deciding: one count on dim + (when dim is too big to broadcast)
+    skew_report's single count-partials shuffle over fact — both tiny next
+    to the join they are sizing at 100 TB, and both one-time per pipeline
+    when the caller caches the choice. Returns the joined DataFrame plus
+    the decision record so callers (and tests) can pin which plan fired.
+
+    n_partitions defaults to the session's spark.sql.shuffle.partitions —
+    pass the cluster's real target partition count when sizing for scale.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_aware_join supports inner/left, got {how!r}")
+    spark = fact.sparkSession
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    dim_rows = dim.count()
+    if dim_rows <= broadcast_threshold_rows:
+        return SkewJoinChoice(
+            df=fact.join(F.broadcast(dim), key, how),
+            strategy="broadcast",
+            dim_rows=dim_rows,
+            budget_ratio=None,
+            n_salts=None,
+        )
+    top = skew_report(fact, key, n_partitions=n_partitions, top_k=1).collect()
+    ratio = float(top[0]["budget_ratio"]) if top else 0.0
+    if ratio <= 1.0:
+        return SkewJoinChoice(
+            df=fact.join(dim, key, how),
+            strategy="plain",
+            dim_rows=dim_rows,
+            budget_ratio=ratio,
+            n_salts=None,
+        )
+    import math
+
+    n_salts = max(2, min(max_salts, math.ceil(ratio)))
+    return SkewJoinChoice(
+        df=salted_join(fact, dim, key, n_salts=n_salts, salt_by=salt_by, how=how),
+        strategy="salted",
+        dim_rows=dim_rows,
+        budget_ratio=ratio,
+        n_salts=n_salts,
     )

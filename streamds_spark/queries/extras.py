@@ -1095,3 +1095,43 @@ def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(zy).cast("int").alias("zy"),
         F.expr(zorder_sql(zx, zy, bits=12)).alias("zkey"),
     )
+
+
+@query(
+    "skew_aware_join_sources",
+    oracle="""
+    WITH dim AS (SELECT DISTINCT source, upper(source) AS label FROM documents)
+    SELECT d.label AS label,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dd.n_chars) AS BIGINT) AS sum_chars
+    FROM documents dd JOIN dim d ON dd.source = d.source
+    GROUP BY d.label
+    ORDER BY label
+    """,
+)
+def skew_aware_join_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skew_report's decision rule APPLIED, not just printed: join documents
+    (fact, skewed on source — a handful of sources carry the corpus) to a
+    source-keyed dim via operators/skewjoin.skew_aware_join and aggregate.
+    broadcast_threshold_rows=0 models the 100 TB case where the dim exceeds
+    the broadcast budget, so the rule measures the key (one count-partials
+    shuffle), sees every source's mass outweigh a 32-partition reducer
+    budget, and picks the salted path — the oracle proves salting changed
+    the PHYSICAL plan and nothing else. Production callers keep the default
+    threshold and would broadcast a dim this small."""
+    from streamds_spark.operators.skewjoin import skew_aware_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    dim = docs.select("source").distinct().withColumn("label", F.upper("source"))
+    choice = skew_aware_join(
+        docs, dim, "source", n_partitions=32, broadcast_threshold_rows=0
+    )
+    assert choice.strategy == "salted", choice  # the skewed branch, by design
+    return (
+        choice.df.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("label")
+    )

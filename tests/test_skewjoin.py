@@ -110,3 +110,84 @@ def test_skew_report_recommended_salts_balance_the_join(spark):
     # correctness unchanged by salting
     plain = fact.join(dim, "k").count()
     assert joined.count() == plain
+
+
+def test_skew_aware_join_picks_salted_on_hot_key_and_matches_plain(spark):
+    """Synthetic 50%-hot-key fact + a dim 'too big to broadcast': the rule
+    must choose salting with ~ceil(0.5 * n_partitions) salts, and the salted
+    result must equal the plain join row-for-row."""
+    import math
+
+    from streamds_spark.operators.skewjoin import skew_aware_join
+
+    n = 20_000
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("val"),
+    )
+    dim = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dval")
+    )
+    choice = skew_aware_join(
+        fact, dim, "k", n_partitions=32, broadcast_threshold_rows=100
+    )
+    assert choice.strategy == "salted"
+    assert choice.budget_ratio is not None and choice.budget_ratio > 1
+    assert choice.n_salts == min(64, math.ceil(choice.budget_ratio))
+    assert 10 <= choice.n_salts <= 20  # hot key holds ~50% -> ratio ~16
+    got = sorted(
+        (r["k"], r["val"], r["dval"]) for r in choice.df.collect()
+    )
+    want = sorted(
+        (r["k"], r["val"], r["dval"]) for r in fact.join(dim, "k").collect()
+    )
+    assert got == want and len(got) > n // 2
+    # plan-pinned: the salting hash is in the plan, the salt column is not
+    # in the result
+    plan = choice.df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    assert "_salt" not in choice.df.columns
+
+
+def test_skew_aware_join_broadcasts_small_dim(spark):
+    from streamds_spark.operators.skewjoin import skew_aware_join
+
+    fact = spark.range(5000).select((F.col("id") % 100).alias("k"), "id")
+    dim = spark.range(100).select(F.col("id").alias("k"))
+    choice = skew_aware_join(fact, dim, "k")  # default threshold: broadcast
+    assert choice.strategy == "broadcast"
+    assert choice.dim_rows == 100 and choice.budget_ratio is None
+    plan = choice.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert choice.df.count() == 5000
+
+
+def test_skew_aware_join_plain_on_uniform_keys(spark):
+    from streamds_spark.operators.skewjoin import skew_aware_join
+
+    fact = spark.range(10_000).select(F.col("id").alias("k"), "id")
+    dim = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") + 1).alias("d"))
+    choice = skew_aware_join(
+        fact, dim, "k", n_partitions=32, broadcast_threshold_rows=100
+    )
+    assert choice.strategy == "plain"  # every key is unique: ratio << 1
+    assert choice.budget_ratio is not None and choice.budget_ratio <= 1
+    plan = choice.df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" not in plan  # no salting machinery in the plan
+    assert choice.df.count() == 10_000
+
+
+def test_skew_aware_join_left_preserves_unmatched(spark):
+    from streamds_spark.operators.skewjoin import skew_aware_join
+
+    fact = spark.range(1000).select(
+        F.when(F.col("id") < 500, F.lit(1)).otherwise(F.col("id")).alias("k"), "id"
+    )
+    dim = spark.range(2).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+    choice = skew_aware_join(
+        fact, dim, "k", how="left", n_partitions=4, broadcast_threshold_rows=0
+    )
+    assert choice.strategy == "salted"
+    rows = choice.df.collect()
+    assert len(rows) == 1000  # left side fully preserved
+    assert sum(1 for r in rows if r["tag"] is None) == 500  # unmatched keep NULL dim
