@@ -141,3 +141,69 @@ def test_cli_prepare_verb(spark, tmp_path, capsys):
 
     with _pytest.raises(SystemExit):
         main(["prepare", src, f"{src}/nested"])
+
+
+def test_kill_mid_stage_resume_recomputes_only_torn_stage(spark, tmp_path, monkeypatch):
+    """Kill the pipeline INSIDE stage 02 (writer dies mid-write, torn parquet
+    on disk, no _SUCCESS): the resume=True rerun must read stage 01 instead
+    of recomputing it, recompute exactly the torn stage, and finish with a
+    byte-identical manifest to an uninterrupted run."""
+    import os
+    import shutil
+
+    import pytest
+
+    from streamds_spark.operators import dedup_pipeline as dp
+    from streamds_spark.queries.llmdata import corpus as corpus_mod
+
+    src = str(tmp_path / "raw")
+    out = str(tmp_path / "out")
+    out_ref = str(tmp_path / "ref")
+    _mk_docs(spark, src, n=12)
+    kw = dict(merges=20, block_tokens=64, n_shards=2)
+    m_ref = prepare_corpus(spark, src, out_ref, **kw)  # the uninterrupted run
+
+    real_dedup = dp.dedup_corpus
+
+    def killed_dedup(df, **kwargs):
+        # the writer died mid-write: a torn partial output lands, no _SUCCESS
+        dest = f"{out}/02_deduped.parquet"
+        os.makedirs(dest, exist_ok=True)
+        with open(os.path.join(dest, "part-00000-torn.parquet"), "wb") as f:
+            f.write(b"torn bytes, not parquet")
+        raise RuntimeError("killed mid-stage")
+
+    monkeypatch.setattr(dp, "dedup_corpus", killed_dedup)
+    with pytest.raises(RuntimeError, match="killed mid-stage"):
+        prepare_corpus(spark, src, out, **kw)
+    assert os.path.exists(f"{out}/01_gated.parquet/_SUCCESS")  # stage 01 done
+    assert not os.path.exists(f"{out}/02_deduped.parquet/_SUCCESS")  # 02 torn
+    assert not os.path.exists(f"{out}/manifest.json")
+
+    # rerun with resume: stage 01 must be READ (its compute fn never called,
+    # its files untouched), the torn stage recomputed
+    monkeypatch.setattr(dp, "dedup_corpus", real_dedup)
+    gate_calls: list[int] = []
+    real_gate = corpus_mod.pipeline_gate
+
+    def counting_gate(df):
+        gate_calls.append(1)
+        return real_gate(df)
+
+    monkeypatch.setattr(corpus_mod, "pipeline_gate", counting_gate)
+    gated_dir = f"{out}/01_gated.parquet"
+    mtimes_before = {
+        f: os.path.getmtime(os.path.join(gated_dir, f)) for f in os.listdir(gated_dir)
+    }
+    m2 = prepare_corpus(spark, src, out, resume=True, **kw)
+    assert gate_calls == [], "stage 01 was recomputed on resume"
+    assert {
+        f: os.path.getmtime(os.path.join(gated_dir, f)) for f in os.listdir(gated_dir)
+    } == mtimes_before
+    assert os.path.exists(f"{out}/02_deduped.parquet/_SUCCESS")
+    assert m2 == m_ref
+    with open(f"{out}/manifest.json", "rb") as f_out, open(
+        f"{out_ref}/manifest.json", "rb"
+    ) as f_ref:
+        assert f_out.read() == f_ref.read()  # byte-identical final manifest
+    shutil.rmtree(out_ref)
