@@ -84,6 +84,10 @@ class CorpusStreamPaths:
     def chunk_store(self) -> str:  # gear-CDC chunk hashes, batch=N dirs
         return os.path.join(self.work_dir, "chunk_store")
 
+    @property
+    def hll_store(self) -> str:  # per-batch HLL register tables, batch=N dirs
+        return os.path.join(self.work_dir, "hll_store")
+
 
 def _committed_segment_hi(root: str, before_batch: int) -> int:
     """Highest committed compaction segment usable by a probe running batch
@@ -222,6 +226,7 @@ def compact_stores(
         "hash_store": 0,
         "bucket_store": 0,
         "chunk_store": 0,
+        "hll_store": 0,
     }
     if upto_batch < 0:
         return stats
@@ -234,6 +239,13 @@ def compact_stores(
     if os.path.isdir(paths.chunk_store):
         stats["chunk_store"] = _compact_one_store(
             spark, paths.chunk_store, upto_batch, num_files
+        )
+    if os.path.isdir(paths.hll_store):
+        # register tables union-fold like any store: duplicate (bucket, rho)
+        # rows are a valid un-merged sketch, and every reader re-aggregates
+        # by max(bucket) — so the generic fold preserves the estimate
+        stats["hll_store"] = _compact_one_store(
+            spark, paths.hll_store, upto_batch, num_files
         )
     if merge_corpus:
         appendlog.merge(spark, paths.corpus)
@@ -334,6 +346,20 @@ def process_corpus_batch(
         cdc_chunks_gear(local.select("doc_id", "text")).write.mode(
             "overwrite"
         ).parquet(os.path.join(paths.chunk_store, f"batch={int(batch_id)}"))
+        # distinct-ingest sketch: this batch's content hashes as an HLL
+        # register table (operators/hll.py — a <=256-row relation at ANY
+        # batch size). Registers merge by max, so the finalize-time merge
+        # across all triggers equals the batch-computed sketch bit-for-bit,
+        # replayed batches are absorbed idempotently, and the streaming
+        # distinct-documents state stays m-row forever — the 100 TB
+        # streaming-distinct shape. `pre` is the within-batch-deduped kept
+        # set, whose DISTINCT hash set equals the gated batch's (dedup only
+        # drops repeats), so the sketch is over ingested content.
+        from streamds_spark.operators.hll import hll_registers
+
+        hll_registers(pre.select("_h"), "_h").write.mode("overwrite").parquet(
+            os.path.join(paths.hll_store, f"batch={int(batch_id)}")
+        )
     finally:
         pre.unpersist()
         if local is not pre:
@@ -406,6 +432,33 @@ def chunk_sharing_report(spark: SparkSession, work_dir: str) -> DataFrame:
             ).alias("shared_ratio"),
         )
     )
+
+
+def distinct_docs_estimate(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Finalize-time distinct-ingested-documents estimate from the streamed
+    per-batch HLL register tables: union every committed batch's registers,
+    re-aggregate max per bucket (the sketch merge — associative, commutative,
+    idempotent), and run the standard bias-corrected estimate. 1 row
+    (n_registers, est).
+
+    Because register-merge is exact (not approximate-on-top-of-approximate),
+    this equals the sketch a single batch pass over the same corpus would
+    build BIT-FOR-BIT — pinned by tests/test_llm_pipeline_stream.py — and
+    the est is within HLL's m=256 error (~6.5%) of the true distinct count.
+    State cost: <=256 rows per trigger, merged to <=256 rows, at any scale."""
+    from streamds_spark.operators.hll import hll_estimate
+
+    paths = CorpusStreamPaths(work_dir)
+    dirs = _committed_store_dirs(paths.hll_store, 2**62)
+    if not dirs:
+        regs = spark.createDataFrame([], "bucket int, max_rho int")
+    else:
+        regs = (
+            spark.read.parquet(*dirs)
+            .groupBy("bucket")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+    return hll_estimate(regs)
 
 
 def corpus_report(spark: SparkSession, work_dir: str) -> DataFrame:
