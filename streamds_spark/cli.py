@@ -231,6 +231,20 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("sf_dir", help="default TESTDATA dir queries run against")
     sv.add_argument("--host", default="127.0.0.1", help="bind address")
     sv.add_argument("--port", type=int, default=0, help="port (0 = ephemeral)")
+    sv.add_argument(
+        "--timeout-s",
+        type=float,
+        default=None,
+        help="default per-request deadline: runaway queries are cancelled "
+        "and the connection keeps serving (requests may override)",
+    )
+    sv.add_argument(
+        "--pools",
+        default=None,
+        help="weighted tenant pools as 'name=weight,...' (e.g. "
+        "'gold=8,bronze=1'): written to a FAIR allocation file applied at "
+        "session creation; requests pick a pool with {\"pool\": \"gold\"}",
+    )
 
     pp = sub.add_parser(
         "prepare",
@@ -298,7 +312,27 @@ def main(argv: list[str] | None = None) -> int:
                 )
     from streamds_spark.session import get_spark
 
-    spark = get_spark("streamds-cli")
+    allocation_file = None
+    if getattr(args, "pools", None):
+        # scheduler pools are fixed at SparkContext init, so the weighted
+        # allocation file must exist BEFORE the session is built
+        import os as _os
+        import tempfile as _tempfile
+
+        from streamds_spark.session import write_allocation_file
+
+        try:
+            pools = {}
+            for part in args.pools.split(","):
+                name, weight = part.split("=", 1)
+                pools[name.strip()] = (int(weight), 0)
+        except ValueError:
+            parser.error(f"--pools must be 'name=weight,...', got {args.pools!r}")
+        allocation_file = write_allocation_file(
+            _os.path.join(_tempfile.gettempdir(), f"streamds_pools_{_os.getpid()}.xml"),
+            pools,
+        )
+    spark = get_spark("streamds-cli", allocation_file=allocation_file)
 
     if args.cmd == "rainstorm":
         if args.stream:
@@ -683,7 +717,13 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "serve":
         from streamds_spark.server import start_server
 
-        server = start_server(spark, args.sf_dir, host=args.host, port=args.port)
+        server = start_server(
+            spark,
+            args.sf_dir,
+            host=args.host,
+            port=args.port,
+            timeout_s=args.timeout_s,
+        )
         host, port = server.server_address[:2]
         print(f"serving:{host}:{port}", flush=True)
         try:

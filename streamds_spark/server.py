@@ -389,6 +389,13 @@ class QueryServer(socketserver.ThreadingTCPServer):
         tag = req.get("tag")
         if tag is not None and not isinstance(tag, str):
             return {"ok": False, "error": "tag must be a string"}
+        # a request may name a scheduler pool (e.g. one configured with a
+        # weight/minShare via session.write_allocation_file) instead of the
+        # per-connection default — that is how tenants map onto weighted
+        # resource shares when the session was built with an allocation file
+        pool = req.get("pool", pool)
+        if not isinstance(pool, str) or not (0 < len(pool) <= 128):
+            return {"ok": False, "error": "pool must be a non-empty string"}
         sc = self.spark.sparkContext
         with self._stats_lock:
             self._req_n += 1

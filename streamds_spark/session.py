@@ -45,8 +45,38 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     _SHIPPED_SESSIONS.add(key)
 
 
-def get_spark(app_name: str = "streamds_spark", shuffle_partitions: int | None = None) -> SparkSession:
-    """Return (or create) the session. Idempotent: re-uses an active session."""
+def write_allocation_file(path: str, pools: dict[str, tuple[int, int]]) -> str:
+    """Write a FAIR-scheduler allocation XML: pools = {name: (weight,
+    minShare)}. Weight sets the pool's share RATIO of executor slots while
+    contended (weight 8 vs 1 → ~8× the slots); minShare is the floor the
+    scheduler satisfies first. Pools not named here still materialize on
+    demand at weight 1 — the file only PRIVILEGES known tenants, it never
+    locks unknown ones out. Pass the path to get_spark(allocation_file=...);
+    Spark reads it once at SparkContext init, so weights are a session-build
+    decision (the reference fixes its scheduling at cluster start too)."""
+    lines = ['<?xml version="1.0"?>', "<allocations>"]
+    for name, (weight, min_share) in sorted(pools.items()):
+        lines += [
+            f'  <pool name="{name}">',
+            "    <schedulingMode>FIFO</schedulingMode>",
+            f"    <weight>{int(weight)}</weight>",
+            f"    <minShare>{int(min_share)}</minShare>",
+            "  </pool>",
+        ]
+    lines.append("</allocations>")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
+def get_spark(
+    app_name: str = "streamds_spark",
+    shuffle_partitions: int | None = None,
+    allocation_file: str | None = None,
+) -> SparkSession:
+    """Return (or create) the session. Idempotent: re-uses an active session
+    (in which case allocation_file cannot be applied — scheduler pools are
+    fixed at SparkContext init)."""
     active = SparkSession.getActiveSession()
     if active is not None:
         return active
@@ -71,6 +101,11 @@ def get_spark(app_name: str = "streamds_spark", shuffle_partitions: int | None =
         # of queueing behind a long-running neighbor's stages.
         .config("spark.scheduler.mode", "FAIR")
     )
+    if allocation_file is not None:
+        # weighted multi-tenancy: named pools get weight/minShare from the
+        # file (write_allocation_file), so a privileged tenant's share is a
+        # policy, not a hope. Unnamed pools keep default weight 1.
+        builder = builder.config("spark.scheduler.allocation.file", allocation_file)
     return builder.getOrCreate()
 
 
