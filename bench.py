@@ -272,6 +272,13 @@ def main() -> None:
     specs["token_coverage_curve"].fn(spark, sf_dir).count()
     tcov_s = round(time.time() - t0, 3)
 
+    # Round-7 tracker: the skew-rule-applied join (decision overhead — dim
+    # count + one count-partials shuffle — INCLUDED, then the salted join it
+    # picks on the hot source keys).
+    t0 = time.time()
+    specs["skew_aware_join_sources"].fn(spark, sf_dir).count()
+    skewaware_s = round(time.time() - t0, 3)
+
     # Round-6 multi-tenant tracker (outside the headline total): three
     # headline queries run SIMULTANEOUSLY from three threads under FAIR
     # scheduler pools on the one session. Wall clock vs the serial sum of
@@ -324,6 +331,7 @@ def main() -> None:
                     "hll_distinct_parts": hll_s,
                     "cluster_quality_metrics": cqual_s,
                     "token_coverage_curve": tcov_s,
+                    "skew_aware_join_sources": skewaware_s,
                     "concurrent_3way_wall": conc_wall_s,
                     "concurrent_3way_serial_sum": conc_serial_s,
                     "headline_first_pass_total": round(cold_total, 3),
