@@ -239,6 +239,13 @@ def main(argv: list[str] | None = None) -> int:
         "and the connection keeps serving (requests may override)",
     )
     sv.add_argument(
+        "--cache-dir",
+        default=None,
+        help="enable the opt-in result cache: requests with {\"cache\": true} "
+        "serve repeated queries from their materialized parquet result "
+        "(plan-fingerprint keyed; nondeterministic plans never cached)",
+    )
+    sv.add_argument(
         "--pools",
         default=None,
         help="weighted tenant pools as 'name=weight,...' (e.g. "
@@ -723,6 +730,7 @@ def main(argv: list[str] | None = None) -> int:
             host=args.host,
             port=args.port,
             timeout_s=args.timeout_s,
+            cache_dir=args.cache_dir,
         )
         host, port = server.server_address[:2]
         print(f"serving:{host}:{port}", flush=True)

@@ -31,14 +31,28 @@ Protocol (one JSON object per line, response is one JSON line):
    "kind": "lsh"|"ivf", "flip_bits"/"n_probe": M}
       -> {"ok": true, "neighbors": [{vec_id, label, cos_sim}, ...]}
          (reads ONLY the probe's index partitions)
+  {"sql": "...", "explain": true}      -> plan text + census facts for
+                                          ad-hoc SQL (prices a query before
+                                          paying for it)
   {"cmd": "status"}                    -> uptime + per-kind served/error
-                                          counters + in-flight count
+                                          counters + per-kind latency
+                                          percentiles (p50/p95/max over the
+                                          last 1000) + in-flight count
   {"cmd": "pipeline_status"}           -> progress of the attached streaming
                                           ingest (per-query batch counts /
                                           rates, checkpoint frontier, store
                                           dir counts) — see attach_pipeline
   {"cmd": "cancel", "tag": "..."}      -> cancel the in-flight request that
                                           was submitted with that "tag"
+  any data request + {"pool": "gold"}  -> run under a NAMED scheduler pool
+                                          (weighted when the session was
+                                          built with an allocation file)
+  any data request + {"cache": true}   -> serve from / materialize into the
+                                          plan-fingerprint result cache
+                                          (server started with cache_dir;
+                                          response adds cache_hit/cacheable;
+                                          nondeterministic plans are never
+                                          cached by resultcache's guard)
   anything else / failures             -> {"ok": false, "error": "..."}
 
 Runaway-query control (reference leader parity — it can observe and kill a
@@ -64,6 +78,7 @@ import json
 import socket
 import socketserver
 import threading
+from collections import deque
 import time as _time
 import uuid
 from typing import Any
@@ -116,7 +131,25 @@ def _reject_non_query(spark, sql: str) -> str | None:
     return None
 
 
-def _run_request(spark, default_sf_dir: str, req: dict, pool: str) -> dict:
+def _maybe_cached(df, req: dict, cache_dir: str | None):
+    """Opt-in result cache for a request: with {"cache": true} on a server
+    started with a cache_dir, the FULL result is served from / materialized
+    into the plan-fingerprint cache (io/resultcache.py — nondeterministic
+    and in-memory plans are computed fresh by its own guards). Returns
+    (df_to_collect, cache_info_dict_or_None). The materialization runs the
+    whole query once — the tenant is opting into sink-style cost to make
+    every repeat of a dashboard query a parquet read of its result."""
+    if not req.get("cache") or cache_dir is None:
+        return df, None
+    from streamds_spark.io.resultcache import cached
+
+    res = cached(df, cache_dir)
+    return res.df, {"cache_hit": res.hit, "cacheable": res.cacheable}
+
+
+def _run_request(
+    spark, default_sf_dir: str, req: dict, pool: str, cache_dir: str | None = None
+) -> dict:
     if req.get("cmd") == "ping":
         return {"ok": True, "pong": True}
     if req.get("cmd") == "list":
@@ -140,21 +173,37 @@ def _run_request(spark, default_sf_dir: str, req: dict, pool: str) -> dict:
                     "shared views under concurrent tenants"
                 ),
             }
+        if req.get("explain"):
+            # price ad-hoc SQL before running it, same facts as the
+            # registry-query explain
+            from streamds_spark.plans.audit import formatted_plan, plan_facts
+
+            df = spark.sql(sql)
+            facts = plan_facts(df)
+            return {
+                "ok": True,
+                "plan": formatted_plan(df),
+                "n_exchanges": facts.n_exchanges,
+                "n_global_windows": facts.n_global_windows,
+            }
         limit = req.get("limit", DEFAULT_LIMIT)
         if not isinstance(limit, int) or not (1 <= limit <= MAX_LIMIT):
             return {"ok": False, "error": f"limit must be an int in [1, {MAX_LIMIT}]"}
         with scheduler_pool(spark, pool):
-            df = spark.sql(sql)
+            df, cache_info = _maybe_cached(spark.sql(sql), req, cache_dir)
             rows = df.limit(limit + 1).collect()
         truncated = len(rows) > limit
         rows = rows[:limit]
-        return {
+        resp = {
             "ok": True,
             "columns": df.columns,
             "rows": [[_json_cell(v) for v in r] for r in rows],
             "n_rows": len(rows),
             "truncated": truncated,
         }
+        if cache_info is not None:
+            resp.update(cache_info)
+        return resp
     if req.get("cmd") == "ann":
         # vector-search endpoint over a persisted index: kind 'lsh' (default,
         # hyperplane-bucket partitions) or 'ivf' (coarse-quantizer lists) —
@@ -258,11 +307,11 @@ def _run_request(spark, default_sf_dir: str, req: dict, pool: str) -> dict:
     # per-connection FAIR pool: concurrent tenants each get a fair share of
     # the executor slots (thread-scoped local property, see session.py)
     with scheduler_pool(spark, pool):
-        df = specs[name].fn(spark, sf_dir)
+        df, cache_info = _maybe_cached(specs[name].fn(spark, sf_dir), req, cache_dir)
         rows = df.limit(limit + 1).collect()
     truncated = len(rows) > limit
     rows = rows[:limit]
-    return {
+    resp = {
         "ok": True,
         "query": name,
         "columns": df.columns,
@@ -270,6 +319,9 @@ def _run_request(spark, default_sf_dir: str, req: dict, pool: str) -> dict:
         "n_rows": len(rows),
         "truncated": truncated,
     }
+    if cache_info is not None:
+        resp.update(cache_info)
+    return resp
 
 
 def _req_kind(req: dict) -> str:
@@ -304,6 +356,7 @@ class _Handler(socketserver.StreamRequestHandler):
             if not line:
                 continue
             kind = "invalid"
+            t_req = _time.perf_counter()
             try:
                 req = json.loads(line)
                 kind = _req_kind(req)
@@ -323,7 +376,7 @@ class _Handler(socketserver.StreamRequestHandler):
                     resp = server.run_guarded(req, pool)
             except Exception as e:  # noqa: BLE001 — protocol boundary
                 resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-            server.note(kind, bool(resp.get("ok")))
+            server.note(kind, bool(resp.get("ok")), _time.perf_counter() - t_req)
             try:
                 self.wfile.write(
                     (json.dumps(resp, default=str) + "\n").encode("utf-8")
@@ -346,13 +399,16 @@ class QueryServer(socketserver.ThreadingTCPServer):
         host: str = "127.0.0.1",
         port: int = 0,
         timeout_s: float | None = None,
+        cache_dir: str | None = None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
         self.timeout_s = timeout_s  # default per-request deadline (None = off)
+        self.cache_dir = cache_dir  # enables opt-in {"cache": true} serving
         self._t0 = _time.time()
         self._stats_lock = threading.Lock()
         self._served: dict[str, int] = {}
+        self._latency: dict[str, deque] = {}  # per-kind, bounded
         self._errors = 0
         self._req_n = 0
         self._active: dict[str, tuple[str, dict]] = {}  # tag -> (group, state)
@@ -420,7 +476,7 @@ class QueryServer(socketserver.ThreadingTCPServer):
                 timer = threading.Timer(float(timeout_s), _fire)
                 timer.daemon = True
                 timer.start()
-            return _run_request(self.spark, self.sf_dir, req, pool)
+            return _run_request(self.spark, self.sf_dir, req, pool, self.cache_dir)
         except Exception as e:  # noqa: BLE001
             if state["timeout"]:
                 return {
@@ -499,17 +555,32 @@ class QueryServer(socketserver.ThreadingTCPServer):
         }
 
     # -- counters -----------------------------------------------------------
-    def note(self, kind: str, ok: bool) -> None:
+    def note(self, kind: str, ok: bool, dur_s: float | None = None) -> None:
         with self._stats_lock:
             self._served[kind] = self._served.get(kind, 0) + 1
+            if dur_s is not None:
+                self._latency.setdefault(kind, deque(maxlen=1000)).append(dur_s)
             if not ok:
                 self._errors += 1
 
     def status(self) -> dict:
+        # per-kind latency percentiles over the last <=1000 requests — the
+        # reference leader prints per-query latency to its console
+        # (core_process.go GREP RET branch); this is that signal, queryable
         with self._stats_lock:
+            latency = {}
+            for kind, durs in sorted(self._latency.items()):
+                xs = sorted(durs)
+                latency[kind] = {
+                    "n": len(xs),
+                    "p50_ms": round(xs[len(xs) // 2] * 1000, 1),
+                    "p95_ms": round(xs[min(len(xs) - 1, int(len(xs) * 0.95))] * 1000, 1),
+                    "max_ms": round(xs[-1] * 1000, 1),
+                }
             return {
                 "uptime_s": round(_time.time() - self._t0, 1),
                 "served": dict(sorted(self._served.items())),
+                "latency_ms": latency,
                 "errors": self._errors,
                 "inflight": self._inflight,
             }
@@ -521,10 +592,13 @@ def start_server(
     host: str = "127.0.0.1",
     port: int = 0,
     timeout_s: float | None = None,
+    cache_dir: str | None = None,
 ) -> QueryServer:
     """Bind + serve in a daemon thread; returns the server (read the bound
     port from `server.server_address`, stop with `server.shutdown()`)."""
-    server = QueryServer(spark, sf_dir, host=host, port=port, timeout_s=timeout_s)
+    server = QueryServer(
+        spark, sf_dir, host=host, port=port, timeout_s=timeout_s, cache_dir=cache_dir
+    )
     t = threading.Thread(target=server.serve_forever, daemon=True, name="streamds-serve")
     t.start()
     return server

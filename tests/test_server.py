@@ -416,3 +416,71 @@ def _split_documents_files(src_dir: str, n_files: int = 2) -> None:
         path = os.path.join(src_dir, f"{i:03d}.parquet")
         pq.write_table(part, path)
         os.utime(path, (now - 100 + i, now - 100 + i))
+
+
+def test_sql_explain_and_latency_percentiles(spark):
+    """Ad-hoc SQL can be priced without running it, and status reports
+    per-kind latency percentiles (the reference leader's console latency
+    print, queryable)."""
+    server, host, port = _start(spark)
+    try:
+        ex = request(
+            host, port,
+            {"sql": "SELECT o_orderstatus, count(*) AS c FROM orders "
+                    "GROUP BY o_orderstatus", "explain": True},
+        )
+        assert ex["ok"] and "Physical Plan" in ex["plan"]
+        assert ex["n_exchanges"] >= 1  # the groupBy shuffles
+        assert "rows" not in ex  # nothing executed
+
+        for _ in range(3):
+            assert request(host, port, {"sql": "SELECT 1 AS a"})["ok"]
+        st = request(host, port, {"cmd": "status"})["status"]
+        lat = st["latency_ms"]["sql"]
+        assert lat["n"] >= 4
+        assert 0 < lat["p50_ms"] <= lat["p95_ms"] <= lat["max_ms"]
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_opt_in_result_cache_over_socket(spark, tmp_path):
+    """{"cache": true} on a cache_dir server: first call materializes, the
+    repeat is a hit with identical rows; a nondeterministic query is never
+    served from cache (resultcache's guard), and without the flag nothing
+    is cached."""
+    from streamds_spark.server import start_server as _ss
+
+    server = _ss(spark, SF, cache_dir=str(tmp_path / "cache"))
+    host, port = server.server_address[:2]
+    sql = ("SELECT o_orderpriority, count(*) AS c FROM orders "
+           "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    try:
+        r1 = request(host, port, {"sql": sql, "cache": True})
+        assert r1["ok"] and r1["cacheable"] and r1["cache_hit"] is False
+        r2 = request(host, port, {"sql": sql, "cache": True})
+        assert r2["ok"] and r2["cache_hit"] is True
+        assert r2["rows"] == r1["rows"] and r2["columns"] == r1["columns"]
+
+        # registry query path too
+        q1 = request(host, port, {"query": "distinct_values", "cache": True})
+        q2 = request(host, port, {"query": "distinct_values", "cache": True})
+        assert q1["ok"] and q1["cache_hit"] is False
+        assert q2["ok"] and q2["cache_hit"] is True
+        assert sorted(map(tuple, q2["rows"])) == sorted(map(tuple, q1["rows"]))
+
+        # nondeterministic: computed fresh every time, never a hit
+        for _ in range(2):
+            nd = request(
+                host, port,
+                {"sql": "SELECT current_date() AS d, count(*) AS c FROM orders",
+                 "cache": True},
+            )
+            assert nd["ok"] and nd["cacheable"] is False and nd["cache_hit"] is False
+
+        # without the flag the response carries no cache fields
+        plain = request(host, port, {"sql": sql})
+        assert plain["ok"] and "cache_hit" not in plain
+    finally:
+        server.shutdown()
+        server.server_close()
