@@ -1,0 +1,221 @@
+"""Incrementally-maintained ANN index: the persisted LSH index
+(operators/ann.py) kept fresh by a STREAM of embeddings, batch by batch,
+with the same replay-safe store discipline as the corpus ingest stores
+(streaming/llm_pipeline.py).
+
+Layout — batch-major so replays stay idempotent, bucket-minor so probes
+still prune:
+
+    path/batch=N/bucket=B/*.parquet     one dir per micro-batch (overwrite
+                                        by batchId; _SUCCESS = committed),
+                                        hyperplane-bucket partitioned inside
+    path/segment=H/bucket=B/*.parquet   compaction: batches 0..H folded
+    path._meta.json                     n_planes + dim, written on first
+                                        append, validated on every later one
+
+A probe computes its bucket ids DRIVER-side (the hyperplanes are
+deterministic) and reads only the matching bucket=B directories of each
+committed batch/segment dir — the same static PartitionFilters pruning as
+the one-shot index, now over a growing store. Because bucketing is a pure
+function of the vector, the incremental index holds EXACTLY the rows a
+one-shot `build_ann_index` over the union would hold, so probes agree
+row-for-row (pinned by tests/test_ann_incremental.py).
+
+At 100 TB: each trigger appends one scan→write pass of its batch (no
+shuffle, no read-modify-write of the existing index); probes touch
+(1 + n_flip) of 2^n_planes bucket dirs per batch dir, and compaction bounds
+the dir count exactly like the corpus stores' small-files wall."""
+
+from __future__ import annotations
+
+import glob as _glob
+import json as _json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from streamds_spark.functions.vectors import as_double, cosine, hyperplanes, lsh_bucket_col
+from streamds_spark.operators.ann import (
+    DEFAULT_N_PLANES,
+    index_meta_path,
+    load_index_meta,
+    probe_buckets,
+)
+
+
+def _committed_dirs(path: str) -> list[str]:
+    """Committed data dirs: the highest committed segment (if any) plus every
+    committed batch dir above it — the compaction-aware read set, same shape
+    as llm_pipeline._committed_store_dirs."""
+    seg_hi = -1
+    for d in _glob.glob(os.path.join(path, "segment=*")):
+        try:
+            hi = int(os.path.basename(d).split("=", 1)[1])
+        except ValueError:
+            continue
+        if os.path.exists(os.path.join(d, "_SUCCESS")):
+            seg_hi = max(seg_hi, hi)
+    out = []
+    if seg_hi >= 0:
+        out.append(os.path.join(path, f"segment={seg_hi}"))
+    for d in _glob.glob(os.path.join(path, "batch=*")):
+        try:
+            bid = int(os.path.basename(d).split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid > seg_hi and os.path.exists(os.path.join(d, "_SUCCESS")):
+            out.append(d)
+    return sorted(out)
+
+
+def ann_index_append(
+    emb: DataFrame,
+    path: str,
+    batch_id: int,
+    n_planes: int = DEFAULT_N_PLANES,
+    vec_col: str = "embedding",
+) -> None:
+    """Append one micro-batch to the incremental index (idempotent: a
+    replayed batch overwrites its own dir). First append writes the meta
+    sidecar; later appends must match its n_planes/dim — a silently changed
+    hyperplane basis would split identical vectors across buckets."""
+    first = emb.select(vec_col).first()
+    if first is None:
+        # empty micro-batch (normal in a stream): nothing to place, but the
+        # batch still COMMITS (its dir + _SUCCESS) so a replay is a no-op
+        if not os.path.exists(index_meta_path(path)):
+            raise ValueError(
+                f"cannot initialize index {path!r} from an empty first batch "
+                "(vector dim unknown)"
+            )
+        dim = load_index_meta(path)["dim"]
+    else:
+        dim = len(first[0])
+    if os.path.exists(index_meta_path(path)):
+        meta = load_index_meta(path)
+        if meta["n_planes"] != n_planes or meta["dim"] != dim:
+            raise ValueError(
+                f"index at {path!r} was built with n_planes={meta['n_planes']} "
+                f"dim={meta['dim']}; got n_planes={n_planes} dim={dim}"
+            )
+    else:
+        os.makedirs(path, exist_ok=True)
+        with open(index_meta_path(path), "w") as f:
+            _json.dump({"n_planes": n_planes, "dim": dim}, f)
+    planes = hyperplanes(n_planes, dim)
+    (
+        emb.withColumn("v", as_double(F.col(vec_col)))
+        .withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+        .drop(vec_col)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, f"batch={int(batch_id)}"))
+    )
+
+
+def _read_index(spark: SparkSession, dirs: list[str]) -> DataFrame:
+    """Union of per-dir reads, each with ITSELF as basePath so the bucket=B
+    fragments below it parse as a partition column while the batch=N /
+    segment=H fragment above stays a path (one shared basePath would make
+    Spark see conflicting partition column names across batch/segment dirs).
+    Catalyst pushes the probe's bucket filter through the Union into every
+    scan, so per-dir PartitionFilters pruning is preserved."""
+    nonempty = [
+        d for d in dirs if _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+    ]
+    if not nonempty:  # committed-but-empty batches only: no rows anywhere
+        return None
+    parts = [spark.read.option("basePath", d).parquet(d) for d in nonempty]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def ann_index_probe(
+    spark: SparkSession,
+    path: str,
+    qvec: list[float],
+    k: int = 10,
+    n_flip_bits: int = 0,
+) -> DataFrame:
+    """Top-k by cosine over every committed batch/segment, reading ONLY the
+    probe's bucket partitions of each (driver-side bucket ids -> partition
+    pruning per dir)."""
+    meta = load_index_meta(path)
+    if len(qvec) != meta["dim"]:
+        raise ValueError(f"vector dim {len(qvec)} != index dim {meta['dim']}")
+    buckets = probe_buckets(qvec, meta["n_planes"], n_flip_bits)
+    idx_all = _read_index(spark, _committed_dirs(path))
+    if idx_all is None:
+        return spark.createDataFrame([], "vec_id bigint, label int, cos_sim double")
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    idx = idx_all.filter(F.col("bucket").isin(buckets))
+    return (
+        idx.select(
+            "vec_id", "label", F.round(cosine(F.col("v"), q), 4).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def compact_ann_index(spark: SparkSession, path: str) -> int:
+    """Fold every committed batch dir (plus the previous segment) into one
+    new `segment=<hi>` dir, bucket partitioning preserved — the small-files
+    maintenance pass. Crash-safe: the new segment is invisible until its
+    _SUCCESS lands; subsumed dirs are best-effort GC afterwards. Returns the
+    number of batch dirs folded."""
+    dirs = _committed_dirs(path)
+    batch_dirs = [d for d in dirs if os.path.basename(d).startswith("batch=")]
+    if not batch_dirs:
+        return 0
+    new_hi = max(int(os.path.basename(d).split("=", 1)[1]) for d in batch_dirs)
+    old_segments = [d for d in dirs if os.path.basename(d).startswith("segment=")]
+    folded = _read_index(spark, dirs)
+    if folded is None:
+        # only committed-but-empty batches: nothing to materialize — reclaim
+        # the empty dirs (a replay would recreate them, still empty)
+        for d in batch_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        return len(batch_dirs)
+    (
+        folded.write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, f"segment={new_hi}"))
+    )
+    for d in batch_dirs + old_segments:
+        shutil.rmtree(d, ignore_errors=True)
+    return len(batch_dirs)
+
+
+def run_embedding_index_stream(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint: str,
+    n_planes: int = DEFAULT_N_PLANES,
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain the index from a parquet embedding stream: readStream ->
+    per-batch ann_index_append under the checkpoint's exactly-once replay
+    discipline (a redelivered batch rewrites its own dir)."""
+    schema = spark.read.parquet(src_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    writer = reader.parquet(src_dir).writeStream.option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.foreachBatch(
+        lambda df, bid: ann_index_append(
+            df, index_path, bid, n_planes=n_planes, vec_col=vec_col
+        )
+    ).start()

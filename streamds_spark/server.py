@@ -240,6 +240,25 @@ def _run_request(
                 spark, index, qvec, k=k,
                 n_planes=meta["n_planes"], n_flip_bits=flip,
             )
+        elif kind == "lsh-inc":
+            # the incrementally-maintained (streamed) LSH index — same pruned
+            # probe over its committed batch/segment dirs
+            from streamds_spark.operators.ann import load_index_meta
+            from streamds_spark.operators.ann_incremental import ann_index_probe
+
+            flip = req.get("flip_bits", 0)
+            try:
+                meta = load_index_meta(index)
+            except OSError as e:
+                return {"ok": False, "error": f"no index meta at {index!r}: {e}"}
+            if len(qvec) != meta["dim"]:
+                return {
+                    "ok": False,
+                    "error": f"vector dim {len(qvec)} != index dim {meta['dim']}",
+                }
+            probe = lambda: ann_index_probe(  # noqa: E731
+                spark, index, qvec, k=k, n_flip_bits=flip
+            )
         elif kind == "ivf":
             from streamds_spark.operators.ivf import ivf_probe_topk, load_centroids
 

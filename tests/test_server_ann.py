@@ -106,3 +106,53 @@ def test_probe_still_prunes_partitions(spark, tmp_path):
     df = ann_probe_topk(spark, index, qvec, k=5, n_planes=6, n_flip_bits=1)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_incremental_index_served(spark, tmp_path):
+    """kind 'lsh-inc' serves the STREAM-MAINTAINED index: responses equal a
+    direct ann_index_probe and the one-shot-index serving path for the same
+    vectors."""
+    from streamds_spark.operators.ann_incremental import (
+        ann_index_append,
+        ann_index_probe,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    inc = str(tmp_path / "inc_index")
+    n = emb.count()
+    ann_index_append(emb.filter(F.col("vec_id") < n // 2), inc, 0, n_planes=6)
+    ann_index_append(emb.filter(F.col("vec_id") >= n // 2), inc, 1, n_planes=6)
+    ref = str(tmp_path / "ref_index")
+    build_ann_index(emb, ref, n_planes=6)
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 11).first()["embedding"]]
+    server = start_server(spark, SF)
+    host, port = server.server_address[:2]
+    try:
+        resp = request(
+            host, port,
+            {"cmd": "ann", "kind": "lsh-inc", "index": inc, "vector": qvec,
+             "k": 6, "flip_bits": 1},
+        )
+        assert resp["ok"] and resp["kind"] == "lsh-inc"
+        direct = ann_index_probe(spark, inc, qvec, k=6, n_flip_bits=1).collect()
+        assert [(d["vec_id"], d["cos_sim"]) for d in resp["neighbors"]] == [
+            (r["vec_id"], r["cos_sim"]) for r in direct
+        ]
+        assert resp["neighbors"][0]["vec_id"] == 11  # self-match first
+        # same answers as the one-shot index served with kind lsh
+        one_shot = request(
+            host, port,
+            {"cmd": "ann", "kind": "lsh", "index": ref, "vector": qvec,
+             "k": 6, "flip_bits": 1},
+        )
+        assert one_shot["ok"] and one_shot["neighbors"] == resp["neighbors"]
+        # dim validation still enforced
+        bad = request(
+            host, port,
+            {"cmd": "ann", "kind": "lsh-inc", "index": inc, "vector": [1.0, 2.0]},
+        )
+        assert not bad["ok"] and "dim" in bad["error"]
+    finally:
+        server.shutdown()
+        server.server_close()
