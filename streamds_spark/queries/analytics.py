@@ -647,3 +647,72 @@ def equidepth_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.select(
         F.explode(F.array(*checks)).alias("c")
     ).select(F.col("c.edge_idx").cast("int").alias("edge_idx"), "c.within_bound")
+
+
+EWMA_ALPHA = 0.2
+
+
+@query(
+    "ewma_daily_orders",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT day, n_orders, row_number() OVER (ORDER BY day) AS i FROM daily
+    ),
+    -- the same left-fold the Spark side runs: s_1 = x_1,
+    -- s_t = a*x_t + (1-a)*s_(t-1), one day per recursion step
+    ew(i, day, n_orders, s) AS (
+        SELECT i, day, n_orders, CAST(n_orders AS DOUBLE) FROM seq WHERE i = 1
+      UNION ALL
+        SELECT seq.i, seq.day, seq.n_orders,
+               {EWMA_ALPHA} * seq.n_orders + {1 - EWMA_ALPHA} * ew.s
+        FROM ew JOIN seq ON seq.i = ew.i + 1
+    )
+    SELECT day, n_orders, round(s, 4) + 0.0 AS ewma FROM ew ORDER BY day
+    """,
+)
+def ewma_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily order count
+    (alpha={A}) — the time-series smoothing dial dashboards put next to raw
+    counts. EWMA is a sequential recurrence (s_t depends on s_(t-1)), which
+    neither engine has as a builtin and which a prefix-sum trick cannot
+    compute STABLY (the closed form needs (1-a)^(-t), which overflows by
+    t~1000), so both engines run the IDENTICAL left-fold: Spark as one
+    `F.aggregate` over the date-sorted (day, count) array — the corpus
+    collapses to a DATE-DOMAIN-bounded relation (~2.4k rows at any SF)
+    before the fold, no window anywhere — and DuckDB as a recursive CTE
+    advancing one day per step. Same multiply/add order per step -> the
+    doubles agree bit-for-bit, hash-exact after round(4).
+
+    At 100 TB: the only corpus-sized work is the map-side-combined daily
+    count; the fold itself is O(date domain) on one task, the right place
+    for an inherently sequential recurrence."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+    pairs = daily.agg(
+        F.sort_array(F.collect_list(F.struct(F.col("day"), F.col("n_orders")))).alias("xs")
+    )
+    ew = F.aggregate(
+        F.col("xs"),
+        F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, x["n_orders"].cast("double")).otherwise(
+                    F.lit(EWMA_ALPHA) * x["n_orders"].cast("double")
+                    + F.lit(1 - EWMA_ALPHA) * F.element_at(acc, -1)
+                )
+            ),
+        ),
+    ).alias("s")
+    z = pairs.select(F.posexplode(F.arrays_zip(F.col("xs"), ew)).alias("i", "z"))
+    return z.select(
+        F.col("z.xs.day").alias("day"),
+        F.col("z.xs.n_orders").alias("n_orders"),
+        (F.round(F.col("z.s"), 4) + F.lit(0.0)).alias("ewma"),
+    ).orderBy("day")
