@@ -276,6 +276,20 @@ def main(argv: list[str] | None = None) -> int:
         "instead of recomputing them",
     )
 
+    cv = sub.add_parser(
+        "convert",
+        help="convert a table between formats (parquet/orc/csv/json) with "
+        "optional directory partitioning — the estate-migration verb",
+    )
+    cv.add_argument("src", help="input table path")
+    cv.add_argument("dest", help="output table path")
+    cv.add_argument("--from", dest="src_fmt", default=None,
+                    help="input format (default: sniffed from extension)")
+    cv.add_argument("--to", dest="dst_fmt", default=None,
+                    help="output format (default: sniffed from extension)")
+    cv.add_argument("--partition-by", default=None,
+                    help="comma-separated partition columns for the output")
+
     ln = sub.add_parser(
         "lineage",
         help="column-level lineage of a registered query (which source "
@@ -291,7 +305,7 @@ def main(argv: list[str] | None = None) -> int:
     # the job fails or loses data. Refuse up front (benchmark is an input too).
     if args.cmd in ("dedup", "decontaminate", "scrub-substrings", "ingest-warc", "prepare",
                     "tokenize", "filter-corpus", "stream-corpus",
-                    "train-lm", "score-lm", "chunk-corpus"):
+                    "train-lm", "score-lm", "chunk-corpus", "convert"):
         import os as _os
 
         out = args.work if args.cmd == "stream-corpus" else args.dest
@@ -713,6 +727,18 @@ def main(argv: list[str] | None = None) -> int:
             resume=args.resume,
         )
         print("manifest:" + _json.dumps(manifest))
+    elif args.cmd == "convert":
+        from streamds_spark.io.sources import read_any, write_any
+
+        df = read_any(spark, args.src, fmt=args.src_fmt)
+        write_any(
+            df,
+            args.dest,
+            fmt=args.dst_fmt,
+            partition_by=args.partition_by.split(",") if args.partition_by else None,
+        )
+        back = read_any(spark, args.dest, fmt=args.dst_fmt)
+        print(f"converted:{back.count()} rows")
     elif args.cmd == "lineage":
         from streamds_spark.plans.lineage import lineage_report
         from streamds_spark.registry import load_all

@@ -398,3 +398,78 @@ def webdataset_samples(members: DataFrame, text_exts: tuple = ("txt", "json", "c
             F.count("*").alias("n_parts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Format matrix: one dispatch for every self-describing / flat table format
+# the engine can serve from. Parquet is the native store; ORC is the other
+# columnar format large estates actually hold (same predicate-pushdown +
+# column-pruning path in Spark's native reader); CSV/JSON(L) are the
+# interchange formats. Extension sniffing keeps call sites declarative;
+# ambiguous paths pass fmt explicitly.
+# ---------------------------------------------------------------------------
+
+_EXT_FORMAT = {
+    ".parquet": "parquet",
+    ".orc": "orc",
+    ".csv": "csv",
+    ".json": "json",
+    ".jsonl": "json",  # Spark's json reader IS line-delimited by default
+}
+
+
+def sniff_format(path: str) -> str | None:
+    """Table format implied by the path's extension (directory names count:
+    'events.orc/' is an ORC dataset dir), or None when ambiguous."""
+    p = path.rstrip("/")
+    for ext, fmt in _EXT_FORMAT.items():
+        if p.endswith(ext):
+            return fmt
+    return None
+
+
+def read_any(
+    spark: SparkSession, path: str, fmt: str | None = None, **options
+) -> DataFrame:
+    """Read a table in any supported format (parquet/orc/csv/json), format
+    taken from `fmt` or sniffed from the extension. CSV defaults to
+    header+inferSchema so a converted table round-trips typed; pass
+    schema/options to override. Pushdown note: parquet AND orc go through
+    Spark's native vectorized readers — filters and column pruning reach the
+    scan identically, so serving from an ORC estate costs no plan quality."""
+    fmt = fmt or sniff_format(path)
+    if fmt is None:
+        raise ValueError(
+            f"cannot infer format of {path!r} — pass fmt= (one of "
+            f"{sorted(set(_EXT_FORMAT.values()))})"
+        )
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.format(fmt).load(path)
+
+
+def write_any(
+    df: DataFrame,
+    path: str,
+    fmt: str | None = None,
+    mode: str = "overwrite",
+    partition_by: "list[str] | None" = None,
+    **options,
+) -> None:
+    """Write `df` in any supported format (same dispatch as read_any). CSV
+    gets a header so it round-trips through read_any; timestamps survive via
+    each format's native encoding."""
+    fmt = fmt or sniff_format(path)
+    if fmt is None:
+        raise ValueError(f"cannot infer format of {path!r} — pass fmt=")
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)
