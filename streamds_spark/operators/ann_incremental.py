@@ -117,18 +117,29 @@ def ann_index_append(
 
 
 def _read_index(spark: SparkSession, dirs: list[str]) -> DataFrame:
-    """Union of per-dir reads, each with ITSELF as basePath so the bucket=B
-    fragments below it parse as a partition column while the batch=N /
-    segment=H fragment above stays a path (one shared basePath would make
-    Spark see conflicting partition column names across batch/segment dirs).
-    Catalyst pushes the probe's bucket filter through the Union into every
-    scan, so per-dir PartitionFilters pruning is preserved."""
+    """ONE scan per dir CLASS (batch=* / segment=*), not one per dir: the
+    class's dirs share the index root as basePath, so batch (resp. segment)
+    and bucket both parse as partition columns, only the LISTED committed
+    dirs are read, and the probe's bucket filter prunes as PartitionFilters.
+    One shared read across BOTH classes is impossible (Spark would see
+    conflicting partition column names batch vs segment), but two scans is
+    the floor — and the per-dir-scan alternative costs a task wave per
+    trigger dir (measured 31 dirs -> 930 tasks, ~19x slower probes)."""
     nonempty = [
         d for d in dirs if _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
     ]
     if not nonempty:  # committed-but-empty batches only: no rows anywhere
         return None
-    parts = [spark.read.option("basePath", d).parquet(d) for d in nonempty]
+    groups: dict[str, list[str]] = {}
+    for d in nonempty:
+        cls = os.path.basename(d).split("=", 1)[0]
+        groups.setdefault(cls, []).append(d)
+    parts = []
+    for cls, ds in sorted(groups.items()):
+        base = os.path.dirname(ds[0])
+        parts.append(
+            spark.read.option("basePath", base).parquet(*sorted(ds)).drop(cls)
+        )
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
