@@ -716,3 +716,208 @@ def ewma_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.xs.n_orders").alias("n_orders"),
         (F.round(F.col("z.s"), 4) + F.lit(0.0)).alias("ewma"),
     ).orderBy("day")
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+    )
+    SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased,
+           round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+                 / NULLIF((SELECT count(*) FROM v), 0), 4) + 0.0 AS view_to_click,
+           round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+                 / NULLIF((SELECT count(*) FROM c), 0), 4) + 0.0 AS click_to_purchase,
+           round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+                 / NULLIF((SELECT count(*) FROM v), 0), 4) + 0.0 AS overall_conversion
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user counts at
+    each stage only if the stage's FIRST qualifying event happens strictly
+    after the previous stage's (min-timestamp staging, the standard funnel
+    semantics — an early purchase before any view does not convert).
+
+    Plan: three user-keyed aggregates chained by joins ON THE SAME KEY —
+    every shuffle hashes user_id, so AQE/exchange reuse keeps it one
+    partitioning end to end; the final census is 1-row crossJoins of
+    broadcast aggregates. At 100 TB: per-stage state is one row per
+    SURVIVING user, monotonically shrinking down the funnel."""
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        events.agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .crossJoin(F.broadcast(v.agg(F.count("*").cast("bigint").alias("n_viewed"))))
+        .crossJoin(F.broadcast(c.agg(F.count("*").cast("bigint").alias("n_clicked"))))
+        .crossJoin(F.broadcast(p.agg(F.count("*").cast("bigint").alias("n_purchased"))))
+    )
+
+    def rate(num, den):
+        return (
+            F.round(
+                num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0)), 4
+            )
+            + F.lit(0.0)
+        )
+
+    return counts.select(
+        "n_users",
+        "n_viewed",
+        "n_clicked",
+        "n_purchased",
+        rate(F.col("n_clicked"), F.col("n_viewed")).alias("view_to_click"),
+        rate(F.col("n_purchased"), F.col("n_clicked")).alias("click_to_purchase"),
+        rate(F.col("n_purchased"), F.col("n_viewed")).alias("overall_conversion"),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_w
+        FROM events GROUP BY 1
+    ),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+    SELECT strftime(f.cohort_w, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', CAST(f.cohort_w AS DATE), CAST(a.w AS DATE)) / 7
+                AS INT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM act a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the event stream: users cohorted by the
+    week of their first event; n_active = distinct cohort members active in
+    cohort week + offset. The classic retention triangle.
+
+    Plan: one per-user min (shuffle on user_id), one distinct on
+    (user, week) — WEEK-domain bounded fan-in — then a user-keyed join and a
+    (cohort, offset)-keyed count. Every relation after the first aggregate
+    is bounded by users x weeks, not events."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+    act = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    return (
+        act.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("w").cast("date"), F.col("cohort_w").cast("date")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+BASKET_MIN_SUPPORT = 3
+
+
+@query(
+    "basket_lift_pairs",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n_orders FROM items),
+    cnt AS (SELECT p, CAST(count(*) AS DOUBLE) AS c FROM items GROUP BY 1),
+    pairs AS (
+        SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS pair_cnt
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= {BASKET_MIN_SUPPORT}
+    )
+    SELECT u, v, pair_cnt,
+           round(pair_cnt / cu.c, 4) + 0.0 AS confidence,
+           round(n.n_orders * pair_cnt / (cu.c * cv.c), 4) + 0.0 AS lift
+    FROM pairs
+    JOIN cnt cu ON cu.p = pairs.u
+    JOIN cnt cv ON cv.p = pairs.v
+    CROSS JOIN n
+    ORDER BY round(n.n_orders * pair_cnt / (cu.c * cv.c), 6) DESC, u, v
+    LIMIT 20
+    """,
+)
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: the 20 part pairs with the highest
+    lift (co-purchase rate vs independence) at support >= {MIN_SUP} orders,
+    with confidence P(v|u). The copurchase-edge build reused as a statistics
+    source rather than a graph.
+
+    Plan: order-keyed self-join bounded by per-order basket size, pair-keyed
+    count with a HAVING floor that prunes the long tail BEFORE the stats
+    joins, part-keyed count table joins (vocabulary-sized), broadcast 1-row
+    total, TakeOrdered 20. The support floor is what keeps the pair relation
+    from tracking the quadratic tail at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = items.agg(F.countDistinct("o").cast("double").alias("n_orders"))
+    cnt = items.groupBy("p").agg(F.count("*").cast("double").alias("c"))
+    pairs = (
+        items.toDF("o", "u")
+        .join(items.toDF("o", "v"), "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= BASKET_MIN_SUPPORT)
+    )
+    lift = F.col("n_orders") * F.col("pair_cnt") / (F.col("cu") * F.col("cv"))
+    return (
+        pairs.join(cnt.toDF("u", "cu"), "u")
+        .join(cnt.toDF("v", "cv"), "v")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "u",
+            "v",
+            "pair_cnt",
+            (F.round(F.col("pair_cnt") / F.col("cu"), 4) + F.lit(0.0)).alias(
+                "confidence"
+            ),
+            (F.round(lift, 4) + F.lit(0.0)).alias("lift"),
+            F.round(lift, 6).alias("_ord"),
+        )
+        .orderBy(F.desc("_ord"), "u", "v")
+        .limit(20)
+        .drop("_ord")
+    )

@@ -1,0 +1,96 @@
+"""Funnel / cohort-retention / basket-lift analytics: pure-Python references
+plus the structural invariants each shape must obey."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import duckdb
+
+from streamds_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events():
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT user_id, event_type, ts FROM '{SF}/events.parquet' ORDER BY ts"
+    ).fetchall()
+
+
+def test_funnel_matches_python_staging(spark):
+    row = load_all()["funnel_conversion"].fn(spark, SF).first()
+    ev = _events()
+    users = {u for u, _, _ in ev}
+    t_view, t_click, t_purch = {}, {}, {}
+    for u, typ, ts in ev:  # ts-ordered: first qualifying event wins
+        if typ == "view" and u not in t_view:
+            t_view[u] = ts
+        elif typ == "click" and u in t_view and u not in t_click and ts > t_view[u]:
+            t_click[u] = ts
+        elif typ == "purchase" and u in t_click and u not in t_purch and ts > t_click[u]:
+            t_purch[u] = ts
+    assert row["n_users"] == len(users)
+    assert row["n_viewed"] == len(t_view)
+    assert row["n_clicked"] == len(t_click)
+    assert row["n_purchased"] == len(t_purch)
+    # funnel monotonicity + rate consistency
+    assert row["n_users"] >= row["n_viewed"] >= row["n_clicked"] >= row["n_purchased"]
+    assert row["view_to_click"] == round(len(t_click) / len(t_view), 4)
+    assert 0.0 <= row["overall_conversion"] <= row["click_to_purchase"] <= 1.0
+
+
+def test_cohort_offset_zero_equals_cohort_size(spark):
+    rows = load_all()["cohort_retention"].fn(spark, SF).collect()
+    assert rows
+    # every user is active in their own first week -> the offset-0 cell IS
+    # the cohort size, and every later offset can only shrink or hold
+    by_cohort = defaultdict(dict)
+    for r in rows:
+        assert r["week_offset"] >= 0
+        by_cohort[r["cohort_week"]][r["week_offset"]] = r["n_active"]
+    total = 0
+    for cohort, cells in by_cohort.items():
+        assert 0 in cells, f"cohort {cohort} missing its offset-0 cell"
+        assert all(n <= cells[0] for n in cells.values())
+        total += cells[0]
+    # cohorts partition the user base
+    ev = _events()
+    assert total == len({u for u, _, _ in ev})
+
+
+def test_basket_lift_matches_python(spark):
+    rows = load_all()["basket_lift_pairs"].fn(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    con = duckdb.connect()
+    items = con.execute(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM '{SF}/lineitem.parquet'"
+    ).fetchall()
+    orders = defaultdict(set)
+    for o, p in items:
+        orders[o].add(p)
+    part_cnt = defaultdict(int)
+    pair_cnt = defaultdict(int)
+    for o, parts in orders.items():
+        for p in parts:
+            part_cnt[p] += 1
+        sp = sorted(parts)
+        for i, u in enumerate(sp):
+            for v in sp[i + 1 :]:
+                pair_cnt[(u, v)] += 1
+    n_orders = len(orders)
+    lifts = sorted(rows, key=lambda r: (-r["lift"],))
+    assert lifts[0]["lift"] == rows[0]["lift"]  # already lift-descending
+    for r in rows:
+        u, v, c = r["u"], r["v"], r["pair_cnt"]
+        assert c == pair_cnt[(u, v)] >= 3
+        assert r["confidence"] == round(c / part_cnt[u], 4)
+        assert r["lift"] == round(n_orders * c / (part_cnt[u] * part_cnt[v]), 4)
+    # the reported top-1 really is the global max lift among qualifying pairs
+    best = max(
+        round(n_orders * c / (part_cnt[u] * part_cnt[v]), 4)
+        for (u, v), c in pair_cnt.items()
+        if c >= 3
+    )
+    assert rows[0]["lift"] == best
