@@ -239,6 +239,12 @@ def main(argv: list[str] | None = None) -> int:
         "and the connection keeps serving (requests may override)",
     )
     sv.add_argument(
+        "--audit-log",
+        default=None,
+        help="JSONL flight recorder: one line per served request "
+        "(ts/kind/ok/ms/tenant/detail)",
+    )
+    sv.add_argument(
         "--cache-dir",
         default=None,
         help="enable the opt-in result cache: requests with {\"cache\": true} "
@@ -757,6 +763,7 @@ def main(argv: list[str] | None = None) -> int:
             port=args.port,
             timeout_s=args.timeout_s,
             cache_dir=args.cache_dir,
+            audit_log=args.audit_log,
         )
         host, port = server.server_address[:2]
         print(f"serving:{host}:{port}", flush=True)

@@ -395,7 +395,16 @@ class _Handler(socketserver.StreamRequestHandler):
                     resp = server.run_guarded(req, pool)
             except Exception as e:  # noqa: BLE001 — protocol boundary
                 resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-            server.note(kind, bool(resp.get("ok")), _time.perf_counter() - t_req)
+            detail = None
+            if isinstance(req, dict):
+                detail = req.get("query") or req.get("sql", "")[:120] or None
+            server.note(
+                kind,
+                bool(resp.get("ok")),
+                _time.perf_counter() - t_req,
+                detail=detail,
+                tenant=pool,
+            )
             try:
                 self.wfile.write(
                     (json.dumps(resp, default=str) + "\n").encode("utf-8")
@@ -419,11 +428,13 @@ class QueryServer(socketserver.ThreadingTCPServer):
         port: int = 0,
         timeout_s: float | None = None,
         cache_dir: str | None = None,
+        audit_log: str | None = None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
         self.timeout_s = timeout_s  # default per-request deadline (None = off)
         self.cache_dir = cache_dir  # enables opt-in {"cache": true} serving
+        self.audit_log = audit_log  # JSONL flight recorder (one line/request)
         self._t0 = _time.time()
         self._stats_lock = threading.Lock()
         self._served: dict[str, int] = {}
@@ -574,13 +585,34 @@ class QueryServer(socketserver.ThreadingTCPServer):
         }
 
     # -- counters -----------------------------------------------------------
-    def note(self, kind: str, ok: bool, dur_s: float | None = None) -> None:
+    def note(
+        self,
+        kind: str,
+        ok: bool,
+        dur_s: float | None = None,
+        detail: str | None = None,
+        tenant: str | None = None,
+    ) -> None:
         with self._stats_lock:
             self._served[kind] = self._served.get(kind, 0) + 1
             if dur_s is not None:
                 self._latency.setdefault(kind, deque(maxlen=1000)).append(dur_s)
             if not ok:
                 self._errors += 1
+        if self.audit_log:
+            # ops flight recorder, one JSON line per request (the reference
+            # leader logs every served query to its console; this is that
+            # record durable + greppable). Driver-side file append only.
+            rec = {
+                "ts": round(_time.time(), 3),
+                "kind": kind,
+                "ok": ok,
+                "ms": round(dur_s * 1000, 1) if dur_s is not None else None,
+                "tenant": tenant,
+                "detail": detail,
+            }
+            with self._stats_lock, open(self.audit_log, "a") as f:
+                f.write(json.dumps(rec) + "\n")
 
     def status(self) -> dict:
         # per-kind latency percentiles over the last <=1000 requests — the
@@ -612,11 +644,18 @@ def start_server(
     port: int = 0,
     timeout_s: float | None = None,
     cache_dir: str | None = None,
+    audit_log: str | None = None,
 ) -> QueryServer:
     """Bind + serve in a daemon thread; returns the server (read the bound
     port from `server.server_address`, stop with `server.shutdown()`)."""
     server = QueryServer(
-        spark, sf_dir, host=host, port=port, timeout_s=timeout_s, cache_dir=cache_dir
+        spark,
+        sf_dir,
+        host=host,
+        port=port,
+        timeout_s=timeout_s,
+        cache_dir=cache_dir,
+        audit_log=audit_log,
     )
     t = threading.Thread(target=server.serve_forever, daemon=True, name="streamds-serve")
     t.start()

@@ -484,3 +484,30 @@ def test_opt_in_result_cache_over_socket(spark, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_audit_log_flight_recorder(spark, tmp_path):
+    """One JSONL line per request (ts/kind/ok/ms/tenant/detail) — the
+    reference leader's console log, durable."""
+    import json as _json
+
+    from streamds_spark.server import start_server as _ss
+
+    log = str(tmp_path / "audit.jsonl")
+    server = _ss(spark, SF, audit_log=log)
+    host, port = server.server_address[:2]
+    try:
+        request(host, port, {"cmd": "ping"})
+        request(host, port, {"query": "distinct_values"})
+        request(host, port, {"sql": "SELECT 1 AS a"})
+        request(host, port, {"query": "no_such_query"})
+        with open(log) as f:
+            recs = [_json.loads(line) for line in f]
+        assert [r["kind"] for r in recs] == ["ping", "query", "sql", "query"]
+        assert [r["ok"] for r in recs] == [True, True, True, False]
+        assert recs[1]["detail"] == "distinct_values"
+        assert recs[2]["detail"].startswith("SELECT 1")
+        assert all(r["ms"] >= 0 and r["tenant"].startswith("client-") for r in recs)
+    finally:
+        server.shutdown()
+        server.server_close()
