@@ -388,7 +388,7 @@ class _Handler(socketserver.StreamRequestHandler):
                 elif kind == "cancel":
                     resp = server.cancel(req)
                 elif kind == "pipeline_status":
-                    resp = server.pipeline_status()
+                    resp = server.pipeline_status(req)
                 elif kind in _CONTROL_KINDS:
                     resp = _run_request(server.spark, server.sf_dir, req, pool)
                 else:
@@ -553,7 +553,7 @@ class QueryServer(socketserver.ThreadingTCPServer):
         `work_dir` the llm_pipeline work dir (checkpoint + stores)."""
         self._pipeline = (capture, work_dir)
 
-    def pipeline_status(self) -> dict:
+    def pipeline_status(self, req: dict | None = None) -> dict:
         if self._pipeline is None:
             return {"ok": False, "error": "no pipeline attached to this server"}
         from streamds_spark.streaming.llm_pipeline import (
@@ -573,16 +573,21 @@ class QueryServer(socketserver.ThreadingTCPServer):
             name: len(_committed_store_dirs(getattr(paths, name), 2**62))
             for name in ("hash_store", "bucket_store", "chunk_store")
         }
-        return {
-            "ok": True,
-            "pipeline": {
-                "work_dir": work_dir,
-                "queries": queries,
-                "durable_frontier": _durable_frontier(paths),
-                "committed_store_dirs": stores,
-                "terminated": dict(capture.terminated),
-            },
+        out = {
+            "work_dir": work_dir,
+            "queries": queries,
+            "durable_frontier": _durable_frontier(paths),
+            "committed_store_dirs": stores,
+            "terminated": dict(capture.terminated),
         }
+        if req and req.get("estimate"):
+            # distinct-ingest estimate from the streamed HLL register store —
+            # a <=256-row read + merge at any corpus size
+            from streamds_spark.streaming.llm_pipeline import distinct_docs_estimate
+
+            row = distinct_docs_estimate(self.spark, work_dir).first()
+            out["distinct_docs_estimate"] = round(row["est"], 1)
+        return {"ok": True, "pipeline": out}
 
     # -- counters -----------------------------------------------------------
     def note(

@@ -393,6 +393,10 @@ def test_pipeline_status_over_socket(spark, tmp_path):
         assert reports and reports[0]["total_input_rows"] > 0
         assert st["committed_store_dirs"]["hash_store"] >= 1
         assert st["committed_store_dirs"]["chunk_store"] >= 1
+        # sketch-backed distinct estimate over the socket (HLL register store)
+        est = request(host, port, {"cmd": "pipeline_status", "estimate": True})
+        got = est["pipeline"]["distinct_docs_estimate"]
+        assert got > 0
     finally:
         spark.streams.removeListener(capture)
         server.shutdown()
