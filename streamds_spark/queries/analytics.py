@@ -921,3 +921,87 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("_ord")
     )
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH custagg AS (
+        SELECT o_custkey AS c,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+                   AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders GROUP BY 1
+    ),
+    q AS (
+        SELECT c, monetary,
+               ntile(4) OVER (ORDER BY recency_days, c) AS r_q,
+               ntile(4) OVER (ORDER BY frequency, c) AS f_q,
+               ntile(4) OVER (ORDER BY CAST(monetary AS DOUBLE), c) AS m_q
+        FROM custagg
+    )
+    SELECT r_q, f_q, m_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(monetary) AS DOUBLE) / count(*), 4) + 0.0 AS avg_monetary
+    FROM q GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency/frequency/monetary quartiles
+    (quartile 1 = most recent / fewest orders / lowest spend under ascending
+    order; ties broken by customer key so the cut is a total order) and the
+    64-cell segment census marketing actually reads.
+
+    The three quartile assignments are exact global ntiles WITHOUT a global
+    window: operators/ranking.with_global_rank (range-bucketed distributed
+    row numbers) + closed-form ntile_from_rank per metric, on the
+    CUSTOMER-sized relation. Monetary is summed as DECIMAL (exact, so
+    cross-engine order agrees) and ORDERED as double in both engines (ulp
+    ties then fall to the customer-key tie-break identically). Oracle uses
+    DuckDB's native ntile over the same total orders — proving the
+    distributed rank arithmetic against the engine builtin three times in
+    one query."""
+    from streamds_spark.operators.ranking import ntile_from_rank, with_global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("_maxd"))
+    cust = (
+        orders.groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("_last"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .withColumn(
+            "recency_days", F.datediff(F.col("_maxd"), F.col("_last")).cast("int")
+        )
+        .withColumn("monetary_d", F.col("monetary").cast("double"))
+        .localCheckpoint(eager=False)  # three rank passes + the total read it
+    )
+    ranked = with_global_rank(cust, ["recency_days", "c"], "r_rank")
+    ranked = with_global_rank(ranked, ["frequency", "c"], "f_rank")
+    ranked = with_global_rank(ranked, ["monetary_d", "c"], "m_rank")
+    total = cust.agg(F.count("*").cast("bigint").alias("_n"))
+    seg = ranked.crossJoin(F.broadcast(total)).select(
+        ntile_from_rank(F.col("r_rank"), F.col("_n"), 4).alias("r_q"),
+        ntile_from_rank(F.col("f_rank"), F.col("_n"), 4).alias("f_q"),
+        ntile_from_rank(F.col("m_rank"), F.col("_n"), 4).alias("m_q"),
+        "monetary",
+    )
+    return (
+        seg.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            (
+                F.round(
+                    F.sum("monetary").cast("double") / F.count("*"), 4
+                )
+                + F.lit(0.0)
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )

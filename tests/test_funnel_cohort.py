@@ -94,3 +94,22 @@ def test_basket_lift_matches_python(spark):
         if c >= 3
     )
     assert rows[0]["lift"] == best
+
+
+def test_rfm_quartiles_balanced(spark):
+    """Each metric's quartiles partition the customers with ANSI-ntile sizes
+    (difference <= 1), and the census covers every customer exactly once."""
+    rows = load_all()["rfm_segments"].fn(spark, SF).collect()
+    con = duckdb.connect()
+    n_cust = con.execute(
+        f"SELECT count(DISTINCT o_custkey) FROM '{SF}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for dim in ("r_q", "f_q", "m_q"):
+        per_q = defaultdict(int)
+        for r in rows:
+            assert 1 <= r[dim] <= 4
+            per_q[r[dim]] += r["n_customers"]
+        sizes = [per_q[q] for q in (1, 2, 3, 4)]
+        assert max(sizes) - min(sizes) <= 1, (dim, sizes)
+    assert all(r["avg_monetary"] > 0 for r in rows)
