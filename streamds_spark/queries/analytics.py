@@ -1005,3 +1005,155 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+@query(
+    "event_type_runs",
+    oracle="""
+    WITH runs AS (
+        SELECT user_id, event_type,
+               sum(new_run) OVER (PARTITION BY user_id ORDER BY rowid_ord
+                                  ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM (
+            SELECT user_id, event_type, new_run,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rowid_ord
+            FROM (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN lag(event_type) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id)
+                                 IS DISTINCT FROM event_type
+                            THEN 1 ELSE 0 END AS new_run
+                FROM events
+            )
+        )
+    ),
+    per_run AS (
+        SELECT user_id, event_type, run_id, CAST(count(*) AS BIGINT) AS run_len
+        FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(run_len) AS BIGINT) AS longest_run,
+           CAST(max(CASE WHEN run_len >= 2 THEN run_len ELSE 0 END) AS BIGINT)
+               AS longest_repeat
+    FROM per_run GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def event_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over each user's event stream: consecutive
+    same-event-type runs (lag-flag -> running-sum island ids), then per-user
+    run census (count, longest run, longest repeated run). The classic
+    island construction every warehouse interview asks for, distributed the
+    obvious way: all windows are PARTITIONED BY user_id — per-user sequences
+    sort locally after one hash exchange, never a global sort."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_run",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_run = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.count("*").cast("bigint").alias("run_len")
+    )
+    return (
+        per_run.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_runs"),
+            F.max("run_len").cast("bigint").alias("longest_run"),
+            F.max(
+                F.when(F.col("run_len") >= 2, F.col("run_len")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("longest_repeat"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "weekly_trend_by_event_type",
+    oracle="""
+    WITH weekly AS (
+        SELECT event_type,
+               CAST(date_diff('day',
+                    (SELECT date_trunc('week', min(ts)) FROM events),
+                    date_trunc('week', ts)) / 7 AS BIGINT) AS wk,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(wk) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(wk * y) AS BIGINT) AS sxy,
+               CAST(sum(wk * wk) AS BIGINT) AS sxx
+        FROM weekly GROUP BY 1
+    )
+    SELECT event_type, n AS n_weeks, sy AS total_events,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(n * sxx - sx * sx, 0), 4) + 0.0 AS slope_per_week
+    FROM s ORDER BY event_type
+    """,
+)
+def weekly_trend_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of weekly volumes: least-squares slope
+    from the closed form (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2). Week indexes and
+    counts are INTEGERS, so every sum is exact BIGINT arithmetic in both
+    engines and the slope is one IEEE division of identical integers —
+    hash-exact with no float-ordering caveats. Shape: one map-side-combined
+    weekly rollup, then a 5-sum aggregate per group over the week-domain-
+    bounded relation."""
+    events = load_table(spark, sf_dir, "events")
+    week0 = events.agg(
+        F.date_trunc("week", F.min("ts")).alias("_w0")
+    )
+    weekly = (
+        events.crossJoin(F.broadcast(week0))
+        .groupBy(
+            "event_type",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("_w0").cast("date"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("wk"),
+        )
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    s = weekly.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("wk").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("wk") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("wk") * F.col("wk")).cast("bigint").alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_weeks"),
+        F.col("sy").alias("total_events"),
+        (
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / F.nullif(denom.cast("double"), F.lit(0.0)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("slope_per_week"),
+    ).orderBy("event_type")

@@ -113,3 +113,47 @@ def test_rfm_quartiles_balanced(spark):
         sizes = [per_q[q] for q in (1, 2, 3, 4)]
         assert max(sizes) - min(sizes) <= 1, (dim, sizes)
     assert all(r["avg_monetary"] > 0 for r in rows)
+
+
+def test_event_runs_python_parity(spark):
+    """Run-length encoding per user against a pure-Python pass."""
+    rows = {r["user_id"]: r for r in load_all()["event_type_runs"].fn(spark, SF).collect()}
+    per_user = defaultdict(list)
+    for u, typ, ts in _events():
+        per_user[u].append(typ)
+    for u, seq in per_user.items():
+        runs = []
+        for t in seq:
+            if runs and runs[-1][0] == t:
+                runs[-1][1] += 1
+            else:
+                runs.append([t, 1])
+        r = rows[u]
+        assert r["n_runs"] == len(runs)
+        assert r["longest_run"] == max(n for _, n in runs)
+        assert r["longest_repeat"] == max([n for _, n in runs if n >= 2], default=0)
+    assert set(rows) == set(per_user)
+
+
+def test_weekly_trend_python_parity(spark):
+    from datetime import timedelta
+
+    rows = {r["event_type"]: r for r in
+            load_all()["weekly_trend_by_event_type"].fn(spark, SF).collect()}
+    ev = _events()
+    def week_start(ts):
+        d = ts.date()
+        return d - timedelta(days=d.weekday())
+    w0 = min(week_start(ts) for _, _, ts in ev)
+    weekly = defaultdict(int)
+    for u, typ, ts in ev:
+        weekly[(typ, (week_start(ts) - w0).days // 7)] += 1
+    for typ in {t for t, _ in weekly}:
+        pts = [(wk, y) for (t, wk), y in weekly.items() if t == typ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+        want = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0
+        r = rows[typ]
+        assert r["n_weeks"] == n and r["total_events"] == sy
+        assert r["slope_per_week"] == want
