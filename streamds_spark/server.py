@@ -14,6 +14,7 @@ of convoying FIFO behind each other.
 Protocol (one JSON object per line, response is one JSON line):
   {"cmd": "ping"}                      -> {"ok": true, "pong": true}
   {"cmd": "list"}                      -> {"ok": true, "queries": [...]}
+  {"cmd": "tables"}                    -> pinned views' column/type schemas
   {"query": "<name>", "limit": N}
       -> {"ok": true, "query": ..., "columns": [...], "rows": [[...], ...],
           "n_rows": N, "truncated": bool}
@@ -154,6 +155,20 @@ def _run_request(
         return {"ok": True, "pong": True}
     if req.get("cmd") == "list":
         return {"ok": True, "queries": sorted(load_all())}
+    if req.get("cmd") == "tables":
+        # schema discovery for the SQL surface: every pinned view's columns
+        # and types (driver-side — schemas come from the catalog's readers,
+        # no jobs)
+        from streamds_spark.catalog import TABLES, load_table
+
+        return {
+            "ok": True,
+            "sf_dir": default_sf_dir,
+            "tables": {
+                t: dict(load_table(spark, default_sf_dir, t).dtypes)
+                for t in TABLES
+            },
+        }
     if isinstance(req.get("sql"), str):
         # raw read-only SQL over the TESTDATA views — the reference shell's
         # SQL dialect served multi-tenant. Views are session-global and were
@@ -360,7 +375,9 @@ def _req_kind(req: dict) -> str:
 
 
 # request kinds answered from driver-side state only — no job group/watchdog
-_CONTROL_KINDS = frozenset({"ping", "list", "status", "pipeline_status", "cancel", "invalid"})
+_CONTROL_KINDS = frozenset(
+    {"ping", "list", "tables", "status", "pipeline_status", "cancel", "invalid"}
+)
 
 
 class _Handler(socketserver.StreamRequestHandler):

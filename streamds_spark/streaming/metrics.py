@@ -102,6 +102,13 @@ def throughput_report(events: list[dict]) -> dict:
         if ops:
             state_rows = sum(op.get("numRowsTotal", 0) for op in ops)
             break
+    # late-data accounting: rows the watermark dropped, summed over the
+    # window — the "did we lose events" alert every event-time pipeline needs
+    late_dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for e in batches
+        for op in (e.get("stateOperators") or [])
+    )
     return {
         "n_batches": len(batches),
         "total_input_rows": total_rows,
@@ -109,4 +116,5 @@ def throughput_report(events: list[dict]) -> dict:
         "batch_ms_max": max(durations),
         "rows_per_sec": (total_rows / (wall_ms / 1000.0)) if wall_ms else float("inf"),
         "state_rows_total": state_rows,
+        "late_rows_dropped": late_dropped,
     }

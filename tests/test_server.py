@@ -515,3 +515,20 @@ def test_audit_log_flight_recorder(spark, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_tables_schema_discovery(spark):
+    server, host, port = _start(spark)
+    try:
+        resp = request(host, port, {"cmd": "tables"})
+        assert resp["ok"] and resp["sf_dir"] == SF
+        t = resp["tables"]
+        assert t["orders"]["o_orderkey"] == "bigint"
+        assert t["documents"]["text"] == "string"
+        assert set(t) >= {
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        }
+    finally:
+        server.shutdown()
+        server.server_close()
