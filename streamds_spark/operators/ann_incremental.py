@@ -182,6 +182,24 @@ def compact_ann_index(spark: SparkSession, path: str) -> int:
     number of batch dirs folded."""
     dirs = _committed_dirs(path)
     batch_dirs = [d for d in dirs if os.path.basename(d).startswith("batch=")]
+    # reclaim garbage from batches replayed AFTER a previous compaction:
+    # their ids sit at/below the live segment's hi, so readers already skip
+    # them (same GC rule as the corpus stores' _compact_one_store)
+    seg_hi = max(
+        (
+            int(os.path.basename(d).split("=", 1)[1])
+            for d in dirs
+            if os.path.basename(d).startswith("segment=")
+        ),
+        default=-1,
+    )
+    for d in _glob.glob(os.path.join(path, "batch=*")):
+        try:
+            bid = int(os.path.basename(d).split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid <= seg_hi:
+            shutil.rmtree(d, ignore_errors=True)
     if not batch_dirs:
         return 0
     new_hi = max(int(os.path.basename(d).split("=", 1)[1]) for d in batch_dirs)

@@ -151,3 +151,28 @@ def test_streaming_index_maintenance(spark, tmp_path):
         got = ann_index_probe(spark, inc, qvec, k=10, n_flip_bits=1)
         want = ann_probe_topk(spark, ref, qvec, k=10, n_planes=N_PLANES, n_flip_bits=1)
         assert _probe_rows(got) == _probe_rows(want)
+
+
+def test_post_compaction_replay_is_invisible_and_reclaimed(spark, tmp_path):
+    """A batch replayed AFTER compaction (id <= segment hi) must never be
+    read, and the next compaction reclaims its dir."""
+    emb, parts = _batches(spark)
+    inc = str(tmp_path / "inc")
+    for i, part in enumerate(parts):
+        ann_index_append(part, inc, i, n_planes=N_PLANES)
+    qvec = [float(x) for x in emb.filter(emb.vec_id == 3).first()["embedding"]]
+    before = _probe_rows(ann_index_probe(spark, inc, qvec, k=10, n_flip_bits=1))
+    assert compact_ann_index(spark, inc) == 3  # segment=2 now live
+
+    # replay of batch 1 arrives late (streaming redelivery after a crash)
+    ann_index_append(parts[1], inc, 1, n_planes=N_PLANES)
+    assert os.path.isdir(os.path.join(inc, "batch=1"))
+    # invisible to probes: its rows are already inside the segment
+    assert _probe_rows(ann_index_probe(spark, inc, qvec, k=10, n_flip_bits=1)) == before
+
+    # next maintenance pass reclaims the garbage dir without changing results
+    ann_index_append(parts[0], inc, 7, n_planes=N_PLANES)  # plus a real append
+    assert compact_ann_index(spark, inc) == 1
+    assert not os.path.isdir(os.path.join(inc, "batch=1"))
+    dup = _probe_rows(ann_index_probe(spark, inc, qvec, k=10, n_flip_bits=1))
+    assert dup[0] == before[0]
