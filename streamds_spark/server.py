@@ -392,6 +392,7 @@ class _Handler(socketserver.StreamRequestHandler):
             if not line:
                 continue
             kind = "invalid"
+            req = None
             t_req = _time.perf_counter()
             try:
                 req = json.loads(line)

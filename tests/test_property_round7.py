@@ -83,6 +83,10 @@ def test_appendlog_ledger_model(spark, ops, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("alog") / "log")
     appendlog.create(spark, path)
     ledger: dict = {}  # key -> list of lines (plain appends under key 'plain')
+    merged_ids: set = set()  # batch/txn keys folded into a generation: a
+    # later append/replay under the SAME id is by contract a REPLAY of
+    # already-delivered content — the manifest subsumes it and readers
+    # never see it (exactly-once), so the model must not take new content
     seq = 0
 
     def q():
@@ -113,21 +117,26 @@ def test_appendlog_ledger_model(spark, ops, tmp_path_factory):
             appendlog.append_batch(
                 spark.createDataFrame([(l,) for l in lines], ["line"]), path, "cB", arg
             )
-            ledger[f"batch-{arg}"] = lines  # replay overwrites same key
+            if f"batch-{arg}" not in merged_ids:
+                ledger[f"batch-{arg}"] = lines  # pre-merge replay overwrites
         elif op == "txn":
             lines = [f"t{arg}-{seq}-{j}" for j in range(2)]
             appendlog.append_batch_txn(
                 spark.createDataFrame([(l,) for l in lines], ["line"]), path, "cT", arg
             )
-            ledger[f"txn-{arg}"] = lines
+            if f"txn-{arg}" not in merged_ids:
+                ledger[f"txn-{arg}"] = lines
         elif op == "replay_txn":
             lines = [f"r{arg}-{seq}"]
             appendlog.append_batch_txn(
                 spark.createDataFrame([(l,) for l in lines], ["line"]), path, "cT", arg
             )
-            ledger[f"txn-{arg}"] = lines  # supersedes the earlier attempt
+            if f"txn-{arg}" not in merged_ids:
+                ledger[f"txn-{arg}"] = lines  # supersedes the earlier attempt
         else:
             appendlog.merge(spark, path)
+            # everything the merge folded is now replay-immune forever
+            merged_ids.update(k for k in ledger if not k.startswith("plain-"))
         if not ledger:
             continue
         got = {r["line"]: r["n"] for r in q().collect()}
