@@ -265,6 +265,11 @@ def main() -> None:
     t0 = time.time()
     specs["hll_distinct_parts"].fn(spark, sf_dir).count()
     hll_s = round(time.time() - t0, 3)
+    # Round-7 tracker: grouped log-linear quantile sketch (registers + per-
+    # group extraction) — the mergeable-quantile path's steady-state cost.
+    t0 = time.time()
+    specs["hdr_value_quantiles_by_type"].fn(spark, sf_dir).count()
+    hdrq_s = round(time.time() - t0, 3)
     t0 = time.time()
     specs["cluster_quality_metrics"].fn(spark, sf_dir).count()
     cqual_s = round(time.time() - t0, 3)
@@ -329,6 +334,7 @@ def main() -> None:
                     "cdc_chunk_sharing": cdc_s,
                     "cdc_chunks_gear": cdc_gear_s,
                     "hll_distinct_parts": hll_s,
+                    "hdr_value_quantiles_by_type": hdrq_s,
                     "cluster_quality_metrics": cqual_s,
                     "token_coverage_curve": tcov_s,
                     "skew_aware_join_sources": skewaware_s,

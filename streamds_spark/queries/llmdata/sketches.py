@@ -505,3 +505,159 @@ def hll_distinct_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR-style log-linear quantile sketch (operators/hdr.py): the mergeable,
+# fixed-size quantile state — the third quantile path next to exact
+# distributed ranks and the GK approx twins. Pure integer bucketing makes
+# registers AND extracted quantiles hash-exact across engines.
+# ---------------------------------------------------------------------------
+
+from streamds_spark.operators.hdr import (  # noqa: E402
+    bucket_expr_duckdb,
+    duckdb_hdr_quantiles_by_sql,
+    duckdb_hdr_quantiles_sql,
+    hdr_merge,
+    hdr_quantiles,
+    hdr_quantiles_by,
+    hdr_registers,
+)
+
+_HDR_BUCKET_V = bucket_expr_duckdb("v")
+
+HDR_QS = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+
+
+@query(
+    "hdr_doclen_quantiles",
+    oracle=duckdb_hdr_quantiles_sql("documents", "n_chars", HDR_QS)
+    + " ORDER BY tag",
+)
+def hdr_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length p50/p90/p99 from the log-linear register sketch
+    (operators/hdr.py; HdrHistogram/DDSketch family, integer bucketing) —
+    every output column is BIGINT, so bucket choice, value bounds, and the
+    midpoint estimate are all hash-checked against the DuckDB twin.
+
+    Plan: one map-only bucket pass + a <=1888-key aggregate (map-side
+    combined: the shuffle is kilobytes at any corpus size), then the
+    cumulative window over the REGISTER TABLE — bounded by construction,
+    never the data (allowlisted in tests/test_plans.py). At 100 TB this is
+    the latency-dashboard shape: per-shard sketches merge by summing
+    counts; only the fixed-size state crosses the wire."""
+    docs = load_table(spark, sf_dir, "documents")
+    regs = hdr_registers(docs, "n_chars")
+    return hdr_quantiles(regs, HDR_QS).orderBy("tag")
+
+
+@query(
+    "hdr_value_quantiles_by_type",
+    oracle=duckdb_hdr_quantiles_by_sql(
+        "events", "floor(value * 100)", ["event_type"], HDR_QS
+    )
+    + " ORDER BY event_type, tag",
+)
+def hdr_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles (centi-units: floor(value*100) — an
+    exact IEEE double product both engines share, then integer bucketing).
+    The grouped variant of hdr_doclen_quantiles: registers carry the group
+    key, and the cumulative window is PARTITIONED by event_type, so
+    extraction distributes across groups with no global window at all.
+
+    The 100 TB read: this is per-endpoint latency percentiles — grouped
+    register tables are (group × <=1888) rows regardless of event volume,
+    and the per-group window input stays sketch-sized forever."""
+    ev = load_table(spark, sf_dir, "events")
+    regs = hdr_registers(ev, "floor(value * 100)", by=["event_type"])
+    return hdr_quantiles_by(regs, ["event_type"], HDR_QS).orderBy(
+        "event_type", "tag"
+    )
+
+
+@query(
+    "hdr_merge_audit_sources",
+    oracle=f"""
+    WITH raw AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+    ),
+    vals AS (SELECT * FROM raw WHERE v IS NOT NULL AND v >= 0),
+    persrc AS (
+        SELECT source, {{bucket}} AS bucket, count(*) AS cnt
+        FROM vals GROUP BY ALL
+    ),
+    merged AS (SELECT bucket, SUM(cnt) AS cnt FROM persrc GROUP BY bucket),
+    direct AS (
+        SELECT {{bucket}} AS bucket, count(*) AS cnt FROM vals GROUP BY 1
+    ),
+    joined AS (
+        SELECT coalesce(m.bucket, d.bucket) AS bucket,
+               coalesce(m.cnt, -1) AS mc, coalesce(d.cnt, -1) AS dc
+        FROM merged m FULL OUTER JOIN direct d ON m.bucket = d.bucket
+    )
+    SELECT CAST((SELECT count(DISTINCT source) FROM vals) AS BIGINT)
+               AS n_sources,
+           CAST((SELECT count(*) FROM merged) AS BIGINT) AS merged_buckets,
+           CAST((SELECT count(*) FROM direct) AS BIGINT) AS direct_buckets,
+           CAST((SELECT count(*) FROM joined WHERE mc <> dc) AS BIGINT)
+               AS mismatched_buckets,
+           CAST((SELECT SUM(cnt) FROM merged) AS BIGINT) AS merged_total,
+           CAST((SELECT SUM(cnt) FROM direct) AS BIGINT) AS direct_total
+    """.replace("{bucket}", _HDR_BUCKET_V),
+)
+def hdr_merge_audit_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability proof as a query: per-source sketches combined with
+    hdr_merge (union + sum per bucket) must equal the sketch built over the
+    whole corpus in one pass — bucket-for-bucket, count-for-count
+    (mismatched_buckets = 0). This is the invariant that lets a streaming
+    ingest keep per-batch register tables and fold them at read time, and
+    the oracle replays BOTH paths in DuckDB, so the equality itself is
+    hash-checked.
+
+    Plan: two bounded aggregates over one scan each plus a full outer join
+    of two <=1888-row relations — report-shaped end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = hdr_registers(docs, "n_chars", by=["source"])
+    merged = hdr_merge(per_src.select("bucket", "cnt"))
+    direct = hdr_registers(docs, "n_chars")
+    joined = merged.alias("m").join(
+        direct.alias("d"), F.col("m.bucket") == F.col("d.bucket"), "full_outer"
+    ).select(
+        F.coalesce(F.col("m.cnt"), F.lit(-1)).alias("mc"),
+        F.coalesce(F.col("d.cnt"), F.lit(-1)).alias("dc"),
+    )
+    n_sources = docs.where("n_chars IS NOT NULL AND n_chars >= 0").agg(
+        F.countDistinct("source").alias("n_sources")
+    )
+    stats = joined.agg(
+        F.sum(F.when(F.col("mc") != F.col("dc"), 1).otherwise(0)).alias(
+            "mismatched_buckets"
+        )
+    )
+    counts = (
+        merged.agg(
+            F.count("*").alias("merged_buckets"),
+            F.sum("cnt").alias("merged_total"),
+        )
+        .crossJoin(
+            F.broadcast(
+                direct.agg(
+                    F.count("*").alias("direct_buckets"),
+                    F.sum("cnt").alias("direct_total"),
+                )
+            )
+        )
+    )
+    return (
+        F.broadcast(n_sources)
+        .crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("n_sources").cast("bigint").alias("n_sources"),
+            F.col("merged_buckets").cast("bigint").alias("merged_buckets"),
+            F.col("direct_buckets").cast("bigint").alias("direct_buckets"),
+            F.col("mismatched_buckets").cast("bigint").alias("mismatched_buckets"),
+            F.col("merged_total").cast("bigint").alias("merged_total"),
+            F.col("direct_total").cast("bigint").alias("direct_total"),
+        )
+    )

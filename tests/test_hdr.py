@@ -1,0 +1,196 @@
+"""Log-linear (HDR-style) quantile sketch (operators/hdr.py): bucket-map
+properties against a pure-Python reference, DuckDB twin parity on the exact
+SQL strings the oracle uses, merge-equals-whole, and the rank/relative-error
+guarantees quantile extraction rests on."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+from hypothesis import given
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from streamds_spark.operators.hdr import (
+    SUB,
+    SUBBITS,
+    bounds_exprs,
+    bucket_expr_duckdb,
+    bucket_expr_spark,
+    hdr_merge,
+    hdr_quantiles,
+    hdr_quantiles_by,
+    hdr_registers,
+)
+
+MAXV = (1 << 63) - 1
+
+
+def py_bucket(x: int) -> int:
+    if x < SUB:
+        return x
+    s = x.bit_length() - 1 - SUBBITS
+    return s * SUB + (x >> s)
+
+
+def py_bounds(b: int) -> tuple[int, int, int]:
+    if b < SUB:
+        return b, b, b
+    s = b // SUB - 1
+    m = b - s * SUB
+    lo, hi = m << s, ((m + 1) << s) - 1
+    mid = m if s == 0 else (m << s) + (1 << (s - 1))
+    return lo, hi, mid
+
+
+# ---------------------------------------------------------------------- model
+
+
+@given(st.integers(min_value=0, max_value=MAXV))
+def test_bucket_bounds_contain_value(x):
+    lo, hi, mid = py_bounds(py_bucket(x))
+    assert lo <= x <= hi
+    assert lo <= mid <= hi
+
+
+@given(st.integers(min_value=0, max_value=MAXV - 1), st.integers(1, 1 << 40))
+def test_bucket_monotone(x, d):
+    assert py_bucket(x) <= py_bucket(min(MAXV, x + d))
+
+
+@given(st.integers(min_value=SUB, max_value=MAXV))
+def test_relative_error_bound(x):
+    _, _, mid = py_bounds(py_bucket(x))
+    assert abs(mid - x) / x <= 1.0 / SUB
+
+
+@given(st.integers(min_value=0, max_value=(1 << 63) - 2))
+def test_buckets_contiguous(x):
+    """Adjacent values map to the same or the next bucket — no gaps, so rank
+    queries against bucket order are rank queries against value order."""
+    assert py_bucket(x + 1) - py_bucket(x) in (0, 1)
+
+
+# ------------------------------------------------------------- engine parity
+
+
+ADVERSARIAL = [
+    0, 1, 2, 31, 32, 33, 47, 63, 64, 65, 127, 128, 1000, 10**6,
+    2**52, 2**53 - 1, 2**53, 2**53 + 2, 2**57 + 12345, 2**62, MAXV,
+]
+
+
+def test_spark_and_duckdb_match_python_reference(spark):
+    rng = random.Random(11)
+    vals = ADVERSARIAL + [rng.randint(0, MAXV) for _ in range(300)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    duck = dict(con.execute(f"SELECT v, {bucket_expr_duckdb('v')} FROM t").fetchall())
+    sp = dict(
+        spark.createDataFrame([(v,) for v in vals], "v long")
+        .selectExpr("v", f"{bucket_expr_spark('v')} AS b")
+        .collect()
+    )
+    for v in vals:
+        assert duck[v] == sp[v] == py_bucket(v), v
+    # bounds inversion agrees too, on every distinct bucket seen
+    lo, hi, mid = bounds_exprs("bucket")
+    bks = sorted({py_bucket(v) for v in vals})
+    con.execute("CREATE TABLE bt(bucket INT)")
+    con.executemany("INSERT INTO bt VALUES (?)", [(b,) for b in bks])
+    duckb = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(f"SELECT bucket, {lo}, {hi}, {mid} FROM bt").fetchall()
+    }
+    spb = {
+        r[0]: tuple(r[1:])
+        for r in spark.createDataFrame([(b,) for b in bks], "bucket int")
+        .selectExpr("bucket", f"{lo} AS lo", f"{hi} AS hi", f"{mid} AS mid")
+        .collect()
+    }
+    for b in bks:
+        assert duckb[b] == spb[b] == py_bounds(b), b
+
+
+# ------------------------------------------------------- sketch-level checks
+
+
+def test_merge_equals_whole_and_replay_adds(spark):
+    df = spark.range(0, 5000).selectExpr("id * 37 % 9973 AS v")
+    whole = {r["bucket"]: r["cnt"] for r in hdr_registers(df, "v").collect()}
+    chunks = [
+        hdr_registers(df.filter((F.col("v") % 3) == i), "v") for i in range(3)
+    ]
+    merged = {r["bucket"]: r["cnt"] for r in hdr_merge(*chunks).collect()}
+    assert merged == whole
+    # counting sketch: re-delivery DOUBLES counts (not idempotent by design —
+    # replay safety is the appendlog manifest's job, as for every count agg)
+    dup = {r["bucket"]: r["cnt"] for r in hdr_merge(chunks[0], chunks[0]).collect()}
+    single = {r["bucket"]: r["cnt"] for r in chunks[0].collect()}
+    assert dup == {b: 2 * c for b, c in single.items()}
+
+
+def test_negative_and_null_excluded(spark):
+    df = spark.createDataFrame(
+        [(-5,), (None,), (0,), (7,), (40,)], "v long"
+    )
+    regs = {r["bucket"]: r["cnt"] for r in hdr_registers(df, "v").collect()}
+    assert regs == {0: 1, 7: 1, py_bucket(40): 1}
+
+
+def test_quantiles_rank_and_error_guarantee(spark):
+    rng = random.Random(23)
+    data = [rng.randint(0, 10**8) for _ in range(5000)]
+    qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99, "p100": 1.0}
+    out = {
+        r["tag"]: r
+        for r in hdr_quantiles(
+            hdr_registers(spark.createDataFrame([(v,) for v in data], "v long"), "v"),
+            qs,
+        ).collect()
+    }
+    data.sort()
+    n = len(data)
+    for tag, q in qs.items():
+        row = out[tag]
+        rank = max(1, math.ceil(q * n))
+        assert row["rank"] == rank and row["n"] == n
+        exact = data[rank - 1]
+        # the true rank-statistic lies inside the chosen bucket's bounds
+        assert row["lo"] <= exact <= row["hi"]
+        assert abs(row["mid"] - exact) <= max(exact, 1) / SUB + 1
+
+
+def test_grouped_quantiles_match_global_per_group(spark):
+    rng = random.Random(5)
+    rows = [(f"g{i % 3}", rng.randint(0, 10**6)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    qs = {"p50": 0.5, "p95": 0.95}
+    grouped = {
+        (r["g"], r["tag"]): (r["bucket"], r["rank"], r["n"])
+        for r in hdr_quantiles_by(
+            hdr_registers(df, "v", by=["g"]), ["g"], qs
+        ).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        solo = {
+            r["tag"]: (r["bucket"], r["rank"], r["n"])
+            for r in hdr_quantiles(
+                hdr_registers(df.filter(F.col("g") == g), "v"), qs
+            ).collect()
+        }
+        for tag in qs:
+            assert grouped[(g, tag)] == solo[tag], (g, tag)
+
+
+def test_register_count_bounded(spark):
+    """The scale invariant: register count is bounded by construction — wide
+    value ranges cannot blow up the sketch beyond 32 + 58*32 rows."""
+    df = spark.range(0, 20000).selectExpr(
+        "CAST(pow(2, id % 60) AS BIGINT) + id AS v"
+    )
+    n = hdr_registers(df, "v").count()
+    assert n <= 32 + 58 * 32

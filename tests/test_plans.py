@@ -130,6 +130,9 @@ def test_cohort_and_rfm_plans_stay_bounded(facts):
 # operators/ranking.py (distributed exact ranks) or partition its window.
 GLOBAL_WINDOW_ALLOWLIST = {
     "cumulative_distinct_users",  # window over time-bucket rows (hours elapsed)
+    # hdr_doclen_quantiles' cumsum runs over the log-linear REGISTER TABLE —
+    # <=1888 rows by construction at any input size (operators/hdr.py)
+    "hdr_doclen_quantiles",
     # ks_doclen_drift's CDF cumsum (over DISTINCT-length rows, domain-bounded)
     # sits behind a lazy localCheckpoint, so the census sees an RDD scan
     "ntile_customers",  # decile report over the customer aggregate; documented swap
