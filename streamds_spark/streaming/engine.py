@@ -242,6 +242,36 @@ def stream_stream_interval_join(
     return l.join(r, cond).select(*out)
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-key emission over a stream with BOUNDED state
+    (dropDuplicatesWithinWatermark): a key's dedup state is evicted once the
+    event-time watermark passes its last-seen timestamp + the watermark delay,
+    so state size tracks the number of DISTINCT keys inside one watermark
+    horizon — never the stream's lifetime key count. This is the 100 TB
+    at-least-once-ingest → effectively-once-downstream shim: upstream
+    redeliveries (retries, producer replays) land within the horizon and
+    are absorbed; a duplicate arriving LATER than the horizon re-emits, by
+    contract — callers that need lifetime exactness keep the appendlog's
+    idempotent batch manifests instead (ST3), which dedup by identity, not
+    by time.
+
+    Contrast with plain ``dropDuplicates(keys)`` on a stream: that keeps
+    every key forever (state grows without bound) — the classic streaming
+    scale-killer this wrapper exists to avoid.
+
+    Batch twin for stream==batch tests: ``dropDuplicates(keys)`` — equal
+    whenever no duplicate straddles a watermark eviction.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def stream_kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,
