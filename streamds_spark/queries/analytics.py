@@ -1157,3 +1157,100 @@ def weekly_trend_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("slope_per_week"),
     ).orderBy("event_type")
+
+
+@query(
+    "attribution_multi_touch",
+    oracle="""
+    WITH conv AS (
+        SELECT user_id, event_id AS conv_id, ts AS conv_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+               ts AS touch_ts
+        FROM events WHERE event_type IN ('click', 'view', 'signup')
+    ),
+    j AS (
+        SELECT c.conv_id, t.touch_type, t.touch_ts, t.touch_id
+        FROM conv c JOIN touch t ON c.user_id = t.user_id
+        WHERE t.touch_ts <= c.conv_ts
+          AND t.touch_ts > c.conv_ts - INTERVAL 7 DAY
+    ),
+    ranked AS (
+        SELECT touch_type,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY touch_ts, touch_id) AS rn_first,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY touch_ts DESC, touch_id DESC)
+                   AS rn_last,
+               count(*) OVER (PARTITION BY conv_id) AS n_total
+        FROM j
+    )
+    SELECT touch_type,
+           CAST(count(*) FILTER (WHERE rn_first = 1) AS BIGINT) AS first_touch,
+           CAST(count(*) FILTER (WHERE rn_last = 1) AS BIGINT) AS last_touch,
+           CAST(sum(1000000 // n_total) AS BIGINT) AS linear_micro,
+           CAST(count(*) AS BIGINT) AS n_touches
+    FROM ranked GROUP BY touch_type ORDER BY touch_type
+    """,
+)
+def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution: every purchase is a conversion, and
+    the user's click/view/signup events in the 7 days up to it are its touch
+    path. Three credit models side by side per touch type — first-touch and
+    last-touch as exact conversion counts (ties broken by event_id), and
+    linear credit in integer MICRO-UNITS (1000000 div n_touches per touch,
+    integer division) so every output column is BIGINT and the whole report
+    is hash-exact — fractional-credit double sums would be partial-agg-order
+    sensitive at the half-ulp, truncated micro-credits are not.
+
+    Plan: conversions join touches on user_id (one equi-shuffle; the time
+    range is a post-join filter on co-located rows), then windows PARTITIONED
+    by conversion id — per-conversion paths are short (a user's week), so
+    state per window is the path, never the stream. At 100 TB: the join
+    hashes user_id on both sides, skew follows user activity (salting rule
+    applies if a bot user dominates), and the final aggregate is 3 rows."""
+    events = load_table(spark, sf_dir, "events")
+    conv = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = events.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("touch_ts"),
+    )
+    j = conv.join(touch, "user_id").where(
+        (F.col("touch_ts") <= F.col("conv_ts"))
+        & (F.col("touch_ts") > F.col("conv_ts") - F.expr("INTERVAL 7 DAY"))
+    )
+    w = Window.partitionBy("conv_id")
+    ranked = j.select(
+        "touch_type",
+        F.row_number()
+        .over(w.orderBy("touch_ts", "touch_id"))
+        .alias("rn_first"),
+        F.row_number()
+        .over(w.orderBy(F.col("touch_ts").desc(), F.col("touch_id").desc()))
+        .alias("rn_last"),
+        F.count("*").over(w).alias("n_total"),
+    )
+    return (
+        ranked.groupBy("touch_type")
+        .agg(
+            F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("first_touch"),
+            F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("last_touch"),
+            F.sum(F.expr("1000000 div n_total")).cast("bigint").alias("linear_micro"),
+            F.count("*").cast("bigint").alias("n_touches"),
+        )
+        .orderBy("touch_type")
+    )
