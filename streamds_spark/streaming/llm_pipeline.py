@@ -88,6 +88,10 @@ class CorpusStreamPaths:
     def hll_store(self) -> str:  # per-batch HLL register tables, batch=N dirs
         return os.path.join(self.work_dir, "hll_store")
 
+    @property
+    def hdr_store(self) -> str:  # per-batch doc-length HDR registers, batch=N
+        return os.path.join(self.work_dir, "hdr_store")
+
 
 def _committed_segment_hi(root: str, before_batch: int) -> int:
     """Highest committed compaction segment usable by a probe running batch
@@ -227,6 +231,7 @@ def compact_stores(
         "bucket_store": 0,
         "chunk_store": 0,
         "hll_store": 0,
+        "hdr_store": 0,
     }
     if upto_batch < 0:
         return stats
@@ -246,6 +251,13 @@ def compact_stores(
         # by max(bucket) — so the generic fold preserves the estimate
         stats["hll_store"] = _compact_one_store(
             spark, paths.hll_store, upto_batch, num_files
+        )
+    if os.path.isdir(paths.hdr_store):
+        # HDR registers fold the same way: duplicate (bucket, cnt) rows are a
+        # valid un-merged sketch because readers re-aggregate by SUM, and the
+        # fold preserves rows — only dir/file count changes, never counts
+        stats["hdr_store"] = _compact_one_store(
+            spark, paths.hdr_store, upto_batch, num_files
         )
     if merge_corpus:
         appendlog.merge(spark, paths.corpus)
@@ -360,6 +372,22 @@ def process_corpus_batch(
         hll_registers(pre.select("_h"), "_h").write.mode("overwrite").parquet(
             os.path.join(paths.hll_store, f"batch={int(batch_id)}")
         )
+        # doc-length quantile sketch: this batch's KEPT docs as an HDR
+        # register table (operators/hdr.py — <=1888 rows at ANY batch size).
+        # Counts merge by SUM, so cross-trigger replay safety comes from the
+        # overwrite-by-batchId discipline (not idempotent merge like HLL);
+        # compaction only folds batches at/below the durable frontier, which
+        # replays never re-run, so the fold cannot double-count. The kept set
+        # is exactly what lands in the corpus store, so the finalize-time
+        # merged sketch equals a one-pass batch sketch over the final corpus
+        # BIT-FOR-BIT (pinned by tests/test_llm_pipeline_stream.py).
+        from streamds_spark.operators.hdr import hdr_registers
+
+        hdr_registers(
+            local.select(F.length("text").alias("_len")), "_len"
+        ).write.mode("overwrite").parquet(
+            os.path.join(paths.hdr_store, f"batch={int(batch_id)}")
+        )
     finally:
         pre.unpersist()
         if local is not pre:
@@ -459,6 +487,36 @@ def distinct_docs_estimate(spark: SparkSession, work_dir: str) -> DataFrame:
             .agg(F.max("max_rho").alias("max_rho"))
         )
     return hll_estimate(regs)
+
+
+def doclen_quantiles_estimate(
+    spark: SparkSession, work_dir: str, qs: "dict[str, float] | None" = None
+) -> DataFrame:
+    """Finalize-time kept-document length quantiles from the streamed
+    per-batch HDR register tables (operators/hdr.py): union every committed
+    batch's registers, re-aggregate sum per bucket (the counting-sketch
+    merge), extract p50/p90/p99 (or caller-supplied qs). Because the kept
+    set IS the corpus store's content and register-merge is exact, the
+    merged sketch equals a one-pass batch sketch over the final corpus
+    bit-for-bit, and every extracted quantile's bucket carries its exact
+    [lo, hi] value bounds (rel. error < 1/32). Empty store -> 0 rows.
+
+    State cost: <=1888 rows per trigger, merged to <=1888 rows, at any
+    scale — the streaming-quantile twin of distinct_docs_estimate."""
+    from streamds_spark.operators.hdr import hdr_quantiles
+
+    qs = qs or {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    paths = CorpusStreamPaths(work_dir)
+    dirs = _committed_store_dirs(paths.hdr_store, 2**62)
+    if not dirs:
+        regs = spark.createDataFrame([], "bucket int, cnt bigint")
+    else:
+        regs = (
+            spark.read.parquet(*dirs)
+            .groupBy("bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    return hdr_quantiles(regs, qs)
 
 
 def corpus_report(spark: SparkSession, work_dir: str) -> DataFrame:

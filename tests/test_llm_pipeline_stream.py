@@ -324,6 +324,7 @@ def test_compact_stores_noop_without_commits(spark, tmp_path):
         "bucket_store": 0,
         "chunk_store": 0,
         "hll_store": 0,
+        "hdr_store": 0,
     }
 
 
@@ -399,3 +400,70 @@ def test_streaming_hll_distinct_estimate(spark, tmp_path):
     stats = compact_stores(spark, work_dir)
     assert stats["hll_store"] >= 1
     assert distinct_docs_estimate(spark, work_dir).first()["est"] == est
+
+
+def test_streaming_hdr_doclen_quantiles(spark, tmp_path):
+    """Sketch-backed streaming quantiles: per-trigger HDR register tables
+    merged at finalize equal the one-pass batch sketch over the final corpus
+    BIT-FOR-BIT (counting merge is exact; replay safety is the
+    overwrite-by-batchId discipline), every extracted quantile's bucket
+    bounds contain the true rank statistic, and compaction moves nothing."""
+    from streamds_spark.operators.hdr import hdr_quantiles, hdr_registers
+    from streamds_spark.streaming.llm_pipeline import (
+        compact_stores,
+        doclen_quantiles_estimate,
+    )
+
+    src_dir, work_dir = str(tmp_path / "src"), str(tmp_path / "work")
+    _split_into_files(spark, src_dir)
+
+    # empty store: 0 rows, not an error
+    assert doclen_quantiles_estimate(spark, work_dir).count() == 0
+
+    q = run_llm_corpus_stream(spark, src_dir, work_dir)
+    q.awaitTermination(timeout=300)
+    assert not q.isActive
+
+    got = {r["tag"]: r for r in doclen_quantiles_estimate(spark, work_dir).collect()}
+    assert set(got) == {"p50", "p90", "p99"}
+
+    # the kept set IS the corpus store content -> merged stream registers
+    # equal a one-pass batch sketch over it, row for row
+    corpus = appendlog.get(spark, CorpusStreamPaths(work_dir).corpus)
+    lens = corpus.select(F.length("text").alias("_len"))
+    batch_regs = sorted(
+        (r["bucket"], r["cnt"]) for r in hdr_registers(lens, "_len").collect()
+    )
+    stream_regs = sorted(
+        (r["bucket"], r["cnt"])
+        for r in spark.read.parquet(f"{work_dir}/hdr_store")
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    assert stream_regs == batch_regs
+    # quantiles therefore equal the batch-extracted ones exactly…
+    batch_q = {
+        r["tag"]: r for r in hdr_quantiles(
+            hdr_registers(lens, "_len"), {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+        ).collect()
+    }
+    for tag in got:
+        assert tuple(got[tag]) == tuple(batch_q[tag]), tag
+    # …and each bucket's bounds contain the true rank statistic
+    exact = sorted(r["_len"] for r in lens.collect())
+    import math
+
+    for tag, qq in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        true_val = exact[max(1, math.ceil(qq * len(exact))) - 1]
+        assert got[tag]["lo"] <= true_val <= got[tag]["hi"], (tag, true_val)
+        assert got[tag]["n"] == len(exact)
+
+    # compaction folds the register store without moving any quantile
+    stats = compact_stores(spark, work_dir)
+    assert stats["hdr_store"] >= 1
+    after = {
+        r["tag"]: tuple(r)
+        for r in doclen_quantiles_estimate(spark, work_dir).collect()
+    }
+    assert after == {t: tuple(r) for t, r in got.items()}
