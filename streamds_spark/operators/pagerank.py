@@ -70,3 +70,68 @@ def pagerank(
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+    max_iter: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank in FIXED-POINT INTEGER arithmetic: (node, rank) with ranks in
+    `scale`-units (BIGINT), recurrence
+
+        contrib(u->v) = rank(u) div deg(u)                 (truncated)
+        rank'(v)      = ((100-d)*scale) div 100
+                        + (d * inflow(v)) div 100          (d = damping_pct)
+
+    Every operation is integer, so the result is independent of aggregation
+    ORDER — the property float PageRank lacks (double sums are
+    partial-agg-order sensitive) and the reason this variant can be
+    hash-checked against a DuckDB recursive-CTE oracle replaying the same
+    recurrence. Truncation drops < deg(u) units per node per round
+    (relative error ~deg/scale ~ 1e-6), far below any ranking use.
+
+    Designed for graphs where every node has an in-edge (e.g. undirected
+    graphs fed as both edge directions): dangling-node mass is DROPPED, not
+    redistributed — use `pagerank` (float, dangling-aware) for arbitrary
+    directed graphs where mass conservation matters.
+
+    Scale posture mirrors `pagerank`: the per-iteration shuffle hashes the
+    same key every round, iterations are driver-bounded, and
+    localCheckpoint truncates plan growth.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    base = ((100 - damping_pct) * scale) // 100
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("bigint"))
+    e = e.localCheckpoint(eager=True)
+    deg = deg.localCheckpoint(eager=True)
+
+    for it in range(max_iter):
+        inflow = (
+            e.join(ranks, e.src == ranks.node)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST({base} + ({damping_pct} * coalesce(inflow, 0L)) div 100"
+                " AS BIGINT)"
+            ).alias("rank"),
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

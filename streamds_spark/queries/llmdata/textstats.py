@@ -357,3 +357,115 @@ def sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(n_sent > 0, F.length("text").cast("double") / n_sent).otherwise(0.0), 4
         ).alias("avg_sentence_chars"),
     )
+
+
+TEXTRANK_ITERS = 6
+TEXTRANK_SCALE = 1_000_000_000
+TEXTRANK_MINLEN = 4  # content words only (drops short function words)
+TEXTRANK_MINPAIR = 3  # adjacency count floor for an undirected edge
+TEXTRANK_TOPK = 25
+
+
+@query(
+    "textrank_keywords",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               lower(unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        w -> w <> ''))) AS w,
+               generate_subscripts(list_filter(string_split_regex(text, '\\s+'),
+                                               w -> w <> ''), 1) AS i
+        FROM documents
+    ),
+    adj AS (
+        SELECT w AS a,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS b
+        FROM toks
+    ),
+    pairs AS (
+        SELECT least(a, b) AS u, greatest(a, b) AS v, count(*) AS c
+        FROM adj
+        WHERE b IS NOT NULL AND a <> b
+          AND length(a) >= {TEXTRANK_MINLEN} AND length(b) >= {TEXTRANK_MINLEN}
+        GROUP BY 1, 2
+    ),
+    und AS (SELECT u, v FROM pairs WHERE c >= {TEXTRANK_MINPAIR}),
+    edges AS (
+        SELECT u AS src, v AS dst FROM und
+        UNION ALL SELECT v AS src, u AS dst FROM und
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    pr(it, node, rank) AS (
+        SELECT 0, src, CAST({TEXTRANK_SCALE} AS BIGINT)
+        FROM (SELECT DISTINCT src FROM edges)
+      UNION ALL
+        SELECT it + 1, node,
+               CAST({((100 - 85) * TEXTRANK_SCALE) // 100}
+                    + (85 * inflow) // 100 AS BIGINT)
+        FROM (
+            SELECT pr.it, e.dst AS node, SUM(pr.rank // d.deg) AS inflow
+            FROM pr
+            JOIN edges e ON pr.node = e.src
+            JOIN deg d ON d.src = e.src
+            WHERE pr.it < {TEXTRANK_ITERS}
+            GROUP BY 1, 2
+        )
+    )
+    SELECT node AS word, CAST(rank AS BIGINT) AS rank_units
+    FROM pr WHERE it = {TEXTRANK_ITERS}
+    ORDER BY rank_units DESC, word LIMIT {TEXTRANK_TOPK}
+    """,
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004, unweighted-graph
+    simplification): corpus keywords = top-{TEXTRANK_TOPK} PageRank nodes of
+    the undirected word co-occurrence graph (adjacent lowercased content
+    words of >= {TEXTRANK_MINLEN} chars, edge kept when the pair co-occurs >=
+    {TEXTRANK_MINPAIR} times). Ranking runs in FIXED-POINT INTEGER PageRank
+    (operators/pagerank.pagerank_fixed_point): every step is truncated
+    integer arithmetic, so the result is aggregation-ORDER independent and
+    the DuckDB recursive-CTE oracle replaying the same recurrence matches
+    hash-exactly — the float formulation could never be cross-engine exact.
+
+    Plan: one scan explodes adjacency (map-only), the pair count + floor
+    collapses to a VOCABULARY-bounded edge relation before anything
+    iterative, then {TEXTRANK_ITERS} rounds of the same-key join+agg over
+    that bounded graph; TakeOrdered emits the k-sized tail. At 100 TB only
+    the adjacency count touches corpus-sized data."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.expr("filter(split(text, '\\\\s+'), w -> w != '')")
+    toks = docs.select(F.transform(t, lambda w: F.lower(w)).alias("ws"))
+    adj = (
+        toks.selectExpr(
+            "slice(ws, 1, greatest(size(ws) - 1, 0)) AS xs",
+            "slice(ws, 2, greatest(size(ws) - 1, 0)) AS ys",
+        )
+        .select(F.explode(F.arrays_zip("xs", "ys")).alias("p"))
+        .select(F.col("p.xs").alias("a"), F.col("p.ys").alias("b"))
+    )
+    pairs = (
+        adj.where(
+            (F.col("a") != F.col("b"))
+            & (F.length("a") >= TEXTRANK_MINLEN)
+            & (F.length("b") >= TEXTRANK_MINLEN)
+        )
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= TEXTRANK_MINPAIR)
+    )
+    edges = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    from streamds_spark.operators.pagerank import pagerank_fixed_point
+
+    ranks = pagerank_fixed_point(
+        edges, damping_pct=85, scale=TEXTRANK_SCALE, max_iter=TEXTRANK_ITERS
+    )
+    return (
+        ranks.select(F.col("node").alias("word"), F.col("rank").alias("rank_units"))
+        .orderBy(F.col("rank_units").desc(), "word")
+        .limit(TEXTRANK_TOPK)
+    )
