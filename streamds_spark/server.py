@@ -605,6 +605,17 @@ class QueryServer(socketserver.ThreadingTCPServer):
 
             row = distinct_docs_estimate(self.spark, work_dir).first()
             out["distinct_docs_estimate"] = round(row["est"], 1)
+        if req and req.get("quantiles"):
+            # kept-doc length quantiles from the streamed HDR register store —
+            # a <=1888-row read + merge at any corpus size
+            from streamds_spark.streaming.llm_pipeline import (
+                doclen_quantiles_estimate,
+            )
+
+            out["doclen_quantiles"] = {
+                r["tag"]: {"lo": r["lo"], "hi": r["hi"], "mid": r["mid"]}
+                for r in doclen_quantiles_estimate(self.spark, work_dir).collect()
+            }
         return {"ok": True, "pipeline": out}
 
     # -- counters -----------------------------------------------------------

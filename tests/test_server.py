@@ -397,6 +397,14 @@ def test_pipeline_status_over_socket(spark, tmp_path):
         est = request(host, port, {"cmd": "pipeline_status", "estimate": True})
         got = est["pipeline"]["distinct_docs_estimate"]
         assert got > 0
+        # sketch-backed doc-length quantiles over the socket (HDR store):
+        # ordered tags with lo <= mid <= hi value bounds
+        qs = request(host, port, {"cmd": "pipeline_status", "quantiles": True})
+        dq = qs["pipeline"]["doclen_quantiles"]
+        assert set(dq) == {"p50", "p90", "p99"}
+        for tag in dq:
+            assert dq[tag]["lo"] <= dq[tag]["mid"] <= dq[tag]["hi"]
+        assert dq["p50"]["mid"] <= dq["p99"]["mid"]
     finally:
         spark.streams.removeListener(capture)
         server.shutdown()
