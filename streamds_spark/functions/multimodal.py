@@ -62,14 +62,21 @@ DECODED_SCHEMA = StructType(
 
 
 def synth_payload(seed: str, kind: str = "img", width: int = 64, height: int = 48) -> bytes:
-    """Deterministic fake media blob: header + md5-chained bytes (size w*h//16)."""
+    """Deterministic fake media blob: header + md5-chained bytes (size w*h//16).
+
+    The chain advances over HEX STRINGS (h_1 = md5hex(seed), h_{k+1} =
+    md5hex(h_k as ascii); body = unhex(h_1 || h_2 || ...)) rather than raw
+    digest bytes — deliberately: md5-of-VARCHAR is the only md5 most SQL
+    engines expose (DuckDB has no md5(BLOB)), and the hex chain lets the
+    image_phash_neardups oracle regenerate payload bodies character for
+    character in pure SQL."""
     header = MAGIC[kind] + struct.pack(">II", width, height)
     n = max(16, width * height // 16)
     out = bytearray()
-    cur = seed.encode()
+    cur = seed
     while len(out) < n:
-        cur = hashlib.md5(cur).digest()
-        out.extend(cur)
+        cur = hashlib.md5(cur.encode()).hexdigest()
+        out.extend(bytes.fromhex(cur))
     return bytes(header + out[:n])
 
 

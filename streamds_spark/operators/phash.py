@@ -54,6 +54,21 @@ def _dct_matrix(n: int) -> np.ndarray:
 
 _DCT_M = _dct_matrix(PHASH_SIZE)
 
+# Fixed-point DCT coefficients: round(M * 2^DCT_SHIFT) as int64. phash64 runs
+# the ENTIRE transform in integer arithmetic (two exact int matmuls, an exact
+# order-statistic median, integer comparisons), so the hash is a deterministic
+# pure-integer function of the pixels — independent of BLAS/accumulation
+# order, reproducible bit-for-bit by any engine, which is what lets
+# image_phash_neardups carry a DuckDB oracle replaying the same table of
+# coefficients (float DCT could never be cross-engine exact). Scaling keeps
+# coefficient ORDER information: freq_int = MINT @ px @ MINT^T equals
+# 2^(2*SHIFT) * freq_float up to per-entry rounding of the coefficients, and
+# the hash only compares coefficients to their median, so the constant factor
+# is irrelevant. Value bound: |MINT| <= 4096, so |freq_int| <= 32*4096*255*
+# 32*4096 < 2^43 — comfortably inside int64.
+DCT_SHIFT = 14
+MINT = np.round(_DCT_M * (1 << DCT_SHIFT)).astype(np.int64)
+
 
 def _stub_pixels(payload: bytes) -> np.ndarray:
     """STUB pixel decode for synth_payload blobs (md5-chained body bytes
@@ -84,11 +99,11 @@ def phash64(pixels: np.ndarray) -> int:
     # box-resample to PHASH_SIZE x PHASH_SIZE (nearest grid sampling)
     ys = (np.arange(PHASH_SIZE) * h) // PHASH_SIZE
     xs = (np.arange(PHASH_SIZE) * w) // PHASH_SIZE
-    small = pixels[np.ix_(ys, xs)].astype(np.float64)
-    freq = _DCT_M @ small @ _DCT_M.T
+    small = pixels[np.ix_(ys, xs)].astype(np.int64)
+    freq = MINT @ small @ MINT.T  # exact integer DCT (see MINT above)
     block = freq[:PHASH_BLOCK, :PHASH_BLOCK].flatten()
     vals = block[1:]  # drop the DC coefficient
-    med = np.median(vals)
+    med = np.partition(vals, 31)[31]  # exact 32nd-smallest of 63 (odd count)
     bits = vals > med
     out = 0
     for b in bits:
@@ -194,3 +209,90 @@ def phash_neardup_pairs(
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def duckdb_phash_hist_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin of the ENTIRE image_phash_neardups pipeline — synthetic
+    payload body (hex md5 chain, functions/multimodal.synth_payload), stub
+    pixel tiling, 32x32 nearest-grid resample, the fixed-point integer DCT
+    (the same MINT coefficient table embedded as literals, so both engines
+    multiply identical integers), the 32nd-smallest median threshold, the
+    63-bit hash, and a BRUTE-FORCE all-pairs Hamming histogram — which also
+    independently re-proves the banded candidate join's completeness at the
+    radius, since the oracle never bands.
+
+    Only the first PHASH_BLOCK rows of MINT are needed: both matmul legs of
+    the 8x8 low-frequency block contract against M[u, :] with u < 8."""
+    hexd = "0123456789abcdef"
+    mint_rows = ", ".join(
+        f"({u},{i},{int(MINT[u, i])})"
+        for u in range(PHASH_BLOCK)
+        for i in range(PHASH_SIZE)
+    )
+    # pixel index arithmetic (all integer): ys=(3r)//2, xs=(c*w)//32,
+    # pos = (ys*w + xs) mod 3w; byte = nibble pair at hex offset 2*pos
+    pos = "((((3 * g1.r) // 2) * i.w + (g2.c * i.w) // 32) % (3 * i.w))"
+    px = (
+        f"(instr('{hexd}', substr(b.hex, 2 * {pos} + 1, 1)) - 1) * 16"
+        f" + instr('{hexd}', substr(b.hex, 2 * {pos} + 2, 1)) - 1"
+    )
+    return f"""
+    WITH RECURSIVE imgs AS (
+        SELECT doc_id, text, CAST(64 + doc_id % 64 AS BIGINT) AS w
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    chain(doc_id, k, hx) AS (
+        SELECT doc_id, 1, md5(text) FROM imgs
+      UNION ALL
+        SELECT doc_id, k + 1, md5(hx) FROM chain WHERE k < 24
+    ),
+    body AS (
+        SELECT doc_id, string_agg(hx, '' ORDER BY k) AS hex
+        FROM chain GROUP BY doc_id
+    ),
+    mint(u, i, v) AS (VALUES {mint_rows}),
+    small AS (
+        SELECT i.doc_id, g1.r, g2.c, CAST({px} AS BIGINT) AS px
+        FROM imgs i
+        JOIN body b ON b.doc_id = i.doc_id
+        CROSS JOIN range(0, {PHASH_SIZE}) g1(r)
+        CROSS JOIN range(0, {PHASH_SIZE}) g2(c)
+    ),
+    t1 AS (
+        SELECT s.doc_id, m.u, s.c AS j, SUM(m.v * s.px) AS t
+        FROM small s JOIN mint m ON m.i = s.r
+        GROUP BY 1, 2, 3
+    ),
+    freq AS (
+        SELECT t1.doc_id, t1.u, m.u AS v, SUM(t1.t * m.v) AS f
+        FROM t1 JOIN mint m ON m.i = t1.j
+        GROUP BY 1, 2, 3
+    ),
+    vals AS (
+        SELECT doc_id, u * {PHASH_BLOCK} + v AS p, f
+        FROM freq WHERE NOT (u = 0 AND v = 0)
+    ),
+    med AS (
+        SELECT doc_id, f AS med FROM (
+            SELECT doc_id, f,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY f) AS rn
+            FROM vals
+        ) WHERE rn = 32
+    ),
+    hashes AS (
+        SELECT v.doc_id,
+               CAST(SUM(CASE WHEN v.f > m.med
+                             THEN CAST(pow(2, 63 - v.p) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS h
+        FROM vals v JOIN med m ON m.doc_id = v.doc_id
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT bit_count(xor(a.h, b.h)) AS hamming
+        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= {max_hamming}
+    )
+    SELECT CAST(hamming AS BIGINT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+    """

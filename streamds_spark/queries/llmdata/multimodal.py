@@ -167,19 +167,33 @@ def multimodal_filetype_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("image_phash_neardups", oracle=None)  # rows-only: DCT isn't SQL-expressible
+def _phash_oracle() -> str:
+    from streamds_spark.operators.phash import duckdb_phash_hist_sql
+
+    return duckdb_phash_hist_sql(max_hamming=3)
+
+
+@query("image_phash_neardups", oracle=_phash_oracle())
 def image_phash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup census via perceptual hashing: synthesize the media
     table from documents, pHash every image payload (operators/phash.py:
-    stub pixels → 32×32 → DCT → 64-bit hash), find pairs within Hamming 3 by
-    the banded candidate join, and report the pair-count histogram by
-    distance. Rows-only check (the DCT has no DuckDB twin); the hash and the
-    band-join completeness are pinned by tests/test_phash.py against a
-    brute-force reference."""
+    stub pixels → 32×32 → FIXED-POINT INTEGER DCT → 63-bit hash), find pairs
+    within Hamming 3 by the banded candidate join, and report the pair-count
+    histogram by distance.
+
+    Formerly the repo's last algorithmic rows-only row: the integer DCT
+    (shared MINT coefficient table, exact int64 matmuls, order-statistic
+    median) makes the hash a pure-integer function both engines compute
+    identically, so the DuckDB twin (duckdb_phash_hist_sql) replays payload
+    synthesis → pixels → DCT → hash → BRUTE-FORCE all-pairs Hamming — which
+    hash-checks the histogram AND independently re-proves the banded join's
+    completeness at radius 3, since the oracle never bands."""
     from streamds_spark.functions.multimodal import synth_media_table
     from streamds_spark.operators.phash import image_phash, phash_neardup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     media = synth_media_table(docs).filter(F.col("kind") == "img")
     pairs = phash_neardup_pairs(image_phash(media), max_hamming=3)
-    return pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs"))
+    return pairs.groupBy(F.col("hamming").cast("bigint").alias("hamming")).agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
