@@ -1254,3 +1254,57 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+@query(
+    "hourly_burst_anomalies",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_hours,
+               CAST(sum(cnt) AS BIGINT) AS total
+        FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, h.hour_bucket, h.cnt, b.n_hours, b.total
+    FROM hourly h JOIN base b ON h.event_type = b.event_type
+    WHERE h.cnt * b.n_hours > 2 * b.total
+    ORDER BY h.event_type, h.hour_bucket
+    """,
+)
+def hourly_burst_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-burst anomaly detection: hours where an event type's count
+    exceeds 2x its own per-hour mean across observed hours. The comparison
+    is the INTEGER cross-multiplication cnt * n_hours > 2 * total — no
+    division, no doubles — so the flag set is hash-exact by construction
+    (the mean-based formulation would hinge on float rounding at the
+    boundary).
+
+    Plan: one map-side-combined hourly rollup (time-domain bounded), a
+    per-type 5-row baseline broadcast back onto it, and a filter. At 100 TB
+    the only corpus-sized work is the first rollup; everything after lives
+    on the (type x hour) domain."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.withColumn(
+            "hour_bucket",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"),
+        )
+        .groupBy("event_type", "hour_bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    base = hourly.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.sum("cnt").cast("bigint").alias("total"),
+    )
+    return (
+        hourly.join(F.broadcast(base), "event_type")
+        .where(F.col("cnt") * F.col("n_hours") > 2 * F.col("total"))
+        .select("event_type", "hour_bucket", "cnt", "n_hours", "total")
+        .orderBy("event_type", "hour_bucket")
+    )

@@ -104,3 +104,27 @@ def test_attribution_boundary_and_ties(spark, tmp_path):
     for t in got:
         assert got[t]["n_touches"] == 1
         assert got[t]["linear_micro"] == 1000000 // 3
+
+
+def test_hourly_burst_matches_python(spark):
+    """hourly_burst_anomalies: integer cross-multiply flag vs a Python
+    recompute over the real events table."""
+    got = {
+        (r["event_type"], r["hour_bucket"]): (r["cnt"], r["n_hours"], r["total"])
+        for r in load_all()["hourly_burst_anomalies"].fn(spark, SF).collect()
+    }
+    ev = duckdb.sql(
+        f"SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),"
+        f" count(*) FROM '{SF}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    per_type = defaultdict(list)
+    for t, h, c in ev:
+        per_type[t].append((h, c))
+    want = {}
+    for t, rows in per_type.items():
+        n_hours = len(rows)
+        total = sum(c for _, c in rows)
+        for h, c in rows:
+            if c * n_hours > 2 * total:
+                want[(t, h)] = (c, n_hours, total)
+    assert got == want and len(want) > 0
