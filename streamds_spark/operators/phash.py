@@ -6,7 +6,9 @@ Algorithm (classic pHash, public knowledge): grayscale → 32×32 → 2-D DCT-II
 keep the low-frequency 8×8 block (minus the DC term) → threshold at the
 median → 63-bit hash (63 coefficients survive the DC drop). Visually-similar
 images agree on most bits, so near-duplicates are pairs with small Hamming
-distance.
+distance. The DCT here is FIXED-POINT INTEGER (see MINT below), which makes
+the hash engine-reproducible and the whole near-dup census hash-exact
+against a DuckDB replay (duckdb_phash_hist_sql).
 
 Pixel source: the container has no image codecs, so pixels come from the
 SAME deterministic stub decode the rest of the multimodal layer uses
@@ -27,7 +29,6 @@ dedup_simhash, which is driver-verified.
 
 from __future__ import annotations
 
-import hashlib
 import struct
 from typing import Iterator
 
