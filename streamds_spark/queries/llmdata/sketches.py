@@ -661,3 +661,63 @@ def hdr_merge_audit_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("direct_total").cast("bigint").alias("direct_total"),
         )
     )
+
+
+@query(
+    "doclen_percentile_feature",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents),
+    vals AS (SELECT * FROM raw WHERE v IS NOT NULL AND v >= 0),
+    regs AS (
+        SELECT {{bucket}} AS bucket, count(*) AS cnt FROM vals GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket,
+               SUM(cnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+               (SELECT SUM(cnt) FROM regs) AS n
+        FROM regs
+    )
+    SELECT d.doc_id, d.v AS n_chars,
+           CAST(c.bucket AS BIGINT) AS bucket,
+           CAST((1000 * c.cum) // c.n AS BIGINT) AS pct_permille
+    FROM (SELECT doc_id, v, {{bucket}} AS bucket FROM vals) d
+    JOIN cum c ON c.bucket = d.bucket
+    ORDER BY d.doc_id
+    """.replace("{bucket}", _HDR_BUCKET_V),
+)
+def doclen_percentile_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank feature normalization WITHOUT a global rank: each
+    document's length maps to its approximate percentile (integer per-mille,
+    (1000*cum) div n — exact integer arithmetic, granularity bounded by the
+    sketch's <1/32 relative error) via the HDR register table used as a
+    broadcast lookup. The exact alternative is a corpus-wide rank — a global
+    sort/window over every row; here the corpus-sized work is one map-only
+    bucket pass plus a broadcast join against the <=1888-row cumulative
+    table, the standard quantile-transform shape for trillion-row feature
+    pipelines. Cumsum runs over the REGISTER table only (allowlisted)."""
+    from streamds_spark.operators.hdr import bucket_expr_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.selectExpr("doc_id", "CAST(n_chars AS BIGINT) AS v").where(
+        "v IS NOT NULL AND v >= 0"
+    )
+    regs = hdr_registers(docs, "n_chars")
+    w_cum = (
+        "SUM(cnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW)"
+    )
+    cum = regs.selectExpr("bucket", f"{w_cum} AS cum").crossJoin(
+        F.broadcast(regs.agg(F.sum("cnt").alias("n")))
+    )
+    d = vals.selectExpr("doc_id", "v", f"{bucket_expr_spark('v')} AS bucket")
+    return (
+        d.join(F.broadcast(cum), "bucket")
+        .selectExpr(
+            "doc_id",
+            "v AS n_chars",
+            "CAST(bucket AS BIGINT) AS bucket",
+            "CAST((1000 * cum) div n AS BIGINT) AS pct_permille",
+        )
+        .orderBy("doc_id")
+    )

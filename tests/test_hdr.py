@@ -194,3 +194,29 @@ def test_register_count_bounded(spark):
     )
     n = hdr_registers(df, "v").count()
     assert n <= 32 + 58 * 32
+
+
+def test_percentile_feature_tracks_exact_rank(spark):
+    """doclen_percentile_feature: the sketch-LUT per-mille stays within the
+    bucket-granularity error of the exact percentile rank, is monotone in
+    value, and spans (0, 1000]."""
+    from streamds_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["doclen_percentile_feature"].fn(spark, sf).collect()
+    assert rows and all(0 < r["pct_permille"] <= 1000 for r in rows)
+    by_len = sorted((r["n_chars"], r["pct_permille"]) for r in rows)
+    for (l1, p1), (l2, p2) in zip(by_len, by_len[1:]):
+        assert p1 <= p2, "per-mille must be monotone in value"
+    # exact rank comparison: permille = 1000*cum(bucket)/n is an upper-rank
+    # estimate; exact lower/upper ranks for the value bracket it
+    lens = sorted(r["n_chars"] for r in rows)
+    n = len(lens)
+    import bisect
+
+    for r in rows[:200]:
+        hi_rank = bisect.bisect_right(lens, r["n_chars"])
+        # bucket cum >= # values <= this value (bucket holds a value range)
+        assert r["pct_permille"] >= (1000 * hi_rank) // n - 32, r
+        # and <= # values <= bucket's hi bound; bound by bucket granularity
+        assert r["pct_permille"] <= (1000 * hi_rank) // n + 1000 // 32 + 32, r

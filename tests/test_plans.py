@@ -133,6 +133,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # hdr_doclen_quantiles' cumsum runs over the log-linear REGISTER TABLE —
     # <=1888 rows by construction at any input size (operators/hdr.py)
     "hdr_doclen_quantiles",
+    # doclen_percentile_feature reuses the same register-table cumsum as a
+    # broadcast LUT (operators/hdr.py) — window input bounded by construction
+    "doclen_percentile_feature",
     # ks_doclen_drift's CDF cumsum (over DISTINCT-length rows, domain-bounded)
     # sits behind a lazy localCheckpoint, so the census sees an RDD scan
     "ntile_customers",  # decile report over the customer aggregate; documented swap
