@@ -490,3 +490,92 @@ def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("o_custkey").agg(
         F.count("*").cast("bigint").alias("n_pairs")
     )
+
+
+JOURNEY_LEN = 5
+JOURNEY_TOPK = 20
+
+
+@query(
+    "top_user_journeys",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_MIN * 60 * 1000000}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered
+    ),
+    paths AS (
+        SELECT user_id, session_no,
+               array_to_string(
+                   list_slice(list(event_type ORDER BY ts, event_id),
+                              1, {JOURNEY_LEN}), '>') AS journey
+        FROM sess GROUP BY user_id, session_no
+    )
+    SELECT journey, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY journey
+    ORDER BY n_sessions DESC, journey LIMIT {JOURNEY_TOPK}
+    """,
+)
+def top_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: the top-{JOURNEY_TOPK} most common session-opening
+    event paths (first {JOURNEY_LEN} event types of each 30-min-gap session,
+    joined with '>'). Path assembly is an ORDERED collect per session —
+    sort_array over (ts, event_id, type) structs makes the sequence
+    deterministic (a bare collect_list is not), so the path STRINGS are
+    hash-exact across engines.
+
+    Plan: the same user-partitioned lag/flag/cumsum as sessionize_events,
+    then one (user, session) aggregate whose value is a bounded prefix (the
+    per-session state is min({JOURNEY_LEN}, session length) types after the
+    slice), and a TakeOrdered {JOURNEY_TOPK}-row tail. At 100 TB sessions
+    are user-bounded; no global window, no corpus-sized collect."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.slice(
+                    F.transform(F.col("evs"), lambda x: x["event_type"]),
+                    1,
+                    JOURNEY_LEN,
+                ),
+                ">",
+            ).alias("journey")
+        )
+    )
+    return (
+        paths.groupBy("journey")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "journey")
+        .limit(JOURNEY_TOPK)
+    )

@@ -157,3 +157,31 @@ def test_weekly_trend_python_parity(spark):
         r = rows[typ]
         assert r["n_weeks"] == n and r["total_events"] == sy
         assert r["slope_per_week"] == want
+
+
+def test_top_user_journeys_python_parity(spark):
+    """top_user_journeys: sessionize + path-count in pure Python over the
+    real events table; top-20 (count, journey) pairs must match exactly."""
+    rows = load_all()["top_user_journeys"].fn(spark, SF).collect()
+    got = [(r["journey"], r["n_sessions"]) for r in rows]
+
+    ev = duckdb.sql(
+        f"SELECT user_id, event_id, event_type, ts FROM '{SF}/events.parquet'"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    per_user = defaultdict(list)
+    for u, e, t, ts in ev:
+        per_user[u].append((ts, e, t))
+    paths = defaultdict(int)
+    for u, evs in per_user.items():
+        sessions, cur, last = [], [], None
+        for ts, e, t in evs:  # already (ts, event_id)-sorted
+            if last is None or (ts - last).total_seconds() > 30 * 60:
+                cur = []
+                sessions.append(cur)
+            cur.append(t)
+            last = ts
+        for s in sessions:
+            paths[">".join(s[:5])] += 1
+    want = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
