@@ -721,3 +721,55 @@ def doclen_percentile_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "time_to_convert_quantiles",
+    oracle=duckdb_hdr_quantiles_sql(
+        """(
+        WITH v AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > v.t_view GROUP BY 1
+        )
+        SELECT (epoch_us(p.t_purchase) - epoch_us(v.t_view)) // 1000000 AS delta_s
+        FROM p JOIN v ON p.user_id = v.user_id
+    ) t""",
+        "delta_s",
+        HDR_QS,
+    )
+    + " ORDER BY tag",
+)
+def time_to_convert_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: seconds from a user's first view to
+    their first subsequent purchase, summarized as p50/p90/p99 through the
+    HDR register sketch (integer seconds -> integer buckets -> BIGINT
+    quantile rows, hash-exact end to end). The funnel tells you WHO
+    converts; this tells you HOW LONG conversion takes — the companion
+    latency dial, and at 100 TB the same mergeable-sketch posture: the
+    per-user delta relation is user-bounded, the sketch state is <=1888
+    rows regardless, and per-shard sketches union+sum."""
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    deltas = p.join(v, "user_id").selectExpr(
+        "(unix_micros(t_purchase) - unix_micros(t_view)) div 1000000 AS delta_s"
+    )
+    from streamds_spark.operators.hdr import hdr_quantiles as _hq
+    from streamds_spark.operators.hdr import hdr_registers as _hr
+
+    return _hq(_hr(deltas, "delta_s"), HDR_QS).orderBy("tag")

@@ -220,3 +220,30 @@ def test_percentile_feature_tracks_exact_rank(spark):
         assert r["pct_permille"] >= (1000 * hi_rank) // n - 32, r
         # and <= # values <= bucket's hi bound; bound by bucket granularity
         assert r["pct_permille"] <= (1000 * hi_rank) // n + 1000 // 32 + 32, r
+
+
+def test_time_to_convert_brackets_exact_latency(spark):
+    """time_to_convert_quantiles: bucket bounds must bracket the exact
+    rank-statistic of the per-user view->purchase latency."""
+    import duckdb
+
+    from streamds_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["tag"]: r for r in load_all()["time_to_convert_quantiles"].fn(spark, sf).collect()}
+    deltas = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"""WITH e AS (SELECT * FROM '{sf}/events.parquet'),
+            v AS (SELECT user_id, min(ts) AS tv FROM e WHERE event_type='view' GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS tp FROM e JOIN v ON e.user_id=v.user_id
+                  WHERE e.event_type='purchase' AND e.ts > v.tv GROUP BY 1)
+            SELECT (epoch_us(tp)-epoch_us(tv))//1000000 FROM p JOIN v USING (user_id)"""
+        ).fetchall()
+    )
+    n = len(deltas)
+    assert n > 0 and all(r["n"] == n for r in got.values())
+    for tag, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        rank = max(1, math.ceil(q * n))
+        exact = deltas[rank - 1]
+        assert got[tag]["lo"] <= exact <= got[tag]["hi"], (tag, exact)

@@ -136,6 +136,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # doclen_percentile_feature reuses the same register-table cumsum as a
     # broadcast LUT (operators/hdr.py) — window input bounded by construction
     "doclen_percentile_feature",
+    # time_to_convert_quantiles: same register-table cumsum (operators/hdr.py)
+    "time_to_convert_quantiles",
     # ks_doclen_drift's CDF cumsum (over DISTINCT-length rows, domain-bounded)
     # sits behind a lazy localCheckpoint, so the census sees an RDD scan
     "ntile_customers",  # decile report over the customer aggregate; documented swap
