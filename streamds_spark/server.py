@@ -35,6 +35,11 @@ Protocol (one JSON object per line, response is one JSON line):
   {"sql": "...", "explain": true}      -> plan text + census facts for
                                           ad-hoc SQL (prices a query before
                                           paying for it)
+  {"cmd": "quantiles", "table": t, "column": c,
+   "qs": {"p50": 0.5, ...}, "scale": k}
+      -> HDR sketch quantiles of a pinned table's numeric column: per tag
+         {rank, n, lo, hi, mid} (one bucket pass + <=1888-key aggregate;
+         the response is len(qs) rows at ANY table size)
   {"cmd": "status"}                    -> uptime + per-kind served/error
                                           counters + per-kind latency
                                           percentiles (p50/p95/max over the
@@ -219,6 +224,74 @@ def _run_request(
         if cache_info is not None:
             resp.update(cache_info)
         return resp
+    if req.get("cmd") == "quantiles":
+        # sketch-probe endpoint: HDR log-linear quantiles over a pinned
+        # table's numeric column (operators/hdr.py). One map-only bucket
+        # pass + a <=1888-key aggregate — the response is len(qs) rows at
+        # ANY table size, so no limit/truncation machinery is needed; runs
+        # under the same job-group watchdog as every data-bearing request.
+        import re as _re
+
+        from streamds_spark.catalog import TABLES, load_table
+        from streamds_spark.operators.hdr import hdr_quantiles, hdr_registers
+
+        table = req.get("table")
+        column = req.get("column")
+        scale = req.get("scale", 1)
+        if table not in TABLES:
+            return {"ok": False, "error": f"table must be one of {sorted(TABLES)}"}
+        if not isinstance(column, str) or not _re.fullmatch(
+            r"[A-Za-z_][A-Za-z0-9_]*", column
+        ):
+            return {"ok": False, "error": "column must be a plain identifier"}
+        if not isinstance(scale, int) or not (1 <= scale <= 1_000_000_000):
+            return {"ok": False, "error": "scale must be an int in [1, 1e9]"}
+        qs = req.get("qs") or {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+        if not (
+            isinstance(qs, dict)
+            and 0 < len(qs) <= 16
+            and all(
+                isinstance(t, str) and 0 < len(t) <= 16
+                and isinstance(q, (int, float)) and 0 < q <= 1
+                for t, q in qs.items()
+            )
+        ):
+            return {"ok": False, "error": "qs must map <=16 tags to q in (0, 1]"}
+        df = load_table(spark, default_sf_dir, table)
+        dtypes = dict(df.dtypes)
+        if column not in dtypes:
+            return {"ok": False, "error": f"no column {column!r} in {table}"}
+        if not any(
+            dtypes[column].startswith(t)
+            for t in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+        ):
+            return {"ok": False, "error": f"{column} is {dtypes[column]}, not numeric"}
+        # non-integer columns are floored after scaling (deterministic IEEE
+        # product) — callers pick `scale` for sub-unit resolution; integral
+        # columns skip the floor only when unscaled
+        integral = any(
+            dtypes[column].startswith(t)
+            for t in ("tinyint", "smallint", "int", "bigint")
+        )
+        expr = (
+            column
+            if scale == 1 and integral
+            else f"floor({column} * {scale})"
+        )
+        rows = hdr_quantiles(hdr_registers(df, expr), dict(qs)).collect()
+        return {
+            "ok": True,
+            "table": table,
+            "column": column,
+            "scale": scale,
+            "quantiles": {
+                r["tag"]: {
+                    "rank": r["rank"], "n": r["n"],
+                    "lo": r["lo"], "hi": r["hi"], "mid": r["mid"],
+                }
+                for r in rows
+            },
+        }
     if req.get("cmd") == "ann":
         # vector-search endpoint over a persisted index: kind 'lsh' (default,
         # hyperplane-bucket partitions) or 'ivf' (coarse-quantizer lists) —

@@ -540,3 +540,52 @@ def test_tables_schema_discovery(spark):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_quantiles_probe_over_socket(spark):
+    """{"cmd": "quantiles"}: HDR sketch quantiles of a pinned table column
+    over the socket — values match the registry query's sketch machinery,
+    scaled doubles work, and malformed requests get clean errors."""
+    import duckdb
+
+    server, host, port = _start(spark)
+    try:
+        # integral column: matches the hdr machinery run directly
+        resp = request(
+            host, port,
+            {"cmd": "quantiles", "table": "documents", "column": "n_chars"},
+        )
+        assert resp["ok"], resp
+        q = resp["quantiles"]
+        assert set(q) == {"p50", "p90", "p99"}
+        exact = sorted(
+            r[0] for r in duckdb.sql(
+                f"SELECT n_chars FROM '{SF}/documents.parquet'"
+            ).fetchall()
+        )
+        import math
+
+        for tag, frac in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            true_val = exact[max(1, math.ceil(frac * len(exact))) - 1]
+            assert q[tag]["lo"] <= true_val <= q[tag]["hi"], (tag, q[tag])
+            assert q[tag]["n"] == len(exact)
+        # double column with centi-unit scaling
+        resp2 = request(
+            host, port,
+            {"cmd": "quantiles", "table": "events", "column": "value",
+             "scale": 100, "qs": {"median": 0.5}},
+        )
+        assert resp2["ok"] and set(resp2["quantiles"]) == {"median"}
+        assert resp2["quantiles"]["median"]["lo"] >= 0
+        # error contract
+        assert not request(host, port, {"cmd": "quantiles", "table": "nope",
+                                        "column": "x"})["ok"]
+        assert not request(host, port, {"cmd": "quantiles", "table": "events",
+                                        "column": "event_type"})["ok"]
+        assert not request(host, port, {"cmd": "quantiles", "table": "events",
+                                        "column": "v; DROP TABLE x"})["ok"]
+        assert not request(host, port, {"cmd": "quantiles", "table": "events",
+                                        "column": "value", "qs": {"p": 2}})["ok"]
+    finally:
+        server.shutdown()
+        server.server_close()
