@@ -773,3 +773,147 @@ def time_to_convert_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamds_spark.operators.hdr import hdr_registers as _hr
 
     return _hq(_hr(deltas, "delta_s"), HDR_QS).orderBy("tag")
+
+
+@query(
+    "rolling_mau_hll",
+    oracle=f"""
+    WITH dsu AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM dsu),
+    keyed AS (SELECT day, md5(CAST(user_id AS VARCHAR)) AS h FROM dsu),
+    bits AS (
+        SELECT day,
+               (instr('{HEX}', substr(h, 1, 1)) - 1) * 16
+               + instr('{HEX}', substr(h, 2, 1)) - 1 AS bucket,
+               regexp_replace(substr(h, 3, 15), '^0+', '') AS t
+        FROM keyed
+    ),
+    dregs AS (
+        SELECT day, bucket,
+               max(CASE WHEN length(t) = 0 THEN 61
+                        ELSE (15 - length(t)) * 4 + 4
+                             - CAST(floor(log2(instr('{HEX}', substr(t, 1, 1)) - 1))
+                                    AS INTEGER)
+                   END) AS max_rho
+        FROM bits GROUP BY day, bucket
+    ),
+    wregs AS (
+        SELECT d.day, r.bucket, max(r.max_rho) AS max_rho
+        FROM days d JOIN dregs r
+          ON r.day BETWEEN d.day - 29 AND d.day
+        GROUP BY d.day, r.bucket
+    ),
+    agg AS (
+        SELECT day, count(*) AS n_registers,
+               sum(pow(2.0, -max_rho)) AS s_seen
+        FROM wregs GROUP BY day
+    ),
+    est AS (
+        SELECT day,
+               CASE WHEN {HLL_ALPHA_M2} / (({HLL_M} - n_registers) + s_seen)
+                         <= {2.5 * 256} AND {HLL_M} - n_registers > 0
+                    THEN {256.0} * ln({256.0} / ({HLL_M} - n_registers))
+                    ELSE {HLL_ALPHA_M2} / (({HLL_M} - n_registers) + s_seen)
+               END AS e,
+               n_registers
+        FROM agg
+    ),
+    exact AS (
+        SELECT d.day, count(DISTINCT s.user_id) AS x
+        FROM days d JOIN dsu s ON s.day BETWEEN d.day - 29 AND d.day
+        GROUP BY d.day
+    )
+    SELECT strftime(est.day, '%Y-%m-%d') AS day_s,
+           CAST(est.n_registers AS BIGINT) AS n_registers,
+           round(est.e, 4) + 0.0 AS est_r,
+           CAST(exact.x AS BIGINT) AS exact_mau,
+           round(abs(est.e - exact.x) / exact.x, 4) + 0.0 AS rel_err_r
+    FROM est JOIN exact ON est.day = exact.day
+    ORDER BY day_s
+    """,
+)
+def rolling_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day active users (MAU) per day from DAILY HLL register
+    tables — the canonical production use of a mergeable sketch: keep one
+    256-row register relation per day, and any window's distinct count is a
+    union+max over the window's days, never a re-scan of raw events. The
+    register bit arithmetic is the md5 construction of operators/hll.py, so
+    the per-day windowed ESTIMATES are hash-checked against DuckDB next to
+    the exact windowed MAU and the realized relative error.
+
+    Plan: one (day, user) distinct (the only corpus-sized shuffle), a
+    (day x 256)-bounded register aggregate, then a day-range join over the
+    DATE DOMAIN (~90 x 30 x 256 rows here; always day-domain bounded — at
+    100 TB this report never touches events again). The exact side exists
+    only for the audit; production keeps the sketch path alone, and
+    yesterday's registers never recompute."""
+    ev = load_table(spark, sf_dir, "events")
+    dsu = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = dsu.select("day").distinct()
+    keyed = dsu.select("day", F.md5(F.col("user_id").cast("string")).alias("h"))
+    bits = keyed.select(
+        "day",
+        F.expr(
+            f"(instr('{HEX}', substring(h, 1, 1)) - 1) * 16"
+            f" + instr('{HEX}', substring(h, 2, 1)) - 1"
+        ).cast("int").alias("bucket"),
+        F.expr("regexp_replace(substring(h, 3, 15), '^0+', '')").alias("t"),
+    )
+    dregs = bits.select(
+        "day",
+        "bucket",
+        F.expr(
+            "CASE WHEN length(t) = 0 THEN 61"
+            " ELSE (15 - length(t)) * 4 + 4"
+            f" - CAST(floor(log2(instr('{HEX}', substring(t, 1, 1)) - 1)) AS INT)"
+            " END"
+        ).cast("int").alias("rho"),
+    ).groupBy("day", "bucket").agg(F.max("rho").alias("max_rho"))
+    wregs = (
+        days.alias("d")
+        .join(
+            dregs.alias("r"),
+            F.col("r.day").between(F.date_sub(F.col("d.day"), 29), F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("r.bucket").alias("bucket"))
+        .agg(F.max("r.max_rho").alias("max_rho"))
+    )
+    agg = wregs.groupBy("day").agg(
+        F.count("*").alias("n_registers"),
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))), F.lit(0.0)
+        ).alias("s_seen"),
+    )
+    m = HLL_M
+    s = (F.lit(m) - F.col("n_registers")).cast("double") + F.col("s_seen")
+    e_raw = F.lit(HLL_ALPHA_M2) / s
+    v_zero = F.lit(m) - F.col("n_registers")
+    est = F.when(
+        (e_raw <= 2.5 * m) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(e_raw)
+    est_df = agg.select("day", "n_registers", est.alias("e"))
+    exact = (
+        days.alias("d")
+        .join(
+            dsu.alias("s"),
+            F.col("s.day").between(F.date_sub(F.col("d.day"), 29), F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("s.user_id").alias("x"))
+    )
+    return (
+        est_df.join(exact, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+            F.col("n_registers").cast("bigint").alias("n_registers"),
+            (F.round("e", 4) + F.lit(0.0)).alias("est_r"),
+            F.col("x").cast("bigint").alias("exact_mau"),
+            (F.round(F.abs(F.col("e") - F.col("x")) / F.col("x"), 4) + F.lit(0.0)).alias(
+                "rel_err_r"
+            ),
+        )
+        .orderBy("day_s")
+    )

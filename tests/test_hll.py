@@ -152,3 +152,33 @@ def test_streaming_register_store(spark, tmp_path):
     assert _regs_dict(final_regs) == _regs_dict(batch_regs)
     est = hll_estimate(final_regs).first()["est"]
     assert abs(est - 1000) / 1000 < 4 * (1.04 / math.sqrt(M))
+
+
+def test_rolling_mau_window_merge_equals_direct(spark):
+    """rolling_mau_hll: merging DAILY register tables over a 30-day window
+    must equal the sketch built directly from the window's raw users (the
+    mergeability contract applied to the MAU shape), and every day's
+    realized error stays inside 2 sigma (deterministic md5 draw)."""
+    import duckdb
+
+    from streamds_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["rolling_mau_hll"].fn(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r["rel_err_r"] <= 0.13, (r["day_s"], r["rel_err_r"])
+    # direct-window sketch for the LAST day == the query's register merge
+    last = max(r["day_s"] for r in rows)
+    users = duckdb.sql(
+        f"""SELECT DISTINCT user_id FROM '{sf}/events.parquet'
+        WHERE CAST(ts AS DATE) BETWEEN DATE '{last}' - 29 AND DATE '{last}'"""
+    ).fetchall()
+    direct = hll_estimate(
+        hll_registers(
+            spark.createDataFrame(users, "user_id long"), "user_id"
+        )
+    ).first()
+    got = next(r for r in rows if r["day_s"] == last)
+    assert got["n_registers"] == direct["n_registers"]
+    assert got["est_r"] == round(direct["est"], 4) + 0.0
