@@ -1308,3 +1308,83 @@ def hourly_burst_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "hour_bucket", "cnt", "n_hours", "total")
         .orderBy("event_type", "hour_bucket")
     )
+
+
+@query(
+    "revenue_concentration",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS rank
+        FROM cust
+    ),
+    base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(rank * cents) AS BIGINT) AS weighted_cents
+        FROM ranked
+    ),
+    topk AS (
+        SELECT CAST(sum(r.cents) AS BIGINT) AS top_decile_cents
+        FROM ranked r, base b
+        WHERE r.rank > b.n - CAST(ceil(b.n / 10.0) AS BIGINT)
+    )
+    SELECT b.n, b.total_cents, b.weighted_cents, t.top_decile_cents,
+           round(2.0 * b.weighted_cents / (b.n * b.total_cents)
+                 - (b.n + 1.0) / b.n, 4) + 0.0 AS gini_r,
+           round(CAST(t.top_decile_cents AS DOUBLE) / b.total_cents, 4) + 0.0
+               AS top_decile_share_r
+    FROM base b, topk t
+    """,
+)
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration census: the Gini coefficient of per-customer
+    revenue plus the top-decile share — the inequality dials a marketplace
+    dashboard pairs with RFM. Every numerator is an EXACT BIGINT (revenue
+    in half-up cents, ranks from the distributed exact-rank machinery —
+    operators/ranking.py, no global window on the Spark side), so the two
+    rounded ratios divide identical integers in both engines and the whole
+    row is hash-exact.
+
+    Plan: one customer aggregate (map-side combined), the bucketed rank
+    pass (approxQuantile boundaries + per-bucket row_number — the same
+    no-global-window discipline as rfm_scores), then two 1-row aggregates.
+    At 100 TB nothing beyond the customer rollup is corpus-sized."""
+    from streamds_spark.operators.ranking import with_global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        ).cast("bigint").alias("cents")
+    )
+    ranked = with_global_rank(cust, ["cents", "o_custkey"], rank_col="rank")
+    base = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("rank") * F.col("cents")).cast("bigint").alias("weighted_cents"),
+    )
+    topk = (
+        ranked.crossJoin(F.broadcast(base.select("n")))
+        .where(F.col("rank") > F.col("n") - F.ceil(F.col("n") / 10.0))
+        .agg(F.sum("cents").cast("bigint").alias("top_decile_cents"))
+    )
+    return (
+        base.crossJoin(F.broadcast(topk))
+        .selectExpr(
+            "n",
+            "total_cents",
+            "weighted_cents",
+            "top_decile_cents",
+            "round(CAST(2 AS DOUBLE) * weighted_cents / (n * total_cents)"
+            " - (CAST(n AS DOUBLE) + 1) / n, 4) + 0.0 AS gini_r",
+            "round(CAST(top_decile_cents AS DOUBLE) / total_cents, 4) + 0.0"
+            " AS top_decile_share_r",
+        )
+    )

@@ -128,3 +128,27 @@ def test_hourly_burst_matches_python(spark):
             if c * n_hours > 2 * total:
                 want[(t, h)] = (c, n_hours, total)
     assert got == want and len(want) > 0
+
+
+def test_revenue_concentration_matches_python(spark):
+    """revenue_concentration: Gini + top-decile share vs an exact Python
+    recompute (same half-up cents, same ascending rank order)."""
+    import math
+
+    row = load_all()["revenue_concentration"].fn(spark, SF).first()
+    cents = defaultdict(int)
+    for ck, price in duckdb.sql(
+        f"SELECT o_custkey, o_totalprice FROM '{SF}/orders.parquet'"
+    ).fetchall():
+        cents[ck] += math.floor(price * 100 + 0.5)
+    xs = sorted(cents.values())
+    n, total = len(xs), sum(xs)
+    weighted = sum((i + 1) * x for i, x in enumerate(xs))
+    k = math.ceil(n / 10)
+    topk = sum(xs[n - k:])
+    assert row["n"] == n and row["total_cents"] == total
+    assert row["weighted_cents"] == weighted
+    assert row["top_decile_cents"] == topk
+    gini = 2 * weighted / (n * total) - (n + 1) / n
+    assert abs(row["gini_r"] - round(gini, 4)) <= 1e-9
+    assert 0 <= row["gini_r"] < 1 and row["top_decile_share_r"] >= 0.1
