@@ -304,6 +304,25 @@ def main(argv: list[str] | None = None) -> int:
     ln.add_argument("query", help="registered query name")
     ln.add_argument("sf_dir", help="TESTDATA dir the query builds against")
 
+    qn = sub.add_parser(
+        "quantiles",
+        help="HDR sketch quantiles of a table's numeric column (one bucket "
+        "pass + a <=1888-key aggregate; same machinery the server's "
+        "quantiles verb serves)",
+    )
+    qn.add_argument("table", help="TESTDATA table name")
+    qn.add_argument("column", help="numeric column")
+    qn.add_argument("sf_dir", help="TESTDATA dir")
+    qn.add_argument(
+        "--scale", type=int, default=1,
+        help="integer pre-multiplier for sub-unit resolution on non-integer "
+        "columns (e.g. 100 for centi-units); value is floored after scaling",
+    )
+    qn.add_argument(
+        "--q", action="append", default=None, metavar="TAG=FRAC",
+        help="quantile spec, repeatable (default p50=0.5 p90=0.9 p99=0.99)",
+    )
+
     args = parser.parse_args(argv)
 
     # The corpus verbs lazily read src while overwriting dest — if the two
@@ -753,6 +772,42 @@ def main(argv: list[str] | None = None) -> int:
         if args.query not in specs:
             parser.error(f"unknown query {args.query!r} (see QUERIES.md)")
         print(lineage_report(specs[args.query].fn(spark, args.sf_dir)))
+    elif args.cmd == "quantiles":
+        from streamds_spark.catalog import TABLES, load_table
+        from streamds_spark.operators.hdr import hdr_quantiles, hdr_registers
+
+        if args.table not in TABLES:
+            parser.error(f"table must be one of {sorted(TABLES)}")
+        qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+        if args.q:
+            try:
+                qs = {
+                    spec.split("=", 1)[0]: float(spec.split("=", 1)[1])
+                    for spec in args.q
+                }
+            except (IndexError, ValueError):
+                parser.error("--q expects TAG=FRACTION (e.g. p95=0.95)")
+            if not all(0 < v <= 1 for v in qs.values()):
+                parser.error("quantile fractions must be in (0, 1]")
+        df = load_table(spark, args.sf_dir, args.table)
+        dtypes = dict(df.dtypes)
+        if args.column not in dtypes:
+            parser.error(f"no column {args.column!r} in {args.table}")
+        integral = any(
+            dtypes[args.column].startswith(t)
+            for t in ("tinyint", "smallint", "int", "bigint")
+        )
+        expr = (
+            args.column
+            if args.scale == 1 and integral
+            else f"floor({args.column} * {int(args.scale)})"
+        )
+        rows = hdr_quantiles(hdr_registers(df, expr), qs).orderBy("tag").collect()
+        for r in rows:
+            print(
+                f"{r['tag']}:rank={r['rank']}/{r['n']}"
+                f" lo={r['lo']} mid={r['mid']} hi={r['hi']}"
+            )
     elif args.cmd == "serve":
         from streamds_spark.server import start_server
 

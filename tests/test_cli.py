@@ -414,3 +414,36 @@ def test_cli_chunk_corpus(spark, tmp_path, capsys):
             assert spans[0][0] == 1
             for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
                 assert s2 == e1 + 1
+
+
+def test_cli_quantiles_verb(spark, capsys):
+    """`streamds quantiles`: HDR sketch quantiles over a table column,
+    matching the registry machinery's bounds; bad specs error cleanly."""
+    import duckdb
+    import math
+    import pytest
+
+    rc, out = _run(
+        ["quantiles", "documents", "n_chars", "/root/testdata/sf0.001"]
+    )
+    assert rc == 0
+    lines = {ln.split(":")[0]: ln for ln in out.splitlines() if ":rank=" in ln}
+    assert set(lines) == {"p50", "p90", "p99"}
+    exact = sorted(
+        r[0] for r in duckdb.sql(
+            "SELECT n_chars FROM '/root/testdata/sf0.001/documents.parquet'"
+        ).fetchall()
+    )
+    n = len(exact)
+    for tag, frac in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        parts = dict(
+            kv.split("=") for kv in lines[tag].split(":", 1)[1].split(" ")
+        )
+        assert int(parts["rank"].split("/")[0]) == max(1, math.ceil(frac * n))
+        true_val = exact[max(1, math.ceil(frac * n)) - 1]
+        assert int(parts["lo"]) <= true_val <= int(parts["hi"])
+    with pytest.raises(SystemExit):
+        _run(["quantiles", "nope", "x", "/root/testdata/sf0.001"])
+    with pytest.raises(SystemExit):
+        _run(["quantiles", "events", "value", "/root/testdata/sf0.001",
+              "--q", "bad"])
