@@ -1388,3 +1388,68 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS top_decile_share_r",
         )
     )
+
+
+@query(
+    "weekday_seasonality_uniformity",
+    oracle="""
+    WITH dow AS (
+        SELECT event_type, CAST(strftime(ts, '%w') AS INT) AS dow,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_dows
+        FROM dow GROUP BY 1
+    )
+    SELECT d.event_type,
+           b.total,
+           b.n_dows,
+           CAST(sum((7 * d.cnt - b.total) * (7 * d.cnt - b.total)) AS BIGINT)
+               AS sq_dev_x49,
+           CAST(max(d.cnt) AS BIGINT) AS peak_cnt,
+           CAST(min(d.cnt) AS BIGINT) AS trough_cnt
+    FROM dow d JOIN base b ON d.event_type = b.event_type
+    GROUP BY d.event_type, b.total, b.n_dows
+    ORDER BY d.event_type
+    """,
+)
+def weekday_seasonality_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality census per event type: day-of-week counts reduced
+    to a uniformity statistic whose numerator is EXACT — sq_dev_x49 =
+    Σ(7·observed − total)², which is 49·Σ(observed − total/7)², i.e. the
+    chi-square numerator scaled by 49·expected so no division (and no float)
+    ever happens. Callers derive chi2 = sq_dev_x49 / (49 · total/7) =
+    sq_dev_x49 / (7 · total) when they want the classical statistic; peak
+    and trough counts give the human-readable seasonality span.
+
+    Plan: one map-side-combined (type × dow) rollup — ≤ 35 groups here,
+    always |types|·7 — then arithmetic on that bounded relation. At 100 TB
+    the only corpus-sized work is the first aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    dow = (
+        events.groupBy(
+            "event_type", (F.dayofweek("ts") - 1).alias("dow")
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    base = dow.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_dows"),
+    )
+    return (
+        dow.join(F.broadcast(base), "event_type")
+        .groupBy("event_type", "total", "n_dows")
+        .agg(
+            F.sum(
+                (7 * F.col("cnt") - F.col("total"))
+                * (7 * F.col("cnt") - F.col("total"))
+            )
+            .cast("bigint")
+            .alias("sq_dev_x49"),
+            F.max("cnt").cast("bigint").alias("peak_cnt"),
+            F.min("cnt").cast("bigint").alias("trough_cnt"),
+        )
+        .orderBy("event_type")
+    )

@@ -152,3 +152,28 @@ def test_revenue_concentration_matches_python(spark):
     gini = 2 * weighted / (n * total) - (n + 1) / n
     assert abs(row["gini_r"] - round(gini, 4)) <= 1e-9
     assert 0 <= row["gini_r"] < 1 and row["top_decile_share_r"] >= 0.1
+
+
+def test_weekday_uniformity_matches_python(spark):
+    """weekday_seasonality_uniformity: exact scaled chi-square numerator vs
+    a Python recompute (strftime %w weekday convention)."""
+    rows = {
+        r["event_type"]: r
+        for r in load_all()["weekday_seasonality_uniformity"].fn(spark, SF).collect()
+    }
+    ev = duckdb.sql(
+        f"SELECT event_type, CAST(strftime(ts, '%w') AS INT), count(*)"
+        f" FROM '{SF}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    per = defaultdict(dict)
+    for t, d, c in ev:
+        per[t][d] = c
+    assert set(rows) == set(per)
+    for t, dows in per.items():
+        total = sum(dows.values())
+        sq = sum((7 * c - total) ** 2 for c in dows.values())
+        r = rows[t]
+        assert r["total"] == total and r["n_dows"] == len(dows)
+        assert r["sq_dev_x49"] == sq
+        assert r["peak_cnt"] == max(dows.values())
+        assert r["trough_cnt"] == min(dows.values())
