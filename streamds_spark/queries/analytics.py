@@ -1453,3 +1453,59 @@ def weekday_seasonality_uniformity(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "decayed_event_type_scores",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    anchor AS (SELECT max(day) AS d0 FROM daily),
+    scored AS (
+        SELECT d.event_type,
+               d.cnt * (1000000 >> least(CAST(a.d0 - d.day AS BIGINT), 62))
+                   AS w_cnt,
+               d.cnt
+        FROM daily d, anchor a
+    )
+    SELECT event_type,
+           CAST(sum(w_cnt) AS BIGINT) AS decayed_score_micro,
+           CAST(sum(cnt) AS BIGINT) AS total_cnt
+    FROM scored GROUP BY event_type
+    ORDER BY decayed_score_micro DESC, event_type
+    """,
+)
+def decayed_event_type_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed activity score per event type — the "what's hot
+    NOW" recency dial: each day's count is weighted by 2^-age (age in days
+    from the newest day in the table), realized as the INTEGER weight
+    1000000 >> age, so the score is an exact BIGINT (weights hit 0 past 20
+    days — the natural cutoff a half-life of one day implies at micro
+    resolution) and the ranking is hash-exact with no float anywhere.
+
+    This is the batch form of a decayed-counter state: per-day (type, cnt)
+    partials are mergeable (sum), and re-anchoring to a new "now" only
+    re-weights the day-domain-bounded rollup — at 100 TB yesterday's daily
+    counts never recompute, the same posture as the rolling-MAU registers."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    anchor = daily.agg(F.max("day").alias("d0"))
+    scored = daily.crossJoin(F.broadcast(anchor)).selectExpr(
+        "event_type",
+        "cnt",
+        "cnt * shiftright(1000000, CAST(least(datediff(d0, day), 62) AS INT))"
+        " AS w_cnt",
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.sum("w_cnt").cast("bigint").alias("decayed_score_micro"),
+            F.sum("cnt").cast("bigint").alias("total_cnt"),
+        )
+        .orderBy(F.col("decayed_score_micro").desc(), "event_type")
+    )

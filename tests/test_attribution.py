@@ -177,3 +177,22 @@ def test_weekday_uniformity_matches_python(spark):
         assert r["sq_dev_x49"] == sq
         assert r["peak_cnt"] == max(dows.values())
         assert r["trough_cnt"] == min(dows.values())
+
+
+def test_decayed_scores_match_python(spark):
+    """decayed_event_type_scores: integer shift-weights vs Python recompute."""
+    rows = {
+        r["event_type"]: (r["decayed_score_micro"], r["total_cnt"])
+        for r in load_all()["decayed_event_type_scores"].fn(spark, SF).collect()
+    }
+    daily = duckdb.sql(
+        f"SELECT event_type, CAST(ts AS DATE), count(*)"
+        f" FROM '{SF}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    d0 = max(d for _, d, _ in daily)
+    want = defaultdict(lambda: [0, 0])
+    for t, d, c in daily:
+        age = min((d0 - d).days, 62)
+        want[t][0] += c * (1000000 >> age)
+        want[t][1] += c
+    assert rows == {t: tuple(v) for t, v in want.items()}
