@@ -247,3 +247,33 @@ def test_time_to_convert_brackets_exact_latency(spark):
         rank = max(1, math.ceil(q * n))
         exact = deltas[rank - 1]
         assert got[tag]["lo"] <= exact <= got[tag]["hi"], (tag, exact)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=60),
+    st.floats(min_value=0.01, max_value=1.0),
+)
+def test_quantile_rank_bracket_property(xs, q):
+    """Pure-model hypothesis property: for ANY multiset and ANY q, the bucket
+    chosen by the rank rule brackets the exact rank statistic (the guarantee
+    hdr_quantiles' SQL implements — verified here against the same Python
+    bucket model the engines are pinned to)."""
+    import math as m
+
+    regs = {}
+    for x in xs:
+        b = py_bucket(x)
+        regs[b] = regs.get(b, 0) + 1
+    n = len(xs)
+    rank = max(1, m.ceil(q * n))
+    cum = 0
+    chosen = None
+    for b in sorted(regs):
+        cum += regs[b]
+        if cum >= rank:
+            chosen = b
+            break
+    lo, hi, mid = py_bounds(chosen)
+    exact = sorted(xs)[rank - 1]
+    assert lo <= exact <= hi
+    assert lo <= mid <= hi
