@@ -39,6 +39,8 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -78,10 +80,34 @@ _NONDETERMINISTIC_EXPRS = frozenset(
 )
 
 
+# Python-evaluated expression/plan classes: the function BODY lives in pickled
+# Python bytecode that the canonicalized plan fingerprint cannot see (the plan
+# prints only the udf's NAME), so two different functions with one name would
+# collide and an edited udf would never invalidate. Never cache these.
+_PYTHON_EVAL_MARKERS = (
+    "PythonUDF",
+    "PythonUDAF",
+    "PythonUDTF",
+    "InPandas",  # FlatMapGroupsInPandas, MapInPandas, ...WithState
+    "InArrow",
+    "PythonMap",
+    "PythonFlatMap",
+)
+
+
 def nondeterministic_classes(df: DataFrame) -> set[str]:
-    """Simple names of non-deterministic/time-dependent expression classes
-    appearing anywhere in the analyzed plan (empty set → safe to cache).
-    Driver-side only — walks the plan's JSON rendering, no jobs."""
+    """Simple names of expression/plan classes that make the plan unsafe to
+    cache (empty set → safe). Driver-side only, no jobs. Three detectors:
+
+    * the named Catalyst non-deterministic/time-dependent class list;
+    * any Python-evaluated expression or plan node (`PythonUDF`, grouped-map
+      pandas, ...): the fingerprint cannot capture the Python function body;
+    * catch-all for anything the list misses (future Catalyst expressions,
+      `asNondeterministic()` udfs): any JSON node carrying
+      `udfDeterministic: false`, plus a JVM walk asserting every plan node's
+      top-level expressions report `deterministic == true` (an Expression's
+      flag already folds in its expression children).
+    """
     tree = json.loads(df._jdf.queryExecution().analyzed().toJSON())  # noqa: SLF001
     found: set[str] = set()
 
@@ -92,6 +118,10 @@ def nondeterministic_classes(df: DataFrame) -> set[str]:
                 simple = c.rsplit(".", 1)[-1]
                 if simple in _NONDETERMINISTIC_EXPRS:
                     found.add(simple)
+                if any(m in simple for m in _PYTHON_EVAL_MARKERS):
+                    found.add(simple)
+            if o.get("udfDeterministic") is False:
+                found.add("udfDeterministic:false")
             for v in o.values():
                 walk(v)
         elif isinstance(o, list):
@@ -99,6 +129,33 @@ def nondeterministic_classes(df: DataFrame) -> set[str]:
                 walk(v)
 
     walk(tree)
+    found.update(_jvm_nondeterministic_nodes(df))
+    return found
+
+
+def _jvm_nondeterministic_nodes(df: DataFrame) -> set[str]:
+    """Recurse the analyzed LogicalPlan via the JVM handle and return the
+    node class names whose top-level expressions are not all deterministic —
+    the authoritative Catalyst flag, covering expressions no list names."""
+    found: set[str] = set()
+
+    def visit(plan) -> None:
+        exprs = plan.expressions()
+        for i in range(exprs.size()):
+            try:
+                det = exprs.apply(i).deterministic()
+            except Exception:  # unresolved/exotic expression: be conservative
+                det = False
+            if not det:
+                found.add(plan.getClass().getSimpleName())
+                break
+        kids = plan.children()
+        for i in range(kids.size()):
+            visit(kids.apply(i))
+        # subqueries hang off expressions, not children; the JSON walk plus
+        # Catalyst's own deterministic folding cover scalar-subquery bodies.
+
+    visit(df._jdf.queryExecution().analyzed())  # noqa: SLF001
     return found
 
 
@@ -147,7 +204,38 @@ def cached(df: DataFrame, cache_dir: str) -> CacheResult:
         return CacheResult(
             df=spark.read.parquet(dest), hit=True, cacheable=True, fingerprint=fp
         )
-    df.write.mode("overwrite").parquet(dest)
+    # Concurrent misses on one fingerprint must not interleave delete-then-
+    # write sequences under one directory: materialize into a writer-unique
+    # temp dir, then atomically promote via rename. Outcomes:
+    #   * rename wins            -> serve dest, nothing to clean;
+    #   * loser (dest complete)  -> drop own temp, serve the winner's
+    #     identical-fingerprint copy;
+    #   * dest torn (no _SUCCESS: a pre-temp-dir-era crash) -> clear the
+    #     wreck and retry the promotion once; if another racer beat us to
+    #     the retry, fall back to serving the private temp dir.
+    tmp = f"{dest}.tmp-{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(tmp)
+    serve = tmp
+    try:
+        os.rename(tmp, dest)
+        serve = dest
+    except OSError:
+        if os.path.exists(os.path.join(dest, "_SUCCESS")):
+            shutil.rmtree(tmp, ignore_errors=True)
+            serve = dest
+        else:
+            shutil.rmtree(dest, ignore_errors=True)
+            try:
+                os.rename(tmp, dest)
+                serve = dest
+            except OSError:
+                serve = (
+                    dest
+                    if os.path.exists(os.path.join(dest, "_SUCCESS"))
+                    else tmp
+                )
+                if serve == dest:
+                    shutil.rmtree(tmp, ignore_errors=True)
     return CacheResult(
-        df=spark.read.parquet(dest), hit=False, cacheable=True, fingerprint=fp
+        df=spark.read.parquet(serve), hit=False, cacheable=True, fingerprint=fp
     )

@@ -7,19 +7,44 @@ one-shot triangle census (queries/graph.py) and the fixpoint connected
 components (operators/dedup_pipeline.py).
 
 Scale posture: each round is one groupBy-degree shuffle plus an anti-join
-against the peeled set; the peeled set per round is usually tiny, so Spark
-broadcasts it (left_anti with a small right side). Lineage is truncated with
-localCheckpoint every round — without it the plan doubles per iteration and
-the driver OOMs on plan size long before data size matters. Rounds are
-bounded by the graph's degeneracy ordering depth, ~O(log n) on heavy-tailed
-graphs; `max_iter` caps pathological chains and raising it is safe because
-each round strictly shrinks the node set.
+against the peeled set. The peeled set is NOT always small — on a
+heavy-tailed graph with a large k, the FIRST round's peel set (every node
+with degree < k) is the majority of the graph, so a forced broadcast there
+is a multi-GB OOM at cluster scale. The anti-join hint is therefore
+size-gated: we already run one job per round to count the peel set (the
+fixpoint test), so the same count decides broadcast (tiny peel set) vs a
+plain shuffled anti-join where AQE is free to re-plan at runtime. Lineage
+is truncated with localCheckpoint every round — without it the plan doubles
+per iteration and the driver OOMs on plan size long before data size
+matters. Rounds are bounded by the graph's degeneracy ordering depth,
+~O(log n) on heavy-tailed graphs; `max_iter` caps pathological chains and
+raising it is safe because each round strictly shrinks the node set.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Broadcast the peel set only below this row count. At ~16 bytes per id row
+# this stays well under the default 10 MB autoBroadcastJoinThreshold and far
+# under executor memory at any scale; above it, the plain anti-join shuffles
+# and AQE may still broadcast if runtime stats allow.
+PEEL_BROADCAST_ROW_CAP = 100_000
+
+
+def _peel_once(adj: DataFrame, low: DataFrame, n_low: int) -> DataFrame:
+    """One peel round: drop every half-edge touching a peeled node.
+
+    Returns the PRE-checkpoint plan so tests can pin the join strategy:
+    broadcast hint only when the peel set is provably tiny (n_low ≤
+    PEEL_BROADCAST_ROW_CAP); otherwise an unhinted anti-join that AQE
+    sizes at runtime.
+    """
+    right = F.broadcast(low) if n_low <= PEEL_BROADCAST_ROW_CAP else low
+    return adj.join(right, adj.u == low.n, "left_anti").join(
+        right, adj.v == low.n, "left_anti"
+    )
 
 
 def kcore_nodes(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
@@ -39,13 +64,11 @@ def kcore_nodes(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     for _ in range(max_iter):
         deg = adj.groupBy("u").agg(F.count("*").alias("degree"))
         low = deg.filter(F.col("degree") < k).select(F.col("u").alias("n"))
-        if low.isEmpty():
+        low = low.localCheckpoint(eager=True)  # feeds the count + two joins
+        n_low = low.count()
+        if n_low == 0:
             return deg.select(F.col("u").alias("node"), "degree")
-        adj = (
-            adj.join(F.broadcast(low), adj.u == low.n, "left_anti")
-            .join(F.broadcast(low), adj.v == low.n, "left_anti")
-            .localCheckpoint(eager=True)
-        )
+        adj = _peel_once(adj, low, n_low).localCheckpoint(eager=True)
         if adj.isEmpty():
             return deg.filter(F.lit(False)).select(
                 F.col("u").alias("node"), "degree"

@@ -75,6 +75,56 @@ def test_kcore_fuzz_vs_reference(spark):
             )
 
 
+def test_peel_join_strategy_size_gated(spark):
+    """The peel anti-join broadcast hint is size-gated: tiny peel sets get
+    the hint, large ones are left unhinted for AQE to size at runtime.
+    autoBroadcastJoinThreshold=-1 so any BroadcastExchange is hint-driven."""
+    from streamds_spark.operators.kcore import PEEL_BROADCAST_ROW_CAP, _peel_once
+
+    adj = spark.createDataFrame([(i, i + 1) for i in range(100)], ["u", "v"])
+    low = spark.createDataFrame([(i,) for i in range(50)], ["n"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = (
+            _peel_once(adj, low, 50)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        large = (
+            _peel_once(adj, low, PEEL_BROADCAST_ROW_CAP + 1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastExchange" in small, small[:2000]
+    assert "BroadcastExchange" not in large, large[:2000]
+
+
+def test_kcore_unhinted_path_correct(spark, monkeypatch):
+    """Force every peel round down the no-broadcast branch (cap=0) on a graph
+    whose round-1 peel is >50% of nodes (a star's leaves): the shuffled
+    anti-join path must produce the same core as the reference."""
+    from streamds_spark.operators import kcore as kc
+
+    monkeypatch.setattr(kc, "PEEL_BROADCAST_ROW_CAP", 0)
+    # K4 clique core + 20 star leaves hanging off node 0: round-1 peel = 20
+    # leaves out of 24 nodes (>80%).
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    leaves = [(0, 100 + i) for i in range(20)]
+    edges = clique + leaves
+    got = {
+        r["node"]: r["degree"]
+        for r in kc.kcore_nodes(
+            spark.createDataFrame(edges, ["u", "v"]), 3
+        ).collect()
+    }
+    assert got == _ref_kcore(edges, 3)
+
+
 def test_kcore_summary_shape(spark):
     k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
     row = kcore_summary(spark.createDataFrame(k5, ["u", "v"]), 4).collect()[0]

@@ -121,6 +121,78 @@ def test_nondeterministic_plans_never_cached(spark, tmp_path):
     assert plan_fingerprint(named)[1]
 
 
+def test_python_udf_plans_never_cached(spark, tmp_path):
+    """Any Python-evaluated expression makes the plan uncacheable: the
+    fingerprint sees only the udf's NAME, not its pickled body, so an edited
+    udf would be served stale forever.  Covers scalar pandas_udf, grouped-map
+    applyInPandas, and mapInPandas; the plain built-in twin still caches."""
+    import os
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    cache = str(tmp_path / "cache")
+    src = f"{SF}/orders.parquet"
+    base = spark.read.parquet(src)
+
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def dbl(s):
+        return s * 2.0
+
+    udf_plans = [
+        base.select("o_orderkey", dbl("o_totalprice").alias("c")),
+        base.select("o_orderstatus", "o_totalprice")
+        .groupBy("o_orderstatus")
+        .applyInPandas(
+            lambda pdf: pdf.head(1), "o_orderstatus string, o_totalprice double"
+        ),
+        base.select("o_orderkey").mapInPandas(
+            lambda it: it, "o_orderkey bigint"
+        ),
+    ]
+    for df in udf_plans:
+        fp, cacheable = plan_fingerprint(df)
+        assert not cacheable, df._jdf.queryExecution().analyzed().toString()
+        r = cached(df, cache)
+        assert not r.hit and not r.cacheable
+        r2 = cached(df, cache)
+        assert not r2.hit and not r2.cacheable
+    assert not os.path.exists(cache)  # nothing was materialized
+    # the built-in-function twin of the scalar udf still caches normally
+    det = base.select("o_orderkey", (F.col("o_totalprice") * 2.0).alias("c"))
+    assert not cached(det, cache).hit
+    assert cached(det, cache).hit
+
+
+def test_concurrent_miss_promotion_is_atomic(spark, tmp_path):
+    """Two racers missing on one fingerprint both materialize into private
+    temp dirs; the rename loser serves the winner's (identical) copy and the
+    final cache dir is a single coherent write, never an interleaved mix."""
+    import os
+
+    cache = str(tmp_path / "cache")
+    src = f"{SF}/orders.parquet"
+    a = cached(_q(spark, src), cache)
+    want = {(r["o_orderstatus"], r["cnt"]) for r in a.df.collect()}
+    dest = os.path.join(cache, a.fingerprint)
+    n_parts = len([f for f in os.listdir(dest) if f.endswith(".parquet")])
+
+    # simulate the loser: dest already exists when its rename fires
+    b = cached(_q(spark, src), cache)
+    assert b.hit  # normal path: second call is just a hit
+    # force a re-materialization race by removing the hit marker only
+    os.remove(os.path.join(dest, "_SUCCESS"))
+    c = cached(_q(spark, src), cache)
+    assert not c.hit and c.fingerprint == a.fingerprint
+    assert {(r["o_orderstatus"], r["cnt"]) for r in c.df.collect()} == want
+    # the promoted dir is one coherent write: part-file count never doubled
+    got_parts = len([f for f in os.listdir(dest) if f.endswith(".parquet")])
+    assert got_parts == n_parts, os.listdir(dest)
+    assert cached(_q(spark, src), cache).hit
+    # no leaked temp dirs accumulate alongside the promoted entry
+    leftovers = [d for d in os.listdir(cache) if ".tmp-" in d]
+    assert leftovers == [], leftovers
+
+
 def test_appendlog_manifest_keying_survives_compaction(spark, tmp_path):
     """Log-backed reads are keyed on the log's logical batch identities, so
     compaction (which rewrites every physical file) keeps the cache warm,
