@@ -325,11 +325,6 @@ def merge(spark: SparkSession, path: str, keep_generations: int = 2) -> None:
         else:
             new_entries.add(rel)
     manifest_entries = prev_merged | new_entries
-    # everything the manifest subsumes is reclaimable — including state a
-    # post-merge replay rewrote since the PREVIOUS merge (its rows are in
-    # the generation already; readers skip it either way)
-    subsumed_dirs = {m[len("dir:") :] for m in manifest_entries if m.startswith("dir:")}
-    subsumed_txn = {m[len("txn:") :] for m in manifest_entries if m.startswith("txn:")}
     with open(os.path.join(gen_dir, "merged_chunks.txt"), "w") as f:
         for name in sorted(manifest_entries):
             f.write(name + "\n")
@@ -339,14 +334,26 @@ def merge(spark: SparkSession, path: str, keep_generations: int = 2) -> None:
         f.write(gen)
     os.replace(tmp_ptr, os.path.join(path, "CURRENT"))  # atomic commit point
 
-    # best-effort GC (safe to re-run; a crash here only leaves garbage, the
-    # manifest keeps subsumed chunks out of every future read)
-    for p in snapshot:
+    # best-effort GC with a ONE-MERGE-CYCLE grace period (safe to re-run; a
+    # crash here only leaves garbage, the manifest keeps subsumed chunks out
+    # of every future read). Reclaiming what THIS merge just subsumed would
+    # race concurrent readers: get() builds an explicit file list, so a
+    # reader that listed against the OLD generation moments before the
+    # pointer swap would hit FileNotFoundException mid-scan. Instead reclaim
+    # only the residue of entries the PREVIOUS generation's manifest already
+    # subsumed — invisible to every reader at the old generation or newer,
+    # so only a reader that listed before the PREVIOUS swap (a full merge
+    # cycle ago) could still want them. This merge's own subsumed chunks
+    # stay on disk until the next merge pass.
+    grace_files = {m for m in prev_merged if ":" not in m}
+    grace_dirs = {m[len("dir:") :] for m in prev_merged if m.startswith("dir:")}
+    grace_txn = {m[len("txn:") :] for m in prev_merged if m.startswith("txn:")}
+    for rel in grace_files:
         try:
-            os.remove(p)
+            os.remove(os.path.join(chunks_root, rel))
         except OSError:
             pass
-    for d in subsumed_dirs:
+    for d in grace_dirs:
         shutil.rmtree(os.path.join(chunks_root, d), ignore_errors=True)
     ptr_target: dict[str, str] = {}
     for ptr in _glob.glob(os.path.join(chunks_root, "txnptr-*")):
@@ -355,7 +362,7 @@ def merge(spark: SparkSession, path: str, keep_generations: int = 2) -> None:
         with open(ptr) as f:
             ptr_target[os.path.basename(ptr)] = f.read().strip()
     for ptr_name, attempt_dir in _txn_pointers(chunks_root):
-        if ptr_name in subsumed_txn:
+        if ptr_name in grace_txn:
             shutil.rmtree(attempt_dir, ignore_errors=True)
             try:
                 os.remove(os.path.join(chunks_root, ptr_name))
@@ -364,14 +371,14 @@ def merge(spark: SparkSession, path: str, keep_generations: int = 2) -> None:
     # superseded txn attempts: a replay swung its pointer to a new attempt and
     # left the old dir behind (append_batch_txn defers reclaim to THIS
     # single-writer pass so commit never races a reader). Reclaim an attempt
-    # when its pointer targets a different dir OR the whole batch was just
-    # folded into the generation; an attempt with NO pointer ever recorded is
-    # a commit in flight — kept.
+    # when its pointer targets a different dir (unreachable through the
+    # pointer for every reader) OR its batch aged through the grace period;
+    # an attempt with NO pointer ever recorded is a commit in flight — kept.
     for d in _glob.glob(os.path.join(chunks_root, ".txn-*")):
         name = os.path.basename(d)
         ptr_name = "txnptr-" + name[len(".txn-") :].rsplit("-", 1)[0]
         tgt = ptr_target.get(ptr_name)
-        if (tgt is not None and tgt != name) or ptr_name in subsumed_txn:
+        if (tgt is not None and tgt != name) or ptr_name in grace_txn:
             shutil.rmtree(d, ignore_errors=True)
     for stale in list_generations(path)[: -max(1, keep_generations)]:
         shutil.rmtree(os.path.join(path, "generations", stale), ignore_errors=True)

@@ -1126,7 +1126,10 @@ def skew_aware_join_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice = skew_aware_join(
         docs, dim, "source", n_partitions=32, broadcast_threshold_rows=0
     )
-    assert choice.strategy == "salted", choice  # the skewed branch, by design
+    if choice.strategy != "salted":  # the skewed branch, by design — a bare
+        # assert would be stripped under `python -O` and let a regression to
+        # the broadcast/plain branch pass silently
+        raise RuntimeError(f"expected the salted branch, got {choice}")
     return (
         choice.df.groupBy("label")
         .agg(

@@ -278,7 +278,8 @@ def _run_request(
             if scale == 1 and integral
             else f"floor({column} * {scale})"
         )
-        rows = hdr_quantiles(hdr_registers(df, expr), dict(qs)).collect()
+        with scheduler_pool(spark, pool):
+            rows = hdr_quantiles(hdr_registers(df, expr), dict(qs)).collect()
         return {
             "ok": True,
             "table": table,
@@ -528,6 +529,7 @@ class QueryServer(socketserver.ThreadingTCPServer):
         self.audit_log = audit_log  # JSONL flight recorder (one line/request)
         self._t0 = _time.time()
         self._stats_lock = threading.Lock()
+        self._audit_lock = threading.Lock()  # file IO only — never nests
         self._served: dict[str, int] = {}
         self._latency: dict[str, deque] = {}  # per-kind, bounded
         self._errors = 0
@@ -718,7 +720,11 @@ class QueryServer(socketserver.ThreadingTCPServer):
                 "tenant": tenant,
                 "detail": detail,
             }
-            with self._stats_lock, open(self.audit_log, "a") as f:
+            # file append under its OWN lock: a slow/blocked filesystem
+            # write must not stall _stats_lock, which the completion path,
+            # cancel() and status() all take — audit IO can never block the
+            # runaway-query controls
+            with self._audit_lock, open(self.audit_log, "a") as f:
                 f.write(json.dumps(rec) + "\n")
 
     def status(self) -> dict:

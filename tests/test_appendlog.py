@@ -292,10 +292,44 @@ def test_generation_retention_gc(spark, tmp_path):
         appendlog.get_at(spark, path, "g-0")
 
 
+def test_merge_gc_grace_period_protects_inflight_readers(spark, tmp_path):
+    """merge()'s GC defers reclaim by one merge cycle: a reader that built
+    its explicit file list against the pre-merge view must be able to
+    finish collecting AFTER the merge commits — every file it listed still
+    exists. Only the merge after next reclaims them."""
+    import os
+
+    path = str(tmp_path / "log")
+    appendlog.create(spark, path)
+    for i in range(3):
+        appendlog.append(
+            spark.createDataFrame([(f"r{i}",)], ["line"]), path, f"c{i}"
+        )
+    reader = appendlog.get(spark, path)  # file list resolved pre-merge
+    listed = [
+        f[len("file:") :] if f.startswith("file:") else f
+        for f in reader.inputFiles()
+    ]
+    assert listed
+    appendlog.merge(spark, path)
+    for f in listed:  # grace: nothing the reader listed was reclaimed
+        assert os.path.exists(f), f
+    assert sorted(r["line"] for r in reader.collect()) == ["r0", "r1", "r2"]
+    # a fresh reader sees the merged view; the NEXT merge reclaims the aged
+    # residue (and the view is unchanged)
+    appendlog.merge(spark, path)
+    assert not any(os.path.exists(f) for f in listed)
+    assert sorted(
+        r["line"] for r in appendlog.get(spark, path).collect()
+    ) == ["r0", "r1", "r2"]
+
+
 def test_txn_superseded_attempt_deferred_to_merge(spark, tmp_path):
     """A replayed txn batch leaves its superseded attempt dir on disk (commit
     never deletes — a concurrent reader may still hold the old resolution);
     merge(), the single-writer maintenance pass, reclaims it."""
+    import os
+
     path = str(tmp_path / "log")
     appendlog.create(spark, path)
     appendlog.append_batch_txn(
@@ -307,6 +341,19 @@ def test_txn_superseded_attempt_deferred_to_merge(spark, tmp_path):
     attempts = _glob.glob(str(tmp_path / "log" / "chunks" / ".txn-c-*"))
     assert len(attempts) == 2  # superseded attempt retained at commit time
     # readers resolve the pointer: only the replayed content is visible
+    assert sorted(r["line"] for r in appendlog.get(spark, path).collect()) == [
+        "new1",
+        "new2",
+    ]
+    appendlog.merge(spark, path)
+    # the SUPERSEDED attempt is reclaimed immediately (no pointer reaches
+    # it); the committed attempt just folded into the generation ages one
+    # GC grace cycle so a reader that listed against the pre-merge view can
+    # finish its scan — the NEXT merge reclaims it
+    left = _glob.glob(str(tmp_path / "log" / "chunks" / ".txn-c-*"))
+    with open(str(tmp_path / "log" / "chunks" / "txnptr-c-000000000")) as f:
+        committed = f.read().strip()
+    assert [os.path.basename(d) for d in left] == [committed]
     assert sorted(r["line"] for r in appendlog.get(spark, path).collect()) == [
         "new1",
         "new2",
