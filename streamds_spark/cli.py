@@ -252,6 +252,21 @@ def main(argv: list[str] | None = None) -> int:
         "(plan-fingerprint keyed; nondeterministic plans never cached)",
     )
     sv.add_argument(
+        "--max-inflight",
+        type=int,
+        default=None,
+        help="admission control: cap on CONCURRENT data-bearing requests; "
+        "over-capacity requests are rejected immediately with "
+        '{"busy": true} (control verbs always served)',
+    )
+    sv.add_argument(
+        "--max-inflight-per-tenant",
+        type=int,
+        default=None,
+        help="per-pool in-flight cap: one tenant's stampede cannot occupy "
+        "every slot",
+    )
+    sv.add_argument(
         "--pools",
         default=None,
         help="weighted tenant pools as 'name=weight,...' (e.g. "
@@ -819,6 +834,8 @@ def main(argv: list[str] | None = None) -> int:
             timeout_s=args.timeout_s,
             cache_dir=args.cache_dir,
             audit_log=args.audit_log,
+            max_inflight=args.max_inflight,
+            max_inflight_per_tenant=args.max_inflight_per_tenant,
         )
         host, port = server.server_address[:2]
         print(f"serving:{host}:{port}", flush=True)

@@ -521,12 +521,26 @@ class QueryServer(socketserver.ThreadingTCPServer):
         timeout_s: float | None = None,
         cache_dir: str | None = None,
         audit_log: str | None = None,
+        max_inflight: int | None = None,
+        max_inflight_per_tenant: int | None = None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
         self.timeout_s = timeout_s  # default per-request deadline (None = off)
         self.cache_dir = cache_dir  # enables opt-in {"cache": true} serving
         self.audit_log = audit_log  # JSONL flight recorder (one line/request)
+        # admission control: timeouts bound one request's CPU, but nothing
+        # else bounds CONCURRENT data-bearing requests — every connection
+        # gets a thread and a job group, so 500 clients would mean 500 live
+        # job groups contending for the same executor slots. Over-capacity
+        # requests are rejected IMMEDIATELY with {"ok": false, "busy": true}
+        # (fail fast beats queueing: the client can back off or go
+        # elsewhere, and a stampede can't build an unbounded backlog of
+        # threads parked on the scheduler). Control verbs (status, cancel,
+        # ping, pipeline_status) bypass the cap — operability must survive
+        # saturation, and cancel is how an operator RELIEVES it.
+        self.max_inflight = max_inflight
+        self.max_inflight_per_tenant = max_inflight_per_tenant
         self._t0 = _time.time()
         self._stats_lock = threading.Lock()
         self._audit_lock = threading.Lock()  # file IO only — never nests
@@ -536,6 +550,8 @@ class QueryServer(socketserver.ThreadingTCPServer):
         self._req_n = 0
         self._active: dict[str, tuple[str, dict]] = {}  # tag -> (group, state)
         self._inflight = 0
+        self._inflight_by_tenant: dict[str, int] = {}
+        self._rejected = 0
         self._pipeline: tuple[Any, str] | None = None
         # the shared SQL views are registered ONCE here, on the pinned sf_dir:
         # tenants all read the same snapshot, and no request path re-registers
@@ -577,12 +593,40 @@ class QueryServer(socketserver.ThreadingTCPServer):
             return {"ok": False, "error": "pool must be a non-empty string"}
         sc = self.spark.sparkContext
         with self._stats_lock:
+            # admission control: reject over-capacity work IMMEDIATELY,
+            # before any job group or scheduler state exists for it
+            if (
+                self.max_inflight is not None
+                and self._inflight >= self.max_inflight
+            ):
+                self._rejected += 1
+                return {
+                    "ok": False,
+                    "error": f"busy: {self._inflight} requests in flight "
+                    f"(cap {self.max_inflight}) — retry with backoff",
+                    "busy": True,
+                }
+            if (
+                self.max_inflight_per_tenant is not None
+                and self._inflight_by_tenant.get(pool, 0)
+                >= self.max_inflight_per_tenant
+            ):
+                self._rejected += 1
+                return {
+                    "ok": False,
+                    "error": f"busy: tenant pool {pool!r} at its in-flight "
+                    f"cap ({self.max_inflight_per_tenant})",
+                    "busy": True,
+                }
             self._req_n += 1
             # globally unique (uuid): cancelJobGroupAndFutureJobs poisons a
             # group id for the lifetime of the SparkContext, so ids must
             # never be reused across requests OR server instances
             group = f"streamds-req-{self._req_n}-{uuid.uuid4().hex[:8]}"
             self._inflight += 1
+            self._inflight_by_tenant[pool] = (
+                self._inflight_by_tenant.get(pool, 0) + 1
+            )
         state = {"timeout": False, "cancelled": False}
         if tag is not None:
             with self._stats_lock:
@@ -621,6 +665,11 @@ class QueryServer(socketserver.ThreadingTCPServer):
                 sc.setLocalProperty(prop, None)
             with self._stats_lock:
                 self._inflight -= 1
+                n_t = self._inflight_by_tenant.get(pool, 1) - 1
+                if n_t <= 0:
+                    self._inflight_by_tenant.pop(pool, None)
+                else:
+                    self._inflight_by_tenant[pool] = n_t
                 if tag is not None and self._active.get(tag, (None,))[0] == group:
                     del self._active[tag]
 
@@ -747,6 +796,10 @@ class QueryServer(socketserver.ThreadingTCPServer):
                 "latency_ms": latency,
                 "errors": self._errors,
                 "inflight": self._inflight,
+                "inflight_by_tenant": dict(sorted(self._inflight_by_tenant.items())),
+                "rejected_busy": self._rejected,
+                "max_inflight": self.max_inflight,
+                "max_inflight_per_tenant": self.max_inflight_per_tenant,
             }
 
 
@@ -758,6 +811,8 @@ def start_server(
     timeout_s: float | None = None,
     cache_dir: str | None = None,
     audit_log: str | None = None,
+    max_inflight: int | None = None,
+    max_inflight_per_tenant: int | None = None,
 ) -> QueryServer:
     """Bind + serve in a daemon thread; returns the server (read the bound
     port from `server.server_address`, stop with `server.shutdown()`)."""
@@ -769,6 +824,8 @@ def start_server(
         timeout_s=timeout_s,
         cache_dir=cache_dir,
         audit_log=audit_log,
+        max_inflight=max_inflight,
+        max_inflight_per_tenant=max_inflight_per_tenant,
     )
     t = threading.Thread(target=server.serve_forever, daemon=True, name="streamds-serve")
     t.start()

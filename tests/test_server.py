@@ -589,3 +589,123 @@ def test_quantiles_probe_over_socket(spark):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_admission_control_global_cap(spark):
+    """With max_inflight=N, N long-running requests occupy the server and
+    k more are rejected IMMEDIATELY with {"busy": true} — no job group is
+    created for them, control verbs keep working, the N admitted requests
+    are unaffected, and capacity frees as soon as one finishes."""
+    import time
+
+    from streamds_spark.server import QueryServer
+
+    server = QueryServer(spark, SF, max_inflight=2)
+    host, port = server.server_address[:2]
+    serve_t = threading.Thread(target=server.serve_forever, daemon=True)
+    serve_t.start()
+    slow: dict[str, dict] = {}
+    try:
+
+        def runaway(tag: str) -> None:
+            slow[tag] = request(
+                host, port, {"sql": SLOW_SQL, "tag": tag}, timeout=300
+            )
+
+        occupants = [
+            threading.Thread(target=runaway, args=(f"slot{i}",)) for i in range(2)
+        ]
+        for th in occupants:
+            th.start()
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            st = request(host, port, {"cmd": "status"})["status"]
+            if st["inflight"] == 2:
+                break
+            time.sleep(0.2)
+        assert st["inflight"] == 2, st
+
+        # k=3 over-capacity requests: each rejected fast, well under any
+        # query runtime, with the busy marker and no session damage
+        for _ in range(3):
+            t0 = time.time()
+            r = request(host, port, {"query": "distinct_values"})
+            assert not r["ok"] and r.get("busy") is True, r
+            assert "busy" in r["error"]
+            assert time.time() - t0 < 5
+        # control verbs bypass the cap while the server is saturated
+        assert request(host, port, {"cmd": "ping"})["pong"] is True
+        st = request(host, port, {"cmd": "status"})["status"]
+        assert st["rejected_busy"] == 3 and st["max_inflight"] == 2
+
+        # cancel (a control verb) relieves the saturation...
+        for tag in ("slot0", "slot1"):
+            assert request(host, port, {"cmd": "cancel", "tag": tag})["ok"]
+        for th in occupants:
+            th.join(timeout=120)
+        assert all(not th.is_alive() for th in occupants)
+        assert all(v.get("cancelled") or v.get("timeout") for v in slow.values())
+        # ...and the freed capacity admits normal work again
+        ok = request(host, port, {"query": "distinct_values"})
+        assert ok["ok"], ok
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_admission_control_per_tenant_cap(spark):
+    """max_inflight_per_tenant bounds ONE pool's concurrency without
+    touching other tenants: the hog's second request is rejected busy while
+    a different pool's request sails through."""
+    import time
+
+    from streamds_spark.server import QueryServer
+
+    server = QueryServer(spark, SF, max_inflight_per_tenant=1)
+    host, port = server.server_address[:2]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        holder: dict[str, dict] = {}
+
+        def hog() -> None:
+            holder["resp"] = request(
+                host,
+                port,
+                {"sql": SLOW_SQL, "tag": "hog", "pool": "tenant-a"},
+                timeout=300,
+            )
+
+        th = threading.Thread(target=hog)
+        th.start()
+        deadline = time.time() + 60
+        st = None
+        while time.time() < deadline:
+            st = request(host, port, {"cmd": "status"})["status"]
+            if st["inflight_by_tenant"].get("tenant-a") == 1:
+                break
+            time.sleep(0.2)
+        assert st and st["inflight_by_tenant"].get("tenant-a") == 1, st
+
+        busy = request(
+            host, port, {"query": "distinct_values", "pool": "tenant-a"}
+        )
+        assert not busy["ok"] and busy.get("busy") is True, busy
+        assert "tenant-a" in busy["error"]
+        other = request(
+            host, port, {"query": "distinct_values", "pool": "tenant-b"}
+        )
+        assert other["ok"], other
+
+        assert request(host, port, {"cmd": "cancel", "tag": "hog"})["ok"]
+        th.join(timeout=120)
+        assert not th.is_alive()
+        # the hog's slot is back and the per-tenant book is clean
+        again = request(
+            host, port, {"query": "distinct_values", "pool": "tenant-a"}
+        )
+        assert again["ok"], again
+        st = request(host, port, {"cmd": "status"})["status"]
+        assert st["inflight_by_tenant"] == {}
+    finally:
+        server.shutdown()
+        server.server_close()
