@@ -34,7 +34,10 @@ window input is a fixed-size sketch, never the data).
 Contract: values must be non-negative integers (cast/scale floats first —
 e.g. centi-units via floor(value * 100), which is deterministic IEEE double
 arithmetic both engines share). NULLs and negatives are excluded, matching
-aggregate semantics.
+aggregate semantics. For general SIGNED metrics (deltas, P&L, z-scores) use
+the `hdr_registers_signed` / `signed_bucket_expr` / `signed_bounds_exprs`
+twins: negatives mirror into negative bucket ids (still monotone, still
+pure-integer, register bound 2 × 1888) and only NULLs are excluded.
 
 Reference parity: StreamDS has no sketch surface at all (its aggregates are
 exact per-key counts, core_process_stream_DS.go); this extends the engine
@@ -102,6 +105,60 @@ def bounds_exprs(bucket_col: str = "bucket") -> tuple[str, str, str]:
     return lo, hi, mid
 
 
+def signed_bucket_expr(col: str, dialect: str) -> str:
+    """Signed-value bucket map, valid in Spark ('spark') or DuckDB ('duckdb').
+
+    Negative values mirror into negative bucket ids with no gap:
+
+      v >= 0  ->  bucket(v)                      (ids 0 .. 1887)
+      v <  0  ->  -1 - bucket(-(v + 1))          (ids -1 .. -1888)
+
+    The mirrored operand is |v| - 1 spelled as -(v + 1), which is safe at
+    BIGINT min (-(2^63) + 1 negates within range; a bare -v would overflow).
+    The composite map is monotone over the whole signed range: v = -2 -> -2,
+    v = -1 -> -1, v = 0 -> 0, v = 1 -> 1 — so cumulative-rank extraction
+    works unchanged on bucket order. Relative error on the magnitude is the
+    same < 1/32; register bound doubles to <= 2 * 1888.
+    """
+    base = bucket_expr_spark if dialect == "spark" else bucket_expr_duckdb
+    mirrored = base(f"(-({col} + 1))")
+    return (
+        f"CASE WHEN {col} >= 0 THEN {base(col)} "
+        f"ELSE -1 - ({mirrored}) END"
+    )
+
+
+def signed_bounds_exprs(bucket_col: str = "bucket") -> tuple[str, str, str]:
+    """(lo, hi, mid) inverting a SIGNED bucket id to its value range.
+
+    A negative id b holds the values whose mirrored operand |v| - 1 fell in
+    the non-negative bucket -b - 1 with range [lo_p, hi_p], i.e.
+    v in [-(hi_p + 1), -(lo_p + 1)] — the positive bounds flip AND swap.
+    Valid verbatim in both engines, like bounds_exprs."""
+    b = bucket_col
+    lo_p, hi_p, mid_p = bounds_exprs(b)
+    neg = f"(-({b}) - 1)"  # |bucket| mirror, >= 0 whenever b < 0
+    lo_n, hi_n, mid_n = bounds_exprs(neg)
+    lo = f"CASE WHEN {b} >= 0 THEN {lo_p} ELSE -({hi_n}) - 1 END"
+    hi = f"CASE WHEN {b} >= 0 THEN {hi_p} ELSE -({lo_n}) - 1 END"
+    mid = f"CASE WHEN {b} >= 0 THEN {mid_p} ELSE -({mid_n}) - 1 END"
+    return lo, hi, mid
+
+
+def hdr_registers_signed(
+    df: DataFrame, value_expr: str, by: list[str] | None = None
+) -> DataFrame:
+    """(…by, bucket, cnt) register table for a SIGNED integer SQL expr —
+    deltas, P&L, z-scored metrics. Same map-only + bounded-agg plan shape as
+    hdr_registers; only NULLs are excluded."""
+    by = by or []
+    vals = df.selectExpr(*by, f"CAST({value_expr} AS BIGINT) AS v").where(
+        "v IS NOT NULL"
+    )
+    b = vals.selectExpr(*by, f"{signed_bucket_expr('v', 'spark')} AS bucket")
+    return b.groupBy(*by, "bucket").agg(F.count("*").alias("cnt"))
+
+
 def hdr_registers(df: DataFrame, value_expr: str, by: list[str] | None = None) -> DataFrame:
     """(…by, bucket, cnt) register table for a non-negative integer SQL expr.
 
@@ -129,13 +186,18 @@ def hdr_merge(*registers: DataFrame) -> DataFrame:
     return out.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
 
 
-def hdr_quantiles(registers: DataFrame, qs: dict[str, float]) -> DataFrame:
+def hdr_quantiles(
+    registers: DataFrame, qs: dict[str, float], signed: bool = False
+) -> DataFrame:
     """(tag, rank, n, bucket, lo, hi, mid) per requested quantile.
 
     rank = ceil(q * n) clamped to >= 1; the answer bucket is the first whose
     cumulative count reaches the rank (cumulative window over the register
     table — bounded by construction, see module docstring — then a broadcast
-    qs-join). All outputs are BIGINT: hash-exact across engines.
+    qs-join). All outputs are BIGINT: hash-exact across engines. With
+    signed=True the registers came from hdr_registers_signed and bucket
+    order still equals value order (the signed map is monotone), so only
+    the bounds inversion changes.
     """
     spark = registers.sparkSession
     w_cum = (
@@ -157,7 +219,7 @@ def hdr_quantiles(registers: DataFrame, qs: dict[str, float]) -> DataFrame:
         .groupBy("tag", "q")
         .agg(F.min("bucket").alias("bucket"), F.max("n").alias("n"))
     )
-    lo, hi, mid = bounds_exprs("bucket")
+    lo, hi, mid = (signed_bounds_exprs if signed else bounds_exprs)("bucket")
     return hit.selectExpr(
         "tag",
         "CAST(greatest(1, ceil(q * n)) AS BIGINT) AS rank",
@@ -170,7 +232,10 @@ def hdr_quantiles(registers: DataFrame, qs: dict[str, float]) -> DataFrame:
 
 
 def hdr_quantiles_by(
-    registers: DataFrame, by: list[str], qs: dict[str, float]
+    registers: DataFrame,
+    by: list[str],
+    qs: dict[str, float],
+    signed: bool = False,
 ) -> DataFrame:
     """(…by, tag, rank, n, bucket, lo, hi, mid) — per-group quantiles from a
     grouped register table (the `by=` output of hdr_registers).
@@ -197,7 +262,7 @@ def hdr_quantiles_by(
         .groupBy(*by, "tag", "q")
         .agg(F.min("bucket").alias("bucket"), F.max("n").alias("n"))
     )
-    lo, hi, mid = bounds_exprs("bucket")
+    lo, hi, mid = (signed_bounds_exprs if signed else bounds_exprs)("bucket")
     return hit.selectExpr(
         *by,
         "tag",
@@ -266,6 +331,49 @@ def duckdb_hdr_quantiles_sql(
     vals AS (SELECT v FROM raw WHERE v IS NOT NULL AND v >= 0),
     regs AS (
         SELECT {bucket_expr_duckdb('v')} AS bucket, count(*) AS cnt
+        FROM vals GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket,
+               SUM(cnt) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+               (SELECT SUM(cnt) FROM regs) AS n
+        FROM regs
+    ),
+    qs(tag, q) AS (VALUES {q_values}),
+    hit AS (
+        SELECT tag, q, min(bucket) AS bucket, max(n) AS n
+        FROM qs JOIN cum ON cum >= greatest(1, CAST(ceil(q * n) AS BIGINT))
+        GROUP BY tag, q
+    ),
+    picked AS (
+        SELECT tag,
+               CAST(greatest(1, CAST(ceil(q * n) AS BIGINT)) AS BIGINT) AS rank,
+               CAST(n AS BIGINT) AS n,
+               CAST(bucket AS BIGINT) AS bucket,
+               {lo} AS lo,
+               {hi} AS hi,
+               {mid} AS mid
+        FROM hit
+    )
+    SELECT tag, rank, n, bucket, lo, hi, mid FROM picked
+    """
+
+
+def duckdb_hdr_quantiles_signed_sql(
+    source_sql: str, value_sql: str, qs: dict[str, float]
+) -> str:
+    """DuckDB twin of hdr_registers_signed + hdr_quantiles(signed=True):
+    same signed bucket map, same rank rule, signed bounds inversion."""
+    lo, hi, mid = signed_bounds_exprs("bucket")
+    q_values = ", ".join(f"('{t}', {float(v)!r})" for t, v in qs.items())
+    return f"""
+    WITH raw AS (
+        SELECT CAST({value_sql} AS BIGINT) AS v FROM {source_sql}
+    ),
+    vals AS (SELECT v FROM raw WHERE v IS NOT NULL),
+    regs AS (
+        SELECT {signed_bucket_expr('v', 'duckdb')} AS bucket, count(*) AS cnt
         FROM vals GROUP BY 1
     ),
     cum AS (

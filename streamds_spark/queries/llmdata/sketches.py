@@ -917,3 +917,134 @@ def rolling_mau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# Signed-value HDR sketch (round 8): general metric columns — deltas, P&L,
+# z-scored values — mirror negatives into negative bucket ids (monotone,
+# pure-integer, register bound 2 x 1888). Same mergeable state, same
+# hash-exact discipline.
+# ---------------------------------------------------------------------------
+
+from streamds_spark.operators.hdr import (  # noqa: E402
+    duckdb_hdr_quantiles_signed_sql,
+    hdr_registers_signed,
+    signed_bucket_expr,
+)
+
+# centi-unit deviation from a 100.00 reference price: roughly half the events
+# land negative, so both bucket mirrors carry real mass
+_SIGNED_EXPR = "CAST(floor(value * 100) AS BIGINT) - 10000"
+_SIGNED_QS = {"p01": 0.01, "p25": 0.25, "p50": 0.5, "p75": 0.75, "p99": 0.99}
+
+
+@query(
+    "hdr_signed_delta_quantiles",
+    oracle=duckdb_hdr_quantiles_signed_sql("events", _SIGNED_EXPR, _SIGNED_QS)
+    + " ORDER BY tag",
+)
+def hdr_signed_delta_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of a SIGNED metric (centi-unit price deviation from 100.00)
+    through the signed HDR sketch: negatives mirror into negative bucket ids
+    via -1 - bucket(-(v + 1)) — monotone over the whole BIGINT range, so the
+    cumulative-rank extraction runs unchanged on bucket order, and every
+    output stays a BIGINT the DuckDB twin reproduces bit-for-bit.
+
+    Plan shape is identical to the non-negative sketch: one map-only bucket
+    pass + a <= 2x1888-key aggregate + the register-table cumsum — nothing
+    corpus-sized ever shuffles, which is what a 100 TB P&L/latency-delta
+    dashboard keeps per shard."""
+    ev = load_table(spark, sf_dir, "events")
+    regs = hdr_registers_signed(ev, _SIGNED_EXPR)
+    return hdr_quantiles(regs, _SIGNED_QS, signed=True).orderBy("tag")
+
+
+@query(
+    "hdr_signed_merge_audit_types",
+    oracle=f"""
+    WITH raw AS (
+        SELECT event_type, CAST({_SIGNED_EXPR} AS BIGINT) AS v FROM events
+    ),
+    vals AS (SELECT * FROM raw WHERE v IS NOT NULL),
+    pertype AS (
+        SELECT event_type, {signed_bucket_expr('v', 'duckdb')} AS bucket,
+               count(*) AS cnt
+        FROM vals GROUP BY ALL
+    ),
+    merged AS (SELECT bucket, SUM(cnt) AS cnt FROM pertype GROUP BY bucket),
+    direct AS (
+        SELECT {signed_bucket_expr('v', 'duckdb')} AS bucket, count(*) AS cnt
+        FROM vals GROUP BY 1
+    ),
+    joined AS (
+        SELECT coalesce(m.bucket, d.bucket) AS bucket,
+               coalesce(m.cnt, -1) AS mc, coalesce(d.cnt, -1) AS dc
+        FROM merged m FULL OUTER JOIN direct d ON m.bucket = d.bucket
+    )
+    SELECT CAST((SELECT count(DISTINCT event_type) FROM vals) AS BIGINT)
+               AS n_types,
+           CAST((SELECT count(*) FROM merged) AS BIGINT) AS merged_buckets,
+           CAST((SELECT count(*) FROM merged WHERE bucket < 0) AS BIGINT)
+               AS negative_buckets,
+           CAST((SELECT count(*) FROM direct) AS BIGINT) AS direct_buckets,
+           CAST((SELECT count(*) FROM joined WHERE mc <> dc) AS BIGINT)
+               AS mismatched_buckets,
+           CAST((SELECT SUM(cnt) FROM merged) AS BIGINT) AS merged_total,
+           CAST((SELECT SUM(cnt) FROM direct) AS BIGINT) AS direct_total
+    """,
+)
+def hdr_signed_merge_audit_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability proof for the SIGNED sketch: per-event-type signed
+    register tables combined with hdr_merge (union + sum per bucket) must
+    equal the whole-table one-pass sketch bucket-for-bucket
+    (mismatched_buckets = 0), and negative_buckets > 0 proves the mirror
+    side actually carries mass in this data. Oracle replays both paths, so
+    the equality itself is hash-checked. Plan: two bounded aggregates +
+    a full outer join of two sketch-sized relations."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = hdr_registers_signed(ev, _SIGNED_EXPR, by=["event_type"])
+    merged = hdr_merge(per_type.select("bucket", "cnt"))
+    direct = hdr_registers_signed(ev, _SIGNED_EXPR)
+    joined = merged.alias("m").join(
+        direct.alias("d"), F.col("m.bucket") == F.col("d.bucket"), "full_outer"
+    ).select(
+        F.coalesce(F.col("m.bucket"), F.col("d.bucket")).alias("bucket"),
+        F.coalesce(F.col("m.cnt"), F.lit(-1)).alias("mc"),
+        F.coalesce(F.col("d.cnt"), F.lit(-1)).alias("dc"),
+    )
+    n_types = ev.selectExpr(f"CAST({_SIGNED_EXPR} AS BIGINT) AS v", "event_type").where(
+        "v IS NOT NULL"
+    ).agg(F.countDistinct("event_type").cast("bigint").alias("n_types"))
+    return (
+        n_types.crossJoin(
+            merged.agg(
+                F.count("*").cast("bigint").alias("merged_buckets"),
+                F.sum((F.col("bucket") < 0).cast("bigint")).alias(
+                    "negative_buckets"
+                ),
+                F.sum("cnt").cast("bigint").alias("merged_total"),
+            )
+        )
+        .crossJoin(
+            direct.agg(
+                F.count("*").cast("bigint").alias("direct_buckets"),
+                F.sum("cnt").cast("bigint").alias("direct_total"),
+            )
+        )
+        .crossJoin(
+            joined.agg(
+                F.sum((F.col("mc") != F.col("dc")).cast("bigint")).alias(
+                    "mismatched_buckets"
+                )
+            )
+        )
+        .selectExpr(
+            "n_types",
+            "merged_buckets",
+            "negative_buckets",
+            "direct_buckets",
+            "mismatched_buckets",
+            "merged_total",
+            "direct_total",
+        )
+    )

@@ -277,3 +277,96 @@ def test_quantile_rank_bracket_property(xs, q):
     exact = sorted(xs)[rank - 1]
     assert lo <= exact <= hi
     assert lo <= mid <= hi
+
+
+# --------------------------------------------------------------- signed twin
+
+
+MINV = -(1 << 63)
+
+
+def py_bucket_signed(x: int) -> int:
+    return py_bucket(x) if x >= 0 else -1 - py_bucket(-(x + 1))
+
+
+def py_bounds_signed(b: int) -> tuple[int, int, int]:
+    if b >= 0:
+        return py_bounds(b)
+    lo_p, hi_p, mid_p = py_bounds(-b - 1)
+    return -hi_p - 1, -lo_p - 1, -mid_p - 1
+
+
+@given(st.integers(min_value=MINV, max_value=MAXV))
+def test_signed_bucket_bounds_contain_value(x):
+    lo, hi, mid = py_bounds_signed(py_bucket_signed(x))
+    assert lo <= x <= hi
+    assert lo <= mid <= hi
+
+
+@given(st.integers(min_value=MINV, max_value=MAXV - 1))
+def test_signed_buckets_contiguous_and_monotone(x):
+    """The signed map is monotone with no gaps across the whole BIGINT range
+    — including the 0/-1 seam — so cumulative-rank extraction over bucket
+    order is extraction over value order."""
+    assert py_bucket_signed(x + 1) - py_bucket_signed(x) in (0, 1)
+
+
+@given(st.integers(min_value=MINV, max_value=-1))
+def test_signed_mirror_symmetry(x):
+    """bucket(-x - 1) mirrors: |signed bucket of x| - 1 == bucket(|x| - 1)."""
+    assert py_bucket_signed(x) == -1 - py_bucket(-x - 1)
+
+
+def test_signed_spark_duckdb_python_three_way(spark):
+    from streamds_spark.operators.hdr import (
+        signed_bounds_exprs,
+        signed_bucket_expr,
+    )
+
+    rng = random.Random(13)
+    vals = (
+        [MINV, MINV + 1, -(2**53) - 1, -(2**53), -1000, -33, -32, -31, -2, -1]
+        + ADVERSARIAL
+        + [rng.randint(MINV, MAXV) for _ in range(300)]
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    duck = dict(
+        con.execute(f"SELECT v, {signed_bucket_expr('v', 'duckdb')} FROM t").fetchall()
+    )
+    sp = dict(
+        spark.createDataFrame([(v,) for v in vals], "v long")
+        .selectExpr("v", f"{signed_bucket_expr('v', 'spark')} AS b")
+        .collect()
+    )
+    for v in vals:
+        assert duck[v] == sp[v] == py_bucket_signed(v), v
+    lo, hi, mid = signed_bounds_exprs("bucket")
+    got = con.execute(
+        f"SELECT DISTINCT {signed_bucket_expr('v', 'duckdb')} AS bucket, "
+        f"{lo} AS lo, {hi} AS hi, {mid} AS mid FROM t"
+    ).fetchall()
+    for b, lo_, hi_, mid_ in got:
+        assert (lo_, hi_, mid_) == py_bounds_signed(b), b
+
+
+def test_signed_quantiles_bracket_exact_rank(spark):
+    """Signed-sketch quantiles: the true rank-th order statistic of a mixed-
+    sign multiset lands inside the reported [lo, hi] for every q, and the
+    register count respects the doubled bound."""
+    from streamds_spark.operators.hdr import hdr_quantiles, hdr_registers_signed
+
+    rng = random.Random(7)
+    vals = [rng.randint(-10**6, 10**6) for _ in range(4000)] + [0, -1, 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    regs = hdr_registers_signed(df, "v")
+    assert regs.count() <= 2 * 1888
+    qs = {"p01": 0.01, "p50": 0.5, "p99": 0.99}
+    rows = hdr_quantiles(regs, qs, signed=True).collect()
+    srt = sorted(vals)
+    assert len(rows) == len(qs)
+    for r in rows:
+        true_val = srt[r["rank"] - 1]
+        assert r["lo"] <= true_val <= r["hi"], (r, true_val)
+        assert r["n"] == len(vals)
