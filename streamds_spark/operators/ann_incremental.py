@@ -180,6 +180,12 @@ def compact_ann_index(spark: SparkSession, path: str) -> int:
     maintenance pass. Crash-safe: the new segment is invisible until its
     _SUCCESS lands; subsumed dirs are best-effort GC afterwards. Returns the
     number of batch dirs folded."""
+    return _compact_store(spark, path, "bucket")
+
+
+def _compact_store(spark: SparkSession, path: str, part_col: str) -> int:
+    """Shared batch->segment fold for incremental vector stores; `part_col`
+    is the pruning partition column (hyperplane `bucket` or IVF `list_id`)."""
     dirs = _committed_dirs(path)
     batch_dirs = [d for d in dirs if os.path.basename(d).startswith("batch=")]
     # reclaim garbage from batches replayed AFTER a previous compaction:
@@ -213,7 +219,7 @@ def compact_ann_index(spark: SparkSession, path: str) -> int:
         return len(batch_dirs)
     (
         folded.write.mode("overwrite")
-        .partitionBy("bucket")
+        .partitionBy(part_col)
         .parquet(os.path.join(path, f"segment={new_hi}"))
     )
     for d in batch_dirs + old_segments:

@@ -1,0 +1,173 @@
+"""Incrementally-maintained IVF ANN index: the coarse-quantizer index
+(operators/ivf.py) kept fresh by a stream of embedding batches, with the
+same batch=N / segment=H replay-safe store layout as the hyperplane
+incremental index (operators/ann_incremental.py) — but list-id partitioned,
+which buys the recall/scan dial hyperplane LSH lacks (measured round 2:
+recall 0.77/0.90/0.93 at n_probe 2/3/4 vs LSH's bucket-luck).
+
+Centroids are trained ONCE, on the first non-empty batch, and FROZEN in
+`_meta.json` next to the store. Freezing is what makes the index
+incremental at all: assignment is a pure function of (vector, centroids),
+so every later batch lands in the same lists a one-shot build over the
+union would use, probes prune identically, and a replayed batch rewrites
+its own dir to the identical content. Retraining per batch would silently
+re-shard history (every committed dir would need reassignment — a full
+rebuild by another name). The cost is drift: if the embedding distribution
+moves far from the first batch, recall decays and the operator's answer is
+an explicit `ivf_index_rebuild` (new store, new centroids), not a creeping
+mutation. This is FAISS's own IVF discipline (train once, add forever)
+re-expressed on a parquet store.
+
+At 100 TB: appends are one assignment join + one partitioned write of the
+BATCH (no read-modify-write of the index); probes read n_probe of n_lists
+partitions of each committed dir (static PartitionFilters); compaction
+bounds the dir count exactly like the hyperplane store.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamds_spark.functions.vectors import as_double, cosine
+from streamds_spark.operators.ann_incremental import (
+    _committed_dirs,
+    _compact_store,
+    _read_index,
+)
+from streamds_spark.operators.ivf import nearest_lists
+from streamds_spark.operators.kmeans import _assign, kmeans
+
+
+def ivf_meta_path(path: str) -> str:
+    return path.rstrip("/") + "._meta.json"
+
+
+def load_ivf_meta(path: str) -> dict:
+    with open(ivf_meta_path(path)) as f:
+        return _json.load(f)
+
+
+def assign_lists(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(…, v, list_id) — nearest-frozen-centroid assignment, the pure
+    function both the incremental append and the one-shot-from-centroids
+    build share (so their stores are row-identical by construction).
+
+    Plan: posexplode + broadcast centroid join + per-vector argmin window —
+    the window partitions by vec_id, so it distributes; the centroid table
+    is k×dim rows, always broadcast-sized."""
+    spark = emb.sparkSession
+    cent_rows = [
+        (cid, d, float(x)) for cid, c in enumerate(centroids) for d, x in enumerate(c)
+    ]
+    cent = spark.createDataFrame(cent_rows, ["cid", "d", "cx"])
+    pos = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(as_double(F.col(vec_col))).alias("d", "x"),
+    )
+    assign = _assign(pos, cent).withColumnRenamed("cid", "list_id")
+    return (
+        emb.withColumn("v", as_double(F.col(vec_col)))
+        .drop(vec_col)
+        .join(assign.withColumnRenamed("vec_id", id_col), id_col)
+    )
+
+
+def ivf_index_append(
+    emb: DataFrame,
+    path: str,
+    batch_id: int,
+    n_lists: int = 8,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append one micro-batch (idempotent: a replayed batch overwrites its
+    own dir). The FIRST non-empty append trains the coarse quantizer on its
+    batch and freezes it in _meta.json; every later append assigns against
+    the frozen centroids and validates the dim."""
+    first = emb.select(vec_col).first()
+    meta_exists = os.path.exists(ivf_meta_path(path))
+    if first is None:
+        if not meta_exists:
+            raise ValueError(
+                f"cannot initialize IVF index {path!r} from an empty first "
+                "batch (no vectors to train the quantizer on)"
+            )
+        centroids = load_ivf_meta(path)["centroids"]
+    elif meta_exists:
+        meta = load_ivf_meta(path)
+        centroids = meta["centroids"]
+        if len(first[0]) != meta["dim"]:
+            raise ValueError(
+                f"index at {path!r} holds dim={meta['dim']} vectors; "
+                f"got dim={len(first[0])}"
+            )
+        if n_lists != meta["n_lists"]:
+            raise ValueError(
+                f"index at {path!r} was built with n_lists={meta['n_lists']};"
+                f" got n_lists={n_lists}"
+            )
+    else:
+        _, centroids = kmeans(
+            emb, k=n_lists, max_iter=max_iter, id_col=id_col, vec_col=vec_col
+        )
+        os.makedirs(path, exist_ok=True)
+        with open(ivf_meta_path(path), "w") as f:
+            _json.dump(
+                {
+                    "n_lists": n_lists,
+                    "dim": len(first[0]),
+                    "centroids": centroids,
+                },
+                f,
+            )
+    (
+        assign_lists(emb, centroids, id_col=id_col, vec_col=vec_col)
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(os.path.join(path, f"batch={int(batch_id)}"))
+    )
+
+
+def ivf_index_probe(
+    spark: SparkSession,
+    path: str,
+    qvec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Top-k by cosine over every committed batch/segment dir, reading ONLY
+    the n_probe nearest lists of each (driver-side coarse search over the
+    frozen centroid matrix -> static list_id PartitionFilters per dir
+    class, one scan per class like the hyperplane store)."""
+    meta = load_ivf_meta(path)
+    if len(qvec) != meta["dim"]:
+        raise ValueError(f"vector dim {len(qvec)} != index dim {meta['dim']}")
+    lists = nearest_lists(qvec, meta["centroids"], n_probe)
+    idx_all = _read_index(spark, _committed_dirs(path))
+    if idx_all is None:
+        return spark.createDataFrame([], "vec_id bigint, label int, cos_sim double")
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        idx_all.filter(F.col("list_id").isin(lists))
+        .select(
+            "vec_id", "label", F.round(cosine(F.col("v"), q), 4).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> int:
+    """Fold committed batch dirs (plus the previous segment) into one new
+    segment, list_id partitioning preserved; returns batch dirs folded."""
+    return _compact_store(spark, path, "list_id")

@@ -366,6 +366,29 @@ def _run_request(
             probe = lambda: ivf_probe_topk(  # noqa: E731
                 spark, index, qvec, k=k, n_probe=n_probe
             )
+        elif kind == "ivf-inc":
+            # the incrementally-maintained IVF index (frozen quantizer) —
+            # pruned probe over its committed batch/segment dirs
+            from streamds_spark.operators.ivf_incremental import (
+                ivf_index_probe,
+                load_ivf_meta,
+            )
+
+            n_probe = req.get("n_probe", 2)
+            if not isinstance(n_probe, int) or not (1 <= n_probe <= 64):
+                return {"ok": False, "error": "n_probe must be an int in [1, 64]"}
+            try:
+                meta = load_ivf_meta(index)
+            except OSError as e:
+                return {"ok": False, "error": f"no index meta at {index!r}: {e}"}
+            if len(qvec) != meta["dim"]:
+                return {
+                    "ok": False,
+                    "error": f"vector dim {len(qvec)} != index dim {meta['dim']}",
+                }
+            probe = lambda: ivf_index_probe(  # noqa: E731
+                spark, index, qvec, k=k, n_probe=n_probe
+            )
         else:
             return {"ok": False, "error": f"unknown ann kind {kind!r}"}
         with scheduler_pool(spark, pool):

@@ -156,3 +156,49 @@ def test_incremental_index_served(spark, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_incremental_ivf_index_served(spark, tmp_path):
+    """kind 'ivf-inc' serves the stream-maintained IVF index: responses
+    equal a direct ivf_index_probe, the full-width probe equals brute
+    force, and dim validation is enforced."""
+    from streamds_spark.operators.ivf_incremental import (
+        ivf_index_append,
+        ivf_index_probe,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    inc = str(tmp_path / "ivf_inc_index")
+    n = emb.count()
+    ivf_index_append(emb.filter(F.col("vec_id") < n // 2), inc, 0, n_lists=8)
+    ivf_index_append(emb.filter(F.col("vec_id") >= n // 2), inc, 1, n_lists=8)
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 11).first()["embedding"]]
+    server = start_server(spark, SF)
+    host, port = server.server_address[:2]
+    try:
+        resp = request(
+            host, port,
+            {"cmd": "ann", "kind": "ivf-inc", "index": inc, "vector": qvec,
+             "k": 6, "n_probe": 3},
+        )
+        assert resp["ok"] and resp["kind"] == "ivf-inc"
+        direct = ivf_index_probe(spark, inc, qvec, k=6, n_probe=3).collect()
+        assert [(d["vec_id"], d["cos_sim"]) for d in resp["neighbors"]] == [
+            (r["vec_id"], r["cos_sim"]) for r in direct
+        ]
+        assert resp["neighbors"][0]["vec_id"] == 11  # self-match first
+        bad = request(
+            host, port,
+            {"cmd": "ann", "kind": "ivf-inc", "index": inc, "vector": [1.0]},
+        )
+        assert not bad["ok"] and "dim" in bad["error"]
+        bad_np = request(
+            host, port,
+            {"cmd": "ann", "kind": "ivf-inc", "index": inc, "vector": qvec,
+             "n_probe": 0},
+        )
+        assert not bad_np["ok"] and "n_probe" in bad_np["error"]
+    finally:
+        server.shutdown()
+        server.server_close()
