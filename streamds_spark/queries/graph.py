@@ -199,3 +199,71 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return kcore_summary(copurchase_edges(li), KCORE_K)
+
+
+@query(
+    "core_decomposition_copurchase",
+    oracle="""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+    -- H-index fixpoint (Lu et al. 2016): estimates start at degree and are
+    -- replaced each round by the H-index of the neighbors' estimates; the
+    -- EXISTS guard stops at the first round where nothing moves, and the
+    -- fixpoint is exactly the coreness of every node.
+    est(iter, node, e) AS (
+        SELECT 0, a, count(*) FROM adj GROUP BY a
+      UNION ALL
+        SELECT * FROM (
+          WITH cur AS (SELECT iter, node, e FROM est),
+          nbr AS (
+            SELECT adj.a AS node, c.e AS ne,
+                   row_number() OVER (PARTITION BY adj.a ORDER BY c.e DESC)
+                       AS rn
+            FROM adj JOIN cur c ON c.node = adj.b
+          ),
+          upd AS (SELECT node, max(least(rn, ne)) AS h FROM nbr GROUP BY node)
+          SELECT c.iter + 1, c.node, u.h
+          FROM cur c JOIN upd u ON u.node = c.node
+          WHERE EXISTS (SELECT 1 FROM upd u2 JOIN cur c2 ON c2.node = u2.node
+                        WHERE u2.h <> c2.e)
+        )
+    ),
+    final AS (
+        SELECT node, e FROM est WHERE iter = (SELECT max(iter) FROM est)
+    )
+    SELECT CAST(e AS BIGINT) AS core, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM final GROUP BY e ORDER BY core
+    """,
+)
+def core_decomposition_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL k-core decomposition of the part co-purchase graph: the census
+    (core, n_nodes) of per-node core numbers — the degeneracy profile that
+    graph eval actually wants (kcore_copurchase answers one fixed k; this
+    answers every k in one run).
+
+    Computed by the H-index fixpoint (operators/kcore.py core_numbers):
+    integer estimates, synchronous rounds, exact fixpoint — and the DuckDB
+    twin replays the SAME iteration as a recursive CTE (full state carried
+    per round, nested-CTE update, EXISTS stop guard), so the whole
+    decomposition is hash-exact oracle-checked, the same playbook as the
+    kcore_copurchase peel and the fixed-point PageRank.
+
+    Plan per round: adjacency × estimate equi-join, a node-partitioned
+    row_number (bounded by degree, never global), one groupBy max — nothing
+    broadcasts the graph, lineage truncated per round; rounds = the graph's
+    convergence depth, not its size."""
+    from streamds_spark.operators.kcore import core_numbers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        core_numbers(copurchase_edges(li))
+        .groupBy("core")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .orderBy("core")
+    )

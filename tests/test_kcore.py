@@ -134,3 +134,85 @@ def test_kcore_summary_shape(spark):
         row["n_core_edges"],
         row["min_core_degree"],
     ) == (4, 5, 10, 4)
+
+
+# ------------------------------------------------------- core decomposition
+
+
+def _ref_core_numbers(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference full decomposition by direct peeling: core(v) = largest k
+    with v in the k-core."""
+    nodes = {n for e in edges for n in e}
+    core = {n: 0 for n in nodes}
+    k = 1
+    while True:
+        kc = _ref_kcore(edges, k)
+        if not kc:
+            return core
+        for n in kc:
+            core[n] = k
+        k += 1
+
+
+def test_core_numbers_crafted(spark):
+    """K5 clique (core 4) + a triangle chained off it (core 2) + a pendant
+    path (core 1)."""
+    from streamds_spark.operators.kcore import core_numbers
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    tri = [(4, 10), (10, 11), (11, 4)]
+    path = [(11, 20), (20, 21)]
+    edges = k5 + tri + path
+    got = {
+        r["node"]: r["core"]
+        for r in core_numbers(spark.createDataFrame(edges, ["u", "v"])).collect()
+    }
+    assert got == _ref_core_numbers(edges)
+    assert got[0] == 4 and got[10] == 2 and got[21] == 1
+
+
+def test_core_numbers_fuzz_vs_reference(spark):
+    from streamds_spark.operators.kcore import core_numbers
+
+    rng = random.Random(29)
+    for trial in range(4):
+        n = rng.randint(6, 18)
+        m = rng.randint(n, 3 * n)
+        edges = list(
+            {
+                (a, b)
+                for a, b in (
+                    sorted(rng.sample(range(n), 2)) for _ in range(m)
+                )
+            }
+        )
+        got = {
+            r["node"]: r["core"]
+            for r in core_numbers(
+                spark.createDataFrame(edges, ["u", "v"])
+            ).collect()
+        }
+        assert got == _ref_core_numbers(edges), (trial, edges)
+
+
+def test_core_numbers_round_bound_and_consistency_with_kcore(spark):
+    """The H-index iteration must converge within a small round budget on a
+    layered graph, estimates only ever decrease (spot-checked via the round
+    count), and the decomposition must agree with the fixed-k peel: the
+    k-core's node set == {v : core(v) >= k}."""
+    from streamds_spark.operators.kcore import _core_numbers_with_rounds
+
+    # two cliques bridged by a path: K6 and K4, path of 5
+    k6 = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    k4 = [(100 + a, 100 + b) for a in range(4) for b in range(a + 1, 4)]
+    bridge = [(5, 50), (50, 51), (51, 52), (52, 100)]
+    edges = k6 + k4 + bridge
+    df = spark.createDataFrame(edges, ["u", "v"])
+    decomp, rounds = _core_numbers_with_rounds(df)
+    got = {r["node"]: r["core"] for r in decomp.collect()}
+    assert got == _ref_core_numbers(edges)
+    # the convergence depth tracks the propagation chain, not the node count
+    assert rounds <= 6, rounds
+    for k in (2, 3, 4, 5):
+        want = set(_ref_kcore(edges, k))
+        assert {n for n, c in got.items() if c >= k} == want, k
