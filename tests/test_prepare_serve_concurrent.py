@@ -1,0 +1,167 @@
+"""Concurrent prepare + serve: the end-to-end `prepare_corpus` pipeline runs
+in a weight-1 FAIR pool while server tenants hammer registry queries (and
+control verbs) in a weight-8 'serve' pool on the SAME session.
+
+Pinned: (a) every tenant request served OK for the whole prepare run, (b)
+prepare completes with its normal manifest, and (c) the weighted pools
+BOUND prepare's executor-slot share during contention — sampled via the
+Spark status tracker (active tasks of prepare's job group vs all active
+tasks), never via wall-clock latencies, which host noise owns.
+
+Scheduler pools are fixed at SparkContext init, so the scenario runs in its
+own subprocess JVM (8 cores), the same harness as test_weighted_pools."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import json, sys, threading, time
+
+alloc, out_dir = sys.argv[1], sys.argv[2]
+from streamds_spark.session import get_spark, scheduler_pool, write_allocation_file
+
+write_allocation_file(alloc, {"serve": (8, 0), "prepare": (1, 0)})
+spark = get_spark(allocation_file=alloc)
+sc = spark.sparkContext
+sc.setLogLevel("ERROR")
+
+from streamds_spark.pipeline import prepare_corpus
+from streamds_spark.server import QueryServer, request
+
+SF = "/root/testdata/sf0.01"
+server = QueryServer(spark, SF)
+host, port = server.server_address[:2]
+threading.Thread(target=server.serve_forever, daemon=True).start()
+
+prepare_result = {}
+
+def run_prepare():
+    sc.setJobGroup("g-prepare", "prepare")
+    with scheduler_pool(spark, "prepare"):
+        prepare_result["manifest"] = prepare_corpus(
+            spark, SF + "/documents.parquet", out_dir,
+            merges=40, block_tokens=512, n_shards=4,
+        )
+
+prep_t = threading.Thread(target=run_prepare)
+prep_t.start()
+
+# tenants: registry queries + control verbs in the weighted serve pool,
+# continuously until prepare finishes
+stats = {"ok": 0, "err": [], "ctl_ok": 0}
+QUERIES = ["q1_pricing_summary", "distinct_values", "group_count_users"]
+
+def tenant(i):
+    j = 0
+    while prep_t.is_alive():
+        r = request(host, port, {"query": QUERIES[(i + j) % 3], "pool": "serve"},
+                    timeout=300)
+        if r.get("ok"):
+            stats["ok"] += 1
+        else:
+            stats["err"].append(r.get("error", "?")[:100])
+        c = request(host, port, {"cmd": "status"})
+        p = request(host, port, {"cmd": "pipeline_status"})
+        # pipeline_status without an attached pipeline is the documented
+        # error contract -- still a served control verb
+        if c.get("ok") and "no pipeline attached" in p.get("error", ""):
+            stats["ctl_ok"] += 1
+        j += 1
+
+tenants = [threading.Thread(target=tenant, args=(i,)) for i in range(2)]
+for t in tenants:
+    t.start()
+
+# sample prepare's slot share while both sides contend
+tracker = sc.statusTracker()
+
+def active_of_group(group):
+    total = 0
+    for jid in tracker.getJobIdsForGroup(group) or []:
+        info = tracker.getJobInfo(jid)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            st = tracker.getStageInfo(sid)
+            if st is not None:
+                total += st.numActiveTasks
+    return total
+
+def active_all():
+    total = 0
+    for jid in tracker.getActiveJobsIds() or []:
+        info = tracker.getJobInfo(jid)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            st = tracker.getStageInfo(sid)
+            if st is not None:
+                total += st.numActiveTasks
+    return total
+
+samples = []
+while prep_t.is_alive():
+    prep = active_of_group("g-prepare")
+    total = active_all()
+    if total >= 6 and prep < total:  # contended: both sides hold slots
+        samples.append((prep, total))
+    time.sleep(0.2)
+
+prep_t.join(timeout=600)
+for t in tenants:
+    t.join(timeout=120)
+st = server.status()
+server.shutdown(); server.server_close()
+
+share = (
+    sum(p / t for p, t in samples) / len(samples) if samples else None
+)
+print("RESULT " + json.dumps({
+    "manifest": {k: v for k, v in prepare_result.get("manifest", {}).items()
+                 if isinstance(v, (int, float))},
+    "served_ok": stats["ok"],
+    "ctl_ok": stats["ctl_ok"],
+    "errors": stats["err"][:5],
+    "n_err": len(stats["err"]),
+    "n_contended_samples": len(samples),
+    "prepare_share_avg": share,
+    "latency_kinds": sorted(st["latency_ms"]),
+}))
+spark.stop()
+"""
+
+
+def test_prepare_and_serve_share_one_session(tmp_path):
+    alloc = str(tmp_path / "pools.xml")
+    out_dir = str(tmp_path / "prep")
+    env = dict(os.environ, PYTHONPATH="/root/repo", SPARK_GRAFT_CPUS="8")
+    out = subprocess.run(
+        [sys.executable, "-c", _SCRIPT, alloc, out_dir],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=900,
+        cwd="/root/repo",
+    )
+    r = None
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            r = json.loads(line[len("RESULT ") :])
+    assert r is not None, f"no RESULT:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+
+    # prepare finished with its normal manifest under the weight-1 pool
+    m = r["manifest"]
+    assert m.get("input_docs", 0) > 0 and m.get("packed_blocks", m.get("n_packs", 1))
+    # every tenant request was served OK for the whole run
+    assert r["n_err"] == 0, r["errors"]
+    assert r["served_ok"] >= 3 and r["ctl_ok"] >= 3, r
+    # the weighted pools bound prepare's slot share during contention:
+    # entitlement is 1/9; host jitter eats some, assert a conservative bound
+    # well under an even split whenever enough contended samples exist
+    if r["n_contended_samples"] >= 5:
+        assert r["prepare_share_avg"] <= 0.6, r
+    assert "query" in r["latency_kinds"], r
