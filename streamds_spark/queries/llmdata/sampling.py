@@ -320,3 +320,174 @@ def train_valid_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return docs.select("doc_id", "source", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable bottom-k sampling (operators/sampling.py, round 8): the KMV-
+# family uniform sample kept as per-shard/per-batch STATE and folded at
+# read time — the sampling counterpart of the HLL/HDR register tables.
+# ---------------------------------------------------------------------------
+
+BOTTOMK_K = 100
+
+
+@query(
+    "bottomk_sample_docs",
+    oracle=f"""
+    SELECT doc_id, source,
+           {duckdb_md5_int("CAST(doc_id AS VARCHAR)")} AS h
+    FROM documents
+    ORDER BY h, doc_id
+    LIMIT {BOTTOMK_K}
+    """,
+)
+def bottomk_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform corpus sample: the BOTTOMK_K docs with smallest
+    md5-integer hash of doc_id (bottom-k / KMV). A pure function of the
+    data — same rows on any engine, partitioning, or day — which is what
+    makes a sample a CONTRACT (eyeball sets, labeling batches, regression
+    corpora) instead of a lottery; df.sample() can never be oracle-checked.
+
+    Plan: one map-only hash projection + TakeOrdered — the per-partition
+    partial top-k folds before anything moves; nothing corpus-sized
+    shuffles at any scale."""
+    from streamds_spark.operators.sampling import bottomk_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return bottomk_sample(docs, "doc_id", BOTTOMK_K).orderBy("h", "doc_id")
+
+
+@query(
+    "bottomk_merge_audit_sources",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, source,
+               {duckdb_md5_int("CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    ),
+    per_src AS (
+        SELECT * FROM (
+            SELECT doc_id, source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                       AS rn
+            FROM hashed
+        ) WHERE rn <= {BOTTOMK_K}
+    ),
+    folded AS (
+        SELECT doc_id, h FROM per_src ORDER BY h, doc_id LIMIT {BOTTOMK_K}
+    ),
+    direct AS (
+        SELECT doc_id, h FROM hashed ORDER BY h, doc_id LIMIT {BOTTOMK_K}
+    ),
+    joined AS (
+        SELECT coalesce(f.doc_id, d.doc_id) AS doc_id,
+               (f.doc_id IS NULL OR d.doc_id IS NULL) AS mismatch
+        FROM folded f FULL OUTER JOIN direct d ON f.doc_id = d.doc_id
+    )
+    SELECT CAST((SELECT count(DISTINCT source) FROM hashed) AS BIGINT)
+               AS n_sources,
+           CAST((SELECT count(*) FROM folded) AS BIGINT) AS folded_rows,
+           CAST((SELECT count(*) FROM direct) AS BIGINT) AS direct_rows,
+           CAST((SELECT count(*) FROM joined WHERE mismatch) AS BIGINT)
+               AS mismatched_rows,
+           CAST((SELECT max(h) FROM direct) AS BIGINT) AS kth_min_hash
+    """,
+)
+def bottomk_merge_audit_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability proof for the bottom-k sample as a query: per-source
+    bottom-k samples folded (union -> k smallest) must equal the
+    whole-corpus one-pass sample row-for-row (mismatched_rows = 0) — the
+    invariant that lets every ingest batch keep its own k-row sample and
+    the read side fold them without rescanning history. kth_min_hash is
+    the KMV distinct-count statistic, audited along. Oracle replays BOTH
+    paths, so the equality itself is hash-checked.
+
+    Plan: one hash scan feeding a per-source window (stratum-partitioned)
+    + two TakeOrdereds + a full outer join of two k-row relations."""
+    from streamds_spark.operators.sampling import (
+        bottomk_merge,
+        bottomk_sample,
+        stratified_bottomk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_src = stratified_bottomk(docs, "source", "doc_id", BOTTOMK_K)
+    folded = bottomk_merge(BOTTOMK_K, "doc_id", per_src.select("doc_id", "h"))
+    direct = bottomk_sample(docs, "doc_id", BOTTOMK_K).select("doc_id", "h")
+    joined = folded.alias("f").join(
+        direct.alias("d"), F.col("f.doc_id") == F.col("d.doc_id"), "full_outer"
+    ).select(
+        (F.col("f.doc_id").isNull() | F.col("d.doc_id").isNull()).alias(
+            "mismatch"
+        )
+    )
+    hashed_srcs = docs.agg(
+        F.countDistinct("source").cast("bigint").alias("n_sources")
+    )
+    return (
+        hashed_srcs.crossJoin(
+            folded.agg(F.count("*").cast("bigint").alias("folded_rows"))
+        )
+        .crossJoin(
+            direct.agg(
+                F.count("*").cast("bigint").alias("direct_rows"),
+                F.max("h").cast("bigint").alias("kth_min_hash"),
+            )
+        )
+        .crossJoin(
+            joined.agg(
+                F.sum(F.col("mismatch").cast("bigint")).alias(
+                    "mismatched_rows"
+                )
+            )
+        )
+        .selectExpr(
+            "n_sources",
+            "folded_rows",
+            "direct_rows",
+            "mismatched_rows",
+            "kth_min_hash",
+        )
+    )
+
+
+@query(
+    "stratified_bottomk_sources",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id, source,
+               {duckdb_md5_int("CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(h) AS BIGINT) AS min_h, CAST(max(h) AS BIGINT) AS max_h,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM (
+        SELECT source, doc_id, h,
+               row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                   AS rn
+        FROM hashed
+    ) WHERE rn <= 20
+    GROUP BY source ORDER BY source
+    """,
+)
+def stratified_bottomk_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-size uniform sample per source regardless of source skew (20
+    docs each, deterministic) — the per-domain audit draw a mixture
+    pipeline eyeballs — censused per stratum so the whole selection is
+    hash-checked. The window partitions by source; per-stratum state is
+    k rows and folds stratum-wise like the global sample."""
+    from streamds_spark.operators.sampling import stratified_bottomk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        stratified_bottomk(docs, "source", "doc_id", 20)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("h").cast("bigint").alias("min_h"),
+            F.max("h").cast("bigint").alias("max_h"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        )
+        .orderBy("source")
+    )

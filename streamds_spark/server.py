@@ -736,7 +736,14 @@ class QueryServer(socketserver.ThreadingTCPServer):
         }
         stores = {
             name: len(_committed_store_dirs(getattr(paths, name), 2**62))
-            for name in ("hash_store", "bucket_store", "chunk_store")
+            for name in (
+                "hash_store",
+                "bucket_store",
+                "chunk_store",
+                "hll_store",
+                "hdr_store",
+                "sample_store",
+            )
         }
         out = {
             "work_dir": work_dir,

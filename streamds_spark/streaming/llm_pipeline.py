@@ -57,6 +57,8 @@ from pyspark.sql.streaming import StreamingQuery
 from streamds_spark.io import appendlog
 from streamds_spark.operators.dedup_pipeline import lsh_band_buckets, minhash_signatures
 
+SAMPLE_K = 100  # rows kept in the mergeable bottom-k corpus sample
+
 
 @dataclass(frozen=True)
 class CorpusStreamPaths:
@@ -91,6 +93,10 @@ class CorpusStreamPaths:
     @property
     def hdr_store(self) -> str:  # per-batch doc-length HDR registers, batch=N
         return os.path.join(self.work_dir, "hdr_store")
+
+    @property
+    def sample_store(self) -> str:  # per-batch bottom-k doc samples, batch=N
+        return os.path.join(self.work_dir, "sample_store")
 
 
 def _committed_segment_hi(root: str, before_batch: int) -> int:
@@ -232,6 +238,7 @@ def compact_stores(
         "chunk_store": 0,
         "hll_store": 0,
         "hdr_store": 0,
+        "sample_store": 0,
     }
     if upto_batch < 0:
         return stats
@@ -258,6 +265,13 @@ def compact_stores(
         # fold preserves rows — only dir/file count changes, never counts
         stats["hdr_store"] = _compact_one_store(
             spark, paths.hdr_store, upto_batch, num_files
+        )
+    if os.path.isdir(paths.sample_store):
+        # bottom-k samples fold the same way: the union of per-batch k-row
+        # samples is a valid un-folded sample state (readers re-take the k
+        # smallest), so the generic fold preserves the sample exactly
+        stats["sample_store"] = _compact_one_store(
+            spark, paths.sample_store, upto_batch, num_files
         )
     if merge_corpus:
         appendlog.merge(spark, paths.corpus)
@@ -388,6 +402,17 @@ def process_corpus_batch(
         ).write.mode("overwrite").parquet(
             os.path.join(paths.hdr_store, f"batch={int(batch_id)}")
         )
+        # mergeable corpus sample: this batch's kept docs' bottom-k by the
+        # shared md5 integer (operators/sampling.py — k rows at ANY batch
+        # size). Samples fold by union -> k smallest, so the finalize-time
+        # fold equals a one-pass bottom-k over the whole kept corpus
+        # row-for-row; replays rewrite the identical rows (pure function of
+        # the data) under the overwrite-by-batchId contract.
+        from streamds_spark.operators.sampling import bottomk_sample
+
+        bottomk_sample(local.select("doc_id"), "doc_id", SAMPLE_K).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(paths.sample_store, f"batch={int(batch_id)}"))
     finally:
         pre.unpersist()
         if local is not pre:
@@ -517,6 +542,23 @@ def doclen_quantiles_estimate(
             .agg(F.sum("cnt").alias("cnt"))
         )
     return hdr_quantiles(regs, qs)
+
+
+def corpus_sample(
+    spark: SparkSession, work_dir: str, k: int = SAMPLE_K
+) -> DataFrame:
+    """Finalize-time uniform corpus sample from the streamed per-batch
+    bottom-k stores: union every committed batch's k-row sample, keep the k
+    smallest hashes — row-identical to a one-pass bottom-k over the whole
+    kept corpus (the KMV merge property), at a read cost of k rows per
+    committed dir regardless of corpus size. Empty store -> 0 rows."""
+    from streamds_spark.operators.sampling import bottomk_merge
+
+    paths = CorpusStreamPaths(work_dir)
+    dirs = _committed_store_dirs(paths.sample_store, 2**62)
+    if not dirs:
+        return spark.createDataFrame([], "doc_id bigint, h bigint")
+    return bottomk_merge(k, "doc_id", spark.read.parquet(*dirs))
 
 
 def corpus_report(spark: SparkSession, work_dir: str) -> DataFrame:

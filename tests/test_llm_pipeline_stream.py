@@ -467,3 +467,47 @@ def test_streaming_hdr_doclen_quantiles(spark, tmp_path):
         for r in doclen_quantiles_estimate(spark, work_dir).collect()
     }
     assert after == {t: tuple(r) for t, r in got.items()}
+
+
+def test_streaming_corpus_sample(spark, tmp_path):
+    """Mergeable streaming sample: per-trigger bottom-k stores folded at
+    finalize equal a one-pass bottom-k over the whole kept corpus
+    ROW-FOR-ROW (the KMV merge property — zero sampling drift across any
+    number of triggers), and compaction moves nothing."""
+    from streamds_spark.operators.sampling import bottomk_sample
+    from streamds_spark.streaming.llm_pipeline import (
+        SAMPLE_K,
+        compact_stores,
+        corpus_sample,
+    )
+
+    src_dir, work_dir = str(tmp_path / "src"), str(tmp_path / "work")
+    _split_into_files(spark, src_dir)
+
+    # empty store: 0 rows, not an error
+    assert corpus_sample(spark, work_dir).count() == 0
+
+    q = run_llm_corpus_stream(spark, src_dir, work_dir)
+    q.awaitTermination(timeout=300)
+    assert not q.isActive
+
+    got = [
+        (r["doc_id"], r["h"])
+        for r in corpus_sample(spark, work_dir).orderBy("h", "doc_id").collect()
+    ]
+    kept = appendlog.get(spark, CorpusStreamPaths(work_dir).corpus)
+    want = [
+        (r["doc_id"], r["h"])
+        for r in bottomk_sample(kept.select("doc_id"), "doc_id", SAMPLE_K)
+        .orderBy("h", "doc_id")
+        .collect()
+    ]
+    assert len(got) == SAMPLE_K and got == want
+
+    stats = compact_stores(spark, work_dir)
+    assert stats["sample_store"] >= 1
+    after = [
+        (r["doc_id"], r["h"])
+        for r in corpus_sample(spark, work_dir).orderBy("h", "doc_id").collect()
+    ]
+    assert after == got
