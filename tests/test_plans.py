@@ -138,6 +138,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "doclen_percentile_feature",
     # time_to_convert_quantiles: same register-table cumsum (operators/hdr.py)
     "time_to_convert_quantiles",
+    # hdr_signed_delta_quantiles: same cumsum over the SIGNED register table
+    # — <=2x1888 rows by construction (operators/hdr.py signed mirror)
+    "hdr_signed_delta_quantiles",
     # ks_doclen_drift's CDF cumsum (over DISTINCT-length rows, domain-bounded)
     # sits behind a lazy localCheckpoint, so the census sees an RDD scan
     "ntile_customers",  # decile report over the customer aggregate; documented swap
