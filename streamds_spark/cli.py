@@ -337,6 +337,12 @@ def main(argv: list[str] | None = None) -> int:
         "--q", action="append", default=None, metavar="TAG=FRAC",
         help="quantile spec, repeatable (default p50=0.5 p90=0.9 p99=0.99)",
     )
+    qn.add_argument(
+        "--signed", action="store_true",
+        help="use the signed sketch (negative bucket mirror) so negative "
+        "values keep their mass — for delta/P&L-class columns; the default "
+        "sketch excludes negatives",
+    )
 
     args = parser.parse_args(argv)
 
@@ -789,7 +795,11 @@ def main(argv: list[str] | None = None) -> int:
         print(lineage_report(specs[args.query].fn(spark, args.sf_dir)))
     elif args.cmd == "quantiles":
         from streamds_spark.catalog import TABLES, load_table
-        from streamds_spark.operators.hdr import hdr_quantiles, hdr_registers
+        from streamds_spark.operators.hdr import (
+            hdr_quantiles,
+            hdr_registers,
+            hdr_registers_signed,
+        )
 
         if args.table not in TABLES:
             parser.error(f"table must be one of {sorted(TABLES)}")
@@ -817,7 +827,12 @@ def main(argv: list[str] | None = None) -> int:
             if args.scale == 1 and integral
             else f"floor({args.column} * {int(args.scale)})"
         )
-        rows = hdr_quantiles(hdr_registers(df, expr), qs).orderBy("tag").collect()
+        regs_fn = hdr_registers_signed if args.signed else hdr_registers
+        rows = (
+            hdr_quantiles(regs_fn(df, expr), qs, signed=args.signed)
+            .orderBy("tag")
+            .collect()
+        )
         for r in rows:
             print(
                 f"{r['tag']}:rank={r['rank']}/{r['n']}"

@@ -233,11 +233,18 @@ def _run_request(
         import re as _re
 
         from streamds_spark.catalog import TABLES, load_table
-        from streamds_spark.operators.hdr import hdr_quantiles, hdr_registers
+        from streamds_spark.operators.hdr import (
+            hdr_quantiles,
+            hdr_registers,
+            hdr_registers_signed,
+        )
 
         table = req.get("table")
         column = req.get("column")
         scale = req.get("scale", 1)
+        signed = req.get("signed", False)
+        if not isinstance(signed, bool):
+            return {"ok": False, "error": "signed must be a boolean"}
         if table not in TABLES:
             return {"ok": False, "error": f"table must be one of {sorted(TABLES)}"}
         if not isinstance(column, str) or not _re.fullmatch(
@@ -278,13 +285,20 @@ def _run_request(
             if scale == 1 and integral
             else f"floor({column} * {scale})"
         )
+        # signed=true routes through the negative-bucket-mirror sketch so
+        # delta/P&L-class columns keep their negative mass (the default
+        # sketch excludes negatives by the non-negative contract)
+        regs_fn = hdr_registers_signed if signed else hdr_registers
         with scheduler_pool(spark, pool):
-            rows = hdr_quantiles(hdr_registers(df, expr), dict(qs)).collect()
+            rows = hdr_quantiles(
+                regs_fn(df, expr), dict(qs), signed=signed
+            ).collect()
         return {
             "ok": True,
             "table": table,
             "column": column,
             "scale": scale,
+            "signed": signed,
             "quantiles": {
                 r["tag"]: {
                     "rank": r["rank"], "n": r["n"],

@@ -447,3 +447,22 @@ def test_cli_quantiles_verb(spark, capsys):
     with pytest.raises(SystemExit):
         _run(["quantiles", "events", "value", "/root/testdata/sf0.001",
               "--q", "bad"])
+    # --signed routes through the negative-mirror sketch (plumbing pin; the
+    # mirror's negative-side exactness is oracle-proven by the registry
+    # query) — same rank bracket, nothing dropped from n
+    rc, out = _run(
+        ["quantiles", "events", "value", "/root/testdata/sf0.001",
+         "--scale", "100", "--signed", "--q", "p50=0.5"]
+    )
+    assert rc == 0
+    line = next(ln for ln in out.splitlines() if ln.startswith("p50:"))
+    parts = dict(kv.split("=") for kv in line.split(":", 1)[1].split(" "))
+    scaled = sorted(
+        r[0] for r in duckdb.sql(
+            "SELECT CAST(floor(value * 100) AS BIGINT) "
+            "FROM '/root/testdata/sf0.001/events.parquet'"
+        ).fetchall()
+    )
+    true_val = scaled[max(1, math.ceil(0.5 * len(scaled))) - 1]
+    assert int(parts["lo"]) <= true_val <= int(parts["hi"])
+    assert parts["rank"].split("/")[1] == str(len(scaled))

@@ -586,6 +586,31 @@ def test_quantiles_probe_over_socket(spark):
                                         "column": "v; DROP TABLE x"})["ok"]
         assert not request(host, port, {"cmd": "quantiles", "table": "events",
                                         "column": "value", "qs": {"p": 2}})["ok"]
+        # signed probe: routes through the negative-mirror sketch (whose
+        # negative-side exactness is oracle-proven by the
+        # hdr_signed_delta_quantiles registry query; testdata columns are
+        # non-negative, so here we pin the serving plumbing: accepted flag,
+        # same rank-bracket guarantees, nothing dropped from n)
+        resp3 = request(
+            host, port,
+            {"cmd": "quantiles", "table": "events", "column": "value",
+             "scale": 100, "signed": True,
+             "qs": {"p01": 0.01, "p50": 0.5}},
+        )
+        assert resp3["ok"] and resp3["signed"] is True
+        scaled = sorted(
+            r[0] for r in duckdb.sql(
+                f"SELECT CAST(floor(value * 100) AS BIGINT) "
+                f"FROM '{SF}/events.parquet'"
+            ).fetchall()
+        )
+        for tag, frac in (("p01", 0.01), ("p50", 0.5)):
+            true_val = scaled[max(1, math.ceil(frac * len(scaled))) - 1]
+            got = resp3["quantiles"][tag]
+            assert got["lo"] <= true_val <= got["hi"], (tag, got, true_val)
+            assert got["n"] == len(scaled)  # negatives counted, none dropped
+        assert not request(host, port, {"cmd": "quantiles", "table": "events",
+                                        "column": "value", "signed": 1})["ok"]
     finally:
         server.shutdown()
         server.server_close()
