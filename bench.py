@@ -322,6 +322,18 @@ def main() -> None:
     conc_wall_s = round(time.time() - t0, 3)
     conc_serial_s = round(sum(timings[nm] for nm in conc_queries), 3)
 
+    # Round-8 trackers, appended at the END per the extras ordering policy:
+    # the signed-mirror quantile sketch (same register shapes as the
+    # unsigned tracker above) and the mergeable bottom-k sample's
+    # fold==whole audit (per-source samples + two TakeOrdereds + a k-row
+    # outer join — the sampling-state maintenance cost).
+    hdrsigned_s = _min3(
+        lambda: specs["hdr_signed_delta_quantiles"].fn(spark, sf_dir).count()
+    )
+    bottomk_s = _min3(
+        lambda: specs["bottomk_merge_audit_sources"].fn(spark, sf_dir).count()
+    )
+
     print(
         json.dumps(
             {
@@ -351,6 +363,8 @@ def main() -> None:
                     "skew_aware_join_sources": skewaware_s,
                     "concurrent_3way_wall": conc_wall_s,
                     "concurrent_3way_serial_sum": conc_serial_s,
+                    "hdr_signed_delta_quantiles": hdrsigned_s,
+                    "bottomk_merge_audit_sources": bottomk_s,
                     "headline_first_pass_total": round(cold_total, 3),
                     "load1_pre_warmup": load_at_start,
                     "load1_at_timing_start": load_at_timing,
