@@ -267,3 +267,77 @@ def core_decomposition_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").cast("bigint").alias("n_nodes"))
         .orderBy("core")
     )
+
+
+@query(
+    "copurchase_hops_from_hub",
+    oracle="""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT a AS node, count(*) AS d FROM adj GROUP BY a),
+    hub AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 1),
+    -- frontier-expansion BFS with full state carried per generation (the
+    -- kcore/H-index recursive template): rows of generation i are every
+    -- node discovered so far with its distance; the frontier is the subset
+    -- with dist = iter, and the EXISTS guard stops at the first empty wave.
+    wave(iter, node, dist) AS (
+        SELECT 0, node, CAST(0 AS BIGINT) FROM hub
+      UNION ALL
+        SELECT * FROM (
+          WITH cur AS (SELECT iter, node, dist FROM wave),
+          nxt AS (
+            SELECT DISTINCT adj.b AS node
+            FROM adj JOIN cur ON cur.node = adj.a
+            WHERE cur.dist = cur.iter
+              AND adj.b NOT IN (SELECT node FROM cur)
+          )
+          SELECT * FROM (
+            SELECT c.iter + 1 AS iter, c.node, c.dist FROM cur c
+            UNION ALL
+            SELECT g.i + 1, n.node, CAST(g.i + 1 AS BIGINT)
+            FROM nxt n CROSS JOIN (SELECT DISTINCT iter AS i FROM cur) g
+          ) WHERE EXISTS (SELECT 1 FROM nxt)
+        )
+    ),
+    final AS (
+        SELECT node, dist FROM wave
+        WHERE iter = (SELECT max(iter) FROM wave)
+    )
+    SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM final GROUP BY dist ORDER BY dist
+    """,
+)
+def copurchase_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance profile of the co-purchase graph from its busiest part
+    (max co-purchase degree, smallest id on ties): how many parts sit 1, 2,
+    3… co-purchase hops from the hub — the reachability/diameter census
+    basket recommendations and graph-sampling budgets are sized with.
+
+    Computed by frontier-expansion BFS (operators/bfs.py): per round one
+    adjacency equi-join probed by the frontier + an anti-join against the
+    visited set, rounds bounded by the hub's eccentricity, never the graph
+    size; integer distances make the whole traversal hash-exact against the
+    DuckDB recursive-CTE replay of the same wave."""
+    from streamds_spark.operators.bfs import hop_distances
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li).localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    hub = deg.orderBy(F.col("d").desc(), F.col("node")).limit(1).select("node")
+    return (
+        hop_distances(edges, hub)
+        .groupBy("dist")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .orderBy("dist")
+    )
