@@ -325,6 +325,7 @@ def test_compact_stores_noop_without_commits(spark, tmp_path):
         "chunk_store": 0,
         "hll_store": 0,
         "hdr_store": 0,
+        "sample_store": 0,
     }
 
 
