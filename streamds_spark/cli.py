@@ -344,6 +344,22 @@ def main(argv: list[str] | None = None) -> int:
         "sketch excludes negatives",
     )
 
+    sm = sub.add_parser(
+        "sample",
+        help="deterministic bottom-k sample of a table (KMV family: k "
+        "smallest md5-integer hashes of a key column — same rows on any "
+        "engine/partitioning/day, mergeable across shards)",
+    )
+    sm.add_argument("table", help="TESTDATA table name")
+    sm.add_argument("key", help="stable key column hashed for the draw")
+    sm.add_argument("sf_dir", help="TESTDATA dir")
+    sm.add_argument("-k", type=int, default=20, help="sample size (default 20)")
+    sm.add_argument(
+        "--stratify", default=None, metavar="COL",
+        help="draw k rows PER distinct value of COL instead of k overall "
+        "(equal-size per-stratum draws regardless of stratum skew)",
+    )
+
     args = parser.parse_args(argv)
 
     # The corpus verbs lazily read src while overwriting dest — if the two
@@ -838,6 +854,33 @@ def main(argv: list[str] | None = None) -> int:
                 f"{r['tag']}:rank={r['rank']}/{r['n']}"
                 f" lo={r['lo']} mid={r['mid']} hi={r['hi']}"
             )
+    elif args.cmd == "sample":
+        from streamds_spark.catalog import TABLES, load_table
+        from streamds_spark.operators.sampling import (
+            bottomk_sample,
+            stratified_bottomk,
+        )
+
+        if args.table not in TABLES:
+            parser.error(f"table must be one of {sorted(TABLES)}")
+        if not (1 <= args.k <= 10_000):
+            parser.error("-k must be in [1, 10000]")
+        df = load_table(spark, args.sf_dir, args.table)
+        if args.key not in df.columns:
+            parser.error(f"no column {args.key!r} in {args.table}")
+        if args.stratify is not None:
+            if args.stratify not in df.columns:
+                parser.error(f"no column {args.stratify!r} in {args.table}")
+            rows = (
+                stratified_bottomk(df, args.stratify, args.key, args.k)
+                .orderBy(args.stratify, "h")
+                .collect()
+            )
+        else:
+            rows = bottomk_sample(df, args.key, args.k).orderBy("h").collect()
+        cols = [c for c in rows[0].asDict() if c != "h"] if rows else []
+        for r in rows:
+            print(" ".join(f"{c}={r[c]}" for c in cols))
     elif args.cmd == "serve":
         from streamds_spark.server import start_server
 

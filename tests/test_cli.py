@@ -466,3 +466,37 @@ def test_cli_quantiles_verb(spark, capsys):
     true_val = scaled[max(1, math.ceil(0.5 * len(scaled))) - 1]
     assert int(parts["lo"]) <= true_val <= int(parts["hi"])
     assert parts["rank"].split("/")[1] == str(len(scaled))
+
+
+def test_cli_sample_verb(spark, capsys):
+    """`streamds sample`: deterministic bottom-k draw — identical rows on
+    repeat runs, stratified mode gives k per stratum, bad args error."""
+    import pytest
+
+    rc, out = _run(["sample", "documents", "doc_id", "/root/testdata/sf0.001",
+                    "-k", "5"])
+    assert rc == 0
+    lines = [ln for ln in out.splitlines() if "doc_id=" in ln]
+    assert len(lines) == 5
+    rc2, out2 = _run(["sample", "documents", "doc_id",
+                      "/root/testdata/sf0.001", "-k", "5"])
+    assert [ln for ln in out2.splitlines() if "doc_id=" in ln] == lines
+
+    rc3, out3 = _run(["sample", "documents", "doc_id",
+                      "/root/testdata/sf0.001", "-k", "3",
+                      "--stratify", "source"])
+    assert rc3 == 0
+    per = {}
+    for ln in out3.splitlines():
+        if "source=" in ln:
+            src = [kv for kv in ln.split() if kv.startswith("source=")][0]
+            per[src] = per.get(src, 0) + 1
+    assert per and all(v == 3 for v in per.values()), per
+
+    with pytest.raises(SystemExit):
+        _run(["sample", "nope", "doc_id", "/root/testdata/sf0.001"])
+    with pytest.raises(SystemExit):
+        _run(["sample", "documents", "nope_col", "/root/testdata/sf0.001"])
+    with pytest.raises(SystemExit):
+        _run(["sample", "documents", "doc_id", "/root/testdata/sf0.001",
+              "-k", "0"])
