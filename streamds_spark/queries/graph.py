@@ -341,3 +341,86 @@ def copurchase_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_nodes"))
         .orderBy("dist")
     )
+
+
+@query(
+    "copurchase_degree_assortativity",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY a),
+    ends AS (
+        SELECT da.d AS x, db.d AS y
+        FROM adj JOIN deg da ON da.node = adj.a JOIN deg db ON db.node = adj.b
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM ends
+    )
+    SELECT n AS n_half_edges, sx AS sum_deg, sxy AS sum_prod, sxx AS sum_sq,
+           round(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0),
+               4) + 0.0 AS assortativity
+    FROM s
+    """,
+)
+def copurchase_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the co-purchase graph: the
+    Pearson correlation of endpoint degrees over every directed half-edge —
+    negative = hubs attach to leaves (the dissortative shape most
+    co-occurrence graphs have), positive = hubs cluster.
+
+    Exactness playbook: all FOUR moments are exact BIGINT sums (degrees are
+    small integers; sum(x*y) over 2m half-edges stays far inside int64);
+    only the final coefficient touches doubles, as ONE fixed IEEE
+    expression over those exact integers — identical operation tree in
+    both engines, so the rounded output matches bit-for-bit (the
+    weekly_trend slope discipline). The x=y symmetry of undirected
+    half-edges is exploited: sy=sx and syy=sxx, so the classic formula
+    collapses to the two moments computed.
+
+    Plan: one degree aggregate + two same-key joins back onto the
+    adjacency + a 1-row moment aggregate — everything after the joins is
+    4 integers; no windows, nothing collected."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li).localCheckpoint(eager=False)
+    adj = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
+    ends = (
+        adj.join(deg.select(F.col("a").alias("na"), F.col("d").alias("x")),
+                 F.col("a") == F.col("na"))
+        .join(deg.select(F.col("a").alias("nb"), F.col("d").alias("y")),
+              F.col("b") == F.col("nb"))
+        .select("x", "y")
+    )
+    s = ends.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return s.selectExpr(
+        "n AS n_half_edges",
+        "sx AS sum_deg",
+        "sxy AS sum_prod",
+        "sxx AS sum_sq",
+        "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 4) + 0.0"
+        " AS assortativity",
+    )

@@ -119,3 +119,53 @@ def test_heavy_hitters_no_false_negatives_property(spark):
     true = collections.Counter(t for (t,) in rows)
     expect = {t: c for t, c in true.items() if c * (k + 1) > n}
     assert got == expect
+
+
+def test_degree_assortativity_python_parity(spark):
+    """The registered assortativity census vs a pure-Python Newman
+    computation on a crafted graph with a known dissortative shape (star +
+    clique): exact integer moments, matching rounded coefficient."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    edges = (
+        [(0, i) for i in range(1, 8)]                    # star: hub 0
+        + [(10, 11), (11, 12), (12, 10)]                  # triangle
+    )
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {n: len(s) for n, s in adj.items()}
+    xy = [(deg[a], deg[b]) for a in adj for b in adj[a]]
+    n = len(xy)
+    sx = sum(x for x, _ in xy)
+    sxy = sum(x * y for x, y in xy)
+    sxx = sum(x * x for x, _ in xy)
+    want = round((n * sxy - sx * sx) / (n * sxx - sx * sx), 4) + 0.0
+
+    e = spark.createDataFrame(edges, ["u", "v"])
+    a = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    d = a.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
+    ends = (
+        a.join(d.select(F.col("a").alias("na"), F.col("d").alias("x")),
+               F.col("a") == F.col("na"))
+        .join(d.select(F.col("a").alias("nb"), F.col("d").alias("y")),
+              F.col("b") == F.col("nb"))
+    )
+    row = ends.agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).first()
+    assert (row["n"], row["sx"], row["sxy"], row["sxx"]) == (n, sx, sxy, sxx)
+    got = round(
+        (row["n"] * row["sxy"] - row["sx"] ** 2)
+        / (row["n"] * row["sxx"] - row["sx"] ** 2),
+        4,
+    )
+    assert math.isclose(got, want)
+    assert want < 0  # star + clique: dissortative by construction
