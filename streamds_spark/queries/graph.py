@@ -424,3 +424,67 @@ def copurchase_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFra
         " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 4) + 0.0"
         " AS assortativity",
     )
+
+
+@query(
+    "copurchase_clustering_coefficient",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY a),
+    tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS t
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    wed AS (
+        SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS w FROM deg
+    )
+    SELECT (SELECT t FROM tri) AS n_triangles,
+           (SELECT w FROM wed) AS n_wedges,
+           round(3.0 * CAST((SELECT t FROM tri) AS DOUBLE)
+                 / nullif(CAST((SELECT w FROM wed) AS DOUBLE), 0.0), 4) + 0.0
+               AS clustering_coefficient
+    """,
+)
+def copurchase_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the co-purchase
+    graph: 3 x triangles / wedges — what fraction of open two-paths close.
+    Both counts are exact BIGINTs (the degree-ordered triangle enumeration
+    + sum d(d-1)/2, which is integer-exact since d(d-1) is always even);
+    the ratio is ONE fixed IEEE expression over them, identical in both
+    engines, so the rounded coefficient is hash-exact — the
+    weekly_trend/assortativity discipline on the graph census family.
+
+    Plan: the shared oriented-triangle machinery (lazy-checkpointed edge
+    materialization, wedge join on the oriented middle node) + one degree
+    aggregate; everything after is two integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li).localCheckpoint(eager=False)
+    tri = triangle_count(edges)
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    wed = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint"))
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    return (
+        tri.crossJoin(wed)
+        .selectExpr(
+            "n_triangles",
+            "n_wedges",
+            "round(3.0 * CAST(n_triangles AS DOUBLE)"
+            " / nullif(CAST(n_wedges AS DOUBLE), 0.0), 4) + 0.0"
+            " AS clustering_coefficient",
+        )
+    )

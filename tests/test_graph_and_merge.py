@@ -169,3 +169,45 @@ def test_degree_assortativity_python_parity(spark):
     )
     assert math.isclose(got, want)
     assert want < 0  # star + clique: dissortative by construction
+
+
+def test_clustering_coefficient_python_parity(spark):
+    """Triangles + wedges census vs a pure-Python transitivity computation
+    on a crafted graph (K4 has clustering 1.0; adding a pendant leaf opens
+    wedges without closing any)."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from streamds_spark.queries.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(3, 9)]  # pendant leaf opens 3 wedges at node 3
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = sum(
+        1
+        for trio in combinations(sorted(adj), 3)
+        if trio[1] in adj[trio[0]] and trio[2] in adj[trio[0]] and trio[2] in adj[trio[1]]
+    )
+    wed = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    want = round(3 * tri / wed, 4)
+
+    e = spark.createDataFrame(edges, ["u", "v"])
+    t = triangle_count(e).first()["n_triangles"]
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    w = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint")).alias("w")
+    ).first()["w"]
+    assert (t, w) == (tri, wed) == (4, 15)
+    assert round(3 * t / w, 4) == want
+    # and the pure K4 closes every wedge: coefficient exactly 1.0
+    t4 = triangle_count(spark.createDataFrame(k4, ["u", "v"])).first()[0]
+    assert 3 * t4 / (4 * 3) == 1.0  # 4 nodes x C(3,2)=3 wedges each
