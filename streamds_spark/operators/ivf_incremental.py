@@ -171,3 +171,26 @@ def compact_ivf_index(spark: SparkSession, path: str) -> int:
     """Fold committed batch dirs (plus the previous segment) into one new
     segment, list_id partitioning preserved; returns batch dirs folded."""
     return _compact_store(spark, path, "list_id")
+
+
+def ivf_index_rebuild(
+    spark: SparkSession,
+    old_path: str,
+    new_path: str,
+    n_lists: int = 8,
+    max_iter: int = 5,
+) -> int:
+    """Retrain + re-shard into a FRESH store (the answer to quantizer
+    drift): read every committed row of `old_path`, train a new coarse
+    quantizer on the full population, and write `new_path` as one
+    committed batch=0 under the new frozen centroids. The old store is
+    untouched (cut probes over atomically by swapping the path the caller
+    uses — the same pointer discipline as the appendlog generations).
+    Returns the number of vectors re-indexed."""
+    idx = _read_index(spark, _committed_dirs(old_path))
+    if idx is None:
+        raise ValueError(f"nothing committed to rebuild at {old_path!r}")
+    emb = idx.drop("list_id").withColumnRenamed("v", "embedding")
+    n = emb.count()
+    ivf_index_append(emb, new_path, 0, n_lists=n_lists, max_iter=max_iter)
+    return n

@@ -183,3 +183,39 @@ def test_replay_compaction_and_append_after_compaction(spark, tmp_path):
     assert _probe_rows(
         ivf_index_probe(spark, inc, qvec, k=10, n_probe=N_LISTS)
     ) == after
+
+
+def test_rebuild_retrains_and_preserves_population(spark, tmp_path):
+    """ivf_index_rebuild: a fresh store under newly trained centroids holds
+    the SAME vector population (full-width probes identical), its meta is
+    fresh, and the old store is untouched."""
+    import pytest
+
+    from streamds_spark.operators.ivf_incremental import ivf_index_rebuild
+
+    emb, parts = _batches(spark)
+    old = str(tmp_path / "old")
+    for i, part in enumerate(parts):
+        ivf_index_append(part, old, i, n_lists=N_LISTS)
+    qvec = _qvec(emb, 3)
+    before = _probe_rows(ivf_index_probe(spark, old, qvec, k=10, n_probe=N_LISTS))
+
+    new = str(tmp_path / "new")
+    n = ivf_index_rebuild(spark, old, new, n_lists=4)
+    assert n == emb.count()
+    meta = load_ivf_meta(new)
+    assert meta["n_lists"] == 4 and len(meta["centroids"]) == 4
+    # full-width probes see the identical population through new lists
+    after = _probe_rows(ivf_index_probe(spark, new, qvec, k=10, n_probe=4))
+    assert after == before
+    # old store still serves
+    assert _probe_rows(
+        ivf_index_probe(spark, old, qvec, k=10, n_probe=N_LISTS)
+    ) == before
+    # appends continue against the NEW frozen quantizer
+    ivf_index_append(parts[0].withColumn("vec_id", F.col("vec_id") + 10_000),
+                     new, 1, n_lists=4)
+    assert len(_probe_rows(ivf_index_probe(spark, new, qvec, k=10, n_probe=4))) == 10
+    # rebuilding an empty store is refused
+    with pytest.raises(ValueError, match="nothing committed"):
+        ivf_index_rebuild(spark, str(tmp_path / "void"), str(tmp_path / "x"))
