@@ -491,3 +491,93 @@ def stratified_bottomk_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "weighted_sample_merge_audit_sources",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               ln(({duckdb_md5_int("CAST(doc_id AS VARCHAR)")} + 1.0)
+                  / 1152921504606846976.0) / n_chars AS k
+        FROM documents WHERE n_chars > 0
+    ),
+    per_src AS (
+        SELECT doc_id, k FROM (
+            SELECT doc_id, k,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY k DESC, doc_id) AS rn
+            FROM keyed
+        ) WHERE rn <= {WSAMPLE_K}
+    ),
+    folded AS (
+        SELECT doc_id FROM per_src ORDER BY k DESC, doc_id LIMIT {WSAMPLE_K}
+    ),
+    direct AS (
+        SELECT doc_id FROM keyed ORDER BY k DESC, doc_id LIMIT {WSAMPLE_K}
+    ),
+    joined AS (
+        SELECT (f.doc_id IS NULL OR d.doc_id IS NULL) AS mismatch
+        FROM folded f FULL OUTER JOIN direct d ON f.doc_id = d.doc_id
+    )
+    SELECT CAST((SELECT count(DISTINCT source) FROM keyed) AS BIGINT)
+               AS n_sources,
+           CAST((SELECT count(*) FROM folded) AS BIGINT) AS folded_rows,
+           CAST((SELECT count(*) FROM direct) AS BIGINT) AS direct_rows,
+           CAST((SELECT count(*) FROM joined WHERE mismatch) AS BIGINT)
+               AS mismatched_rows,
+           CAST((SELECT sum(doc_id) FROM direct) AS BIGINT) AS sample_id_sum
+    """,
+)
+def weighted_sample_merge_audit_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeability proof for the WEIGHTED sample: Efraimidis–Spirakis keys
+    (ln(u)/w, deterministic md5 uniform) make weighted sampling without
+    replacement a plain top-k BY KEY — so, exactly like the uniform
+    bottom-k, per-source top-k samples folded (union -> k largest keys)
+    equal the whole-corpus one-pass draw row-for-row (mismatched_rows = 0).
+    Per-shard weighted-sample state is k rows forever; the fold is a
+    k×shards TakeOrdered. Oracle replays both paths, so the equality is
+    hash-checked; the sampled id-sum travels as the content witness.
+
+    Plan: one keyed scan feeding a source-partitioned window + two
+    TakeOrdereds + a k-row outer join — the bottomk audit's shape with the
+    weight-aware key."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (md5_int60(F.col("doc_id")) + F.lit(1.0)) / F.lit(float(1 << 60))
+    keyed = docs.select(
+        "doc_id", "source", (F.log(u) / F.col("n_chars")).alias("k")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("k").desc(), "doc_id")
+    per_src = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= WSAMPLE_K)
+        .select("doc_id", "k")
+    )
+    folded = per_src.orderBy(F.col("k").desc(), "doc_id").limit(WSAMPLE_K).select("doc_id")
+    direct = keyed.orderBy(F.col("k").desc(), "doc_id").limit(WSAMPLE_K).select("doc_id")
+    joined = folded.alias("f").join(
+        direct.alias("d"), F.col("f.doc_id") == F.col("d.doc_id"), "full_outer"
+    ).select(
+        (F.col("f.doc_id").isNull() | F.col("d.doc_id").isNull()).alias("mismatch")
+    )
+    return (
+        keyed.agg(F.countDistinct("source").cast("bigint").alias("n_sources"))
+        .crossJoin(folded.agg(F.count("*").cast("bigint").alias("folded_rows")))
+        .crossJoin(
+            direct.agg(
+                F.count("*").cast("bigint").alias("direct_rows"),
+                F.sum("doc_id").cast("bigint").alias("sample_id_sum"),
+            )
+        )
+        .crossJoin(
+            joined.agg(F.sum(F.col("mismatch").cast("bigint")).alias("mismatched_rows"))
+        )
+        .selectExpr(
+            "n_sources", "folded_rows", "direct_rows",
+            "mismatched_rows", "sample_id_sum",
+        )
+    )
