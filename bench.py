@@ -29,6 +29,15 @@ recorded in extras so a number taken on a busy box is visibly flagged rather
 than silently noisy. Guest loadavg cannot see HOST-level contention in a VM;
 cross-run disagreement at recorded-low load is that signature (BASELINE.md
 round-5 notes).
+
+Retry-on-load protocol (round 9, per VERDICT r8): the idle gate now ALSO runs
+after warm-up (closing the load-arrives-during-warm-up hole that made
+BENCH_r08's official headline a load1=5.05 sample), and if a headline pass
+still starts over the gate, the harness waits out a fresh budget and re-runs
+the whole min-of-3 pass (max 2 retries). Every pass is recorded in
+extras.headline_passes with its start load; the official headline is the pass
+with the LOWEST load at timing start, and busy_box_budget_exhausted flags a
+run whose official pass never got a clean start.
 """
 
 from __future__ import annotations
@@ -76,12 +85,12 @@ def _load1() -> float:
         return -1.0  # unknown platform — skip the gate, report -1
 
 
-def _wait_for_idle() -> "tuple[float, float]":
+def _wait_for_idle(budget_s: float = IDLE_MAX_WAIT_S) -> "tuple[float, float]":
     """Block until the box looks idle (or the wait budget runs out).
     Returns (load1 at timing start, seconds spent waiting)."""
     waited = 0.0
     load = _load1()
-    while load >= IDLE_LOAD_GATE and waited < IDLE_MAX_WAIT_S:
+    while load >= IDLE_LOAD_GATE and waited < budget_s:
         time.sleep(5.0)
         waited += 5.0
         load = _load1()
@@ -119,32 +128,69 @@ def main() -> None:
     specs["distinct_values"].fn(spark, sf_dir).count()
     specs["topk_parts"].fn(spark, sf_dir).count()
 
-    # Second load sample at timing start: the PRE-warm-up sample above is the
-    # gated "was the box clean" signal; this one catches background load that
-    # arrived DURING the multi-minute warm-up (it also includes our own
-    # decaying warm-up load, so read the pair together — clean pre + high
-    # here on an otherwise idle run is self-load, both high is a busy box).
-    load_at_timing = _load1()
+    # Post-warm-up idle gate (round 9, per VERDICT r8): the pre-warm-up gate
+    # alone left a hole — load arriving DURING the multi-minute warm-up
+    # contaminated the single timed pass un-retried (BENCH_r08's official
+    # 8.071 s was taken at load1 5.05 and misread as a +39% regression that
+    # quiet-box reruns settled at ~6.5 s). Waiting here also lets our OWN
+    # warm-up load decay (load1 halves in ~42 s of sleep), so a clean start
+    # here genuinely means a clean box, not just a gap in our bursts.
+    load_at_timing, post_warmup_wait_s = _wait_for_idle()
 
-    # Each query runs three times and the MIN is reported: the first pass
-    # still pays per-plan JIT/codegen compilation (measured 2x total inflation
-    # on a cold JVM), which a long-lived cluster session never re-pays —
-    # min-of-3 is the steady-state per-query cost the 100 TB posture cares
-    # about and smooths per-query scheduler/GC variance on a shared box. The
-    # cold first-pass total is recorded in extras for transparency.
-    timings: dict[str, float] = {}
-    cold_total = 0.0
-    for name in HEADLINE:
-        spec = specs[name]
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            spec.fn(spark, sf_dir).count()
-            runs.append(time.time() - t0)
-        cold_total += runs[0]
-        timings[name] = round(min(runs), 3)
+    def _headline_pass() -> "tuple[dict[str, float], float]":
+        """One full min-of-3 headline pass; returns (timings, cold_total).
 
-    total = round(sum(timings.values()), 3)
+        Each query runs three times and the MIN is reported: the first pass
+        still pays per-plan JIT/codegen compilation (measured 2x total
+        inflation on a cold JVM), which a long-lived cluster session never
+        re-pays — min-of-3 is the steady-state per-query cost the 100 TB
+        posture cares about and smooths per-query scheduler/GC variance on a
+        shared box. The cold first-pass total is recorded in extras."""
+        t: dict[str, float] = {}
+        cold = 0.0
+        for name in HEADLINE:
+            spec = specs[name]
+            runs = []
+            for _ in range(3):
+                t0 = time.time()
+                spec.fn(spark, sf_dir).count()
+                runs.append(time.time() - t0)
+            cold += runs[0]
+            t[name] = round(min(runs), 3)
+        return t, cold
+
+    # Retry-on-load: every pass is recorded; the OFFICIAL headline is the pass
+    # with the lowest load1 at its timing start. If the gate budget exhausts
+    # while still loaded, the run proceeds but carries an explicit
+    # busy_box_budget_exhausted flag so the series never silently absorbs a
+    # loaded-box sample again. At most 2 retries (each with its own wait
+    # budget) keeps total added wall bounded at ~3 headline passes.
+    headline_passes = []
+    retry_wait_s = 0.0
+    budget_exhausted = False
+    pass_load = load_at_timing
+    for attempt in range(3):
+        t_pass, cold_pass = _headline_pass()
+        headline_passes.append(
+            {
+                "load1_at_start": pass_load,
+                "total": round(sum(t_pass.values()), 3),
+                "queries": t_pass,
+                "cold_total": round(cold_pass, 3),
+            }
+        )
+        if pass_load < IDLE_LOAD_GATE or attempt == 2:
+            budget_exhausted = pass_load >= IDLE_LOAD_GATE
+            break
+        # Loaded at timing start: wait out a fresh budget, then re-run.
+        pass_load, w = _wait_for_idle()
+        retry_wait_s += w
+
+    official = min(headline_passes, key=lambda p: p["load1_at_start"])
+    timings = official["queries"]
+    cold_total = official["cold_total"]
+    load_at_timing = official["load1_at_start"]
+    total = official["total"]
 
     def _min3(action) -> float:
         """Min-of-3 wall for an extra — same steady-state protocol as the
@@ -369,6 +415,10 @@ def main() -> None:
                     "load1_pre_warmup": load_at_start,
                     "load1_at_timing_start": load_at_timing,
                     "idle_wait_s": idle_wait_s,
+                    "post_warmup_idle_wait_s": post_warmup_wait_s,
+                    "headline_retry_wait_s": retry_wait_s,
+                    "headline_passes": headline_passes,
+                    "busy_box_budget_exhausted": budget_exhausted,
                 },
             }
         )
