@@ -32,6 +32,20 @@ At 100 TB this is the cheap end of incremental computation: the repeated
 dashboard/report query costs one parquet read of its RESULT instead of a
 corpus scan, and the first run after an ingest batch recomputes exactly
 because the part-file listing (or the log manifest) moved.
+
+Space discipline (round 9): the cache no longer grows without bound. Pass
+`max_bytes` and every successful promotion runs an LRU eviction cycle:
+committed entries carry a `_TOUCHED` recency marker (refreshed on every
+hit), and while the committed total exceeds the budget the least-recently
+touched entry is STAGED out of the fingerprint namespace with one atomic
+rename (`<fp>.evicted-<uuid>`) — new lookups miss instantly — and
+physically deleted only on a later cycle once the rename is older than
+`_EVICT_GRACE_S` (the append-log merge-GC discipline: a reader that
+resolved the dir just before eviction finishes its scan inside the grace
+window instead of hitting FileNotFound). A reader that does lose the race
+recomputes cleanly: the hit path re-reads defensively and falls through to
+the miss path on any read error. Stale `*.tmp-*` writer dirs (losing
+racers, crashed writers) are swept by age on every cached() call.
 """
 
 from __future__ import annotations
@@ -40,8 +54,9 @@ import hashlib
 import json
 import os
 import shutil
+import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
@@ -129,7 +144,12 @@ def nondeterministic_classes(df: DataFrame) -> set[str]:
                 walk(v)
 
     walk(tree)
-    found.update(_jvm_nondeterministic_nodes(df))
+    # The JVM walk is the CATCH-ALL for expressions the JSON walk cannot
+    # name; it costs one py4j round-trip per plan node + expression, so skip
+    # it when the plan is already condemned — one marker is enough to refuse
+    # admission, and nothing downstream needs the full class set.
+    if not found:
+        found.update(_jvm_nondeterministic_nodes(df))
     return found
 
 
@@ -189,30 +209,195 @@ class CacheResult:
     hit: bool
     cacheable: bool
     fingerprint: str
+    evicted: int = 0  # entries staged out by this call's eviction cycle
 
 
-def cached(df: DataFrame, cache_dir: str) -> CacheResult:
+@dataclass
+class CacheStats:
+    """One eviction-cycle / census summary (server status() surfaces this)."""
+
+    entries: int = 0
+    bytes: int = 0
+    staged_evictions: int = 0
+    deleted_evictions: int = 0
+    swept_tmp: int = 0
+    evicted_fingerprints: list = field(default_factory=list)
+
+
+# A losing racer's or crashed writer's private `<fp>.tmp-<uuid>` dir is swept
+# once it is plausibly abandoned; generous because a loser may legitimately
+# still be SERVING its temp dir to one in-flight request.
+_TMP_SWEEP_AGE_S = 3600.0
+
+# A staged `<fp>.evicted-<uuid>` dir survives at least this long before the
+# physical rmtree — the window a reader that resolved the committed path just
+# before eviction has to finish its scan (append-log merge-GC discipline:
+# stage with an atomic rename now, reclaim on a LATER cycle).
+_EVICT_GRACE_S = 60.0
+
+_TOUCH = "_TOUCHED"  # per-entry recency marker; mtime = last hit
+
+
+def _touch(dest: str) -> None:
+    marker = os.path.join(dest, _TOUCH)
+    try:
+        with open(marker, "a"):
+            pass
+        os.utime(marker, None)
+    except OSError:
+        pass  # recency is best-effort; a missing marker degrades to dir mtime
+
+
+def _recency(dest: str) -> float:
+    try:
+        return os.stat(os.path.join(dest, _TOUCH)).st_mtime
+    except OSError:
+        try:
+            return os.stat(dest).st_mtime
+        except OSError:
+            return 0.0
+
+
+def _dir_bytes(dest: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(dest):
+        for f in files:
+            try:
+                total += os.stat(os.path.join(root, f)).st_size
+            except OSError:
+                pass
+    return total
+
+
+def _committed_entries(cache_dir: str) -> list:
+    """[(fingerprint, dest_path)] for every committed (has _SUCCESS) entry.
+    Staged evictions, writer temps, and lock files are not entries."""
+    out = []
+    try:
+        names = os.listdir(cache_dir)
+    except OSError:
+        return out
+    for name in names:
+        if ".tmp-" in name or ".evicted-" in name or name.endswith(".lock"):
+            continue
+        dest = os.path.join(cache_dir, name)
+        if os.path.exists(os.path.join(dest, "_SUCCESS")):
+            out.append((name, dest))
+    return out
+
+
+def _sweep_stale(cache_dir: str, stats: CacheStats) -> None:
+    """Reclaim abandoned writer temps (by age) and staged evictions whose
+    grace window has passed. Best-effort and idempotent; any racer may run
+    it concurrently — rmtree(ignore_errors) tolerates double-delete."""
+    try:
+        names = os.listdir(cache_dir)
+    except OSError:
+        return
+    now = time.time()
+    for name in names:
+        path = os.path.join(cache_dir, name)
+        try:
+            age = now - os.stat(path).st_mtime
+        except OSError:
+            continue
+        if ".tmp-" in name and age > _TMP_SWEEP_AGE_S:
+            shutil.rmtree(path, ignore_errors=True)
+            stats.swept_tmp += 1
+        elif ".evicted-" in name and age > _EVICT_GRACE_S:
+            shutil.rmtree(path, ignore_errors=True)
+            stats.deleted_evictions += 1
+
+
+def evict_to_budget(
+    cache_dir: str, max_bytes: int, protect: str | None = None
+) -> CacheStats:
+    """LRU-evict committed entries until the committed total fits
+    `max_bytes`. Eviction is a STAGE, not a delete: one atomic rename moves
+    the entry out of the fingerprint namespace (new lookups miss instantly)
+    and the bytes are reclaimed by a later cycle's sweep after the grace
+    window — a committed dir is never rmtree'd in place under a reader.
+
+    `protect` exempts one fingerprint (the entry the caller just promoted
+    and is about to serve) — without it a single over-budget result would
+    evict itself out from under its own writer; it becomes LRU-eligible on
+    the next cycle like any other entry."""
+    stats = CacheStats()
+    _sweep_stale(cache_dir, stats)
+    entries = [
+        (fp, dest, _recency(dest), _dir_bytes(dest))
+        for fp, dest in _committed_entries(cache_dir)
+    ]
+    stats.entries = len(entries)
+    stats.bytes = sum(e[3] for e in entries)
+    entries.sort(key=lambda e: e[2])  # oldest touch first
+    total = stats.bytes
+    for fp, dest, _rec, nbytes in entries:
+        if total <= max_bytes:
+            break
+        if fp == protect:
+            continue
+        try:
+            os.rename(dest, f"{dest}.evicted-{uuid.uuid4().hex}")
+        except OSError:
+            continue  # a racer staged it first — its bytes are already going
+        total -= nbytes
+        stats.staged_evictions += 1
+        stats.evicted_fingerprints.append(fp)
+    stats.entries -= stats.staged_evictions
+    stats.bytes = total
+    return stats
+
+
+def cache_census(cache_dir: str) -> CacheStats:
+    """Read-only census for status endpoints: committed entry count + bytes."""
+    stats = CacheStats()
+    entries = _committed_entries(cache_dir)
+    stats.entries = len(entries)
+    stats.bytes = sum(_dir_bytes(dest) for _fp, dest in entries)
+    return stats
+
+
+def cached(
+    df: DataFrame, cache_dir: str, max_bytes: "int | None" = None
+) -> CacheResult:
     """Serve `df`'s result from the cache when the fingerprint matches a
     stored run; otherwise materialize it there (parquet + _SUCCESS marker —
-    a torn write is never visible) and serve the fresh copy."""
+    a torn write is never visible) and serve the fresh copy. With
+    `max_bytes`, a successful promotion triggers an LRU eviction cycle
+    (see evict_to_budget)."""
     fp, cacheable = plan_fingerprint(df)
     if not cacheable:
         return CacheResult(df=df, hit=False, cacheable=False, fingerprint=fp)
+    _sweep_stale(cache_dir, CacheStats())  # reclaim abandoned temps / staged
     dest = os.path.join(cache_dir, fp)
     spark = df.sparkSession
     if os.path.exists(os.path.join(dest, "_SUCCESS")):
-        return CacheResult(
-            df=spark.read.parquet(dest), hit=True, cacheable=True, fingerprint=fp
-        )
+        # Defensive read: a concurrent eviction cycle may stage this entry
+        # away between the check and the footer read — recompute via the
+        # miss path instead of surfacing FileNotFound to the caller.
+        try:
+            out = spark.read.parquet(dest)
+            _touch(dest)
+            return CacheResult(df=out, hit=True, cacheable=True, fingerprint=fp)
+        except Exception:
+            pass
     # Concurrent misses on one fingerprint must not interleave delete-then-
     # write sequences under one directory: materialize into a writer-unique
     # temp dir, then atomically promote via rename. Outcomes:
     #   * rename wins            -> serve dest, nothing to clean;
     #   * loser (dest complete)  -> drop own temp, serve the winner's
     #     identical-fingerprint copy;
-    #   * dest torn (no _SUCCESS: a pre-temp-dir-era crash) -> clear the
-    #     wreck and retry the promotion once; if another racer beat us to
-    #     the retry, fall back to serving the private temp dir.
+    #   * dest torn (no _SUCCESS: a crashed pre-temp-dir-era writer) ->
+    #     clear the wreck and retry the promotion ONCE, serialized by an
+    #     O_EXCL lock file: without the lock, two racers' check-then-clear
+    #     sequences can interleave so that one rmtrees the dir the other
+    #     just promoted complete (the r8 advisor's TOCTOU). Under the lock
+    #     the _SUCCESS state is re-checked, and the wreck is renamed ASIDE
+    #     rather than rmtree'd in place, so even the unlocked first-rename
+    #     path can never have a complete dir deleted under it. A racer that
+    #     cannot take the lock serves its private temp dir (the age sweep
+    #     reclaims it later).
     tmp = f"{dest}.tmp-{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(tmp)
     serve = tmp
@@ -224,18 +409,45 @@ def cached(df: DataFrame, cache_dir: str) -> CacheResult:
             shutil.rmtree(tmp, ignore_errors=True)
             serve = dest
         else:
-            shutil.rmtree(dest, ignore_errors=True)
+            lock = f"{dest}.lock"
             try:
-                os.rename(tmp, dest)
-                serve = dest
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
             except OSError:
-                serve = (
-                    dest
-                    if os.path.exists(os.path.join(dest, "_SUCCESS"))
-                    else tmp
-                )
-                if serve == dest:
-                    shutil.rmtree(tmp, ignore_errors=True)
+                pass  # another racer owns the cleanup; keep serving our tmp
+            else:
+                try:
+                    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+                        # A winner promoted between our first check and the
+                        # lock: NEVER clear it (the TOCTOU fix).
+                        shutil.rmtree(tmp, ignore_errors=True)
+                        serve = dest
+                    else:
+                        try:
+                            os.rename(dest, f"{dest}.evicted-{uuid.uuid4().hex}")
+                        except OSError:
+                            pass  # wreck vanished under us; promotion decides
+                        try:
+                            os.rename(tmp, dest)
+                            serve = dest
+                        except OSError:
+                            if os.path.exists(os.path.join(dest, "_SUCCESS")):
+                                shutil.rmtree(tmp, ignore_errors=True)
+                                serve = dest
+                finally:
+                    try:
+                        os.unlink(lock)
+                    except OSError:
+                        pass
+    evicted = 0
+    if serve == dest:
+        _touch(dest)
+        if max_bytes is not None:
+            evicted = evict_to_budget(cache_dir, max_bytes, protect=fp).staged_evictions
     return CacheResult(
-        df=spark.read.parquet(serve), hit=False, cacheable=True, fingerprint=fp
+        df=spark.read.parquet(serve),
+        hit=False,
+        cacheable=True,
+        fingerprint=fp,
+        evicted=evicted,
     )

@@ -137,7 +137,9 @@ def _reject_non_query(spark, sql: str) -> str | None:
     return None
 
 
-def _maybe_cached(df, req: dict, cache_dir: str | None):
+def _maybe_cached(
+    df, req: dict, cache_dir: str | None, cache_max_bytes: "int | None" = None
+):
     """Opt-in result cache for a request: with {"cache": true} on a server
     started with a cache_dir, the FULL result is served from / materialized
     into the plan-fingerprint cache (io/resultcache.py — nondeterministic
@@ -149,12 +151,20 @@ def _maybe_cached(df, req: dict, cache_dir: str | None):
         return df, None
     from streamds_spark.io.resultcache import cached
 
-    res = cached(df, cache_dir)
-    return res.df, {"cache_hit": res.hit, "cacheable": res.cacheable}
+    res = cached(df, cache_dir, max_bytes=cache_max_bytes)
+    info = {"cache_hit": res.hit, "cacheable": res.cacheable}
+    if res.evicted:
+        info["evicted"] = res.evicted
+    return res.df, info
 
 
 def _run_request(
-    spark, default_sf_dir: str, req: dict, pool: str, cache_dir: str | None = None
+    spark,
+    default_sf_dir: str,
+    req: dict,
+    pool: str,
+    cache_dir: str | None = None,
+    cache_max_bytes: "int | None" = None,
 ) -> dict:
     if req.get("cmd") == "ping":
         return {"ok": True, "pong": True}
@@ -210,7 +220,9 @@ def _run_request(
         if not isinstance(limit, int) or not (1 <= limit <= MAX_LIMIT):
             return {"ok": False, "error": f"limit must be an int in [1, {MAX_LIMIT}]"}
         with scheduler_pool(spark, pool):
-            df, cache_info = _maybe_cached(spark.sql(sql), req, cache_dir)
+            df, cache_info = _maybe_cached(
+                spark.sql(sql), req, cache_dir, cache_max_bytes
+            )
             rows = df.limit(limit + 1).collect()
         truncated = len(rows) > limit
         rows = rows[:limit]
@@ -452,7 +464,9 @@ def _run_request(
     # per-connection FAIR pool: concurrent tenants each get a fair share of
     # the executor slots (thread-scoped local property, see session.py)
     with scheduler_pool(spark, pool):
-        df, cache_info = _maybe_cached(specs[name].fn(spark, sf_dir), req, cache_dir)
+        df, cache_info = _maybe_cached(
+            specs[name].fn(spark, sf_dir), req, cache_dir, cache_max_bytes
+        )
         rows = df.limit(limit + 1).collect()
     truncated = len(rows) > limit
     rows = rows[:limit]
@@ -557,6 +571,7 @@ class QueryServer(socketserver.ThreadingTCPServer):
         port: int = 0,
         timeout_s: float | None = None,
         cache_dir: str | None = None,
+        cache_max_bytes: int | None = None,
         audit_log: str | None = None,
         max_inflight: int | None = None,
         max_inflight_per_tenant: int | None = None,
@@ -565,6 +580,10 @@ class QueryServer(socketserver.ThreadingTCPServer):
         self.sf_dir = sf_dir
         self.timeout_s = timeout_s  # default per-request deadline (None = off)
         self.cache_dir = cache_dir  # enables opt-in {"cache": true} serving
+        # byte budget for that cache: every promotion LRU-evicts down to it
+        # (io/resultcache.evict_to_budget) so a long-lived server's cache dir
+        # cannot grow without bound as literals/inputs churn fingerprints
+        self.cache_max_bytes = cache_max_bytes
         self.audit_log = audit_log  # JSONL flight recorder (one line/request)
         # admission control: timeouts bound one request's CPU, but nothing
         # else bounds CONCURRENT data-bearing requests — every connection
@@ -680,7 +699,14 @@ class QueryServer(socketserver.ThreadingTCPServer):
                 timer = threading.Timer(float(timeout_s), _fire)
                 timer.daemon = True
                 timer.start()
-            return _run_request(self.spark, self.sf_dir, req, pool, self.cache_dir)
+            return _run_request(
+                self.spark,
+                self.sf_dir,
+                req,
+                pool,
+                self.cache_dir,
+                self.cache_max_bytes,
+            )
         except Exception as e:  # noqa: BLE001
             if state["timeout"]:
                 return {
@@ -844,7 +870,23 @@ class QueryServer(socketserver.ThreadingTCPServer):
                 "rejected_busy": self._rejected,
                 "max_inflight": self.max_inflight,
                 "max_inflight_per_tenant": self.max_inflight_per_tenant,
+                "result_cache": self._cache_status(),
             }
+
+    def _cache_status(self) -> "dict | None":
+        """Committed-entry census of the result cache (None when disabled).
+        Read-only walk outside the stats lock — the census stats files, it
+        never runs jobs or takes the promotion/eviction paths."""
+        if self.cache_dir is None:
+            return None
+        from streamds_spark.io.resultcache import cache_census
+
+        c = cache_census(self.cache_dir)
+        return {
+            "entries": c.entries,
+            "bytes": c.bytes,
+            "max_bytes": self.cache_max_bytes,
+        }
 
 
 def start_server(
@@ -854,6 +896,7 @@ def start_server(
     port: int = 0,
     timeout_s: float | None = None,
     cache_dir: str | None = None,
+    cache_max_bytes: int | None = None,
     audit_log: str | None = None,
     max_inflight: int | None = None,
     max_inflight_per_tenant: int | None = None,
@@ -867,6 +910,7 @@ def start_server(
         port=port,
         timeout_s=timeout_s,
         cache_dir=cache_dir,
+        cache_max_bytes=cache_max_bytes,
         audit_log=audit_log,
         max_inflight=max_inflight,
         max_inflight_per_tenant=max_inflight_per_tenant,

@@ -235,3 +235,155 @@ def test_appendlog_manifest_keying_survives_compaction(spark, tmp_path):
     appendlog.merge(spark, log)
     e = cached(q(), cache)
     assert e.hit and e.fingerprint == d.fingerprint
+
+
+def test_eviction_lru_budget_and_hit_refreshes_recency(spark, tmp_path):
+    """Over-budget insert stages out the least-recently TOUCHED entry; a hit
+    refreshes recency, so the hit-warm entry survives while the cold one is
+    evicted; a reader of the evicted fingerprint recomputes cleanly."""
+    import os
+
+    from streamds_spark.io import resultcache as rc
+
+    cache = str(tmp_path / "cache")
+    src = f"{SF}/orders.parquet"
+    a = cached(_q(spark, src, "1-URGENT"), cache)
+    b = cached(_q(spark, src, "5-LOW"), cache)
+    want_a = {(r["o_orderstatus"], r["cnt"]) for r in a.df.collect()}
+    dest_a = os.path.join(cache, a.fingerprint)
+    dest_b = os.path.join(cache, b.fingerprint)
+    # back-date BOTH touch markers, then HIT b: recency order becomes a < b
+    past = time.time() - 1000
+    for d in (dest_a, dest_b):
+        os.utime(os.path.join(d, rc._TOUCH), (past, past))
+    assert cached(_q(spark, src, "5-LOW"), cache).hit  # refreshes b
+    s_a, s_b = rc._dir_bytes(dest_a), rc._dir_bytes(dest_b)
+    # budget fits ~two entries: inserting c must evict exactly the LRU (a)
+    c = cached(_q(spark, src, "2-HIGH"), cache, max_bytes=int((s_a + s_b) * 1.2))
+    assert c.evicted == 1
+    assert not os.path.exists(dest_a), "LRU entry should be staged out"
+    assert os.path.exists(os.path.join(dest_b, "_SUCCESS")), "hit-warm survives"
+    assert os.path.exists(os.path.join(cache, c.fingerprint, "_SUCCESS"))
+    # the staged dir is still on disk (grace), out of the fingerprint namespace
+    staged = [d for d in os.listdir(cache) if d.startswith(a.fingerprint + ".evicted-")]
+    assert len(staged) == 1
+    # evicted fingerprint recomputes cleanly and re-enters the cache
+    a2 = cached(_q(spark, src, "1-URGENT"), cache)
+    assert not a2.hit and a2.fingerprint == a.fingerprint
+    assert {(r["o_orderstatus"], r["cnt"]) for r in a2.df.collect()} == want_a
+
+
+def test_evicted_staging_grace_then_reclaim(spark, tmp_path, monkeypatch):
+    """A staged .evicted-* dir survives the grace window (an in-flight reader
+    finishes its scan) and is physically reclaimed by a later cycle."""
+    import os
+
+    from streamds_spark.io import resultcache as rc
+
+    cache = str(tmp_path / "cache")
+    a = cached(_q(spark, f"{SF}/orders.parquet"), cache)
+    dest = os.path.join(cache, a.fingerprint)
+    stats = rc.evict_to_budget(cache, 0)  # stage everything out
+    assert stats.staged_evictions == 1 and stats.evicted_fingerprints == [a.fingerprint]
+    staged = [d for d in os.listdir(cache) if ".evicted-" in d]
+    assert len(staged) == 1 and not os.path.exists(dest)
+    # within grace: a second cycle does NOT delete the staged bytes
+    s2 = rc.evict_to_budget(cache, 0)
+    assert s2.deleted_evictions == 0
+    assert [d for d in os.listdir(cache) if ".evicted-" in d] == staged
+    # after grace: reclaimed
+    monkeypatch.setattr(rc, "_EVICT_GRACE_S", 0.0)
+    time.sleep(0.05)
+    s3 = rc.evict_to_budget(cache, 0)
+    assert s3.deleted_evictions == 1
+    assert [d for d in os.listdir(cache) if ".evicted-" in d] == []
+
+
+def test_stale_tmp_sweep(spark, tmp_path):
+    """Abandoned writer temp dirs (crash between materialize and rename, or a
+    losing racer's private copy) are swept by age on later cached() calls;
+    a FRESH temp — possibly still being served — is left alone."""
+    import os
+
+    from streamds_spark.io import resultcache as rc
+
+    cache = str(tmp_path / "cache")
+    os.makedirs(cache)
+    old = os.path.join(cache, "deadbeef.tmp-old")
+    fresh = os.path.join(cache, "deadbeef.tmp-fresh")
+    for d in (old, fresh):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "w") as f:
+            f.write("x")
+    past = time.time() - rc._TMP_SWEEP_AGE_S - 10
+    os.utime(old, (past, past))
+    cached(_q(spark, f"{SF}/orders.parquet"), cache)  # any call sweeps
+    assert not os.path.exists(old), "stale temp should be swept"
+    assert os.path.exists(fresh), "fresh temp must survive (may be serving)"
+
+
+def test_torn_dest_cleanup_is_lock_serialized(spark, tmp_path):
+    """The torn-dest retry is serialized by an O_EXCL lock: a racer that
+    cannot take the lock serves its private temp and NEVER touches dest (the
+    r8 TOCTOU — rmtree of a dir another racer just promoted complete); once
+    the lock is free the next miss cleans and promotes normally."""
+    import os
+
+    from streamds_spark.io import resultcache as rc
+
+    cache = str(tmp_path / "cache")
+    src = f"{SF}/orders.parquet"
+    a = cached(_q(spark, src), cache)
+    want = {(r["o_orderstatus"], r["cnt"]) for r in a.df.collect()}
+    dest = os.path.join(cache, a.fingerprint)
+    os.remove(os.path.join(dest, "_SUCCESS"))  # torn wreck
+    torn_files = sorted(os.listdir(dest))
+    lock = dest + ".lock"
+    with open(lock, "w"):
+        pass  # another racer owns the cleanup
+    b = cached(_q(spark, src), cache)
+    assert not b.hit
+    assert {(r["o_orderstatus"], r["cnt"]) for r in b.df.collect()} == want
+    # dest untouched: still torn, same files, no _SUCCESS — nothing deleted
+    assert sorted(os.listdir(dest)) == torn_files
+    assert os.path.exists(lock)
+    # lock released: the next miss cleans the wreck and promotes
+    os.remove(lock)
+    c = cached(_q(spark, src), cache)
+    assert not c.hit
+    assert os.path.exists(os.path.join(dest, "_SUCCESS"))
+    assert cached(_q(spark, src), cache).hit
+    # TOCTOU guard inside the lock: when dest gains _SUCCESS before the lock
+    # is taken, the cleanup must serve it, never clear it
+    marker = os.path.join(dest, rc._TOUCH)
+    os.utime(marker, None)
+    d = cached(_q(spark, src), cache)
+    assert d.hit and os.path.exists(os.path.join(dest, "_SUCCESS"))
+
+
+def test_single_overbudget_entry_is_protected_from_itself(spark, tmp_path):
+    """A promotion whose result alone exceeds the budget must not evict
+    itself out from under its own writer — it is served, and becomes
+    LRU-eligible on the NEXT cycle."""
+    import os
+
+    cache = str(tmp_path / "cache")
+    src = f"{SF}/orders.parquet"
+    a = cached(_q(spark, src, "1-URGENT"), cache, max_bytes=1)
+    assert a.evicted == 0
+    assert os.path.exists(os.path.join(cache, a.fingerprint, "_SUCCESS"))
+    assert a.df.count() > 0
+    b = cached(_q(spark, src, "5-LOW"), cache, max_bytes=1)
+    assert b.evicted == 1  # the previous over-budget entry goes
+    assert not os.path.exists(os.path.join(cache, a.fingerprint))
+    assert os.path.exists(os.path.join(cache, b.fingerprint, "_SUCCESS"))
+
+
+def test_cache_census(spark, tmp_path):
+    from streamds_spark.io.resultcache import cache_census
+
+    cache = str(tmp_path / "cache")
+    assert cache_census(cache).entries == 0
+    cached(_q(spark, f"{SF}/orders.parquet"), cache)
+    c = cache_census(cache)
+    assert c.entries == 1 and c.bytes > 0

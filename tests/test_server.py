@@ -734,3 +734,39 @@ def test_admission_control_per_tenant_cap(spark):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_result_cache_budget_and_status(spark, tmp_path):
+    """A cache_max_bytes server evicts LRU on promotion (response reports the
+    staged count) and status() carries the committed-entry census; a server
+    without a cache_dir reports result_cache: null."""
+    from streamds_spark.server import start_server as _ss
+
+    server = _ss(spark, SF, cache_dir=str(tmp_path / "cache"), cache_max_bytes=1)
+    host, port = server.server_address[:2]
+    try:
+        r1 = request(
+            host, port,
+            {"sql": "SELECT count(*) AS c FROM orders", "cache": True},
+        )
+        assert r1["ok"] and r1["cache_hit"] is False and "evicted" not in r1
+        r2 = request(
+            host, port,
+            {"sql": "SELECT count(*) AS c FROM lineitem", "cache": True},
+        )
+        assert r2["ok"] and r2.get("evicted") == 1  # first entry staged out
+        st = request(host, port, {"cmd": "status"})["status"]
+        rc = st["result_cache"]
+        assert rc["entries"] == 1 and rc["bytes"] > 0 and rc["max_bytes"] == 1
+    finally:
+        server.shutdown()
+        server.server_close()
+
+    plain = _ss(spark, SF)
+    host, port = plain.server_address[:2]
+    try:
+        st = request(host, port, {"cmd": "status"})["status"]
+        assert st["result_cache"] is None
+    finally:
+        plain.shutdown()
+        plain.server_close()
