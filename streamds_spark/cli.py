@@ -252,6 +252,14 @@ def main(argv: list[str] | None = None) -> int:
         "(plan-fingerprint keyed; nondeterministic plans never cached)",
     )
     sv.add_argument(
+        "--cache-max-bytes",
+        type=int,
+        default=None,
+        help="byte budget for --cache-dir: every promotion LRU-evicts the "
+        "least-recently-hit entries down to this total (staged rename + "
+        "grace window — in-flight readers finish their scan)",
+    )
+    sv.add_argument(
         "--max-inflight",
         type=int,
         default=None,
@@ -871,6 +879,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.stratify is not None:
             if args.stratify not in df.columns:
                 parser.error(f"no column {args.stratify!r} in {args.table}")
+            # the draw collects k rows PER stratum — a high-cardinality
+            # stratify column (doc_id!) would make the driver collect
+            # k x cardinality rows; hold the total to the same 10^4 row
+            # cap the server uses (one cheap distinct-count job up front)
+            n_strata = df.select(args.stratify).distinct().count()
+            if args.k * n_strata > 10_000:
+                parser.error(
+                    f"--stratify {args.stratify!r} has {n_strata} distinct "
+                    f"values: k={args.k} would collect {args.k * n_strata} "
+                    "rows (cap 10000) — pick a coarser column or smaller -k"
+                )
             rows = (
                 stratified_bottomk(df, args.stratify, args.key, args.k)
                 .orderBy(args.stratify, "h")
@@ -891,6 +910,7 @@ def main(argv: list[str] | None = None) -> int:
             port=args.port,
             timeout_s=args.timeout_s,
             cache_dir=args.cache_dir,
+            cache_max_bytes=args.cache_max_bytes,
             audit_log=args.audit_log,
             max_inflight=args.max_inflight,
             max_inflight_per_tenant=args.max_inflight_per_tenant,

@@ -41,9 +41,23 @@ from pyspark.sql import functions as F
 from streamds_spark.functions.hashing import md5_int60
 
 
+def _reject_reserved(df: DataFrame, cols: "tuple[str, ...]") -> None:
+    """The samplers ADD output columns (`h`, transiently `rn`); an input
+    that already carries one would be silently clobbered by withColumn —
+    wrong sample, wrong output — so refuse loudly (callers pass arbitrary
+    catalog tables via the CLI sample verb)."""
+    clash = [c for c in cols if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {clash} — the sampler reserves "
+            "them for its hash/rank output; rename or drop them first"
+        )
+
+
 def bottomk_sample(df: DataFrame, key_col: str, k: int) -> DataFrame:
     """The k rows with smallest md5_int60(key): (…df columns, h bigint).
     Deterministic, engine-independent, uniform over distinct keys."""
+    _reject_reserved(df, ("h",))
     return (
         df.withColumn("h", md5_int60(F.col(key_col)))
         .orderBy("h", key_col)
@@ -68,6 +82,7 @@ def stratified_bottomk(
     window; per-stratum state is k rows, also mergeable stratum-wise."""
     from pyspark.sql import Window
 
+    _reject_reserved(df, ("h", "rn"))
     w = Window.partitionBy(strata_col).orderBy("h", key_col)
     return (
         df.withColumn("h", md5_int60(F.col(key_col)))

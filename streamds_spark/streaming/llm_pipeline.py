@@ -551,8 +551,21 @@ def corpus_sample(
     bottom-k stores: union every committed batch's k-row sample, keep the k
     smallest hashes — row-identical to a one-pass bottom-k over the whole
     kept corpus (the KMV merge property), at a read cost of k rows per
-    committed dir regardless of corpus size. Empty store -> 0 rows."""
+    committed dir regardless of corpus size. Empty store -> 0 rows.
+
+    k must be <= SAMPLE_K (the per-batch store size): each store holds only
+    its batch's bottom SAMPLE_K rows, so a larger k would fold to something
+    that is NOT the true global bottom-k — refused loudly rather than
+    returned silently non-uniform."""
     from streamds_spark.operators.sampling import bottomk_merge
+
+    if k > SAMPLE_K:
+        raise ValueError(
+            f"k={k} exceeds the per-batch store size SAMPLE_K={SAMPLE_K}: "
+            "the merged sample is only the true global bottom-k for "
+            "k <= SAMPLE_K (re-run the stream with a larger SAMPLE_K "
+            "to draw more)"
+        )
 
     paths = CorpusStreamPaths(work_dir)
     dirs = _committed_store_dirs(paths.sample_store, 2**62)

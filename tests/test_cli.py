@@ -500,3 +500,13 @@ def test_cli_sample_verb(spark, capsys):
     with pytest.raises(SystemExit):
         _run(["sample", "documents", "doc_id", "/root/testdata/sf0.001",
               "-k", "0"])
+
+
+def test_cli_sample_stratify_cardinality_guard(spark):
+    """--stratify collects k rows PER stratum: a high-cardinality column
+    (doc_id) must be refused up front, not collect k x cardinality rows."""
+    import pytest
+
+    with pytest.raises(SystemExit):
+        _run(["sample", "documents", "doc_id", "/root/testdata/sf0.001",
+              "-k", "100", "--stratify", "doc_id"])

@@ -512,3 +512,15 @@ def test_streaming_corpus_sample(spark, tmp_path):
         for r in corpus_sample(spark, work_dir).orderBy("h", "doc_id").collect()
     ]
     assert after == got
+
+
+def test_corpus_sample_k_over_store_size_refused(spark, tmp_path):
+    """corpus_sample(k > SAMPLE_K) cannot be the true global bottom-k (each
+    per-batch store holds only its batch's bottom SAMPLE_K rows) — it must
+    raise, never silently return a non-uniform draw."""
+    import pytest
+
+    from streamds_spark.streaming.llm_pipeline import SAMPLE_K, corpus_sample
+
+    with pytest.raises(ValueError, match="SAMPLE_K"):
+        corpus_sample(spark, str(tmp_path / "work"), k=SAMPLE_K + 1)

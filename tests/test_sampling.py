@@ -89,3 +89,23 @@ def test_hash_parity_with_duckdb(spark):
         "FROM t ORDER BY h, doc_id LIMIT 30"
     ).fetchall()
     assert got == [tuple(r) for r in want]
+
+
+def test_reserved_output_columns_are_refused(spark):
+    """An input already carrying `h` (or `rn` for the stratified draw) would
+    be silently clobbered by the hash/rank projection — wrong sample, wrong
+    output — so the samplers refuse it loudly (the CLI passes arbitrary
+    catalog tables)."""
+    import pytest
+
+    df_h = spark.createDataFrame([(1, 99)], "k int, h int")
+    with pytest.raises(ValueError, match="h"):
+        bottomk_sample(df_h, "k", 5)
+    with pytest.raises(ValueError, match="h"):
+        stratified_bottomk(df_h, "k", "k", 5)
+    df_rn = spark.createDataFrame([(1, 99)], "k int, rn int")
+    with pytest.raises(ValueError, match="rn"):
+        stratified_bottomk(df_rn, "k", "k", 5)
+    # clean inputs still sample
+    clean = spark.createDataFrame([(i,) for i in range(10)], "k int")
+    assert bottomk_sample(clean, "k", 3).count() == 3
