@@ -197,9 +197,33 @@ def _live_chunk_files(path: str, gen_dir: str | None) -> list[str]:
     return sorted(out)
 
 
+def delete_keys(
+    spark: SparkSession, path: str, key_col: str, keys, fold_after: int = 0
+) -> str:
+    """Takedown: tombstone rows of this log by key (io/tombstones.py). The
+    delete is an APPEND — a small committed parquet of keys — honored by
+    every reader (`get`, `read_ordered`, `get_at`) as an anti-join from the
+    moment it commits, and physically folded by the next `merge` (the
+    rewrite filters the generation; the manifest gains a `del:` identity
+    line so the result cache can never serve a pre-delete result as the
+    post-fold read). `fold_after` carries the replay frontier for streaming
+    logs (see tombstones module doc); the default 0 is the single-writer
+    batch semantics: foldable by any merge."""
+    from streamds_spark.io import tombstones
+
+    return tombstones.add(spark, path, key_col, keys, fold_after=fold_after)
+
+
+def _apply_tombstones(df: DataFrame, path: str) -> DataFrame:
+    from streamds_spark.io import tombstones
+
+    return tombstones.apply(df, path)
+
+
 def get(spark: SparkSession, path: str) -> DataFrame:
     """GET: full view with per-client ordering columns (_client, _seq) —
-    the live generation (if any) plus chunks appended since it was cut.
+    the live generation (if any) plus chunks appended since it was cut,
+    minus any tombstoned keys (delete_keys).
 
     ONE parquet relation over the explicit file list (not a union of
     generation ∪ chunks): all files share the schema by construction (the
@@ -214,7 +238,7 @@ def get(spark: SparkSession, path: str) -> DataFrame:
         files.extend(_glob.glob(os.path.join(gen_dir, "data", "*.parquet")))
     if not files:  # empty log: preserve the pre-generations error behavior
         return spark.read.parquet(os.path.join(path, "chunks"))
-    return spark.read.parquet(*sorted(files))
+    return _apply_tombstones(spark.read.parquet(*sorted(files)), path)
 
 
 def file_logical_identity(file_path: str) -> tuple[str, list[str]] | None:
@@ -266,7 +290,12 @@ def file_logical_identity(file_path: str) -> tuple[str, list[str]] | None:
     return None
 
 
-def merge(spark: SparkSession, path: str, keep_generations: int = 2) -> None:
+def merge(
+    spark: SparkSession,
+    path: str,
+    keep_generations: int = 2,
+    tombstone_upto: int | None = 0,
+) -> None:
     """MERGE: compact into a single ordered table — per-client append order
     preserved, cross-client order deterministic-but-arbitrary (client id
     order), matching the reference's mergeFile guarantee.
@@ -280,7 +309,20 @@ def merge(spark: SparkSession, path: str, keep_generations: int = 2) -> None:
     keep_generations retains that many newest committed generations (the live
     one included) as immutable snapshots readable via get_at — each is the
     log's state as of its merge point, so retention = time travel depth.
-    """
+
+    Tombstone folding (delete_keys): the new generation is written with
+    every committed tombstone's keys FILTERED OUT — the physical removal —
+    and the manifest gains one `del:<dir>` line per applied tombstone so the
+    generation's logical identity (and therefore every result-cache
+    fingerprint over it) differs from the pre-delete log's. Tombstone dirs
+    whose replay frontier the fold covers (`fold_after <= tombstone_upto`;
+    `None` folds all — single-writer batch logs with no replay source) are
+    then staged and reclaimed one merge cycle later, the same grace readers
+    of subsumed chunks get. NOTE: time-travel generations retained by
+    keep_generations were written pre-delete; get_at applies live tombstones
+    on top, so a snapshot never resurfaces a taken-down key either."""
+    from streamds_spark.io import tombstones as _tomb
+
     old_gen = _current_generation(path)
     snapshot = _live_chunk_files(path, old_gen)
     open(os.path.join(path, "_APPENDLOG"), "w").close()  # upgrade pre-marker logs
@@ -288,6 +330,10 @@ def merge(spark: SparkSession, path: str, keep_generations: int = 2) -> None:
     gen = f"g-{time.monotonic_ns()}"
     gen_dir = os.path.join(path, "generations", gen)
     os.makedirs(gen_dir, exist_ok=True)
+
+    # tombstone dirs snapshotted BEFORE the rewrite: only these are applied,
+    # only these may be staged — a delete committing mid-merge stays live
+    tomb_dirs = [d for d, _ in _tomb.committed_dirs(path)]
 
     parts = []
     if old_gen is not None:
@@ -300,6 +346,13 @@ def merge(spark: SparkSession, path: str, keep_generations: int = 2) -> None:
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
+    if tomb_dirs:
+        tkeys = spark.read.parquet(*tomb_dirs)
+        df = df.join(
+            tkeys.select(tkeys.schema.fieldNames()[0]).distinct(),
+            on=tkeys.schema.fieldNames()[0],
+            how="left_anti",
+        )
     df.orderBy("_client", "_seq", "_pos").write.parquet(os.path.join(gen_dir, "data"))
 
     # manifest BEFORE the pointer swap: a reader that sees the new CURRENT
@@ -324,6 +377,13 @@ def merge(spark: SparkSession, path: str, keep_generations: int = 2) -> None:
             new_entries.add("dir:" + parent)
         else:
             new_entries.add(rel)
+    # applied tombstones are CONTENT: the generation's rows differ from the
+    # raw union of its chunks, so its identity must too (del: lines make the
+    # post-fold read fingerprint differently from the pre-delete log even
+    # after the tombstone dirs themselves are reclaimed)
+    new_entries.update(
+        "del:" + os.path.basename(d) for d in tomb_dirs
+    )
     manifest_entries = prev_merged | new_entries
     with open(os.path.join(gen_dir, "merged_chunks.txt"), "w") as f:
         for name in sorted(manifest_entries):
@@ -382,6 +442,27 @@ def merge(spark: SparkSession, path: str, keep_generations: int = 2) -> None:
             shutil.rmtree(d, ignore_errors=True)
     for stale in list_generations(path)[: -max(1, keep_generations)]:
         shutil.rmtree(os.path.join(path, "generations", stale), ignore_errors=True)
+    # tombstone GC: only dirs this fold APPLIED (the pre-rewrite snapshot)
+    # and whose replay frontier it covers are staged; the physical delete
+    # happens one merge cycle later (gc_then_stage's grace), during which
+    # readers keep anti-joining them — double-filtering already-removed
+    # keys is a no-op
+    # retention alignment: the one-cycle grace (staged now, deleted next
+    # merge) reclaims a tombstone exactly when the last PRE-DELETE
+    # generation rotates out under keep_generations=2 (live + previous), so
+    # get_at can never read pre-delete data without the tombstone to filter
+    # it. Deeper retention keeps pre-delete snapshots longer than the
+    # grace, so tombstones must then stay live with them.
+    folded_tombs = (
+        [
+            d
+            for d in tomb_dirs
+            if d in set(_tomb.eligible_dirs(path, tombstone_upto))
+        ]
+        if keep_generations <= 2
+        else []
+    )
+    _tomb.gc_then_stage(path, folded_tombs)
     for marker in os.listdir(path):
         if marker.startswith(".append-"):
             os.remove(os.path.join(path, marker))
@@ -417,4 +498,8 @@ def get_at(spark: SparkSession, path: str, generation: str) -> DataFrame:
             f"generation {generation!r} not committed in {path} "
             f"(have: {list_generations(path)})"
         )
-    return spark.read.parquet(os.path.join(gen_dir, "data"))
+    # takedown reaches snapshots too: a tombstoned key must not be readable
+    # through time travel — that is the POINT of a takedown
+    return _apply_tombstones(
+        spark.read.parquet(os.path.join(gen_dir, "data")), path
+    )

@@ -146,6 +146,39 @@ def _read_index(spark: SparkSession, dirs: list[str]) -> DataFrame:
     return df
 
 
+def delete_vectors(
+    spark: SparkSession, path: str, vec_ids, quiesced: bool = False
+) -> str:
+    """Takedown for the incremental vector stores (hyperplane AND IVF — the
+    layout is shared): tombstone `vec_ids` (io/tombstones.py). Probes
+    anti-join the tombstoned ids from the moment the tombstone commits; the
+    next compaction folds them physically and reclaims the tombstone one
+    pass later. fold_after is the first replayable batch (max committed
+    + 1): a replay can rewrite the newest dir with pre-delete rows, so the
+    tombstone outlives it until a fold covers that batch too; quiesced=True
+    asserts no writer stream exists (batch-built index), letting the next
+    fold reclaim immediately."""
+    from streamds_spark.io import tombstones
+
+    fold_after = max(
+        (
+            int(os.path.basename(d).split("=", 1)[1])
+            for d in _committed_dirs(path)
+            if os.path.basename(d).startswith("batch=")
+        ),
+        default=-1,
+    ) + (0 if quiesced else 1)
+    return tombstones.add(
+        spark, path, "vec_id", vec_ids, fold_after=fold_after
+    )
+
+
+def _apply_tombstones(df: DataFrame, path: str) -> DataFrame:
+    from streamds_spark.io import tombstones
+
+    return tombstones.apply(df, path)
+
+
 def ann_index_probe(
     spark: SparkSession,
     path: str,
@@ -155,7 +188,9 @@ def ann_index_probe(
 ) -> DataFrame:
     """Top-k by cosine over every committed batch/segment, reading ONLY the
     probe's bucket partitions of each (driver-side bucket ids -> partition
-    pruning per dir)."""
+    pruning per dir), minus any tombstoned ids (delete_vectors) — the
+    anti-join runs on the PRUNED subset, so takedown costs nothing at probe
+    time beyond a broadcast of the tombstone keys."""
     meta = load_index_meta(path)
     if len(qvec) != meta["dim"]:
         raise ValueError(f"vector dim {len(qvec)} != index dim {meta['dim']}")
@@ -164,7 +199,7 @@ def ann_index_probe(
     if idx_all is None:
         return spark.createDataFrame([], "vec_id bigint, label int, cos_sim double")
     q = F.array(*[F.lit(float(x)) for x in qvec])
-    idx = idx_all.filter(F.col("bucket").isin(buckets))
+    idx = _apply_tombstones(idx_all.filter(F.col("bucket").isin(buckets)), path)
     return (
         idx.select(
             "vec_id", "label", F.round(cosine(F.col("v"), q), 4).alias("cos_sim")
@@ -185,7 +220,12 @@ def compact_ann_index(spark: SparkSession, path: str) -> int:
 
 def _compact_store(spark: SparkSession, path: str, part_col: str) -> int:
     """Shared batch->segment fold for incremental vector stores; `part_col`
-    is the pruning partition column (hyperplane `bucket` or IVF `list_id`)."""
+    is the pruning partition column (hyperplane `bucket` or IVF `list_id`).
+    Tombstoned ids (delete_vectors) are filtered out of the rewrite — the
+    physical takedown — and tombstone dirs the fold fully covers are staged
+    and reclaimed one pass later (io/tombstones.py grace discipline)."""
+    from streamds_spark.io import tombstones
+
     dirs = _committed_dirs(path)
     batch_dirs = [d for d in dirs if os.path.basename(d).startswith("batch=")]
     # reclaim garbage from batches replayed AFTER a previous compaction:
@@ -207,10 +247,16 @@ def _compact_store(spark: SparkSession, path: str, part_col: str) -> int:
         if bid <= seg_hi:
             shutil.rmtree(d, ignore_errors=True)
     if not batch_dirs:
+        # reclaim tombstones a previous fold staged; stage nothing new (an
+        # un-rewritten store keeps anti-joining its live tombstones)
+        tombstones.gc_then_stage(path, [])
         return 0
+    tomb_dirs = [d for d, _ in tombstones.committed_dirs(path)]
     new_hi = max(int(os.path.basename(d).split("=", 1)[1]) for d in batch_dirs)
     old_segments = [d for d in dirs if os.path.basename(d).startswith("segment=")]
     folded = _read_index(spark, dirs)
+    if folded is not None:
+        folded = tombstones.apply(folded, path)
     if folded is None:
         # only committed-but-empty batches: nothing to materialize — reclaim
         # the empty dirs (a replay would recreate them, still empty)
@@ -224,6 +270,10 @@ def _compact_store(spark: SparkSession, path: str, part_col: str) -> int:
     )
     for d in batch_dirs + old_segments:
         shutil.rmtree(d, ignore_errors=True)
+    tombstones.gc_then_stage(
+        path,
+        [d for d in tomb_dirs if d in set(tombstones.eligible_dirs(path, new_hi))],
+    )
     return len(batch_dirs)
 
 

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from streamds_spark.functions.vectors import as_double, cosine
 from streamds_spark.operators.ann_incremental import (
+    _apply_tombstones,
     _committed_dirs,
     _compact_store,
     _read_index,
@@ -158,7 +159,7 @@ def ivf_index_probe(
         return spark.createDataFrame([], "vec_id bigint, label int, cos_sim double")
     q = F.array(*[F.lit(float(x)) for x in qvec])
     return (
-        idx_all.filter(F.col("list_id").isin(lists))
+        _apply_tombstones(idx_all.filter(F.col("list_id").isin(lists)), path)
         .select(
             "vec_id", "label", F.round(cosine(F.col("v"), q), 4).alias("cos_sim")
         )
@@ -190,6 +191,9 @@ def ivf_index_rebuild(
     idx = _read_index(spark, _committed_dirs(old_path))
     if idx is None:
         raise ValueError(f"nothing committed to rebuild at {old_path!r}")
+    # takedown: a rebuild must not resurrect tombstoned vectors — the fresh
+    # store is trained and populated from the post-delete view only
+    idx = _apply_tombstones(idx, old_path)
     emb = idx.drop("list_id").withColumnRenamed("v", "embedding")
     n = emb.count()
     ivf_index_append(emb, new_path, 0, n_lists=n_lists, max_iter=max_iter)

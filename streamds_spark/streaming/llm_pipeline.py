@@ -142,13 +142,25 @@ def _committed_store_dirs(root: str, before_batch: int) -> list[str]:
 
 
 def _seen_hashes(spark: SparkSession, paths: CorpusStreamPaths, batch_id: int) -> DataFrame | None:
+    from streamds_spark.io import tombstones
+
     dirs = _committed_store_dirs(paths.hash_store, batch_id)
-    return spark.read.parquet(*dirs) if dirs else None
+    if not dirs:
+        return None
+    # takedown: a deleted doc's content hash is tombstoned (delete_docs), so
+    # identical content arriving later is NOT silently dropped against a
+    # document that no longer exists
+    return tombstones.apply(spark.read.parquet(*dirs), paths.hash_store)
 
 
 def _corpus_buckets(spark: SparkSession, paths: CorpusStreamPaths, batch_id: int) -> DataFrame | None:
+    from streamds_spark.io import tombstones
+
     dirs = _committed_store_dirs(paths.bucket_store, batch_id)
-    return spark.read.parquet(*dirs) if dirs else None
+    if not dirs:
+        return None
+    # takedown: a deleted doc must stop being a near-dup candidate
+    return tombstones.apply(spark.read.parquet(*dirs), paths.bucket_store)
 
 
 def _durable_frontier(paths: CorpusStreamPaths) -> int:
@@ -173,7 +185,18 @@ def _compact_one_store(
     the new segment is invisible until its _SUCCESS lands (readers keep
     using the old segment + batch dirs), and GC of subsumed dirs is
     best-effort afterwards — a crash anywhere leaves a consistent view.
-    Returns the number of batch dirs folded (0 = nothing to do)."""
+    Returns the number of batch dirs folded (0 = nothing to do).
+
+    Tombstone folding: the rewrite filters out every committed tombstone's
+    keys (io/tombstones.py — written by delete_docs), which is where the
+    deleted bytes physically disappear; tombstone dirs whose replay
+    frontier the fold covers are staged and reclaimed one pass later. A
+    fully-quiesced store (no batch dirs to fold) keeps its tombstones live
+    — readers anti-join them, so the rows stay invisible; the physical
+    fold happens with the next batch fold (or rebuild_sketch_stores for
+    the register stores, which cannot subtract)."""
+    from streamds_spark.io import tombstones
+
     old_hi = _committed_segment_hi(root, upto_batch + 1)
     to_fold = []
     for d in _glob.glob(os.path.join(root, "batch=*")):
@@ -190,12 +213,17 @@ def _compact_one_store(
             # readers already skip it (bid <= segment hi); reclaim it
             shutil.rmtree(d, ignore_errors=True)
     if not to_fold:
+        # still reclaim tombstones a PREVIOUS fold staged (their keys are
+        # already physically gone from the segment); stage nothing new —
+        # an un-rewritten store must keep anti-joining its live tombstones
+        tombstones.gc_then_stage(root, [])
         return 0
+    tomb_dirs = [d for d, _ in tombstones.committed_dirs(root)]
     new_hi = max(bid for bid, _ in to_fold)
     parts = [d for _, d in to_fold]
     if old_hi >= 0:
         parts.append(os.path.join(root, f"segment={old_hi}"))
-    df = spark.read.parquet(*parts)
+    df = tombstones.apply(spark.read.parquet(*parts), root)
     if num_files is not None:
         df = df.coalesce(max(1, num_files))
     df.write.mode("overwrite").parquet(os.path.join(root, f"segment={new_hi}"))
@@ -204,6 +232,12 @@ def _compact_one_store(
         shutil.rmtree(d, ignore_errors=True)
     if old_hi >= 0:
         shutil.rmtree(os.path.join(root, f"segment={old_hi}"), ignore_errors=True)
+    folded = [
+        d
+        for d in tomb_dirs
+        if d in set(tombstones.eligible_dirs(root, upto_batch))
+    ]
+    tombstones.gc_then_stage(root, folded)
     return len(to_fold)
 
 
@@ -269,12 +303,31 @@ def compact_stores(
     if os.path.isdir(paths.sample_store):
         # bottom-k samples fold the same way: the union of per-batch k-row
         # samples is a valid un-folded sample state (readers re-take the k
-        # smallest), so the generic fold preserves the sample exactly
+        # smallest), so the generic fold preserves the sample exactly.
+        # Takedown erosion accounting: folding a tombstone physically
+        # removes its stored sample rows, but the exactness exposure it
+        # created (the batch's unstored tail) OUTLIVES the rows — persist
+        # the count so corpus_sample's guard keeps holding after the fold;
+        # rebuild_sketch_stores re-derives the sample and resets it.
+        from streamds_spark.io import tombstones as _tomb
+
+        pending = 0
+        dirs_now = _committed_store_dirs(paths.sample_store, 2**62)
+        if dirs_now and _tomb.committed_dirs(paths.sample_store):
+            pending = _tomb.suppressed_count(
+                spark, paths.sample_store, spark.read.parquet(*dirs_now)
+            )
         stats["sample_store"] = _compact_one_store(
             spark, paths.sample_store, upto_batch, num_files
         )
+        if pending and stats["sample_store"] > 0:
+            _bump_sample_erosion(paths.sample_store, pending)
     if merge_corpus:
-        appendlog.merge(spark, paths.corpus)
+        # tombstone_upto carries the fold's replay frontier into the corpus
+        # log's tombstone GC — a delete issued mid-stream is only reclaimed
+        # once every batch that could hold its pre-delete rows is merged
+        # and unreplayable
+        appendlog.merge(spark, paths.corpus, tombstone_upto=upto_batch)
     return stats
 
 
@@ -468,7 +521,11 @@ def chunk_sharing_report(spark: SparkSession, work_dir: str) -> DataFrame:
             [],
             "doc_id bigint, n_chunks bigint, n_shared bigint, shared_ratio double",
         )
-    chunks = spark.read.parquet(*dirs).localCheckpoint(eager=False)
+    from streamds_spark.io import tombstones
+
+    chunks = tombstones.apply(
+        spark.read.parquet(*dirs), paths.chunk_store
+    ).localCheckpoint(eager=False)
     sharing = chunks.groupBy(F.col("chunk_hash").alias("h")).agg(
         F.countDistinct("doc_id").alias("nd")
     )
@@ -567,11 +624,35 @@ def corpus_sample(
             "to draw more)"
         )
 
+    from streamds_spark.io import tombstones
+
     paths = CorpusStreamPaths(work_dir)
     dirs = _committed_store_dirs(paths.sample_store, 2**62)
     if not dirs:
         return spark.createDataFrame([], "doc_id bigint, h bigint")
-    return bottomk_merge(k, "doc_id", spark.read.parquet(*dirs))
+    stored = spark.read.parquet(*dirs)
+    # takedown exactness audit: deleting d of a batch's STORED sample rows
+    # exposes that batch's unstored tail — the merged result is the true
+    # bottom-k of the remaining corpus only while k + (deleted rows present
+    # in any one batch's stored sample) <= SAMPLE_K. The per-batch count is
+    # bounded by the GLOBAL count of tombstoned keys still in the store
+    # (cheap: the store is k rows per dir), so the conservative guard is
+    # k + global_hits <= SAMPLE_K; beyond it, refuse with the remedy rather
+    # than silently returning a non-uniform draw.
+    hits = tombstones.suppressed_count(
+        spark, paths.sample_store, stored
+    ) + _sample_erosion(paths.sample_store)
+    if hits and k + hits > SAMPLE_K:
+        raise ValueError(
+            f"corpus_sample(k={k}) after {hits} takedowns from the stored "
+            f"samples may miss rows beyond the per-batch bottom-{SAMPLE_K}: "
+            f"draw k <= {SAMPLE_K - hits}, or rebuild_sketch_stores (re-"
+            "derives the sample from the post-takedown corpus and restores "
+            "full-k exactness) — the guard is conservative and global"
+        )
+    return bottomk_merge(
+        k, "doc_id", tombstones.apply(stored, paths.sample_store)
+    )
 
 
 def corpus_report(spark: SparkSession, work_dir: str) -> DataFrame:
@@ -584,3 +665,221 @@ def corpus_report(spark: SparkSession, work_dir: str) -> DataFrame:
 
     docs = appendlog.get(spark, CorpusStreamPaths(work_dir).corpus)
     return pipeline_cap_report(docs.select("doc_id", "source", "n_toks"))
+
+
+# ---------------------------------------------------------------------------
+# takedown / delete propagation (round 9)
+# ---------------------------------------------------------------------------
+
+_EROSION_FILE = "_SAMPLE_EROSION.txt"
+
+
+def _sample_erosion(sample_store: str) -> int:
+    """Cumulative count of takedown keys whose stored sample rows have been
+    PHYSICALLY folded away — the exactness exposure that outlives the rows
+    themselves (corpus_sample's guard input)."""
+    try:
+        with open(os.path.join(sample_store, _EROSION_FILE)) as f:
+            return int(f.read().strip() or 0)
+    except (OSError, ValueError):
+        return 0
+
+
+def _bump_sample_erosion(sample_store: str, n: int) -> None:
+    total = _sample_erosion(sample_store) + int(n)
+    tmp = os.path.join(sample_store, _EROSION_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(f"{total}\n")
+    os.replace(tmp, os.path.join(sample_store, _EROSION_FILE))
+
+
+def _corpus_max_batch(paths: CorpusStreamPaths) -> int:
+    """Highest batch id whose rows can be in the corpus appendlog right now:
+    parsed from live chunk names (batch-N dirs / txn pointers) and the live
+    generation's manifest (dir:batch-N / txn:txnptr-client-N lines). This is
+    the honest frontier of a REBUILD's input — it can exceed the checkpoint's
+    durable frontier when an in-flight batch has appended but not yet
+    committed, and a rebuilt segment must dominate that batch's store dir or
+    its later replay-rewrite would double-count."""
+    best = -1
+    root = paths.corpus
+    names: set[str] = set()
+    chunks_root = os.path.join(root, "chunks")
+    if os.path.isdir(chunks_root):
+        names.update(os.listdir(chunks_root))
+    gen = appendlog._current_generation(root)  # noqa: SLF001 — same package
+    if gen is not None:
+        try:
+            with open(os.path.join(gen, "merged_chunks.txt")) as f:
+                for line in f:
+                    entry = line.strip()
+                    if entry.startswith("dir:"):
+                        names.add(entry[len("dir:") :])
+                    elif entry.startswith("txn:"):
+                        names.add(entry[len("txn:") :])
+        except OSError:
+            pass
+    for name in names:
+        # batch-<client>-<bid:09d> dirs (append_batch) and
+        # txnptr-<client>-<bid> pointers (append_batch_txn) both end in the
+        # batch id after the last dash
+        if name.startswith(("batch-", "txnptr-", ".txn-")):
+            tail = name.rsplit("-", 1)[-1]
+            if tail.isdigit():
+                best = max(best, int(tail))
+    return best
+
+
+def delete_docs(
+    spark: SparkSession, work_dir: str, doc_ids, quiesced: bool = False
+) -> dict:
+    """Takedown: propagate a document deletion through EVERY persistent
+    store the continuous pipeline keeps. The delete is an append (a small
+    committed tombstone parquet per store, io/tombstones.py), honored by
+    all readers immediately and physically folded at the next compaction:
+
+      corpus appendlog   anti-joined by appendlog.get / corpus_report /
+                         get_at time travel; folded by appendlog.merge
+                         (manifest `del:` lines keep the result cache from
+                         ever serving a pre-delete read)
+      hash_store         tombstoned by the deleted docs' CONTENT hashes —
+                         identical content arriving later is treated as a
+                         new document, not deduped against a ghost
+      bucket_store       the docs stop being near-dup candidates
+      chunk_store        chunk_sharing_report forgets their chunks
+      sample_store       corpus_sample excludes them, with a conservative
+                         exactness audit (see corpus_sample / the erosion
+                         counter)
+      hll/hdr stores     CANNOT subtract (register sketches) — estimates
+                         include deleted docs until rebuild_sketch_stores
+                         re-derives them from the post-takedown corpus
+                         (the documented rebuild-affected-state answer)
+
+    `doc_ids` is a list of ids or a single-column DataFrame. Semantics and
+    caveats (documented, by design):
+      * deleted doc_ids are assumed never reused (content-addressed norm);
+      * releasing a content hash weakens exact-dedup for RE-INGESTED copies
+        of the taken-down text until the hash tombstone folds — at most one
+        extra copy can be admitted per compaction cycle in the worst case;
+      * on a partial failure, re-running is safe: tombstones are idempotent
+        under distinct-union.
+    Run against a quiesced stream or between triggers (the same
+    single-writer discipline as compact_stores); pass quiesced=True only
+    when the stream is stopped and drained."""
+    from streamds_spark.io import tombstones
+
+    paths = CorpusStreamPaths(work_dir)
+    # micro-batches are serial: the one batch possibly in flight at delete
+    # time is frontier+1, so no batch beyond it can carry pre-delete rows —
+    # the earliest fold frontier at which these tombstones may be reclaimed.
+    # `quiesced=True` asserts the stream is STOPPED AND DRAINED (no batch in
+    # flight), so the frontier itself suffices and a fully-drained pipeline
+    # can reclaim its tombstones without waiting for a batch that will
+    # never come.
+    fold_after = _durable_frontier(paths) + (0 if quiesced else 1)
+    if isinstance(doc_ids, DataFrame):
+        ids_df = doc_ids.select(
+            F.col(doc_ids.columns[0]).alias("doc_id")
+        ).distinct()
+    else:
+        vals = list(doc_ids)
+        if not vals:
+            raise ValueError("empty delete set")
+        ids_df = (
+            spark.createDataFrame([(int(v),) for v in vals])
+            .toDF("doc_id")
+            .distinct()
+        )
+    written: dict[str, str] = {}
+    # content hashes FIRST, while the corpus still serves the doomed rows
+    # (corpus tombstones would hide them from this very lookup)
+    corpus = appendlog.get(spark, paths.corpus)
+    doomed = corpus.join(ids_df, "doc_id", "left_semi")
+    n_docs = doomed.count()
+    if os.path.isdir(paths.hash_store) and n_docs:
+        hashes = doomed.select(
+            F.md5(F.col("text").cast("binary")).alias("h")
+        ).distinct()
+        written["hash_store"] = tombstones.add(
+            spark, paths.hash_store, "h", hashes, fold_after=fold_after
+        )
+    for store in (paths.bucket_store, paths.chunk_store, paths.sample_store):
+        if os.path.isdir(store):
+            written[os.path.basename(store)] = tombstones.add(
+                spark, store, "doc_id", ids_df, fold_after=fold_after
+            )
+    # corpus LAST: everything above read through the pre-delete view
+    written["corpus"] = appendlog.delete_keys(
+        spark, paths.corpus, "doc_id", ids_df, fold_after=fold_after
+    )
+    return {"n_docs_matched": n_docs, "fold_after": fold_after, **written}
+
+
+def rebuild_sketch_stores(spark: SparkSession, work_dir: str) -> dict:
+    """Re-derive the stores that cannot subtract — the HLL distinct sketch,
+    the HDR doc-length registers, and the bottom-k sample — from the
+    post-takedown corpus appendlog (whose reads already exclude tombstoned
+    docs). Each store is rewritten as one `segment=<hi>` where hi is the
+    corpus's own batch frontier (_corpus_max_batch): a later replay of any
+    batch <= hi rewrites a dir readers skip, so nothing double-counts.
+
+    The rebuilt sketches EQUAL one-pass batch sketches over the remaining
+    corpus (same register constructions as process_corpus_batch), and the
+    sample-erosion counter resets — corpus_sample is exact at full k again.
+
+    Maintenance op: run with the stream quiesced and no concurrent finalize
+    readers (the segment swap for an unchanged hi is delete-then-write)."""
+    from streamds_spark.operators.hdr import hdr_registers
+    from streamds_spark.operators.hll import hll_registers
+    from streamds_spark.operators.sampling import bottomk_sample
+
+    paths = CorpusStreamPaths(work_dir)
+    hi = _corpus_max_batch(paths)
+    if hi < 0:
+        return {"segment_hi": -1, "rebuilt": []}
+    corpus = appendlog.get(spark, paths.corpus).localCheckpoint(eager=False)
+    rebuilt = []
+
+    def _swap(root: str, df) -> None:
+        seg = os.path.join(root, f"segment={hi}")
+        tmp = seg + ".rebuild"  # non-integer name: invisible to readers
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # reclaim everything the new segment subsumes, then commit via
+        # rename (atomic); the brief no-segment window is why this op
+        # documents the quiesce requirement
+        for d in _glob.glob(os.path.join(root, "batch=*")) + _glob.glob(
+            os.path.join(root, "segment=*")
+        ):
+            if not d.endswith(".rebuild"):
+                shutil.rmtree(d, ignore_errors=True)
+        os.replace(tmp, seg)
+        rebuilt.append(os.path.basename(root))
+
+    if os.path.isdir(paths.hll_store):
+        _swap(
+            paths.hll_store,
+            hll_registers(
+                corpus.select(
+                    F.md5(F.col("text").cast("binary")).alias("_h")
+                ),
+                "_h",
+            ),
+        )
+    if os.path.isdir(paths.hdr_store):
+        _swap(
+            paths.hdr_store,
+            hdr_registers(
+                corpus.select(F.length("text").alias("_len")), "_len"
+            ),
+        )
+    if os.path.isdir(paths.sample_store):
+        _swap(
+            paths.sample_store,
+            bottomk_sample(corpus.select("doc_id"), "doc_id", SAMPLE_K),
+        )
+        try:
+            os.remove(os.path.join(paths.sample_store, _EROSION_FILE))
+        except OSError:
+            pass
+    return {"segment_hi": hi, "rebuilt": rebuilt}

@@ -1,0 +1,448 @@
+"""Takedown / delete propagation (round 9): a deleted document must vanish
+from EVERY persistent store — corpus appendlog, dedup hash/bucket stores,
+CDC chunk store, bottom-k sample store, ANN/IVF index dirs — immediately at
+read time (tombstone anti-join), physically at compaction (fold), without
+replayed batches resurrecting it, and with the tombstones themselves
+reclaimed once their replay frontier is covered."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamds_spark.catalog import load_table
+from streamds_spark.io import appendlog, tombstones
+from streamds_spark.streaming.llm_pipeline import (
+    SAMPLE_K,
+    CorpusStreamPaths,
+    chunk_sharing_report,
+    compact_stores,
+    corpus_report,
+    corpus_sample,
+    delete_docs,
+    rebuild_sketch_stores,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tomb_dirs(store: str) -> list[str]:
+    return [d for d, _ in tombstones.committed_dirs(store)]
+
+
+@pytest.fixture(scope="module")
+def drained(spark, tmp_path_factory):
+    """Drained corpus stream over the sf0.001 documents (4 files)."""
+    from tests.test_llm_pipeline_stream import _split_into_files
+    from streamds_spark.streaming.llm_pipeline import run_llm_corpus_stream
+
+    root = tmp_path_factory.mktemp("takedown")
+    src_dir, work_dir = str(root / "src"), str(root / "work")
+    _split_into_files(spark, src_dir)
+    q = run_llm_corpus_stream(spark, src_dir, work_dir)
+    q.awaitTermination(timeout=300)
+    assert not q.isActive
+    return src_dir, work_dir
+
+
+def test_pipeline_takedown_lifecycle(spark, drained):
+    """The full story on one work dir: delete -> every reader excludes ->
+    re-ingestion of the freed content is kept -> compaction folds physically
+    -> replay does not resurrect -> tombstones reclaimed -> sketch rebuild
+    restores full-k sample exactness."""
+    src_dir, work_dir = drained
+    paths = CorpusStreamPaths(work_dir)
+
+    corpus0 = appendlog.get(spark, paths.corpus)
+    all_ids = sorted(r["doc_id"] for r in corpus0.select("doc_id").collect())
+    # delete 3 docs, including one that IS in the merged bottom-k sample
+    # (so the sample-store path is genuinely exercised)
+    sampled = {r["doc_id"] for r in corpus_sample(spark, work_dir, k=50).collect()}
+    doomed = sorted(sampled)[:2] + [i for i in all_ids if i not in sampled][:1]
+    doomed_txt = {
+        r["doc_id"]: r["text"]
+        for r in corpus0.filter(F.col("doc_id").isin(doomed)).collect()
+    }
+    assert len(doomed_txt) == 3
+
+    res = delete_docs(spark, work_dir, doomed, quiesced=True)
+    assert res["n_docs_matched"] == 3
+
+    # 1. every reader excludes immediately (tombstones live, nothing folded)
+    remaining = set(all_ids) - set(doomed)
+    got = {r["doc_id"] for r in appendlog.get(spark, paths.corpus).select("doc_id").collect()}
+    assert got == remaining
+    # the finalize report equals the batch report over the REMAINING docs
+    from streamds_spark.queries.llmdata.corpus import pipeline_cap_report
+
+    rep = sorted(tuple(r) for r in corpus_report(spark, work_dir).collect())
+    want_rep = sorted(
+        tuple(r)
+        for r in pipeline_cap_report(
+            appendlog.get(spark, paths.corpus).select(
+                "doc_id", "source", "n_toks"
+            )
+        ).collect()
+    )
+    assert rep == want_rep
+    sample = corpus_sample(spark, work_dir, k=40)
+    assert not ({r["doc_id"] for r in sample.collect()} & set(doomed))
+    share = chunk_sharing_report(spark, work_dir)
+    assert not ({r["doc_id"] for r in share.collect()} & set(doomed))
+
+    # 2. sample correctness under deletion: row-identical to a direct
+    # bottom-k over the REMAINING corpus (the KMV membership is a pure
+    # function of the surviving data)
+    from streamds_spark.operators.sampling import bottomk_sample
+
+    want = [
+        (r["doc_id"], r["h"])
+        for r in bottomk_sample(
+            appendlog.get(spark, paths.corpus).select("doc_id"), "doc_id", 40
+        )
+        .orderBy("h", "doc_id")
+        .collect()
+    ]
+    got_s = [(r["doc_id"], r["h"]) for r in sample.orderBy("h", "doc_id").collect()]
+    assert got_s == want
+
+    # 3. content hash released: the same TEXT under a new doc_id is KEPT
+    # (pre-delete it would have been dropped as an exact dup)
+    from streamds_spark.queries.llmdata.corpus import pipeline_gate
+    from streamds_spark.streaming.llm_pipeline import process_corpus_batch
+
+    new_id = max(all_ids) + 1000
+    re_doc = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("doc_id") == doomed[0])
+        .withColumn("doc_id", F.lit(new_id).cast("bigint"))
+    )
+    process_corpus_batch(pipeline_gate(re_doc), 4, paths)
+    got = {r["doc_id"] for r in appendlog.get(spark, paths.corpus).select("doc_id").collect()}
+    assert new_id in got, "freed hash must admit re-ingested content"
+    remaining = remaining | {new_id}
+
+    # 4. compaction folds physically; readers unchanged
+    compact_stores(spark, work_dir)
+    got = {r["doc_id"] for r in appendlog.get(spark, paths.corpus).select("doc_id").collect()}
+    assert got == remaining
+    # segment contents (read RAW, bypassing the tombstone anti-join)
+    for store in (paths.bucket_store, paths.chunk_store, paths.sample_store):
+        segs = [
+            os.path.join(store, d)
+            for d in os.listdir(store)
+            if d.startswith("segment=")
+        ]
+        assert segs, store
+        raw = spark.read.parquet(*segs)
+        assert not (
+            {r["doc_id"] for r in raw.select("doc_id").distinct().collect()}
+            & set(doomed)
+        ), f"deleted ids physically present in {store}"
+    # the corpus generation too (raw read of the live generation data)
+    gen = appendlog.list_generations(paths.corpus)[-1]
+    raw_gen = spark.read.parquet(
+        os.path.join(paths.corpus, "generations", gen, "data")
+    )
+    assert not ({r["doc_id"] for r in raw_gen.select("doc_id").collect()} & set(doomed))
+    # manifest carries the delete as identity
+    with open(
+        os.path.join(paths.corpus, "generations", gen, "merged_chunks.txt")
+    ) as f:
+        assert any(ln.startswith("del:") for ln in f), "identity must change"
+
+    # 5. replay of batch 0 (contains the deleted docs) post-compaction:
+    # writes land, no reader sees them, nothing resurrects
+    schema = spark.read.parquet(src_dir).schema
+    batch0 = pipeline_gate(
+        spark.read.schema(schema).parquet(os.path.join(src_dir, "000.parquet"))
+    )
+    process_corpus_batch(batch0, 0, paths)
+    got = {r["doc_id"] for r in appendlog.get(spark, paths.corpus).select("doc_id").collect()}
+    assert got == remaining
+    assert not (
+        {r["doc_id"] for r in corpus_sample(spark, work_dir, k=40).collect()}
+        & set(doomed)
+    )
+
+    # 6. tombstones were staged by the first fold and are reclaimed by the
+    # next maintenance pass; exclusion persists WITHOUT them (it is
+    # physical now)
+    staged_somewhere = any(
+        _tomb_dirs(s)
+        for s in (paths.bucket_store, paths.chunk_store, paths.sample_store)
+    )
+    assert staged_somewhere  # staged but not yet deleted (grace)
+    compact_stores(spark, work_dir)
+    for store in (paths.bucket_store, paths.chunk_store, paths.sample_store):
+        assert _tomb_dirs(store) == [], f"tombstones not reclaimed in {store}"
+    assert _tomb_dirs(paths.corpus) == []
+    got = {r["doc_id"] for r in appendlog.get(spark, paths.corpus).select("doc_id").collect()}
+    assert got == remaining
+
+    # 7. sketch stores cannot subtract: rebuild re-derives them from the
+    # post-takedown corpus — sample exact at FULL k again, erosion reset,
+    # and the rebuilt registers equal one-pass sketches over the remainder
+    rb = rebuild_sketch_stores(spark, work_dir)
+    assert set(rb["rebuilt"]) == {"hll_store", "hdr_store", "sample_store"}
+    full = corpus_sample(spark, work_dir, k=SAMPLE_K)
+    want_full = [
+        (r["doc_id"], r["h"])
+        for r in bottomk_sample(
+            appendlog.get(spark, paths.corpus).select("doc_id"),
+            "doc_id",
+            SAMPLE_K,
+        )
+        .orderBy("h", "doc_id")
+        .collect()
+    ]
+    assert [
+        (r["doc_id"], r["h"]) for r in full.orderBy("h", "doc_id").collect()
+    ] == want_full
+    from streamds_spark.operators.hdr import hdr_quantiles, hdr_registers
+    from streamds_spark.streaming.llm_pipeline import doclen_quantiles_estimate
+
+    want_q = sorted(
+        tuple(r)
+        for r in hdr_quantiles(
+            hdr_registers(
+                appendlog.get(spark, paths.corpus).select(
+                    F.length("text").alias("_len")
+                ),
+                "_len",
+            ),
+            {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        ).collect()
+    )
+    got_q = sorted(tuple(r) for r in doclen_quantiles_estimate(spark, work_dir).collect())
+    assert got_q == want_q
+
+
+def test_sample_guard_refuses_overexposed_k(spark, drained):
+    """Deleting rows out of the stored samples exposes the unstored tail:
+    corpus_sample must refuse k beyond SAMPLE_K - hits instead of silently
+    returning a non-uniform draw. (Runs AFTER the lifecycle test's rebuild,
+    which restored exactness — so this test makes its own deletions.)"""
+    _, work_dir = drained
+    paths = CorpusStreamPaths(work_dir)
+    in_sample = [
+        r["doc_id"]
+        for r in corpus_sample(spark, work_dir, k=SAMPLE_K).limit(5).collect()
+    ]
+    delete_docs(spark, work_dir, in_sample, quiesced=True)
+    with pytest.raises(ValueError, match="takedowns"):
+        corpus_sample(spark, work_dir, k=SAMPLE_K)
+    # under the exposure bound the draw still works and excludes
+    small = corpus_sample(spark, work_dir, k=SAMPLE_K - 5)
+    assert not ({r["doc_id"] for r in small.collect()} & set(in_sample))
+    # rebuild restores full-k draws
+    rebuild_sketch_stores(spark, work_dir)
+    assert corpus_sample(spark, work_dir, k=SAMPLE_K).count() > 0
+
+
+def test_conservative_fold_after_keeps_tombstones_alive(spark, tmp_path):
+    """Without quiesced=True the tombstone's replay frontier is frontier+1,
+    which a fold at the durable frontier does NOT cover: the tombstone must
+    survive compaction (still anti-joined), because the in-flight batch
+    could replay pre-delete rows."""
+    from tests.test_llm_pipeline_stream import _split_into_files
+    from streamds_spark.streaming.llm_pipeline import run_llm_corpus_stream
+
+    src_dir, work_dir = str(tmp_path / "src"), str(tmp_path / "work")
+    _split_into_files(spark, src_dir, n_files=2)
+    q = run_llm_corpus_stream(spark, src_dir, work_dir)
+    q.awaitTermination(timeout=300)
+    paths = CorpusStreamPaths(work_dir)
+    ids = [
+        r["doc_id"]
+        for r in appendlog.get(spark, paths.corpus).limit(2).collect()
+    ]
+    delete_docs(spark, work_dir, ids)  # conservative default
+    compact_stores(spark, work_dir)
+    compact_stores(spark, work_dir)
+    # still live everywhere (fold_after = frontier+1 > any fold's upto)
+    for store in (paths.bucket_store, paths.sample_store):
+        assert _tomb_dirs(store), f"tombstone prematurely reclaimed in {store}"
+    assert _tomb_dirs(paths.corpus)
+    got = {r["doc_id"] for r in appendlog.get(spark, paths.corpus).select("doc_id").collect()}
+    assert not (got & set(ids))
+
+
+def test_appendlog_delete_and_merge_fold(spark, tmp_path):
+    """Generic appendlog takedown: delete_keys -> get/get_at exclude; merge
+    physically folds (raw generation read), writes a del: identity line,
+    and reclaims the tombstone one merge cycle later."""
+    log = str(tmp_path / "log")
+    appendlog.create(spark, log)
+    data = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(30)], "id int, v string"
+    )
+    appendlog.append_batch_txn(data, log, "c1", 0)
+    appendlog.merge(spark, log)  # generation exists -> get_at is testable
+    gen0 = appendlog.list_generations(log)[-1]
+
+    appendlog.delete_keys(spark, log, "id", [3, 7, 11])
+    got = {r["id"] for r in appendlog.get(spark, log).collect()}
+    assert got == set(range(30)) - {3, 7, 11}
+    # time travel cannot resurface a taken-down key
+    snap = {r["id"] for r in appendlog.get_at(spark, log, gen0).collect()}
+    assert not (snap & {3, 7, 11})
+
+    appendlog.merge(spark, log)
+    gen1 = appendlog.list_generations(log)[-1]
+    raw = spark.read.parquet(os.path.join(log, "generations", gen1, "data"))
+    assert not ({r["id"] for r in raw.collect()} & {3, 7, 11})
+    with open(os.path.join(log, "generations", gen1, "merged_chunks.txt")) as f:
+        assert any(ln.startswith("del:") for ln in f)
+    assert _tomb_dirs(log), "staged, not yet reclaimed (grace cycle)"
+    appendlog.merge(spark, log)
+    assert _tomb_dirs(log) == []
+    got = {r["id"] for r in appendlog.get(spark, log).collect()}
+    assert got == set(range(30)) - {3, 7, 11}
+
+
+def test_appendlog_delete_invalidates_result_cache(spark, tmp_path):
+    """The result cache must never serve a pre-delete result: the live
+    tombstone changes the fingerprint (its files are inputs), and after the
+    fold reclaims it the generation's del: manifest line keeps the identity
+    distinct from the pre-delete log's."""
+    from streamds_spark.io.resultcache import cached
+
+    log, cache = str(tmp_path / "log"), str(tmp_path / "cache")
+    appendlog.create(spark, log)
+    data = spark.createDataFrame(
+        [(i, f"v{i % 3}") for i in range(30)], "id int, v string"
+    )
+    appendlog.append_batch_txn(data, log, "c1", 0)
+
+    def q():
+        return (
+            appendlog.get(spark, log).groupBy("v").agg(F.count("*").alias("n"))
+        )
+
+    a = cached(q(), cache)
+    assert a.cacheable and not a.hit
+    pre = {(r["v"], r["n"]) for r in a.df.collect()}
+
+    appendlog.delete_keys(spark, log, "id", [0, 1, 2])
+    b = cached(q(), cache)
+    assert not b.hit and b.fingerprint != a.fingerprint
+    post = {(r["v"], r["n"]) for r in b.df.collect()}
+    assert post != pre
+
+    appendlog.merge(spark, log)
+    appendlog.merge(spark, log)  # tombstone reclaimed
+    assert _tomb_dirs(log) == []
+    c = cached(q(), cache)
+    assert c.fingerprint != a.fingerprint, "post-fold must not collide with pre-delete"
+    assert {(r["v"], r["n"]) for r in c.df.collect()} == post
+
+
+def test_ann_delete_vectors_probe_and_compaction(spark, tmp_path):
+    """Hyperplane incremental index: delete_vectors -> probe excludes
+    immediately; compaction folds physically and reclaims the tombstone on
+    the following pass; probes agree throughout."""
+    from streamds_spark.operators.ann_incremental import (
+        ann_index_append,
+        ann_index_probe,
+        compact_ann_index,
+        delete_vectors,
+    )
+
+    emb = load_table(spark, SF, "embeddings").limit(60)
+    idx = str(tmp_path / "ann")
+    rows = emb.collect()
+    for i in range(3):
+        part = spark.createDataFrame(rows[i * 20 : (i + 1) * 20], emb.schema)
+        ann_index_append(part, idx, i, n_planes=4)
+    qvec = [float(x) for x in rows[0]["embedding"]]
+    top = ann_index_probe(spark, idx, qvec, k=5).collect()
+    victim = top[0]["vec_id"]
+    assert victim == rows[0]["vec_id"]  # self-match leads
+
+    delete_vectors(spark, idx, [int(victim)], quiesced=True)
+    after = ann_index_probe(spark, idx, qvec, k=5).collect()
+    assert victim not in {r["vec_id"] for r in after}
+    assert len(after) >= 1  # bucket-mates survive (bucket holds few at sf0.001)
+
+    compact_ann_index(spark, idx)
+    seg = [d for d in os.listdir(idx) if d.startswith("segment=")]
+    assert seg
+    raw = spark.read.parquet(os.path.join(idx, seg[0]))
+    assert victim not in {r["vec_id"] for r in raw.select("vec_id").collect()}
+    assert [
+        r["vec_id"] for r in ann_index_probe(spark, idx, qvec, k=5).collect()
+    ] == [r["vec_id"] for r in after]
+    assert _tomb_dirs(idx), "staged (grace)"
+    compact_ann_index(spark, idx)  # no batches: GC-only pass
+    assert _tomb_dirs(idx) == []
+    assert [
+        r["vec_id"] for r in ann_index_probe(spark, idx, qvec, k=5).collect()
+    ] == [r["vec_id"] for r in after]
+
+
+def test_ivf_delete_vectors_and_rebuild(spark, tmp_path):
+    """IVF twin: probe excludes tombstoned ids, and ivf_index_rebuild trains
+    the fresh store from the post-delete view only."""
+    from streamds_spark.operators.ann_incremental import delete_vectors
+    from streamds_spark.operators.ivf_incremental import (
+        ivf_index_append,
+        ivf_index_probe,
+        ivf_index_rebuild,
+    )
+
+    emb = load_table(spark, SF, "embeddings").limit(60)
+    idx = str(tmp_path / "ivf")
+    rows = emb.collect()
+    for i in range(2):
+        part = spark.createDataFrame(rows[i * 30 : (i + 1) * 30], emb.schema)
+        ivf_index_append(part, idx, i, n_lists=4)
+    qvec = [float(x) for x in rows[5]["embedding"]]
+    victim = int(rows[5]["vec_id"])
+    got = {r["vec_id"] for r in ivf_index_probe(spark, idx, qvec, k=5, n_probe=4).collect()}
+    assert victim in got
+
+    delete_vectors(spark, idx, [victim], quiesced=True)
+    got = {r["vec_id"] for r in ivf_index_probe(spark, idx, qvec, k=5, n_probe=4).collect()}
+    assert victim not in got
+
+    new_idx = str(tmp_path / "ivf2")
+    n = ivf_index_rebuild(spark, idx, new_idx, n_lists=4)
+    assert n == 59  # one vector taken down
+    raw = spark.read.parquet(os.path.join(new_idx, "batch=0"))
+    assert victim not in {r["vec_id"] for r in raw.select("vec_id").collect()}
+
+
+def test_tombstone_store_unit(spark, tmp_path):
+    """Primitive contracts: key-column consistency, distinct union, fold
+    eligibility, one-cycle grace."""
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    tombstones.add(spark, store, "doc_id", [1, 2, 2, 3], fold_after=5)
+    tombstones.add(spark, store, "doc_id", [3, 4], fold_after=9)
+    with pytest.raises(ValueError, match="keyed on"):
+        tombstones.add(spark, store, "other", [9])
+    key, df = tombstones.keys_df(spark, store)
+    assert key == "doc_id"
+    assert sorted(r["doc_id"] for r in df.collect()) == [1, 2, 3, 4]
+
+    base = spark.createDataFrame([(i, i * 10) for i in range(8)], "doc_id long, x long")
+    left = tombstones.apply(base, store)
+    assert sorted(r["doc_id"] for r in left.collect()) == [0, 5, 6, 7]
+    assert tombstones.suppressed_count(spark, store, base) == 4
+
+    dirs = [d for d, _ in tombstones.committed_dirs(store)]
+    assert tombstones.eligible_dirs(store, 4) == []
+    assert tombstones.eligible_dirs(store, 5) == dirs[:1]
+    assert tombstones.eligible_dirs(store, None) == dirs
+
+    # grace: stage dir 0 -> still applied; next cycle deletes it
+    tombstones.gc_then_stage(store, dirs[:1])
+    assert sorted(r["doc_id"] for r in tombstones.apply(base, store).collect()) == [0, 5, 6, 7]
+    deleted = tombstones.gc_then_stage(store, [])
+    assert deleted == 1
+    assert sorted(
+        r["doc_id"] for r in tombstones.apply(base, store).collect()
+    ) == [0, 1, 2, 5, 6, 7]
