@@ -103,13 +103,26 @@ def core_numbers(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     the result is hash-exact against a DuckDB recursive-CTE replay of the
     same iteration.
 
-    Scale posture: each round is one equi-join of the adjacency against the
+    Scale posture: each round recomputes the H-index ONLY for the ACTIVE
+    SET — nodes with at least one neighbor whose estimate changed last
+    round (a node's H input is exactly its neighbors' estimates, so an
+    unchanged neighborhood cannot move it; the BFS frontier discipline
+    applied to a fixpoint). Early rounds, where most of the graph is still
+    moving, fall back to a full recompute (the semi-join pre-filters would
+    only add shuffles while the frontier is the graph); once the changed
+    fraction drops below ACTIVE_SET_FRACTION the per-round join input is
+    edges incident to the frontier, not the whole adjacency — the estimates
+    of everything else carry forward. Each round is at most: two semi-joins
+    deriving the active edge set, one equi-join of that subset against the
     n-row estimate table, a row_number window PARTITIONED by node (bounded
-    by that node's degree — never a global window), and one groupBy max.
-    Nothing ever broadcasts the graph; lineage is truncated per round.
-    Round count is the graph's "convergence depth", typically O(10) on
-    heavy-tailed graphs (it tracks the longest chain along which a low
-    estimate must propagate); max_iter guards pathological chains and the
+    by degree — never global), one groupBy max, and one carry-forward
+    left join. Nothing ever broadcasts the graph; lineage is truncated per
+    round. Round count is the graph's "convergence depth", typically O(10)
+    on heavy-tailed graphs, and is IDENTICAL to the full-recompute
+    iteration's (the active set is a superset of every node that could
+    change, so per-round estimates are equal by induction — which also
+    keeps the result hash-exact against the DuckDB recursive-CTE replay of
+    the dense iteration); max_iter guards pathological chains and the
     function raises rather than return a non-fixpoint (correctness over
     partial answers).
 
@@ -120,11 +133,20 @@ def core_numbers(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     return df
 
 
+# Below this changed-node fraction the per-round recompute narrows to the
+# frontier's neighborhood; above it a full recompute is cheaper (the
+# semi-join pre-filter would scan the adjacency anyway and add exchanges).
+ACTIVE_SET_FRACTION = 0.5
+
+
 def _core_numbers_with_rounds(
-    edges: DataFrame, max_iter: int = 100
+    edges: DataFrame, max_iter: int = 100, stats: "dict | None" = None
 ) -> tuple[DataFrame, int]:
     """(core numbers, rounds used) — the rounds count backs the convergence
-    bound test; callers wanting only the result use core_numbers."""
+    bound test; callers wanting only the result use core_numbers. When a
+    dict is passed as `stats`, it receives per-round instrumentation:
+    `changed` (nodes whose estimate moved) and `mode` ('full'/'active') —
+    the active-set shrink pin in tests/test_kcore.py reads it."""
     from pyspark.sql import Window
 
     adj = edges.select("u", "v").unionAll(
@@ -137,9 +159,30 @@ def _core_numbers_with_rounds(
         .select(F.col("u").alias("node"), "e")
         .localCheckpoint(eager=True)
     )
+    n_nodes = est.count()
+    if stats is not None:
+        stats["changed"] = []
+        stats["mode"] = []
     w = Window.partitionBy("u").orderBy(F.col("ne").desc())
+    changed = est.select("node")  # round 1: every estimate is fresh
+    n_changed = n_nodes
     for rounds in range(1, max_iter + 1):
-        nbr = adj.join(est, adj.v == est.node).select(
+        full = n_changed > n_nodes * ACTIVE_SET_FRACTION
+        if full:
+            sub = adj
+        else:
+            # frontier neighborhood: u's with an edge into a changed node,
+            # then ALL of those u's incident edges (the H-index needs the
+            # whole neighborhood, not just the changed part)
+            active = (
+                adj.join(
+                    changed.select(F.col("node").alias("v")), "v", "left_semi"
+                )
+                .select("u")
+                .distinct()
+            )
+            sub = adj.join(active, "u", "left_semi")
+        nbr = sub.join(est, sub.v == est.node).select(
             "u", F.col("e").alias("ne")
         )
         upd = (
@@ -147,16 +190,41 @@ def _core_numbers_with_rounds(
             .groupBy("u")
             .agg(F.max(F.least(F.col("rn"), F.col("ne"))).alias("h"))
             .select(F.col("u").alias("node"), F.col("h").cast("bigint").alias("e"))
-            .localCheckpoint(eager=True)
         )
-        converged = (
-            upd.alias("n")
-            .join(est.alias("o"), "node")
-            .where("n.e <> o.e")
-            .isEmpty()
-        )
-        est = upd
-        if converged:  # no estimate moved: fixpoint reached
+        if full:
+            new_est = upd.localCheckpoint(eager=True)
+            moved = (
+                new_est.alias("n")
+                .join(est.alias("o"), "node")
+                .where("n.e <> o.e")
+                .select("node")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            # recomputed nodes that actually moved; everyone else carries
+            # forward untouched (estimates only ever decrease, so <> is <)
+            moved_vals = (
+                upd.alias("n")
+                .join(est.alias("o"), "node")
+                .where("n.e <> o.e")
+                .select("node", F.col("n.e").alias("e_new"))
+                .localCheckpoint(eager=True)
+            )
+            new_est = (
+                est.join(moved_vals, "node", "left")
+                .select(
+                    "node", F.coalesce("e_new", "e").cast("bigint").alias("e")
+                )
+                .localCheckpoint(eager=True)
+            )
+            moved = moved_vals.select("node")
+        n_changed = moved.count()
+        est = new_est
+        changed = moved
+        if stats is not None:
+            stats["changed"].append(n_changed)
+            stats["mode"].append("full" if full else "active")
+        if n_changed == 0:  # no estimate moved: fixpoint reached
             return est.select("node", F.col("e").alias("core")), rounds
     raise RuntimeError(
         f"core-number H-index iteration did not converge in {max_iter} rounds"

@@ -783,6 +783,8 @@ class QueryServer(socketserver.ThreadingTCPServer):
                 "hll_store",
                 "hdr_store",
                 "sample_store",
+                "wsample_store",
+                "mg_store",
             )
         }
         out = {
@@ -799,6 +801,21 @@ class QueryServer(socketserver.ThreadingTCPServer):
 
             row = distinct_docs_estimate(self.spark, work_dir).first()
             out["distinct_docs_estimate"] = round(row["est"], 1)
+        if req and req.get("heavy_hitters"):
+            # top-k heavy-hitter terms from the streamed MG summary store —
+            # a <=(cap+1)-rows-per-dir read + per-term sum at any corpus
+            # size, served with its additive error bound
+            from streamds_spark.streaming.llm_pipeline import (
+                corpus_heavy_hitters,
+            )
+
+            hk = min(int(req["heavy_hitters"]), 1000)
+            rows = corpus_heavy_hitters(self.spark, work_dir, k=hk).collect()
+            out["heavy_hitters"] = {
+                "terms": [{"term": r["term"], "est": r["est"]} for r in rows],
+                "n_total": rows[0]["n_total"] if rows else 0,
+                "error_bound": rows[0]["error_bound"] if rows else 0,
+            }
         if req and req.get("quantiles"):
             # kept-doc length quantiles from the streamed HDR register store —
             # a <=1888-row read + merge at any corpus size

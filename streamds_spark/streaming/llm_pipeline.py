@@ -58,6 +58,7 @@ from streamds_spark.io import appendlog
 from streamds_spark.operators.dedup_pipeline import lsh_band_buckets, minhash_signatures
 
 SAMPLE_K = 100  # rows kept in the mergeable bottom-k corpus sample
+WEIGHTED_SAMPLE_K = 100  # rows kept in the mergeable ES-key weighted sample
 
 
 @dataclass(frozen=True)
@@ -97,6 +98,14 @@ class CorpusStreamPaths:
     @property
     def sample_store(self) -> str:  # per-batch bottom-k doc samples, batch=N
         return os.path.join(self.work_dir, "sample_store")
+
+    @property
+    def wsample_store(self) -> str:  # per-batch ES-key weighted samples
+        return os.path.join(self.work_dir, "wsample_store")
+
+    @property
+    def mg_store(self) -> str:  # per-batch Misra-Gries term summaries
+        return os.path.join(self.work_dir, "mg_store")
 
 
 def _committed_segment_hi(root: str, before_batch: int) -> int:
@@ -273,6 +282,8 @@ def compact_stores(
         "hll_store": 0,
         "hdr_store": 0,
         "sample_store": 0,
+        "wsample_store": 0,
+        "mg_store": 0,
     }
     if upto_batch < 0:
         return stats
@@ -322,6 +333,29 @@ def compact_stores(
         )
         if pending and stats["sample_store"] > 0:
             _bump_sample_erosion(paths.sample_store, pending)
+    if os.path.isdir(paths.wsample_store):
+        # the weighted sample folds and erodes exactly like the uniform one
+        from streamds_spark.io import tombstones as _tomb2
+
+        wpending = 0
+        wdirs = _committed_store_dirs(paths.wsample_store, 2**62)
+        if wdirs and _tomb2.committed_dirs(paths.wsample_store):
+            wpending = _tomb2.suppressed_count(
+                spark, paths.wsample_store, spark.read.parquet(*wdirs)
+            )
+        stats["wsample_store"] = _compact_one_store(
+            spark, paths.wsample_store, upto_batch, num_files
+        )
+        if wpending and stats["wsample_store"] > 0:
+            _bump_sample_erosion(paths.wsample_store, wpending)
+    if os.path.isdir(paths.mg_store):
+        # MG summaries fold like the register tables: duplicate (term, cnt)
+        # rows are a valid un-merged state (readers re-aggregate by SUM),
+        # and the NULL-term sentinel rows travel with the data, so the
+        # folded store still knows its exact error budget
+        stats["mg_store"] = _compact_one_store(
+            spark, paths.mg_store, upto_batch, num_files
+        )
     if merge_corpus:
         # tombstone_upto carries the fold's replay frontier into the corpus
         # log's tombstone GC — a delete issued mid-stream is only reclaimed
@@ -466,6 +500,31 @@ def process_corpus_batch(
         bottomk_sample(local.select("doc_id"), "doc_id", SAMPLE_K).write.mode(
             "overwrite"
         ).parquet(os.path.join(paths.sample_store, f"batch={int(batch_id)}"))
+        # mergeable WEIGHTED corpus sample (Efraimidis-Spirakis): key
+        # ln(u)/w with u the deterministic md5 uniform and w = n_chars makes
+        # weighted sampling without replacement a plain top-k BY KEY, so
+        # per-batch top-k states fold exactly like the uniform bottom-k
+        # (union -> k largest keys; the r8 mergeability audit is the proof).
+        # Same replay contract: membership is a pure function of the data.
+        _weighted_sample_keys(local).orderBy(
+            F.desc("k"), "doc_id"
+        ).limit(WEIGHTED_SAMPLE_K).write.mode("overwrite").parquet(
+            os.path.join(paths.wsample_store, f"batch={int(batch_id)}")
+        )
+        # heavy-hitter term summary: one deterministic Misra-Gries state
+        # per trigger (<= MG_STORE_CAP+1 rows at ANY batch size; the
+        # sentinel row carries the batch's exact error budget). Summaries
+        # merge by per-term SUM with additive error — the third mergeable-
+        # sketch shape next to the HLL/HDR register tables. Like them, MG
+        # cannot subtract: takedowns reach it via rebuild_sketch_stores.
+        from streamds_spark.functions.text import tokens as _tokens
+        from streamds_spark.operators.heavy_hitters import mg_summary
+
+        mg_summary(
+            local.select(F.explode(_tokens(F.col("text"))).alias("term"))
+        ).write.mode("overwrite").parquet(
+            os.path.join(paths.mg_store, f"batch={int(batch_id)}")
+        )
     finally:
         pre.unpersist()
         if local is not pre:
@@ -655,6 +714,90 @@ def corpus_sample(
     )
 
 
+def _weighted_sample_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, k) Efraimidis-Spirakis keys for the kept-doc weighted
+    sample: k = ln(u)/n_chars with u = (md5_int60(doc_id)+1)/2^60 — the
+    EXACT expression of the batch weighted_sample_merge_audit query, so the
+    streamed fold is row-identical to the batch draw. Zero-weight docs
+    cannot be drawn (excluded, as in the batch query)."""
+    from streamds_spark.functions.hashing import md5_int60
+
+    u = (md5_int60(F.col("doc_id")) + F.lit(1.0)) / F.lit(float(1 << 60))
+    return docs.filter(F.col("n_chars") > 0).select(
+        "doc_id", (F.log(u) / F.col("n_chars")).alias("k")
+    )
+
+
+def corpus_weighted_sample(
+    spark: SparkSession, work_dir: str, k: int = WEIGHTED_SAMPLE_K
+) -> DataFrame:
+    """Finalize-time WEIGHTED corpus sample (length-weighted without
+    replacement) from the streamed per-batch ES-key stores: union every
+    committed batch's top-k-by-key rows, keep the k largest keys —
+    row-identical to a one-pass weighted draw over the whole kept corpus
+    (ES keys fold exactly like bottom-k hashes; the r8 mergeability audit
+    proves the property oracle-side). Read cost is k rows per committed
+    dir at any corpus size. Same takedown guard as corpus_sample: deleted
+    rows still in the stored samples (plus folded erosion) shrink the
+    provable k."""
+    from streamds_spark.io import tombstones
+
+    if k > WEIGHTED_SAMPLE_K:
+        raise ValueError(
+            f"k={k} exceeds the per-batch store size "
+            f"WEIGHTED_SAMPLE_K={WEIGHTED_SAMPLE_K}: the merged sample is "
+            "only the true global top-k-by-key for k <= WEIGHTED_SAMPLE_K"
+        )
+    paths = CorpusStreamPaths(work_dir)
+    dirs = _committed_store_dirs(paths.wsample_store, 2**62)
+    if not dirs:
+        return spark.createDataFrame([], "doc_id bigint, k double")
+    stored = spark.read.parquet(*dirs)
+    hits = tombstones.suppressed_count(
+        spark, paths.wsample_store, stored
+    ) + _sample_erosion(paths.wsample_store)
+    if hits and k + hits > WEIGHTED_SAMPLE_K:
+        raise ValueError(
+            f"corpus_weighted_sample(k={k}) after {hits} takedowns from the "
+            f"stored samples may miss rows beyond the per-batch top-"
+            f"{WEIGHTED_SAMPLE_K}: draw k <= {WEIGHTED_SAMPLE_K - hits}, or "
+            "rebuild_sketch_stores"
+        )
+    return (
+        tombstones.apply(stored, paths.wsample_store)
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(k)
+    )
+
+
+def corpus_heavy_hitters(
+    spark: SparkSession, work_dir: str, k: int = 20
+) -> DataFrame:
+    """Finalize-time heavy-hitter terms from the streamed per-batch
+    Misra-Gries summaries: union every committed batch's summary, SUM per
+    term, top-k by estimate. Read cost is <= (cap+1) rows per committed dir
+    at any corpus size. Returns (term, est, n_total, error_bound) with the
+    folded guarantee est <= true <= est + error_bound for every term, and
+    every term whose true count exceeds error_bound is present (Agarwal et
+    al., Mergeable Summaries). NOTE: like the HLL/HDR registers, MG cannot
+    subtract — after takedowns, rebuild_sketch_stores re-derives it from
+    the post-delete corpus. Empty store -> 0 rows."""
+    from streamds_spark.operators.heavy_hitters import mg_fold
+
+    paths = CorpusStreamPaths(work_dir)
+    dirs = _committed_store_dirs(paths.mg_store, 2**62)
+    if not dirs:
+        return spark.createDataFrame(
+            [], "term string, est bigint, n_total bigint, error_bound bigint"
+        )
+    est, stats = mg_fold(spark.read.parquet(*dirs))
+    return (
+        est.orderBy(F.desc("est"), "term")
+        .limit(k)
+        .crossJoin(F.broadcast(stats))
+    )
+
+
 def corpus_report(spark: SparkSession, work_dir: str) -> DataFrame:
     """Finalize-time report over the streamed corpus store: the SAME
     pipeline_cap_report the batch query ends with, applied to the appendlog
@@ -750,8 +893,8 @@ def delete_docs(
       sample_store       corpus_sample excludes them, with a conservative
                          exactness audit (see corpus_sample / the erosion
                          counter)
-      hll/hdr stores     CANNOT subtract (register sketches) — estimates
-                         include deleted docs until rebuild_sketch_stores
+      hll/hdr/mg stores  CANNOT subtract (register/counter sketches) —
+                         estimates include deleted docs until rebuild_sketch_stores
                          re-derives them from the post-takedown corpus
                          (the documented rebuild-affected-state answer)
 
@@ -803,7 +946,12 @@ def delete_docs(
         written["hash_store"] = tombstones.add(
             spark, paths.hash_store, "h", hashes, fold_after=fold_after
         )
-    for store in (paths.bucket_store, paths.chunk_store, paths.sample_store):
+    for store in (
+        paths.bucket_store,
+        paths.chunk_store,
+        paths.sample_store,
+        paths.wsample_store,
+    ):
         if os.path.isdir(store):
             written[os.path.basename(store)] = tombstones.add(
                 spark, store, "doc_id", ids_df, fold_after=fold_after
@@ -882,4 +1030,25 @@ def rebuild_sketch_stores(spark: SparkSession, work_dir: str) -> dict:
             os.remove(os.path.join(paths.sample_store, _EROSION_FILE))
         except OSError:
             pass
+    if os.path.isdir(paths.wsample_store):
+        _swap(
+            paths.wsample_store,
+            _weighted_sample_keys(corpus)
+            .orderBy(F.desc("k"), "doc_id")
+            .limit(WEIGHTED_SAMPLE_K),
+        )
+        try:
+            os.remove(os.path.join(paths.wsample_store, _EROSION_FILE))
+        except OSError:
+            pass
+    if os.path.isdir(paths.mg_store):
+        from streamds_spark.functions.text import tokens as _tokens
+        from streamds_spark.operators.heavy_hitters import mg_summary
+
+        _swap(
+            paths.mg_store,
+            mg_summary(
+                corpus.select(F.explode(_tokens(F.col("text"))).alias("term"))
+            ),
+        )
     return {"segment_hi": hi, "rebuilt": rebuilt}

@@ -211,3 +211,62 @@ def test_clustering_coefficient_python_parity(spark):
     # and the pure K4 closes every wedge: coefficient exactly 1.0
     t4 = triangle_count(spark.createDataFrame(k4, ["u", "v"])).first()[0]
     assert 3 * t4 / (4 * 3) == 1.0  # 4 nodes x C(3,2)=3 wedges each
+
+
+def test_mg_summary_merge_error_bound(spark):
+    """Mergeable Misra-Gries (round 9): per-batch deterministic summaries
+    folded by per-term SUM must (a) never overestimate, (b) undercount by
+    at most the summed decrement bound, (c) contain every term whose true
+    count exceeds that bound, and (d) be byte-deterministic under replay."""
+    import random
+
+    from streamds_spark.operators.heavy_hitters import mg_fold, mg_summary
+
+    rng = random.Random(99)
+    # skewed vocabulary: a few hot terms + a long tail, split into 3 batches
+    pool = [f"hot{i}" for i in range(3)] * 200 + [
+        f"t{rng.randrange(500)}" for _ in range(2000)
+    ]
+    rng.shuffle(pool)
+    batches = [pool[0:900], pool[900:1700], pool[1700:]]
+    cap = 20
+
+    sums = []
+    for b in batches:
+        df = spark.createDataFrame([(t,) for t in b], "term string")
+        sums.append(mg_summary(df, cap=cap))
+    folded = sums[0]
+    for s in sums[1:]:
+        folded = folded.unionByName(s)
+    est_df, stats_df = mg_fold(folded)
+    est = {r["term"]: r["est"] for r in est_df.collect()}
+    stats = stats_df.first()
+    bound, n_total = stats["error_bound"], stats["n_total"]
+
+    from collections import Counter
+
+    true = Counter(pool)
+    assert n_total == len(pool)
+    assert bound <= n_total // (cap + 1) + 3  # sum of per-batch n_b/(cap+1)
+    for t, e in est.items():
+        assert e <= true[t], (t, e, true[t])          # never overestimates
+        assert true[t] - e <= bound, (t, e, true[t])  # additive bound
+    for t, c in true.items():
+        if c > bound:
+            assert t in est, (t, c, bound)            # guaranteed presence
+    for h in ("hot0", "hot1", "hot2"):
+        assert h in est
+
+    # replay determinism: the same batch summarizes to identical rows
+    def _rows(df):
+        return sorted(map(tuple, df.collect()), key=lambda r: (r[0] or "", r[1:]))
+
+    a = _rows(mg_summary(
+        spark.createDataFrame([(t,) for t in batches[0]], "term string"),
+        cap=cap,
+    ))
+    b = _rows(mg_summary(
+        spark.createDataFrame([(t,) for t in batches[0]], "term string"),
+        cap=cap,
+    ))
+    assert a == b

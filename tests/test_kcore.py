@@ -216,3 +216,58 @@ def test_core_numbers_round_bound_and_consistency_with_kcore(spark):
     for k in (2, 3, 4, 5):
         want = set(_ref_kcore(edges, k))
         assert {n for n, c in got.items() if c >= k} == want, k
+
+
+def test_core_numbers_active_set_shrinks_and_matches_dense(spark):
+    """Round-9 active-set optimization: once the changed fraction drops, the
+    iteration must (a) switch to frontier-only recompute, (b) feed strictly
+    fewer changed nodes into later rounds than round 1's full graph, and
+    (c) produce the same fixpoint in the same number of rounds as the dense
+    reference iteration (per-round estimates are equal by induction)."""
+    import random
+
+    from streamds_spark.operators.kcore import _core_numbers_with_rounds
+
+    rng = random.Random(9)
+    # dense core (converges immediately) + a long pendant chain (the change
+    # frontier walks down it one round at a time -> many active rounds)
+    k8 = [(a, b) for a in range(8) for b in range(a + 1, 8)]
+    chain = [(7, 200)] + [(200 + i, 201 + i) for i in range(12)]
+    extra = [
+        (rng.randrange(8), 300 + i) for i in range(20)
+    ]  # pendant leaves on the core
+    edges = k8 + chain + extra
+    df = spark.createDataFrame(edges, ["u", "v"])
+
+    stats: dict = {}
+    decomp, rounds = _core_numbers_with_rounds(df, stats=stats)
+    got = {r["node"]: r["core"] for r in decomp.collect()}
+    assert got == _ref_core_numbers(edges)
+
+    # round 1 always recomputes the whole graph (every estimate is fresh);
+    # after that the changed frontier collapses to the chain walk and the
+    # iteration must be running frontier-only
+    assert stats["mode"][0] == "full", stats
+    assert set(stats["mode"][1:]) == {"active"}, stats
+    assert all(c <= 3 for c in stats["changed"][1:]), stats
+    assert stats["changed"][-1] == 0  # the confirming round
+    assert stats["changed"][0] >= max(stats["changed"][1:])
+
+    # round-count parity with a dense pure-python replay of the iteration
+    nbrs: dict[int, list[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    est = {n: len(v) for n, v in nbrs.items()}
+    dense_rounds = 0
+    while True:
+        dense_rounds += 1
+        new = {}
+        for n, vs in nbrs.items():
+            xs = sorted((est[v] for v in vs), reverse=True)
+            new[n] = max(min(r, x) for r, x in enumerate(xs, 1))
+        moved = new != est
+        est = new
+        if not moved:
+            break
+    assert rounds == dense_rounds, (rounds, dense_rounds)

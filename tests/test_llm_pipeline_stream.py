@@ -326,6 +326,8 @@ def test_compact_stores_noop_without_commits(spark, tmp_path):
         "hll_store": 0,
         "hdr_store": 0,
         "sample_store": 0,
+        "wsample_store": 0,
+        "mg_store": 0,
     }
 
 
@@ -524,3 +526,99 @@ def test_corpus_sample_k_over_store_size_refused(spark, tmp_path):
 
     with pytest.raises(ValueError, match="SAMPLE_K"):
         corpus_sample(spark, str(tmp_path / "work"), k=SAMPLE_K + 1)
+
+
+def test_streaming_weighted_sample_equals_batch(spark, drained, tmp_path):
+    """The ES-key weighted sample store: per-trigger top-k-by-key states
+    folded at finalize == a one-pass weighted draw over the batch pipeline's
+    kept set, ROW-identical (key equality included), before AND after store
+    compaction — the weighted twin of the uniform sample_store contract."""
+    from streamds_spark.functions.hashing import md5_int60
+    from streamds_spark.streaming.llm_pipeline import (
+        WEIGHTED_SAMPLE_K,
+        compact_stores,
+        corpus_weighted_sample,
+    )
+
+    _, work_dir = drained
+
+    def got():
+        return [
+            (r["doc_id"], round(r["k"], 12))
+            for r in corpus_weighted_sample(spark, work_dir)
+            .orderBy(F.desc("k"), "doc_id")
+            .collect()
+        ]
+
+    docs = load_table(spark, SF, "documents")
+    kept = pipeline_exact_dedup(pipeline_gate(docs)).filter(F.col("n_chars") > 0)
+    u = (md5_int60(F.col("doc_id")) + F.lit(1.0)) / F.lit(float(1 << 60))
+    want = [
+        (r["doc_id"], round(r["k"], 12))
+        for r in kept.select(
+            "doc_id", (F.log(u) / F.col("n_chars")).alias("k")
+        )
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+        .collect()
+    ]
+    assert want and got() == want
+
+    # draining smaller k gives the PREFIX (top-k-by-key is nested)
+    small = [
+        (r["doc_id"], round(r["k"], 12))
+        for r in corpus_weighted_sample(spark, work_dir, k=10)
+        .orderBy(F.desc("k"), "doc_id")
+        .collect()
+    ]
+    assert small == want[:10]
+
+    # compaction-invariant
+    compact_stores(spark, work_dir)
+    assert got() == want
+
+    # oversized k refused (per-batch stores cannot answer it)
+    import pytest
+
+    with pytest.raises(ValueError, match="WEIGHTED_SAMPLE_K"):
+        corpus_weighted_sample(spark, work_dir, k=WEIGHTED_SAMPLE_K + 1)
+
+
+def test_streaming_heavy_hitters_store(spark, drained):
+    """The MG summary store: per-trigger deterministic summaries folded at
+    finalize obey the mergeable-summaries contract against EXACT counts over
+    the streamed corpus (never overestimate, undercount <= error_bound, the
+    true top terms present), and the read is invariant under compaction
+    (ordering vs other tests compacting the shared drained work dir does
+    not matter — the read path is fold-invariant by design)."""
+    from streamds_spark.functions.text import tokens
+    from streamds_spark.streaming.llm_pipeline import (
+        CorpusStreamPaths,
+        compact_stores,
+        corpus_heavy_hitters,
+    )
+
+    _, work_dir = drained
+    hh = corpus_heavy_hitters(spark, work_dir, k=10).collect()
+    assert 1 <= len(hh) <= 10
+    bound = hh[0]["error_bound"]
+    n_total = hh[0]["n_total"]
+
+    corpus = appendlog.get(spark, CorpusStreamPaths(work_dir).corpus)
+    exact = {
+        r["term"]: r["cnt"]
+        for r in corpus.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert n_total == sum(exact.values())
+    for r in hh:
+        assert r["est"] <= exact[r["term"]] <= r["est"] + bound, r
+    # the single most frequent true term must surface at the top estimates
+    top_true = max(exact.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    assert top_true in {r["term"] for r in hh}
+
+    compact_stores(spark, work_dir)
+    hh2 = corpus_heavy_hitters(spark, work_dir, k=10).collect()
+    assert sorted(map(tuple, hh2)) == sorted(map(tuple, hh))

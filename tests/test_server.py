@@ -405,6 +405,15 @@ def test_pipeline_status_over_socket(spark, tmp_path):
         for tag in dq:
             assert dq[tag]["lo"] <= dq[tag]["mid"] <= dq[tag]["hi"]
         assert dq["p50"]["mid"] <= dq["p99"]["mid"]
+        # sketch-backed heavy-hitter terms over the socket (MG summary
+        # store): descending estimates with the additive error bound
+        hh = request(host, port, {"cmd": "pipeline_status", "heavy_hitters": 5})
+        hhp = hh["pipeline"]["heavy_hitters"]
+        assert 1 <= len(hhp["terms"]) <= 5
+        ests = [t["est"] for t in hhp["terms"]]
+        assert ests == sorted(ests, reverse=True) and ests[0] > 0
+        assert hhp["n_total"] >= sum(ests) and hhp["error_bound"] >= 0
+        assert st["committed_store_dirs"]["mg_store"] >= 1
     finally:
         spark.streams.removeListener(capture)
         server.shutdown()

@@ -89,6 +89,10 @@ def test_pipeline_takedown_lifecycle(spark, drained):
     assert rep == want_rep
     sample = corpus_sample(spark, work_dir, k=40)
     assert not ({r["doc_id"] for r in sample.collect()} & set(doomed))
+    from streamds_spark.streaming.llm_pipeline import corpus_weighted_sample
+
+    wsample = corpus_weighted_sample(spark, work_dir, k=40)
+    assert not ({r["doc_id"] for r in wsample.collect()} & set(doomed))
     share = chunk_sharing_report(spark, work_dir)
     assert not ({r["doc_id"] for r in share.collect()} & set(doomed))
 
@@ -186,7 +190,13 @@ def test_pipeline_takedown_lifecycle(spark, drained):
     # post-takedown corpus — sample exact at FULL k again, erosion reset,
     # and the rebuilt registers equal one-pass sketches over the remainder
     rb = rebuild_sketch_stores(spark, work_dir)
-    assert set(rb["rebuilt"]) == {"hll_store", "hdr_store", "sample_store"}
+    assert set(rb["rebuilt"]) == {
+        "hll_store",
+        "hdr_store",
+        "sample_store",
+        "wsample_store",
+        "mg_store",
+    }
     full = corpus_sample(spark, work_dir, k=SAMPLE_K)
     want_full = [
         (r["doc_id"], r["h"])
