@@ -54,3 +54,78 @@ def hop_distances(
         ).localCheckpoint(eager=True)
         frontier = nxt
     raise RuntimeError(f"BFS did not exhaust the reachable set in {max_iter} hops")
+
+
+def weighted_distances(
+    edges: DataFrame, sources: DataFrame, max_iter: int = 100
+) -> DataFrame:
+    """DataFrame[node, dist: bigint] — minimum path COST from any node in
+    `sources(node)` over the undirected weighted graph `edges(u, v, w)`
+    (positive integer weights). Unreached nodes are absent.
+
+    Frontier Bellman-Ford (min-plus relaxation): each round relaxes only
+    edges leaving nodes whose distance IMPROVED last round — the weighted
+    generalization of the BFS wave above (hop_distances is this operator
+    with w = 1, where an improvement can never revisit a settled node).
+    With positive integer weights every improvement strictly lowers a
+    bounded integer, so the fixpoint is reached in at most
+    (max path cost / min weight) rounds and equals the true single-source
+    distances; integer costs keep the whole census hash-exact against a
+    DuckDB recursive-CTE replay of the dense relaxation (same fixpoint,
+    per-round states may differ — only the fixpoint is compared).
+
+    Scale shape: per round one adjacency equi-join PROBED BY THE FRONTIER
+    (the only relation that moves; it tracks the relaxation wave, not the
+    graph), a groupBy-min over candidate updates, and one carry-forward
+    left join against the n-row distance table. Nothing broadcasts by hint
+    (AQE may broadcast a genuinely small frontier at runtime); lineage is
+    truncated per round."""
+    adj = edges.select(
+        "u", "v", F.col("w").cast("bigint").alias("w")
+    ).unionAll(
+        edges.select(
+            F.col("v").alias("u"),
+            F.col("u").alias("v"),
+            F.col("w").cast("bigint").alias("w"),
+        )
+    )
+    adj = adj.localCheckpoint(eager=True)
+    dist = (
+        sources.select("node")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            adj.join(frontier, adj.u == frontier.node)
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(dist.withColumnRenamed("node", "dn"), cand.node == F.col("dn"), "left")
+            .where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("node", F.col("nd").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            return dist
+        dist = (
+            dist.join(
+                improved.withColumnRenamed("dist", "nd"), "node", "left"
+            )
+            .select(
+                "node",
+                F.coalesce("nd", "dist").cast("bigint").alias("dist"),
+            )
+            .unionByName(
+                improved.join(dist.select("node"), "node", "left_anti")
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    raise RuntimeError(
+        f"weighted relaxation did not reach the fixpoint in {max_iter} rounds"
+    )

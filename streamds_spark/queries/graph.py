@@ -488,3 +488,116 @@ def copurchase_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataF
             " AS clustering_coefficient",
         )
     )
+
+
+@query(
+    "copurchase_cheapest_from_hub",
+    oracle="""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT a.p AS u, b.p AS v, count(*) AS c
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    ),
+    wedges AS (
+        SELECT u, v,
+               CASE WHEN c >= 3 THEN 1 WHEN c = 2 THEN 2 ELSE 3 END AS w
+        FROM edges
+    ),
+    adj AS (
+        SELECT u AS a, v AS b, w FROM wedges
+        UNION ALL SELECT v, u, w FROM wedges
+    ),
+    deg AS (SELECT a AS node, count(*) AS d FROM adj GROUP BY a),
+    hub AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 1),
+    -- dense min-plus relaxation carried as full state per generation (the
+    -- BFS/kcore recursive template): every known node's best distance so
+    -- far; one more generation relaxes every edge once; the EXISTS guard
+    -- stops at the first generation that improves nothing. The frontier
+    -- variant the engine runs reaches the same fixpoint.
+    wave(iter, node, dist) AS (
+        SELECT 0, node, CAST(0 AS BIGINT) FROM hub
+      UNION ALL
+        SELECT * FROM (
+          WITH cur AS (SELECT iter, node, dist FROM wave),
+          cand AS (
+            SELECT adj.b AS node, min(cur.dist + adj.w) AS nd
+            FROM adj JOIN cur ON cur.node = adj.a
+            GROUP BY adj.b
+          ),
+          merged AS (
+            SELECT coalesce(c.node, d.node) AS node,
+                   CASE WHEN c.dist IS NULL THEN d.nd
+                        WHEN d.nd IS NULL THEN c.dist
+                        ELSE least(c.dist, d.nd) END AS dist
+            FROM cur c FULL OUTER JOIN cand d ON c.node = d.node
+          ),
+          improved AS (
+            SELECT 1 FROM merged m LEFT JOIN cur c ON m.node = c.node
+            WHERE c.node IS NULL OR m.dist < c.dist
+          )
+          SELECT g.i + 1 AS iter, m.node, CAST(m.dist AS BIGINT) AS dist
+          FROM merged m
+          CROSS JOIN (SELECT DISTINCT iter AS i FROM cur) g
+          WHERE EXISTS (SELECT 1 FROM improved)
+        )
+    ),
+    final AS (
+        SELECT node, dist FROM wave
+        WHERE iter = (SELECT max(iter) FROM wave)
+    )
+    SELECT dist AS cost, CAST(count(*) AS BIGINT) AS n_parts
+    FROM final GROUP BY dist ORDER BY dist
+    """,
+)
+def copurchase_cheapest_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest-path cost profile of the WEIGHTED co-purchase graph from its
+    busiest part: edge cost is the inverse-frequency tier of the pair
+    (co-bought in >=3 orders -> 1, exactly 2 -> 2, once -> 3 — frequent
+    pairs are 'near'), and the census counts parts per minimum path cost —
+    the affinity-distance view basket navigation and related-item ranking
+    are built on, where a chain of strong pairs beats one weak direct link.
+
+    Computed by frontier Bellman-Ford (operators/bfs.py weighted_distances):
+    per round the adjacency is probed by the IMPROVED frontier only, a
+    groupBy-min folds candidate relaxations, rounds are bounded by the
+    deepest cheapest path; positive integer costs make the fixpoint
+    hash-exact against the DuckDB dense-relaxation recursive CTE (same
+    fixpoint, frontier vs dense schedule)."""
+    from streamds_spark.operators.bfs import weighted_distances
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pairs = (
+        items.toDF("o", "u")
+        .join(items.toDF("o", "v"), "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    wedges = pairs.select(
+        "u",
+        "v",
+        F.when(F.col("c") >= 3, 1)
+        .when(F.col("c") == 2, 2)
+        .otherwise(3)
+        .alias("w"),
+    ).localCheckpoint(eager=False)
+    deg = (
+        wedges.select(F.col("u").alias("node"))
+        .unionAll(wedges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    hub = deg.orderBy(F.col("d").desc(), F.col("node")).limit(1).select("node")
+    return (
+        weighted_distances(wedges, hub)
+        .groupBy("dist")
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+        .select(F.col("dist").cast("bigint").alias("cost"), "n_parts")
+        .orderBy("cost")
+    )

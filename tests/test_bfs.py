@@ -67,3 +67,84 @@ def test_max_iter_guard_raises(spark):
     edges = [(i, i + 1) for i in range(6)]  # needs 6 hops
     with pytest.raises(RuntimeError, match="hops"):
         _run(spark, edges, [0], max_iter=3)
+
+
+# ---------------------------------------------------------------------------
+# weighted_distances (round 9): frontier Bellman-Ford vs pure-Python Dijkstra
+# ---------------------------------------------------------------------------
+
+
+def _ref_dijkstra(
+    edges: list[tuple[int, int, int]], sources: list[int]
+) -> dict[int, int]:
+    import heapq
+
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    dist = {s: 0 for s in sources}
+    heap = [(0, s) for s in sources]
+    heapq.heapify(heap)
+    while heap:
+        d, n = heapq.heappop(heap)
+        if d > dist.get(n, 1 << 60):
+            continue
+        for m, w in adj.get(n, ()):
+            nd = d + w
+            if nd < dist.get(m, 1 << 60):
+                dist[m] = nd
+                heapq.heappush(heap, (nd, m))
+    return dist
+
+
+def _run_w(spark, edges, sources, **kw):
+    from streamds_spark.operators.bfs import weighted_distances
+
+    e = spark.createDataFrame(edges, ["u", "v", "w"])
+    s = spark.createDataFrame([(x,) for x in sources], ["node"])
+    return {r["node"]: r["dist"] for r in weighted_distances(e, s, **kw).collect()}
+
+
+def test_weighted_crafted_multihop_beats_direct(spark):
+    """A cheap 3-hop chain must beat an expensive direct edge, multi-source
+    takes the min over sources, and unreachable components stay absent."""
+    edges = [
+        (1, 5, 10),          # direct but expensive
+        (1, 2, 1), (2, 3, 1), (3, 5, 1),  # cheap detour: cost 3
+        (5, 6, 2),
+        (90, 91, 4),         # separate component
+    ]
+    got = _run_w(spark, edges, [1])
+    assert got == {1: 0, 2: 1, 3: 2, 5: 3, 6: 5}
+    got2 = _run_w(spark, edges, [1, 91])
+    assert got2[91] == 0 and got2[90] == 4 and got2[5] == 3
+
+
+def test_weighted_fuzz_vs_dijkstra(spark):
+    """Randomized graphs with skewed integer weights: the distributed
+    relaxation equals Dijkstra exactly (integer costs, no float anywhere)."""
+    rng = random.Random(77)
+    for trial in range(4):
+        n = rng.randrange(8, 26)
+        edges = [
+            (rng.randrange(n), rng.randrange(n), rng.choice([1, 1, 2, 3, 7]))
+            for _ in range(rng.randrange(n, 3 * n))
+        ]
+        edges = [(u, v, w) for u, v, w in edges if u != v]
+        if not edges:
+            continue
+        sources = [edges[0][0]]
+        assert _run_w(spark, edges, sources) == _ref_dijkstra(edges, sources), (
+            trial,
+            edges,
+        )
+
+
+def test_weighted_reduces_to_bfs_on_unit_weights(spark):
+    """w = 1 must reproduce hop_distances exactly."""
+    rng = random.Random(5)
+    edges = [(rng.randrange(12), rng.randrange(12)) for _ in range(20)]
+    edges = [(u, v) for u, v in edges if u != v]
+    unit = [(u, v, 1) for u, v in edges]
+    assert _run_w(spark, unit, [edges[0][0]]) == _run(spark, edges, [edges[0][0]])
