@@ -79,7 +79,15 @@ def weighted_distances(
     graph), a groupBy-min over candidate updates, and one carry-forward
     left join against the n-row distance table. Nothing broadcasts by hint
     (AQE may broadcast a genuinely small frontier at runtime); lineage is
-    truncated per round."""
+    truncated per round with STATS-PINNED checkpoints: `improved` and
+    `dist` each descend from the other through outer joins, so Catalyst's
+    product-of-children size estimates would otherwise double their BigInt
+    bit length per round and stall the driver in BigInteger.multiply on
+    relaxation chains past ~20 rounds — exactly the deep-graph regime this
+    operator exists for (see operators/iterate.py; hop_distances above is
+    join-against-fixed + union only, which grows linearly and needs no
+    pin)."""
+    from streamds_spark.operators.iterate import StatsPinnedCheckpointer
     adj = edges.select(
         "u", "v", F.col("w").cast("bigint").alias("w")
     ).unionAll(
@@ -97,6 +105,7 @@ def weighted_distances(
         .localCheckpoint(eager=True)
     )
     frontier = dist
+    pin = StatsPinnedCheckpointer(lag=4)
     for _ in range(max_iter):
         cand = (
             adj.join(frontier, adj.u == frontier.node)
@@ -104,15 +113,15 @@ def weighted_distances(
             .groupBy("node")
             .agg(F.min("nd").alias("nd"))
         )
-        improved = (
+        improved = pin.checkpoint(
             cand.join(dist.withColumnRenamed("node", "dn"), cand.node == F.col("dn"), "left")
             .where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
             .select("node", F.col("nd").cast("bigint").alias("dist"))
-            .localCheckpoint(eager=True)
         )
         if improved.isEmpty():
+            pin.release()
             return dist
-        dist = (
+        dist = pin.checkpoint(
             dist.join(
                 improved.withColumnRenamed("dist", "nd"), "node", "left"
             )
@@ -123,9 +132,9 @@ def weighted_distances(
             .unionByName(
                 improved.join(dist.select("node"), "node", "left_anti")
             )
-            .localCheckpoint(eager=True)
         )
         frontier = improved
+    pin.release()
     raise RuntimeError(
         f"weighted relaxation did not reach the fixpoint in {max_iter} rounds"
     )

@@ -172,11 +172,17 @@ def resolve_groups(verified: DataFrame, max_iter: int = 25) -> DataFrame:
     (rep ← rep's rep), so label distance to the component minimum roughly
     halves per round → O(log diameter) iterations. Convergence is detected by
     the total label sum: min-propagation is monotonically non-increasing per
-    node, so an unchanged sum ⟺ a fixpoint. localCheckpoint() per iteration
-    truncates the join lineage (same discipline as operators/pagerank.py);
+    node, so an unchanged sum ⟺ a fixpoint. The per-iteration truncation is
+    a STATS-PINNED checkpoint (persist + count + localCheckpoint): the
+    pointer jump is `stepped ⋈ stepped`, so Catalyst's product-of-children
+    size estimate would otherwise QUADRUPLE its BigInt bit length every
+    round through the checkpoint snapshot and stall the driver in
+    BigInteger.multiply on deep chains (see operators/iterate.py);
     everything else is joins/aggs on node ids — no driver-side state beyond
     one scalar per iteration.
     """
+    from streamds_spark.operators.iterate import StatsPinnedCheckpointer
+
     edges = verified.select("id_a", "id_b")
     bidir = edges.unionByName(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -185,6 +191,7 @@ def resolve_groups(verified: DataFrame, max_iter: int = 25) -> DataFrame:
         "rep", F.col("node")
     ).localCheckpoint()
     prev_sum = None
+    pin = StatsPinnedCheckpointer(lag=2)
     for i in range(max_iter):
         neighbor_min = (
             bidir.join(labels, bidir.id_b == labels.node)
@@ -199,10 +206,9 @@ def resolve_groups(verified: DataFrame, max_iter: int = 25) -> DataFrame:
             )
         )
         jump = stepped.select(F.col("node").alias("jnode"), F.col("rep").alias("jrep"))
-        labels = (
+        labels = pin.checkpoint(
             stepped.join(jump, stepped.rep == jump.jnode, "left")
             .select("node", F.coalesce(F.col("jrep"), F.col("rep")).alias("rep"))
-            .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum(F.col("rep").cast("decimal(38,0)"))).collect()[0][0]
         if cur_sum == prev_sum:
@@ -215,6 +221,7 @@ def resolve_groups(verified: DataFrame, max_iter: int = 25) -> DataFrame:
             f"resolve_groups did not converge within {max_iter} iterations; "
             "duplicate chains deeper than 2^max_iter may keep multiple reps"
         )
+    pin.release()
     return labels
 
 

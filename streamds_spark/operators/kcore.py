@@ -146,8 +146,21 @@ def _core_numbers_with_rounds(
     bound test; callers wanting only the result use core_numbers. When a
     dict is passed as `stats`, it receives per-round instrumentation:
     `changed` (nodes whose estimate moved) and `mode` ('full'/'active') —
-    the active-set shrink pin in tests/test_kcore.py reads it."""
+    the active-set shrink pin in tests/test_kcore.py reads it.
+
+    The active branch's two truncations are STATS-PINNED (persist + count
+    before localCheckpoint): its carry-forward join and its moved-set join
+    both descend from the previous round's estimate table, and Catalyst's
+    product-of-children size estimates compound through checkpoint
+    snapshots — the estimate's BigInt bit length doubles per round and the
+    driver ends up spending minutes in BigInteger.multiply by round ~25
+    (see operators/iterate.py for the full mechanism). The dense branch's
+    checkpoint sits above an aggregate, whose size estimate is linear in
+    its child, so it only grows a constant number of bits per round and
+    needs no pin."""
     from pyspark.sql import Window
+
+    from streamds_spark.operators.iterate import StatsPinnedCheckpointer
 
     adj = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -166,6 +179,7 @@ def _core_numbers_with_rounds(
     w = Window.partitionBy("u").orderBy(F.col("ne").desc())
     changed = est.select("node")  # round 1: every estimate is fresh
     n_changed = n_nodes
+    pin = StatsPinnedCheckpointer(lag=4)  # 2 pins/round, keep 2 rounds
     for rounds in range(1, max_iter + 1):
         full = n_changed > n_nodes * ACTIVE_SET_FRACTION
         if full:
@@ -203,19 +217,16 @@ def _core_numbers_with_rounds(
         else:
             # recomputed nodes that actually moved; everyone else carries
             # forward untouched (estimates only ever decrease, so <> is <)
-            moved_vals = (
+            moved_vals = pin.checkpoint(
                 upd.alias("n")
                 .join(est.alias("o"), "node")
                 .where("n.e <> o.e")
                 .select("node", F.col("n.e").alias("e_new"))
-                .localCheckpoint(eager=True)
             )
-            new_est = (
-                est.join(moved_vals, "node", "left")
-                .select(
+            new_est = pin.checkpoint(
+                est.join(moved_vals, "node", "left").select(
                     "node", F.coalesce("e_new", "e").cast("bigint").alias("e")
                 )
-                .localCheckpoint(eager=True)
             )
             moved = moved_vals.select("node")
         n_changed = moved.count()
@@ -225,7 +236,9 @@ def _core_numbers_with_rounds(
             stats["changed"].append(n_changed)
             stats["mode"].append("full" if full else "active")
         if n_changed == 0:  # no estimate moved: fixpoint reached
+            pin.release()
             return est.select("node", F.col("e").alias("core")), rounds
+    pin.release()
     raise RuntimeError(
         f"core-number H-index iteration did not converge in {max_iter} rounds"
     )
