@@ -1,0 +1,155 @@
+"""Approximate neighborhood function / effective diameter (HyperANF).
+
+Boldi, Rosa & Vigna, "HyperANF: approximating the neighbourhood function
+of very large graphs on a budget" (WWW 2011): every node keeps a
+HyperLogLog counter of the set of nodes within distance <= t; one round
+of max-folding each node's counter with its neighbors' advances t by 1,
+and the per-round total is the neighborhood function N(t). The counters
+are the ONLY state — per node a fixed <= m registers forever — so the
+whole traversal is rounds x (one adjacency equi-join + a (node, bucket)
+max-aggregate), the mergeable-sketch discipline applied to a graph sweep.
+That is THE scale story: an exact neighborhood function needs all-pairs
+BFS (nodes x nodes state); this needs nodes x m.
+
+Register arithmetic is the repo's deterministic md5 scheme
+(operators/hll.py) at m = 64 (HyperANF's own register budget regime;
+per-counter error ~13%, averaged down further by the per-round sum over
+all nodes), so a DuckDB recursive CTE replays the iteration
+character-for-character and the census is HASH-EXACT — the registry row
+compares integer register masses, never float estimates:
+
+  bucket = nib(h[1]) * 4 + nib(h[2]) // 4          6-bit index, m = 64
+  rho    = leading-zero rank of h[3..17]           1..61 (hll.py scheme)
+
+Census semantics (all BIGINT, exact):
+  reg_mass(t) = total (node, bucket) registers alive at round t —
+                monotone, saturating at sum_v |registers(ball_inf(v))|
+  rho_mass(t) = total max_rho mass — strictly increases while ANY
+                counter changes, so it doubles as the fixpoint test
+  permille_of_final = 1000 * reg_mass(t) // reg_mass(inf): the effective
+                diameter at q = 0.9 is the first t with permille >= 900
+                (the register-mass proxy for N(t)/N(inf) — exact where
+                the float ratio would be engine-ordering-dependent)
+
+The final counters satisfy an exact invariant the tests pin: node v's
+register table equals hll64_registers() of the node set of v's connected
+component (max-fold over paths = union over the reachable set).
+
+Stats posture: the carry is only ever joined against the FIXED adjacency
+and folded through aggregates/unions, so Catalyst's size estimate grows
+linearly per round — the stats-pin of operators/iterate.py is not needed
+(see that module for the compounding case); lineage is truncated per
+round. Rounds are bounded by the diameter, and each round's shuffle is
+bounded by nodes x m AFTER map-side partial max collapses the join fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+M_ANF = 64
+HEX = "0123456789abcdef"
+
+# (bucket, rho) extraction from md5(node) — hll.py's scheme at m=64; the
+# same expressions appear verbatim in the DuckDB oracle (queries/graph.py).
+BUCKET_SQL = (
+    f"(instr('{HEX}', substring(h, 1, 1)) - 1) * 4"
+    f" + (instr('{HEX}', substring(h, 2, 1)) - 1) DIV 4"
+)
+RHO_SQL = (
+    "CASE WHEN length(t) = 0 THEN 61"
+    " ELSE (15 - length(t)) * 4 + 4"
+    f" - CAST(floor(log2(instr('{HEX}', substring(t, 1, 1)) - 1)) AS INT)"
+    " END"
+)
+
+
+def hll64_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """(bucket, max_rho) register table at m = 64 for key_col's distinct
+    values — hll.hll_registers with the 6-bit bucket; the unit tests use it
+    to check the final-counter invariant against a direct sketch."""
+    keyed = df.select(F.md5(F.col(key_col).cast("string")).alias("h"))
+    bits = keyed.select(
+        F.expr(BUCKET_SQL).cast("int").alias("bucket"),
+        F.expr("regexp_replace(substring(h, 3, 15), '^0+', '')").alias("t"),
+    )
+    return (
+        bits.select("bucket", F.expr(RHO_SQL).cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def anf_counters(edges: DataFrame, max_iter: int = 32) -> DataFrame:
+    """Fixpoint per-node counters: DataFrame[node, bucket, max_rho] where
+    node v's registers sketch its whole connected component. Exposed for
+    the invariant tests; the census below is the registry surface."""
+    counters, _ = _anf_iterate(edges, max_iter)
+    return counters
+
+
+def anf_census(edges: DataFrame, max_iter: int = 32) -> DataFrame:
+    """DataFrame[t, reg_mass, rho_mass, permille_of_final] — one row per
+    round from t = 0 (every node sees itself) to the fixpoint (every node
+    sees its component). All columns exact BIGINTs (see module docstring);
+    read the q = 0.9 effective diameter as the first t with
+    permille_of_final >= 900."""
+    _, census = _anf_iterate(edges, max_iter)
+    spark = edges.sparkSession
+    final_mass = census[-1][1]
+    rows = [
+        (t, reg, rho, 1000 * reg // final_mass) for (t, reg, rho) in census
+    ]
+    return spark.createDataFrame(
+        rows, "t bigint, reg_mass bigint, rho_mass bigint, permille_of_final bigint"
+    )
+
+
+def _anf_iterate(
+    edges: DataFrame, max_iter: int
+) -> tuple[DataFrame, list[tuple[int, int, int]]]:
+    adj = (
+        edges.select("u", "v")
+        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = adj.select(F.col("u").alias("node")).distinct()
+    seeded = nodes.select(
+        "node", F.md5(F.col("node").cast("string")).alias("h")
+    ).select(
+        "node",
+        F.expr(BUCKET_SQL).cast("int").alias("bucket"),
+        F.expr("regexp_replace(substring(h, 3, 15), '^0+', '')").alias("t"),
+    )
+    counters = seeded.select(
+        "node", "bucket", F.expr(RHO_SQL).cast("int").alias("max_rho")
+    ).localCheckpoint(eager=True)
+
+    def mass(c: DataFrame) -> tuple[int, int]:
+        row = c.agg(
+            F.count("*").cast("bigint").alias("reg"),
+            F.sum("max_rho").cast("bigint").alias("rho"),
+        ).collect()[0]
+        return int(row["reg"]), int(row["rho"])
+
+    reg, rho = mass(counters)
+    census = [(0, reg, rho)]
+    for t in range(1, max_iter + 1):
+        prop = adj.join(counters, adj.v == counters.node).select(
+            adj.u.alias("node"), "bucket", "max_rho"
+        )
+        nxt = (
+            prop.unionByName(counters)
+            .groupBy("node", "bucket")
+            .agg(F.max("max_rho").alias("max_rho"))
+            .localCheckpoint(eager=True)
+        )
+        reg, rho = mass(nxt)
+        if rho == census[-1][2]:  # rho mass strictly grows on ANY change
+            return counters, census
+        counters = nxt
+        census.append((t, reg, rho))
+    raise RuntimeError(
+        f"ANF register propagation did not saturate in {max_iter} rounds"
+    )

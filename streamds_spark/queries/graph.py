@@ -601,3 +601,89 @@ def copurchase_cheapest_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("dist").cast("bigint").alias("cost"), "n_parts")
         .orderBy("cost")
     )
+
+
+@query(
+    "copurchase_neighborhood_function",
+    oracle="""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+    -- HyperANF register propagation (Boldi-Vigna 2011) at m = 64 with the
+    -- repo's deterministic md5 register scheme (operators/hll.py): every
+    -- node's counter max-folds with its neighbors' each round; the rho-mass
+    -- guard stops at the fixpoint (max-fold is monotone, so an unchanged
+    -- sum means NO register moved).
+    seed AS (
+        SELECT node,
+               (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4
+               + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) // 4
+                   AS bucket,
+               regexp_replace(substr(h, 3, 15), '^0+', '') AS t
+        FROM (SELECT DISTINCT a AS node, md5(CAST(a AS VARCHAR)) AS h FROM adj)
+    ),
+    anf(iter, node, bucket, rho) AS (
+        SELECT 0, node, bucket,
+               CASE WHEN length(t) = 0 THEN 61
+                    ELSE (15 - length(t)) * 4 + 4
+                         - CAST(floor(log2(instr('0123456789abcdef',
+                                                 substr(t, 1, 1)) - 1)) AS INT)
+               END
+        FROM seed
+      UNION ALL
+        SELECT * FROM (
+          WITH cur AS (SELECT iter, node, bucket, rho FROM anf),
+          nxt AS (
+            SELECT node, bucket, max(rho) AS rho FROM (
+              SELECT adj.a AS node, c.bucket, c.rho
+              FROM adj JOIN cur c ON c.node = adj.b
+              UNION ALL
+              SELECT node, bucket, rho FROM cur
+            ) GROUP BY node, bucket
+          )
+          SELECT (SELECT max(iter) FROM cur) + 1, n.node, n.bucket, n.rho
+          FROM nxt n
+          WHERE (SELECT sum(rho) FROM nxt) <> (SELECT sum(rho) FROM cur)
+        )
+    ),
+    census AS (
+        SELECT iter AS t,
+               CAST(count(*) AS BIGINT) AS reg_mass,
+               CAST(sum(rho) AS BIGINT) AS rho_mass
+        FROM anf GROUP BY iter
+    )
+    SELECT t, reg_mass, rho_mass,
+           CAST((1000 * reg_mass) // (SELECT reg_mass FROM census
+                                      WHERE t = (SELECT max(t) FROM census))
+                AS BIGINT) AS permille_of_final
+    FROM census ORDER BY t
+    """,
+)
+def copurchase_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-function census of the co-purchase graph via HyperANF
+    (operators/anf.py): every node keeps an m=64 HLL counter of the nodes
+    within distance <= t, advanced by one adjacency max-fold per round; the
+    census row at round t is the total register mass — monotone, saturating
+    when every node sees its whole component. Read the q=0.9 effective
+    diameter as the first t with permille_of_final >= 900.
+
+    All census columns are exact integers over the deterministic md5
+    register scheme, so the DuckDB recursive CTE replays the identical
+    iteration and the row set is hash-exact — float estimates never cross
+    the engine boundary. At 100 TB the state is nodes x m registers (the
+    exact alternative is all-pairs BFS at nodes x nodes), each round is one
+    adjacency equi-join whose fan-out collapses map-side into the
+    (node, bucket) partial max, and rounds are bounded by the diameter —
+    the mergeable-sketch discipline driving a graph sweep (reference has no
+    graph surface; companion to hop/weighted distances in operators/bfs.py).
+    """
+    from streamds_spark.operators.anf import anf_census
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li)
+    return anf_census(edges)

@@ -1,0 +1,136 @@
+"""HyperANF neighborhood function (operators/anf.py).
+
+The oracle gate proves the census against a DuckDB replay; these tests pin
+the semantics the census alone can't show: the final-counter set invariant
+(a node's fixpoint registers sketch exactly its connected component), the
+round bound (graph diameter), monotonicity, and a pure-Python fuzz replay
+of the register arithmetic.
+"""
+
+import hashlib
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamds_spark.operators.anf import (
+    M_ANF,
+    anf_census,
+    anf_counters,
+    hll64_registers,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+HEX = "0123456789abcdef"
+
+
+def _py_registers(keys):
+    """Pure-Python replay of the m=64 register scheme."""
+    regs = {}
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        bucket = (HEX.index(h[0])) * 4 + (HEX.index(h[1])) // 4
+        t = h[2:17].lstrip("0")
+        if not t:
+            rho = 61
+        else:
+            rho = (15 - len(t)) * 4 + 4 - int(math.floor(math.log2(HEX.index(t[0]))))
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def _py_census(edge_list):
+    """Pure-Python HyperANF census replay."""
+    adj = {}
+    nodes = set()
+    for u, v in edge_list:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+        nodes.update((u, v))
+    counters = {v: _py_registers([v]) for v in nodes}
+    census = []
+
+    def mass():
+        return (
+            sum(len(c) for c in counters.values()),
+            sum(sum(c.values()) for c in counters.values()),
+        )
+
+    reg, rho = mass()
+    census.append((0, reg, rho))
+    for t in range(1, 64):
+        nxt = {}
+        for v in nodes:
+            merged = dict(counters[v])
+            for u in adj[v]:
+                for b, r in counters[u].items():
+                    merged[b] = max(merged.get(b, 0), r)
+            nxt[v] = merged
+        counters = nxt
+        reg, rho = mass()
+        if rho == census[-1][2]:
+            break
+        census.append((t, reg, rho))
+    final = census[-1][1]
+    return [(t, r, m, 1000 * r // final) for (t, r, m) in census]
+
+
+def test_census_crafted_path(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "u bigint, v bigint"
+    )
+    rows = [tuple(r) for r in anf_census(edges).orderBy("t").collect()]
+    assert rows == _py_census([(1, 2), (2, 3), (3, 4), (10, 11)])
+    # path diameter 3 → fixpoint at t=3; permille monotone to 1000
+    assert rows[-1][0] == 3 and rows[-1][3] == 1000
+    assert all(a[1] <= b[1] and a[2] <= b[2] for a, b in zip(rows, rows[1:]))
+
+
+def test_final_counters_equal_component_sketch(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "u bigint, v bigint"
+    )
+    cnt = anf_counters(edges)
+    for node, comp in ((1, [1, 2, 3, 4]), (4, [1, 2, 3, 4]), (10, [10, 11])):
+        got = sorted(
+            (r["bucket"], r["max_rho"])
+            for r in cnt.where(F.col("node") == node).collect()
+        )
+        direct = sorted(
+            (r["bucket"], r["max_rho"])
+            for r in hll64_registers(
+                spark.createDataFrame([(k,) for k in comp], "k bigint"), "k"
+            ).collect()
+        )
+        assert got == direct, node
+
+
+def test_census_fuzz_vs_python(spark):
+    rng = random.Random(9)
+    nodes = list(range(1, 41))
+    edge_list = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(60)
+            )
+            if a != b
+        }
+    )
+    edges = spark.createDataFrame(edge_list, "u bigint, v bigint")
+    rows = [tuple(r) for r in anf_census(edges).orderBy("t").collect()]
+    assert rows == _py_census(edge_list)
+
+
+def test_register_count_bounded_by_m(spark):
+    # a clique saturates every node's counter with the same register set,
+    # bounded by M_ANF
+    clique = [(a, b) for a in range(1, 9) for b in range(a + 1, 9)]
+    edges = spark.createDataFrame(clique, "u bigint, v bigint")
+    per_node = (
+        anf_counters(edges).groupBy("node").agg(F.count("*").alias("c")).collect()
+    )
+    assert all(r["c"] <= M_ANF for r in per_node)
+    assert len({r["c"] for r in per_node}) == 1  # identical saturated sets
