@@ -380,6 +380,16 @@ def main() -> None:
         lambda: specs["bottomk_merge_audit_sources"].fn(spark, sf_dir).count()
     )
 
+    # Round-9 trackers, appended at the END per the extras ordering policy:
+    # the mergeability audits of the two new streaming stores (ES-key
+    # weighted sample fold==whole; Misra-Gries fold containment + bound).
+    wsample_s = _min3(
+        lambda: specs["weighted_sample_merge_audit_sources"].fn(spark, sf_dir).count()
+    )
+    mgfold_s = _min3(
+        lambda: specs["mg_fold_containment_docs"].fn(spark, sf_dir).count()
+    )
+
     print(
         json.dumps(
             {
@@ -411,6 +421,8 @@ def main() -> None:
                     "concurrent_3way_serial_sum": conc_serial_s,
                     "hdr_signed_delta_quantiles": hdrsigned_s,
                     "bottomk_merge_audit_sources": bottomk_s,
+                    "weighted_sample_merge_audit_sources": wsample_s,
+                    "mg_fold_containment_docs": mgfold_s,
                     "headline_first_pass_total": round(cold_total, 3),
                     "load1_pre_warmup": load_at_start,
                     "load1_at_timing_start": load_at_timing,
