@@ -637,8 +637,8 @@ def copurchase_cheapest_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM seed
       UNION ALL
         SELECT * FROM (
-          WITH cur AS (SELECT iter, node, bucket, rho FROM anf),
-          nxt AS (
+          WITH cur AS MATERIALIZED (SELECT iter, node, bucket, rho FROM anf),
+          nxt AS MATERIALIZED (
             SELECT node, bucket, max(rho) AS rho FROM (
               SELECT adj.a AS node, c.bucket, c.rho
               FROM adj JOIN cur c ON c.node = adj.b
