@@ -1,0 +1,108 @@
+"""k-truss: the maximal subgraph in which every edge closes at least k-2
+triangles WITHIN the subgraph (Cohen 2008, "Trusses: cohesive subgraphs
+for social network analysis") — the edge-level cohesion companion to the
+node-level k-core (operators/kcore.py). Triangle support is a much
+stronger tie signal than degree: a k-core can be a star-of-stars with no
+triangles at all, while a k-truss is made of overlapping triangles.
+
+Algorithm: iterative support peeling. Each round (1) enumerates triangles
+over the CURRENT edge set with the degree-ordered wedge join
+(queries/graph.triangle_count's shape — orientation caps the wedge side at
+O(sqrt(m)) so no hub explodes one task), (2) counts per-edge support by
+unioning each triangle's three edge roles, and (3) drops edges under
+k-2. The fixpoint is the k-truss, which is UNIQUE and peel-order-
+independent, so the result is hash-exact against a DuckDB recursive-CTE
+replay that recounts with the naive a<b<c formulation.
+
+Scale posture: each round is the triangle-census plan (two equi-shuffles
+for the wedge join + the closing join) over a strictly shrinking edge set
+— rounds are bounded by the cascade depth, and the first round dominates
+because later rounds run on the survivors. The carry-forward edge set
+enters the wedge join THREE times (cur^3), the worst compounding shape
+for Catalyst's product-of-children size snapshots, so the per-round
+truncation is stats-pinned (operators/iterate.py — without the pin the
+size estimate's bit length triples per round and the driver stalls in
+BigInteger.multiply on deep cascades).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from streamds_spark.operators.iterate import StatsPinnedCheckpointer
+
+
+def _support(edges: DataFrame) -> DataFrame:
+    """(u, v, s): triangle count through each edge of `edges(u < v)` —
+    degree-ordered enumeration, each triangle credited to its 3 edges."""
+    from streamds_spark.queries.graph import oriented_by_degree
+
+    o = oriented_by_degree(edges).localCheckpoint(eager=False)
+    tri = (
+        o.toDF("a", "b")
+        .join(o.toDF("b", "c"), "b")
+        .select("a", "b", "c")
+        .join(o.toDF("a", "c"), ["a", "c"])
+    )
+
+    def norm(x: str, y: str):
+        return [
+            F.least(F.col(x), F.col(y)).alias("u"),
+            F.greatest(F.col(x), F.col(y)).alias("v"),
+        ]
+
+    return (
+        tri.select(*norm("a", "b"))
+        .unionAll(tri.select(*norm("b", "c")))
+        .unionAll(tri.select(*norm("a", "c")))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("s"))
+    )
+
+
+def ktruss_edges(
+    edges: DataFrame, k: int, max_iter: int = 50
+) -> tuple[DataFrame, int]:
+    """(k-truss edges DataFrame[u, v, s], rounds used) for the undirected
+    simple graph `edges(u, v)` with u < v. `s` is each surviving edge's
+    support WITHIN the truss (>= k-2 by construction). Empty result = no
+    k-truss. Raises if max_iter rounds don't reach the fixpoint (each
+    round strictly shrinks the edge set)."""
+    sup_min = k - 2
+    cur = edges.select("u", "v").distinct().localCheckpoint(eager=True)
+    n_cur = cur.count()
+    pin = StatsPinnedCheckpointer(lag=2)
+    for rounds in range(1, max_iter + 1):
+        sup = _support(cur)
+        keep = pin.checkpoint(
+            cur.join(sup, ["u", "v"]).where(F.col("s") >= sup_min)
+        )
+        n_new = keep.count()
+        if n_new in (n_cur, 0):
+            pin.release()
+            return keep, rounds
+        cur = keep.select("u", "v")
+        n_cur = n_new
+    pin.release()
+    raise RuntimeError(f"k-truss peeling did not converge in {max_iter} rounds")
+
+
+def ktruss_summary(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """1-row census: (k, n_truss_edges, n_truss_nodes, min_support,
+    max_support) — supports measured WITHIN the truss; zeros/nulls->0 for
+    an empty truss."""
+    truss, _ = ktruss_edges(edges, k, max_iter)
+    nodes = (
+        truss.select(F.col("u").alias("n"))
+        .unionAll(truss.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    return truss.agg(
+        F.lit(k).cast("bigint").alias("k"),
+        F.count("*").cast("bigint").alias("n_truss_edges"),
+        F.lit(n_nodes).cast("bigint").alias("n_truss_nodes"),
+        F.coalesce(F.min("s"), F.lit(0)).cast("bigint").alias("min_support"),
+        F.coalesce(F.max("s"), F.lit(0)).cast("bigint").alias("max_support"),
+    )

@@ -687,3 +687,100 @@ def copurchase_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFr
     li = load_table(spark, sf_dir, "lineitem")
     edges = copurchase_edges(li)
     return anf_census(edges)
+
+
+KTRUSS_K = 14  # support >= 12: survives whole at sf0.001 (dense little
+# cliques from multi-part orders), cascades to an EMPTY truss at sf0.01,
+# and stabilizes at a non-trivial ~1.4k-edge truss at sf0.1 — all three
+# fixpoint shapes exercised by one constant.
+
+
+@query(
+    "ktruss_copurchase",
+    oracle=f"""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    ),
+    -- support peeling to the k-truss fixpoint: each round recounts
+    -- per-edge triangle support with the naive a<b<c formulation and drops
+    -- edges under k-2; the guard stops when nothing was dropped (fixpoint)
+    -- or everything collapsed (the final refilter below reports the empty
+    -- truss in that case).
+    tr(iter, u, v) AS (
+        SELECT 0, u, v FROM edges
+      UNION ALL
+        SELECT * FROM (
+          WITH cur AS MATERIALIZED (SELECT iter, u, v FROM tr),
+          tri AS MATERIALIZED (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM cur e1 JOIN cur e2 ON e2.u = e1.v
+            JOIN cur e3 ON e3.u = e1.u AND e3.v = e2.v
+          ),
+          sup AS MATERIALIZED (
+            SELECT u, v, count(*) AS s FROM (
+              SELECT a AS u, b AS v FROM tri
+              UNION ALL SELECT b AS u, c AS v FROM tri
+              UNION ALL SELECT a AS u, c AS v FROM tri
+            ) GROUP BY u, v
+          ),
+          keep AS MATERIALIZED (
+            SELECT c.iter, c.u, c.v
+            FROM cur c JOIN sup s ON s.u = c.u AND s.v = c.v
+            WHERE s.s >= {{SUP}}
+          )
+          SELECT iter + 1, u, v FROM keep
+          WHERE (SELECT count(*) FROM keep) > 0
+            AND (SELECT count(*) FROM keep) < (SELECT count(*) FROM cur)
+        )
+    ),
+    last AS MATERIALIZED (
+        SELECT u, v FROM tr WHERE iter = (SELECT max(iter) FROM tr)
+    ),
+    ftri AS MATERIALIZED (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM last e1 JOIN last e2 ON e2.u = e1.v
+        JOIN last e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    fsup AS MATERIALIZED (
+        SELECT u, v, count(*) AS s FROM (
+          SELECT a AS u, b AS v FROM ftri
+          UNION ALL SELECT b AS u, c AS v FROM ftri
+          UNION ALL SELECT a AS u, c AS v FROM ftri
+        ) GROUP BY u, v
+    ),
+    truss AS (
+        SELECT l.u, l.v, f.s FROM last l
+        JOIN fsup f ON f.u = l.u AND f.v = l.v WHERE f.s >= {{SUP}}
+    )
+    SELECT CAST({{K}} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_truss_edges,
+           CAST((SELECT count(*) FROM (
+               SELECT DISTINCT n FROM (
+                   SELECT u AS n FROM truss UNION ALL SELECT v FROM truss)))
+               AS BIGINT) AS n_truss_nodes,
+           CAST(coalesce(min(s), 0) AS BIGINT) AS min_support,
+           CAST(coalesce(max(s), 0) AS BIGINT) AS max_support
+    FROM truss
+    """.replace("{SUP}", "12").replace("{K}", "14"),
+)
+def ktruss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss census of the co-purchase graph (operators/ktruss.py,
+    k = KTRUSS_K): the maximal subgraph where every edge closes >= k-2
+    triangles within it — edge-level cohesion where the k-core
+    (kcore_copurchase) is node-level; a k-core can be triangle-free, a
+    k-truss is overlapping triangles by definition. The fixpoint is unique
+    and peel-order-independent, so the census is hash-exact against the
+    DuckDB recursive replay with naive triangle recounting. Each round is
+    the degree-ordered triangle census over a strictly shrinking edge set
+    with stats-pinned truncation (the cur^3 wedge join is the worst
+    compounding shape for checkpoint-snapshotted size estimates — see
+    operators/iterate.py)."""
+    from streamds_spark.operators.ktruss import ktruss_summary
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li)
+    return ktruss_summary(edges, KTRUSS_K)

@@ -1,0 +1,99 @@
+"""k-truss support peeling (operators/ktruss.py).
+
+The oracle gate proves the census against a DuckDB recursive replay; these
+pin the semantics directly: crafted graphs with known trusses, the
+containment ladder (k-truss edges shrink as k grows), uniqueness against a
+pure-Python peel, and the cascade-to-empty path.
+"""
+
+import itertools
+import random
+
+import pytest
+
+from streamds_spark.operators.ktruss import ktruss_edges, ktruss_summary
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _py_ktruss(edge_list, k):
+    """Pure-Python reference peel (order-independent fixpoint)."""
+    edges = {tuple(sorted(e)) for e in edge_list}
+    while True:
+        nbrs = {}
+        for u, v in edges:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+        sup = {
+            (u, v): len(nbrs[u] & nbrs[v]) for (u, v) in edges
+        }
+        keep = {e for e in edges if sup[e] >= k - 2}
+        if keep == edges:
+            return edges, sup
+        edges = keep
+        if not edges:
+            return edges, {}
+
+
+def _clique(nodes):
+    return [tuple(sorted(p)) for p in itertools.combinations(nodes, 2)]
+
+
+def test_clique_plus_tail(spark):
+    # K5 is a 5-truss (every edge closes 3 triangles); the tail edge dies
+    edge_list = _clique([1, 2, 3, 4, 5]) + [(5, 99)]
+    edges = spark.createDataFrame(edge_list, "u bigint, v bigint")
+    truss, rounds = ktruss_edges(edges, 5)
+    got = {(r["u"], r["v"]) for r in truss.collect()}
+    assert got == set(_clique([1, 2, 3, 4, 5]))
+    assert rounds <= 3
+    sups = {r["s"] for r in truss.collect()}
+    assert sups == {3}  # every K5 edge closes exactly 3 triangles
+
+
+def test_truss_cascade_to_empty(spark):
+    # a triangle chain: each edge has support 1, so k=4 wipes everything
+    edge_list = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)]
+    edges = spark.createDataFrame(edge_list, "u bigint, v bigint")
+    truss, _ = ktruss_edges(edges, 4)
+    assert truss.count() == 0
+    row = ktruss_summary(edges, 4).collect()[0]
+    assert (
+        row["n_truss_edges"] == 0
+        and row["n_truss_nodes"] == 0
+        and row["min_support"] == 0
+        and row["max_support"] == 0
+    )
+
+
+def test_containment_ladder(spark):
+    rng = random.Random(17)
+    nodes = list(range(1, 25))
+    edge_list = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in ((rng.choice(nodes), rng.choice(nodes)) for _ in range(120))
+            if a != b
+        }
+    ) + _clique([1, 2, 3, 4, 5, 6])
+    edge_list = sorted(set(edge_list))
+    edges = spark.createDataFrame(edge_list, "u bigint, v bigint")
+    prev = None
+    for k in (3, 4, 5, 6):
+        got = {(r["u"], r["v"]) for r in ktruss_edges(edges, k)[0].collect()}
+        expect, _ = _py_ktruss(edge_list, k)
+        assert got == expect, k
+        if prev is not None:
+            assert got <= prev  # (k+1)-truss ⊆ k-truss
+        prev = got
+
+
+def test_summary_supports_match_reference(spark):
+    edge_list = _clique([1, 2, 3, 4, 5, 6]) + [(6, 7), (7, 8), (6, 8)]
+    edges = spark.createDataFrame(sorted(set(edge_list)), "u bigint, v bigint")
+    row = ktruss_summary(edges, 5).collect()[0]
+    expect, sup = _py_ktruss(edge_list, 5)
+    assert row["n_truss_edges"] == len(expect)
+    in_truss = {e: s for e, s in sup.items() if e in expect}
+    assert row["min_support"] == min(in_truss.values())
+    assert row["max_support"] == max(in_truss.values())
