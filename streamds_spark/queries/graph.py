@@ -784,3 +784,76 @@ def ktruss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     edges = copurchase_edges(li)
     return ktruss_summary(edges, KTRUSS_K)
+
+
+@query(
+    "copurchase_link_prediction",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT a AS n, count(*) AS d FROM adj GROUP BY a),
+    cand AS (
+        SELECT l.b AS u, r.b AS v, count(*) AS common
+        FROM adj l JOIN adj r ON l.a = r.a AND l.b < r.b
+        GROUP BY l.b, r.b
+    ),
+    nonedge AS (
+        SELECT c.u, c.v, c.common
+        FROM cand c LEFT JOIN edges e ON e.u = c.u AND e.v = c.v
+        WHERE e.u IS NULL
+    )
+    SELECT CAST(n.u AS BIGINT) AS u, CAST(n.v AS BIGINT) AS v,
+           CAST(n.common AS BIGINT) AS common,
+           CAST(du.d + dv.d - n.common AS BIGINT) AS union_deg
+    FROM nonedge n
+    JOIN deg du ON du.n = n.u JOIN deg dv ON dv.n = n.v
+    ORDER BY n.common DESC, n.u, n.v LIMIT 20
+    """,
+)
+def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: the 20 strongest NON-edges
+    by common-neighbor count (ties broken by part ids — fully
+    deterministic), with the exact-Jaccard denominator deg(u)+deg(v)-common
+    carried as an integer column so rankers can form the ratio without a
+    float ever crossing the engine boundary. The classic
+    friend-of-a-friend recommender: parts never co-bought that share many
+    co-purchase partners.
+
+    Plan: one wedge self-join grouped straight to (u, v, common) — the
+    middle-node fan-out collapses map-side into the pair counts — an
+    anti-join against the edge set, two degree joins, and a TakeOrdered
+    top-20 (never a global sort). At 100 TB the wedge join is the cost;
+    it is bounded by sum-of-degree-squared like the triangle census, and
+    heavy-hub mitigation composes (degree-cap the middle node before the
+    self-join, exactly as the dedup LSH caps star buckets).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li).localCheckpoint(eager=False)
+    adj = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("a"), F.col("v").alias("b"))
+    deg = adj.groupBy("a").agg(F.count("*").alias("d")).withColumnRenamed("a", "n")
+    cand = (
+        adj.toDF("m", "u")
+        .join(adj.toDF("m", "v"), "m")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("common"))
+    )
+    nonedge = cand.join(edges, ["u", "v"], "left_anti")
+    return (
+        nonedge.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.col("u").cast("bigint").alias("u"),
+            F.col("v").cast("bigint").alias("v"),
+            F.col("common").cast("bigint").alias("common"),
+            (F.col("du") + F.col("dv") - F.col("common")).cast("bigint").alias("union_deg"),
+        )
+        .orderBy(F.col("common").desc(), "u", "v")
+        .limit(20)
+    )
