@@ -134,3 +134,23 @@ def test_register_count_bounded_by_m(spark):
     )
     assert all(r["c"] <= M_ANF for r in per_node)
     assert len({r["c"] for r in per_node}) == 1  # identical saturated sets
+
+
+def test_striping_is_value_identical(spark):
+    rng = random.Random(23)
+    nodes = list(range(1, 31))
+    edge_list = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in ((rng.choice(nodes), rng.choice(nodes)) for _ in range(45))
+            if a != b
+        }
+    )
+    edges = spark.createDataFrame(edge_list, "u bigint, v bigint")
+    base = sorted(tuple(r) for r in anf_census(edges).collect())
+    for stripes in (2, 8):
+        got = sorted(tuple(r) for r in anf_census(edges, stripes=stripes).collect())
+        assert got == base, stripes
+    c1 = sorted(tuple(r) for r in anf_counters(edges).collect())
+    c8 = sorted(tuple(r) for r in anf_counters(edges, stripes=8).collect())
+    assert c1 == c8
