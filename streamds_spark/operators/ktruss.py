@@ -62,30 +62,55 @@ def _support(edges: DataFrame) -> DataFrame:
 
 
 def ktruss_edges(
-    edges: DataFrame, k: int, max_iter: int = 50
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 50,
+    shuffle_partitions: "int | None" = None,
 ) -> tuple[DataFrame, int]:
     """(k-truss edges DataFrame[u, v, s], rounds used) for the undirected
     simple graph `edges(u, v)` with u < v. `s` is each surviving edge's
     support WITHIN the truss (>= k-2 by construction). Empty result = no
     k-truss. Raises if max_iter rounds don't reach the fixpoint (each
-    round strictly shrinks the edge set)."""
+    round strictly shrinks the edge set).
+
+    `shuffle_partitions`: memory dial for big graphs — the wedge join's
+    per-task sort/aggregate buffers scale with (join fan-out) / (shuffle
+    partition count), and the boundary is PARTITION GRANULARITY, not
+    heap: the edges ×10 soak OOMs the 8 GiB/32-thread box at the default
+    32 partitions, completes in 354.8 s at 48 GiB heap + 32 partitions,
+    and completes FASTER (248.8 s) at 8 GiB + 256 partitions. Pass
+    roughly edges/50k; the session default is restored on exit."""
     sup_min = k - 2
-    cur = edges.select("u", "v").distinct().localCheckpoint(eager=True)
-    n_cur = cur.count()
-    pin = StatsPinnedCheckpointer(lag=2)
-    for rounds in range(1, max_iter + 1):
-        sup = _support(cur)
-        keep = pin.checkpoint(
-            cur.join(sup, ["u", "v"]).where(F.col("s") >= sup_min)
+    spark = edges.sparkSession
+    saved = (
+        spark.conf.get("spark.sql.shuffle.partitions")
+        if shuffle_partitions
+        else None
+    )
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(shuffle_partitions)))
+    try:
+        cur = edges.select("u", "v").distinct().localCheckpoint(eager=True)
+        n_cur = cur.count()
+        pin = StatsPinnedCheckpointer(lag=2)
+        for rounds in range(1, max_iter + 1):
+            sup = _support(cur)
+            keep = pin.checkpoint(
+                cur.join(sup, ["u", "v"]).where(F.col("s") >= sup_min)
+            )
+            n_new = keep.count()
+            if n_new in (n_cur, 0):
+                pin.release()
+                return keep, rounds
+            cur = keep.select("u", "v")
+            n_cur = n_new
+        pin.release()
+        raise RuntimeError(
+            f"k-truss peeling did not converge in {max_iter} rounds"
         )
-        n_new = keep.count()
-        if n_new in (n_cur, 0):
-            pin.release()
-            return keep, rounds
-        cur = keep.select("u", "v")
-        n_cur = n_new
-    pin.release()
-    raise RuntimeError(f"k-truss peeling did not converge in {max_iter} rounds")
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
 def ktruss_summary(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
