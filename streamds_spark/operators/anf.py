@@ -109,7 +109,10 @@ def anf_census(
     stripe results) is VALUE-IDENTICAL while dividing both the join
     fan-out and the aggregate key space by k. The ×10 soak on this box
     (8 GiB heap, 32 threads) OOMs at stripes=1 and completes at
-    stripes=8; a real cluster turns the same dial per executor memory."""
+    stripes=8; raising shuffle partitions alone (256 — the dial that fixes
+    the k-truss wedge join) was measured NOT to save it, because the
+    propagation fan-out is inherently m× per edge and only striping
+    divides it. A real cluster turns the same dial per executor memory."""
     _, census = _anf_iterate(edges, max_iter, stripes)
     spark = edges.sparkSession
     final_mass = census[-1][1]
