@@ -1,0 +1,117 @@
+"""Connected components as a first-class operator: (node, component) toward
+the component's minimum node id over an undirected edge list.
+
+This is the pointer-jumping label propagation that has lived inside the
+dedup pipeline since round 2 (operators/dedup_pipeline.py resolve_groups —
+duplicate clusters chain A~B, B~C without A~C, so cluster resolution IS
+connected components), promoted to the graph family so the algorithm is
+usable on any edge list and census-checkable on the co-purchase graph next
+to triangles / k-core / k-truss / BFS / ANF. resolve_groups now delegates
+here; its tests pin that the delegation changes nothing.
+
+Algorithm (Kiveris et al. "Connected Components in MapReduce and Beyond",
+SoCC'14 family): each round does (1) a neighbor-min propagation — every
+node takes the min of its own label and its neighbors' labels — and (2) a
+pointer jump (label <- label's label), so a node's distance-in-rounds to
+its component minimum roughly HALVES per round: O(log diameter) rounds,
+not O(diameter). Convergence is detected by the total label sum —
+min-propagation is monotonically non-increasing per node, so an unchanged
+sum is a fixpoint.
+
+Scale shape: per round one adjacency equi-join (the adjacency shuffles on
+its join key; label-sized probes ride it), one groupBy-min (partial
+aggregation collapses the fan-in map-side), and one label⋈label pointer
+jump. Nothing broadcasts by hint. The pointer jump joins two relations
+that BOTH descend from the previous round's carry, so each round's
+truncation is a STATS-PINNED checkpoint (persist + count + localCheckpoint,
+operators/iterate.py) — Catalyst's product-of-children size estimate would
+otherwise double its BigInt bit length every round through the checkpoint
+snapshot and stall the driver in BigInteger.multiply.
+
+The reference (StreamDS, Go) has no graph surface; this extends the
+engine's iterative family (SURVEY.md §2 'beyond-reference' operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """DataFrame[node, component] — component = min node id reachable from
+    `node` over the undirected edge list `edges(u, v)`. Every node that
+    appears in an edge gets a row; isolated nodes are absent (the edge list
+    doesn't know them — union them in with component = node if needed).
+
+    Warns (matching the dedup pipeline's long-standing contract) rather
+    than raises on non-convergence: chains deeper than 2^max_iter rounds of
+    halving may keep multiple labels per component.
+    """
+    from streamds_spark.operators.iterate import StatsPinnedCheckpointer
+
+    pairs = edges.select("u", "v")
+    bidir = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = (
+        bidir.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    pin = StatsPinnedCheckpointer(lag=2)
+    for _ in range(max_iter):
+        neighbor_min = (
+            bidir.join(labels, bidir.v == labels.node)
+            .groupBy(F.col("u").alias("n2"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        stepped = labels.join(
+            neighbor_min, labels.node == F.col("n2"), "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
+        )
+        jump = stepped.select(
+            F.col("node").alias("jnode"), F.col("component").alias("jcomp")
+        )
+        labels = pin.checkpoint(
+            stepped.join(jump, stepped.component == jump.jnode, "left").select(
+                "node",
+                F.coalesce(F.col("jcomp"), F.col("component")).alias("component"),
+            )
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iter} "
+            "iterations; chains deeper than 2^max_iter may keep multiple labels"
+        )
+    pin.release()
+    return labels
+
+
+def component_census(edges: DataFrame) -> DataFrame:
+    """DataFrame[component_size, n_components] — the size histogram of the
+    connected components of `edges(u, v)`, ordered by size. All-BIGINT
+    (hash-exact against a recursive-CTE min-label replay: the Spark side
+    pointer-jumps in O(log d) rounds, the oracle propagates in O(d) rounds —
+    per-round states differ, the fixpoint is identical)."""
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").cast("bigint").alias("component_size"))
+        .agg(F.count("*").cast("bigint").alias("n_components"))
+        .orderBy("component_size")
+    )

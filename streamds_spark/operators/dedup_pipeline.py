@@ -168,61 +168,21 @@ def resolve_groups(verified: DataFrame, max_iter: int = 25) -> DataFrame:
     appears in a verified pair — dup CLUSTERS can chain (A~B, B~C without A~C),
     so this must converge for arbitrary chain diameters, not a fixed hop count.
 
-    Each iteration does (1) a neighbor-min propagation and (2) a pointer jump
-    (rep ← rep's rep), so label distance to the component minimum roughly
-    halves per round → O(log diameter) iterations. Convergence is detected by
-    the total label sum: min-propagation is monotonically non-increasing per
-    node, so an unchanged sum ⟺ a fixpoint. The per-iteration truncation is
-    a STATS-PINNED checkpoint (persist + count + localCheckpoint): the
-    pointer jump is `stepped ⋈ stepped`, so Catalyst's product-of-children
-    size estimate would otherwise QUADRUPLE its BigInt bit length every
-    round through the checkpoint snapshot and stall the driver in
-    BigInteger.multiply on deep chains (see operators/iterate.py);
-    everything else is joins/aggs on node ids — no driver-side state beyond
-    one scalar per iteration.
+    The algorithm (neighbor-min propagation + pointer jump, O(log diameter)
+    rounds, label-sum fixpoint detection, stats-pinned per-round checkpoints —
+    see operators/iterate.py for why) lived here since round 2 and is now the
+    first-class graph operator operators/concomp.py connected_components;
+    this delegates — same rounds, same fixpoint, same non-convergence
+    warning contract (warn, don't raise).
     """
-    from streamds_spark.operators.iterate import StatsPinnedCheckpointer
+    from streamds_spark.operators.concomp import connected_components
 
-    edges = verified.select("id_a", "id_b")
-    bidir = edges.unionByName(
-        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).localCheckpoint()
-    labels = bidir.select(F.col("id_a").alias("node")).distinct().withColumn(
-        "rep", F.col("node")
-    ).localCheckpoint()
-    prev_sum = None
-    pin = StatsPinnedCheckpointer(lag=2)
-    for i in range(max_iter):
-        neighbor_min = (
-            bidir.join(labels, bidir.id_b == labels.node)
-            .groupBy(F.col("id_a").alias("n2"))
-            .agg(F.min("rep").alias("nmin"))
-        )
-        stepped = (
-            labels.join(neighbor_min, labels.node == F.col("n2"), "left")
-            .select(
-                "node",
-                F.least(F.col("rep"), F.coalesce(F.col("nmin"), F.col("rep"))).alias("rep"),
-            )
-        )
-        jump = stepped.select(F.col("node").alias("jnode"), F.col("rep").alias("jrep"))
-        labels = pin.checkpoint(
-            stepped.join(jump, stepped.rep == jump.jnode, "left")
-            .select("node", F.coalesce(F.col("jrep"), F.col("rep")).alias("rep"))
-        )
-        cur_sum = labels.agg(F.sum(F.col("rep").cast("decimal(38,0)"))).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        import warnings
-
-        warnings.warn(
-            f"resolve_groups did not converge within {max_iter} iterations; "
-            "duplicate chains deeper than 2^max_iter may keep multiple reps"
-        )
-    pin.release()
-    return labels
+    edges = verified.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    )
+    return connected_components(edges, max_iter=max_iter).select(
+        "node", F.col("component").alias("rep")
+    )
 
 
 def dedup_corpus(

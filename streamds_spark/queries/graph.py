@@ -857,3 +857,79 @@ def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("common").desc(), "u", "v")
         .limit(20)
     )
+
+
+@query(
+    "copurchase_components",
+    oracle="""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT a.p AS u, b.p AS v
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    adj AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+    -- dense min-label propagation to the fixpoint (the Spark side pointer-
+    -- jumps to the SAME fixpoint in O(log d) rounds; only the fixpoint is
+    -- compared, exactly like the Bellman-Ford census)
+    lbl(iter, node, rep) AS (
+        SELECT 0, a, a FROM (SELECT DISTINCT a FROM adj)
+      UNION ALL
+        SELECT * FROM (
+          WITH cur AS MATERIALIZED (SELECT iter, node, rep FROM lbl),
+          nxt AS MATERIALIZED (
+            SELECT node, min(rep) AS rep FROM (
+              SELECT adj.a AS node, c.rep FROM adj JOIN cur c ON c.node = adj.b
+              UNION ALL
+              SELECT node, rep FROM cur
+            ) GROUP BY node
+          )
+          SELECT (SELECT max(iter) FROM cur) + 1, n.node, n.rep
+          FROM nxt n
+          WHERE (SELECT sum(rep) FROM nxt) <> (SELECT sum(rep) FROM cur)
+        )
+    ),
+    final AS (
+        SELECT node, rep FROM lbl WHERE iter = (SELECT max(iter) FROM lbl)
+    ),
+    comp AS (SELECT rep, count(*) AS sz FROM final GROUP BY rep)
+    SELECT CAST(sz AS BIGINT) AS component_size,
+           CAST(count(*) AS BIGINT) AS n_components
+    FROM comp GROUP BY sz ORDER BY component_size
+    """,
+)
+def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component size histogram of the REPEAT co-purchase graph
+    (parts co-bought in >= 2 distinct orders — the >= 2 support threshold
+    fragments the giant component into a real cluster structure: one
+    200-node component at sf0.001, a 1860-node giant plus satellites at
+    sf0.01, 2350 small clusters at sf0.1 — three distinct shapes from one
+    constant).
+
+    The operator (operators/concomp.py) is the pointer-jumping min-label
+    propagation that has resolved dedup clusters since round 2, promoted to
+    a first-class graph primitive: O(log diameter) rounds, each round one
+    adjacency equi-join + groupBy-min + one label-to-label pointer jump,
+    stats-pinned checkpoints per round (the jump joins two carries — see
+    operators/iterate.py). The oracle replays DENSE min-label propagation
+    (O(diameter) rounds) to the same fixpoint; all columns are exact
+    BIGINTs, so the histogram is hash-exact at all three SFs.
+    """
+    from streamds_spark.operators.concomp import component_census
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = (
+        items.toDF("o", "u")
+        .join(items.toDF("o", "v"), "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    return component_census(edges)
