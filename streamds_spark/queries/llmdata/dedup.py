@@ -609,3 +609,63 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     return semdedup(emb, threshold=0.8, n_sign_bits=6)
+
+
+SETSIM_TAU = (1, 2)  # Jaccard >= 1/2, integer-exact on both engines
+
+
+@query(
+    "setsim_exact_pairs",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= {SHINGLE_N}
+                   THEN list_transform(range(1, len(t) - {SHINGLE_N} + 2),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                   ELSE [] END) AS sset
+        FROM toks
+    ),
+    inv AS (SELECT doc_id, unnest(sset) AS tok FROM sh),
+    sz  AS (SELECT doc_id, len(sset) AS s FROM sh),
+    -- ALL token-sharing pairs (no prefix filter): the oracle proves the
+    -- Spark side's prefix filter loses nothing
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(p.da AS BIGINT) AS id_a, CAST(p.db AS BIGINT) AS id_b,
+           CAST(p.inter AS BIGINT) AS n_inter,
+           CAST(sa.s + sb.s - p.inter AS BIGINT) AS n_union,
+           round(CAST(p.inter AS DOUBLE) / (sa.s + sb.s - p.inter), 4) AS jaccard
+    FROM pairs p
+    JOIN sz sa ON sa.doc_id = p.da
+    JOIN sz sb ON sb.doc_id = p.db
+    WHERE p.inter * {SETSIM_TAU[1]} >= (sa.s + sb.s - p.inter) * {SETSIM_TAU[0]}
+      AND sa.s + sb.s - p.inter > 0
+    """,
+)
+def setsim_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join on 3-word shingles at Jaccard >= 1/2
+    via prefix filtering (operators/setsim.py — AllPairs/PPJoin family):
+    the exact complement to dedup_minhash_lsh_pairs, with candidate
+    generation bounded by the PREFIX inverted lists (rarest tokens first)
+    instead of minhash bands, and membership decided in integer arithmetic
+    (tau_den*inter >= tau_num*union) so no float boundary can diverge
+    between engines. The oracle joins ALL token-sharing pairs and applies
+    the same integer predicate — hash-equality proves the prefix filter
+    loses no pair."""
+    from streamds_spark.operators.setsim import setsim_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.array_distinct(shingles_expr("toks", SHINGLE_N)).alias("sset"))
+    )
+    return setsim_join(
+        sh, SETSIM_TAU[0], SETSIM_TAU[1], id_col="doc_id", set_col="sset"
+    )
