@@ -1048,3 +1048,133 @@ def hdr_signed_merge_audit_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             "direct_total",
         )
     )
+
+
+KMV_K = 256  # k-minimum-values per source; pairs fold 2k rows each
+
+
+@query(
+    "kmv_vocab_jaccard_audit",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT DISTINCT source,
+               unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS term
+        FROM documents
+    ),
+    hashed AS (
+        SELECT source, term,
+               ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+        FROM tok
+    ),
+    sk AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM hashed
+        ) WHERE rn <= {KMV_K}
+    ),
+    srcs AS (SELECT DISTINCT source FROM tok),
+    pairs AS (
+        SELECT a.source AS ga, b.source AS gb
+        FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    member AS (
+        SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+            SELECT p.ga, p.gb, s.h, 1 AS in_a, 0 AS in_b
+            FROM sk s JOIN pairs p ON s.source = p.ga
+            UNION ALL
+            SELECT p.ga, p.gb, s.h, 0, 1
+            FROM sk s JOIN pairs p ON s.source = p.gb
+        ) GROUP BY ga, gb, h
+    ),
+    union_k AS (
+        SELECT ga, gb, in_a, in_b FROM (
+            SELECT ga, gb, in_a, in_b,
+                   row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+            FROM member
+        ) WHERE rn <= {KMV_K}
+    ),
+    est AS (
+        SELECT ga, gb,
+               CAST(count(*) AS BIGINT) AS k_union,
+               CAST(sum(in_a * in_b) AS BIGINT) AS kmv_matches,
+               round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 4) AS jaccard_est
+        FROM union_k GROUP BY ga, gb
+    ),
+    vsize AS (SELECT source, count(*) AS vocab FROM tok GROUP BY source),
+    inter AS (
+        SELECT a.source AS ga, b.source AS gb, count(*) AS n_shared
+        FROM tok a JOIN tok b USING (term)
+        WHERE a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT e.ga AS source_a, e.gb AS source_b,
+           e.k_union, e.kmv_matches, e.jaccard_est,
+           CAST(i.n_shared AS BIGINT) AS n_inter_exact,
+           CAST(va.vocab + vb.vocab - i.n_shared AS BIGINT) AS n_union_exact,
+           round(CAST(i.n_shared AS DOUBLE)
+                 / (va.vocab + vb.vocab - i.n_shared), 4) AS jaccard_exact
+    FROM est e
+    JOIN inter i ON i.ga = e.ga AND i.gb = e.gb
+    JOIN vsize va ON va.source = e.ga
+    JOIN vsize vb ON vb.source = e.gb
+    """,
+)
+def kmv_vocab_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap estimated from KMV sketches
+    (operators/kmv.py — k smallest md5 hashes of the distinct terms per
+    source, the INTERSECTABLE distinct-count sketch HLL cannot be), audited
+    in the same row against the exact intersection/union/Jaccard from the
+    full vocabulary (the source_vocab_overlap machinery). The minwise
+    estimate |L ∩ both| / |L| over the union's bottom k is deterministic —
+    md5-derived order, integer counts, one IEEE division — so ALL columns,
+    estimate included, are hash-exact cross-engine at every SF.
+
+    Scale: the exact twin rescans the vocabulary per question; the sketch
+    answers every pairwise overlap from k·sources rows of state. 190 pairs
+    here; at 100 TB the corpus scan happens once and the pair sweep costs
+    pairs × 2k rows, independent of corpus size."""
+    from streamds_spark.operators.kmv import kmv_pair_jaccard, kmv_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    ).distinct()
+    sk = kmv_sketch(tok, "source", "term", KMV_K)
+    srcs = tok.select("source").distinct()
+    pairs = (
+        srcs.toDF("group_a")
+        .join(srcs.toDF("group_b"), F.col("group_a") < F.col("group_b"))
+    )
+    est = kmv_pair_jaccard(sk, pairs, KMV_K)
+    vsize = tok.groupBy("source").agg(F.count("*").alias("vocab"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("group_a"), F.col("b.source").alias("group_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        est.join(inter, ["group_a", "group_b"])
+        .join(vsize.toDF("group_a", "va"), "group_a")
+        .join(vsize.toDF("group_b", "vb"), "group_b")
+        .select(
+            F.col("group_a").alias("source_a"),
+            F.col("group_b").alias("source_b"),
+            "k_union",
+            "kmv_matches",
+            "jaccard_est",
+            F.col("n_shared").cast("bigint").alias("n_inter_exact"),
+            (F.col("va") + F.col("vb") - F.col("n_shared"))
+            .cast("bigint")
+            .alias("n_union_exact"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("va") + F.col("vb") - F.col("n_shared")).cast("double"),
+                4,
+            ).alias("jaccard_exact"),
+        )
+    )
