@@ -1138,3 +1138,56 @@ def skew_aware_join_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "pareto_customers",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey AS custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS spend_cents,
+               max(o_orderdate) AS last_order
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(custkey AS BIGINT) AS custkey, n_orders, spend_cents, last_order
+    FROM cust a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM cust b
+        WHERE b.n_orders >= a.n_orders AND b.spend_cents >= a.spend_cents
+          AND b.last_order >= a.last_order
+          AND (b.n_orders > a.n_orders OR b.spend_cents > a.spend_cents
+               OR b.last_order > a.last_order)
+    )
+    """,
+)
+def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The undominated customers — the 3-objective Pareto frontier
+    (skyline) over order count, lifetime spend, and recency, all
+    maximized: no other customer is at-least-as-good on all three and
+    strictly better on one. operators/skyline.py: local frontier per
+    Arrow batch (map-only, vectorized dominance), then an exact
+    dominance anti-join over the small candidate union — quadratic only
+    in the frontier, never the customer count. Spend is integer cents
+    (o_totalprice has 2 decimals), so dominance is integer/date-exact on
+    both engines and the frontier hash-matches the oracle's NOT EXISTS
+    replay at every SF."""
+    from streamds_spark.operators.skyline import pareto_frontier
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("spend_cents"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    return pareto_frontier(
+        cust, maximize=("n_orders", "spend_cents", "last_order")
+    ).select(
+        F.col("custkey").cast("bigint").alias("custkey"),
+        "n_orders",
+        "spend_cents",
+        "last_order",
+    )
