@@ -178,3 +178,131 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(nonpos)
         .unionByName(empty_doc)
     )
+
+
+@query(
+    "constraint_suite_orders",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+    rep AS (
+        SELECT 'not_null' AS check_name, 'o_orderkey' AS target, n_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders
+                WHERE o_orderkey IS NULL) AS violations FROM n
+        UNION ALL
+        SELECT 'not_null', 'o_custkey', n_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders
+                WHERE o_custkey IS NULL) FROM n
+        UNION ALL
+        SELECT 'unique', 'o_orderkey', n_rows,
+               (SELECT CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+                       AS BIGINT) FROM orders) FROM n
+        UNION ALL
+        SELECT 'in_set', 'o_orderstatus', n_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders
+                WHERE (o_orderstatus IN ('O','F','P')) IS NOT TRUE) FROM n
+        UNION ALL
+        SELECT 'positive_total', 'o_totalprice', n_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders
+                WHERE (o_totalprice > 0) IS NOT TRUE) FROM n
+        UNION ALL
+        SELECT 'matches', 'o_orderpriority', n_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders
+                WHERE regexp_matches(o_orderpriority, '^[1-5]-') IS NOT TRUE)
+               FROM n
+        UNION ALL
+        SELECT 'foreign_key', 'o_custkey->c_custkey', n_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+                      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+               FROM n
+    )
+    SELECT check_name, target, n_rows, violations, violations = 0 AS passed
+    FROM rep
+    """,
+)
+def constraint_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite on `orders`, compiled single-pass
+    (operators/constraints.py): six row-local/uniqueness checks share ONE
+    aggregation over the table — one scan regardless of suite size, the
+    Deequ unified-metrics discipline — plus one referential check as a
+    left-anti join against `customer` (dimension-sized, AQE-broadcast).
+    Contrast dq_expectations above, which prices each check as its own
+    aggregate: at 100 TB the compiled suite is the difference between one
+    corpus scan per INGEST BATCH and one per CHECK. Report is pure
+    integer/string/boolean — hash-exact against the SQL replay."""
+    from streamds_spark.operators import constraints as C
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return C.constraint_report(
+        orders,
+        checks=[
+            C.not_null("o_orderkey"),
+            C.not_null("o_custkey"),
+            C.unique("o_orderkey"),
+            C.in_set("o_orderstatus", ["O", "F", "P"]),
+            C.satisfies("positive_total", "o_totalprice", F.col("o_totalprice") > 0),
+            C.matches("o_orderpriority", "^[1-5]-"),
+        ],
+        fks=[C.ForeignKey("o_custkey", customer, "c_custkey")],
+    )
+
+
+@query(
+    "constraint_suite_documents",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents),
+    rep AS (
+        SELECT 'not_null' AS check_name, 'doc_id' AS target, n_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM documents
+                WHERE doc_id IS NULL) AS violations FROM n
+        UNION ALL
+        SELECT 'unique', 'doc_id', n_rows,
+               (SELECT CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT)
+                FROM documents) FROM n
+        UNION ALL
+        SELECT 'in_set', 'lang', n_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM documents
+                WHERE (lang IN ('en','de','fr','es','zh')) IS NOT TRUE) FROM n
+        UNION ALL
+        SELECT 'chars_match_text', 'n_chars', n_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM documents
+                WHERE (n_chars = length(text)) IS NOT TRUE) FROM n
+        UNION ALL
+        SELECT 'non_negative', 'n_chars', n_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM documents
+                WHERE (n_chars >= 0) IS NOT TRUE) FROM n
+        UNION ALL
+        SELECT 'matches', 'source', n_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM documents
+                WHERE regexp_matches(source, '^src[0-9]+$') IS NOT TRUE) FROM n
+    )
+    SELECT check_name, target, n_rows, violations, violations = 0 AS passed
+    FROM rep
+    """,
+)
+def constraint_suite_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-ingest quality gate as a compiled suite: key integrity,
+    language domain, the cross-column invariant n_chars == length(text)
+    (satisfies() takes any Column predicate — row-local checks can span
+    columns), and a source-id shape regex. All six checks are one scan of
+    `documents` with map-side partial aggregation; the gate's cost at
+    100 TB is the scan the ingest batch already pays, not 6×."""
+    from streamds_spark.operators import constraints as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.constraint_report(
+        docs,
+        checks=[
+            C.not_null("doc_id"),
+            C.unique("doc_id"),
+            C.in_set("lang", ["en", "de", "fr", "es", "zh"]),
+            C.satisfies(
+                "chars_match_text",
+                "n_chars",
+                F.col("n_chars") == F.length("text"),
+            ),
+            C.non_negative("n_chars"),
+            C.matches("source", "^src[0-9]+$"),
+        ],
+    )
