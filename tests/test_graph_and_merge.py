@@ -270,3 +270,38 @@ def test_mg_summary_merge_error_bound(spark):
         cap=cap,
     ))
     assert a == b
+
+
+def test_modularity_python_parity(spark):
+    """modularity_census vs a pure-Python Newman Q on a crafted graph with
+    REAL community structure: two triangles joined by one bridge, labeled
+    by their triangle (known Q ~ 0.357), plus the degenerate one-community
+    labeling (Q = 0 exactly: A=m and B=(2m)^2)."""
+    from pyspark.sql import functions as F
+
+    from streamds_spark.queries.graph import modularity_census
+
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    labels = [(n, "A" if n <= 2 else "B") for n in range(6)]
+
+    m = len(edges)
+    lab = dict(labels)
+    a = sum(1 for u, v in edges if lab[u] == lab[v])
+    dc = {}
+    for u, v in edges:
+        dc[lab[u]] = dc.get(lab[u], 0) + 1
+        dc[lab[v]] = dc.get(lab[v], 0) + 1
+    b = sum(d * d for d in dc.values())
+    want = round(a / m - b / (4 * m * m), 4) + 0.0
+
+    e = spark.createDataFrame(edges, ["u", "v"])
+    l = spark.createDataFrame(labels, ["node", "brand"])
+    row = modularity_census(e, l).collect()[0]
+    assert row["m_edges"] == m and row["intra_edges"] == a
+    assert row["sum_comm_deg_sq"] == b
+    assert row["modularity"] == want
+    assert row["modularity"] > 0.3  # the structure is real
+
+    one = spark.createDataFrame([(n, "X") for n in range(6)], ["node", "brand"])
+    row = modularity_census(e, one).collect()[0]
+    assert row["modularity"] == 0.0  # single community is always exactly 0
