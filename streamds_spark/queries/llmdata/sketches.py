@@ -1178,3 +1178,85 @@ def kmv_vocab_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_exact"),
         )
     )
+
+
+def _ams_oracle_users(k: int) -> str:
+    """Replay the AMS counters, estimator, and per-type fold in DuckDB."""
+    from streamds_spark.operators.ams import duckdb_ams_counter_sql
+
+    val = "CAST(user_id AS VARCHAR)"
+    whole = ",\n               ".join(
+        f"{duckdb_ams_counter_sql(val, j)} AS c{j}" for j in range(k)
+    )
+    fold = ",\n               ".join(f"CAST(sum(c{j}) AS BIGINT) AS c{j}" for j in range(k))
+    sq = " + ".join(f"c{j} * c{j}" for j in range(k))
+    eq = " AND ".join(f"w.c{j} = f.c{j}" for j in range(k))
+    return f"""
+    WITH whole AS (
+        SELECT {whole}
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    pertype AS (
+        SELECT event_type, {whole}
+        FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    ),
+    fold AS (
+        SELECT {fold} FROM pertype
+    ),
+    exact AS (
+        SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact
+        FROM (SELECT count(*) AS f FROM events
+              WHERE user_id IS NOT NULL GROUP BY user_id)
+    )
+    SELECT CAST({k} AS BIGINT) AS n_counters,
+           CAST({sq} AS BIGINT) AS sum_c_sq,
+           (SELECT f2_exact FROM exact) AS f2_exact,
+           round(CAST({sq} AS DOUBLE) / CAST({k} AS DOUBLE), 4) + 0.0
+               AS f2_estimate,
+           (SELECT {eq} FROM whole w, fold f) AS merged_equals_whole
+    FROM whole
+    """
+
+
+@query("ams_f2_users_audit", oracle=_ams_oracle_users(32))
+def ams_f2_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F2 sketch audit on events.user_id — the SELF-JOIN
+    SIZE estimate (sum of per-user frequency squared): 32 integer counters
+    computed in ONE scan with no frequency table (the sign sum telescopes
+    the frequencies), the mean-of-squares estimate beside the exact F2,
+    and the mergeability proof: per-event_type shard counters folded by
+    addition equal the whole-input counters EXACTLY (linear state).
+    Counters sign off md5 bits, so every column up to the one IEEE
+    division is engine-identical — hash-exact, not approximately close.
+    At 100 TB: per-shard state is 32 BIGINTs forever; the join-size
+    answer costs k integers per shard instead of the exact groupBy's
+    key-space shuffle. operators/ams.py."""
+    from streamds_spark.operators.ams import (
+        ams_counters,
+        ams_f2_estimate,
+        ams_merge,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    whole = ams_counters(ev, "user_id", k=32).localCheckpoint(eager=False)
+    est = ams_f2_estimate(whole)
+    fold = ams_merge(ams_counters(ev, "user_id", k=32, group_cols=("event_type",)))
+    eq = (
+        fold.join(whole.withColumnRenamed("c", "cw"), "j")
+        .agg(
+            F.expr(
+                "min(CASE WHEN c = cw THEN 1 ELSE 0 END) = 1"
+            ).alias("merged_equals_whole")
+        )
+    )
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).cast("bigint").alias("f2_exact"))
+    )
+    return (
+        est.crossJoin(exact)
+        .crossJoin(eq)
+        .select("n_counters", "sum_c_sq", "f2_exact", "f2_estimate", "merged_equals_whole")
+    )
