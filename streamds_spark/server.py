@@ -785,6 +785,7 @@ class QueryServer(socketserver.ThreadingTCPServer):
                 "sample_store",
                 "wsample_store",
                 "mg_store",
+                "dq_store",
             )
         }
         out = {
@@ -815,6 +816,28 @@ class QueryServer(socketserver.ThreadingTCPServer):
                 "terms": [{"term": r["term"], "est": r["est"]} for r in rows],
                 "n_total": rows[0]["n_total"] if rows else 0,
                 "error_bound": rows[0]["error_bound"] if rows else 0,
+            }
+        if req and req.get("dq"):
+            # data-quality gate state from the streamed per-trigger
+            # constraint reports — a 6-rows-per-dir read + additive fold at
+            # any corpus size; the live answer to "is the feed healthy"
+            from streamds_spark.streaming.llm_pipeline import corpus_dq_report
+
+            rows = corpus_dq_report(self.spark, work_dir).collect()
+            out["dq"] = {
+                "checks": [
+                    {
+                        "check": r["check_name"],
+                        "target": r["target"],
+                        "n_rows": r["n_rows"],
+                        "violations": r["violations"],
+                        "passed": r["passed"],
+                    }
+                    for r in sorted(
+                        rows, key=lambda r: (r["check_name"], r["target"])
+                    )
+                ],
+                "all_passed": all(r["passed"] for r in rows),
             }
         if req and req.get("quantiles"):
             # kept-doc length quantiles from the streamed HDR register store —

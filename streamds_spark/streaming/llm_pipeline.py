@@ -61,6 +61,34 @@ SAMPLE_K = 100  # rows kept in the mergeable bottom-k corpus sample
 WEIGHTED_SAMPLE_K = 100  # rows kept in the mergeable ES-key weighted sample
 
 
+def dq_batch_report(raw: DataFrame) -> DataFrame:
+    """The streaming data-quality monitor's per-trigger state: the
+    declarative constraint suite (operators/constraints.py) over the RAW
+    arrivals — BEFORE any gate, so the report measures what the feed
+    delivered, not what survived. Row-local checks only: their violation
+    counts are ADDITIVE, so per-trigger reports fold across triggers by
+    plain SUM into exactly the one-pass batch report over the whole feed
+    (corpus_dq_report). Global-key uniqueness is deliberately absent — it
+    cannot fold additively; cross-batch exact dedup is the hash_store's
+    job and distinct-count monitoring is the HLL store's. Cost: one
+    k-expression aggregate per trigger (one extra scan of the batch)."""
+    from streamds_spark.operators import constraints as C
+
+    return C.constraint_report(
+        raw,
+        checks=[
+            C.not_null("doc_id"),
+            C.not_null("text"),
+            C.in_set("lang", ["en", "de", "fr", "es", "zh"]),
+            C.matches("source", "^src[0-9]+$"),
+            C.satisfies("nonempty_text", "text", F.length("text") > 0),
+            C.satisfies(
+                "chars_match_text", "n_chars", F.col("n_chars") == F.length("text")
+            ),
+        ],
+    )
+
+
 @dataclass(frozen=True)
 class CorpusStreamPaths:
     """Directory layout under one work dir: everything batch-keyed."""
@@ -106,6 +134,10 @@ class CorpusStreamPaths:
     @property
     def mg_store(self) -> str:  # per-batch Misra-Gries term summaries
         return os.path.join(self.work_dir, "mg_store")
+
+    @property
+    def dq_store(self) -> str:  # per-batch data-quality constraint reports
+        return os.path.join(self.work_dir, "dq_store")
 
 
 def _committed_segment_hi(root: str, before_batch: int) -> int:
@@ -284,6 +316,7 @@ def compact_stores(
         "sample_store": 0,
         "wsample_store": 0,
         "mg_store": 0,
+        "dq_store": 0,
     }
     if upto_batch < 0:
         return stats
@@ -355,6 +388,16 @@ def compact_stores(
         # folded store still knows its exact error budget
         stats["mg_store"] = _compact_one_store(
             spark, paths.mg_store, upto_batch, num_files
+        )
+    if os.path.isdir(paths.dq_store):
+        # per-trigger constraint reports fold like the HDR registers:
+        # duplicate (check_name, target) rows are a valid un-folded state —
+        # corpus_dq_report re-aggregates n_rows/violations by SUM, so the
+        # row-preserving fold never changes the served report. Never
+        # tombstoned: the DQ store is an ingest JOURNAL (what arrived),
+        # and takedowns do not rewrite arrival history.
+        stats["dq_store"] = _compact_one_store(
+            spark, paths.dq_store, upto_batch, num_files
         )
     if merge_corpus:
         # tombstone_upto carries the fold's replay frontier into the corpus
@@ -552,14 +595,26 @@ def run_llm_corpus_stream(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    gated = pipeline_gate(reader.parquet(src_dir))
+    raw = reader.parquet(src_dir)
 
-    writer = gated.writeStream.option("checkpointLocation", paths.checkpoint)
+    # The gate moved INSIDE foreachBatch (round 9): the stream plan now
+    # delivers the RAW batch so the data-quality monitor can report on what
+    # the feed actually sent (dq_batch_report), then the gate applies to the
+    # identical rows — the gate is stateless and row-local, so per-batch
+    # gating equals the old in-plan gating batch-for-batch and every
+    # stream==batch pin downstream is unchanged. DQ report is written FIRST;
+    # a crash between the two writes replays the batch and overwrites both
+    # (the same overwrite-by-batchId idempotence as every other store).
+    def _ingest_batch(df: DataFrame, bid: int) -> None:
+        dq_batch_report(df).write.mode("overwrite").parquet(
+            os.path.join(paths.dq_store, f"batch={int(bid)}")
+        )
+        process_corpus_batch(pipeline_gate(df), bid, paths)
+
+    writer = raw.writeStream.option("checkpointLocation", paths.checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.foreachBatch(
-        lambda df, bid: process_corpus_batch(df, bid, paths)
-    ).start()
+    return writer.foreachBatch(_ingest_batch).start()
 
 
 def chunk_sharing_report(spark: SparkSession, work_dir: str) -> DataFrame:
@@ -795,6 +850,33 @@ def corpus_heavy_hitters(
         est.orderBy(F.desc("est"), "term")
         .limit(k)
         .crossJoin(F.broadcast(stats))
+    )
+
+
+def corpus_dq_report(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Finalize-time data-quality report from the streamed per-trigger
+    constraint reports: SUM n_rows/violations per (check_name, target) —
+    because every check in the streaming suite is row-local (additive),
+    the fold equals the one-pass batch constraint_report over the entire
+    raw feed EXACTLY, trigger boundaries invisible. Read cost is a
+    6-row relation per committed dir at any corpus size; compaction-
+    invariant (the fold preserves rows). Empty store -> 0 rows."""
+    paths = CorpusStreamPaths(work_dir)
+    dirs = _committed_store_dirs(paths.dq_store, 2**62)
+    if not dirs:
+        return spark.createDataFrame(
+            [],
+            "check_name string, target string, n_rows bigint,"
+            " violations bigint, passed boolean",
+        )
+    return (
+        spark.read.parquet(*dirs)
+        .groupBy("check_name", "target")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("violations").cast("bigint").alias("violations"),
+        )
+        .withColumn("passed", F.col("violations") == F.lit(0))
     )
 
 

@@ -328,6 +328,7 @@ def test_compact_stores_noop_without_commits(spark, tmp_path):
         "sample_store": 0,
         "wsample_store": 0,
         "mg_store": 0,
+        "dq_store": 0,
     }
 
 

@@ -414,6 +414,16 @@ def test_pipeline_status_over_socket(spark, tmp_path):
         assert ests == sorted(ests, reverse=True) and ests[0] > 0
         assert hhp["n_total"] >= sum(ests) and hhp["error_bound"] >= 0
         assert st["committed_store_dirs"]["mg_store"] >= 1
+        # data-quality gate state over the socket (per-trigger constraint
+        # reports, additively folded): the sf0.001 feed is clean, so every
+        # check passes and the row counts equal the raw arrivals
+        dqr = request(host, port, {"cmd": "pipeline_status", "dq": True})
+        dqp = dqr["pipeline"]["dq"]
+        assert dqp["all_passed"] is True
+        assert len(dqp["checks"]) == 6
+        assert all(c["violations"] == 0 for c in dqp["checks"])
+        assert all(c["n_rows"] > 0 for c in dqp["checks"])
+        assert st["committed_store_dirs"]["dq_store"] >= 1
     finally:
         spark.streams.removeListener(capture)
         server.shutdown()
