@@ -60,9 +60,19 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    from pyspark.sql.types import NumericType
+
+    # Convergence detection: labels only ever DECREASE (min/least), so the
+    # label vector changed iff some label strictly decreased. For numeric
+    # node ids the decimal SUM is a monotone 1-row proxy (equal sum ⟺
+    # unchanged). Non-numeric ids (brand strings from a contracted graph)
+    # have no sum — fall back to an exact changed-row check (one node-sized
+    # join per round; CC rounds are O(log diameter), so the cost is bounded).
+    numeric_ids = isinstance(labels.schema["component"].dataType, NumericType)
     prev_sum = None
     pin = StatsPinnedCheckpointer(lag=2)
     for _ in range(max_iter):
+        prev_labels = labels
         neighbor_min = (
             bidir.join(labels, bidir.v == labels.node)
             .groupBy(F.col("u").alias("n2"))
@@ -85,12 +95,21 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
                 F.coalesce(F.col("jcomp"), F.col("component")).alias("component"),
             )
         )
-        cur_sum = labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)"))
-        ).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        if numeric_ids:
+            cur_sum = labels.agg(
+                F.sum(F.col("component").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            changed = (
+                labels.toDF("node", "newc")
+                .join(prev_labels.toDF("node", "oldc"), "node")
+                .filter(F.col("newc") != F.col("oldc"))
+            )
+            if changed.isEmpty():
+                break
     else:
         import warnings
 

@@ -1038,3 +1038,160 @@ def copurchase_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(li)
     labels = part.select(F.col("p_partkey").alias("node"), F.col("p_brand"))
     return modularity_census(edges, labels)
+
+
+@query(
+    "brand_affinity_backbone",
+    oracle="""
+    WITH RECURSIVE items AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    ppairs AS MATERIALIZED (
+        SELECT DISTINCT a.p AS pu, b.p AS pv
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    ),
+    lab AS (SELECT p_partkey AS p, p_brand AS b FROM part),
+    -- MATERIALIZED: the correlated rank subquery references bedges once
+    -- per edge; inlined, DuckDB would replay the corpus-sized pair
+    -- contraction per evaluation (the ANF oracle lesson)
+    bedges AS MATERIALIZED (
+        SELECT least(bu.b, bv.b) AS u, greatest(bu.b, bv.b) AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM ppairs JOIN lab bu ON bu.p = ppairs.pu
+                    JOIN lab bv ON bv.p = ppairs.pv
+        WHERE bu.b <> bv.b
+        GROUP BY 1, 2
+    ),
+    ranked AS MATERIALIZED (
+        -- distinct total order, strongest first: rank by (c DESC, u, v)
+        -- via count-smaller (no window, identical in both engines)
+        SELECT e.u, e.v, e.c,
+               CAST(1 + (SELECT count(*) FROM bedges e2
+                         WHERE e2.c > e.c
+                            OR (e2.c = e.c AND (e2.u < e.u
+                                OR (e2.u = e.u AND e2.v < e.v))))
+                    AS BIGINT) AS w_rank
+        FROM bedges e
+    ),
+    badj AS (
+        SELECT u AS a, v AS b, w_rank AS r FROM ranked
+        UNION ALL SELECT v, u, w_rank FROM ranked
+    ),
+    -- all-pairs MINIMAX (bottleneck) rank via dense min-max relaxation to
+    -- the fixpoint (the cheapest_from_hub recursive template with
+    -- min-plus swapped for min-max). State is label-space-sized:
+    -- (brands x brands) rows.
+    wave(iter, a, b, bw) AS (
+        SELECT 0, a, b, r FROM badj
+      UNION ALL
+        SELECT * FROM (
+          WITH cur AS (SELECT iter, a, b, bw FROM wave),
+          cand AS (
+            SELECT cur.a, badj.b, min(greatest(cur.bw, badj.r)) AS nb
+            FROM cur JOIN badj ON badj.a = cur.b
+            WHERE cur.a <> badj.b
+            GROUP BY cur.a, badj.b
+          ),
+          merged AS (
+            SELECT coalesce(c.a, d.a) AS a, coalesce(c.b, d.b) AS b,
+                   CASE WHEN c.bw IS NULL THEN d.nb
+                        WHEN d.nb IS NULL THEN c.bw
+                        ELSE least(c.bw, d.nb) END AS bw
+            FROM cur c FULL OUTER JOIN cand d ON c.a = d.a AND c.b = d.b
+          ),
+          improved AS (
+            SELECT 1 FROM merged m LEFT JOIN cur c ON m.a = c.a AND m.b = c.b
+            WHERE c.a IS NULL OR m.bw < c.bw
+          )
+          SELECT g.i + 1 AS iter, m.a, m.b, CAST(m.bw AS BIGINT) AS bw
+          FROM merged m
+          CROSS JOIN (SELECT DISTINCT iter AS i FROM cur) g
+          WHERE EXISTS (SELECT 1 FROM improved)
+        )
+    ),
+    bottleneck AS (
+        SELECT a, b, bw FROM wave
+        WHERE iter = (SELECT max(iter) FROM wave)
+    )
+    -- cycle property on DISTINCT weights: e is in the unique MSF iff its
+    -- rank equals the minimax-path rank between its endpoints
+    SELECT r.u AS brand_u, r.v AS brand_v, r.c AS n_pairs, r.w_rank
+    FROM ranked r JOIN bottleneck bt ON bt.a = r.u AND bt.b = r.v
+    WHERE bt.bw = r.w_rank
+    """,
+)
+def brand_affinity_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brand affinity backbone: the MAXIMUM spanning forest of the
+    brand-contracted co-purchase graph (edge strength = distinct part
+    pairs co-bought across the two brands) — the skeleton a category
+    navigation or substitution analysis hangs on. Computed as the unique
+    MINIMUM spanning forest over the distinct rank (strength DESC, u, v)
+    by distributed Boruvka (operators/msf.py): per round each component
+    picks its best incident edge (one shuffle), picked edges contract via
+    a component-count-sized connected-components pass, rounds <= log2(n).
+
+    The oracle never runs Boruvka: distinct weights make the MSF unique,
+    so it replays the CYCLE PROPERTY instead — an edge is in the MSF iff
+    its rank equals the all-pairs minimax (bottleneck) rank between its
+    endpoints, computed by a dense min-max relaxation recursive CTE on
+    the label-space-sized contracted graph. Algorithm-independent
+    agreement on the exact edge set is the strongest correctness check
+    the operator can get. Rank is assigned by count-smaller self-join
+    (label-space quadratic, no global window)."""
+    from streamds_spark.operators.msf import minimum_spanning_forest
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ppairs = (
+        items.toDF("o", "pu")
+        .join(items.toDF("o", "pv"), "o")
+        .filter(F.col("pu") < F.col("pv"))
+        .select("pu", "pv")
+        .distinct()
+    )
+    lab = part.select(F.col("p_partkey").alias("p"), F.col("p_brand").alias("b"))
+    bedges = (
+        ppairs.join(lab.toDF("pu", "bu"), "pu")
+        .join(lab.toDF("pv", "bv"), "pv")
+        .filter(F.col("bu") != F.col("bv"))
+        .select(
+            F.least("bu", "bv").alias("u"),
+            F.greatest("bu", "bv").alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    e2 = bedges.toDF("u2", "v2", "c2")
+    ranked = (
+        bedges.join(
+            e2,
+            (F.col("c2") > F.col("c"))
+            | (
+                (F.col("c2") == F.col("c"))
+                & (
+                    (F.col("u2") < F.col("u"))
+                    | ((F.col("u2") == F.col("u")) & (F.col("v2") < F.col("v")))
+                )
+            ),
+            "left",
+        )
+        .groupBy("u", "v", "c")
+        .agg((F.lit(1) + F.count("u2")).cast("bigint").alias("w_rank"))
+        .localCheckpoint(eager=False)
+    )
+    msf = minimum_spanning_forest(
+        ranked.select("u", "v", F.col("w_rank").alias("w"))
+    )
+    return (
+        msf.join(ranked.withColumnRenamed("w_rank", "w"), ["u", "v", "w"])
+        .select(
+            F.col("u").alias("brand_u"),
+            F.col("v").alias("brand_v"),
+            F.col("c").alias("n_pairs"),
+            F.col("w").alias("w_rank"),
+        )
+    )
