@@ -786,6 +786,7 @@ class QueryServer(socketserver.ThreadingTCPServer):
                 "wsample_store",
                 "mg_store",
                 "dq_store",
+                "ams_store",
             )
         }
         out = {
@@ -817,6 +818,19 @@ class QueryServer(socketserver.ThreadingTCPServer):
                 "n_total": rows[0]["n_total"] if rows else 0,
                 "error_bound": rows[0]["error_bound"] if rows else 0,
             }
+        if req and req.get("dup_skew"):
+            # duplication-skew (F2 / self-join size of arrival content
+            # hashes) from the streamed AMS counters — an AMS_K-rows-per-dir
+            # read + linear fold at any corpus size; read beside the HLL F0
+            # estimate, F2/F0 is the mean duplicate multiplicity
+            from streamds_spark.streaming.llm_pipeline import dup_skew_estimate
+
+            row = dup_skew_estimate(self.spark, work_dir).first()
+            if row is not None:
+                out["dup_skew"] = {
+                    "n_counters": row["n_counters"],
+                    "f2_estimate": row["f2_estimate"],
+                }
         if req and req.get("dq"):
             # data-quality gate state from the streamed per-trigger
             # constraint reports — a 6-rows-per-dir read + additive fold at

@@ -59,6 +59,7 @@ from streamds_spark.operators.dedup_pipeline import lsh_band_buckets, minhash_si
 
 SAMPLE_K = 100  # rows kept in the mergeable bottom-k corpus sample
 WEIGHTED_SAMPLE_K = 100  # rows kept in the mergeable ES-key weighted sample
+AMS_K = 32  # counters in the per-trigger AMS F2 (duplication-skew) sketch
 
 
 def dq_batch_report(raw: DataFrame) -> DataFrame:
@@ -138,6 +139,10 @@ class CorpusStreamPaths:
     @property
     def dq_store(self) -> str:  # per-batch data-quality constraint reports
         return os.path.join(self.work_dir, "dq_store")
+
+    @property
+    def ams_store(self) -> str:  # per-batch AMS F2 counters (content hashes)
+        return os.path.join(self.work_dir, "ams_store")
 
 
 def _committed_segment_hi(root: str, before_batch: int) -> int:
@@ -317,6 +322,7 @@ def compact_stores(
         "wsample_store": 0,
         "mg_store": 0,
         "dq_store": 0,
+        "ams_store": 0,
     }
     if upto_batch < 0:
         return stats
@@ -398,6 +404,14 @@ def compact_stores(
         # and takedowns do not rewrite arrival history.
         stats["dq_store"] = _compact_one_store(
             spark, paths.dq_store, upto_batch, num_files
+        )
+    if os.path.isdir(paths.ams_store):
+        # AMS counters fold like the HDR registers: duplicate (j, c) rows
+        # are a valid un-folded state — readers re-aggregate by SUM per j
+        # (linear state), so the row-preserving fold never changes the
+        # estimate. An ingest journal like dq_store: never tombstoned.
+        stats["ams_store"] = _compact_one_store(
+            spark, paths.ams_store, upto_batch, num_files
         )
     if merge_corpus:
         # tombstone_upto carries the fold's replay frontier into the corpus
@@ -516,6 +530,23 @@ def process_corpus_batch(
         hll_registers(pre.select("_h"), "_h").write.mode("overwrite").parquet(
             os.path.join(paths.hll_store, f"batch={int(batch_id)}")
         )
+        # duplication-skew sketch: AMS F2 counters over the gated batch's
+        # content hashes BEFORE dedup (`hashed` — dup structure is exactly
+        # what dedup erases). Counters are LINEAR state (operators/ams.py):
+        # per-trigger counter tables fold across triggers by plain SUM into
+        # exactly the whole-feed counters, so the served F2 — the self-join
+        # size of the arrival frequency vector — is the batch answer, not an
+        # approximation of it. State is AMS_K BIGINTs per trigger forever;
+        # beside the HLL's F0, F2/F0 reads as the mean duplicate multiplicity
+        # weighted by dup mass. Like dq_store this is an ingest JOURNAL
+        # (counts over what ARRIVED, not invertible to content) — takedowns
+        # do not rewrite arrival history, so it is not in
+        # rebuild_sketch_stores' scope.
+        from streamds_spark.operators.ams import ams_counters
+
+        ams_counters(hashed.select("_h"), "_h", k=AMS_K).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(paths.ams_store, f"batch={int(batch_id)}"))
         # doc-length quantile sketch: this batch's KEPT docs as an HDR
         # register table (operators/hdr.py — <=1888 rows at ANY batch size).
         # Counts merge by SUM, so cross-trigger replay safety comes from the
@@ -851,6 +882,26 @@ def corpus_heavy_hitters(
         .limit(k)
         .crossJoin(F.broadcast(stats))
     )
+
+
+def dup_skew_estimate(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Finalize-time duplication-skew estimate from the streamed AMS store:
+    fold the per-trigger counters by SUM (linear state — the fold equals
+    the whole-feed counters EXACTLY), then the mean-of-squares F2
+    estimate. One row: (n_counters, sum_c_sq, f2_estimate). F2 is the
+    self-join size of the arrival content-hash frequency vector — a
+    dup-free feed has F2 == arrivals; dup mass inflates it quadratically.
+    Read cost: AMS_K rows per committed dir at any corpus size.
+    Empty store -> 0 rows."""
+    from streamds_spark.operators.ams import ams_f2_estimate, ams_merge
+
+    paths = CorpusStreamPaths(work_dir)
+    dirs = _committed_store_dirs(paths.ams_store, 2**62)
+    if not dirs:
+        return spark.createDataFrame(
+            [], "n_counters bigint, sum_c_sq bigint, f2_estimate double"
+        )
+    return ams_f2_estimate(ams_merge(spark.read.parquet(*dirs)))
 
 
 def corpus_dq_report(spark: SparkSession, work_dir: str) -> DataFrame:

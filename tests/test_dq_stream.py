@@ -132,3 +132,39 @@ def test_empty_store_is_empty_report(spark, tmp_path):
     out = corpus_dq_report(spark, str(tmp_path / "nowhere"))
     assert out.count() == 0
     assert out.columns == ["check_name", "target", "n_rows", "violations", "passed"]
+
+
+def test_ams_store_fold_equals_whole_feed(spark, drained):
+    """Streamed per-trigger AMS counters fold (linear state) into exactly
+    the one-pass counters over the whole gated pre-dedup feed — so the
+    served F2 estimate IS the batch answer."""
+    from pyspark.sql import functions as F
+
+    from streamds_spark.operators.ams import ams_counters, ams_f2_estimate
+    from streamds_spark.streaming.llm_pipeline import AMS_K, dup_skew_estimate
+
+    src_dir, work_dir = drained
+    got = _rows(dup_skew_estimate(spark, work_dir))
+    whole = pipeline_gate(spark.read.parquet(src_dir)).withColumn(
+        "_h", F.md5(F.col("text").cast("binary"))
+    )
+    want = _rows(ams_f2_estimate(ams_counters(whole.select("_h"), "_h", k=AMS_K)))
+    assert got == want and len(got) == 1
+    assert got[0][0] == AMS_K and got[0][2] > 0
+
+
+def test_ams_store_survives_compaction(spark, drained):
+    from streamds_spark.streaming.llm_pipeline import dup_skew_estimate
+
+    _, work_dir = drained
+    before = _rows(dup_skew_estimate(spark, work_dir))
+    compact_stores(spark, work_dir, merge_corpus=False)
+    assert before == _rows(dup_skew_estimate(spark, work_dir))
+
+
+def test_ams_empty_store(spark, tmp_path):
+    from streamds_spark.streaming.llm_pipeline import dup_skew_estimate
+
+    out = dup_skew_estimate(spark, str(tmp_path / "nowhere"))
+    assert out.count() == 0
+    assert out.columns == ["n_counters", "sum_c_sq", "f2_estimate"]

@@ -329,6 +329,7 @@ def test_compact_stores_noop_without_commits(spark, tmp_path):
         "wsample_store": 0,
         "mg_store": 0,
         "dq_store": 0,
+        "ams_store": 0,
     }
 
 

@@ -424,6 +424,12 @@ def test_pipeline_status_over_socket(spark, tmp_path):
         assert all(c["violations"] == 0 for c in dqp["checks"])
         assert all(c["n_rows"] > 0 for c in dqp["checks"])
         assert st["committed_store_dirs"]["dq_store"] >= 1
+        # duplication-skew estimate over the socket (AMS counter store):
+        # the sf0.001 feed is dup-light, so F2 tracks the arrival count
+        sk = request(host, port, {"cmd": "pipeline_status", "dup_skew": True})
+        skp = sk["pipeline"]["dup_skew"]
+        assert skp["n_counters"] == 32 and skp["f2_estimate"] > 0
+        assert st["committed_store_dirs"]["ams_store"] >= 1
     finally:
         spark.streams.removeListener(capture)
         server.shutdown()
