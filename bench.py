@@ -390,6 +390,14 @@ def main() -> None:
         lambda: specs["mg_fold_containment_docs"].fn(spark, sf_dir).count()
     )
 
+    # Round-9 continuation trackers (appended after the above, same policy):
+    # the compiled single-scan constraint suite (quality-gate steady cost)
+    # and the AMS F2 audit (one-scan counters + fold + the exact twin).
+    constraints_s = _min3(
+        lambda: specs["constraint_suite_orders"].fn(spark, sf_dir).count()
+    )
+    ams_s = _min3(lambda: specs["ams_f2_users_audit"].fn(spark, sf_dir).count())
+
     print(
         json.dumps(
             {
@@ -423,6 +431,8 @@ def main() -> None:
                     "bottomk_merge_audit_sources": bottomk_s,
                     "weighted_sample_merge_audit_sources": wsample_s,
                     "mg_fold_containment_docs": mgfold_s,
+                    "constraint_suite_orders": constraints_s,
+                    "ams_f2_users_audit": ams_s,
                     "headline_first_pass_total": round(cold_total, 3),
                     "load1_pre_warmup": load_at_start,
                     "load1_at_timing_start": load_at_timing,
