@@ -1,0 +1,187 @@
+"""Generic incremental materialized view — keyed SUM/COUNT/MIN/MAX (and
+derived AVG) maintained per trigger, folded exactly at read time.
+
+The middle of the repo's incremental-computation ladder: the result cache
+(io/resultcache.py) serves REPEATED queries over unchanged data; the
+bespoke streaming twins (attribution, journeys, funnel) maintain custom
+state machines; this store covers the broad middle — any groupBy-aggregate
+dashboard view — with zero custom code: declare keys + aggregates, and the
+stream maintains per-trigger PARTIAL aggregates that re-aggregate at read
+into exactly the one-pass batch answer.
+
+Why these aggregates: SUM and COUNT are additive, MIN and MAX are
+idempotent-mergeable — all four fold exactly from per-trigger partials
+(AVG derives as SUM/COUNT at read, never stored). COUNT DISTINCT is
+deliberately absent: distinct does not fold from partials — the HLL
+register store answers it approximately, exact dedup stores answer it
+exactly; declaring it here would silently double-count.
+
+Scale shape: per-trigger state is one row per key PRESENT IN THE BATCH
+(not the key universe), written as a batch=N dir under the same
+overwrite-by-batchId idempotence as every pipeline store; the read-time
+fold is a groupBy over (keys in store) x (committed dirs) rows, and
+compact_view folds dirs row-preserving (readers re-aggregate, so the fold
+never changes the view). The exact recount this replaces rescans the
+corpus per refresh; here the corpus is scanned once per trigger, ever.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from streamds_spark.streaming.llm_pipeline import (
+    _committed_store_dirs,
+    _compact_one_store,
+)
+
+_KINDS = ("sum", "count", "min", "max", "avg")
+
+
+@dataclass(frozen=True)
+class ViewSpec:
+    """keys: grouping columns. aggs: {out_col: (kind, in_col)} with kind in
+    sum|count|min|max|avg; count ignores in_col (count(*)); avg is stored
+    as its sum/count parts and derived at read."""
+
+    keys: "tuple[str, ...]"
+    aggs: "dict[str, tuple[str, str | None]]" = field(default_factory=dict)
+
+    def __post_init__(self):
+        if not self.keys or not self.aggs:
+            raise ValueError("ViewSpec needs at least one key and one aggregate")
+        for out, (kind, col) in self.aggs.items():
+            if kind not in _KINDS:
+                raise ValueError(f"ViewSpec: unknown aggregate kind {kind!r}")
+            if kind != "count" and not col:
+                raise ValueError(f"ViewSpec: {out}: {kind} needs a column")
+
+
+def _partial_cols(spec: ViewSpec) -> "list[tuple[str, str, str]]":
+    """Flatten to stored partial columns: [(stored_name, kind, in_col)].
+    avg expands to a sum and a count partial."""
+    out = []
+    for name, (kind, col) in spec.aggs.items():
+        if kind == "avg":
+            out.append((f"{name}__sum", "sum", col))
+            out.append((f"{name}__cnt", "count", col))
+        else:
+            out.append((name, kind, col))
+    return out
+
+
+def view_batch_state(df: DataFrame, spec: ViewSpec) -> DataFrame:
+    """One trigger's partial aggregates: groupBy keys, one row per key
+    present in the batch. Pure function of the batch — replays rewrite
+    identical rows."""
+    aggs = []
+    for stored, kind, col in _partial_cols(spec):
+        if kind == "sum":
+            aggs.append(F.sum(col).alias(stored))
+        elif kind == "count":
+            # count the aggregate's column when given (avg semantics:
+            # nulls don't count), else count(*)
+            aggs.append(
+                (F.count(col) if col else F.count(F.lit(1)))
+                .cast("bigint")
+                .alias(stored)
+            )
+        elif kind == "min":
+            aggs.append(F.min(col).alias(stored))
+        elif kind == "max":
+            aggs.append(F.max(col).alias(stored))
+    return df.groupBy(*spec.keys).agg(*aggs)
+
+
+def view_fold(store: DataFrame, spec: ViewSpec) -> DataFrame:
+    """Re-aggregate stored partials into the view: sum-of-sums,
+    sum-of-counts, min-of-mins, max-of-maxes; avg = folded sum / folded
+    count. Equals the one-pass batch aggregate over the union of all
+    trigger inputs EXACTLY (additive / idempotent merges)."""
+    folds = []
+    for stored, kind, _col in _partial_cols(spec):
+        if kind in ("sum", "count"):
+            f = F.sum(stored)
+            if kind == "count":
+                f = f.cast("bigint")
+        elif kind == "min":
+            f = F.min(stored)
+        else:
+            f = F.max(stored)
+        folds.append(f.alias(stored))
+    folded = store.groupBy(*spec.keys).agg(*folds)
+    # derive avg outputs, drop their partials
+    for name, (kind, _col) in spec.aggs.items():
+        if kind == "avg":
+            folded = folded.withColumn(
+                name, F.col(f"{name}__sum") / F.col(f"{name}__cnt")
+            ).drop(f"{name}__sum", f"{name}__cnt")
+    return folded
+
+
+def write_view_batch(
+    df: DataFrame, batch_id: int, store_dir: str, spec: ViewSpec
+) -> None:
+    """foreachBatch body: overwrite-by-batchId idempotent partial write."""
+    view_batch_state(df, spec).write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"batch={int(batch_id)}")
+    )
+
+
+def run_view_stream(
+    spark: SparkSession,
+    src_dir: str,
+    work_dir: str,
+    spec: ViewSpec,
+    max_files_per_trigger: "int | None" = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain the view over a parquet directory stream. work_dir holds
+    the checkpoint and the partials store."""
+    schema = spark.read.parquet(src_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    store_dir = os.path.join(work_dir, "view_store")
+    writer = (
+        reader.parquet(src_dir)
+        .writeStream.option(
+            "checkpointLocation", os.path.join(work_dir, "checkpoint")
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.foreachBatch(
+        lambda df, bid: write_view_batch(df, bid, store_dir, spec)
+    ).start()
+
+
+def view_report(spark: SparkSession, work_dir: str, spec: ViewSpec) -> DataFrame:
+    """The maintained view: fold every committed trigger dir. Read cost is
+    (keys-in-batch rows) x (committed dirs) at any corpus size. Empty
+    store -> empty view with the spec's columns."""
+    store_dir = os.path.join(work_dir, "view_store")
+    dirs = _committed_store_dirs(store_dir, 2**62)
+    if not dirs:
+        empty = spark.createDataFrame([], "k string")  # placeholder
+        cols = list(spec.keys) + list(spec.aggs)
+        return empty.select(*[F.lit(None).alias(c) for c in cols]).limit(0)
+    return view_fold(spark.read.parquet(*dirs), spec)
+
+
+def compact_view(
+    spark: SparkSession,
+    work_dir: str,
+    upto_batch: int,
+    num_files: "int | None" = None,
+) -> int:
+    """Fold committed batch dirs at/below the checkpoint frontier into one
+    segment (row-preserving — readers re-aggregate, so the view is
+    invariant). Same crash-safe segment discipline as the pipeline stores."""
+    return _compact_one_store(
+        spark, os.path.join(work_dir, "view_store"), upto_batch, num_files
+    )
