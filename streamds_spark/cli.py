@@ -368,6 +368,39 @@ def main(argv: list[str] | None = None) -> int:
         "(equal-size per-stratum draws regardless of stratum skew)",
     )
 
+    ck = sub.add_parser(
+        "check",
+        help="run a declarative data-quality constraint suite on a table "
+        "(operators/constraints.py — the whole suite costs ONE scan) and "
+        "exit 1 if any check fails: the CI/ingest gate",
+    )
+    ck.add_argument("table", help="TESTDATA table name")
+    ck.add_argument("sf_dir", help="TESTDATA dir")
+    ck.add_argument(
+        "--not-null", action="append", default=[], metavar="COL",
+        help="column must have no NULLs (repeatable)",
+    )
+    ck.add_argument(
+        "--unique", action="append", default=[], metavar="COL[,COL2...]",
+        help="non-null tuples must be distinct (repeatable)",
+    )
+    ck.add_argument(
+        "--in-set", action="append", default=[], metavar="COL=V1,V2",
+        help="values must be in the listed set (repeatable)",
+    )
+    ck.add_argument(
+        "--matches", action="append", default=[], metavar="COL=REGEX",
+        help="values must match the regex (repeatable)",
+    )
+    ck.add_argument(
+        "--non-negative", action="append", default=[], metavar="COL",
+        help="values must be >= 0 (repeatable)",
+    )
+    ck.add_argument(
+        "--fk", action="append", default=[], metavar="COL=PARENT.PCOL",
+        help="referential check against another TESTDATA table (repeatable)",
+    )
+
     args = parser.parse_args(argv)
 
     # The corpus verbs lazily read src while overwriting dest — if the two
@@ -900,6 +933,57 @@ def main(argv: list[str] | None = None) -> int:
         cols = [c for c in rows[0].asDict() if c != "h"] if rows else []
         for r in rows:
             print(" ".join(f"{c}={r[c]}" for c in cols))
+    elif args.cmd == "check":
+        from streamds_spark.catalog import TABLES, load_table
+        from streamds_spark.operators import constraints as C
+
+        if args.table not in TABLES:
+            parser.error(f"table must be one of {sorted(TABLES)}")
+        df = load_table(spark, args.sf_dir, args.table)
+
+        def _col(c: str) -> str:
+            if c not in df.columns:
+                parser.error(f"no column {c!r} in {args.table}")
+            return c
+
+        checks = [C.not_null(_col(c)) for c in args.not_null]
+        for spec in args.unique:
+            checks.append(C.unique(*[_col(c.strip()) for c in spec.split(",")]))
+        for spec in args.in_set:
+            col, _, vals = spec.partition("=")
+            if not vals:
+                parser.error(f"--in-set needs COL=V1,V2, got {spec!r}")
+            checks.append(C.in_set(_col(col), [v for v in vals.split(",")]))
+        for spec in args.matches:
+            col, _, rx = spec.partition("=")
+            if not rx:
+                parser.error(f"--matches needs COL=REGEX, got {spec!r}")
+            checks.append(C.matches(_col(col), rx))
+        checks.extend(C.non_negative(_col(c)) for c in args.non_negative)
+        fks = []
+        for spec in args.fk:
+            col, _, ref = spec.partition("=")
+            ptable, _, pcol = ref.partition(".")
+            if not pcol or ptable not in TABLES:
+                parser.error(f"--fk needs COL=PARENT.PCOL over TESTDATA tables, got {spec!r}")
+            parent = load_table(spark, args.sf_dir, ptable)
+            if pcol not in parent.columns:
+                parser.error(f"no column {pcol!r} in {ptable}")
+            fks.append(C.ForeignKey(_col(col), parent, pcol))
+        if not checks and not fks:
+            parser.error("check: give at least one constraint flag")
+        rows = C.constraint_report(df, checks, fks).collect()
+        failed = 0
+        for r in sorted(rows, key=lambda r: (r["check_name"], r["target"])):
+            tag = "PASS" if r["passed"] else "FAIL"
+            failed += 0 if r["passed"] else 1
+            print(
+                f"{tag} {r['check_name']}({r['target']}): "
+                f"{r['violations']} violations of {r['n_rows']} rows"
+            )
+        if failed:
+            print(f"{failed} check(s) failed")
+            raise SystemExit(1)
     elif args.cmd == "serve":
         from streamds_spark.server import start_server
 

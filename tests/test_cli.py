@@ -510,3 +510,37 @@ def test_cli_sample_stratify_cardinality_guard(spark):
     with pytest.raises(SystemExit):
         _run(["sample", "documents", "doc_id", "/root/testdata/sf0.001",
               "-k", "100", "--stratify", "doc_id"])
+
+
+def test_cli_check_verb_gate(spark, capsys):
+    """`streamds check` is the CI gate: exit 0 + all-PASS lines on a clean
+    suite; SystemExit(1) with the failing check named on violations."""
+    import pytest
+
+    rc, out = _run([
+        "check", "orders", "/root/testdata/sf0.001",
+        "--not-null", "o_orderkey", "--unique", "o_orderkey",
+        "--in-set", "o_orderstatus=O,F,P",
+        "--matches", "o_orderpriority=^[1-5]-",
+        "--non-negative", "o_totalprice",
+        "--fk", "o_custkey=customer.c_custkey",
+    ])
+    assert rc in (0, None)
+    lines = [l for l in out.splitlines() if l]
+    assert len(lines) == 6 and all(l.startswith("PASS") for l in lines)
+
+    with pytest.raises(SystemExit) as e:
+        _run(["check", "orders", "/root/testdata/sf0.001",
+              "--in-set", "o_orderstatus=O,F"])
+    assert e.value.code == 1
+
+
+def test_cli_check_verb_validation(spark):
+    import pytest
+
+    with pytest.raises(SystemExit):  # no constraint flags
+        _run(["check", "orders", "/root/testdata/sf0.001"])
+    with pytest.raises(SystemExit):  # unknown column
+        _run(["check", "orders", "/root/testdata/sf0.001", "--not-null", "nope"])
+    with pytest.raises(SystemExit):  # malformed fk
+        _run(["check", "orders", "/root/testdata/sf0.001", "--fk", "o_custkey=bogus"])
