@@ -41,7 +41,7 @@ class Check:
     """One compiled constraint: `name` is the check kind, `target` the
     column(s) it guards, and exactly one of `violations` (a row-local
     condition counted in the shared single-pass aggregate) or
-    `distinct_violation_expr` (a full agg expression, for uniqueness)."""
+    `agg_violations` (a full aggregate expression, for uniqueness)."""
 
     name: str
     target: str

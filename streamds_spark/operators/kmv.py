@@ -43,14 +43,27 @@ from pyspark.sql import functions as F
 from streamds_spark.functions.hashing import md5_int60
 
 
-def kmv_sketch(df: DataFrame, group_col: str, key_col: str, k: int) -> DataFrame:
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    pre_distinct: bool = False,
+) -> DataFrame:
     """DataFrame[group, h] — per group, the k smallest md5_int60 hashes of
-    the DISTINCT key values. The group's mergeable DV/intersection state."""
+    the DISTINCT key values. The group's mergeable DV/intersection state.
+
+    pre_distinct=True skips the internal dedup for inputs the caller
+    already distincted on (group, key) — a second distinct over a distinct
+    is a pure wasted exchange+aggregate, the most expensive shuffle in a
+    vocabulary-sized input."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     distinct = df.select(
         F.col(group_col).alias("group"), F.col(key_col).alias("key")
-    ).distinct()
+    )
+    if not pre_distinct:
+        distinct = distinct.distinct()
     w = Window.partitionBy("group").orderBy("h")
     return (
         distinct.withColumn("h", md5_int60(F.col("key")))
@@ -101,7 +114,7 @@ def kmv_pair_jaccard(sketch: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
     union_k = member.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
     )
-    return union_k.groupBy("group_a", "group_b").agg(
+    agg = union_k.groupBy("group_a", "group_b").agg(
         F.count("*").cast("bigint").alias("k_union"),
         F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("kmv_matches"),
         F.round(
@@ -109,4 +122,19 @@ def kmv_pair_jaccard(sketch: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
             / F.count("*").cast("double"),
             4,
         ).alias("jaccard_est"),
+    )
+    # "for every row of pairs" means EVERY row: a pair whose groups have no
+    # sketch rows at all (empty group, absent name) must yield an explicit
+    # zero row, not vanish — a caller cannot otherwise tell "not computed"
+    # from "no overlap". jaccard_est is 0.0 by convention (0 evidence).
+    return (
+        pairs.select("group_a", "group_b")
+        .join(agg, ["group_a", "group_b"], "left")
+        .select(
+            "group_a",
+            "group_b",
+            F.coalesce("k_union", F.lit(0)).cast("bigint").alias("k_union"),
+            F.coalesce("kmv_matches", F.lit(0)).cast("bigint").alias("kmv_matches"),
+            F.coalesce("jaccard_est", F.lit(0.0)).alias("jaccard_est"),
+        )
     )

@@ -55,6 +55,20 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 30) -> DataFrame
         )
         .localCheckpoint(eager=False)
     )
+    # The distinct-total-order contract is load-bearing twice over: ties
+    # make "the" cheapest edge ambiguous (non-unique MSF), and the
+    # contraction identifies picked edges BY WEIGHT — a duplicated w would
+    # semi-join unrelated edges into the contraction and silently corrupt
+    # the forest. One cheap aggregate turns that into a loud error.
+    wc = cedges.agg(
+        F.count("w").alias("n"), F.count_distinct("w").alias("d")
+    ).collect()[0]
+    if wc["n"] != wc["d"]:
+        raise ValueError(
+            "minimum_spanning_forest: edge weights must be a DISTINCT total "
+            f"order (got {wc['n'] - wc['d']} duplicated weight(s)) — rank "
+            "(w, u, v) lexicographically into a distinct key first"
+        )
     picked_rounds: list[DataFrame] = []
     pin = StatsPinnedCheckpointer(lag=2)
     try:

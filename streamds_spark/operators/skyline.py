@@ -71,8 +71,11 @@ def pareto_frontier(
             # visit in an order that tends to put dominators first: sort by
             # the first objective (best first) — pure optimization, the
             # dominance test below is what decides membership
-            first = cols[0]
-            order = np.argsort(-first if flip[0] else first, kind="stable")
+            # (no unary negation: dates/strings don't support it — sort
+            # ascending and reverse for maximized first objectives)
+            order = np.argsort(cols[0], kind="stable")
+            if flip[0]:
+                order = order[::-1]
             for i in order:
                 if front:
                     le = np.ones(len(front), dtype=bool)

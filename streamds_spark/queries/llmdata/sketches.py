@@ -1140,7 +1140,7 @@ def kmv_vocab_jaccard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "source", F.explode(tokens(F.col("text"))).alias("term")
     ).distinct()
-    sk = kmv_sketch(tok, "source", "term", KMV_K)
+    sk = kmv_sketch(tok, "source", "term", KMV_K, pre_distinct=True)
     srcs = tok.select("source").distinct()
     pairs = (
         srcs.toDF("group_a")

@@ -838,7 +838,12 @@ class QueryServer(socketserver.ThreadingTCPServer):
             from streamds_spark.streaming.llm_pipeline import corpus_dq_report
 
             rows = corpus_dq_report(self.spark, work_dir).collect()
+            # an EMPTY store must not read as healthy: all() over zero
+            # rows is True, and a gate keyed on all_passed would conclude
+            # a feed that never produced quality data is fine — report
+            # no-data explicitly instead
             out["dq"] = {
+                "no_data": not rows,
                 "checks": [
                     {
                         "check": r["check_name"],
@@ -851,7 +856,7 @@ class QueryServer(socketserver.ThreadingTCPServer):
                         rows, key=lambda r: (r["check_name"], r["target"])
                     )
                 ],
-                "all_passed": all(r["passed"] for r in rows),
+                "all_passed": bool(rows) and all(r["passed"] for r in rows),
             }
         if req and req.get("quantiles"):
             # kept-doc length quantiles from the streamed HDR register store —

@@ -59,6 +59,16 @@ class ViewSpec:
                 raise ValueError(f"ViewSpec: unknown aggregate kind {kind!r}")
             if kind != "count" and not col:
                 raise ValueError(f"ViewSpec: {out}: {kind} needs a column")
+        # avg expands to <name>__sum/<name>__cnt stored partials: a sibling
+        # aggregate literally named that would alias-collide at stream
+        # runtime (duplicate parquet column) — fail at spec time instead
+        stored = [name for name, _kind, _col in _partial_cols(self)]
+        if len(stored) != len(set(stored)):
+            dupes = sorted({s for s in stored if stored.count(s) > 1})
+            raise ValueError(
+                f"ViewSpec: stored partial name collision {dupes} — an avg "
+                "named X reserves X__sum and X__cnt"
+            )
 
 
 def _partial_cols(spec: ViewSpec) -> "list[tuple[str, str, str]]":
@@ -160,13 +170,26 @@ def run_view_stream(
     ).start()
 
 
-def view_report(spark: SparkSession, work_dir: str, spec: ViewSpec) -> DataFrame:
+def view_report(
+    spark: SparkSession,
+    work_dir: str,
+    spec: ViewSpec,
+    src_schema=None,
+) -> DataFrame:
     """The maintained view: fold every committed trigger dir. Read cost is
-    (keys-in-batch rows) x (committed dirs) at any corpus size. Empty
-    store -> empty view with the spec's columns."""
+    (keys-in-batch rows) x (committed dirs) at any corpus size.
+
+    Empty store: with `src_schema` (the source table's StructType), the
+    empty view carries the REAL output types (derived by running the spec
+    over an empty frame of that schema — unionable, parquet-writable);
+    without it, a best-effort null-typed empty frame with the right column
+    names (fine for count()/collect(), not for writing)."""
     store_dir = os.path.join(work_dir, "view_store")
     dirs = _committed_store_dirs(store_dir, 2**62)
     if not dirs:
+        if src_schema is not None:
+            empty_src = spark.createDataFrame([], src_schema)
+            return view_fold(view_batch_state(empty_src, spec), spec).limit(0)
         empty = spark.createDataFrame([], "k string")  # placeholder
         cols = list(spec.keys) + list(spec.aggs)
         return empty.select(*[F.lit(None).alias(c) for c in cols]).limit(0)

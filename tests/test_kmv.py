@@ -66,3 +66,41 @@ def test_disjoint_sets_estimate_zero(spark):
 def test_bad_k_raises(spark):
     with pytest.raises(ValueError):
         kmv_sketch(_df(spark, [("a", "x")]), "group", "key", 0)
+
+
+def test_pairs_with_empty_groups_yield_zero_rows(spark):
+    """'for every row of pairs' means EVERY row: a pair naming a group with
+    no sketch rows gets an explicit zero row, not silence."""
+    from streamds_spark.operators.kmv import kmv_pair_jaccard, kmv_sketch
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2)], "g string, key bigint"
+    )
+    sk = kmv_sketch(df, "g", "key", 8)
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "ghost"), ("ghost", "phantom")],
+        "group_a string, group_b string",
+    )
+    rows = {(r["group_a"], r["group_b"]): r
+            for r in kmv_pair_jaccard(sk, pairs, 8).collect()}
+    assert len(rows) == 3
+    assert rows[("a", "ghost")]["k_union"] == 2  # a's sketch alone
+    assert rows[("a", "ghost")]["kmv_matches"] == 0
+    assert rows[("ghost", "phantom")]["k_union"] == 0
+    assert rows[("ghost", "phantom")]["jaccard_est"] == 0.0
+
+
+def test_pre_distinct_same_result(spark):
+    from streamds_spark.operators.kmv import kmv_sketch
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 2)], "g string, key bigint"
+    )
+    plain = sorted(tuple(r) for r in kmv_sketch(df, "g", "key", 8).collect())
+    pre = sorted(
+        tuple(r)
+        for r in kmv_sketch(
+            df.select("g", "key").distinct(), "g", "key", 8, pre_distinct=True
+        ).collect()
+    )
+    assert plain == pre

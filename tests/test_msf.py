@@ -68,3 +68,14 @@ def test_path_graph_deep_contraction(spark):
     edges = [(i, i + 1, 100 - i) for i in range(20)]
     df = spark.createDataFrame(edges, "u int, v int, w bigint")
     assert minimum_spanning_forest(df).count() == 20
+
+
+def test_duplicate_weights_refused(spark):
+    """Ties break both MSF uniqueness and the weight-keyed contraction —
+    the operator must refuse loudly, not return a silently wrong forest."""
+    import pytest
+
+    edges = [(0, 1, 5), (1, 2, 5), (2, 3, 7)]
+    df = spark.createDataFrame(edges, "u int, v int, w bigint")
+    with pytest.raises(ValueError, match="DISTINCT total order"):
+        minimum_spanning_forest(df)

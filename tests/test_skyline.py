@@ -75,3 +75,34 @@ def test_bad_args_raise(spark):
         pareto_frontier(df)
     with pytest.raises(ValueError):
         pareto_frontier(df, minimize=("nope",))
+
+
+def test_date_first_objective(spark):
+    """A date/string column as the FIRST objective must not crash the
+    local-frontier sort (unary negation is undefined for those dtypes —
+    the sort is reversed instead)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, datetime.date(2024, 1, 1), 11),
+        (2, datetime.date(2024, 6, 1), 5),
+        (3, datetime.date(2024, 6, 1), 10),
+        (4, datetime.date(2023, 1, 1), 1),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, d date, v bigint")
+    got = sorted(
+        r["id"]
+        for r in pareto_frontier(df, maximize=("d", "v")).collect()
+    )
+    # 1 survives on value, 3 on recency; 2 dominated by 3, 4 by everyone
+    assert got == [1, 3]
+    # string first objective, minimized
+    df2 = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 0), (3, "a", 0)], "id bigint, s string, v bigint"
+    )
+    got2 = sorted(
+        r["id"] for r in pareto_frontier(df2, minimize=("s", "v")).collect()
+    )
+    assert got2 == [3]

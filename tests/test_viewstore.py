@@ -124,3 +124,23 @@ def test_empty_store(spark, tmp_path):
     out = view_report(spark, str(tmp_path / "nowhere"), SPEC)
     assert out.count() == 0
     assert set(out.columns) == {"lang", "source", *SPEC.aggs}
+
+
+def test_avg_partial_name_collision_refused(spark):
+    with pytest.raises(ValueError, match="collision"):
+        ViewSpec(keys=("k",), aggs={"v__sum": ("sum", "v"), "v": ("avg", "v")})
+
+
+def test_empty_store_typed_with_src_schema(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    src_schema = load_table(spark, SF, "documents").schema
+    out = view_report(spark, str(tmp_path / "nowhere"), SPEC, src_schema=src_schema)
+    assert out.count() == 0
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types["n_docs"] == "bigint"
+    assert types["lang"] == "string"
+    assert types["min_doc"] == "bigint"
+    assert "void" not in set(types.values())
+    # parquet-writable (the null-typed fallback is not)
+    out.write.parquet(str(tmp_path / "empty_view"))
