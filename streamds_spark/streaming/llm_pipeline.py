@@ -637,10 +637,20 @@ def run_llm_corpus_stream(
     # a crash between the two writes replays the batch and overwrites both
     # (the same overwrite-by-batchId idempotence as every other store).
     def _ingest_batch(df: DataFrame, bid: int) -> None:
-        dq_batch_report(df).write.mode("overwrite").parquet(
-            os.path.join(paths.dq_store, f"batch={int(bid)}")
-        )
-        process_corpus_batch(pipeline_gate(df), bid, paths)
+        # Cache the raw batch for the trigger's duration: the DQ report,
+        # the AMS counters, and the gate+dedup subtree all read it, and an
+        # uncached foreachBatch DataFrame re-reads the SOURCE FILES per
+        # action (the file source's numInputRows metric tripled when the
+        # monitors landed — the flight recorder caught it). One real read
+        # per trigger, everything else hits the cache.
+        df.persist()
+        try:
+            dq_batch_report(df).write.mode("overwrite").parquet(
+                os.path.join(paths.dq_store, f"batch={int(bid)}")
+            )
+            process_corpus_batch(pipeline_gate(df), bid, paths)
+        finally:
+            df.unpersist()
 
     writer = raw.writeStream.option("checkpointLocation", paths.checkpoint)
     if available_now:
