@@ -188,7 +188,11 @@ def main() -> None:
 
     official = min(headline_passes, key=lambda p: p["load1_at_start"])
     timings = official["queries"]
-    cold_total = official["cold_total"]
+    # cold total ALWAYS comes from the first pass: a retry pass runs on a
+    # JIT-warm JVM, so its first runs no longer measure the documented
+    # cold per-plan codegen cost — taking it from the official (possibly
+    # retried) pass would silently shift the cold-vs-steady series
+    cold_total = headline_passes[0]["cold_total"]
     load_at_timing = official["load1_at_start"]
     total = official["total"]
 

@@ -307,6 +307,14 @@ def _sweep_stale(cache_dir: str, stats: CacheStats) -> None:
         elif ".evicted-" in name and age > _EVICT_GRACE_S:
             shutil.rmtree(path, ignore_errors=True)
             stats.deleted_evictions += 1
+        elif name.endswith(".lock") and age > _TMP_SWEEP_AGE_S:
+            # a crashed lock-holder's orphan would otherwise block torn-dest
+            # recovery for its fingerprint FOREVER (every miss re-materializes
+            # into a private temp and strands it)
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
 
 
 def evict_to_budget(
@@ -337,10 +345,18 @@ def evict_to_budget(
             break
         if fp == protect:
             continue
+        staged = f"{dest}.evicted-{uuid.uuid4().hex}"
         try:
-            os.rename(dest, f"{dest}.evicted-{uuid.uuid4().hex}")
+            os.rename(dest, staged)
         except OSError:
             continue  # a racer staged it first — its bytes are already going
+        # rename PRESERVES the dir's mtime, so without this touch the sweep's
+        # age check would read time-since-PROMOTION and reclaim an old entry
+        # on the very next cycle — the grace window must start NOW
+        try:
+            os.utime(staged, None)
+        except OSError:
+            pass
         total -= nbytes
         stats.staged_evictions += 1
         stats.evicted_fingerprints.append(fp)

@@ -115,7 +115,9 @@ def anf_census(
     divides it. A real cluster turns the same dial per executor memory."""
     _, census = _anf_iterate(edges, max_iter, stripes)
     spark = edges.sparkSession
-    final_mass = census[-1][1]
+    # max(1, ...): an empty graph has zero final register mass — emit an
+    # all-zero census instead of dividing by it
+    final_mass = max(1, census[-1][1])
     rows = [
         (t, reg, rho, 1000 * reg // final_mass) for (t, reg, rho) in census
     ]
@@ -147,7 +149,9 @@ def _anf_iterate(
     def mass(c: DataFrame) -> tuple[int, int]:
         row = c.agg(
             F.count("*").cast("bigint").alias("reg"),
-            F.sum("max_rho").cast("bigint").alias("rho"),
+            # coalesce: SUM over zero rows is NULL — an empty edge list must
+            # yield a (0, 0) census, not a TypeError on int(None)
+            F.coalesce(F.sum("max_rho"), F.lit(0)).cast("bigint").alias("rho"),
         ).collect()[0]
         return int(row["reg"]), int(row["rho"])
 

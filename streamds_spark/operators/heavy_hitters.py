@@ -107,6 +107,10 @@ def mg_summary(terms: DataFrame, cap: int = MG_STORE_CAP) -> DataFrame:
     spark = terms.sparkSession
     counts = (
         terms.select(F.col(terms.columns[0]).alias("term"))
+        # NULL terms are not countable items, and a (NULL, cnt) data row
+        # would be misread downstream as a SENTINEL (mg_fold dispatches on
+        # term IS NULL), double-counting n_total and dropping the estimate
+        .filter(F.col("term").isNotNull())
         .groupBy("term")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     ).localCheckpoint(eager=True)  # feeds TakeOrdered + total + filter once

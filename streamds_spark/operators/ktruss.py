@@ -80,6 +80,11 @@ def ktruss_edges(
     32 partitions, completes in 354.8 s at 48 GiB heap + 32 partitions,
     and completes FASTER (248.8 s) at 8 GiB + 256 partitions. Pass
     roughly edges/50k; the session default is restored on exit."""
+    if k < 3:
+        # k <= 2 makes sup_min <= 0 and the inner support join would WRONGLY
+        # drop zero-triangle edges (the 2-truss is the whole graph); the
+        # peel is only meaningful from k = 3
+        raise ValueError(f"ktruss_edges: k must be >= 3, got {k}")
     sup_min = k - 2
     spark = edges.sparkSession
     saved = (

@@ -765,7 +765,7 @@ KTRUSS_K = 14  # support >= 12: survives whole at sf0.001 (dense little
            CAST(coalesce(min(s), 0) AS BIGINT) AS min_support,
            CAST(coalesce(max(s), 0) AS BIGINT) AS max_support
     FROM truss
-    """.replace("{SUP}", "12").replace("{K}", "14"),
+    """.replace("{SUP}", str(KTRUSS_K - 2)).replace("{K}", str(KTRUSS_K)),
 )
 def ktruss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-truss census of the co-purchase graph (operators/ktruss.py,

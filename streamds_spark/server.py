@@ -908,7 +908,12 @@ class QueryServer(socketserver.ThreadingTCPServer):
     def status(self) -> dict:
         # per-kind latency percentiles over the last <=1000 requests — the
         # reference leader prints per-query latency to its console
-        # (core_process.go GREP RET branch); this is that signal, queryable
+        # (core_process.go GREP RET branch); this is that signal, queryable.
+        # The cache census (a filesystem walk, slow on a big cache dir or a
+        # networked filesystem) runs BEFORE the lock: note(), cancel(), and
+        # the completion path all take _stats_lock and must never stall
+        # behind IO — the audit-log discipline applied to status().
+        cache = self._cache_status()
         with self._stats_lock:
             latency = {}
             for kind, durs in sorted(self._latency.items()):
@@ -929,7 +934,7 @@ class QueryServer(socketserver.ThreadingTCPServer):
                 "rejected_busy": self._rejected,
                 "max_inflight": self.max_inflight,
                 "max_inflight_per_tenant": self.max_inflight_per_tenant,
-                "result_cache": self._cache_status(),
+                "result_cache": cache,
             }
 
     def _cache_status(self) -> "dict | None":

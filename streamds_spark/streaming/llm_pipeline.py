@@ -287,6 +287,54 @@ def _compact_one_store(
     return len(to_fold)
 
 
+def _fold_parts(root: str, upto_batch: int) -> list[str]:
+    """The parquet dirs a `_compact_one_store(root, upto_batch)` pass will
+    fold: committed batch dirs in (segment_hi, upto_batch] plus the previous
+    segment — the same set that function computes internally. Shared with
+    the sample-erosion accounting so erosion counts EXACTLY the tombstoned
+    rows THIS fold physically removes (counting over all committed dirs
+    double-counted keys living in not-yet-folded batches: they stayed
+    suppressed-live AND bumped erosion, then bumped again when their dir
+    finally folded — ratcheting the exactness guard shut on k values that
+    were actually fine)."""
+    old_hi = _committed_segment_hi(root, upto_batch + 1)
+    parts = []
+    for d in _glob.glob(os.path.join(root, "batch=*")):
+        try:
+            bid = int(os.path.basename(d).split("=", 1)[1])
+        except ValueError:
+            continue
+        if old_hi < bid <= upto_batch and os.path.exists(
+            os.path.join(d, "_SUCCESS")
+        ):
+            parts.append(d)
+    if parts and old_hi >= 0:
+        parts.append(os.path.join(root, f"segment={old_hi}"))
+    return parts
+
+
+def _compact_sample_store(
+    spark: SparkSession, root: str, upto_batch: int, num_files: int | None
+) -> int:
+    """Fold one bottom-k/weighted sample store with takedown-erosion
+    accounting: folding a tombstone physically removes its stored sample
+    rows, but the exactness exposure it created (the batch's unstored tail)
+    OUTLIVES the rows — persist the count so the corpus_sample guard keeps
+    holding after the fold; rebuild_sketch_stores re-derives and resets.
+    One shared implementation for both sample stores (they fold and erode
+    identically)."""
+    from streamds_spark.io import tombstones as _tomb
+
+    pending = 0
+    parts = _fold_parts(root, upto_batch)
+    if parts and _tomb.committed_dirs(root):
+        pending = _tomb.suppressed_count(spark, root, spark.read.parquet(*parts))
+    folded = _compact_one_store(spark, root, upto_batch, num_files)
+    if pending and folded > 0:
+        _bump_sample_erosion(root, pending)
+    return folded
+
+
 def compact_stores(
     spark: SparkSession,
     work_dir: str,
@@ -354,39 +402,16 @@ def compact_stores(
         # bottom-k samples fold the same way: the union of per-batch k-row
         # samples is a valid un-folded sample state (readers re-take the k
         # smallest), so the generic fold preserves the sample exactly.
-        # Takedown erosion accounting: folding a tombstone physically
-        # removes its stored sample rows, but the exactness exposure it
-        # created (the batch's unstored tail) OUTLIVES the rows — persist
-        # the count so corpus_sample's guard keeps holding after the fold;
-        # rebuild_sketch_stores re-derives the sample and resets it.
-        from streamds_spark.io import tombstones as _tomb
-
-        pending = 0
-        dirs_now = _committed_store_dirs(paths.sample_store, 2**62)
-        if dirs_now and _tomb.committed_dirs(paths.sample_store):
-            pending = _tomb.suppressed_count(
-                spark, paths.sample_store, spark.read.parquet(*dirs_now)
-            )
-        stats["sample_store"] = _compact_one_store(
+        # Erosion accounting shared with the weighted store below — see
+        # _compact_sample_store.
+        stats["sample_store"] = _compact_sample_store(
             spark, paths.sample_store, upto_batch, num_files
         )
-        if pending and stats["sample_store"] > 0:
-            _bump_sample_erosion(paths.sample_store, pending)
     if os.path.isdir(paths.wsample_store):
         # the weighted sample folds and erodes exactly like the uniform one
-        from streamds_spark.io import tombstones as _tomb2
-
-        wpending = 0
-        wdirs = _committed_store_dirs(paths.wsample_store, 2**62)
-        if wdirs and _tomb2.committed_dirs(paths.wsample_store):
-            wpending = _tomb2.suppressed_count(
-                spark, paths.wsample_store, spark.read.parquet(*wdirs)
-            )
-        stats["wsample_store"] = _compact_one_store(
+        stats["wsample_store"] = _compact_sample_store(
             spark, paths.wsample_store, upto_batch, num_files
         )
-        if wpending and stats["wsample_store"] > 0:
-            _bump_sample_erosion(paths.wsample_store, wpending)
     if os.path.isdir(paths.mg_store):
         # MG summaries fold like the register tables: duplicate (term, cnt)
         # rows are a valid un-merged state (readers re-aggregate by SUM),

@@ -154,3 +154,13 @@ def test_striping_is_value_identical(spark):
     c1 = sorted(tuple(r) for r in anf_counters(edges).collect())
     c8 = sorted(tuple(r) for r in anf_counters(edges, stripes=8).collect())
     assert c1 == c8
+
+
+def test_empty_edge_list_zero_census(spark):
+    """An empty graph must yield a (0, 0) zero-mass census, not a
+    TypeError from int(None) on the NULL sum."""
+    from streamds_spark.operators.anf import anf_census
+
+    empty = spark.createDataFrame([], "u bigint, v bigint")
+    rows = anf_census(empty).collect()
+    assert all(r["reg_mass"] == 0 and r["rho_mass"] == 0 for r in rows)

@@ -305,3 +305,22 @@ def test_modularity_python_parity(spark):
     one = spark.createDataFrame([(n, "X") for n in range(6)], ["node", "brand"])
     row = modularity_census(e, one).collect()[0]
     assert row["modularity"] == 0.0  # single community is always exactly 0
+
+
+def test_mg_summary_null_terms_excluded(spark):
+    """A NULL term must not become a data row — mg_fold dispatches on
+    term IS NULL, so it would be misread as a sentinel (double-counting
+    n_total and dropping the estimate)."""
+    from streamds_spark.operators.heavy_hitters import mg_fold, mg_summary
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], "term string"
+    )
+    summ = mg_summary(df, cap=10)
+    sentinels = summ.filter("term IS NULL").collect()
+    assert len(sentinels) == 1  # exactly the real sentinel
+    assert sentinels[0]["cnt"] == 3  # NULL row not counted in the batch total
+    est, stats = mg_fold(summ)
+    got = {r["term"]: r["est"] for r in est.collect()}
+    assert got == {"a": 2, "b": 1}
+    assert stats.collect()[0]["n_total"] == 3

@@ -97,3 +97,15 @@ def test_summary_supports_match_reference(spark):
     in_truss = {e: s for e, s in sup.items() if e in expect}
     assert row["min_support"] == min(in_truss.values())
     assert row["max_support"] == max(in_truss.values())
+
+
+def test_k_below_3_refused(spark):
+    """k <= 2 would make the inner support join wrongly drop zero-triangle
+    edges (the 2-truss is the whole graph) — refuse loudly."""
+    import pytest
+
+    from streamds_spark.operators.ktruss import ktruss_edges
+
+    df = spark.createDataFrame([(1, 2)], "u bigint, v bigint")
+    with pytest.raises(ValueError, match="k must be >= 3"):
+        ktruss_edges(df, 2)

@@ -387,3 +387,55 @@ def test_cache_census(spark, tmp_path):
     cached(_q(spark, f"{SF}/orders.parquet"), cache)
     c = cache_census(cache)
     assert c.entries == 1 and c.bytes > 0
+
+
+def test_old_entry_grace_starts_at_eviction_not_promotion(spark, tmp_path):
+    """rename preserves the dir's mtime, so without the explicit utime a
+    staged eviction of an OLD entry would be reclaimed by the very next
+    sweep — the grace window must start at EVICTION time."""
+    import glob
+    import os
+
+    from streamds_spark.io.resultcache import CacheStats, _sweep_stale, evict_to_budget
+
+    cache_dir = str(tmp_path / "cache")
+    os.makedirs(cache_dir)
+    df = spark.range(50).toDF("n")
+    src = str(tmp_path / "src.parquet")
+    df.write.parquet(src)
+    cached(spark.read.parquet(src), cache_dir)
+    (dest,) = [
+        os.path.join(cache_dir, n)
+        for n in os.listdir(cache_dir)
+        if ".tmp-" not in n and not n.endswith(".lock")
+    ]
+    # age the entry far past the grace window (promotion long ago)
+    old = time.time() - 3600
+    os.utime(dest, (old, old))
+    os.utime(os.path.join(dest, "_TOUCHED"), (old, old))
+    evict_to_budget(cache_dir, max_bytes=0)
+    staged = glob.glob(os.path.join(cache_dir, "*.evicted-*"))
+    assert len(staged) == 1
+    # an immediate sweep must NOT reclaim it — grace restarts at staging
+    _sweep_stale(cache_dir, CacheStats())
+    assert glob.glob(os.path.join(cache_dir, "*.evicted-*")) == staged
+    assert os.path.exists(os.path.join(staged[0], "_SUCCESS"))
+
+
+def test_orphaned_lock_is_swept_by_age(spark, tmp_path):
+    """A crashed lock-holder's <fp>.lock must not block torn-dest recovery
+    forever — it is swept by age like abandoned writer temps."""
+    import os
+
+    from streamds_spark.io.resultcache import CacheStats, _sweep_stale
+
+    cache_dir = str(tmp_path / "cache")
+    os.makedirs(cache_dir)
+    lock = os.path.join(cache_dir, "deadbeef.lock")
+    open(lock, "w").close()
+    _sweep_stale(cache_dir, CacheStats())
+    assert os.path.exists(lock)  # fresh lock: a live holder may own it
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    _sweep_stale(cache_dir, CacheStats())
+    assert not os.path.exists(lock)

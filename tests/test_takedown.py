@@ -456,3 +456,35 @@ def test_tombstone_store_unit(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in tombstones.apply(base, store).collect()
     ) == [0, 1, 2, 5, 6, 7]
+
+
+def test_erosion_counts_only_rows_this_fold_removes(spark, tmp_path):
+    """A tombstoned key whose sample rows live ABOVE the fold frontier must
+    NOT bump erosion (its rows survive and stay suppressed-live) — counting
+    it early double-counted the exposure (erosion + live suppression) and
+    each later pass ratcheted the guard further."""
+    from streamds_spark.io import tombstones
+    from streamds_spark.streaming.llm_pipeline import (
+        _compact_sample_store,
+        _sample_erosion,
+    )
+
+    store = str(tmp_path / "sample_store")
+    for b, ids in enumerate([[1, 2], [3, 4], [5, 6]]):
+        spark.createDataFrame([(i,) for i in ids], "doc_id bigint").coalesce(
+            1
+        ).write.parquet(f"{store}/batch={b}")
+    # doc 5 lives only in batch=2
+    tombstones.add(spark, store, "doc_id", [5], fold_after=0)
+
+    folded = _compact_sample_store(spark, store, upto_batch=1, num_files=None)
+    assert folded == 2  # batches 0,1
+    assert _sample_erosion(store) == 0  # doc 5's rows were NOT touched
+
+    folded = _compact_sample_store(spark, store, upto_batch=2, num_files=None)
+    assert folded >= 1  # batch 2 (+ previous segment)
+    assert _sample_erosion(store) == 1  # counted exactly once, at removal
+
+    # idempotent: nothing left to fold, nothing re-counted
+    _compact_sample_store(spark, store, upto_batch=2, num_files=None)
+    assert _sample_erosion(store) == 1
