@@ -38,6 +38,21 @@ the whole min-of-3 pass (max 2 retries). Every pass is recorded in
 extras.headline_passes with its start load; the official headline is the pass
 with the LOWEST load at timing start, and busy_box_budget_exhausted flags a
 run whose official pass never got a clean start.
+
+Lowest-total protocol (round 10, per VERDICT r9): the r9 gate (4.0) admitted a
+load1=3.32 sample as the single official pass — the second straight round the
+official series carried an environment artifact a quiet-box recheck disowned
+(10.163 s official vs 6.11-6.8 s quiet). Two changes: (1) the harness ALWAYS
+runs at least two headline passes and the OFFICIAL pass is the one with the
+lowest TOTAL — guest load1 cannot see host-level contention in a VM, but the
+totals can, and min-over-passes is exactly the min-of-3 logic one level up;
+(2) the retry threshold for earning a THIRD pass drops to RETRY_LOAD_GATE=1.5
+(a genuinely quiet box on this 32-cpu host idles well under 1), applied when
+both completed passes started above it. busy_box_budget_exhausted now means
+"no pass ever started under 1.5". Extras are each stamped with their own
+load1 at measurement start (extras.extras_load1) so extras-to-extras
+round comparisons carry their own evidence instead of inheriting the
+headline's.
 """
 
 from __future__ import annotations
@@ -74,6 +89,9 @@ HEADLINE = [
 
 
 IDLE_LOAD_GATE = 4.0  # 1-min load below this ≈ quiet on a 32-cpu box
+RETRY_LOAD_GATE = 1.5  # a pass starting above this earns a third attempt
+MIN_PASSES = 2  # always at least two headline passes; official = lowest total
+MAX_PASSES = 3
 IDLE_MAX_WAIT_S = 120.0
 
 
@@ -85,12 +103,14 @@ def _load1() -> float:
         return -1.0  # unknown platform — skip the gate, report -1
 
 
-def _wait_for_idle(budget_s: float = IDLE_MAX_WAIT_S) -> "tuple[float, float]":
+def _wait_for_idle(
+    budget_s: float = IDLE_MAX_WAIT_S, gate: float = IDLE_LOAD_GATE
+) -> "tuple[float, float]":
     """Block until the box looks idle (or the wait budget runs out).
     Returns (load1 at timing start, seconds spent waiting)."""
     waited = 0.0
     load = _load1()
-    while load >= IDLE_LOAD_GATE and waited < budget_s:
+    while load >= gate and waited < budget_s:
         time.sleep(5.0)
         waited += 5.0
         load = _load1()
@@ -159,17 +179,19 @@ def main() -> None:
             t[name] = round(min(runs), 3)
         return t, cold
 
-    # Retry-on-load: every pass is recorded; the OFFICIAL headline is the pass
-    # with the lowest load1 at its timing start. If the gate budget exhausts
-    # while still loaded, the run proceeds but carries an explicit
-    # busy_box_budget_exhausted flag so the series never silently absorbs a
-    # loaded-box sample again. At most 2 retries (each with its own wait
-    # budget) keeps total added wall bounded at ~3 headline passes.
+    # Lowest-total passes (round 10): ALWAYS at least MIN_PASSES full min-of-3
+    # headline passes; the OFFICIAL headline is the pass with the lowest
+    # TOTAL. Guest load1 cannot see host-level contention in a VM (the r8 and
+    # r9 official headlines were both environment samples that passed the
+    # load gate), but a contended pass's total is visibly inflated — taking
+    # the min over passes is the same steady-state argument as min-of-3 one
+    # level up. A THIRD pass runs only when both completed passes started
+    # above RETRY_LOAD_GATE (the box never looked quiet), after waiting out a
+    # fresh idle budget at the tighter gate.
     headline_passes = []
     retry_wait_s = 0.0
-    budget_exhausted = False
     pass_load = load_at_timing
-    for attempt in range(3):
+    for attempt in range(MAX_PASSES):
         t_pass, cold_pass = _headline_pass()
         headline_passes.append(
             {
@@ -179,14 +201,26 @@ def main() -> None:
                 "cold_total": round(cold_pass, 3),
             }
         )
-        if pass_load < IDLE_LOAD_GATE or attempt == 2:
-            budget_exhausted = pass_load >= IDLE_LOAD_GATE
+        done_min = len(headline_passes) >= MIN_PASSES
+        # load1 of -1.0 means "unknown platform, gate skipped" — treat as
+        # quiet so the third pass never triggers on missing telemetry.
+        any_quiet = any(
+            p["load1_at_start"] < RETRY_LOAD_GATE for p in headline_passes
+        )
+        if attempt + 1 >= MAX_PASSES or (done_min and any_quiet):
             break
-        # Loaded at timing start: wait out a fresh budget, then re-run.
-        pass_load, w = _wait_for_idle()
-        retry_wait_s += w
+        if done_min:
+            # Both passes so far started loaded: wait for a genuinely quiet
+            # start before spending the final pass.
+            pass_load, w = _wait_for_idle(gate=RETRY_LOAD_GATE)
+            retry_wait_s += w
+        else:
+            pass_load = _load1()
 
-    official = min(headline_passes, key=lambda p: p["load1_at_start"])
+    budget_exhausted = not any(
+        p["load1_at_start"] < RETRY_LOAD_GATE for p in headline_passes
+    )
+    official = min(headline_passes, key=lambda p: p["total"])
     timings = official["queries"]
     # cold total ALWAYS comes from the first pass: a retry pass runs on a
     # JIT-warm JVM, so its first runs no longer measure the documented
@@ -196,10 +230,17 @@ def main() -> None:
     load_at_timing = official["load1_at_start"]
     total = official["total"]
 
-    def _min3(action) -> float:
+    # Per-extra load stamps (round 10, per VERDICT r9): every extra records
+    # load1 at its own measurement start so extras-to-extras round
+    # comparisons carry their own environment evidence — the r9 extras were
+    # all loaded-box samples invisible behind the headline's single stamp.
+    extras_load1: dict[str, float] = {}
+
+    def _min3(name: str, action) -> float:
         """Min-of-3 wall for an extra — same steady-state protocol as the
         headline; three consecutive runs keep every extra's harness position
-        stable relative to its neighbors."""
+        stable relative to its neighbors. Stamps load1 at start."""
+        extras_load1[name] = _load1()
         runs = []
         for _ in range(3):
             t0 = time.time()
@@ -225,7 +266,7 @@ def main() -> None:
         scaled = scaled.unionByName(
             docs.select((F.col("doc_id") + i * n_ids).alias("doc_id"), "text")
         )
-    lsh_10x = _min3(lambda: lsh_candidate_pairs(minhash_signatures(scaled)).count())
+    lsh_10x = _min3("dedup_lsh_pairs_docs10x", lambda: lsh_candidate_pairs(minhash_signatures(scaled)).count())
 
     # Incremental-dedup scaling watch: probe a NEW batch (the base documents
     # table) against a PERSISTED 10× corpus bucket store. Store build is the
@@ -239,6 +280,7 @@ def main() -> None:
         write_bucket_store,
     )
 
+    extras_load1["dedup_incremental_docs10x"] = _load1()
     build_runs, probe_runs = [], []
     for _ in range(3):
         store_dir = tempfile.mkdtemp(prefix="dedup_store_")
@@ -261,6 +303,7 @@ def main() -> None:
     from streamds_spark.operators.substring_dedup import substring_dedup
 
     substr_10x = _min3(
+        "substring_dedup_hashed_docs10x",
         lambda: substring_dedup(scaled, 8, hash_shingles=True)
         .agg(F.sum("n_tokens_removed"), F.sum("n_spans"))
         .collect()
@@ -278,14 +321,15 @@ def main() -> None:
     cut = int(n_ids * 0.05)
     bench_sh = sh.filter(F.col("doc_id") < cut).select("shingle").distinct()
     corpus_sh = sh.filter(F.col("doc_id") >= cut)
-    bloom_s = _min3(lambda: bloom_decontaminate(corpus_sh, bench_sh).count())
+    bloom_s = _min3("bloom_decontaminate", lambda: bloom_decontaminate(corpus_sh, bench_sh).count())
 
     # Corpus-health trackers (also outside the headline total): the KL agg
     # forces the full tokenize+aggregate pipeline; the redaction scan is
     # forced through an aggregate because count() alone would let Spark skip
     # the regexp projection entirely.
-    kl_s = _min3(lambda: specs["source_unigram_kl"].fn(spark, sf_dir).count())
+    kl_s = _min3("source_unigram_kl", lambda: specs["source_unigram_kl"].fn(spark, sf_dir).count())
     pii_s = _min3(
+        "pii_redaction_forced",
         lambda: specs["pii_redaction"]
         .fn(spark, sf_dir)
         .agg(F.max("redacted_fp"), F.sum("n_emails"))
@@ -298,6 +342,7 @@ def main() -> None:
     # interpreted higher-order-function evaluation per doc, parallelized by
     # input splits, not a shuffle.
     gopher_s = _min3(
+        "gopher_quality_flags_forced",
         lambda: specs["gopher_quality_flags"]
         .fn(spark, sf_dir)
         .agg(F.sum(F.col("gopher_keep").cast("int")), F.sum("n_words"))
@@ -310,14 +355,15 @@ def main() -> None:
     # above it is the per-round watch).
     from streamds_spark.operators.cdc import cdc_chunks_gear
 
-    kn_s = _min3(lambda: specs["kn_perplexity_filter"].fn(spark, sf_dir).count())
-    cdc_s = _min3(lambda: specs["cdc_chunk_sharing"].fn(spark, sf_dir).count())
+    kn_s = _min3("kn_perplexity_filter", lambda: specs["kn_perplexity_filter"].fn(spark, sf_dir).count())
+    cdc_s = _min3("cdc_chunk_sharing", lambda: specs["cdc_chunk_sharing"].fn(spark, sf_dir).count())
 
     # Round-6 operator trackers: the 5-gram KN filter (the production-order
     # CCNet dial, generic order-n construction) and SemDeDup.
-    kn5_s = _min3(lambda: specs["kn5_perplexity_filter"].fn(spark, sf_dir).count())
-    semdedup_s = _min3(lambda: specs["semantic_dedup_keep"].fn(spark, sf_dir).count())
+    kn5_s = _min3("kn5_perplexity_filter", lambda: specs["kn5_perplexity_filter"].fn(spark, sf_dir).count())
+    semdedup_s = _min3("semantic_dedup_keep", lambda: specs["semantic_dedup_keep"].fn(spark, sf_dir).count())
     cdc_gear_s = _min3(
+        "cdc_chunks_gear",
         lambda: cdc_chunks_gear(load_table(spark, sf_dir, "documents")).count()
     )
 
@@ -325,11 +371,12 @@ def main() -> None:
     # pass + 256-group agg + the exact-count audit side), the clustering-
     # quality report (exploded-vector centroid pass + k-sized tail), and the
     # vocab-sizing coverage curve (distributed exact rank over term counts).
-    hll_s = _min3(lambda: specs["hll_distinct_parts"].fn(spark, sf_dir).count())
+    hll_s = _min3("hll_distinct_parts", lambda: specs["hll_distinct_parts"].fn(spark, sf_dir).count())
     cqual_s = _min3(
+        "cluster_quality_metrics",
         lambda: specs["cluster_quality_metrics"].fn(spark, sf_dir).count()
     )
-    tcov_s = _min3(lambda: specs["token_coverage_curve"].fn(spark, sf_dir).count())
+    tcov_s = _min3("token_coverage_curve", lambda: specs["token_coverage_curve"].fn(spark, sf_dir).count())
 
     # Round-7 trackers, APPENDED here per the extras ordering policy (the HDR
     # tracker's r7 insertion before cluster_quality_metrics is what the
@@ -339,9 +386,11 @@ def main() -> None:
     # — dim count + one count-partials shuffle — INCLUDED, then the salted
     # join it picks on the hot source keys).
     hdrq_s = _min3(
+        "hdr_value_quantiles_by_type",
         lambda: specs["hdr_value_quantiles_by_type"].fn(spark, sf_dir).count()
     )
     skewaware_s = _min3(
+        "skew_aware_join_sources",
         lambda: specs["skew_aware_join_sources"].fn(spark, sf_dir).count()
     )
 
@@ -361,6 +410,7 @@ def main() -> None:
         with scheduler_pool(spark, f"bench-{nm}"):
             specs[nm].fn(spark, sf_dir).count()
 
+    extras_load1["concurrent_3way_wall"] = _load1()
     t0 = time.time()
     conc_threads = [
         threading.Thread(target=_run_pooled, args=(nm,)) for nm in conc_queries
@@ -378,9 +428,11 @@ def main() -> None:
     # fold==whole audit (per-source samples + two TakeOrdereds + a k-row
     # outer join — the sampling-state maintenance cost).
     hdrsigned_s = _min3(
+        "hdr_signed_delta_quantiles",
         lambda: specs["hdr_signed_delta_quantiles"].fn(spark, sf_dir).count()
     )
     bottomk_s = _min3(
+        "bottomk_merge_audit_sources",
         lambda: specs["bottomk_merge_audit_sources"].fn(spark, sf_dir).count()
     )
 
@@ -388,9 +440,11 @@ def main() -> None:
     # the mergeability audits of the two new streaming stores (ES-key
     # weighted sample fold==whole; Misra-Gries fold containment + bound).
     wsample_s = _min3(
+        "weighted_sample_merge_audit_sources",
         lambda: specs["weighted_sample_merge_audit_sources"].fn(spark, sf_dir).count()
     )
     mgfold_s = _min3(
+        "mg_fold_containment_docs",
         lambda: specs["mg_fold_containment_docs"].fn(spark, sf_dir).count()
     )
 
@@ -398,9 +452,10 @@ def main() -> None:
     # the compiled single-scan constraint suite (quality-gate steady cost)
     # and the AMS F2 audit (one-scan counters + fold + the exact twin).
     constraints_s = _min3(
+        "constraint_suite_orders",
         lambda: specs["constraint_suite_orders"].fn(spark, sf_dir).count()
     )
-    ams_s = _min3(lambda: specs["ams_f2_users_audit"].fn(spark, sf_dir).count())
+    ams_s = _min3("ams_f2_users_audit", lambda: specs["ams_f2_users_audit"].fn(spark, sf_dir).count())
 
     print(
         json.dumps(
@@ -445,6 +500,7 @@ def main() -> None:
                     "headline_retry_wait_s": retry_wait_s,
                     "headline_passes": headline_passes,
                     "busy_box_budget_exhausted": budget_exhausted,
+                    "extras_load1": extras_load1,
                 },
             }
         )
