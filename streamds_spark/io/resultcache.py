@@ -56,6 +56,7 @@ import os
 import shutil
 import time
 import uuid
+from collections import OrderedDict
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -179,6 +180,29 @@ def _jvm_nondeterministic_nodes(df: DataFrame) -> set[str]:
     return found
 
 
+# Admission-verdict memo (round 10, per VERDICT r9): the determinism verdict
+# is a pure function of the analyzed plan — and the canonicalized plan string
+# is already in hand for the fingerprint — so repeated admissions of the same
+# plan shape (the cache's entire use case: the dashboard query that runs every
+# few minutes) must not re-pay the JSON walk + the per-node/per-expression
+# py4j JVM walk. Bounded LRU; keyed on the canonical string, which determines
+# the expression classes present and hence the verdict.
+_VERDICT_MEMO: "OrderedDict[str, bool]" = OrderedDict()
+_VERDICT_MEMO_MAX = 1024
+
+
+def _plan_is_deterministic(df: DataFrame, canon: str) -> bool:
+    hit = _VERDICT_MEMO.get(canon)
+    if hit is not None:
+        _VERDICT_MEMO.move_to_end(canon)
+        return hit
+    verdict = not nondeterministic_classes(df)
+    _VERDICT_MEMO[canon] = verdict
+    if len(_VERDICT_MEMO) > _VERDICT_MEMO_MAX:
+        _VERDICT_MEMO.popitem(last=False)
+    return verdict
+
+
 def plan_fingerprint(df: DataFrame) -> tuple[str, bool]:
     """(fingerprint hex, cacheable). Driver-side only — no jobs."""
     canon = df._jdf.queryExecution().analyzed().canonicalized().toString()  # noqa: SLF001
@@ -199,7 +223,7 @@ def plan_fingerprint(df: DataFrame) -> tuple[str, bool]:
             stats.append([f, -1, -1])
     payload = json.dumps([canon, stats, sorted(logical)], sort_keys=True)
     fp = hashlib.sha256(payload.encode()).hexdigest()[:32]
-    cacheable = bool(files) and not nondeterministic_classes(df)
+    cacheable = bool(files) and _plan_is_deterministic(df, canon)
     return fp, cacheable
 
 

@@ -422,6 +422,51 @@ def test_old_entry_grace_starts_at_eviction_not_promotion(spark, tmp_path):
     assert os.path.exists(os.path.join(staged[0], "_SUCCESS"))
 
 
+def test_admission_verdict_memoized_no_repeat_jvm_walk(spark, tmp_path, monkeypatch):
+    """Repeated admission of the same plan shape (the cache's entire use
+    case) must not re-pay the determinism walks: the verdict is memoized on
+    the canonicalized plan string, so the second cached() performs ZERO
+    JSON/JVM plan walks — and an uncacheable plan's verdict memoizes too."""
+    import os
+
+    from streamds_spark.io import resultcache as rc
+
+    rc._VERDICT_MEMO.clear()
+    jvm_calls, json_calls = [], []
+    real_jvm, real_classes = rc._jvm_nondeterministic_nodes, rc.nondeterministic_classes
+    monkeypatch.setattr(
+        rc, "_jvm_nondeterministic_nodes",
+        lambda df: jvm_calls.append(1) or real_jvm(df),
+    )
+    monkeypatch.setattr(
+        rc, "nondeterministic_classes",
+        lambda df: json_calls.append(1) or real_classes(df),
+    )
+    cache = str(tmp_path / "cache")
+    src = f"{SF}/orders.parquet"
+    a = cached(_q(spark, src), cache)
+    assert a.cacheable and not a.hit
+    assert len(json_calls) == 1 and len(jvm_calls) == 1  # clean plan: both walks once
+    b = cached(_q(spark, src), cache)
+    assert b.hit and b.fingerprint == a.fingerprint
+    assert len(json_calls) == 1 and len(jvm_calls) == 1, "second admission must memo"
+    # uncacheable verdicts memoize the same way (JSON walk condemns; the JVM
+    # catch-all is skipped on a condemned plan, and the memo skips the rerun)
+    nondet = spark.read.parquet(src).select(F.rand(7).alias("r"))
+    assert not cached(nondet, cache).cacheable
+    assert not cached(nondet, cache).cacheable
+    assert len(json_calls) == 2 and len(jvm_calls) == 1
+    # the memo is bounded LRU: filling past capacity evicts the oldest key
+    monkeypatch.setattr(rc, "_VERDICT_MEMO_MAX", 2)
+    rc._VERDICT_MEMO.clear()
+    rc._plan_is_deterministic(_q(spark, src), "canon-a")
+    rc._plan_is_deterministic(_q(spark, src), "canon-b")
+    rc._plan_is_deterministic(_q(spark, src), "canon-c")
+    assert list(rc._VERDICT_MEMO) == ["canon-b", "canon-c"]
+    rc._VERDICT_MEMO.clear()
+    assert os.path.exists(os.path.join(cache, a.fingerprint, "_SUCCESS"))
+
+
 def test_orphaned_lock_is_swept_by_age(spark, tmp_path):
     """A crashed lock-holder's <fp>.lock must not block torn-dest recovery
     forever — it is swept by age like abandoned writer temps."""
