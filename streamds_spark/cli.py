@@ -386,7 +386,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     ck.add_argument(
         "--in-set", action="append", default=[], metavar="COL=V1,V2",
-        help="values must be in the listed set (repeatable)",
+        help="values must be in the listed set (repeatable); escape a "
+        "literal comma in a member as '\\,' and a backslash as '\\\\'; "
+        "members compare as strings (Spark's implicit cast covers the "
+        "numeric columns)",
     )
     ck.add_argument(
         "--matches", action="append", default=[], metavar="COL=REGEX",
@@ -949,11 +952,38 @@ def main(argv: list[str] | None = None) -> int:
         checks = [C.not_null(_col(c)) for c in args.not_null]
         for spec in args.unique:
             checks.append(C.unique(*[_col(c.strip()) for c in spec.split(",")]))
+        def _set_members(vals: str) -> list:
+            # split on UNESCAPED commas only: '\,' is a literal comma in a
+            # member, '\\' a literal backslash — a set member containing a
+            # comma was otherwise unexpressible, and a trailing bare comma
+            # silently manufactured an empty-string member
+            out, cur, i = [], [], 0
+            while i < len(vals):
+                ch = vals[i]
+                if ch == "\\" and i + 1 < len(vals):
+                    cur.append(vals[i + 1])
+                    i += 2
+                    continue
+                if ch == ",":
+                    out.append("".join(cur))
+                    cur = []
+                else:
+                    cur.append(ch)
+                i += 1
+            out.append("".join(cur))
+            return out
+
         for spec in args.in_set:
             col, _, vals = spec.partition("=")
             if not vals:
                 parser.error(f"--in-set needs COL=V1,V2, got {spec!r}")
-            checks.append(C.in_set(_col(col), [v for v in vals.split(",")]))
+            members = _set_members(vals)
+            if any(m == "" for m in members):
+                parser.error(
+                    f"--in-set {spec!r} has an empty member (trailing or "
+                    "doubled comma?) — escape a literal comma as '\\,'"
+                )
+            checks.append(C.in_set(_col(col), members))
         for spec in args.matches:
             col, _, rx = spec.partition("=")
             if not rx:

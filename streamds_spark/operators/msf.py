@@ -61,8 +61,21 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 30) -> DataFrame
     # semi-join unrelated edges into the contraction and silently corrupt
     # the forest. One cheap aggregate turns that into a loud error.
     wc = cedges.agg(
-        F.count("w").alias("n"), F.count_distinct("w").alias("d")
+        F.count(F.lit(1)).alias("rows"),
+        F.count("w").alias("n"),
+        F.count_distinct("w").alias("d"),
     ).collect()[0]
+    # count(w)/count_distinct(w) both ignore NULLs, so a NULL-weight edge
+    # would slip past the duplicate check yet can never be picked (min_by
+    # skips NULL ordering keys) nor matched by the weight-keyed contraction
+    # — it would spin as a phantom "crossing edge" for all max_rounds and
+    # degrade the hard contract violation into a warning. Reject it loudly.
+    if wc["rows"] != wc["n"]:
+        raise ValueError(
+            "minimum_spanning_forest: edge weights must be non-NULL "
+            f"(got {wc['rows'] - wc['n']} NULL weight(s)) — a NULL weight "
+            "violates the distinct-total-order contract"
+        )
     if wc["n"] != wc["d"]:
         raise ValueError(
             "minimum_spanning_forest: edge weights must be a DISTINCT total "

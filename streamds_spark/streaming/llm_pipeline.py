@@ -244,20 +244,22 @@ def _compact_one_store(
     from streamds_spark.io import tombstones
 
     old_hi = _committed_segment_hi(root, upto_batch + 1)
-    to_fold = []
     for d in _glob.glob(os.path.join(root, "batch=*")):
         try:
             bid = int(os.path.basename(d).split("=", 1)[1])
         except ValueError:
             continue
-        if old_hi < bid <= upto_batch and os.path.exists(
-            os.path.join(d, "_SUCCESS")
-        ):
-            to_fold.append((bid, d))
-        elif bid <= old_hi:
+        if bid <= old_hi:
             # garbage from a batch replayed after a previous compaction —
             # readers already skip it (bid <= segment hi); reclaim it
             shutil.rmtree(d, ignore_errors=True)
+    # _fold_parts is the SINGLE source of truth for the fold set — the
+    # sample-erosion accounting (_compact_sample_store) counts suppressed
+    # rows over the same call, so the two can never silently diverge.
+    parts = _fold_parts(root, upto_batch)
+    to_fold = [
+        d for d in parts if os.path.basename(d).startswith("batch=")
+    ]
     if not to_fold:
         # still reclaim tombstones a PREVIOUS fold staged (their keys are
         # already physically gone from the segment); stage nothing new —
@@ -265,16 +267,15 @@ def _compact_one_store(
         tombstones.gc_then_stage(root, [])
         return 0
     tomb_dirs = [d for d, _ in tombstones.committed_dirs(root)]
-    new_hi = max(bid for bid, _ in to_fold)
-    parts = [d for _, d in to_fold]
-    if old_hi >= 0:
-        parts.append(os.path.join(root, f"segment={old_hi}"))
+    new_hi = max(
+        int(os.path.basename(d).split("=", 1)[1]) for d in to_fold
+    )
     df = tombstones.apply(spark.read.parquet(*parts), root)
     if num_files is not None:
         df = df.coalesce(max(1, num_files))
     df.write.mode("overwrite").parquet(os.path.join(root, f"segment={new_hi}"))
     # _SUCCESS is the commit point; everything below is reclaim
-    for _, d in to_fold:
+    for d in to_fold:
         shutil.rmtree(d, ignore_errors=True)
     if old_hi >= 0:
         shutil.rmtree(os.path.join(root, f"segment={old_hi}"), ignore_errors=True)
@@ -290,8 +291,8 @@ def _compact_one_store(
 def _fold_parts(root: str, upto_batch: int) -> list[str]:
     """The parquet dirs a `_compact_one_store(root, upto_batch)` pass will
     fold: committed batch dirs in (segment_hi, upto_batch] plus the previous
-    segment — the same set that function computes internally. Shared with
-    the sample-erosion accounting so erosion counts EXACTLY the tombstoned
+    segment. _compact_one_store CALLS this for its own dir selection (single
+    source of truth). Shared with the sample-erosion accounting so erosion counts EXACTLY the tombstoned
     rows THIS fold physically removes (counting over all committed dirs
     double-counted keys living in not-yet-folded batches: they stayed
     suppressed-live AND bumped erosion, then bumped again when their dir

@@ -535,6 +535,32 @@ def test_cli_check_verb_gate(spark, capsys):
     assert e.value.code == 1
 
 
+def test_cli_check_in_set_escaping(spark, capsys):
+    """--in-set splits on UNESCAPED commas only: '\\,' is a literal comma in
+    a member (previously unexpressible), and an empty member from a trailing
+    or doubled comma is rejected up front instead of silently comparing
+    against the empty string."""
+    import pytest
+
+    # escaped comma: the set is {"O,F", "P"} — most rows violate → exit 1,
+    # proving the member was parsed as ONE value containing a comma
+    with pytest.raises(SystemExit) as e:
+        _run(["check", "orders", "/root/testdata/sf0.001",
+              "--in-set", "o_orderstatus=O\\,F,P"])
+    assert e.value.code == 1
+    # trailing comma = empty member: refused loudly (argparse exit 2)
+    with pytest.raises(SystemExit) as e2:
+        _run(["check", "orders", "/root/testdata/sf0.001",
+              "--in-set", "o_orderstatus=O,F,"])
+    assert e2.value.code == 2
+    # escaped backslash is a literal backslash member; clean full set passes
+    rc, out = _run([
+        "check", "orders", "/root/testdata/sf0.001",
+        "--in-set", "o_orderstatus=O,F,P,\\\\",
+    ])
+    assert rc in (0, None) and "PASS" in out
+
+
 def test_cli_check_verb_validation(spark):
     import pytest
 

@@ -79,3 +79,15 @@ def test_duplicate_weights_refused(spark):
     df = spark.createDataFrame(edges, "u int, v int, w bigint")
     with pytest.raises(ValueError, match="DISTINCT total order"):
         minimum_spanning_forest(df)
+
+
+def test_null_weights_refused(spark):
+    """count(w)/count_distinct(w) both ignore NULLs, so a NULL-weight edge
+    would pass the duplicate check yet spin as an unpickable phantom
+    crossing edge for all max_rounds — it must be refused loudly up front."""
+    import pytest
+
+    edges = [(0, 1, 5), (1, 2, None), (2, 3, 7)]
+    df = spark.createDataFrame(edges, "u int, v int, w bigint")
+    with pytest.raises(ValueError, match="non-NULL"):
+        minimum_spanning_forest(df)
