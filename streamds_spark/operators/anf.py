@@ -81,8 +81,44 @@ def hll64_registers(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def _mem_budget_bytes(spark) -> int:
+    """Per-executor memory the striping heuristic sizes against: the
+    `spark.executor.memory` conf when set (a real cluster), else the
+    driver JVM's max heap (local mode, where driver == executor)."""
+    conf = spark.conf.get("spark.executor.memory", None)
+    if conf:
+        units = {"k": 10, "m": 20, "g": 30, "t": 40}
+        s = conf.strip().lower()
+        try:
+            if s[-1] in units:
+                return int(float(s[:-1]) * (1 << units[s[-1]]))
+            return int(s)
+        except (ValueError, IndexError):
+            pass
+    return int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())  # noqa: SLF001
+
+
+# Measured calibration for the auto-stripes heuristic (8 GiB heap, 32
+# threads, BASELINE.md round-9 soaks): the per-round propagation fan-out is
+# |directed adjacency| x m register rows collapsing into per-task partial-agg
+# hash maps. sf0.1 (2.39M directed edges -> 153M fan-out rows) completes at
+# stripes=1; the x10 soak (1.53G fan-out) OOMs at 1 and completes at 8, i.e.
+# ~191M rows per stripe on 8 GiB worked — budget 24M fan-out rows per GiB of
+# executor memory and round up.
+_FANOUT_ROWS_PER_GIB = 24_000_000
+
+
+def _auto_stripes(n_directed_edges: int, budget_bytes: int) -> int:
+    """ceil(fan-out rows / (24M x GiB)): at least 1, at most m (a stripe
+    narrower than one bucket cannot exist)."""
+    budget_gib = max(1.0, budget_bytes / (1 << 30))
+    fanout = n_directed_edges * M_ANF
+    per_stripe = int(_FANOUT_ROWS_PER_GIB * budget_gib)
+    return max(1, min(M_ANF, -(-fanout // per_stripe)))
+
+
 def anf_counters(
-    edges: DataFrame, max_iter: int = 32, stripes: int = 1
+    edges: DataFrame, max_iter: int = 32, stripes: "int | None" = None
 ) -> DataFrame:
     """Fixpoint per-node counters: DataFrame[node, bucket, max_rho] where
     node v's registers sketch its whole connected component. Exposed for
@@ -92,7 +128,7 @@ def anf_counters(
 
 
 def anf_census(
-    edges: DataFrame, max_iter: int = 32, stripes: int = 1
+    edges: DataFrame, max_iter: int = 32, stripes: "int | None" = None
 ) -> DataFrame:
     """DataFrame[t, reg_mass, rho_mass, permille_of_final] — one row per
     round from t = 0 (every node sees itself) to the fixpoint (every node
@@ -112,7 +148,11 @@ def anf_census(
     stripes=8; raising shuffle partitions alone (256 — the dial that fixes
     the k-truss wedge join) was measured NOT to save it, because the
     propagation fan-out is inherently m× per edge and only striping
-    divides it. A real cluster turns the same dial per executor memory."""
+    divides it. Left unset it SELF-SIZES: stripes = ceil(directed-edges × m
+    / (24M rows × executor-memory-GiB)) — the measured calibration keeps
+    sf0.1 at 1 stripe (fast path unchanged) and lands the ×10 soak at 8 on
+    this 8 GiB box, exactly the measured completion point; the explicit
+    override remains for a cluster that knows better."""
     _, census = _anf_iterate(edges, max_iter, stripes)
     spark = edges.sparkSession
     # max(1, ...): an empty graph has zero final register mass — emit an
@@ -127,13 +167,20 @@ def anf_census(
 
 
 def _anf_iterate(
-    edges: DataFrame, max_iter: int, stripes: int = 1
+    edges: DataFrame, max_iter: int, stripes: "int | None" = None
 ) -> tuple[DataFrame, list[tuple[int, int, int]]]:
     adj = (
         edges.select("u", "v")
         .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .localCheckpoint(eager=True)
     )
+    if stripes is None:
+        # Self-size from the operator's own fan-out (adj is already
+        # materialized, so the count is a cheap cached-lineage job) vs the
+        # executor memory budget.
+        stripes = _auto_stripes(
+            adj.count(), _mem_budget_bytes(edges.sparkSession)
+        )
     nodes = adj.select(F.col("u").alias("node")).distinct()
     seeded = nodes.select(
         "node", F.md5(F.col("node").cast("string")).alias("h")

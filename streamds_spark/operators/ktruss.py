@@ -61,6 +61,16 @@ def _support(edges: DataFrame) -> DataFrame:
     )
 
 
+def _auto_partitions(n_edges: int, session_default: int) -> int:
+    """Self-sized shuffle-partition count for the wedge join: ~40k edges
+    per partition. sf0.1's 1.196M edges / 32 = 37k per task is
+    measured-good (20.9 s); the x10 soak's OOM-at-32 / completes-at-256
+    boundary is ~47k per task — stay under it with headroom. Never LOWER
+    granularity below the session default (a small graph keeps its fast
+    wide plan); cap the blow-up at 4096."""
+    return max(session_default, min(4096, -(-n_edges // 40_000)))
+
+
 def ktruss_edges(
     edges: DataFrame,
     k: int,
@@ -78,8 +88,12 @@ def ktruss_edges(
     partition count), and the boundary is PARTITION GRANULARITY, not
     heap: the edges ×10 soak OOMs the 8 GiB/32-thread box at the default
     32 partitions, completes in 354.8 s at 48 GiB heap + 32 partitions,
-    and completes FASTER (248.8 s) at 8 GiB + 256 partitions. Pass
-    roughly edges/50k; the session default is restored on exit."""
+    and completes FASTER (248.8 s) at 8 GiB + 256 partitions. Left unset
+    it SELF-SIZES from the operator's own edge count (already materialized
+    for the fixpoint test): max(session default, edges / 40k) — 1.2M
+    edges stays at the session's 32 (measured fine, 20.9 s), 12M edges
+    lands at ~300 (past the measured 256-partition completion point).
+    The session default is restored on exit either way."""
     if k < 3:
         # k <= 2 makes sup_min <= 0 and the inner support join would WRONGLY
         # drop zero-triangle edges (the 2-truss is the whole graph); the
@@ -87,16 +101,16 @@ def ktruss_edges(
         raise ValueError(f"ktruss_edges: k must be >= 3, got {k}")
     sup_min = k - 2
     spark = edges.sparkSession
-    saved = (
-        spark.conf.get("spark.sql.shuffle.partitions")
-        if shuffle_partitions
-        else None
-    )
-    if shuffle_partitions:
-        spark.conf.set("spark.sql.shuffle.partitions", str(int(shuffle_partitions)))
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         cur = edges.select("u", "v").distinct().localCheckpoint(eager=True)
         n_cur = cur.count()
+        if shuffle_partitions is None:
+            shuffle_partitions = _auto_partitions(n_cur, int(saved))
+        if int(shuffle_partitions) != int(saved):
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(int(shuffle_partitions))
+            )
         pin = StatsPinnedCheckpointer(lag=2)
         for rounds in range(1, max_iter + 1):
             sup = _support(cur)
@@ -114,8 +128,7 @@ def ktruss_edges(
             f"k-truss peeling did not converge in {max_iter} rounds"
         )
     finally:
-        if saved is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", saved)
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
 def ktruss_summary(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:

@@ -23,11 +23,41 @@ fold is a groupBy over (keys in store) x (committed dirs) rows, and
 compact_view folds dirs row-preserving (readers re-aggregate, so the fold
 never changes the view). The exact recount this replaces rescans the
 corpus per refresh; here the corpus is scanned once per trigger, ever.
+
+Takedown (round 10, per VERDICT r9 item 4): the one persistent store that
+had no delete path. Two answers, matched to what each aggregate can do:
+
+* SUM/COUNT/AVG subtract exactly — `delete_from_view(deleted_rows)` writes
+  one NEGATIVE-delta partial dir (`delta-<ns>-<uuid>`, _SUCCESS-committed)
+  whose rows are `view_batch_state(deleted_rows)` with every partial
+  negated; the read-time fold cancels the deleted contribution to the
+  last unit. Replay-safe by construction: a replayed source batch rewrites
+  its batch=N dir with IDENTICAL rows (partials are a pure function of the
+  batch), the delta dir is not a batch dir so nothing overwrites it, and
+  the negative rows are counted exactly once. Every stored row carries an
+  implicit `__rows` presence count, so a key whose rows are ALL deleted
+  folds to __rows = 0 and disappears from the view exactly as it would
+  from a batch aggregate over the remaining source.
+* MIN/MAX cannot subtract (dropping the minimum leaves the store not
+  knowing the runner-up) — `rebuild_view(remaining_src)` is the documented
+  sketch-store discipline: recompute the partials from the remaining
+  source and swap them in as one `segment=<hi>` dominating every batch
+  dir present (committed OR torn — a torn dir can be replay-rewritten),
+  so a later replay rewrites a dir readers skip. Quiesce the stream for
+  the swap, same as rebuild_sketch_stores.
+
+Delta dirs are bounded by takedown count (tiny: one row per affected
+key), are folded away by the next rebuild_view, and survive compact_view
+untouched (the segment fold only covers batch dirs).
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import os
+import shutil
+import time
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,6 +70,12 @@ from streamds_spark.streaming.llm_pipeline import (
 )
 
 _KINDS = ("sum", "count", "min", "max", "avg")
+
+# Implicit presence partial on every stored row: SUM of it is the number of
+# source rows behind the key, so a fully-deleted key folds to 0 and is
+# dropped — without it a negative-delta takedown would leave zero-valued
+# ghost rows where the batch aggregate over the remaining source has none.
+_ROWS = "__rows"
 
 
 @dataclass(frozen=True)
@@ -68,6 +104,11 @@ class ViewSpec:
             raise ValueError(
                 f"ViewSpec: stored partial name collision {dupes} — an avg "
                 "named X reserves X__sum and X__cnt"
+            )
+        if _ROWS in stored or _ROWS in self.keys:
+            raise ValueError(
+                f"ViewSpec: {_ROWS!r} is reserved for the implicit presence "
+                "count partial"
             )
 
 
@@ -104,6 +145,7 @@ def view_batch_state(df: DataFrame, spec: ViewSpec) -> DataFrame:
             aggs.append(F.min(col).alias(stored))
         elif kind == "max":
             aggs.append(F.max(col).alias(stored))
+    aggs.append(F.count(F.lit(1)).cast("bigint").alias(_ROWS))
     return df.groupBy(*spec.keys).agg(*aggs)
 
 
@@ -123,7 +165,16 @@ def view_fold(store: DataFrame, spec: ViewSpec) -> DataFrame:
         else:
             f = F.max(stored)
         folds.append(f.alias(stored))
-    folded = store.groupBy(*spec.keys).agg(*folds)
+    folds.append(F.sum(_ROWS).cast("bigint").alias(_ROWS))
+    # a key whose source rows were ALL taken down folds to zero presence —
+    # it must vanish from the view exactly as it would from a batch
+    # aggregate over the remaining source
+    folded = (
+        store.groupBy(*spec.keys)
+        .agg(*folds)
+        .where(F.col(_ROWS) > 0)
+        .drop(_ROWS)
+    )
     # derive avg outputs, drop their partials
     for name, (kind, _col) in spec.aggs.items():
         if kind == "avg":
@@ -185,7 +236,9 @@ def view_report(
     without it, a best-effort null-typed empty frame with the right column
     names (fine for count()/collect(), not for writing)."""
     store_dir = os.path.join(work_dir, "view_store")
-    dirs = _committed_store_dirs(store_dir, 2**62)
+    dirs = _committed_store_dirs(store_dir, 2**62) + _committed_delta_dirs(
+        store_dir
+    )
     if not dirs:
         if src_schema is not None:
             empty_src = spark.createDataFrame([], src_schema)
@@ -194,6 +247,100 @@ def view_report(
         cols = list(spec.keys) + list(spec.aggs)
         return empty.select(*[F.lit(None).alias(c) for c in cols]).limit(0)
     return view_fold(spark.read.parquet(*dirs), spec)
+
+
+def _committed_delta_dirs(store_dir: str) -> list[str]:
+    """Committed negative-delta dirs (takedowns), name-sorted (names embed
+    a monotonic timestamp = application order; order is immaterial to the
+    fold, which is commutative)."""
+    return sorted(
+        d
+        for d in _glob.glob(os.path.join(store_dir, "delta-*"))
+        if os.path.exists(os.path.join(d, "_SUCCESS"))
+    )
+
+
+def _store_max_batch(store_dir: str) -> int:
+    """Highest batch id with ANY presence in the store — committed, torn,
+    or already folded into a segment. A rebuilt segment must dominate torn
+    dirs too: a torn batch=N is exactly the one a replay will rewrite with
+    pre-rebuild content."""
+    best = -1
+    for d in _glob.glob(os.path.join(store_dir, "batch=*")) + _glob.glob(
+        os.path.join(store_dir, "segment=*")
+    ):
+        try:
+            best = max(best, int(os.path.basename(d).split("=", 1)[1]))
+        except ValueError:
+            continue
+    return best
+
+
+def delete_from_view(
+    spark: SparkSession, work_dir: str, spec: ViewSpec, deleted_rows: DataFrame
+) -> str:
+    """Takedown for sum/count/avg views: write ONE negative-delta partial
+    dir derived from the source rows being deleted (`deleted_rows` must be
+    exactly the already-ingested rows to remove — the caller computes them,
+    e.g. the corpus rows of the tombstoned doc_ids). The read-time fold
+    cancels their contribution exactly; a key losing all its rows vanishes.
+    Refuses specs with min/max aggregates — those cannot subtract; use
+    rebuild_view (the sketch-store discipline). Returns the delta dir."""
+    bad = sorted(
+        name for name, (kind, _c) in spec.aggs.items() if kind in ("min", "max")
+    )
+    if bad:
+        raise ValueError(
+            f"delete_from_view: aggregate(s) {bad} are min/max, which cannot "
+            "subtract a deleted row's contribution — rebuild_view(remaining_"
+            "src) is the takedown path for this spec"
+        )
+    neg = view_batch_state(deleted_rows, spec)
+    for stored, _kind, _col in _partial_cols(spec):
+        neg = neg.withColumn(stored, -F.col(stored))
+    neg = neg.withColumn(_ROWS, (-F.col(_ROWS)).cast("bigint"))
+    dest = os.path.join(
+        os.path.join(work_dir, "view_store"),
+        f"delta-{time.monotonic_ns()}-{uuid.uuid4().hex[:8]}",
+    )
+    neg.coalesce(1).write.parquet(dest)  # _SUCCESS = commit point
+    return dest
+
+
+def rebuild_view(
+    spark: SparkSession, work_dir: str, spec: ViewSpec, remaining_src: DataFrame
+) -> int:
+    """Takedown for min/max (and any) views — the sketch-store discipline
+    (streaming/llm_pipeline.rebuild_sketch_stores): recompute the partials
+    from the post-takedown remaining source and swap them in as ONE
+    `segment=<hi>` where hi is the store's own batch frontier (committed,
+    torn, or folded — a later replay of any batch <= hi rewrites a dir
+    readers skip, so nothing double-counts or resurrects). Subsumed batch
+    dirs, old segments, and delta dirs are reclaimed. Returns hi, or -1
+    when the store has never seen a batch (nothing to rebuild — a segment
+    written now would shadow the genuine future batch 0).
+
+    Maintenance op: run with the stream quiesced and no concurrent readers
+    (the segment swap for an unchanged hi is delete-then-write)."""
+    store_dir = os.path.join(work_dir, "view_store")
+    hi = _store_max_batch(store_dir)
+    if hi < 0:
+        return -1
+    seg = os.path.join(store_dir, f"segment={hi}")
+    tmp = seg + ".rebuild"  # non-integer name: invisible to readers
+    shutil.rmtree(tmp, ignore_errors=True)
+    view_batch_state(remaining_src, spec).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    for d in (
+        _glob.glob(os.path.join(store_dir, "batch=*"))
+        + _glob.glob(os.path.join(store_dir, "segment=*"))
+        + _glob.glob(os.path.join(store_dir, "delta-*"))
+    ):
+        if not d.endswith(".rebuild"):
+            shutil.rmtree(d, ignore_errors=True)
+    os.replace(tmp, seg)
+    return hi
 
 
 def compact_view(

@@ -164,3 +164,20 @@ def test_empty_edge_list_zero_census(spark):
     empty = spark.createDataFrame([], "u bigint, v bigint")
     rows = anf_census(empty).collect()
     assert all(r["reg_mass"] == 0 and r["rho_mass"] == 0 for r in rows)
+
+
+def test_auto_stripes_self_sizing(spark):
+    """Unset stripes self-sizes from directed-edge fan-out vs executor
+    memory: sf0.1 on 8 GiB stays at 1 (fast path unchanged), the x10 soak
+    lands at the measured completion point 8, and the value is clamped to
+    [1, m]. The default-signature census equals an explicit-stripes run
+    (value-identity is pinned by test_striping_value_identity above)."""
+    from streamds_spark.operators.anf import M_ANF, _auto_stripes, _mem_budget_bytes
+
+    gib = 1 << 30
+    assert _auto_stripes(2_392_000, 8 * gib) == 1  # sf0.1 on this box
+    assert _auto_stripes(23_920_000, 8 * gib) == 8  # x10: measured good
+    assert _auto_stripes(23_920_000, 48 * gib) == 2  # more memory, fewer
+    assert _auto_stripes(0, 8 * gib) == 1  # clamp low
+    assert _auto_stripes(10**12, 8 * gib) == M_ANF  # clamp high
+    assert _mem_budget_bytes(spark.sparkSession if hasattr(spark, "sparkSession") else spark) > 0

@@ -109,3 +109,25 @@ def test_k_below_3_refused(spark):
     df = spark.createDataFrame([(1, 2)], "u bigint, v bigint")
     with pytest.raises(ValueError, match="k must be >= 3"):
         ktruss_edges(df, 2)
+
+
+def test_auto_partitions_self_sizing(spark):
+    """Unset shuffle_partitions self-sizes from the edge count: small graphs
+    keep the session default (fast wide plan), big graphs raise granularity
+    past the measured x10 OOM boundary, and the session conf is restored."""
+    from streamds_spark.operators.ktruss import _auto_partitions, ktruss_edges
+
+    # calibration pins (BASELINE.md round-9 soak): sf0.1 stays at the
+    # session's 32; the x10 edge count lands past the proven 256
+    assert _auto_partitions(1_196_000, 32) == 32
+    assert _auto_partitions(11_960_000, 32) == 299
+    assert _auto_partitions(10, 32) == 32  # never below the session default
+    assert _auto_partitions(10**9, 32) == 4096  # capped
+    # default call signature leaves the session conf untouched afterwards
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (1, 4)], "u bigint, v bigint"
+    )
+    truss, _ = ktruss_edges(edges, 3)
+    assert truss.count() == 6
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

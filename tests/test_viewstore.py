@@ -144,3 +144,102 @@ def test_empty_store_typed_with_src_schema(spark, tmp_path):
     assert "void" not in set(types.values())
     # parquet-writable (the null-typed fallback is not)
     out.write.parquet(str(tmp_path / "empty_view"))
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k string, v bigint")
+
+
+def test_takedown_sum_count_exact_before_and_after_compaction(spark, tmp_path):
+    """delete_from_view writes one negative-delta dir; the fold excludes the
+    deleted rows' contribution exactly — before compaction, after a replay
+    rewrite, and after compaction folds the positive dirs; a key losing all
+    rows vanishes like it would from a batch aggregate."""
+    from streamds_spark.streaming.viewstore import delete_from_view
+
+    spec = ViewSpec(
+        keys=("k",),
+        aggs={"s": ("sum", "v"), "n": ("count", None), "a": ("avg", "v")},
+    )
+    work_dir = str(tmp_path / "work")
+    store = os.path.join(work_dir, "view_store")
+    b0, b1 = [("a", 1), ("a", 3), ("b", 5)], [("a", 10), ("c", 7)]
+    write_view_batch(_mk(spark, b0), 0, store, spec)
+    write_view_batch(_mk(spark, b1), 1, store, spec)
+    # take down one of a's rows and ALL of b's
+    delete_from_view(spark, work_dir, spec, _mk(spark, [("a", 3), ("b", 5)]))
+    remaining = [("a", 1), ("a", 10), ("c", 7)]
+
+    def want():
+        return _rows(
+            _mk(spark, remaining)
+            .groupBy("k")
+            .agg(
+                F.sum("v").alias("s"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                (F.sum("v") / F.count("v")).alias("a"),
+            )
+        )
+
+    got = _rows(view_report(spark, work_dir, spec))
+    assert got == want()
+    assert not any(r[1] == "b" for r in got)  # fully-deleted key vanished
+    # a replayed batch rewrites identical partials: nothing resurrects
+    write_view_batch(_mk(spark, b0), 0, store, spec)
+    assert _rows(view_report(spark, work_dir, spec)) == want()
+    # compaction folds the positive batch dirs; deltas survive untouched
+    assert compact_view(spark, work_dir, upto_batch=1) == 2
+    assert _rows(view_report(spark, work_dir, spec)) == want()
+    # a second takedown AFTER compaction still subtracts exactly
+    delete_from_view(spark, work_dir, spec, _mk(spark, [("c", 7)]))
+    remaining = [("a", 1), ("a", 10)]
+    assert _rows(view_report(spark, work_dir, spec)) == want()
+
+
+def test_takedown_minmax_refused_then_rebuild(spark, tmp_path):
+    """min/max cannot subtract: delete_from_view refuses the spec loudly;
+    rebuild_view recomputes from the remaining source as segment=<hi>, and
+    a replayed batch <= hi rewrites a dir readers skip — no resurrection."""
+    from streamds_spark.streaming.viewstore import delete_from_view, rebuild_view
+
+    spec = ViewSpec(
+        keys=("k",), aggs={"lo": ("min", "v"), "hi": ("max", "v"), "n": ("count", None)}
+    )
+    work_dir = str(tmp_path / "work")
+    store = os.path.join(work_dir, "view_store")
+    # empty store: nothing to rebuild, and a segment now would shadow batch 0
+    assert rebuild_view(spark, work_dir, spec, _mk(spark, [])) == -1
+    b0, b1 = [("a", 1), ("a", 9), ("b", 5)], [("a", 4)]
+    write_view_batch(_mk(spark, b0), 0, store, spec)
+    write_view_batch(_mk(spark, b1), 1, store, spec)
+    with pytest.raises(ValueError, match="min/max"):
+        delete_from_view(spark, work_dir, spec, _mk(spark, [("a", 9)]))
+    # rebuild from the remaining source: a's max drops to the runner-up
+    remaining = [("a", 1), ("a", 4), ("b", 5)]
+    assert rebuild_view(spark, work_dir, spec, _mk(spark, remaining)) == 1
+    want = _rows(
+        _mk(spark, remaining)
+        .groupBy("k")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    assert _rows(view_report(spark, work_dir, spec)) == want
+    # replay of a pre-rebuild batch rewrites batch=0 with ORIGINAL (deleted)
+    # content — readers skip it (bid <= segment hi): no resurrection
+    write_view_batch(_mk(spark, b0), 0, store, spec)
+    assert _rows(view_report(spark, work_dir, spec)) == want
+    # genuinely NEW batches above hi fold in additively
+    write_view_batch(_mk(spark, [("c", 2)]), 2, store, spec)
+    assert any(r[1] == "c" for r in _rows(view_report(spark, work_dir, spec)))
+
+
+def test_reserved_rows_partial_refused(spark):
+    from streamds_spark.streaming.viewstore import _ROWS
+
+    with pytest.raises(ValueError, match="reserved"):
+        ViewSpec(keys=("k",), aggs={_ROWS: ("sum", "v")})
+    with pytest.raises(ValueError, match="reserved"):
+        ViewSpec(keys=(_ROWS,), aggs={"s": ("sum", "v")})
