@@ -215,6 +215,35 @@ def main(argv: list[str] | None = None) -> int:
         help="coalesce each segment to this many files (default: natural)",
     )
 
+    td = sub.add_parser(
+        "takedown",
+        help="propagate a document deletion through EVERY persistent store "
+        "of a stream-corpus work dir (tombstones honored by all readers "
+        "immediately, bytes reclaimed at the next compaction); appends one "
+        "line to the work dir's durable takedown ledger "
+        "(takedown_audit.jsonl). Run between triggers or quiesced, same "
+        "single-writer discipline as compact-store",
+    )
+    td.add_argument("work", help="stream-corpus work dir")
+    td.add_argument(
+        "doc_ids",
+        help="comma-separated integer doc ids to delete",
+    )
+    td.add_argument(
+        "--quiesced",
+        action="store_true",
+        help="assert the stream is STOPPED AND DRAINED: tombstones become "
+        "reclaimable at the current frontier instead of waiting for the "
+        "one possibly-in-flight batch",
+    )
+    td.add_argument(
+        "--rebuild-sketches",
+        action="store_true",
+        help="also re-derive the register/counter stores that cannot "
+        "subtract (HLL/HDR/MG/sample) from the post-takedown corpus "
+        "(requires a quiesced stream)",
+    )
+
     sh = sub.add_parser(
         "shell",
         help="interactive terminal (the reference's command loop): SQL by "
@@ -280,6 +309,13 @@ def main(argv: list[str] | None = None) -> int:
         help="weighted tenant pools as 'name=weight,...' (e.g. "
         "'gold=8,bronze=1'): written to a FAIR allocation file applied at "
         "session creation; requests pick a pool with {\"pool\": \"gold\"}",
+    )
+    sv.add_argument(
+        "--allow-writes",
+        action="store_true",
+        help="enable the write verbs (takedown): a default server is "
+        "read-only end to end and REFUSES them — writes are a startup "
+        "decision, never a per-request one",
     )
 
     pp = sub.add_parser(
@@ -692,6 +728,33 @@ def main(argv: list[str] | None = None) -> int:
             "compacted upto_batch:{upto_batch} hash:{hash_store} "
             "bucket:{bucket_store} chunk:{chunk_store}".format(**stats)
         )
+    elif args.cmd == "takedown":
+        from streamds_spark.streaming.llm_pipeline import (
+            delete_docs,
+            rebuild_sketch_stores,
+        )
+
+        tokens_td = [t.strip() for t in args.doc_ids.split(",")]
+        if any(not t for t in tokens_td):
+            parser.error("takedown: empty doc id (trailing or doubled comma?)")
+        try:
+            ids = [int(t) for t in tokens_td]
+        except ValueError:
+            parser.error(f"takedown: doc ids must be integers, got {args.doc_ids!r}")
+        stats = delete_docs(spark, args.work, ids, quiesced=args.quiesced)
+        stores = sorted(
+            k for k in stats if k not in ("n_docs_matched", "fold_after")
+        )
+        print(
+            f"takedown n_ids:{len(ids)} matched:{stats['n_docs_matched']} "
+            f"fold_after:{stats['fold_after']} stores:{','.join(stores)}"
+        )
+        if args.rebuild_sketches:
+            rb = rebuild_sketch_stores(spark, args.work)
+            print(
+                f"rebuilt segment_hi:{rb['segment_hi']} "
+                f"stores:{','.join(rb['rebuilt'])}"
+            )
     elif args.cmd == "train-lm":
         from pyspark.sql import functions as F
 
@@ -1028,6 +1091,7 @@ def main(argv: list[str] | None = None) -> int:
             audit_log=args.audit_log,
             max_inflight=args.max_inflight,
             max_inflight_per_tenant=args.max_inflight_per_tenant,
+            allow_writes=args.allow_writes,
         )
         host, port = server.server_address[:2]
         print(f"serving:{host}:{port}", flush=True)

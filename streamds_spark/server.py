@@ -50,6 +50,20 @@ Protocol (one JSON object per line, response is one JSON line):
                                           dir counts) — see attach_pipeline
   {"cmd": "cancel", "tag": "..."}      -> cancel the in-flight request that
                                           was submitted with that "tag"
+  {"cmd": "takedown", "doc_ids": [..],
+   "quiesced": bool}                   -> propagate a document deletion
+                                          through the attached pipeline's
+                                          stores. REFUSED on a default
+                                          server: deletes are writes, and
+                                          writes require the server to have
+                                          been STARTED with
+                                          allow_writes=True (--allow-writes)
+                                          — per-request escalation is
+                                          impossible by design. Served and
+                                          refused calls both land in the
+                                          audit log; a served delete also
+                                          writes the work dir's durable
+                                          takedown ledger
   any data request + {"pool": "gold"}  -> run under a NAMED scheduler pool
                                           (weighted when the session was
                                           built with an allocation file)
@@ -532,6 +546,8 @@ class _Handler(socketserver.StreamRequestHandler):
                     resp = server.cancel(req)
                 elif kind == "pipeline_status":
                     resp = server.pipeline_status(req)
+                elif kind == "takedown":
+                    resp = server.takedown(req, pool)
                 elif kind in _CONTROL_KINDS:
                     resp = _run_request(server.spark, server.sf_dir, req, pool)
                 else:
@@ -575,9 +591,15 @@ class QueryServer(socketserver.ThreadingTCPServer):
         audit_log: str | None = None,
         max_inflight: int | None = None,
         max_inflight_per_tenant: int | None = None,
+        allow_writes: bool = False,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
+        # writes are opt-in at STARTUP, never per-request: a server is
+        # read-only unless the operator explicitly started it otherwise, so
+        # the takedown verb on a default server is refused at the guard —
+        # deletes are writes, exactly like INSERT through the sql verb
+        self.allow_writes = allow_writes
         self.timeout_s = timeout_s  # default per-request deadline (None = off)
         self.cache_dir = cache_dir  # enables opt-in {"cache": true} serving
         # byte budget for that cache: every promotion LRU-evicts down to it
@@ -750,6 +772,56 @@ class QueryServer(socketserver.ThreadingTCPServer):
         state["cancelled"] = True
         self._cancel_group(group)
         return {"ok": True, "cancelled": True, "tag": tag}
+
+    # -- takedown (write verb) ----------------------------------------------
+    def takedown(self, req: dict, pool: str) -> dict:
+        """Propagate a document deletion through the attached pipeline's
+        stores (streaming/llm_pipeline.delete_docs). REFUSED unless the
+        server was STARTED with allow_writes=True — deletes are writes, and
+        the default server is read-only end to end (the same posture as the
+        sql verb's Command guard); a tenant must not be able to flip a
+        running read-only server into a writable one per-request. Every
+        call — refused or served — lands in the server audit log via
+        note(), and a served delete additionally writes the durable
+        takedown ledger in the work dir (llm_pipeline._append_takedown_audit)."""
+        if not self.allow_writes:
+            return {
+                "ok": False,
+                "error": "read-only server: takedown is a write — start the "
+                "server with allow_writes=True (--allow-writes) to enable it",
+            }
+        if self._pipeline is None:
+            return {"ok": False, "error": "no pipeline attached to this server"}
+        ids = req.get("doc_ids")
+        if (
+            not isinstance(ids, list)
+            or not ids
+            or not all(isinstance(i, int) for i in ids)
+        ):
+            return {
+                "ok": False,
+                "error": "takedown needs 'doc_ids': non-empty list of ints",
+            }
+        if len(ids) > 10_000:
+            return {
+                "ok": False,
+                "error": "takedown caps at 10000 ids per request — batch a "
+                "mass takedown through the library path (delete_docs with a "
+                "DataFrame), not a socket",
+            }
+        quiesced = bool(req.get("quiesced", False))
+        from streamds_spark.streaming.llm_pipeline import delete_docs
+
+        _capture, work_dir = self._pipeline
+        with scheduler_pool(self.spark, pool):
+            stats = delete_docs(self.spark, work_dir, ids, quiesced=quiesced)
+        return {
+            "ok": True,
+            "n_docs_matched": stats["n_docs_matched"],
+            "fold_after": stats["fold_after"],
+            "stores": sorted(k for k in stats if k not in
+                             ("n_docs_matched", "fold_after")),
+        }
 
     # -- streaming-pipeline observability ----------------------------------
     def attach_pipeline(self, capture, work_dir: str) -> None:
@@ -964,6 +1036,7 @@ def start_server(
     audit_log: str | None = None,
     max_inflight: int | None = None,
     max_inflight_per_tenant: int | None = None,
+    allow_writes: bool = False,
 ) -> QueryServer:
     """Bind + serve in a daemon thread; returns the server (read the bound
     port from `server.server_address`, stop with `server.shutdown()`)."""
@@ -978,6 +1051,7 @@ def start_server(
         audit_log=audit_log,
         max_inflight=max_inflight,
         max_inflight_per_tenant=max_inflight_per_tenant,
+        allow_writes=allow_writes,
     )
     t = threading.Thread(target=server.serve_forever, daemon=True, name="streamds-serve")
     t.start()

@@ -1129,7 +1129,38 @@ def delete_docs(
     written["corpus"] = appendlog.delete_keys(
         spark, paths.corpus, "doc_id", ids_df, fold_after=fold_after
     )
+    n_ids = ids_df.count()
+    _append_takedown_audit(
+        work_dir,
+        {
+            "action": "delete_docs",
+            "n_ids": n_ids,
+            "n_docs_matched": n_docs,
+            "fold_after": fold_after,
+            "quiesced": bool(quiesced),
+            "stores": sorted(written),
+        },
+    )
     return {"n_docs_matched": n_docs, "fold_after": fold_after, **written}
+
+
+def _append_takedown_audit(work_dir: str, record: dict) -> None:
+    """Durable compliance record of every takedown-surface action (one JSON
+    line per call, `<work_dir>/takedown_audit.jsonl`): a deletion request
+    must be provable after the fact — WHAT was asked, WHEN, and which
+    stores got tombstones — independent of which entry point (library, CLI
+    verb, server verb) issued it. Best-effort append: an unwritable audit
+    file must not fail the takedown itself (the tombstones ARE the
+    authoritative state; this is the human-readable ledger)."""
+    import json as _json
+    import time as _time
+
+    rec = {"ts": round(_time.time(), 3), **record}
+    try:
+        with open(os.path.join(work_dir, "takedown_audit.jsonl"), "a") as f:
+            f.write(_json.dumps(rec) + "\n")
+    except OSError:
+        pass
 
 
 def rebuild_sketch_stores(spark: SparkSession, work_dir: str) -> dict:
@@ -1220,4 +1251,8 @@ def rebuild_sketch_stores(spark: SparkSession, work_dir: str) -> dict:
                 corpus.select(F.explode(_tokens(F.col("text"))).alias("term"))
             ),
         )
+    _append_takedown_audit(
+        work_dir,
+        {"action": "rebuild_sketch_stores", "segment_hi": hi, "rebuilt": rebuilt},
+    )
     return {"segment_hi": hi, "rebuilt": rebuilt}

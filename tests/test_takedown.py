@@ -488,3 +488,93 @@ def test_erosion_counts_only_rows_this_fold_removes(spark, tmp_path):
     # idempotent: nothing left to fold, nothing re-counted
     _compact_sample_store(spark, store, upto_batch=2, num_files=None)
     assert _sample_erosion(store) == 1
+
+
+def test_takedown_surface_cli_and_server(spark, drained, tmp_path):
+    """The operational takedown surface (round 10): the default server is
+    read-only and REFUSES the takedown verb even with a pipeline attached
+    (writes are a startup decision); an --allow-writes server serves it with
+    input validation; the CLI verb drives the same delete; and every served
+    action lands in the work dir's durable takedown ledger."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from streamds_spark.cli import main as cli_main
+    from streamds_spark.server import request, start_server
+
+    _, work_dir = drained
+    paths = CorpusStreamPaths(work_dir)
+
+    def live_ids():
+        return sorted(
+            r["doc_id"]
+            for r in appendlog.get(spark, paths.corpus).select("doc_id").collect()
+        )
+
+    before = live_ids()
+    assert len(before) >= 3
+
+    # read-only server: refused at the guard, pipeline attached or not
+    ro = start_server(spark, SF)
+    try:
+        host, port = ro.server_address[:2]
+        ro.attach_pipeline(object(), work_dir)
+        r = request(host, port, {"cmd": "takedown", "doc_ids": [before[-1]]})
+        assert not r["ok"] and "read-only" in r["error"]
+        assert live_ids() == before  # nothing happened
+    finally:
+        ro.shutdown()
+        ro.server_close()
+
+    # allow-writes server: validation, then the real delete
+    audit = str(tmp_path / "server_audit.jsonl")
+    rw = start_server(spark, SF, allow_writes=True, audit_log=audit)
+    try:
+        host, port = rw.server_address[:2]
+        r = request(host, port, {"cmd": "takedown", "doc_ids": [before[-1]]})
+        assert not r["ok"] and "no pipeline" in r["error"]
+        rw.attach_pipeline(object(), work_dir)
+        for bad in ({}, {"doc_ids": []}, {"doc_ids": ["x"]}, {"doc_ids": 3}):
+            r = request(host, port, {"cmd": "takedown", **bad})
+            assert not r["ok"]
+        doomed = before[-1]
+        r = request(
+            host, port,
+            {"cmd": "takedown", "doc_ids": [doomed], "quiesced": True},
+        )
+        assert r["ok"] and r["n_docs_matched"] == 1 and "corpus" in r["stores"]
+        assert doomed not in live_ids()
+        # the server flight recorder saw both refused and served calls
+        kinds = [json.loads(ln)["kind"] for ln in open(audit)]
+        assert kinds.count("takedown") >= 2
+    finally:
+        rw.shutdown()
+        rw.server_close()
+
+    # CLI verb drives the same delete
+    doomed2 = live_ids()[-1]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main(["takedown", work_dir, str(doomed2), "--quiesced"])
+    assert rc in (0, None)
+    out = buf.getvalue()
+    assert "matched:1" in out and "corpus" in out
+    assert doomed2 not in live_ids()
+
+    # the durable ledger recorded every served action (2 deletes here plus
+    # whatever earlier tests on this work dir wrote), newest last
+    ledger = os.path.join(work_dir, "takedown_audit.jsonl")
+    recs = [json.loads(ln) for ln in open(ledger)]
+    dels = [r for r in recs if r["action"] == "delete_docs"]
+    assert len(dels) >= 2
+    assert dels[-1]["n_docs_matched"] == 1 and "corpus" in dels[-1]["stores"]
+    assert all("ts" in r for r in recs)
+
+    # CLI input validation fails loudly before touching anything
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli_main(["takedown", work_dir, "1,,2"])
+    with _pytest.raises(SystemExit):
+        cli_main(["takedown", work_dir, "1,x"])
