@@ -166,6 +166,136 @@ def anf_census(
     )
 
 
+# Weight scale for the harmonic fold: floor(SCALE / t) per round t. lcm(1..20)
+# — the per-round weights are EXACT integers through round 20 (and for every
+# later t whose factors stay under 20); beyond that both engines floor-divide
+# identically, so hash-exactness never depends on divisibility.
+HARMONIC_SCALE = 232_792_560
+
+
+def harmonic_centrality_topk(
+    edges: DataFrame,
+    k: int = 20,
+    max_iter: int = 32,
+    stripes: "int | None" = None,
+) -> DataFrame:
+    """DataFrame[node, h_scaled] — top-k nodes by HyperBall harmonic
+    centrality (Boldi & Vigna, "In-core computation of geometric
+    centralities with HyperBall", 2014): harmonic centrality
+    H(v) = sum_{u != v} 1/d(v, u) folds from the SAME per-round counters
+    HyperANF already sweeps — the ball-size growth at distance t is the
+    per-node counter delta, weighted 1/t.
+
+    Exactness contract (the HLL-twin discipline): the per-node ball-size
+    proxy is the counter's integer rho mass (sum of max_rho over buckets),
+    so h_scaled = sum_t (rho_mass_t(v) - rho_mass_{t-1}(v)) * (SCALE // t)
+    is exact BIGINT arithmetic over the deterministic md5 register scheme —
+    a DuckDB recursive CTE replays the identical iteration and the top-k is
+    HASH-EXACT at any SF. As a harmonic-centrality ESTIMATE it is
+    approximate by construction (register mass stands in for |B(v, t)|),
+    exactly like the HLL register stores stand in for distinct counts.
+    Ties break (h_scaled DESC, node ASC) so the top-k is deterministic.
+
+    Scale shape: identical to anf_census — per round one adjacency
+    equi-join collapsing map-side plus TWO node-sized folds (per-node mass,
+    harmonic accumulate), rounds bounded by the diameter, and the same
+    self-sizing `stripes` memory dial divides the propagation fan-out."""
+    adj = (
+        edges.select("u", "v")
+        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    if stripes is None:
+        stripes = _auto_stripes(
+            adj.count(), _mem_budget_bytes(edges.sparkSession)
+        )
+    counters = _seed_counters(adj)
+    node_mass = (
+        counters.groupBy("node")
+        .agg(F.sum("max_rho").cast("bigint").alias("mass"))
+        .localCheckpoint(eager=True)
+    )
+    h = node_mass.select(
+        "node", F.lit(0).cast("bigint").alias("h_scaled")
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    if adj.isEmpty():
+        return spark.createDataFrame([], "node bigint, h_scaled bigint")
+    total_prev = node_mass.agg(F.sum("mass")).collect()[0][0]
+    for t in range(1, max_iter + 1):
+        nxt = _propagate(adj, counters, stripes)
+        new_mass = (
+            nxt.groupBy("node")
+            .agg(F.sum("max_rho").cast("bigint").alias("mass"))
+            .localCheckpoint(eager=True)
+        )
+        total = new_mass.agg(F.sum("mass")).collect()[0][0]
+        if total == total_prev:  # rho mass strictly grows on ANY change
+            return h.orderBy(F.desc("h_scaled"), "node").limit(k)
+        w = HARMONIC_SCALE // t
+        delta = new_mass.join(
+            node_mass.withColumnRenamed("mass", "pmass"), "node"
+        ).select(
+            "node", ((F.col("mass") - F.col("pmass")) * w).alias("dh")
+        )
+        h = (
+            h.join(delta, "node", "left")
+            .select(
+                "node",
+                (F.col("h_scaled") + F.coalesce(F.col("dh"), F.lit(0)))
+                .cast("bigint")
+                .alias("h_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        counters, node_mass, total_prev = nxt, new_mass, total
+    raise RuntimeError(
+        f"harmonic centrality did not saturate in {max_iter} rounds"
+    )
+
+
+def _propagate(adj: DataFrame, counters: DataFrame, stripes: int) -> DataFrame:
+    """One HyperANF round: max-fold every node's counter with its
+    neighbors'. Registers in different buckets never interact, so the
+    stripe loop (filter, join, aggregate, union the stripe results) is
+    value-identical while dividing the join fan-out and the partial-agg
+    key space by `stripes` (the memory dial — see anf_census)."""
+    parts = []
+    for s in range(max(1, stripes)):
+        cs = (
+            counters.where(F.col("bucket") % stripes == s)
+            if stripes > 1
+            else counters
+        )
+        prop = adj.join(cs, adj.v == cs.node).select(
+            adj.u.alias("node"), "bucket", "max_rho"
+        )
+        parts.append(
+            prop.unionByName(cs)
+            .groupBy("node", "bucket")
+            .agg(F.max("max_rho").alias("max_rho"))
+            .localCheckpoint(eager=True)
+        )
+    nxt = parts[0]
+    for p in parts[1:]:
+        nxt = nxt.unionByName(p)
+    return nxt
+
+
+def _seed_counters(adj: DataFrame) -> DataFrame:
+    nodes = adj.select(F.col("u").alias("node")).distinct()
+    seeded = nodes.select(
+        "node", F.md5(F.col("node").cast("string")).alias("h")
+    ).select(
+        "node",
+        F.expr(BUCKET_SQL).cast("int").alias("bucket"),
+        F.expr("regexp_replace(substring(h, 3, 15), '^0+', '')").alias("t"),
+    )
+    return seeded.select(
+        "node", "bucket", F.expr(RHO_SQL).cast("int").alias("max_rho")
+    ).localCheckpoint(eager=True)
+
+
 def _anf_iterate(
     edges: DataFrame, max_iter: int, stripes: "int | None" = None
 ) -> tuple[DataFrame, list[tuple[int, int, int]]]:
@@ -181,17 +311,7 @@ def _anf_iterate(
         stripes = _auto_stripes(
             adj.count(), _mem_budget_bytes(edges.sparkSession)
         )
-    nodes = adj.select(F.col("u").alias("node")).distinct()
-    seeded = nodes.select(
-        "node", F.md5(F.col("node").cast("string")).alias("h")
-    ).select(
-        "node",
-        F.expr(BUCKET_SQL).cast("int").alias("bucket"),
-        F.expr("regexp_replace(substring(h, 3, 15), '^0+', '')").alias("t"),
-    )
-    counters = seeded.select(
-        "node", "bucket", F.expr(RHO_SQL).cast("int").alias("max_rho")
-    ).localCheckpoint(eager=True)
+    counters = _seed_counters(adj)
 
     def mass(c: DataFrame) -> tuple[int, int]:
         row = c.agg(
@@ -205,25 +325,7 @@ def _anf_iterate(
     reg, rho = mass(counters)
     census = [(0, reg, rho)]
     for t in range(1, max_iter + 1):
-        parts = []
-        for s in range(max(1, stripes)):
-            cs = (
-                counters.where(F.col("bucket") % stripes == s)
-                if stripes > 1
-                else counters
-            )
-            prop = adj.join(cs, adj.v == cs.node).select(
-                adj.u.alias("node"), "bucket", "max_rho"
-            )
-            parts.append(
-                prop.unionByName(cs)
-                .groupBy("node", "bucket")
-                .agg(F.max("max_rho").alias("max_rho"))
-                .localCheckpoint(eager=True)
-            )
-        nxt = parts[0]
-        for p in parts[1:]:
-            nxt = nxt.unionByName(p)
+        nxt = _propagate(adj, counters, stripes)
         reg, rho = mass(nxt)
         if rho == census[-1][2]:  # rho mass strictly grows on ANY change
             return counters, census

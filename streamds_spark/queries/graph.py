@@ -689,6 +689,95 @@ def copurchase_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFr
     return anf_census(edges)
 
 
+@query(
+    "copurchase_harmonic_centrality",
+    oracle="""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+    -- the IDENTICAL HyperANF register propagation as the neighborhood-
+    -- function oracle above (same md5 scheme, same rho-mass fixpoint guard)
+    seed AS (
+        SELECT node,
+               (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4
+               + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) // 4
+                   AS bucket,
+               regexp_replace(substr(h, 3, 15), '^0+', '') AS t
+        FROM (SELECT DISTINCT a AS node, md5(CAST(a AS VARCHAR)) AS h FROM adj)
+    ),
+    anf(iter, node, bucket, rho) AS (
+        SELECT 0, node, bucket,
+               CASE WHEN length(t) = 0 THEN 61
+                    ELSE (15 - length(t)) * 4 + 4
+                         - CAST(floor(log2(instr('0123456789abcdef',
+                                                 substr(t, 1, 1)) - 1)) AS INT)
+               END
+        FROM seed
+      UNION ALL
+        SELECT * FROM (
+          WITH cur AS MATERIALIZED (SELECT iter, node, bucket, rho FROM anf),
+          nxt AS MATERIALIZED (
+            SELECT node, bucket, max(rho) AS rho FROM (
+              SELECT adj.a AS node, c.bucket, c.rho
+              FROM adj JOIN cur c ON c.node = adj.b
+              UNION ALL
+              SELECT node, bucket, rho FROM cur
+            ) GROUP BY node, bucket
+          )
+          SELECT (SELECT max(iter) FROM cur) + 1, n.node, n.bucket, n.rho
+          FROM nxt n
+          WHERE (SELECT sum(rho) FROM nxt) <> (SELECT sum(rho) FROM cur)
+        )
+    ),
+    -- HyperBall harmonic fold: ball growth at distance t = per-node rho-
+    -- mass delta, weighted floor(SCALE / t) in exact BIGINT arithmetic
+    node_mass AS MATERIALIZED (
+        SELECT iter, node, CAST(sum(rho) AS BIGINT) AS mass
+        FROM anf GROUP BY iter, node
+    ),
+    deltas AS (
+        SELECT c.node, (c.mass - p.mass) * (232792560 // c.iter) AS dh
+        FROM node_mass c
+        JOIN node_mass p ON p.node = c.node AND p.iter = c.iter - 1
+    ),
+    h AS (
+        SELECT s.node, CAST(COALESCE(sum(d.dh), 0) AS BIGINT) AS h_scaled
+        FROM (SELECT node FROM node_mass WHERE iter = 0) s
+        LEFT JOIN deltas d ON d.node = s.node
+        GROUP BY s.node
+    )
+    SELECT node, h_scaled FROM h
+    ORDER BY h_scaled DESC, node LIMIT 20
+    """,
+)
+def copurchase_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchase parts by HyperBall harmonic centrality
+    (operators/anf.harmonic_centrality_topk): the geometric "how close is
+    this node to everything" census folded from the SAME per-round counters
+    the neighborhood function sweeps — sum over rounds of the per-node
+    register-mass growth weighted 1/t, in exact BIGINT arithmetic
+    (h_scaled = sum_t delta_t * floor(232792560 / t)).
+
+    The HLL-twin exactness discipline: the DuckDB recursive CTE replays the
+    identical md5-register iteration and fold, so the top-k is hash-exact
+    at every SF, while the value is approximate-by-construction as a true
+    harmonic centrality (register mass stands in for ball size). At 100 TB
+    the cost profile IS anf_census: nodes x m state, per-round adjacency
+    join collapsing map-side, plus two node-sized folds — the stripes
+    memory dial self-sizes from executor memory.
+    """
+    from streamds_spark.operators.anf import harmonic_centrality_topk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li)
+    return harmonic_centrality_topk(edges, k=20)
+
+
 KTRUSS_K = 14  # support >= 12: survives whole at sf0.001 (dense little
 # cliques from multi-part orders), cascades to an EMPTY truss at sf0.01,
 # and stabilizes at a non-trivial ~1.4k-edge truss at sf0.1 — all three

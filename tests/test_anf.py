@@ -181,3 +181,47 @@ def test_auto_stripes_self_sizing(spark):
     assert _auto_stripes(0, 8 * gib) == 1  # clamp low
     assert _auto_stripes(10**12, 8 * gib) == M_ANF  # clamp high
     assert _mem_budget_bytes(spark.sparkSession if hasattr(spark, "sparkSession") else spark) > 0
+
+
+def test_harmonic_centrality_shape_and_striping(spark):
+    """HyperBall harmonic fold: the star center dominates its leaves (it
+    accrues the whole component at weight 1/1), a path's midpoint beats its
+    endpoints, striping is value-identical, ties break deterministically,
+    and the empty graph yields an empty frame."""
+    from streamds_spark.operators.anf import (
+        HARMONIC_SCALE,
+        harmonic_centrality_topk,
+    )
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)], "u bigint, v bigint"
+    )
+    rows = harmonic_centrality_topk(star, k=7).collect()
+    assert len(rows) == 7
+    assert rows[0]["node"] == 0  # center first
+    assert rows[0]["h_scaled"] > max(r["h_scaled"] for r in rows[1:])
+    # leaf values are NOT symmetric (each leaf's own seed register overlaps
+    # the center's differently — the approximate-by-construction part), but
+    # the ordering is total and deterministic: h desc, node asc
+    key = [(-r["h_scaled"], r["node"]) for r in rows]
+    assert key == sorted(key)
+    # center saw everything at t=1: its h is exactly its total mass growth
+    # times SCALE (weight floor(SCALE/1))
+    assert rows[0]["h_scaled"] % HARMONIC_SCALE == 0
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "u bigint, v bigint"
+    )
+    h = {r["node"]: r["h_scaled"] for r in harmonic_centrality_topk(path, k=7).collect()}
+    assert h[3] > h[0] and h[3] > h[6]  # midpoint beats endpoints
+
+    base = [tuple(r) for r in harmonic_centrality_topk(star, k=7).collect()]
+    for stripes in (2, 8):
+        got = [
+            tuple(r)
+            for r in harmonic_centrality_topk(star, k=7, stripes=stripes).collect()
+        ]
+        assert got == base, stripes
+
+    empty = spark.createDataFrame([], "u bigint, v bigint")
+    assert harmonic_centrality_topk(empty, k=5).count() == 0
