@@ -1260,3 +1260,133 @@ def ams_f2_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(eq)
         .select("n_counters", "sum_c_sq", "f2_exact", "f2_estimate", "merged_equals_whole")
     )
+
+
+@query(
+    "view_approx_distinct_audit_sources",
+    oracle="""
+    WITH hashed AS (
+        SELECT DISTINCT source, doc_id % 3 AS b,
+               ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        FROM documents
+    ),
+    -- per-trigger KMV partials (the viewstore's stored array, exploded):
+    -- k smallest hashes of the batch's distinct values per key
+    bsk AS (
+        SELECT source, b, h FROM (
+            SELECT source, b, h,
+                   row_number() OVER (PARTITION BY source, b ORDER BY h) AS rn
+            FROM hashed
+        ) WHERE rn <= 256
+    ),
+    -- read-time fold: bottom-k of the per-trigger bottom-ks...
+    fold AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM (SELECT DISTINCT source, h FROM bsk)
+        ) WHERE rn <= 256
+    ),
+    -- ...which must equal the whole-data sketch (kmv_merge's theorem)
+    whole AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM (SELECT DISTINCT source, h FROM hashed)
+        ) WHERE rn <= 256
+    ),
+    fstat AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_kmv,
+               CAST(max(h) AS BIGINT) AS max_hash,
+               list_sort(list(h)) AS arr
+        FROM fold GROUP BY source
+    ),
+    wstat AS (SELECT source, list_sort(list(h)) AS arr FROM whole GROUP BY source),
+    exact AS (
+        SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_exact
+        FROM documents GROUP BY source
+    )
+    SELECT f.source, f.n_kmv, f.max_hash,
+           CAST(CASE WHEN f.arr = w.arr THEN 1 ELSE 0 END AS BIGINT)
+               AS fold_equals_whole,
+           e.n_exact,
+           CASE WHEN f.n_kmv < 256 THEN CAST(f.n_kmv AS DOUBLE)
+                ELSE 255.0 * 1152921504606846976.0 / CAST(f.max_hash AS DOUBLE)
+           END AS dv_est
+    FROM fstat f
+    JOIN wstat w USING (source)
+    JOIN exact e USING (source)
+    ORDER BY source
+    """,
+)
+def view_approx_distinct_audit_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability audit for the viewstore's opt-in approx_distinct
+    aggregate (streaming/viewstore.py, round 10): per source, three
+    simulated triggers (doc_id % 3) each store a KMV partial of the batch's
+    distinct texts; the read-time fold (bottom-k of the per-trigger
+    bottom-ks) must equal the whole-data sketch ARRAY-EXACTLY
+    (fold_equals_whole = 1 — kmv_merge's theorem carried into the view
+    partials), served beside the exact distinct count.
+
+    Every column is exact integer state except dv_est, which is the Beyer
+    et al. DV estimator as ONE raw IEEE expression (255.0 * 2^60 /
+    max_hash) — deliberately UNROUNDED: 255.0 * 2^60 is exactly
+    representable (8-bit mantissa), the BIGINT->DOUBLE cast rounds
+    to-nearest identically in both engines, and one division is bit-exact,
+    so the row set is hash-exact at every SF without the round()
+    shortest-decimal-string hazard. The view surface's rounded estimate is
+    covered by the stream==batch pytest. Scale: the fold reads k rows per
+    (key, trigger dir), never the corpus."""
+    from streamds_spark.streaming.viewstore import (
+        ViewSpec,
+        view_batch_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    spec = ViewSpec(keys=("source",), aggs={"dv": ("approx_distinct", "text")})
+    k = spec.kmv_k
+    parts = [
+        view_batch_state(docs.filter(F.col("doc_id") % 3 == b), spec)
+        for b in range(3)
+    ]
+    store = parts[0]
+    for p in parts[1:]:
+        store = store.unionByName(p)
+    fold = store.groupBy("source").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("dv__kmv")))),
+            1,
+            k,
+        ).alias("fold_arr")
+    )
+    whole = view_batch_state(docs, spec).select(
+        "source", F.col("dv__kmv").alias("whole_arr")
+    )
+    exact = (
+        docs.select("source", "text")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+    )
+    n = F.size("fold_arr")
+    mx = F.element_at(F.col("fold_arr"), n).cast("bigint")
+    return (
+        fold.join(whole, "source")
+        .join(exact, "source")
+        .select(
+            "source",
+            n.cast("bigint").alias("n_kmv"),
+            mx.alias("max_hash"),
+            (F.col("fold_arr") == F.col("whole_arr"))
+            .cast("int")
+            .cast("bigint")
+            .alias("fold_equals_whole"),
+            "n_exact",
+            F.when(n < k, n.cast("double"))
+            .otherwise(
+                F.lit(255.0) * F.lit(1152921504606846976.0) / mx.cast("double")
+            )
+            .alias("dv_est"),
+        )
+        .orderBy("source")
+    )

@@ -11,10 +11,18 @@ into exactly the one-pass batch answer.
 
 Why these aggregates: SUM and COUNT are additive, MIN and MAX are
 idempotent-mergeable — all four fold exactly from per-trigger partials
-(AVG derives as SUM/COUNT at read, never stored). COUNT DISTINCT is
-deliberately absent: distinct does not fold from partials — the HLL
-register store answers it approximately, exact dedup stores answer it
-exactly; declaring it here would silently double-count.
+(AVG derives as SUM/COUNT at read, never stored). Exact COUNT DISTINCT is
+deliberately absent: distinct does not fold from scalar partials —
+declaring it as a sum would silently double-count. The opt-in
+`approx_distinct` aggregate (round 10) answers the category with the
+repo's own mergeable sketch: each trigger stores the key's KMV state (the
+k smallest md5_int60 hashes of the batch's distinct values, an
+array<bigint> partial bounded at k), the fold takes the bottom-k of the
+per-trigger bottom-ks (exactly the whole-data sketch, kmv_merge's
+theorem), and the read derives the Beyer et al. DV estimate — EXACT below
+k distinct values per key, ~1/sqrt(k-2) standard error beyond (6.3% at
+the default k=256). Same discipline as the HLL register store, but keyed
+per view row and carried inside the view's own partials.
 
 Scale shape: per-trigger state is one row per key PRESENT IN THE BATCH
 (not the key universe), written as a batch=N dir under the same
@@ -64,12 +72,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from streamds_spark.functions.hashing import md5_int60
 from streamds_spark.streaming.llm_pipeline import (
     _committed_store_dirs,
     _compact_one_store,
 )
 
-_KINDS = ("sum", "count", "min", "max", "avg")
+_KINDS = ("sum", "count", "min", "max", "avg", "approx_distinct")
+
+# KMV sketch size for approx_distinct partials: k smallest md5_int60 hashes
+# of the column's distinct values per key per trigger (operators/kmv.py —
+# the mergeable distinct-count state). Standard error of the DV estimator is
+# ~1/sqrt(k-2) (Beyer et al. SIGMOD'07): k=256 -> ~6.3%. EXACT whenever the
+# key's true distinct count is under k (the sketch simply holds every hash).
+VIEW_KMV_K = 256
+_HASH_SPAN = float(1 << 60)  # md5_int60 hashes are uniform in [0, 2^60)
 
 # Implicit presence partial on every stored row: SUM of it is the number of
 # source rows behind the key, so a fully-deleted key folds to 0 and is
@@ -86,6 +103,9 @@ class ViewSpec:
 
     keys: "tuple[str, ...]"
     aggs: "dict[str, tuple[str, str | None]]" = field(default_factory=dict)
+    # KMV sketch size for approx_distinct aggregates (error ~1/sqrt(k-2);
+    # exact below k distinct values per key)
+    kmv_k: int = VIEW_KMV_K
 
     def __post_init__(self):
         if not self.keys or not self.aggs:
@@ -103,8 +123,11 @@ class ViewSpec:
             dupes = sorted({s for s in stored if stored.count(s) > 1})
             raise ValueError(
                 f"ViewSpec: stored partial name collision {dupes} — an avg "
-                "named X reserves X__sum and X__cnt"
+                "named X reserves X__sum and X__cnt; an approx_distinct "
+                "named X reserves X__kmv"
             )
+        if self.kmv_k <= 1:
+            raise ValueError("ViewSpec: kmv_k must be > 1")
         if _ROWS in stored or _ROWS in self.keys:
             raise ValueError(
                 f"ViewSpec: {_ROWS!r} is reserved for the implicit presence "
@@ -120,6 +143,8 @@ def _partial_cols(spec: ViewSpec) -> "list[tuple[str, str, str]]":
         if kind == "avg":
             out.append((f"{name}__sum", "sum", col))
             out.append((f"{name}__cnt", "count", col))
+        elif kind == "approx_distinct":
+            out.append((f"{name}__kmv", "approx_distinct", col))
         else:
             out.append((name, kind, col))
     return out
@@ -145,6 +170,20 @@ def view_batch_state(df: DataFrame, spec: ViewSpec) -> DataFrame:
             aggs.append(F.min(col).alias(stored))
         elif kind == "max":
             aggs.append(F.max(col).alias(stored))
+        elif kind == "approx_distinct":
+            # the key's KMV state for this trigger: the k smallest hashes of
+            # the batch's distinct values (collect_set dedupes by hash —
+            # equal values hash equally — and skips NULLs, matching COUNT
+            # DISTINCT semantics); bounded at k bigints per key per trigger
+            aggs.append(
+                F.slice(
+                    F.array_sort(
+                        F.collect_set(md5_int60(F.col(col)))
+                    ),
+                    1,
+                    spec.kmv_k,
+                ).alias(stored)
+            )
     aggs.append(F.count(F.lit(1)).cast("bigint").alias(_ROWS))
     return df.groupBy(*spec.keys).agg(*aggs)
 
@@ -162,6 +201,17 @@ def view_fold(store: DataFrame, spec: ViewSpec) -> DataFrame:
                 f = f.cast("bigint")
         elif kind == "min":
             f = F.min(stored)
+        elif kind == "approx_distinct":
+            # bottom-k of the per-trigger bottom-ks == bottom-k of the whole
+            # (a hash in the union's bottom k is in its trigger's bottom k
+            # a fortiori) — the same mergeability theorem as kmv_merge
+            f = F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list(stored)))
+                ),
+                1,
+                spec.kmv_k,
+            )
         else:
             f = F.max(stored)
         folds.append(f.alias(stored))
@@ -175,12 +225,30 @@ def view_fold(store: DataFrame, spec: ViewSpec) -> DataFrame:
         .where(F.col(_ROWS) > 0)
         .drop(_ROWS)
     )
-    # derive avg outputs, drop their partials
+    # derive avg / approx_distinct outputs, drop their partials
     for name, (kind, _col) in spec.aggs.items():
         if kind == "avg":
             folded = folded.withColumn(
                 name, F.col(f"{name}__sum") / F.col(f"{name}__cnt")
             ).drop(f"{name}__sum", f"{name}__cnt")
+        elif kind == "approx_distinct":
+            # the KMV DV estimator (Beyer et al. SIGMOD'07): exact when the
+            # sketch is under k (it holds every distinct hash), else
+            # (k-1) / U_(k) with U_(k) = kth_hash / 2^60 — one IEEE
+            # expression, rounded at 4dp (+0.0 normalizes IEEE -0)
+            arr = F.col(f"{name}__kmv")
+            n = F.size(arr)
+            kth = F.element_at(arr, spec.kmv_k).cast("double")
+            folded = folded.withColumn(
+                name,
+                F.when(n < spec.kmv_k, n.cast("double")).otherwise(
+                    F.round(
+                        F.lit(float(spec.kmv_k - 1)) * F.lit(_HASH_SPAN) / kth,
+                        4,
+                    )
+                    + 0.0
+                ),
+            ).drop(f"{name}__kmv")
     return folded
 
 
@@ -287,13 +355,16 @@ def delete_from_view(
     Refuses specs with min/max aggregates — those cannot subtract; use
     rebuild_view (the sketch-store discipline). Returns the delta dir."""
     bad = sorted(
-        name for name, (kind, _c) in spec.aggs.items() if kind in ("min", "max")
+        name
+        for name, (kind, _c) in spec.aggs.items()
+        if kind in ("min", "max", "approx_distinct")
     )
     if bad:
         raise ValueError(
-            f"delete_from_view: aggregate(s) {bad} are min/max, which cannot "
-            "subtract a deleted row's contribution — rebuild_view(remaining_"
-            "src) is the takedown path for this spec"
+            f"delete_from_view: aggregate(s) {bad} are min/max/"
+            "approx_distinct, which cannot subtract a deleted row's "
+            "contribution — rebuild_view(remaining_src) is the takedown "
+            "path for this spec"
         )
     neg = view_batch_state(deleted_rows, spec)
     for stored, _kind, _col in _partial_cols(spec):

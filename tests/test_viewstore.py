@@ -243,3 +243,68 @@ def test_reserved_rows_partial_refused(spark):
         ViewSpec(keys=("k",), aggs={_ROWS: ("sum", "v")})
     with pytest.raises(ValueError, match="reserved"):
         ViewSpec(keys=(_ROWS,), aggs={"s": ("sum", "v")})
+
+
+def test_approx_distinct_fold_exact_below_k_and_stream_equals_batch(spark, tmp_path):
+    """The opt-in approx_distinct aggregate: per-trigger KMV partials fold
+    to exactly the whole-data sketch, the estimate is EXACT below k distinct
+    values per key, NULLs don't count (COUNT DISTINCT semantics), the
+    streamed view equals the one-shot batch view, and takedown refuses the
+    spec (sketches cannot subtract) while rebuild_view handles it."""
+    from streamds_spark.streaming.viewstore import (
+        delete_from_view,
+        rebuild_view,
+        run_view_stream,
+        view_batch_state,
+        view_fold,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k string, v string")
+
+    spec = ViewSpec(
+        keys=("k",), aggs={"dv": ("approx_distinct", "v"), "n": ("count", None)}
+    )
+    b0 = mk([("a", "x"), ("a", "y"), ("b", "x"), ("a", None)])
+    b1 = mk([("a", "y"), ("a", "z"), ("c", "w")])
+    store = view_batch_state(b0, spec).unionByName(view_batch_state(b1, spec))
+    got = {r["k"]: r for r in view_fold(store, spec).collect()}
+    # exact below k: a saw {x,y,z} across triggers (y twice, NULL ignored)
+    assert got["a"]["dv"] == 3.0 and got["a"]["n"] == 5
+    assert got["b"]["dv"] == 1.0 and got["c"]["dv"] == 1.0
+
+    # stream == batch over the real documents split
+    spec2 = ViewSpec(keys=("lang",), aggs={"dv": ("approx_distinct", "text")})
+    src_dir, work_dir = str(tmp_path / "src"), str(tmp_path / "work")
+    _split(src_dir)
+    q = run_view_stream(spark, src_dir, work_dir, spec2)
+    q.awaitTermination(timeout=300)
+    assert not q.isActive
+    streamed = _rows(view_report(spark, work_dir, spec2))
+    docs = load_table(spark, SF, "documents")
+    batch = _rows(view_fold(view_batch_state(docs, spec2), spec2))
+    assert streamed == batch and len(streamed) > 1
+    # sanity: the estimate tracks the exact distinct count within ~4 sigma
+    # (sigma ~ 1/sqrt(k-2)) wherever the sketch saturated, exact elsewhere
+    exact = {
+        r["lang"]: r["n"]
+        for r in docs.select("lang", "text")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in view_report(spark, work_dir, spec2).collect():
+        want = exact[r["lang"]]
+        if want < spec2.kmv_k:
+            assert r["dv"] == float(want)
+        else:
+            assert abs(r["dv"] - want) / want < 4 / (spec2.kmv_k - 2) ** 0.5
+
+    # takedown: sketches cannot subtract — refuse; rebuild_view covers it
+    with pytest.raises(ValueError, match="approx_distinct"):
+        delete_from_view(spark, work_dir, spec2, docs.limit(1))
+    keep = docs.filter(F.col("doc_id") % 2 == 0)
+    assert rebuild_view(spark, work_dir, spec2, keep) >= 0
+    rebuilt = _rows(view_report(spark, work_dir, spec2))
+    assert rebuilt == _rows(view_fold(view_batch_state(keep, spec2), spec2))
