@@ -1,0 +1,81 @@
+"""Community detection via deterministic synchronous label propagation.
+
+Raghavan, Albert & Kumara 2007 ("Near linear time algorithm to detect
+community structures in large-scale networks"): every node adopts the label
+most common among its neighbors; communities emerge as labels flood dense
+regions faster than they cross sparse cuts. The classic formulation breaks
+ties randomly and updates asynchronously — useless for an oracle-checked
+engine. This variant is FULLY DETERMINISTIC:
+
+  * synchronous rounds (every node updates from the same snapshot);
+  * a total tie order — highest neighbor-label count, then SMALLEST label;
+  * a FIXED round budget R (a parameter of the operator's definition, like
+    fixed-iteration PageRank): synchronous LPA can oscillate between two
+    labelings on bipartite-ish structure (documented in the paper), so
+    convergence is not a usable stop rule; a fixed R makes the output a
+    pure function of (graph, R) that a SQL replay reproduces bit-for-bit.
+
+Complements the existing graph family: modularity_census SCORES a given
+labeling; this DETECTS one. The detected labels feed modularity_census
+directly (the copurchase_lpa_modularity registry row).
+
+Scale shape: per round, one adjacency equi-join (fan-out = directed edges,
+collapsing into a (node, label) count whose partial aggregation is
+map-side), then a node-PARTITIONED row_number over each node's candidate
+labels (<= deg(v) rows per node — never a global window). The carry is only
+ever joined against the FIXED adjacency, so Catalyst's size estimate grows
+linearly per round (no stats-pin needed — see operators/iterate.py for the
+compounding case); lineage is truncated per round. R rounds = R shuffle
+stages, independent of data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """DataFrame[node, label] — the deterministic synchronous LPA labeling
+    of the undirected simple graph `edges(u, v)` after exactly `rounds`
+    rounds from the identity labeling (every node starts as its own
+    label). Nodes with no edges don't appear (they'd be singleton
+    communities of themselves)."""
+    if rounds < 1:
+        raise ValueError(f"label_propagation: rounds must be >= 1, got {rounds}")
+    adj = (
+        edges.select("u", "v")
+        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = adj.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        cand = adj.join(labels.toDF("v", "label"), "v").select(
+            F.col("u").alias("node"), "label"
+        )
+        labels = (
+            cand.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def community_sizes(edges: DataFrame, rounds: int = 4, k: int = 20) -> DataFrame:
+    """DataFrame[community, n_nodes] — the k largest detected communities,
+    ties broken (n_nodes DESC, community ASC) so the top-k is
+    deterministic."""
+    return (
+        label_propagation(edges, rounds)
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(k)
+    )

@@ -1024,6 +1024,153 @@ def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return component_census(edges)
 
 
+_LPA_ORACLE_PREFIX = """
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT a.p AS u, b.p AS v
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    adj AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT u AS a, v AS b FROM edges
+            UNION ALL SELECT v, u FROM edges
+        )
+    ),
+    -- deterministic synchronous LPA (operators/lpa.py): every node adopts
+    -- its neighbors' most common label, ties to the SMALLEST label, for a
+    -- FIXED 4 rounds from the identity labeling — a pure function of the
+    -- graph, replayed here bit-for-bit
+    lpa(iter, node, label) AS (
+        SELECT 0, a, a FROM (SELECT DISTINCT a FROM adj)
+      UNION ALL
+        SELECT * FROM (
+          WITH cur AS MATERIALIZED (SELECT iter, node, label FROM lpa),
+          cnt AS MATERIALIZED (
+            SELECT adj.a AS node, c.label, count(*) AS c
+            FROM adj JOIN cur c ON c.node = adj.b
+            GROUP BY adj.a, c.label
+          )
+          SELECT (SELECT max(iter) FROM cur) + 1, node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (
+                       PARTITION BY node ORDER BY c DESC, label ASC
+                   ) AS rn
+            FROM cnt
+          )
+          WHERE rn = 1 AND (SELECT max(iter) FROM cur) < 4
+        )
+    ),
+    final AS (SELECT node, label FROM lpa WHERE iter = 4)
+"""
+
+
+@query(
+    "copurchase_communities_lpa",
+    oracle=_LPA_ORACLE_PREFIX
+    + """
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM final GROUP BY label
+    ORDER BY n_nodes DESC, community LIMIT 20
+    """,
+)
+def copurchase_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 communities DETECTED in the repeat co-purchase graph (parts
+    co-bought in >= 2 distinct orders — the same support threshold that
+    gives copurchase_components its real cluster structure) by
+    deterministic synchronous label propagation (operators/lpa.py:
+    Raghavan et al. 2007 with a total tie order and a fixed 4-round
+    budget). Complements modularity_census, which can only SCORE a given
+    labeling.
+
+    The labeling is a pure function of (graph, rounds), so the DuckDB
+    recursive CTE replays the identical rounds and the top-20 is
+    hash-exact at every SF. At 100 TB: R rounds x (one adjacency equi-join
+    collapsing map-side + a node-PARTITIONED row_number over <= deg(v)
+    candidate labels) — no global window, no collect, linear carry (no
+    stats-pin needed)."""
+    from streamds_spark.operators.lpa import community_sizes
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = (
+        items.toDF("o", "u")
+        .join(items.toDF("o", "v"), "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    return community_sizes(edges, rounds=4, k=20)
+
+
+@query(
+    "copurchase_lpa_modularity",
+    oracle=_LPA_ORACLE_PREFIX
+    + """
+    , eb AS (
+        SELECT lu.label AS bu, lv.label AS bv
+        FROM edges e
+        JOIN final lu ON lu.node = e.u
+        JOIN final lv ON lv.node = e.v
+    ),
+    me AS (
+        SELECT CAST(count(*) AS BIGINT) AS m_edges,
+               CAST(sum(CASE WHEN bu = bv THEN 1 ELSE 0 END) AS BIGINT)
+                   AS intra_edges
+        FROM eb
+    ),
+    degc AS (
+        SELECT brand, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT bu AS brand FROM eb UNION ALL SELECT bv FROM eb
+        ) GROUP BY brand
+    ),
+    bsum AS (
+        SELECT CAST(sum(d * d) AS BIGINT) AS sum_comm_deg_sq FROM degc
+    )
+    SELECT m_edges, intra_edges, sum_comm_deg_sq,
+           round(CAST(intra_edges AS DOUBLE) / CAST(m_edges AS DOUBLE)
+                 - CAST(sum_comm_deg_sq AS DOUBLE)
+                 / (CAST(4 AS DOUBLE) * CAST(m_edges AS DOUBLE)
+                 * CAST(m_edges AS DOUBLE)), 4) + 0.0 AS modularity
+    FROM me CROSS JOIN bsum
+    """,
+)
+def copurchase_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman Q of the LPA-detected partition of the repeat co-purchase
+    graph — detection (operators/lpa.py) composed with scoring
+    (modularity_census): the structural answer to "did label propagation
+    find real communities" as one 1-row census. Same exactness playbook as
+    copurchase_brand_modularity: three exact BIGINT moments + ONE final
+    IEEE expression identical in both engines, so the row is hash-exact.
+    Contrast with the brand partition's Q ~ -0.0001: a detected partition
+    should score meaningfully positive wherever the support threshold
+    leaves cluster structure."""
+    from streamds_spark.operators.lpa import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = (
+        items.toDF("o", "u")
+        .join(items.toDF("o", "v"), "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    labels = label_propagation(edges, rounds=4)
+    return modularity_census(edges, labels)
+
+
 def modularity_census(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """Newman modularity Q of a node partition over an undirected edge list
     (u < v, one row per edge): Q = A/m - B/(4m^2) with m = |edges|,
