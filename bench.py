@@ -209,13 +209,15 @@ def main() -> None:
         )
         if attempt + 1 >= MAX_PASSES or (done_min and any_quiet):
             break
-        if done_min:
-            # Both passes so far started loaded: wait for a genuinely quiet
-            # start before spending the final pass.
-            pass_load, w = _wait_for_idle(gate=RETRY_LOAD_GATE)
-            retry_wait_s += w
-        else:
-            pass_load = _load1()
+        # Between passes, ALWAYS wait out the harness's own just-generated
+        # load at the tight gate before stamping the next pass: a raw
+        # _load1() here reads the previous pass's 32-core burst, not
+        # background contention — it would stamp pass 2 "loaded" on a quiet
+        # box, force a pointless third pass, and raise false
+        # busy_box_budget_exhausted flags. The wait also hands the next pass
+        # a genuinely quiet start whenever the box allows one.
+        pass_load, w = _wait_for_idle(gate=RETRY_LOAD_GATE)
+        retry_wait_s += w
 
     budget_exhausted = not any(
         p["load1_at_start"] < RETRY_LOAD_GATE for p in headline_passes
@@ -234,6 +236,11 @@ def main() -> None:
     # load1 at its own measurement start so extras-to-extras round
     # comparisons carry their own environment evidence — the r9 extras were
     # all loaded-box samples invisible behind the headline's single stamp.
+    # Reading discipline: extras run back-to-back, so every stamp carries
+    # the harness's OWN decaying load from the preceding extras — the
+    # stamps are comparable ROUND-OVER-ROUND at the same position (same
+    # self-load history); an OUTLIER stamp vs last round's same position is
+    # the external-load signal, the absolute value is not.
     extras_load1: dict[str, float] = {}
 
     def _min3(name: str, action) -> float:

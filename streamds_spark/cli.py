@@ -741,6 +741,11 @@ def main(argv: list[str] | None = None) -> int:
             ids = [int(t) for t in tokens_td]
         except ValueError:
             parser.error(f"takedown: doc ids must be integers, got {args.doc_ids!r}")
+        if args.rebuild_sketches and not args.quiesced:
+            # the rebuild's segment swap races a live stream's in-flight
+            # batch (it deletes dirs the trigger may be reading/writing) —
+            # enforce the help text's own precondition instead of trusting it
+            parser.error("takedown: --rebuild-sketches requires --quiesced")
         stats = delete_docs(spark, args.work, ids, quiesced=args.quiesced)
         stores = sorted(
             k for k in stats if k not in ("n_docs_matched", "fold_after")

@@ -192,6 +192,15 @@ _VERDICT_MEMO_MAX = 1024
 
 
 def _plan_is_deterministic(df: DataFrame, canon: str) -> bool:
+    # UDF-bearing plans are NEVER memoized: ScalaUDF/PythonUDF toString does
+    # not encode the deterministic flag, so a udf and its
+    # .asNondeterministic() twin share a canonical string — a memoized True
+    # would admit the nondeterministic twin. The substring test is
+    # conservative (a column merely NAMED *UDF* just skips the memo, a pure
+    # perf non-event), and the memo's target — the repeated clean dashboard
+    # plan — contains no UDFs by definition.
+    if "UDF" in canon:
+        return not nondeterministic_classes(df)
     hit = _VERDICT_MEMO.get(canon)
     if hit is not None:
         _VERDICT_MEMO.move_to_end(canon)

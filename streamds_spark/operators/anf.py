@@ -205,10 +205,14 @@ def harmonic_centrality_topk(
         .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .localCheckpoint(eager=True)
     )
+    spark = edges.sparkSession
+    # one count answers both the empty check and the stripes sizing —
+    # BEFORE any seeding/checkpoint jobs are spent on an empty graph
+    n_adj = adj.count()
+    if n_adj == 0:
+        return spark.createDataFrame([], "node bigint, h_scaled bigint")
     if stripes is None:
-        stripes = _auto_stripes(
-            adj.count(), _mem_budget_bytes(edges.sparkSession)
-        )
+        stripes = _auto_stripes(n_adj, _mem_budget_bytes(spark))
     counters = _seed_counters(adj)
     node_mass = (
         counters.groupBy("node")
@@ -218,9 +222,6 @@ def harmonic_centrality_topk(
     h = node_mass.select(
         "node", F.lit(0).cast("bigint").alias("h_scaled")
     ).localCheckpoint(eager=True)
-    spark = edges.sparkSession
-    if adj.isEmpty():
-        return spark.createDataFrame([], "node bigint, h_scaled bigint")
     total_prev = node_mass.agg(F.sum("mass")).collect()[0][0]
     for t in range(1, max_iter + 1):
         nxt = _propagate(adj, counters, stripes)

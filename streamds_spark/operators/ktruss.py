@@ -100,6 +100,14 @@ def ktruss_edges(
         # peel is only meaningful from k = 3
         raise ValueError(f"ktruss_edges: k must be >= 3, got {k}")
     sup_min = k - 2
+    if shuffle_partitions is not None and int(shuffle_partitions) < 1:
+        # the old falsy check treated 0 as "no override"; now that None is
+        # the self-size sentinel, a 0/negative override would set an
+        # invalid session conf — refuse loudly
+        raise ValueError(
+            f"ktruss_edges: shuffle_partitions must be >= 1 or None "
+            f"(self-size), got {shuffle_partitions}"
+        )
     spark = edges.sparkSession
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -622,6 +622,7 @@ class QueryServer(socketserver.ThreadingTCPServer):
         self._t0 = _time.time()
         self._stats_lock = threading.Lock()
         self._audit_lock = threading.Lock()  # file IO only — never nests
+        self._takedown_lock = threading.Lock()  # serializes write verbs
         self._served: dict[str, int] = {}
         self._latency: dict[str, deque] = {}  # per-kind, bounded
         self._errors = 0
@@ -796,7 +797,11 @@ class QueryServer(socketserver.ThreadingTCPServer):
         if (
             not isinstance(ids, list)
             or not ids
-            or not all(isinstance(i, int) for i in ids)
+            # bool is an int subclass: [true] would otherwise pass and
+            # silently delete doc_id 1 — refuse it explicitly
+            or not all(
+                isinstance(i, int) and not isinstance(i, bool) for i in ids
+            )
         ):
             return {
                 "ok": False,
@@ -813,7 +818,11 @@ class QueryServer(socketserver.ThreadingTCPServer):
         from streamds_spark.streaming.llm_pipeline import delete_docs
 
         _capture, work_dir = self._pipeline
-        with scheduler_pool(self.spark, pool):
+        # delete_docs documents single-writer discipline; ThreadingTCPServer
+        # gives every connection its own thread, so concurrent takedown
+        # requests must serialize here — deletes are rare maintenance ops,
+        # a lock is the right tool (no fairness/throughput concern)
+        with self._takedown_lock, scheduler_pool(self.spark, pool):
             stats = delete_docs(self.spark, work_dir, ids, quiesced=quiesced)
         return {
             "ok": True,

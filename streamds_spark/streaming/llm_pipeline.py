@@ -1093,15 +1093,18 @@ def delete_docs(
         ids_df = doc_ids.select(
             F.col(doc_ids.columns[0]).alias("doc_id")
         ).distinct()
+        n_ids = ids_df.count()  # mass-takedown path: one tiny job
     else:
         vals = list(doc_ids)
         if not vals:
             raise ValueError("empty delete set")
-        ids_df = (
-            spark.createDataFrame([(int(v),) for v in vals])
-            .toDF("doc_id")
-            .distinct()
-        )
+        distinct_vals = sorted({int(v) for v in vals})
+        ids_df = spark.createDataFrame(
+            [(v,) for v in distinct_vals]
+        ).toDF("doc_id")
+        # driver-side: the common small-list path pays no Spark job for
+        # the audit ledger's n_ids
+        n_ids = len(distinct_vals)
     written: dict[str, str] = {}
     # content hashes FIRST, while the corpus still serves the doomed rows
     # (corpus tombstones would hide them from this very lookup)
@@ -1129,7 +1132,6 @@ def delete_docs(
     written["corpus"] = appendlog.delete_keys(
         spark, paths.corpus, "doc_id", ids_df, fold_after=fold_after
     )
-    n_ids = ids_df.count()
     _append_takedown_audit(
         work_dir,
         {

@@ -215,16 +215,19 @@ def view_fold(store: DataFrame, spec: ViewSpec) -> DataFrame:
         else:
             f = F.max(stored)
         folds.append(f.alias(stored))
-    folds.append(F.sum(_ROWS).cast("bigint").alias(_ROWS))
     # a key whose source rows were ALL taken down folds to zero presence —
     # it must vanish from the view exactly as it would from a batch
-    # aggregate over the remaining source
-    folded = (
-        store.groupBy(*spec.keys)
-        .agg(*folds)
-        .where(F.col(_ROWS) > 0)
-        .drop(_ROWS)
-    )
+    # aggregate over the remaining source. Legacy tolerance: a store whose
+    # dirs predate the __rows presence partial (written before takedown
+    # existed) folds WITHOUT the filter — such a store can't contain
+    # negative deltas, so presence pruning is vacuous there, and requiring
+    # the column would break every pre-existing view on read.
+    has_rows = _ROWS in store.columns
+    if has_rows:
+        folds.append(F.sum(_ROWS).cast("bigint").alias(_ROWS))
+    folded = store.groupBy(*spec.keys).agg(*folds)
+    if has_rows:
+        folded = folded.where(F.col(_ROWS) > 0).drop(_ROWS)
     # derive avg / approx_distinct outputs, drop their partials
     for name, (kind, _col) in spec.aggs.items():
         if kind == "avg":
@@ -403,14 +406,25 @@ def rebuild_view(
     view_batch_state(remaining_src, spec).coalesce(1).write.mode(
         "overwrite"
     ).parquet(tmp)
+    # Commit ordering (the _SUCCESS-commit-point discipline): install the
+    # rebuilt segment FIRST, reclaim subsumed dirs AFTER — a crash anywhere
+    # leaves either the full pre-rebuild state or the committed rebuild,
+    # never an empty store. The one unavoidable non-atomicity: when a
+    # same-hi segment already exists, os.replace cannot land on a non-empty
+    # dir, so it is renamed aside first — the crash window is two renames
+    # wide (vs the whole reclaim loop), and the aside dir survives on disk
+    # for manual recovery. The documented quiesce requirement covers
+    # concurrent readers either way.
+    if os.path.isdir(seg):
+        os.rename(seg, f"{seg}.old-{uuid.uuid4().hex[:8]}")
+    os.replace(tmp, seg)  # <- commit point
     for d in (
         _glob.glob(os.path.join(store_dir, "batch=*"))
         + _glob.glob(os.path.join(store_dir, "segment=*"))
         + _glob.glob(os.path.join(store_dir, "delta-*"))
     ):
-        if not d.endswith(".rebuild"):
+        if os.path.realpath(d) != os.path.realpath(seg):
             shutil.rmtree(d, ignore_errors=True)
-    os.replace(tmp, seg)
     return hi
 
 

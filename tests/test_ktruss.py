@@ -131,3 +131,9 @@ def test_auto_partitions_self_sizing(spark):
     truss, _ = ktruss_edges(edges, 3)
     assert truss.count() == 6
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # an explicit 0 used to mean "no override" via the falsy check — now
+    # that None is the self-size sentinel, 0/negative must refuse loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="shuffle_partitions"):
+        ktruss_edges(edges, 3, shuffle_partitions=0)

@@ -456,6 +456,14 @@ def test_admission_verdict_memoized_no_repeat_jvm_walk(spark, tmp_path, monkeypa
     assert not cached(nondet, cache).cacheable
     assert not cached(nondet, cache).cacheable
     assert len(json_calls) == 2 and len(jvm_calls) == 1
+    # UDF-bearing canonical strings are NEVER memoized: ScalaUDF/PythonUDF
+    # toString omits the deterministic flag, so an asNondeterministic twin
+    # would share the canon string — the memo must not bridge them
+    jvm_before, json_before = len(jvm_calls), len(json_calls)
+    rc._plan_is_deterministic(_q(spark, src), "Project [myUDF(x#1)]")
+    rc._plan_is_deterministic(_q(spark, src), "Project [myUDF(x#1)]")
+    assert len(json_calls) == json_before + 2, "UDF canon must re-walk every time"
+    assert "Project [myUDF(x#1)]" not in rc._VERDICT_MEMO
     # the memo is bounded LRU: filling past capacity evicts the oldest key
     monkeypatch.setattr(rc, "_VERDICT_MEMO_MAX", 2)
     rc._VERDICT_MEMO.clear()

@@ -535,7 +535,13 @@ def test_takedown_surface_cli_and_server(spark, drained, tmp_path):
         r = request(host, port, {"cmd": "takedown", "doc_ids": [before[-1]]})
         assert not r["ok"] and "no pipeline" in r["error"]
         rw.attach_pipeline(object(), work_dir)
-        for bad in ({}, {"doc_ids": []}, {"doc_ids": ["x"]}, {"doc_ids": 3}):
+        for bad in (
+            {},
+            {"doc_ids": []},
+            {"doc_ids": ["x"]},
+            {"doc_ids": 3},
+            {"doc_ids": [True]},  # bool is an int subclass — must be refused
+        ):
             r = request(host, port, {"cmd": "takedown", **bad})
             assert not r["ok"]
         doomed = before[-1]
@@ -578,3 +584,5 @@ def test_takedown_surface_cli_and_server(spark, drained, tmp_path):
         cli_main(["takedown", work_dir, "1,,2"])
     with _pytest.raises(SystemExit):
         cli_main(["takedown", work_dir, "1,x"])
+    with _pytest.raises(SystemExit):  # rebuild requires an asserted quiesce
+        cli_main(["takedown", work_dir, "1", "--rebuild-sketches"])

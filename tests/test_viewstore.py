@@ -236,6 +236,47 @@ def test_takedown_minmax_refused_then_rebuild(spark, tmp_path):
     assert any(r[1] == "c" for r in _rows(view_report(spark, work_dir, spec)))
 
 
+def test_legacy_store_without_rows_partial_still_folds(spark, tmp_path):
+    """A store written before the __rows presence partial existed (no
+    takedown deltas possible there) must keep folding — presence pruning is
+    vacuous on it, and requiring the column would break every pre-existing
+    view on read."""
+    from streamds_spark.streaming.viewstore import view_batch_state, view_fold
+
+    spec = ViewSpec(keys=("k",), aggs={"s": ("sum", "v")})
+    df = spark.createDataFrame([("a", 1), ("a", 3), ("b", 5)], "k string, v bigint")
+    work_dir = str(tmp_path / "work")
+    store = os.path.join(work_dir, "view_store")
+    # simulate a legacy dir: today's partials minus the presence column
+    view_batch_state(df, spec).drop("__rows").write.parquet(
+        os.path.join(store, "batch=0")
+    )
+    got = {r["k"]: r["s"] for r in view_report(spark, work_dir, spec).collect()}
+    assert got == {"a": 4, "b": 5}
+
+
+def test_rebuild_twice_exercises_same_hi_rename_aside(spark, tmp_path):
+    """A second rebuild on an already-rebuilt store hits the same-hi
+    segment collision: the old segment is renamed aside, the new one
+    committed, and the reclaim pass leaves exactly one committed segment."""
+    import glob
+
+    from streamds_spark.streaming.viewstore import rebuild_view, write_view_batch
+
+    spec = ViewSpec(keys=("k",), aggs={"hi": ("max", "v")}) 
+    work_dir = str(tmp_path / "work")
+    store = os.path.join(work_dir, "view_store")
+    df = spark.createDataFrame([("a", 1), ("a", 9)], "k string, v bigint")
+    write_view_batch(df, 0, store, spec)
+    assert rebuild_view(spark, work_dir, spec, df) == 0
+    keep = spark.createDataFrame([("a", 1)], "k string, v bigint")
+    assert rebuild_view(spark, work_dir, spec, keep) == 0
+    rows = {r["k"]: r["hi"] for r in view_report(spark, work_dir, spec).collect()}
+    assert rows == {"a": 1}
+    names = sorted(os.path.basename(d) for d in glob.glob(os.path.join(store, "*")))
+    assert names == ["segment=0"], names
+
+
 def test_reserved_rows_partial_refused(spark):
     from streamds_spark.streaming.viewstore import _ROWS
 
