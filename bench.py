@@ -93,6 +93,7 @@ RETRY_LOAD_GATE = 1.5  # a pass starting above this earns a third attempt
 MIN_PASSES = 2  # always at least two headline passes; official = lowest total
 MAX_PASSES = 3
 IDLE_MAX_WAIT_S = 120.0
+INTER_PASS_WAIT_S = 240.0  # covers the harness's own load1 decay to 1.5
 
 
 def _load1() -> float:
@@ -215,8 +216,14 @@ def main() -> None:
         # background contention — it would stamp pass 2 "loaded" on a quiet
         # box, force a pointless third pass, and raise false
         # busy_box_budget_exhausted flags. The wait also hands the next pass
-        # a genuinely quiet start whenever the box allows one.
-        pass_load, w = _wait_for_idle(gate=RETRY_LOAD_GATE)
+        # a genuinely quiet start whenever the box allows one. Budget sized
+        # to the decay physics: a pass can drive load1 to ~32, and reaching
+        # 1.5 needs log2(32/1.5) ~ 4.4 halvings at ~42 s each (~185 s) — the
+        # default 120 s budget would time out on a QUIET box and stamp the
+        # harness's own residue as contention.
+        pass_load, w = _wait_for_idle(
+            budget_s=INTER_PASS_WAIT_S, gate=RETRY_LOAD_GATE
+        )
         retry_wait_s += w
 
     budget_exhausted = not any(

@@ -111,6 +111,40 @@ _PYTHON_EVAL_MARKERS = (
 )
 
 
+def _json_walk(df: DataFrame) -> "tuple[set[str], bool]":
+    """(condemning class names, plan-contains-any-UDF) from one py4j call
+    (analyzed().toJSON()) + a driver-side walk. The has_udf flag is read
+    off AUTHORITATIVE Catalyst class names (ScalaUDF, PythonUDF, ...), not
+    the plan's display text — Expression.toString prints the udf's NAME
+    (`myfn(...)`), so text can never reveal udf-ness."""
+    tree = json.loads(df._jdf.queryExecution().analyzed().toJSON())  # noqa: SLF001
+    found: set[str] = set()
+    has_udf = False
+
+    def walk(o) -> None:
+        nonlocal has_udf
+        if isinstance(o, dict):
+            c = o.get("class")
+            if isinstance(c, str):
+                simple = c.rsplit(".", 1)[-1]
+                if simple in _NONDETERMINISTIC_EXPRS:
+                    found.add(simple)
+                if any(m in simple for m in _PYTHON_EVAL_MARKERS):
+                    found.add(simple)
+                if "UDF" in simple or "UserDefined" in simple:
+                    has_udf = True
+            if o.get("udfDeterministic") is False:
+                found.add("udfDeterministic:false")
+            for v in o.values():
+                walk(v)
+        elif isinstance(o, list):
+            for v in o:
+                walk(v)
+
+    walk(tree)
+    return found, has_udf
+
+
 def nondeterministic_classes(df: DataFrame) -> set[str]:
     """Simple names of expression/plan classes that make the plan unsafe to
     cache (empty set → safe). Driver-side only, no jobs. Three detectors:
@@ -124,27 +158,7 @@ def nondeterministic_classes(df: DataFrame) -> set[str]:
       top-level expressions report `deterministic == true` (an Expression's
       flag already folds in its expression children).
     """
-    tree = json.loads(df._jdf.queryExecution().analyzed().toJSON())  # noqa: SLF001
-    found: set[str] = set()
-
-    def walk(o) -> None:
-        if isinstance(o, dict):
-            c = o.get("class")
-            if isinstance(c, str):
-                simple = c.rsplit(".", 1)[-1]
-                if simple in _NONDETERMINISTIC_EXPRS:
-                    found.add(simple)
-                if any(m in simple for m in _PYTHON_EVAL_MARKERS):
-                    found.add(simple)
-            if o.get("udfDeterministic") is False:
-                found.add("udfDeterministic:false")
-            for v in o.values():
-                walk(v)
-        elif isinstance(o, list):
-            for v in o:
-                walk(v)
-
-    walk(tree)
+    found, _has_udf = _json_walk(df)
     # The JVM walk is the CATCH-ALL for expressions the JSON walk cannot
     # name; it costs one py4j round-trip per plan node + expression, so skip
     # it when the plan is already condemned — one marker is enough to refuse
@@ -180,32 +194,36 @@ def _jvm_nondeterministic_nodes(df: DataFrame) -> set[str]:
     return found
 
 
-# Admission-verdict memo (round 10, per VERDICT r9): the determinism verdict
-# is a pure function of the analyzed plan — and the canonicalized plan string
-# is already in hand for the fingerprint — so repeated admissions of the same
-# plan shape (the cache's entire use case: the dashboard query that runs every
-# few minutes) must not re-pay the JSON walk + the per-node/per-expression
-# py4j JVM walk. Bounded LRU; keyed on the canonical string, which determines
-# the expression classes present and hence the verdict.
+# Admission-verdict memo (round 10, per VERDICT r9): repeated admissions of
+# the same plan shape (the cache's entire use case: the dashboard query that
+# runs every few minutes) must not re-pay the per-node/per-expression py4j
+# JVM walk. The JSON walk (ONE py4j call + a driver-side parse) always runs —
+# it is the authority on which classes the plan contains, and class presence
+# is exactly what the canonical string CANNOT reveal: ScalaUDF/PythonUDF
+# print as `name(children)` with no flag, so a udf and its
+# .asNondeterministic() twin share a canonical string. The memo therefore
+# covers only UDF-FREE plans (has_udf from the JSON class walk), where the
+# canonical string does determine the expression classes and hence the JVM
+# catch-all's verdict. Bounded LRU.
 _VERDICT_MEMO: "OrderedDict[str, bool]" = OrderedDict()
 _VERDICT_MEMO_MAX = 1024
 
 
 def _plan_is_deterministic(df: DataFrame, canon: str) -> bool:
-    # UDF-bearing plans are NEVER memoized: ScalaUDF/PythonUDF toString does
-    # not encode the deterministic flag, so a udf and its
-    # .asNondeterministic() twin share a canonical string — a memoized True
-    # would admit the nondeterministic twin. The substring test is
-    # conservative (a column merely NAMED *UDF* just skips the memo, a pure
-    # perf non-event), and the memo's target — the repeated clean dashboard
-    # plan — contains no UDFs by definition.
-    if "UDF" in canon:
-        return not nondeterministic_classes(df)
+    found, has_udf = _json_walk(df)
+    if found:
+        return False
+    if has_udf:
+        # a udf-bearing plan that survived the JSON walk (a deterministic
+        # JVM udf) must run the JVM catch-all EVERY time: the canonical
+        # string cannot distinguish it from an asNondeterministic twin, so
+        # memoizing would bridge them
+        return not _jvm_nondeterministic_nodes(df)
     hit = _VERDICT_MEMO.get(canon)
     if hit is not None:
         _VERDICT_MEMO.move_to_end(canon)
         return hit
-    verdict = not nondeterministic_classes(df)
+    verdict = not _jvm_nondeterministic_nodes(df)
     _VERDICT_MEMO[canon] = verdict
     if len(_VERDICT_MEMO) > _VERDICT_MEMO_MAX:
         _VERDICT_MEMO.popitem(last=False)

@@ -217,14 +217,19 @@ def view_fold(store: DataFrame, spec: ViewSpec) -> DataFrame:
         folds.append(f.alias(stored))
     # a key whose source rows were ALL taken down folds to zero presence —
     # it must vanish from the view exactly as it would from a batch
-    # aggregate over the remaining source. Legacy tolerance: a store whose
-    # dirs predate the __rows presence partial (written before takedown
-    # existed) folds WITHOUT the filter — such a store can't contain
-    # negative deltas, so presence pruning is vacuous there, and requiring
-    # the column would break every pre-existing view on read.
+    # aggregate over the remaining source. Legacy tolerance: dirs written
+    # before the __rows presence partial existed read it as NULL (or the
+    # whole column is absent on a pure-legacy store) — coalesce each such
+    # partial row to presence 1, so a legacy key can never vanish
+    # spuriously. Presence arithmetic is only load-bearing against
+    # negative-delta takedowns, and delete_from_view REFUSES stores
+    # carrying legacy rows (their true presence is unknowable), so the
+    # coalesce is exact wherever deltas can exist.
     has_rows = _ROWS in store.columns
     if has_rows:
-        folds.append(F.sum(_ROWS).cast("bigint").alias(_ROWS))
+        folds.append(
+            F.sum(F.coalesce(F.col(_ROWS), F.lit(1))).cast("bigint").alias(_ROWS)
+        )
     folded = store.groupBy(*spec.keys).agg(*folds)
     if has_rows:
         folded = folded.where(F.col(_ROWS) > 0).drop(_ROWS)
@@ -307,6 +312,7 @@ def view_report(
     without it, a best-effort null-typed empty frame with the right column
     names (fine for count()/collect(), not for writing)."""
     store_dir = os.path.join(work_dir, "view_store")
+    _recover_interrupted_rebuild(store_dir)
     dirs = _committed_store_dirs(store_dir, 2**62) + _committed_delta_dirs(
         store_dir
     )
@@ -317,7 +323,38 @@ def view_report(
         empty = spark.createDataFrame([], "k string")  # placeholder
         cols = list(spec.keys) + list(spec.aggs)
         return empty.select(*[F.lit(None).alias(c) for c in cols]).limit(0)
-    return view_fold(spark.read.parquet(*dirs), spec)
+    # mergeSchema: a MIXED store (legacy dirs without __rows + new dirs
+    # with it) must surface the column as nullable rather than let schema
+    # sampling pick one footer — without it, sampling a legacy footer drops
+    # __rows from the delta dirs (ghost rows survive) and sampling a new
+    # footer reads legacy keys' presence as the filtered-out NULL
+    return view_fold(
+        spark.read.option("mergeSchema", "true").parquet(*dirs), spec
+    )
+
+
+def _recover_interrupted_rebuild(store_dir: str) -> None:
+    """Complete a rebuild_view commit that crashed between its two renames:
+    a committed `segment=<n>.rebuild` with no live `segment=<n>` is the
+    signature (the aside rename happened, the install rename didn't) — the
+    rebuild data is complete (_SUCCESS), so finishing the install is pure
+    forward progress. Aside dirs (`segment=<n>.old-*`) are reclaimed only
+    once their segment exists. Idempotent; called by readers and by
+    rebuild_view itself, so an interrupted rebuild self-heals on the next
+    touch instead of presenting an empty view."""
+    for tmp in _glob.glob(os.path.join(store_dir, "segment=*.rebuild")):
+        seg = tmp[: -len(".rebuild")]
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")) and not os.path.isdir(
+            seg
+        ):
+            try:
+                os.replace(tmp, seg)
+            except OSError:
+                pass  # a racer completed it; the aside sweep below decides
+    for aside in _glob.glob(os.path.join(store_dir, "segment=*.old-*")):
+        seg = aside.split(".old-", 1)[0]
+        if os.path.exists(os.path.join(seg, "_SUCCESS")):
+            shutil.rmtree(aside, ignore_errors=True)
 
 
 def _committed_delta_dirs(store_dir: str) -> list[str]:
@@ -369,6 +406,23 @@ def delete_from_view(
             "contribution — rebuild_view(remaining_src) is the takedown "
             "path for this spec"
         )
+    store_dir = os.path.join(work_dir, "view_store")
+    dirs = _committed_store_dirs(store_dir, 2**62)
+    if dirs:
+        existing = spark.read.option("mergeSchema", "true").parquet(*dirs)
+        if _ROWS not in existing.columns or not existing.where(
+            F.col(_ROWS).isNull()
+        ).isEmpty():
+            # legacy partials (written before __rows existed) carry an
+            # unknowable presence count — a negative delta against them
+            # could vanish a key that still has rows. Rare maintenance op,
+            # so the one schema-merge scan is cheap; rebuild_view (or a
+            # row-preserving re-ingest) modernizes the store.
+            raise ValueError(
+                "delete_from_view: store contains pre-__rows legacy "
+                "partials whose presence counts are unknowable — run "
+                "rebuild_view(remaining_src) instead"
+            )
     neg = view_batch_state(deleted_rows, spec)
     for stored, _kind, _col in _partial_cols(spec):
         neg = neg.withColumn(stored, -F.col(stored))
@@ -397,6 +451,7 @@ def rebuild_view(
     Maintenance op: run with the stream quiesced and no concurrent readers
     (the segment swap for an unchanged hi is delete-then-write)."""
     store_dir = os.path.join(work_dir, "view_store")
+    _recover_interrupted_rebuild(store_dir)  # finish a crashed predecessor
     hi = _store_max_batch(store_dir)
     if hi < 0:
         return -1

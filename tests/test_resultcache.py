@@ -423,47 +423,52 @@ def test_old_entry_grace_starts_at_eviction_not_promotion(spark, tmp_path):
 
 
 def test_admission_verdict_memoized_no_repeat_jvm_walk(spark, tmp_path, monkeypatch):
-    """Repeated admission of the same plan shape (the cache's entire use
-    case) must not re-pay the determinism walks: the verdict is memoized on
-    the canonicalized plan string, so the second cached() performs ZERO
-    JSON/JVM plan walks — and an uncacheable plan's verdict memoizes too."""
+    """Repeated admission of the same UDF-free plan shape (the cache's
+    entire use case) must not re-pay the per-node py4j JVM walk: the cheap
+    JSON walk runs every time (it is the authority on class presence), the
+    expensive JVM catch-all is memoized on the canonical plan string — and
+    udf-bearing plans NEVER memoize (the canonical string cannot
+    distinguish a udf from its asNondeterministic twin)."""
     import os
 
     from streamds_spark.io import resultcache as rc
 
     rc._VERDICT_MEMO.clear()
     jvm_calls, json_calls = [], []
-    real_jvm, real_classes = rc._jvm_nondeterministic_nodes, rc.nondeterministic_classes
+    real_jvm, real_json = rc._jvm_nondeterministic_nodes, rc._json_walk
     monkeypatch.setattr(
         rc, "_jvm_nondeterministic_nodes",
         lambda df: jvm_calls.append(1) or real_jvm(df),
     )
     monkeypatch.setattr(
-        rc, "nondeterministic_classes",
-        lambda df: json_calls.append(1) or real_classes(df),
+        rc, "_json_walk",
+        lambda df: json_calls.append(1) or real_json(df),
     )
     cache = str(tmp_path / "cache")
     src = f"{SF}/orders.parquet"
     a = cached(_q(spark, src), cache)
     assert a.cacheable and not a.hit
-    assert len(json_calls) == 1 and len(jvm_calls) == 1  # clean plan: both walks once
+    assert len(jvm_calls) == 1  # clean plan: one JVM catch-all
     b = cached(_q(spark, src), cache)
     assert b.hit and b.fingerprint == a.fingerprint
-    assert len(json_calls) == 1 and len(jvm_calls) == 1, "second admission must memo"
-    # uncacheable verdicts memoize the same way (JSON walk condemns; the JVM
-    # catch-all is skipped on a condemned plan, and the memo skips the rerun)
+    assert len(jvm_calls) == 1, "second admission must memo the JVM walk"
+    assert len(json_calls) == 2  # the cheap authority runs every admission
+    # a condemned plan never reaches the JVM walk, memoized or not
     nondet = spark.read.parquet(src).select(F.rand(7).alias("r"))
     assert not cached(nondet, cache).cacheable
     assert not cached(nondet, cache).cacheable
-    assert len(json_calls) == 2 and len(jvm_calls) == 1
-    # UDF-bearing canonical strings are NEVER memoized: ScalaUDF/PythonUDF
-    # toString omits the deterministic flag, so an asNondeterministic twin
-    # would share the canon string — the memo must not bridge them
-    jvm_before, json_before = len(jvm_calls), len(json_calls)
-    rc._plan_is_deterministic(_q(spark, src), "Project [myUDF(x#1)]")
-    rc._plan_is_deterministic(_q(spark, src), "Project [myUDF(x#1)]")
-    assert len(json_calls) == json_before + 2, "UDF canon must re-walk every time"
-    assert "Project [myUDF(x#1)]" not in rc._VERDICT_MEMO
+    assert len(jvm_calls) == 1
+    # udf-bearing plans: the JVM catch-all runs on EVERY admission and the
+    # memo is never touched — the canonical string cannot carry the
+    # deterministic flag (ScalaUDF prints as `name(children)`)
+    monkeypatch.setattr(rc, "_json_walk", lambda df: (set(), True))
+    memo_before = dict(rc._VERDICT_MEMO)
+    rc._plan_is_deterministic(_q(spark, src), "udf-canon")
+    rc._plan_is_deterministic(_q(spark, src), "udf-canon")
+    assert len(jvm_calls) == 3, "udf plans must re-run the JVM walk each time"
+    assert dict(rc._VERDICT_MEMO) == memo_before
+    assert "udf-canon" not in rc._VERDICT_MEMO
+    monkeypatch.setattr(rc, "_json_walk", lambda df: (set(), False))
     # the memo is bounded LRU: filling past capacity evicts the oldest key
     monkeypatch.setattr(rc, "_VERDICT_MEMO_MAX", 2)
     rc._VERDICT_MEMO.clear()
@@ -473,6 +478,21 @@ def test_admission_verdict_memoized_no_repeat_jvm_walk(spark, tmp_path, monkeypa
     assert list(rc._VERDICT_MEMO) == ["canon-b", "canon-c"]
     rc._VERDICT_MEMO.clear()
     assert os.path.exists(os.path.join(cache, a.fingerprint, "_SUCCESS"))
+    # a REAL pandas_udf plan: the JSON walk both condemns it AND flags
+    # has_udf from the authoritative class names; the memo stays empty
+    monkeypatch.setattr(rc, "_json_walk", real_json)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def dbl2(s):
+        return s * 2.0
+
+    udf_df = spark.read.parquet(src).select(dbl2("o_totalprice").alias("c"))
+    canon = udf_df._jdf.queryExecution().analyzed().canonicalized().toString()
+    found, has_udf = rc._json_walk(udf_df)
+    assert found and has_udf, (found, has_udf)
+    assert not rc._plan_is_deterministic(udf_df, canon)
+    assert rc._VERDICT_MEMO == {}
 
 
 def test_orphaned_lock_is_swept_by_age(spark, tmp_path):

@@ -349,3 +349,64 @@ def test_approx_distinct_fold_exact_below_k_and_stream_equals_batch(spark, tmp_p
     assert rebuild_view(spark, work_dir, spec2, keep) >= 0
     rebuilt = _rows(view_report(spark, work_dir, spec2))
     assert rebuilt == _rows(view_fold(view_batch_state(keep, spec2), spec2))
+
+
+def test_mixed_legacy_and_new_store_folds_and_refuses_delete(spark, tmp_path):
+    """A MIXED store (legacy dir without __rows + new dirs with it) reads
+    under mergeSchema: legacy keys fold with presence 1 (never vanish
+    spuriously), new-dir presence arithmetic stays exact — and takedown
+    REFUSES the store (legacy presence counts are unknowable)."""
+    from streamds_spark.streaming.viewstore import (
+        delete_from_view,
+        view_batch_state,
+    )
+
+    spec = ViewSpec(keys=("k",), aggs={"s": ("sum", "v")})
+    work_dir = str(tmp_path / "work")
+    store = os.path.join(work_dir, "view_store")
+    old = spark.createDataFrame([("a", 1), ("b", 5)], "k string, v bigint")
+    new = spark.createDataFrame([("a", 3), ("c", 7)], "k string, v bigint")
+    # legacy dir: today's partials minus the presence column
+    view_batch_state(old, spec).drop("__rows").write.parquet(
+        os.path.join(store, "batch=0")
+    )
+    write_view_batch(new, 1, store, spec)
+    got = {r["k"]: r["s"] for r in view_report(spark, work_dir, spec).collect()}
+    assert got == {"a": 4, "b": 5, "c": 7}
+    with pytest.raises(ValueError, match="legacy"):
+        delete_from_view(spark, work_dir, spec, new.limit(1))
+
+
+def test_interrupted_rebuild_self_heals(spark, tmp_path):
+    """A rebuild that crashed between its two renames (aside done, install
+    not) leaves segment=<hi>.old-* + a committed segment=<hi>.rebuild and
+    NO live segment — the next reader or rebuild completes the install
+    instead of serving an empty view."""
+    import glob
+
+    from streamds_spark.streaming.viewstore import rebuild_view, write_view_batch
+
+    spec = ViewSpec(keys=("k",), aggs={"hi": ("max", "v")})
+    work_dir = str(tmp_path / "work")
+    store = os.path.join(work_dir, "view_store")
+    df = spark.createDataFrame([("a", 1), ("a", 9)], "k string, v bigint")
+    write_view_batch(df, 0, store, spec)
+    assert rebuild_view(spark, work_dir, spec, df) == 0
+    seg = os.path.join(store, "segment=0")
+    # simulate the crash window: committed rebuild present, segment aside'd
+    import shutil as _sh
+
+    _sh.copytree(seg, seg + ".rebuild")
+    os.rename(seg, seg + ".old-deadbeef")
+    assert not os.path.isdir(seg)
+    # a plain read self-heals: the committed rebuild is installed
+    rows = {r["k"]: r["hi"] for r in view_report(spark, work_dir, spec).collect()}
+    assert rows == {"a": 9}
+    assert os.path.exists(os.path.join(seg, "_SUCCESS"))
+    assert glob.glob(os.path.join(store, "segment=*.old-*")) == []
+    assert glob.glob(os.path.join(store, "segment=*.rebuild")) == []
+    # and a rebuild right after a (recovered) crash works normally
+    keep = spark.createDataFrame([("a", 1)], "k string, v bigint")
+    assert rebuild_view(spark, work_dir, spec, keep) == 0
+    rows = {r["k"]: r["hi"] for r in view_report(spark, work_dir, spec).collect()}
+    assert rows == {"a": 1}
