@@ -244,6 +244,76 @@ def main(argv: list[str] | None = None) -> int:
         "(requires a quiesced stream)",
     )
 
+    def _add_view_spec_args(p) -> None:
+        p.add_argument(
+            "--key", action="append", required=True, dest="keys", metavar="COL",
+            help="grouping column (repeatable)",
+        )
+        p.add_argument(
+            "--agg", action="append", required=True, metavar="OUT=KIND[:COL]",
+            help="aggregate: KIND in sum|count|min|max|avg|approx_distinct; "
+            "count takes no column (e.g. n=count s=sum:n_chars "
+            "dv=approx_distinct:text)",
+        )
+        p.add_argument(
+            "--kmv-k", type=int, default=None,
+            help="KMV sketch size for approx_distinct (default 256; exact "
+            "below k distinct values per key, ~1/sqrt(k-2) error beyond)",
+        )
+
+    vs = sub.add_parser(
+        "view-stream",
+        help="maintain an incremental materialized view over a parquet "
+        "directory (streaming/viewstore.py): per-trigger partial "
+        "aggregates that fold at read into exactly the batch groupBy; "
+        "drains currently-available files (availableNow) and exits",
+    )
+    vs.add_argument("src", help="source parquet directory")
+    vs.add_argument("work", help="view work dir (checkpoint + partials store)")
+    _add_view_spec_args(vs)
+    vs.add_argument(
+        "--max-files", type=int, default=1,
+        help="maxFilesPerTrigger (default 1; 0 = unthrottled)",
+    )
+
+    vr = sub.add_parser(
+        "view-report",
+        help="fold and print the maintained view (read cost: keys-in-batch "
+        "rows x committed dirs, never the source)",
+    )
+    vr.add_argument("work", help="view work dir")
+    _add_view_spec_args(vr)
+    vr.add_argument("--limit", type=int, default=1000, help="max rows printed")
+
+    vc = sub.add_parser(
+        "view-compact",
+        help="fold the view's committed batch dirs at or below the "
+        "checkpoint's durable frontier into one segment (row-preserving: "
+        "readers re-aggregate, so the view is invariant)",
+    )
+    vc.add_argument("work", help="view work dir")
+    vc.add_argument("--num-files", type=int, default=None)
+
+    vd = sub.add_parser(
+        "view-delete",
+        help="takedown for sum/count/avg views: subtract the given rows' "
+        "contribution exactly via one negative-delta partial (min/max/"
+        "approx_distinct specs are refused — use view-rebuild)",
+    )
+    vd.add_argument("work", help="view work dir")
+    vd.add_argument("deleted", help="parquet of the EXACT source rows to remove")
+    _add_view_spec_args(vd)
+
+    vb = sub.add_parser(
+        "view-rebuild",
+        help="takedown for min/max/approx_distinct views (and any spec): "
+        "recompute partials from the remaining source as one dominating "
+        "segment — run with the view stream quiesced",
+    )
+    vb.add_argument("work", help="view work dir")
+    vb.add_argument("remaining", help="parquet of the remaining (post-delete) source")
+    _add_view_spec_args(vb)
+
     sh = sub.add_parser(
         "shell",
         help="interactive terminal (the reference's command loop): SQL by "
@@ -760,6 +830,66 @@ def main(argv: list[str] | None = None) -> int:
                 f"rebuilt segment_hi:{rb['segment_hi']} "
                 f"stores:{','.join(rb['rebuilt'])}"
             )
+    elif args.cmd in (
+        "view-stream", "view-report", "view-compact", "view-delete", "view-rebuild"
+    ):
+        from streamds_spark.streaming import viewstore as vws
+
+        spec = None
+        if args.cmd != "view-compact":
+            aggs = {}
+            for a in args.agg:
+                out, _, rest = a.partition("=")
+                kind, _, col = rest.partition(":")
+                if not out or not kind:
+                    parser.error(f"--agg needs OUT=KIND[:COL], got {a!r}")
+                aggs[out] = (kind, col or None)
+            try:
+                kw = {"kmv_k": args.kmv_k} if args.kmv_k else {}
+                spec = vws.ViewSpec(keys=tuple(args.keys), aggs=aggs, **kw)
+            except ValueError as e:
+                parser.error(f"view spec: {e}")
+        if args.cmd == "view-stream":
+            q = vws.run_view_stream(
+                spark, args.src, args.work, spec,
+                max_files_per_trigger=args.max_files or None,
+            )
+            q.awaitTermination(timeout=3600)
+            ok = not q.isActive
+            if q.isActive:
+                q.stop()
+            print(f"view-stream drained:{str(ok).lower()} work:{args.work}")
+        elif args.cmd == "view-report":
+            df = vws.view_report(spark, args.work, spec)
+            rows = df.limit(max(1, args.limit)).collect()
+            cols = df.columns
+            for r in sorted(rows, key=lambda r: tuple(str(r[k]) for k in spec.keys)):
+                print(" ".join(f"{c}={r[c]}" for c in cols))
+            print(f"view rows:{len(rows)}")
+        elif args.cmd == "view-compact":
+            from streamds_spark.streaming.llm_pipeline import (
+                CorpusStreamPaths,
+                _durable_frontier,
+            )
+
+            upto = _durable_frontier(CorpusStreamPaths(args.work))
+            folded = vws.compact_view(spark, args.work, upto_batch=upto)
+            print(f"view-compact upto:{upto} folded:{folded}")
+        elif args.cmd == "view-delete":
+            try:
+                dest = vws.delete_from_view(
+                    spark, args.work, spec, spark.read.parquet(args.deleted)
+                )
+            except ValueError as e:
+                parser.error(str(e))
+            import os as _os
+
+            print(f"view-delete delta:{_os.path.basename(dest)}")
+        else:  # view-rebuild
+            hi = vws.rebuild_view(
+                spark, args.work, spec, spark.read.parquet(args.remaining)
+            )
+            print(f"view-rebuild segment_hi:{hi}")
     elif args.cmd == "train-lm":
         from pyspark.sql import functions as F
 

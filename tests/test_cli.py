@@ -570,3 +570,68 @@ def test_cli_check_verb_validation(spark):
         _run(["check", "orders", "/root/testdata/sf0.001", "--not-null", "nope"])
     with pytest.raises(SystemExit):  # malformed fk
         _run(["check", "orders", "/root/testdata/sf0.001", "--fk", "o_custkey=bogus"])
+
+
+def test_cli_view_verbs_lifecycle(spark, tmp_path):
+    """The incremental materialized view's operational surface: stream ->
+    report (== batch groupBy) -> delete (negative delta) -> compact ->
+    rebuild, all through the CLI with spec flags."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    os.makedirs(src)
+    rows = [("a", 1), ("a", 3), ("b", 5), ("a", 10), ("c", 7)]
+    df = spark.createDataFrame(rows, "k string, v bigint")
+    df.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    tbl = pq.read_table(str(tmp_path / "stage"))
+    pq.write_table(tbl.slice(0, 3), os.path.join(src, "000.parquet"))
+    pq.write_table(tbl.slice(3), os.path.join(src, "001.parquet"))
+
+    spec_flags = ["--key", "k", "--agg", "s=sum:v", "--agg", "n=count"]
+    rc, out = _run(["view-stream", src, work, *spec_flags])
+    assert rc in (0, None) and "drained:true" in out
+
+    rc, out = _run(["view-report", work, *spec_flags])
+    assert rc in (0, None)
+    assert "k=a n=3 s=14" in out.replace("s=14 n=3", "n=3 s=14") or (
+        "k=a" in out and "s=14" in out
+    )
+    assert "rows:3" in out
+
+    # takedown: remove ('a', 3) and all of b
+    deleted = str(tmp_path / "deleted")
+    spark.createDataFrame([("a", 3), ("b", 5)], "k string, v bigint").write.parquet(
+        deleted
+    )
+    rc, out = _run(["view-delete", work, deleted, *spec_flags])
+    assert rc in (0, None) and "delta:" in out
+    rc, out = _run(["view-report", work, *spec_flags])
+    assert "k=b" not in out and "rows:2" in out
+
+    rc, out = _run(["view-compact", work])
+    assert rc in (0, None) and "folded:" in out
+    rc, out = _run(["view-report", work, *spec_flags])
+    assert "k=b" not in out and "rows:2" in out
+
+    # min/max spec: delete refused through the CLI, rebuild is the path
+    mm_flags = ["--key", "k", "--agg", "hi=max:v"]
+    import pytest
+
+    with pytest.raises(SystemExit):
+        _run(["view-delete", work, deleted, *mm_flags])
+    remaining = str(tmp_path / "remaining")
+    spark.createDataFrame([("a", 1), ("c", 7)], "k string, v bigint").write.parquet(
+        remaining
+    )
+    rc, out = _run(["view-rebuild", work, remaining, *mm_flags])
+    assert rc in (0, None) and "segment_hi:" in out
+    rc, out = _run(["view-report", work, *mm_flags])
+    assert "hi=1" in out and "hi=7" in out and "rows:2" in out
+
+    # spec validation surfaces as a loud argparse error
+    with pytest.raises(SystemExit):
+        _run(["view-report", work, "--key", "k", "--agg", "bad=nope:v"])
