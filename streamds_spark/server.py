@@ -50,6 +50,15 @@ Protocol (one JSON object per line, response is one JSON line):
                                           dir counts) — see attach_pipeline
   {"cmd": "cancel", "tag": "..."}      -> cancel the in-flight request that
                                           was submitted with that "tag"
+  {"cmd": "view_report", "work_dir": d,
+   "keys": [..], "aggs": {out: [kind,
+   col-or-null]}, "limit": N}          -> fold an incremental materialized
+                                          view's committed partials
+                                          (streaming/viewstore.py) — a
+                                          dashboard refresh from k-row
+                                          state, never a source scan;
+                                          strictly read-only (the reader
+                                          self-heal rename is skipped)
   {"cmd": "takedown", "doc_ids": [..],
    "quiesced": bool}                   -> propagate a document deletion
                                           through the attached pipeline's
@@ -250,6 +259,57 @@ def _run_request(
         if cache_info is not None:
             resp.update(cache_info)
         return resp
+    if req.get("cmd") == "view_report":
+        # read-only probe of an incremental materialized view
+        # (streaming/viewstore.py): fold the view's committed partial dirs —
+        # the read cost is (keys-in-store rows) x (committed dirs), never a
+        # source scan, so a dashboard tenant refreshes from k-row state.
+        # recover=False keeps the verb STRICTLY read-only (the reader-side
+        # rebuild self-heal is a rename — a write — and writes require the
+        # takedown verb's allow_writes posture).
+        from streamds_spark.streaming.viewstore import ViewSpec, view_report
+
+        work_dir = req.get("work_dir")
+        keys = req.get("keys")
+        aggs = req.get("aggs")
+        if not isinstance(work_dir, str) or not work_dir:
+            return {"ok": False, "error": "view_report needs 'work_dir' (string)"}
+        if not isinstance(keys, list) or not all(
+            isinstance(k, str) for k in keys
+        ):
+            return {"ok": False, "error": "view_report needs 'keys': [str, ...]"}
+        if not isinstance(aggs, dict) or not all(
+            isinstance(v, (list, tuple)) and len(v) == 2 for v in aggs.values()
+        ):
+            return {
+                "ok": False,
+                "error": "view_report needs 'aggs': {out: [kind, col-or-null]}",
+            }
+        limit = req.get("limit", DEFAULT_LIMIT)
+        if not isinstance(limit, int) or not (1 <= limit <= MAX_LIMIT):
+            return {"ok": False, "error": f"limit must be an int in [1, {MAX_LIMIT}]"}
+        try:
+            kw = {"kmv_k": int(req["kmv_k"])} if "kmv_k" in req else {}
+            spec = ViewSpec(
+                keys=tuple(keys),
+                aggs={o: (v[0], v[1]) for o, v in aggs.items()},
+                **kw,
+            )
+        except (ValueError, TypeError) as e:
+            return {"ok": False, "error": f"view spec: {e}"}
+        with scheduler_pool(spark, pool):
+            df = view_report(spark, work_dir, spec, recover=False)
+            rows = df.limit(limit + 1).collect()
+        truncated = len(rows) > limit
+        rows = rows[:limit]
+        return {
+            "ok": True,
+            "work_dir": work_dir,
+            "columns": df.columns,
+            "rows": [[_json_cell(v) for v in r] for r in rows],
+            "n_rows": len(rows),
+            "truncated": truncated,
+        }
     if req.get("cmd") == "quantiles":
         # sketch-probe endpoint: HDR log-linear quantiles over a pinned
         # table's numeric column (operators/hdr.py). One map-only bucket

@@ -302,6 +302,7 @@ def view_report(
     work_dir: str,
     spec: ViewSpec,
     src_schema=None,
+    recover: bool = True,
 ) -> DataFrame:
     """The maintained view: fold every committed trigger dir. Read cost is
     (keys-in-batch rows) x (committed dirs) at any corpus size.
@@ -310,9 +311,16 @@ def view_report(
     empty view carries the REAL output types (derived by running the spec
     over an empty frame of that schema — unionable, parquet-writable);
     without it, a best-effort null-typed empty frame with the right column
-    names (fine for count()/collect(), not for writing)."""
+    names (fine for count()/collect(), not for writing).
+
+    `recover=False` skips the interrupted-rebuild self-heal (which
+    completes a committed rename — benign, but a mutation): strictly
+    read-only callers (the server's view_report verb) pass False; an
+    interrupted rebuild then reads as pre-rebuild state or empty until a
+    writing caller heals it."""
     store_dir = os.path.join(work_dir, "view_store")
-    _recover_interrupted_rebuild(store_dir)
+    if recover:
+        _recover_interrupted_rebuild(store_dir)
     dirs = _committed_store_dirs(store_dir, 2**62) + _committed_delta_dirs(
         store_dir
     )

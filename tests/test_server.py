@@ -795,3 +795,63 @@ def test_result_cache_budget_and_status(spark, tmp_path):
     finally:
         plain.shutdown()
         plain.server_close()
+
+
+def test_view_report_verb_read_only(spark, tmp_path):
+    """{"cmd": "view_report"}: fold a maintained view over the socket —
+    parity with the library fold, truncation contract, spec/arg validation,
+    and STRICT read-only (an interrupted rebuild is NOT healed by the
+    server; the store is left byte-identical)."""
+    import os
+
+    from streamds_spark.server import request, start_server
+    from streamds_spark.streaming.viewstore import ViewSpec, write_view_batch
+
+    work = str(tmp_path / "vwork")
+    store = os.path.join(work, "view_store")
+    spec = ViewSpec(keys=("k",), aggs={"s": ("sum", "v"), "n": ("count", None)})
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", 5), ("c", 7)], "k string, v bigint"
+    )
+    write_view_batch(df, 0, store, spec)
+    server, host, port = _start(spark)
+    try:
+        req = {
+            "cmd": "view_report",
+            "work_dir": work,
+            "keys": ["k"],
+            "aggs": {"s": ["sum", "v"], "n": ["count", None]},
+        }
+        r = request(host, port, req)
+        assert r["ok"], r
+        got = {
+            row[r["columns"].index("k")]: row[r["columns"].index("s")]
+            for row in r["rows"]
+        }
+        assert got == {"a": 4, "b": 5, "c": 7} and not r["truncated"]
+        # truncation contract
+        r2 = request(host, port, {**req, "limit": 2})
+        assert r2["ok"] and r2["n_rows"] == 2 and r2["truncated"]
+        # validation
+        for bad in (
+            {"work_dir": 3},
+            {"keys": "k"},
+            {"aggs": {"s": ["sum"]}},
+            {"aggs": {"s": ["nope", "v"]}},
+            {"limit": 0},
+        ):
+            assert not request(host, port, {**req, **bad})["ok"], bad
+        # read-only: simulate an interrupted rebuild; the server must not
+        # heal it (renames are writes) and must leave the dir untouched
+        import shutil as _sh
+
+        seg = os.path.join(store, "batch=0")
+        _sh.copytree(seg, os.path.join(store, "segment=0.rebuild"))
+        os.rename(seg, os.path.join(store, "segment=0.old-cafe"))
+        names_before = sorted(os.listdir(store))
+        r3 = request(host, port, {**req})
+        assert r3["ok"] and r3["n_rows"] == 0  # pre-heal state reads empty
+        assert sorted(os.listdir(store)) == names_before, "server must not write"
+    finally:
+        server.shutdown()
+        server.server_close()
