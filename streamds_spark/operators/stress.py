@@ -1,0 +1,145 @@
+"""Sampled stress centrality — the path-based centrality family, exactly.
+
+Stress centrality (Shimbel 1953) counts the shortest paths THROUGH a node:
+stress(v) = sum over s != v != t of sigma_st(v), where sigma_st(v) is the
+number of shortest s-t paths containing v. It is the integer sibling of
+betweenness (Brandes 2001 computes betweenness from the same per-source
+quantities but divides by sigma_st — the rational deltas would break the
+repo's hash-exact oracle discipline; stress keeps every intermediate an
+exact BIGINT, which is why THIS is the path centrality the engine ships).
+
+Pivot sampling (Brandes & Pich 2007, "Centrality estimation in large
+networks"): summing over a deterministic pivot set S instead of all sources
+scales the per-source cost by |S| while preserving the ranking signal.
+Pivots here are the k nodes with the smallest (md5(node), node) — the
+repo's standard deterministic draw, replayable in SQL — so the SAMPLED
+stress is itself a pure function of the graph and hash-exact cross-engine
+(the estimate's variance vs all-sources stress is the documented
+approximation, the HLL-twin discipline).
+
+Per pivot set (all pivots swept TOGETHER, keyed by src):
+
+  forward   level-synchronous BFS accumulating path counts:
+            sigma(s, v) = sum of sigma(s, u) over predecessors u on the
+            shortest-path DAG — one frontier x adjacency join + one
+            (src, node) partial-agg per level, rounds = eccentricity;
+  backward  descendant-path counts down the same DAG:
+            psi(s, v) = sum over DAG-successors w of (1 + psi(s, w))
+            (each successor contributes its edge plus every shortest path
+            continuing from it) — one level-sized join per level, walked
+            from the deepest level up;
+  combine   pivot s routes sigma(s, v) * psi(s, v) shortest paths through
+            v (paths INTO v times shortest continuations OUT of v), so
+            stress_S(v) = sum over s in S, s != v.
+
+Scale shape: state is |S| x nodes rows (never nodes x nodes — the exact
+all-pairs answer), every join is frontier- or level-sized against the fixed
+adjacency, rounds are bounded by the diameter in each direction, and the
+carry is linear (no stats-pin needed; lineage truncated per level).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STRESS_PIVOTS = 4
+
+
+def _pivots(adj: DataFrame, k: int) -> DataFrame:
+    """The k deterministic pivot sources: smallest (md5(node), node)."""
+    return (
+        adj.select(F.col("u").alias("src"))
+        .distinct()
+        .orderBy(F.md5(F.col("src").cast("string")), "src")
+        .limit(k)
+    )
+
+
+def stress_centrality_topk(
+    edges: DataFrame, k: int = 20, pivots: int = STRESS_PIVOTS, max_iter: int = 64
+) -> DataFrame:
+    """DataFrame[node, stress] — top-k nodes by pivot-sampled stress
+    centrality of the undirected simple graph `edges(u, v)`: the exact
+    number of pivot-sourced shortest paths through each node (BIGINT),
+    ties broken (stress DESC, node ASC). Pivot nodes themselves still
+    appear (other pivots' paths may route through them); endpoints don't
+    count their own paths (v != s, and psi counts only continuations)."""
+    adj = (
+        edges.select("u", "v")
+        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    if adj.isEmpty():
+        return spark.createDataFrame([], "node bigint, stress bigint")
+    src = _pivots(adj, pivots).localCheckpoint(eager=True)
+
+    # -- forward: (src, node, dist, sigma), level-synchronous ---------------
+    reached = src.select(
+        "src",
+        F.col("src").alias("node"),
+        F.lit(0).alias("dist"),
+        F.lit(1).cast("bigint").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    frontier = reached
+    depth = 0
+    for depth in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(adj, frontier.node == adj.u)
+            .select("src", F.col("v").alias("node"), "sigma")
+            .join(
+                reached.select("src", "node"), ["src", "node"], "left_anti"
+            )
+            .groupBy("src", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .select("src", "node", F.lit(depth).alias("dist"), "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            depth -= 1
+            break
+        reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        raise RuntimeError(f"stress BFS did not exhaust in {max_iter} levels")
+
+    # -- backward: psi by level, deepest first ------------------------------
+    # nodes at the global deepest level have no successors anywhere: psi = 0;
+    # shallower levels left-join their successor sums (no successors -> 0)
+    psi = reached.where(F.col("dist") == depth).select(
+        "src", "node", F.lit(0).cast("bigint").alias("psi")
+    ).localCheckpoint(eager=True)
+    for lvl in range(depth - 1, -1, -1):
+        at = reached.where(F.col("dist") == lvl).select("src", "node")
+        below = reached.where(F.col("dist") == lvl + 1).select(
+            "src", F.col("node").alias("w")
+        )
+        succ = (
+            at.join(adj, at.node == adj.u)
+            .select("src", "node", F.col("v").alias("w"))
+            .join(below, ["src", "w"])  # DAG edge: dist(w) == dist(v) + 1
+            .join(psi.toDF("src", "w", "wpsi"), ["src", "w"])
+            .groupBy("src", "node")
+            .agg(F.sum(F.lit(1) + F.col("wpsi")).cast("bigint").alias("psi"))
+        )
+        lvl_psi = (
+            at.join(succ, ["src", "node"], "left")
+            .select(
+                "src",
+                "node",
+                F.coalesce("psi", F.lit(0)).cast("bigint").alias("psi"),
+            )
+        )
+        psi = psi.unionByName(lvl_psi).localCheckpoint(eager=True)
+
+    # -- combine: stress_S(v) = sum over pivots of sigma * psi, v != src ----
+    return (
+        reached.join(psi, ["src", "node"])
+        .where(F.col("node") != F.col("src"))
+        .groupBy("node")
+        .agg(F.sum(F.col("sigma") * F.col("psi")).cast("bigint").alias("stress"))
+        .orderBy(F.desc("stress"), "node")
+        .limit(k)
+    )

@@ -778,6 +778,133 @@ def copurchase_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFram
     return harmonic_centrality_topk(edges, k=20)
 
 
+@query(
+    "copurchase_stress_centrality",
+    oracle="""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT u AS a, v AS b FROM edges
+            UNION ALL SELECT v, u FROM edges
+        )
+    ),
+    pivots AS (
+        SELECT node AS src FROM (SELECT DISTINCT a AS node FROM adj)
+        ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 4
+    ),
+    -- forward: level-synchronous BFS carrying the FULL reached state per
+    -- iteration (the components/ANF recursion pattern); sigma accumulates
+    -- shortest-path counts along the DAG
+    fwd(iter, src, node, dist, sigma) AS (
+        SELECT 0, src, src, 0, CAST(1 AS BIGINT) FROM pivots
+      UNION ALL
+        SELECT * FROM (
+          WITH cur AS MATERIALIZED (
+              SELECT iter, src, node, dist, sigma FROM fwd
+          ),
+          newf AS MATERIALIZED (
+            SELECT c.src, adj.b AS node, c.dist + 1 AS dist,
+                   CAST(sum(c.sigma) AS BIGINT) AS sigma
+            FROM cur c JOIN adj ON adj.a = c.node
+            WHERE c.dist = (SELECT max(iter) FROM cur)
+              AND NOT EXISTS (
+                SELECT 1 FROM cur p WHERE p.src = c.src AND p.node = adj.b
+              )
+            GROUP BY c.src, adj.b, c.dist + 1
+          )
+          SELECT (SELECT max(iter) FROM cur) + 1 AS iter,
+                 src, node, dist, sigma
+          FROM (
+            SELECT src, node, dist, sigma FROM cur
+            UNION ALL
+            SELECT src, node, dist, sigma FROM newf
+          )
+          WHERE EXISTS (SELECT 1 FROM newf)
+        )
+    ),
+    ffin AS MATERIALIZED (
+        SELECT src, node, dist, sigma FROM fwd
+        WHERE iter = (SELECT max(iter) FROM fwd)
+    ),
+    -- backward: psi = DAG-descendant path counts, walked from the global
+    -- deepest level up; nodes with no successors coalesce to 0
+    bwd(iter, src, node, psi) AS (
+        SELECT 0, src, node, CAST(0 AS BIGINT)
+        FROM ffin WHERE dist = (SELECT max(dist) FROM ffin)
+      UNION ALL
+        SELECT * FROM (
+          WITH cur AS MATERIALIZED (SELECT iter, src, node, psi FROM bwd),
+          lvl AS (
+            SELECT (SELECT max(dist) FROM ffin)
+                   - (SELECT max(iter) FROM cur) - 1 AS l
+          ),
+          at_lvl AS MATERIALIZED (
+            SELECT src, node FROM ffin WHERE dist = (SELECT l FROM lvl)
+          ),
+          below AS MATERIALIZED (
+            SELECT f.src, f.node, c.psi
+            FROM ffin f JOIN cur c ON c.src = f.src AND c.node = f.node
+            WHERE f.dist = (SELECT l FROM lvl) + 1
+          ),
+          succ AS MATERIALIZED (
+            SELECT a.src, a.node, CAST(sum(1 + b.psi) AS BIGINT) AS psi
+            FROM at_lvl a
+            JOIN adj ON adj.a = a.node
+            JOIN below b ON b.src = a.src AND b.node = adj.b
+            GROUP BY a.src, a.node
+          )
+          SELECT (SELECT max(iter) FROM cur) + 1, src, node, psi FROM (
+            SELECT src, node, psi FROM cur
+            UNION ALL
+            SELECT a.src, a.node, CAST(COALESCE(s.psi, 0) AS BIGINT)
+            FROM at_lvl a
+            LEFT JOIN succ s ON s.src = a.src AND s.node = a.node
+          )
+          WHERE (SELECT l FROM lvl) >= 0
+        )
+    ),
+    bfin AS MATERIALIZED (
+        SELECT src, node, psi FROM bwd
+        WHERE iter = (SELECT max(iter) FROM bwd)
+    )
+    SELECT f.node AS node, CAST(sum(f.sigma * b.psi) AS BIGINT) AS stress
+    FROM ffin f JOIN bfin b ON b.src = f.src AND b.node = f.node
+    WHERE f.node <> f.src
+    GROUP BY f.node
+    ORDER BY stress DESC, f.node LIMIT 20
+    """,
+)
+def copurchase_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchase parts by pivot-sampled STRESS centrality
+    (operators/stress.py): the exact number of pivot-sourced shortest
+    paths routed THROUGH each part — the path-based centrality family
+    (Shimbel 1953; per-source machinery of Brandes 2001) beside the
+    geometric (harmonic) and fixpoint (PageRank) families. Stress rather
+    than betweenness BY DESIGN: betweenness divides by sigma_st and its
+    rational deltas cannot be hash-exact cross-engine; stress keeps every
+    intermediate an exact BIGINT, so the DuckDB twin (two carried-state
+    recursions: forward sigma BFS, backward descendant-path counts)
+    matches bit-for-bit at every SF.
+
+    Sampling: 4 deterministic pivots (smallest (md5(node), node) — the
+    repo's standard draw, Brandes & Pich 2007 estimation posture); the
+    sampled total is exact FOR THOSE PIVOTS and an estimator of all-pairs
+    stress (documented like the HLL twins). At 100 TB: |pivots| x nodes
+    state, frontier/level-sized joins, rounds bounded by the diameter in
+    each direction — never the all-pairs nodes x nodes."""
+    from streamds_spark.operators.stress import stress_centrality_topk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li)
+    return stress_centrality_topk(edges, k=20, pivots=4)
+
+
 KTRUSS_K = 14  # support >= 12: survives whole at sf0.001 (dense little
 # cliques from multi-part orders), cascades to an EMPTY truss at sf0.01,
 # and stabilizes at a non-trivial ~1.4k-edge truss at sf0.1 — all three
