@@ -129,6 +129,33 @@ def main() -> None:
         )
         del anf_counters  # imported for parity with tests; census is the surface
 
+    if "stress" in ops:
+        from streamds_spark.operators.stress import stress_centrality_topk
+
+        t0 = time.time()
+        rows = [
+            tuple(r)
+            for r in stress_centrality_topk(edges, k=20, pivots=4).collect()
+        ]
+        wall = round(time.time() - t0, 1)
+        print(
+            json.dumps(
+                {
+                    "op": "stress_x10_default_signature",
+                    "wall_s": wall,
+                    "n_edges": n_edges,
+                    "heap_bytes": heap,
+                    "k": len(rows),
+                    "top3": rows[:3],
+                    "ordered": all(
+                        (-rows[i][1], rows[i][0]) <= (-rows[i + 1][1], rows[i + 1][0])
+                        for i in range(len(rows) - 1)
+                    ),
+                }
+            ),
+            flush=True,
+        )
+
     if "harmonic" in ops:
         from streamds_spark.operators.anf import harmonic_centrality_topk
 
