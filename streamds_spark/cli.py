@@ -313,6 +313,14 @@ def main(argv: list[str] | None = None) -> int:
     vb.add_argument("work", help="view work dir")
     vb.add_argument("remaining", help="parquet of the remaining (post-delete) source")
     _add_view_spec_args(vb)
+    vb.add_argument(
+        "--quiesced",
+        action="store_true",
+        help="REQUIRED assertion that the view stream is stopped and "
+        "drained: the rebuild's reclaim pass deletes batch dirs a live "
+        "trigger may still be writing (same discipline as takedown "
+        "--rebuild-sketches)",
+    )
 
     sh = sub.add_parser(
         "shell",
@@ -845,7 +853,7 @@ def main(argv: list[str] | None = None) -> int:
                     parser.error(f"--agg needs OUT=KIND[:COL], got {a!r}")
                 aggs[out] = (kind, col or None)
             try:
-                kw = {"kmv_k": args.kmv_k} if args.kmv_k else {}
+                kw = {"kmv_k": args.kmv_k} if args.kmv_k is not None else {}
                 spec = vws.ViewSpec(keys=tuple(args.keys), aggs=aggs, **kw)
             except ValueError as e:
                 parser.error(f"view spec: {e}")
@@ -873,7 +881,9 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             upto = _durable_frontier(CorpusStreamPaths(args.work))
-            folded = vws.compact_view(spark, args.work, upto_batch=upto)
+            folded = vws.compact_view(
+                spark, args.work, upto_batch=upto, num_files=args.num_files
+            )
             print(f"view-compact upto:{upto} folded:{folded}")
         elif args.cmd == "view-delete":
             try:
@@ -886,6 +896,10 @@ def main(argv: list[str] | None = None) -> int:
 
             print(f"view-delete delta:{_os.path.basename(dest)}")
         else:  # view-rebuild
+            if not args.quiesced:
+                # the reclaim pass deletes batch dirs a live trigger may be
+                # writing — enforce the help text's precondition
+                parser.error("view-rebuild requires --quiesced")
             hi = vws.rebuild_view(
                 spark, args.work, spec, spark.read.parquet(args.remaining)
             )

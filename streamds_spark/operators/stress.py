@@ -85,7 +85,10 @@ def stress_centrality_topk(
     ).localCheckpoint(eager=True)
     frontier = reached
     depth = 0
-    for depth in range(1, max_iter + 1):
+    # max_iter + 1 iterations: exhaustion can only be CONFIRMED by seeing
+    # one empty expansion, so an eccentricity of exactly max_iter needs the
+    # extra probe iteration to be accepted rather than spuriously refused
+    for lvl in range(1, max_iter + 2):
         nxt = (
             frontier.join(adj, frontier.node == adj.u)
             .select("src", F.col("v").alias("node"), "sigma")
@@ -94,16 +97,18 @@ def stress_centrality_topk(
             )
             .groupBy("src", "node")
             .agg(F.sum("sigma").alias("sigma"))
-            .select("src", "node", F.lit(depth).alias("dist"), "sigma")
+            .select("src", "node", F.lit(lvl).alias("dist"), "sigma")
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
-            depth -= 1
             break
+        if lvl > max_iter:
+            raise RuntimeError(
+                f"stress BFS did not exhaust in {max_iter} levels"
+            )
+        depth = lvl
         reached = reached.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
-    else:
-        raise RuntimeError(f"stress BFS did not exhaust in {max_iter} levels")
 
     # -- backward: psi by level, deepest first ------------------------------
     # nodes at the global deepest level have no successors anywhere: psi = 0;

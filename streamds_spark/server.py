@@ -286,7 +286,12 @@ def _run_request(
                 "error": "view_report needs 'aggs': {out: [kind, col-or-null]}",
             }
         limit = req.get("limit", DEFAULT_LIMIT)
-        if not isinstance(limit, int) or not (1 <= limit <= MAX_LIMIT):
+        # bool is an int subclass (the takedown doc_ids contract): refuse it
+        if (
+            not isinstance(limit, int)
+            or isinstance(limit, bool)
+            or not (1 <= limit <= MAX_LIMIT)
+        ):
             return {"ok": False, "error": f"limit must be an int in [1, {MAX_LIMIT}]"}
         try:
             kw = {"kmv_k": int(req["kmv_k"])} if "kmv_k" in req else {}

@@ -270,7 +270,14 @@ def _compact_one_store(
     new_hi = max(
         int(os.path.basename(d).split("=", 1)[1]) for d in to_fold
     )
-    df = tombstones.apply(spark.read.parquet(*parts), root)
+    # mergeSchema: the pipeline stores are schema-uniform (no-op beyond a
+    # few extra footer reads), but the viewstore delegates here and a MIXED
+    # legacy/new view store must not let footer sampling strip the __rows
+    # presence column from new partials during the rewrite — that loss
+    # would be permanent (view_report reads the segment forever after)
+    df = tombstones.apply(
+        spark.read.option("mergeSchema", "true").parquet(*parts), root
+    )
     if num_files is not None:
         df = df.coalesce(max(1, num_files))
     df.write.mode("overwrite").parquet(os.path.join(root, f"segment={new_hi}"))

@@ -612,8 +612,14 @@ def test_cli_view_verbs_lifecycle(spark, tmp_path):
     rc, out = _run(["view-report", work, *spec_flags])
     assert "k=b" not in out and "rows:2" in out
 
-    rc, out = _run(["view-compact", work])
+    rc, out = _run(["view-compact", work, "--num-files", "1"])
     assert rc in (0, None) and "folded:" in out
+    seg = [d for d in os.listdir(os.path.join(work, "view_store"))
+           if d.startswith("segment=")]
+    assert len(seg) == 1
+    parts = [f for f in os.listdir(os.path.join(work, "view_store", seg[0]))
+             if f.endswith(".parquet")]
+    assert len(parts) == 1, "—num-files must reach the segment coalesce"
     rc, out = _run(["view-report", work, *spec_flags])
     assert "k=b" not in out and "rows:2" in out
 
@@ -627,7 +633,9 @@ def test_cli_view_verbs_lifecycle(spark, tmp_path):
     spark.createDataFrame([("a", 1), ("c", 7)], "k string, v bigint").write.parquet(
         remaining
     )
-    rc, out = _run(["view-rebuild", work, remaining, *mm_flags])
+    with pytest.raises(SystemExit):  # rebuild requires an asserted quiesce
+        _run(["view-rebuild", work, remaining, *mm_flags])
+    rc, out = _run(["view-rebuild", work, remaining, *mm_flags, "--quiesced"])
     assert rc in (0, None) and "segment_hi:" in out
     rc, out = _run(["view-report", work, *mm_flags])
     assert "hi=1" in out and "hi=7" in out and "rows:2" in out
@@ -635,3 +643,6 @@ def test_cli_view_verbs_lifecycle(spark, tmp_path):
     # spec validation surfaces as a loud argparse error
     with pytest.raises(SystemExit):
         _run(["view-report", work, "--key", "k", "--agg", "bad=nope:v"])
+    with pytest.raises(SystemExit):  # kmv_k 0 must hit the spec guard, not default
+        _run(["view-report", work, "--key", "k",
+              "--agg", "dv=approx_distinct:v", "--kmv-k", "0"])

@@ -839,6 +839,7 @@ def test_view_report_verb_read_only(spark, tmp_path):
             {"aggs": {"s": ["sum"]}},
             {"aggs": {"s": ["nope", "v"]}},
             {"limit": 0},
+            {"limit": True},  # bool is an int subclass — refused
         ):
             assert not request(host, port, {**req, **bad})["ok"], bad
         # read-only: simulate an interrupted rebuild; the server must not

@@ -105,3 +105,33 @@ def test_determinism_ordering_and_empty(spark):
     assert key == sorted(key)  # stress desc, node asc
     empty = spark.createDataFrame([], "u bigint, v bigint")
     assert stress_centrality_topk(empty, k=5).count() == 0
+
+
+def test_eccentricity_exactly_max_iter_accepted(spark):
+    """Exhaustion is confirmed by one empty expansion: an eccentricity of
+    exactly max_iter must be accepted (extra probe iteration), one beyond
+    must raise."""
+    import pytest
+
+    path = [(i, i + 1) for i in range(6)]  # nodes 0..6
+    df = spark.createDataFrame(path, "u bigint, v bigint")
+    adj = df.union(df.selectExpr("v as u", "u as v")).distinct()
+    piv = [r["src"] for r in _pivots(adj, 4).collect()]
+    dist = {}
+    for s in piv:
+        d = {s: 0}
+        q = [s]
+        while q:
+            nq = []
+            for u in q:
+                for w in (u - 1, u + 1):
+                    if 0 <= w <= 6 and w not in d:
+                        d[w] = d[u] + 1
+                        nq.append(w)
+            q = nq
+        dist[s] = max(d.values())
+    ecc = max(dist.values())
+    ok = stress_centrality_topk(df, k=10, max_iter=ecc).collect()
+    assert len(ok) > 0
+    with pytest.raises(RuntimeError, match="did not exhaust"):
+        stress_centrality_topk(df, k=10, max_iter=ecc - 1)

@@ -375,6 +375,14 @@ def test_mixed_legacy_and_new_store_folds_and_refuses_delete(spark, tmp_path):
     assert got == {"a": 4, "b": 5, "c": 7}
     with pytest.raises(ValueError, match="legacy"):
         delete_from_view(spark, work_dir, spec, new.limit(1))
+    # compaction reads under mergeSchema too: the rewritten segment keeps
+    # the NEW dirs' __rows (NULL for legacy rows) — the view is unchanged
+    # and the legacy refusal persists (presence still unknowable)
+    assert compact_view(spark, work_dir, upto_batch=1) == 2
+    got2 = {r["k"]: r["s"] for r in view_report(spark, work_dir, spec).collect()}
+    assert got2 == {"a": 4, "b": 5, "c": 7}
+    with pytest.raises(ValueError, match="legacy"):
+        delete_from_view(spark, work_dir, spec, new.limit(1))
 
 
 def test_interrupted_rebuild_self_heals(spark, tmp_path):
