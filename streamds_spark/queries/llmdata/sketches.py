@@ -1390,3 +1390,197 @@ def view_approx_distinct_audit_sources(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("source")
     )
+
+
+def _pq_oracle() -> str:
+    from streamds_spark.operators.hdr import bounds_exprs, bucket_expr_duckdb
+
+    lo, hi, mid = bounds_exprs("b")
+    return f"""
+    WITH vals AS (
+        SELECT source, doc_id % 3 AS bt, CAST(n_chars AS BIGINT) AS v
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+    ),
+    -- per-trigger HDR histogram partials (the viewstore's stored arrays,
+    -- exploded): per-bucket counts of the batch's values
+    bh AS (
+        SELECT source, bt, {bucket_expr_duckdb('v')} AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM vals GROUP BY 1, 2, 3
+    ),
+    -- read-time fold: per-bucket SUM across triggers...
+    fold AS (
+        SELECT source, b, CAST(sum(c) AS BIGINT) AS c FROM bh GROUP BY 1, 2
+    ),
+    -- ...which must equal the whole-data registers (additivity)
+    whole AS (
+        SELECT source, {bucket_expr_duckdb('v')} AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM vals GROUP BY 1, 2
+    ),
+    fstat AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_buckets,
+               list_sort(list([b, c])) AS arr
+        FROM fold GROUP BY source
+    ),
+    wstat AS (
+        SELECT source, list_sort(list([b, c])) AS arr FROM whole GROUP BY source
+    ),
+    ranked AS (
+        SELECT source, b, c,
+               sum(c) OVER (PARTITION BY source ORDER BY b
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               sum(c) OVER (PARTITION BY source) AS n
+        FROM fold
+    ),
+    p50 AS (
+        SELECT source, CAST(min(b) AS BIGINT) AS b,
+               CAST(max(n) AS BIGINT) AS n
+        FROM ranked
+        WHERE cum >= greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        GROUP BY source
+    ),
+    p99 AS (
+        SELECT source, CAST(min(b) AS BIGINT) AS b
+        FROM ranked
+        WHERE cum >= greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+        GROUP BY source
+    ),
+    exact50 AS (
+        SELECT source, CAST(min(v) AS BIGINT) AS x FROM (
+            SELECT source, v,
+                   row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM vals
+        ) WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        GROUP BY source
+    )
+    SELECT f.source, f.n_buckets,
+           CAST(CASE WHEN f.arr = w.arr THEN 1 ELSE 0 END AS BIGINT)
+               AS fold_equals_whole,
+           p50.n AS n_vals,
+           (SELECT CAST({mid} AS BIGINT) FROM (SELECT p50.b AS b)) AS p50_mid,
+           (SELECT CAST({mid} AS BIGINT) FROM (SELECT p99.b AS b)) AS p99_mid,
+           CAST(CASE WHEN e.x BETWEEN
+                    (SELECT CAST({lo} AS BIGINT) FROM (SELECT p50.b AS b))
+                AND (SELECT CAST({hi} AS BIGINT) FROM (SELECT p50.b AS b))
+                THEN 1 ELSE 0 END AS BIGINT) AS p50_contains_exact
+    FROM fstat f
+    JOIN wstat w USING (source)
+    JOIN p50 USING (source)
+    JOIN p99 USING (source)
+    JOIN exact50 e USING (source)
+    ORDER BY f.source
+    """
+
+
+@query("view_pquantile_audit_sources", oracle=_pq_oracle())
+def view_pquantile_audit_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability + containment audit for the viewstore's pNN quantile
+    aggregates (streaming/viewstore.py, round 10): per source, three
+    simulated triggers (doc_id % 3) each store an HDR histogram partial of
+    the batch's n_chars; the read-time fold (per-bucket SUM) must equal the
+    whole-data registers ARRAY-EXACTLY (additivity — the property that also
+    makes these the one takedown-SUBTRACTABLE sketch), the extracted
+    p50/p99 follow hdr_quantiles' exact rank convention, and the p50
+    bucket's [lo, hi] must CONTAIN the true median (the sketch's < 1/32
+    relative-error contract, emitted as an integer flag). Every column is
+    exact BIGINT arithmetic over the shared pure-integer bucket map, so the
+    row set is hash-exact at every SF."""
+    from pyspark.sql import Window
+
+    from streamds_spark.operators.hdr import bounds_exprs, bucket_expr_spark
+    from streamds_spark.streaming.viewstore import ViewSpec, view_batch_state
+
+    docs = load_table(spark, sf_dir, "documents")
+    spec = ViewSpec(
+        keys=("source",), aggs={"med": ("p50", "n_chars"), "tail": ("p99", "n_chars")}
+    )
+    parts = [
+        view_batch_state(docs.filter(F.col("doc_id") % 3 == b), spec)
+        for b in range(3)
+    ]
+    store = parts[0]
+    for p in parts[1:]:
+        store = store.unionByName(p)
+    fold = (
+        store.select("source", F.explode("med__hdr").alias("e"))
+        .groupBy("source", F.col("e.b").alias("b"))
+        .agg(F.sum("e.c").cast("bigint").alias("c"))
+    )
+    vals = docs.selectExpr(
+        "source", "CAST(n_chars AS BIGINT) AS v"
+    ).where("v IS NOT NULL AND v >= 0")
+    whole = (
+        vals.selectExpr("source", f"{bucket_expr_spark('v')} AS b")
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+    def _arr(df):
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.array_sort(
+                F.collect_list(F.array(F.col("b").cast("bigint"), "c"))
+            ).alias("arr"),
+        )
+
+    fstat = _arr(fold)
+    wstat = _arr(whole).select("source", F.col("arr").alias("warr"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    ranked = fold.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
+
+    def _pick(q, bname):
+        return (
+            ranked.where(
+                F.col("cum")
+                >= F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n")))
+            )
+            .groupBy("source")
+            .agg(
+                F.min("b").alias(bname),
+                F.max("n").cast("bigint").alias(f"{bname}_n"),
+            )
+        )
+
+    p50 = _pick(0.5, "b50")
+    p99 = _pick(0.99, "b99").drop("b99_n")
+    exact50 = (
+        vals.withColumn("rn", F.row_number().over(Window.partitionBy("source").orderBy("v")))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .where(
+            F.col("rn")
+            == F.greatest(F.lit(1), F.ceil(F.lit(0.5) * F.col("n")))
+        )
+        .groupBy("source")
+        .agg(F.min("v").cast("bigint").alias("x"))
+    )
+    lo50, hi50, mid50 = bounds_exprs("b50")
+    _l, _h, mid99 = bounds_exprs("b99")
+    return (
+        fstat.join(wstat, "source")
+        .join(p50, "source")
+        .join(p99, "source")
+        .join(exact50, "source")
+        .selectExpr(
+            "source",
+            "n_buckets",
+            "CAST(CASE WHEN arr = warr THEN 1 ELSE 0 END AS BIGINT)"
+            " AS fold_equals_whole",
+            "CAST(b50_n AS BIGINT) AS n_vals",
+            f"CAST({mid50} AS BIGINT) AS p50_mid",
+            f"CAST({mid99} AS BIGINT) AS p99_mid",
+            f"CAST(CASE WHEN x BETWEEN CAST({lo50} AS BIGINT)"
+            f" AND CAST({hi50} AS BIGINT) THEN 1 ELSE 0 END AS BIGINT)"
+            " AS p50_contains_exact",
+        )
+        .orderBy("source")
+    )

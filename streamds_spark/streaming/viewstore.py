@@ -63,6 +63,7 @@ from __future__ import annotations
 
 import glob as _glob
 import os
+import re
 import shutil
 import time
 import uuid
@@ -79,6 +80,12 @@ from streamds_spark.streaming.llm_pipeline import (
 )
 
 _KINDS = ("sum", "count", "min", "max", "avg", "approx_distinct")
+# plus quantile kinds "p1".."p99" (validated by regex): per-key HDR
+# log-linear histogram partials (operators/hdr.py — <= 1888 buckets per key
+# REGARDLESS of data size, rel. error < 1/32), folded by per-bucket SUM and
+# read out with hdr_quantiles' exact rank convention. Histogram counts are
+# ADDITIVE, so unlike min/max these takedown-subtract exactly.
+_PQUANT_RE = re.compile(r"^p([1-9][0-9]?)$")
 
 # KMV sketch size for approx_distinct partials: k smallest md5_int60 hashes
 # of the column's distinct values per key per trigger (operators/kmv.py —
@@ -111,7 +118,7 @@ class ViewSpec:
         if not self.keys or not self.aggs:
             raise ValueError("ViewSpec needs at least one key and one aggregate")
         for out, (kind, col) in self.aggs.items():
-            if kind not in _KINDS:
+            if kind not in _KINDS and not _PQUANT_RE.match(kind):
                 raise ValueError(f"ViewSpec: unknown aggregate kind {kind!r}")
             if kind != "count" and not col:
                 raise ValueError(f"ViewSpec: {out}: {kind} needs a column")
@@ -145,6 +152,8 @@ def _partial_cols(spec: ViewSpec) -> "list[tuple[str, str, str]]":
             out.append((f"{name}__cnt", "count", col))
         elif kind == "approx_distinct":
             out.append((f"{name}__kmv", "approx_distinct", col))
+        elif _PQUANT_RE.match(kind):
+            out.append((f"{name}__hdr", kind, col))
         else:
             out.append((name, kind, col))
     return out
@@ -184,8 +193,33 @@ def view_batch_state(df: DataFrame, spec: ViewSpec) -> DataFrame:
                     spec.kmv_k,
                 ).alias(stored)
             )
+        # pNN quantile partials are joined on below (they need a per-bucket
+        # pre-aggregate the single groupBy cannot express)
     aggs.append(F.count(F.lit(1)).cast("bigint").alias(_ROWS))
-    return df.groupBy(*spec.keys).agg(*aggs)
+    base = df.groupBy(*spec.keys).agg(*aggs)
+    for stored, kind, col in _partial_cols(spec):
+        if not _PQUANT_RE.match(kind):
+            continue
+        # the key's HDR log-linear histogram for this trigger: per-bucket
+        # counts of the column's non-negative integer values (NULLs and
+        # negatives excluded, the hdr_registers contract), stored as a
+        # sorted array<struct<b,c>> bounded at 1888 entries per key —
+        # ADDITIVE state, so deltas subtract exactly at read
+        from streamds_spark.operators.hdr import bucket_expr_spark
+
+        hist = (
+            df.selectExpr(
+                *spec.keys, f"CAST({col} AS BIGINT) AS __v"
+            )
+            .where("__v IS NOT NULL AND __v >= 0")
+            .selectExpr(*spec.keys, f"{bucket_expr_spark('__v')} AS b")
+            .groupBy(*spec.keys, "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .groupBy(*spec.keys)
+            .agg(F.array_sort(F.collect_list(F.struct("b", "c"))).alias(stored))
+        )
+        base = base.join(hist, list(spec.keys), "left")
+    return base
 
 
 def view_fold(store: DataFrame, spec: ViewSpec) -> DataFrame:
@@ -195,6 +229,8 @@ def view_fold(store: DataFrame, spec: ViewSpec) -> DataFrame:
     trigger inputs EXACTLY (additive / idempotent merges)."""
     folds = []
     for stored, kind, _col in _partial_cols(spec):
+        if _PQUANT_RE.match(kind):
+            continue  # histogram partials fold separately below
         if kind in ("sum", "count"):
             f = F.sum(stored)
             if kind == "count":
@@ -233,6 +269,50 @@ def view_fold(store: DataFrame, spec: ViewSpec) -> DataFrame:
     folded = store.groupBy(*spec.keys).agg(*folds)
     if has_rows:
         folded = folded.where(F.col(_ROWS) > 0).drop(_ROWS)
+    # derive pNN quantile outputs from the folded histograms: per-bucket
+    # SUM across dirs (negative deltas cancel exactly), then the
+    # hdr_quantiles rank convention — rank = greatest(1, ceil(q*n)), answer
+    # = first bucket whose cumulative count reaches it, output = the
+    # bucket's integer mid value. The cumulative window is PARTITIONED BY
+    # the view keys over <= 1888 buckets per key (never the data).
+    for name, (kind, _col) in spec.aggs.items():
+        m = _PQUANT_RE.match(kind)
+        if not m:
+            continue
+        from pyspark.sql import Window
+
+        from streamds_spark.operators.hdr import bounds_exprs
+
+        q = int(m.group(1)) / 100.0
+        stored = f"{name}__hdr"
+        hb = (
+            # plain explode drops NULL histograms (keys whose rows were all
+            # NULL/negative for this column) — exactly the wanted semantics
+            store.select(*spec.keys, F.explode(stored).alias("e"))
+            .groupBy(*spec.keys, F.col("e.b").alias("b"))
+            .agg(F.sum("e.c").alias("c"))
+            .where(F.col("c") > 0)
+        )
+        w_cum = (
+            Window.partitionBy(*spec.keys)
+            .orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy(*spec.keys)
+        _lo, _hi, mid = bounds_exprs("b")
+        qcol = (
+            hb.withColumn("cum", F.sum("c").over(w_cum))
+            .withColumn("n", F.sum("c").over(w_all))
+            .where(
+                F.col("cum")
+                >= F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n")))
+            )
+            .groupBy(*spec.keys)
+            .agg(F.min("b").alias("b"))
+            .selectExpr(*spec.keys, f"CAST({mid} AS BIGINT) AS {name}")
+        )
+        folded = folded.join(qcol, list(spec.keys), "left")
+
     # derive avg / approx_distinct outputs, drop their partials
     for name, (kind, _col) in spec.aggs.items():
         if kind == "avg":
@@ -406,6 +486,7 @@ def delete_from_view(
         name
         for name, (kind, _c) in spec.aggs.items()
         if kind in ("min", "max", "approx_distinct")
+        # pNN quantile histograms are ADDITIVE and subtract exactly — allowed
     )
     if bad:
         raise ValueError(
@@ -432,8 +513,20 @@ def delete_from_view(
                 "rebuild_view(remaining_src) instead"
             )
     neg = view_batch_state(deleted_rows, spec)
-    for stored, _kind, _col in _partial_cols(spec):
-        neg = neg.withColumn(stored, -F.col(stored))
+    for stored, kind, _col in _partial_cols(spec):
+        if _PQUANT_RE.match(kind):
+            # negate each bucket count inside the histogram structs
+            neg = neg.withColumn(
+                stored,
+                F.transform(
+                    F.col(stored),
+                    lambda e: F.struct(
+                        e["b"].alias("b"), (-e["c"]).alias("c")
+                    ),
+                ),
+            )
+        else:
+            neg = neg.withColumn(stored, -F.col(stored))
     neg = neg.withColumn(_ROWS, (-F.col(_ROWS)).cast("bigint"))
     dest = os.path.join(
         os.path.join(work_dir, "view_store"),

@@ -418,3 +418,71 @@ def test_interrupted_rebuild_self_heals(spark, tmp_path):
     assert rebuild_view(spark, work_dir, spec, keep) == 0
     rows = {r["k"]: r["hi"] for r in view_report(spark, work_dir, spec).collect()}
     assert rows == {"a": 1}
+
+
+def test_pnn_quantiles_fold_stream_and_exact_delete(spark, tmp_path):
+    """pNN quantile aggregates: per-key HDR histogram partials fold to the
+    batch sketch exactly, the streamed view equals the one-shot batch view,
+    the rank convention matches hdr_quantiles bit-for-bit, and — because
+    histogram counts are ADDITIVE — takedown subtracts EXACTLY (the view
+    after delete equals the batch view over the remaining rows)."""
+    from streamds_spark.operators.hdr import hdr_quantiles, hdr_registers
+    from streamds_spark.streaming.viewstore import (
+        delete_from_view,
+        run_view_stream,
+        view_batch_state,
+        view_fold,
+    )
+
+    spec = ViewSpec(
+        keys=("k",),
+        aggs={"med": ("p50", "v"), "tail": ("p99", "v"), "n": ("count", None)},
+    )
+    rows = (
+        [("a", i * 7) for i in range(1, 41)]
+        + [("b", 2 ** i) for i in range(12)]
+        + [("a", None), ("b", -5)]  # NULL and negative: excluded from the sketch
+    )
+    df = spark.createDataFrame(rows, "k string, v bigint")
+    b0 = df.where((F.col("v").isNull()) | (F.col("v") % 2 == 0))
+    b1 = df.subtract(b0)
+    store = view_batch_state(b0, spec).unionByName(view_batch_state(b1, spec))
+    got = {r["k"]: r for r in view_fold(store, spec).collect()}
+    # parity with the standalone HDR sketch at the same quantiles
+    for key in ("a", "b"):
+        regs = hdr_registers(
+            df.where(F.col("k") == key), "v"
+        )
+        want = {
+            r["tag"]: r["mid"]
+            for r in hdr_quantiles(regs, {"med": 0.5, "tail": 0.99}).collect()
+        }
+        assert got[key]["med"] == want["med"], key
+        assert got[key]["tail"] == want["tail"], key
+    assert got["a"]["n"] == 41 and got["b"]["n"] == 13  # counts include NULL rows
+
+    # stream == batch over the documents table (n_chars quantiles per lang)
+    spec2 = ViewSpec(keys=("lang",), aggs={"p90_chars": ("p90", "n_chars")})
+    src_dir, work_dir = str(tmp_path / "src"), str(tmp_path / "work")
+    _split(src_dir)
+    q = run_view_stream(spark, src_dir, work_dir, spec2)
+    q.awaitTermination(timeout=300)
+    assert not q.isActive
+    docs = load_table(spark, SF, "documents")
+    assert _rows(view_report(spark, work_dir, spec2)) == _rows(
+        view_fold(view_batch_state(docs, spec2), spec2)
+    )
+
+    # takedown subtracts exactly: delete every doc_id % 3 == 0 row and the
+    # folded quantile equals the batch sketch over the remaining rows
+    doomed = docs.where(F.col("doc_id") % 3 == 0)
+    delete_from_view(spark, work_dir, spec2, doomed)
+    remaining = docs.where(F.col("doc_id") % 3 != 0)
+    assert _rows(view_report(spark, work_dir, spec2)) == _rows(
+        view_fold(view_batch_state(remaining, spec2), spec2)
+    )
+    # and compaction keeps it invariant (mergeSchema fold path)
+    assert compact_view(spark, work_dir, upto_batch=1) >= 1
+    assert _rows(view_report(spark, work_dir, spec2)) == _rows(
+        view_fold(view_batch_state(remaining, spec2), spec2)
+    )
