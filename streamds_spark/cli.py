@@ -251,9 +251,9 @@ def main(argv: list[str] | None = None) -> int:
         )
         p.add_argument(
             "--agg", action="append", required=True, metavar="OUT=KIND[:COL]",
-            help="aggregate: KIND in sum|count|min|max|avg|approx_distinct; "
-            "count takes no column (e.g. n=count s=sum:n_chars "
-            "dv=approx_distinct:text)",
+            help="aggregate: KIND in sum|count|min|max|avg|approx_distinct"
+            "|p1..p99 (HDR quantile); count takes no column (e.g. n=count "
+            "s=sum:n_chars dv=approx_distinct:text p99=p99:n_chars)",
         )
         p.add_argument(
             "--kmv-k", type=int, default=None,

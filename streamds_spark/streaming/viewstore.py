@@ -46,6 +46,9 @@ had no delete path. Two answers, matched to what each aggregate can do:
   implicit `__rows` presence count, so a key whose rows are ALL deleted
   folds to __rows = 0 and disappears from the view exactly as it would
   from a batch aggregate over the remaining source.
+* pNN quantile histograms subtract exactly too (per-bucket counts are
+  additive) — a takedown leaves the quantile sketch equal to the batch
+  sketch over the remaining rows to the last unit.
 * MIN/MAX cannot subtract (dropping the minimum leaves the store not
   knowing the runner-up) — `rebuild_view(remaining_src)` is the documented
   sketch-store discipline: recompute the partials from the remaining
@@ -105,8 +108,10 @@ _ROWS = "__rows"
 @dataclass(frozen=True)
 class ViewSpec:
     """keys: grouping columns. aggs: {out_col: (kind, in_col)} with kind in
-    sum|count|min|max|avg; count ignores in_col (count(*)); avg is stored
-    as its sum/count parts and derived at read."""
+    sum|count|min|max|avg|approx_distinct|p1..p99; count ignores in_col
+    (count(*)); avg is stored as its sum/count parts and derived at read;
+    approx_distinct stores a KMV array; pNN stores an HDR histogram array
+    and derives the quantile's integer mid value at read."""
 
     keys: "tuple[str, ...]"
     aggs: "dict[str, tuple[str, str | None]]" = field(default_factory=dict)
