@@ -322,6 +322,28 @@ def main(argv: list[str] | None = None) -> int:
         "--rebuild-sketches)",
     )
 
+    vg = sub.add_parser(
+        "view-register",
+        help="register a view against a PIPELINE work dir (views.json "
+        "manifest) so the takedown verb cascades doc deletions into it: "
+        "subtractable specs get automatic negative-delta writes, min/max/"
+        "approx_distinct specs get a durable rebuild-required flag",
+    )
+    vg.add_argument("work", help="pipeline work dir (holds views.json)")
+    vg.add_argument("name", help="view name (also the default dir name)")
+    _add_view_spec_args(vg)
+    vg.add_argument(
+        "--view-work", default=None,
+        help="the view's own work dir (default <work>/views/<name>)",
+    )
+
+    vu = sub.add_parser(
+        "view-unregister",
+        help="drop a view's manifest entry (store dirs are left on disk)",
+    )
+    vu.add_argument("work", help="pipeline work dir (holds views.json)")
+    vu.add_argument("name")
+
     sh = sub.add_parser(
         "shell",
         help="interactive terminal (the reference's command loop): SQL by "
@@ -394,6 +416,15 @@ def main(argv: list[str] | None = None) -> int:
         help="enable the write verbs (takedown): a default server is "
         "read-only end to end and REFUSES them — writes are a startup "
         "decision, never a per-request one",
+    )
+    sv.add_argument(
+        "--view-root",
+        action="append",
+        default=None,
+        metavar="DIR",
+        help="allowlist a directory whose view stores the view_report verb "
+        "may fold (repeatable); without any, view_report is DISABLED — a "
+        "client-supplied work_dir must not read arbitrary host paths",
     )
 
     pp = sub.add_parser(
@@ -826,12 +857,21 @@ def main(argv: list[str] | None = None) -> int:
             parser.error("takedown: --rebuild-sketches requires --quiesced")
         stats = delete_docs(spark, args.work, ids, quiesced=args.quiesced)
         stores = sorted(
-            k for k in stats if k not in ("n_docs_matched", "fold_after")
+            k for k in stats if k not in ("n_docs_matched", "fold_after", "views")
         )
         print(
             f"takedown n_ids:{len(ids)} matched:{stats['n_docs_matched']} "
             f"fold_after:{stats['fold_after']} stores:{','.join(stores)}"
         )
+        for vname, disp in sorted(stats.get("views", {}).items()):
+            print(f"view {vname}: {disp}")
+            if disp == "rebuild_required":
+                # actionable, not silent: the view's folded numbers still
+                # include the deleted docs until the operator rebuilds
+                print(
+                    f"view {vname}: numbers include deleted docs until "
+                    "`view-rebuild` runs against the post-takedown corpus"
+                )
         if args.rebuild_sketches:
             rb = rebuild_sketch_stores(spark, args.work)
             print(
@@ -839,12 +879,13 @@ def main(argv: list[str] | None = None) -> int:
                 f"stores:{','.join(rb['rebuilt'])}"
             )
     elif args.cmd in (
-        "view-stream", "view-report", "view-compact", "view-delete", "view-rebuild"
+        "view-stream", "view-report", "view-compact", "view-delete",
+        "view-rebuild", "view-register", "view-unregister",
     ):
         from streamds_spark.streaming import viewstore as vws
 
         spec = None
-        if args.cmd != "view-compact":
+        if args.cmd not in ("view-compact", "view-unregister"):
             aggs = {}
             for a in args.agg:
                 out, _, rest = a.partition("=")
@@ -867,6 +908,10 @@ def main(argv: list[str] | None = None) -> int:
             if q.isActive:
                 q.stop()
             print(f"view-stream drained:{str(ok).lower()} work:{args.work}")
+            if not ok:
+                # fail loudly: automation keying on the exit code must see
+                # an undrained stream as a failure, not a quiet 0
+                return 1
         elif args.cmd == "view-report":
             df = vws.view_report(spark, args.work, spec)
             rows = df.limit(max(1, args.limit)).collect()
@@ -874,6 +919,14 @@ def main(argv: list[str] | None = None) -> int:
             for r in sorted(rows, key=lambda r: tuple(str(r[k]) for k in spec.keys)):
                 print(" ".join(f"{c}={r[c]}" for c in cols))
             print(f"view rows:{len(rows)}")
+            pending = vws.rebuild_required(args.work)
+            if pending:
+                print(
+                    "WARNING: rebuild required — numbers include "
+                    f"{pending.get('pending_takedowns', '?')} un-rebuilt "
+                    "takedown(s); run view-rebuild against the "
+                    "post-takedown source"
+                )
         elif args.cmd == "view-compact":
             from streamds_spark.streaming.llm_pipeline import (
                 CorpusStreamPaths,
@@ -895,7 +948,7 @@ def main(argv: list[str] | None = None) -> int:
             import os as _os
 
             print(f"view-delete delta:{_os.path.basename(dest)}")
-        else:  # view-rebuild
+        elif args.cmd == "view-rebuild":
             if not args.quiesced:
                 # the reclaim pass deletes batch dirs a live trigger may be
                 # writing — enforce the help text's precondition
@@ -904,6 +957,20 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.work, spec, spark.read.parquet(args.remaining)
             )
             print(f"view-rebuild segment_hi:{hi}")
+        elif args.cmd == "view-register":
+            try:
+                vdir = vws.register_view(
+                    args.work, args.name, spec, view_work_dir=args.view_work
+                )
+            except ValueError as e:
+                parser.error(str(e))
+            print(f"view-register {args.name} work:{vdir}")
+        else:  # view-unregister
+            found = vws.unregister_view(args.work, args.name)
+            print(
+                f"view-unregister {args.name} "
+                f"{'removed' if found else 'not-registered'}"
+            )
     elif args.cmd == "train-lm":
         from pyspark.sql import functions as F
 
@@ -1241,6 +1308,7 @@ def main(argv: list[str] | None = None) -> int:
             max_inflight=args.max_inflight,
             max_inflight_per_tenant=args.max_inflight_per_tenant,
             allow_writes=args.allow_writes,
+            view_roots=args.view_root,
         )
         host, port = server.server_address[:2]
         print(f"serving:{host}:{port}", flush=True)

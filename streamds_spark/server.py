@@ -58,7 +58,13 @@ Protocol (one JSON object per line, response is one JSON line):
                                           dashboard refresh from k-row
                                           state, never a source scan;
                                           strictly read-only (the reader
-                                          self-heal rename is skipped)
+                                          self-heal rename is skipped).
+                                          work_dir must resolve inside the
+                                          startup view_roots allowlist
+                                          (--view-root); the verb is
+                                          DISABLED when none was configured
+                                          — a client-supplied path must not
+                                          fold arbitrary host parquet
   {"cmd": "takedown", "doc_ids": [..],
    "quiesced": bool}                   -> propagate a document deletion
                                           through the attached pipeline's
@@ -72,7 +78,11 @@ Protocol (one JSON object per line, response is one JSON line):
                                           refused calls both land in the
                                           audit log; a served delete also
                                           writes the work dir's durable
-                                          takedown ledger
+                                          takedown ledger. quiesced=true is
+                                          CROSS-CHECKED against the
+                                          session's active streaming
+                                          queries and downgraded (visibly)
+                                          when any are running
   any data request + {"pool": "gold"}  -> run under a NAMED scheduler pool
                                           (weighted when the session was
                                           built with an allocation file)
@@ -104,6 +114,7 @@ query to a sink, not through a socket. Cell values are JSON-coerced with
 from __future__ import annotations
 
 import json
+import os
 import socket
 import socketserver
 import threading
@@ -188,6 +199,7 @@ def _run_request(
     pool: str,
     cache_dir: str | None = None,
     cache_max_bytes: "int | None" = None,
+    view_roots: "list[str] | None" = None,
 ) -> dict:
     if req.get("cmd") == "ping":
         return {"ok": True, "pong": True}
@@ -274,6 +286,29 @@ def _run_request(
         aggs = req.get("aggs")
         if not isinstance(work_dir, str) or not work_dir:
             return {"ok": False, "error": "view_report needs 'work_dir' (string)"}
+        # work_dir is a CLIENT-SUPPLIED filesystem path — without a pin any
+        # tenant could fold parquet from any readable path on the host. The
+        # foldable dirs are an OPERATOR decision at startup (the same
+        # posture as the sql verb's pinned sf_dir): the verb is disabled
+        # until the server is started with a view_roots allowlist, and a
+        # request must resolve (realpath — symlinks can't escape) inside one
+        if view_roots is None:
+            return {
+                "ok": False,
+                "error": "view_report is disabled on this server: start it "
+                "with view_roots=[dir, ...] (--view-root) to allowlist the "
+                "foldable view dirs",
+            }
+        real = os.path.realpath(work_dir)
+        if not any(
+            real == root or real.startswith(root + os.sep)
+            for root in view_roots
+        ):
+            return {
+                "ok": False,
+                "error": "view_report: work_dir is outside the server's "
+                "view_roots allowlist",
+            }
         if not isinstance(keys, list) or not all(
             isinstance(k, str) for k in keys
         ):
@@ -657,9 +692,16 @@ class QueryServer(socketserver.ThreadingTCPServer):
         max_inflight: int | None = None,
         max_inflight_per_tenant: int | None = None,
         allow_writes: bool = False,
+        view_roots: "list[str] | None" = None,
     ):
         self.spark = spark
         self.sf_dir = sf_dir
+        # allowlist of dirs the view_report verb may fold (realpath-pinned
+        # at startup, like sf_dir pins the sql verb); None = verb disabled —
+        # an operator decision, never a per-request one
+        self.view_roots = (
+            [os.path.realpath(r) for r in view_roots] if view_roots else None
+        )
         # writes are opt-in at STARTUP, never per-request: a server is
         # read-only unless the operator explicitly started it otherwise, so
         # the takedown verb on a default server is refused at the guard —
@@ -794,6 +836,7 @@ class QueryServer(socketserver.ThreadingTCPServer):
                 pool,
                 self.cache_dir,
                 self.cache_max_bytes,
+                view_roots=self.view_roots,
             )
         except Exception as e:  # noqa: BLE001
             if state["timeout"]:
@@ -883,19 +926,39 @@ class QueryServer(socketserver.ThreadingTCPServer):
         from streamds_spark.streaming.llm_pipeline import delete_docs
 
         _capture, work_dir = self._pipeline
+        # quiesced=True asserts "stream stopped and drained", which lets
+        # delete_docs reclaim tombstones at the CURRENT frontier — a wrong
+        # assertion risks folding a batch an in-flight trigger may still
+        # replay. The server can see the session's streaming queries, so it
+        # does not trust the flag verbatim: any active query downgrades the
+        # call to quiesced=False (frontier+1 — always safe), visibly.
+        quiesced_downgraded = False
+        if quiesced and self.spark.streams.active:
+            quiesced = False
+            quiesced_downgraded = True
         # delete_docs documents single-writer discipline; ThreadingTCPServer
         # gives every connection its own thread, so concurrent takedown
         # requests must serialize here — deletes are rare maintenance ops,
         # a lock is the right tool (no fairness/throughput concern)
         with self._takedown_lock, scheduler_pool(self.spark, pool):
             stats = delete_docs(self.spark, work_dir, ids, quiesced=quiesced)
-        return {
+        resp = {
             "ok": True,
             "n_docs_matched": stats["n_docs_matched"],
             "fold_after": stats["fold_after"],
             "stores": sorted(k for k in stats if k not in
-                             ("n_docs_matched", "fold_after")),
+                             ("n_docs_matched", "fold_after", "views")),
         }
+        if "views" in stats:
+            resp["views"] = stats["views"]
+        if quiesced_downgraded:
+            resp["quiesced_downgraded"] = True
+            resp["quiesced_downgrade_reason"] = (
+                "active streaming queries on this session — tombstones "
+                "fold after the in-flight batch (frontier+1), not at the "
+                "asserted drained frontier"
+            )
+        return resp
 
     # -- streaming-pipeline observability ----------------------------------
     def attach_pipeline(self, capture, work_dir: str) -> None:
@@ -1111,6 +1174,7 @@ def start_server(
     max_inflight: int | None = None,
     max_inflight_per_tenant: int | None = None,
     allow_writes: bool = False,
+    view_roots: "list[str] | None" = None,
 ) -> QueryServer:
     """Bind + serve in a daemon thread; returns the server (read the bound
     port from `server.server_address`, stop with `server.shutdown()`)."""
@@ -1126,6 +1190,7 @@ def start_server(
         max_inflight=max_inflight,
         max_inflight_per_tenant=max_inflight_per_tenant,
         allow_writes=allow_writes,
+        view_roots=view_roots,
     )
     t = threading.Thread(target=server.serve_forever, daemon=True, name="streamds-serve")
     t.start()

@@ -1135,6 +1135,17 @@ def delete_docs(
             written[os.path.basename(store)] = tombstones.add(
                 spark, store, "doc_id", ids_df, fold_after=fold_after
             )
+    # registered materialized views (streaming/viewstore.py manifest) get
+    # the takedown cascaded while `doomed` still resolves against the
+    # pre-delete corpus: subtractable specs receive a negative-delta write
+    # derived from the doomed rows, min/max/approx_distinct specs get a
+    # durable rebuild-required flag (never silence). Import at call time —
+    # viewstore imports this module at its top.
+    views: dict = {}
+    if n_docs:
+        from streamds_spark.streaming import viewstore as _vws
+
+        views = _vws.cascade_delete_to_views(spark, work_dir, doomed)
     # corpus LAST: everything above read through the pre-delete view
     written["corpus"] = appendlog.delete_keys(
         spark, paths.corpus, "doc_id", ids_df, fold_after=fold_after
@@ -1148,9 +1159,15 @@ def delete_docs(
             "fold_after": fold_after,
             "quiesced": bool(quiesced),
             "stores": sorted(written),
+            **({"views": views} if views else {}),
         },
     )
-    return {"n_docs_matched": n_docs, "fold_after": fold_after, **written}
+    return {
+        "n_docs_matched": n_docs,
+        "fold_after": fold_after,
+        **({"views": views} if views else {}),
+        **written,
+    }
 
 
 def _append_takedown_audit(work_dir: str, record: dict) -> None:

@@ -78,6 +78,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from streamds_spark.functions.hashing import md5_int60
 from streamds_spark.streaming.llm_pipeline import (
+    _append_takedown_audit,
     _committed_store_dirs,
     _compact_one_store,
 )
@@ -145,6 +146,27 @@ class ViewSpec:
                 f"ViewSpec: {_ROWS!r} is reserved for the implicit presence "
                 "count partial"
             )
+
+
+def _join_null_safe(
+    left: DataFrame, right: DataFrame, keys: "tuple[str, ...]", how: str = "left"
+) -> DataFrame:
+    """Left-join on the view keys with NULL-SAFE equality. groupBy treats a
+    NULL key value as a real group, but a plain equi-join never matches NULL
+    keys — so a pNN histogram attached with `join(keys)` would silently read
+    NULL for the NULL-key group while sum/count/avg (computed in the same
+    groupBy) are correct, breaking the fold == one-pass-batch contract for
+    nullable view keys. eqNullSafe (SQL <=>) matches NULL to NULL, which is
+    exactly groupBy's grouping equivalence."""
+    ren = {k: f"__vsj_{k}" for k in keys}
+    r = right
+    for k, rk in ren.items():
+        r = r.withColumnRenamed(k, rk)
+    cond = None
+    for k, rk in ren.items():
+        c = F.col(k).eqNullSafe(F.col(rk))
+        cond = c if cond is None else (cond & c)
+    return left.join(r, cond, how).drop(*ren.values())
 
 
 def _partial_cols(spec: ViewSpec) -> "list[tuple[str, str, str]]":
@@ -223,7 +245,7 @@ def view_batch_state(df: DataFrame, spec: ViewSpec) -> DataFrame:
             .groupBy(*spec.keys)
             .agg(F.array_sort(F.collect_list(F.struct("b", "c"))).alias(stored))
         )
-        base = base.join(hist, list(spec.keys), "left")
+        base = _join_null_safe(base, hist, spec.keys)
     return base
 
 
@@ -316,7 +338,7 @@ def view_fold(store: DataFrame, spec: ViewSpec) -> DataFrame:
             .agg(F.min("b").alias("b"))
             .selectExpr(*spec.keys, f"CAST({mid} AS BIGINT) AS {name}")
         )
-        folded = folded.join(qcol, list(spec.keys), "left")
+        folded = _join_null_safe(folded, qcol, spec.keys)
 
     # derive avg / approx_distinct outputs, drop their partials
     for name, (kind, _col) in spec.aggs.items():
@@ -538,6 +560,18 @@ def delete_from_view(
         f"delta-{time.monotonic_ns()}-{uuid.uuid4().hex[:8]}",
     )
     neg.coalesce(1).write.parquet(dest)  # _SUCCESS = commit point
+    # durable compliance ledger (same file/format as the doc-level takedown
+    # path): the view store is persistent state, so its mutations must be
+    # provable after the fact too. One tiny count job over the single-file
+    # delta dir — a rare maintenance op.
+    _append_takedown_audit(
+        work_dir,
+        {
+            "action": "delete_from_view",
+            "n_keys": spark.read.parquet(dest).count(),
+            "delta_dir": os.path.basename(dest),
+        },
+    )
     return dest
 
 
@@ -586,6 +620,13 @@ def rebuild_view(
     ):
         if os.path.realpath(d) != os.path.realpath(seg):
             shutil.rmtree(d, ignore_errors=True)
+    # the rebuild IS the answer to a pending rebuild-required flag (set by
+    # the delete_docs cascade for non-subtractable specs) — clear it, then
+    # ledger the mutation like every other takedown-surface action
+    clear_rebuild_required(work_dir)
+    _append_takedown_audit(
+        work_dir, {"action": "rebuild_view", "segment_hi": hi}
+    )
     return hi
 
 
@@ -601,3 +642,209 @@ def compact_view(
     return _compact_one_store(
         spark, os.path.join(work_dir, "view_store"), upto_batch, num_files
     )
+
+
+# ---------------------------------------------------------------------------
+# View registration: the views.json manifest in the PIPELINE work dir.
+#
+# Round 10 left the takedown surface split in two: the operational verbs
+# (CLI/server `takedown` -> llm_pipeline.delete_docs) fold corpus/hash/
+# sample/ANN stores, while viewstore takedown was a separate manual call
+# the operator had to know exists. Registration closes the gap: a view
+# registered against a pipeline work dir is CONSULTED BY delete_docs —
+# subtractable specs (sum/count/avg/pNN) get the negative-delta write
+# derived from the tombstoned docs' corpus rows automatically; specs with
+# min/max/approx_distinct aggregates (which cannot subtract) get a durable
+# rebuild-required flag in the view work dir plus an explicit entry in
+# delete_docs' return/audit — an actionable refusal, never silence.
+#
+# Contract: a registered view must be maintained over the CORPUS CONTENT
+# (its source rows are the corpus table's rows), and takedowns follow the
+# same quiesce-or-between-triggers discipline as delete_docs itself — the
+# subtraction is exact when the view stream has drained the same frontier
+# the corpus has (a view stream that never ingested a doomed row must not
+# have it subtracted).
+# ---------------------------------------------------------------------------
+
+_VIEWS_MANIFEST = "views.json"
+_REBUILD_MARKER = "rebuild_required.json"
+_NAME_RE = re.compile(r"^[A-Za-z0-9._-]{1,64}$")
+_SUBTRACTABLE_EXEMPT = ("min", "max", "approx_distinct")
+
+
+def spec_to_dict(spec: ViewSpec) -> dict:
+    """JSON-serializable form of a ViewSpec (the manifest entry body)."""
+    return {
+        "keys": list(spec.keys),
+        "aggs": {out: [kind, col] for out, (kind, col) in spec.aggs.items()},
+        "kmv_k": spec.kmv_k,
+    }
+
+
+def spec_from_dict(d: dict) -> ViewSpec:
+    """Inverse of spec_to_dict — re-validates via ViewSpec.__post_init__."""
+    return ViewSpec(
+        keys=tuple(d["keys"]),
+        aggs={out: (kind, col) for out, (kind, col) in d["aggs"].items()},
+        kmv_k=int(d.get("kmv_k", VIEW_KMV_K)),
+    )
+
+
+def subtractable(spec: ViewSpec) -> bool:
+    """True when delete_from_view accepts the spec: every aggregate's
+    partial is additive (sum/count/avg parts, pNN histogram buckets) so a
+    negative delta cancels a deleted row's contribution exactly. min/max
+    (idempotent, not invertible) and approx_distinct (a KMV hash set does
+    not know which trigger contributed a hash) require rebuild_view."""
+    return not any(
+        kind in _SUBTRACTABLE_EXEMPT for kind, _c in spec.aggs.values()
+    )
+
+
+def _load_manifest(work_dir: str) -> dict:
+    path = os.path.join(work_dir, _VIEWS_MANIFEST)
+    if not os.path.exists(path):
+        return {"views": {}}
+    import json as _json
+
+    with open(path) as f:
+        data = _json.load(f)
+    if not isinstance(data, dict) or not isinstance(data.get("views"), dict):
+        raise ValueError(f"{path}: malformed views manifest")
+    return data
+
+
+def _store_manifest(work_dir: str, data: dict) -> None:
+    # tmp + os.replace: readers never see a torn manifest
+    import json as _json
+
+    path = os.path.join(work_dir, _VIEWS_MANIFEST)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(_json.dumps(data, indent=1, sort_keys=True) + "\n")
+    os.replace(tmp, path)
+
+
+def register_view(
+    work_dir: str,
+    name: str,
+    spec: ViewSpec,
+    view_work_dir: "str | None" = None,
+) -> str:
+    """Register a view against a pipeline work dir so the operational
+    takedown path (delete_docs / CLI / server `takedown`) cascades into it.
+    `view_work_dir` defaults to `<work_dir>/views/<name>` (the dir passed
+    to run_view_stream / view_report). Re-registering a name overwrites its
+    entry (spec evolution = re-register + rebuild). Returns the view work
+    dir."""
+    if not _NAME_RE.match(name or ""):
+        raise ValueError(
+            f"register_view: name {name!r} must match {_NAME_RE.pattern} "
+            "(it names a directory)"
+        )
+    vdir = view_work_dir or os.path.join(work_dir, "views", name)
+    os.makedirs(work_dir, exist_ok=True)
+    data = _load_manifest(work_dir)
+    data["views"][name] = {"work_dir": vdir, "spec": spec_to_dict(spec)}
+    _store_manifest(work_dir, data)
+    return vdir
+
+
+def unregister_view(work_dir: str, name: str) -> bool:
+    """Drop a view's manifest entry (its store dirs are left on disk for
+    the operator to reclaim). Returns whether the name was registered."""
+    data = _load_manifest(work_dir)
+    found = data["views"].pop(name, None) is not None
+    if found:
+        _store_manifest(work_dir, data)
+    return found
+
+
+def registered_views(work_dir: str) -> "dict[str, tuple[ViewSpec, str]]":
+    """{name: (spec, view_work_dir)} from the manifest; {} when none."""
+    out = {}
+    for name, ent in _load_manifest(work_dir)["views"].items():
+        out[name] = (spec_from_dict(ent["spec"]), ent["work_dir"])
+    return out
+
+
+def rebuild_required(view_work_dir: str) -> "dict | None":
+    """The durable flag delete_docs leaves on a non-subtractable view: the
+    view's folded numbers still include taken-down docs until the operator
+    runs rebuild_view (which clears this). None when the view is clean."""
+    path = os.path.join(view_work_dir, _REBUILD_MARKER)
+    if not os.path.exists(path):
+        return None
+    import json as _json
+
+    with open(path) as f:
+        return _json.load(f)
+
+
+def mark_rebuild_required(view_work_dir: str, record: dict) -> None:
+    """Set (or extend) the rebuild-required flag. Accumulates a takedown
+    count across calls so repeated takedowns before one rebuild stay
+    visible."""
+    import json as _json
+    import time as _time
+
+    prev = rebuild_required(view_work_dir) or {"pending_takedowns": 0}
+    rec = {
+        **record,
+        "ts": round(_time.time(), 3),
+        "pending_takedowns": int(prev.get("pending_takedowns", 0)) + 1,
+    }
+    os.makedirs(view_work_dir, exist_ok=True)
+    tmp = os.path.join(view_work_dir, f".{_REBUILD_MARKER}.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(_json.dumps(rec) + "\n")
+    os.replace(tmp, os.path.join(view_work_dir, _REBUILD_MARKER))
+
+
+def clear_rebuild_required(view_work_dir: str) -> None:
+    try:
+        os.remove(os.path.join(view_work_dir, _REBUILD_MARKER))
+    except OSError:
+        pass
+
+
+def cascade_delete_to_views(
+    spark: SparkSession, work_dir: str, doomed_rows: DataFrame
+) -> "dict[str, str]":
+    """delete_docs' hook: propagate a doc takedown into every registered
+    view. Per view: never-ingested stores are skipped ('empty' — a delta
+    against nothing would be wrong, not conservative); subtractable specs
+    get delete_from_view(doomed corpus rows) ('delta:<dir>'); min/max/
+    approx_distinct specs — and legacy stores delete_from_view refuses —
+    get the durable rebuild-required marker ('rebuild_required'). The
+    caller merges the returned {name: disposition} into its own audit
+    entry, so the cascade is provable end to end."""
+    out: "dict[str, str]" = {}
+    for name, (spec, vdir) in sorted(registered_views(work_dir).items()):
+        store_dir = os.path.join(vdir, "view_store")
+        if not (
+            _committed_store_dirs(store_dir, 2**62)
+            or _committed_delta_dirs(store_dir)
+            or _glob.glob(os.path.join(store_dir, "segment=*"))
+        ):
+            out[name] = "empty"
+            continue
+        if subtractable(spec):
+            try:
+                dest = delete_from_view(spark, vdir, spec, doomed_rows)
+                out[name] = f"delta:{os.path.basename(dest)}"
+                continue
+            except ValueError as e:
+                # legacy pre-__rows partials: presence unknowable, the
+                # documented answer is a rebuild — same flag as min/max
+                reason = str(e)
+        else:
+            reason = (
+                "spec has min/max/approx_distinct aggregates, which cannot "
+                "subtract a deleted row's contribution"
+            )
+        mark_rebuild_required(
+            vdir, {"action": "delete_docs", "reason": reason}
+        )
+        out[name] = "rebuild_required"
+    return out

@@ -646,3 +646,70 @@ def test_cli_view_verbs_lifecycle(spark, tmp_path):
     with pytest.raises(SystemExit):  # kmv_k 0 must hit the spec guard, not default
         _run(["view-report", work, "--key", "k",
               "--agg", "dv=approx_distinct:v", "--kmv-k", "0"])
+
+
+def test_cli_view_register_and_takedown_cascade(spark, tmp_path):
+    """view-register wires a view into the takedown verb's cascade: the
+    subtractable view's report excludes the deleted docs afterwards, the
+    min/max view's disposition prints an actionable rebuild message, and
+    view-report WARNS while the rebuild flag is pending."""
+    import os
+
+    from tests.test_llm_pipeline_stream import _split_into_files
+    from streamds_spark.io import appendlog
+    from streamds_spark.streaming import viewstore as vws
+    from streamds_spark.streaming.llm_pipeline import (
+        CorpusStreamPaths,
+        run_llm_corpus_stream,
+    )
+
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    _split_into_files(spark, src)
+    q = run_llm_corpus_stream(spark, src, work)
+    q.awaitTermination(timeout=300)
+    assert not q.isActive
+
+    sub_flags = ["--key", "source", "--agg", "chars=sum:n_chars"]
+    mm_flags = ["--key", "lang", "--agg", "hi=max:n_chars"]
+    rc, out = _run(["view-register", work, "by_source", *sub_flags])
+    assert rc in (0, None) and "by_source" in out
+    rc, out = _run(["view-register", work, "max_by_lang", *mm_flags])
+    assert rc in (0, None)
+    import pytest
+
+    with pytest.raises(SystemExit):  # names become directories
+        _run(["view-register", work, "../escape", *sub_flags])
+
+    corpus = appendlog.get(spark, CorpusStreamPaths(work).corpus)
+    sub_spec = vws.ViewSpec(keys=("source",), aggs={"chars": ("sum", "n_chars")})
+    mm_spec = vws.ViewSpec(keys=("lang",), aggs={"hi": ("max", "n_chars")})
+    vdir_sub = os.path.join(work, "views", "by_source")
+    vdir_mm = os.path.join(work, "views", "max_by_lang")
+    vws.write_view_batch(corpus, 0, os.path.join(vdir_sub, "view_store"), sub_spec)
+    vws.write_view_batch(corpus, 0, os.path.join(vdir_mm, "view_store"), mm_spec)
+
+    doomed = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())[:2]
+    rc, out = _run(["takedown", work, ",".join(map(str, doomed)), "--quiesced"])
+    assert rc in (0, None)
+    assert "view by_source: delta:" in out
+    assert "view max_by_lang: rebuild_required" in out
+    assert "until `view-rebuild` runs" in out  # actionable, not silent
+
+    # the cascaded view equals the batch aggregate over the remaining corpus
+    def _rows(df):
+        return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+
+    remaining = appendlog.get(spark, CorpusStreamPaths(work).corpus)
+    want = vws.view_fold(vws.view_batch_state(remaining, sub_spec), sub_spec)
+    assert _rows(vws.view_report(spark, vdir_sub, sub_spec)) == _rows(want)
+
+    # pending rebuild flag surfaces on the report verb
+    rc, out = _run(["view-report", vdir_mm, *mm_flags])
+    assert rc in (0, None) and "WARNING: rebuild required" in out
+    rc, out = _run(["view-report", vdir_sub, *sub_flags])
+    assert rc in (0, None) and "WARNING" not in out
+
+    rc, out = _run(["view-unregister", work, "max_by_lang"])
+    assert rc in (0, None) and "removed" in out
+    rc, out = _run(["view-unregister", work, "max_by_lang"])
+    assert "not-registered" in out

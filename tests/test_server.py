@@ -814,7 +814,9 @@ def test_view_report_verb_read_only(spark, tmp_path):
         [("a", 1), ("a", 3), ("b", 5), ("c", 7)], "k string, v bigint"
     )
     write_view_batch(df, 0, store, spec)
-    server, host, port = _start(spark)
+    # the verb is DISABLED without a startup allowlist: a client-supplied
+    # work_dir must not fold arbitrary readable host paths (ADVICE r10)
+    plain = start_server(spark, SF)
     try:
         req = {
             "cmd": "view_report",
@@ -822,6 +824,18 @@ def test_view_report_verb_read_only(spark, tmp_path):
             "keys": ["k"],
             "aggs": {"s": ["sum", "v"], "n": ["count", None]},
         }
+        ph, pp = plain.server_address[:2]
+        r = request(ph, pp, req)
+        assert not r["ok"] and "disabled" in r["error"]
+    finally:
+        plain.shutdown()
+        plain.server_close()
+    server = start_server(spark, SF, view_roots=[str(tmp_path)])
+    host, port = server.server_address[:2]
+    try:
+        # outside the allowlist: refused even though the path exists
+        outside = request(host, port, {**req, "work_dir": "/root/testdata"})
+        assert not outside["ok"] and "allowlist" in outside["error"]
         r = request(host, port, req)
         assert r["ok"], r
         got = {

@@ -586,3 +586,159 @@ def test_takedown_surface_cli_and_server(spark, drained, tmp_path):
         cli_main(["takedown", work_dir, "1,x"])
     with _pytest.raises(SystemExit):  # rebuild requires an asserted quiesce
         cli_main(["takedown", work_dir, "1", "--rebuild-sketches"])
+
+
+def test_takedown_cascades_into_registered_views(spark, tmp_path):
+    """Round-11 brief item 1: views registered against a pipeline work dir
+    (views.json) are consulted by delete_docs — subtractable specs get the
+    negative-delta write derived from the doomed corpus rows (view_report
+    then equals the batch aggregate over the remaining corpus, replay-safe),
+    min/max specs get an explicit durable rebuild-required flag (never
+    silence), never-ingested stores are skipped, and every mutation lands in
+    a takedown ledger."""
+    import json
+
+    from tests.test_llm_pipeline_stream import _split_into_files
+    from streamds_spark.streaming import viewstore as vws
+    from streamds_spark.streaming.llm_pipeline import run_llm_corpus_stream
+
+    src_dir, work_dir = str(tmp_path / "src"), str(tmp_path / "work")
+    _split_into_files(spark, src_dir)
+    q = run_llm_corpus_stream(spark, src_dir, work_dir)
+    q.awaitTermination(timeout=300)
+    assert not q.isActive
+    paths = CorpusStreamPaths(work_dir)
+    pre = appendlog.get(spark, paths.corpus)
+    pre_rows, pre_schema = pre.collect(), pre.schema  # pre-delete snapshot
+
+    sub_spec = vws.ViewSpec(
+        keys=("source",),
+        aggs={
+            "chars": ("sum", "n_chars"),
+            "docs": ("count", None),
+            "p50c": ("p50", "n_chars"),
+        },
+    )
+    mm_spec = vws.ViewSpec(keys=("lang",), aggs={"hi": ("max", "n_chars")})
+    vdir_sub = vws.register_view(work_dir, "by_source", sub_spec)
+    vdir_mm = vws.register_view(work_dir, "max_by_lang", mm_spec)
+    vws.register_view(work_dir, "never_ran", sub_spec)
+    assert set(vws.registered_views(work_dir)) == {
+        "by_source", "max_by_lang", "never_ran",
+    }
+    # both live views have ingested the full corpus (partials are a pure
+    # function of the batch, so a direct batch-0 write == a drained stream)
+    vws.write_view_batch(pre, 0, os.path.join(vdir_sub, "view_store"), sub_spec)
+    vws.write_view_batch(pre, 0, os.path.join(vdir_mm, "view_store"), mm_spec)
+
+    doomed = sorted(r["doc_id"] for r in pre_rows)[:3]
+    stats = delete_docs(spark, work_dir, doomed, quiesced=True)
+    assert stats["n_docs_matched"] == 3
+    assert stats["views"]["by_source"].startswith("delta:")
+    assert stats["views"]["max_by_lang"] == "rebuild_required"
+    assert stats["views"]["never_ran"] == "empty"
+
+    def _rows(df):
+        return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+
+    # subtractable view == batch aggregate over the REMAINING corpus
+    remaining = appendlog.get(spark, paths.corpus)
+    want_sub = vws.view_fold(vws.view_batch_state(remaining, sub_spec), sub_spec)
+    assert _rows(vws.view_report(spark, vdir_sub, sub_spec)) == _rows(want_sub)
+
+    # replay-safe: a replayed source batch rewrites batch=0 with PRE-delete
+    # partials (raw input is pre-delete); the delta still cancels exactly
+    pre_df = spark.createDataFrame(pre_rows, pre_schema)
+    vws.write_view_batch(
+        pre_df, 0, os.path.join(vdir_sub, "view_store"), sub_spec
+    )
+    assert _rows(vws.view_report(spark, vdir_sub, sub_spec)) == _rows(want_sub)
+
+    # min/max: explicit, durable, actionable — not silence
+    marker = vws.rebuild_required(vdir_mm)
+    assert marker and marker["pending_takedowns"] == 1
+    assert "cannot subtract" in marker["reason"]
+    # a second takedown before the rebuild stays visible
+    stats2 = delete_docs(spark, work_dir, sorted(
+        r["doc_id"] for r in pre_rows
+    )[3:4], quiesced=True)
+    assert stats2["views"]["max_by_lang"] == "rebuild_required"
+    assert vws.rebuild_required(vdir_mm)["pending_takedowns"] == 2
+    # the documented fix: rebuild from the post-takedown corpus, flag clears
+    remaining2 = appendlog.get(spark, paths.corpus)
+    assert vws.rebuild_view(spark, vdir_mm, mm_spec, remaining2) == 0
+    assert vws.rebuild_required(vdir_mm) is None
+    want_mm = vws.view_fold(vws.view_batch_state(remaining2, mm_spec), mm_spec)
+    assert _rows(vws.view_report(spark, vdir_mm, mm_spec)) == _rows(want_mm)
+
+    # ledgers: the pipeline ledger records the cascade dispositions; each
+    # mutated view dir records its own mutation
+    with open(os.path.join(work_dir, "takedown_audit.jsonl")) as f:
+        pipe_log = [json.loads(ln) for ln in f]
+    dd = [r for r in pipe_log if r["action"] == "delete_docs"]
+    assert dd and dd[0]["views"]["by_source"].startswith("delta:")
+    assert dd[0]["views"]["max_by_lang"] == "rebuild_required"
+    with open(os.path.join(vdir_sub, "takedown_audit.jsonl")) as f:
+        sub_log = [json.loads(ln) for ln in f]
+    assert any(
+        r["action"] == "delete_from_view" and r["n_keys"] >= 1 for r in sub_log
+    )
+    with open(os.path.join(vdir_mm, "takedown_audit.jsonl")) as f:
+        mm_log = [json.loads(ln) for ln in f]
+    assert any(r["action"] == "rebuild_view" for r in mm_log)
+
+    # unregister drops the manifest entry; a later takedown skips the view
+    assert vws.unregister_view(work_dir, "never_ran")
+    assert not vws.unregister_view(work_dir, "never_ran")
+    assert set(vws.registered_views(work_dir)) == {"by_source", "max_by_lang"}
+
+
+def test_server_takedown_quiesced_cross_check(spark, drained, tmp_path):
+    """ADVICE r10: the server must not trust the client's quiesced=true
+    verbatim — with ANY active streaming query on the session the call is
+    visibly downgraded to quiesced=False (tombstones fold after the
+    in-flight batch, frontier+1 — always safe); with none, the assertion is
+    honored as before."""
+    from streamds_spark.server import request, start_server
+
+    _, work_dir = drained
+    paths = CorpusStreamPaths(work_dir)
+    live = sorted(
+        r["doc_id"]
+        for r in appendlog.get(spark, paths.corpus).select("doc_id").collect()
+    )
+    assert len(live) >= 2
+    rw = start_server(spark, SF, allow_writes=True)
+    try:
+        host, port = rw.server_address[:2]
+        rw.attach_pipeline(object(), work_dir)
+        # an active (unrelated) stream: the wrong-assertion hazard is real
+        q = (
+            spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+            .writeStream.format("noop").start()
+        )
+        try:
+            r = request(
+                host, port,
+                {"cmd": "takedown", "doc_ids": [live[0]], "quiesced": True},
+            )
+            assert r["ok"] and r["n_docs_matched"] == 1
+            assert r["quiesced_downgraded"] is True
+            assert "in-flight" in r["quiesced_downgrade_reason"]
+        finally:
+            q.stop()
+        # drained session: the assertion is honored, no downgrade key
+        for _ in range(100):
+            if not spark.streams.active:
+                break
+            import time as _t
+
+            _t.sleep(0.1)
+        r2 = request(
+            host, port,
+            {"cmd": "takedown", "doc_ids": [live[1]], "quiesced": True},
+        )
+        assert r2["ok"] and "quiesced_downgraded" not in r2
+    finally:
+        rw.shutdown()
+        rw.server_close()

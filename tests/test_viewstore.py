@@ -486,3 +486,37 @@ def test_pnn_quantiles_fold_stream_and_exact_delete(spark, tmp_path):
     assert _rows(view_report(spark, work_dir, spec2)) == _rows(
         view_fold(view_batch_state(remaining, spec2), spec2)
     )
+
+
+def test_pnn_nullable_key_group(spark):
+    """A view keyed on a NULLABLE column: groupBy treats NULL as a real
+    group, so the pNN histogram attach and the read-time quantile join must
+    be NULL-SAFE (eqNullSafe) — a plain equi-join would leave the NULL-key
+    group's quantile NULL while its sum/count (same groupBy) are correct,
+    breaking fold == one-pass batch for pNN kinds only (ADVICE r10)."""
+    from streamds_spark.streaming.viewstore import view_batch_state, view_fold
+
+    spec = ViewSpec(
+        keys=("k",), aggs={"med": ("p50", "v"), "total": ("sum", "v")}
+    )
+    rows = [("a", 10), ("a", 20), (None, 7), (None, 9), (None, 1000)]
+    df = spark.createDataFrame(rows, "k string, v bigint")
+    # single-batch fold: the NULL-key group must carry a real quantile
+    got = {r["k"]: r for r in view_fold(view_batch_state(df, spec), spec).collect()}
+    assert set(got) == {"a", None}
+    assert got[None]["total"] == 1016
+    assert got[None]["med"] is not None and got["a"]["med"] is not None
+    # multi-batch fold equals the one-pass batch answer, NULL group included
+    b0 = df.where(F.col("v") < 15)
+    b1 = df.where(F.col("v") >= 15)
+    folded = view_fold(
+        view_batch_state(b0, spec).unionByName(view_batch_state(b1, spec)), spec
+    )
+
+    def _nrows(d):  # _rows, but tolerant of a NULL key in the sort
+        return sorted(
+            (tuple(r) for r in d.select(*sorted(d.columns)).collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    assert _nrows(folded) == _nrows(view_fold(view_batch_state(df, spec), spec))
