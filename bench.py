@@ -53,6 +53,19 @@ both completed passes started above it. busy_box_budget_exhausted now means
 load1 at measurement start (extras.extras_load1) so extras-to-extras
 round comparisons carry their own evidence instead of inheriting the
 headline's.
+
+Extras-retry protocol (round 11, per VERDICT r10): the r10 stamps made
+loaded extras VISIBLE but still not comparable — the concurrency extra's own
+burst inflated the stamps (and possibly the numbers) of everything measured
+behind it (r10 driver run: bloom_decontaminate stamped at load 4.88). Now,
+after the full extras sequence completes in its frozen order, any extra whose
+stamp exceeded EXTRA_RETRY_GATE (2.5) is re-measured ONCE at the tail after
+waiting out an idle budget at that gate; the LOWER min-of-3 is kept per key
+(the same steady-state argument as the headline's lowest-total passes), the
+stamp is replaced by the retry's, and extras.extras_retried records both
+stamps and both values so the substitution is auditable. The original
+positional sequence is untouched — retries happen strictly after it — so
+position-based round-over-round reads stay valid for clean extras.
 """
 
 from __future__ import annotations
@@ -94,6 +107,13 @@ MIN_PASSES = 2  # always at least two headline passes; official = lowest total
 MAX_PASSES = 3
 IDLE_MAX_WAIT_S = 120.0
 INTER_PASS_WAIT_S = 240.0  # covers the harness's own load1 decay to 1.5
+EXTRA_RETRY_GATE = 2.5  # an extra stamped above this gets one tail re-measure
+EXTRA_RETRY_WAIT_S = 240.0  # idle budget before each tail re-measure
+# SHARED wait ceiling across ALL tail retries: a genuinely busy box could
+# otherwise park the harness for n_extras x 240 s of waiting. Once spent,
+# remaining retries still run (min-keep makes a loaded retry harmless —
+# it just can't improve the number) with their honest loaded stamps.
+EXTRA_RETRY_TOTAL_WAIT_S = 900.0
 
 
 def _load1() -> float:
@@ -249,18 +269,34 @@ def main() -> None:
     # self-load history); an OUTLIER stamp vs last round's same position is
     # the external-load signal, the absolute value is not.
     extras_load1: dict[str, float] = {}
+    # measured extras, in run order (insertion order IS the frozen sequence);
+    # and the measure registry the tail retry pass re-invokes
+    extras_vals: dict[str, float] = {}
+    extra_measures: "list[tuple[str, object]]" = []
 
-    def _min3(name: str, action) -> float:
+    def _run_extra(name: str, measure) -> None:
+        """Stamp load1, run one measure (returns {key: seconds}), register
+        it for a possible tail retry (extras-retry protocol, round 11)."""
+        extras_load1[name] = _load1()
+        extras_vals.update(measure())
+        extra_measures.append((name, measure))
+
+    def _min3_measure(name: str, action):
+        def measure() -> "dict[str, float]":
+            runs = []
+            for _ in range(3):
+                t0 = time.time()
+                action()
+                runs.append(time.time() - t0)
+            return {name: round(min(runs), 3)}
+
+        return measure
+
+    def _min3(name: str, action) -> None:
         """Min-of-3 wall for an extra — same steady-state protocol as the
         headline; three consecutive runs keep every extra's harness position
         stable relative to its neighbors. Stamps load1 at start."""
-        extras_load1[name] = _load1()
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            action()
-            runs.append(time.time() - t0)
-        return round(min(runs), 3)
+        _run_extra(name, _min3_measure(name, action))
 
     # Scaling watch (NOT in the headline total, so round-over-round totals stay
     # comparable): the LSH candidate join on a 10×-unioned documents table.
@@ -280,7 +316,7 @@ def main() -> None:
         scaled = scaled.unionByName(
             docs.select((F.col("doc_id") + i * n_ids).alias("doc_id"), "text")
         )
-    lsh_10x = _min3("dedup_lsh_pairs_docs10x", lambda: lsh_candidate_pairs(minhash_signatures(scaled)).count())
+    _min3("dedup_lsh_pairs_docs10x", lambda: lsh_candidate_pairs(minhash_signatures(scaled)).count())
 
     # Incremental-dedup scaling watch: probe a NEW batch (the base documents
     # table) against a PERSISTED 10× corpus bucket store. Store build is the
@@ -294,21 +330,25 @@ def main() -> None:
         write_bucket_store,
     )
 
-    extras_load1["dedup_incremental_docs10x"] = _load1()
-    build_runs, probe_runs = [], []
-    for _ in range(3):
-        store_dir = tempfile.mkdtemp(prefix="dedup_store_")
-        try:
-            t0 = time.time()
-            write_bucket_store(scaled, store_dir)
-            build_runs.append(time.time() - t0)
-            t0 = time.time()
-            incremental_candidates(docs, spark, store_dir).count()
-            probe_runs.append(time.time() - t0)
-        finally:
-            shutil.rmtree(store_dir, ignore_errors=True)
-    store_build_s = round(min(build_runs), 3)
-    incr_10x = round(min(probe_runs), 3)
+    def _measure_incremental() -> "dict[str, float]":
+        build_runs, probe_runs = [], []
+        for _ in range(3):
+            store_dir = tempfile.mkdtemp(prefix="dedup_store_")
+            try:
+                t0 = time.time()
+                write_bucket_store(scaled, store_dir)
+                build_runs.append(time.time() - t0)
+                t0 = time.time()
+                incremental_candidates(docs, spark, store_dir).count()
+                probe_runs.append(time.time() - t0)
+            finally:
+                shutil.rmtree(store_dir, ignore_errors=True)
+        return {
+            "dedup_incremental_docs10x": round(min(probe_runs), 3),
+            "dedup_incremental_store_build_docs10x": round(min(build_runs), 3),
+        }
+
+    _run_extra("dedup_incremental_docs10x", _measure_incremental)
 
     # Substring-dedup scaling watch (outside the headline total): the hashed-
     # shingle path on the 10× corpus — the dup-mark groupBy and mark-back join
@@ -316,7 +356,7 @@ def main() -> None:
     # through an aggregate so the span-merge + rebuild actually run.
     from streamds_spark.operators.substring_dedup import substring_dedup
 
-    substr_10x = _min3(
+    _min3(
         "substring_dedup_hashed_docs10x",
         lambda: substring_dedup(scaled, 8, hash_shingles=True)
         .agg(F.sum("n_tokens_removed"), F.sum("n_spans"))
@@ -335,14 +375,14 @@ def main() -> None:
     cut = int(n_ids * 0.05)
     bench_sh = sh.filter(F.col("doc_id") < cut).select("shingle").distinct()
     corpus_sh = sh.filter(F.col("doc_id") >= cut)
-    bloom_s = _min3("bloom_decontaminate", lambda: bloom_decontaminate(corpus_sh, bench_sh).count())
+    _min3("bloom_decontaminate", lambda: bloom_decontaminate(corpus_sh, bench_sh).count())
 
     # Corpus-health trackers (also outside the headline total): the KL agg
     # forces the full tokenize+aggregate pipeline; the redaction scan is
     # forced through an aggregate because count() alone would let Spark skip
     # the regexp projection entirely.
-    kl_s = _min3("source_unigram_kl", lambda: specs["source_unigram_kl"].fn(spark, sf_dir).count())
-    pii_s = _min3(
+    _min3("source_unigram_kl", lambda: specs["source_unigram_kl"].fn(spark, sf_dir).count())
+    _min3(
         "pii_redaction_forced",
         lambda: specs["pii_redaction"]
         .fn(spark, sf_dir)
@@ -355,7 +395,7 @@ def main() -> None:
     # (array_sort + adjacent-equal folds, zero exchanges) — the cost is
     # interpreted higher-order-function evaluation per doc, parallelized by
     # input splits, not a shuffle.
-    gopher_s = _min3(
+    _min3(
         "gopher_quality_flags_forced",
         lambda: specs["gopher_quality_flags"]
         .fn(spark, sf_dir)
@@ -369,14 +409,14 @@ def main() -> None:
     # above it is the per-round watch).
     from streamds_spark.operators.cdc import cdc_chunks_gear
 
-    kn_s = _min3("kn_perplexity_filter", lambda: specs["kn_perplexity_filter"].fn(spark, sf_dir).count())
-    cdc_s = _min3("cdc_chunk_sharing", lambda: specs["cdc_chunk_sharing"].fn(spark, sf_dir).count())
+    _min3("kn_perplexity_filter", lambda: specs["kn_perplexity_filter"].fn(spark, sf_dir).count())
+    _min3("cdc_chunk_sharing", lambda: specs["cdc_chunk_sharing"].fn(spark, sf_dir).count())
 
     # Round-6 operator trackers: the 5-gram KN filter (the production-order
     # CCNet dial, generic order-n construction) and SemDeDup.
-    kn5_s = _min3("kn5_perplexity_filter", lambda: specs["kn5_perplexity_filter"].fn(spark, sf_dir).count())
-    semdedup_s = _min3("semantic_dedup_keep", lambda: specs["semantic_dedup_keep"].fn(spark, sf_dir).count())
-    cdc_gear_s = _min3(
+    _min3("kn5_perplexity_filter", lambda: specs["kn5_perplexity_filter"].fn(spark, sf_dir).count())
+    _min3("semantic_dedup_keep", lambda: specs["semantic_dedup_keep"].fn(spark, sf_dir).count())
+    _min3(
         "cdc_chunks_gear",
         lambda: cdc_chunks_gear(load_table(spark, sf_dir, "documents")).count()
     )
@@ -385,12 +425,12 @@ def main() -> None:
     # pass + 256-group agg + the exact-count audit side), the clustering-
     # quality report (exploded-vector centroid pass + k-sized tail), and the
     # vocab-sizing coverage curve (distributed exact rank over term counts).
-    hll_s = _min3("hll_distinct_parts", lambda: specs["hll_distinct_parts"].fn(spark, sf_dir).count())
-    cqual_s = _min3(
+    _min3("hll_distinct_parts", lambda: specs["hll_distinct_parts"].fn(spark, sf_dir).count())
+    _min3(
         "cluster_quality_metrics",
         lambda: specs["cluster_quality_metrics"].fn(spark, sf_dir).count()
     )
-    tcov_s = _min3("token_coverage_curve", lambda: specs["token_coverage_curve"].fn(spark, sf_dir).count())
+    _min3("token_coverage_curve", lambda: specs["token_coverage_curve"].fn(spark, sf_dir).count())
 
     # Round-7 trackers, APPENDED here per the extras ordering policy (the HDR
     # tracker's r7 insertion before cluster_quality_metrics is what the
@@ -399,11 +439,11 @@ def main() -> None:
     # steady-state cost), then the skew-rule-applied join (decision overhead
     # — dim count + one count-partials shuffle — INCLUDED, then the salted
     # join it picks on the hot source keys).
-    hdrq_s = _min3(
+    _min3(
         "hdr_value_quantiles_by_type",
         lambda: specs["hdr_value_quantiles_by_type"].fn(spark, sf_dir).count()
     )
-    skewaware_s = _min3(
+    _min3(
         "skew_aware_join_sources",
         lambda: specs["skew_aware_join_sources"].fn(spark, sf_dir).count()
     )
@@ -424,28 +464,35 @@ def main() -> None:
         with scheduler_pool(spark, f"bench-{nm}"):
             specs[nm].fn(spark, sf_dir).count()
 
-    extras_load1["concurrent_3way_wall"] = _load1()
-    t0 = time.time()
-    conc_threads = [
-        threading.Thread(target=_run_pooled, args=(nm,)) for nm in conc_queries
-    ]
-    for th in conc_threads:
-        th.start()
-    for th in conc_threads:
-        th.join()
-    conc_wall_s = round(time.time() - t0, 3)
-    conc_serial_s = round(sum(timings[nm] for nm in conc_queries), 3)
+    def _measure_concurrent() -> "dict[str, float]":
+        t0 = time.time()
+        conc_threads = [
+            threading.Thread(target=_run_pooled, args=(nm,))
+            for nm in conc_queries
+        ]
+        for th in conc_threads:
+            th.start()
+        for th in conc_threads:
+            th.join()
+        return {"concurrent_3way_wall": round(time.time() - t0, 3)}
+
+    _run_extra("concurrent_3way_wall", _measure_concurrent)
+    # derived from the official headline timings — not a measurement, so it
+    # sits outside the retry registry
+    extras_vals["concurrent_3way_serial_sum"] = round(
+        sum(timings[nm] for nm in conc_queries), 3
+    )
 
     # Round-8 trackers, appended at the END per the extras ordering policy:
     # the signed-mirror quantile sketch (same register shapes as the
     # unsigned tracker above) and the mergeable bottom-k sample's
     # fold==whole audit (per-source samples + two TakeOrdereds + a k-row
     # outer join — the sampling-state maintenance cost).
-    hdrsigned_s = _min3(
+    _min3(
         "hdr_signed_delta_quantiles",
         lambda: specs["hdr_signed_delta_quantiles"].fn(spark, sf_dir).count()
     )
-    bottomk_s = _min3(
+    _min3(
         "bottomk_merge_audit_sources",
         lambda: specs["bottomk_merge_audit_sources"].fn(spark, sf_dir).count()
     )
@@ -453,11 +500,11 @@ def main() -> None:
     # Round-9 trackers, appended at the END per the extras ordering policy:
     # the mergeability audits of the two new streaming stores (ES-key
     # weighted sample fold==whole; Misra-Gries fold containment + bound).
-    wsample_s = _min3(
+    _min3(
         "weighted_sample_merge_audit_sources",
         lambda: specs["weighted_sample_merge_audit_sources"].fn(spark, sf_dir).count()
     )
-    mgfold_s = _min3(
+    _min3(
         "mg_fold_containment_docs",
         lambda: specs["mg_fold_containment_docs"].fn(spark, sf_dir).count()
     )
@@ -465,11 +512,42 @@ def main() -> None:
     # Round-9 continuation trackers (appended after the above, same policy):
     # the compiled single-scan constraint suite (quality-gate steady cost)
     # and the AMS F2 audit (one-scan counters + fold + the exact twin).
-    constraints_s = _min3(
+    _min3(
         "constraint_suite_orders",
         lambda: specs["constraint_suite_orders"].fn(spark, sf_dir).count()
     )
-    ams_s = _min3("ams_f2_users_audit", lambda: specs["ams_f2_users_audit"].fn(spark, sf_dir).count())
+    _min3("ams_f2_users_audit", lambda: specs["ams_f2_users_audit"].fn(spark, sf_dir).count())
+
+    # Extras-retry pass (round 11): the frozen sequence is complete — now
+    # give every LOADED extra (stamp > EXTRA_RETRY_GATE) one clean tail
+    # re-measure. Wait out the idle budget at the tight gate first (the
+    # previous extra's burst is the usual contaminant — including the
+    # 3-way concurrency extra, whose own 3-thread burst inflates every
+    # stamp behind it), keep the LOWER value per key, adopt the retry's
+    # stamp, and record both sides so the substitution is auditable.
+    extras_retried: "dict[str, dict]" = {}
+    retry_wait_left = EXTRA_RETRY_TOTAL_WAIT_S
+    for name, measure in extra_measures:
+        stamp = extras_load1.get(name, -1.0)
+        if stamp <= EXTRA_RETRY_GATE:
+            continue
+        retry_load, w = _wait_for_idle(
+            budget_s=min(EXTRA_RETRY_WAIT_S, retry_wait_left),
+            gate=EXTRA_RETRY_GATE,
+        )
+        retry_wait_left = max(0.0, retry_wait_left - w)
+        new_vals = measure()
+        kept: "dict[str, dict[str, float]]" = {}
+        for key, retry_v in new_vals.items():
+            orig_v = extras_vals[key]
+            extras_vals[key] = min(orig_v, retry_v)
+            kept[key] = {"original": orig_v, "retry": retry_v}
+        extras_retried[name] = {
+            "load1_original": stamp,
+            "load1_retry": retry_load,
+            "values": kept,
+        }
+        extras_load1[name] = retry_load
 
     print(
         json.dumps(
@@ -480,32 +558,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "extras": {
-                    "dedup_lsh_pairs_docs10x": lsh_10x,
-                    "dedup_incremental_docs10x": incr_10x,
-                    "dedup_incremental_store_build_docs10x": store_build_s,
-                    "substring_dedup_hashed_docs10x": substr_10x,
-                    "bloom_decontaminate": bloom_s,
-                    "source_unigram_kl": kl_s,
-                    "pii_redaction_forced": pii_s,
-                    "gopher_quality_flags_forced": gopher_s,
-                    "kn_perplexity_filter": kn_s,
-                    "kn5_perplexity_filter": kn5_s,
-                    "semantic_dedup_keep": semdedup_s,
-                    "cdc_chunk_sharing": cdc_s,
-                    "cdc_chunks_gear": cdc_gear_s,
-                    "hll_distinct_parts": hll_s,
-                    "hdr_value_quantiles_by_type": hdrq_s,
-                    "cluster_quality_metrics": cqual_s,
-                    "token_coverage_curve": tcov_s,
-                    "skew_aware_join_sources": skewaware_s,
-                    "concurrent_3way_wall": conc_wall_s,
-                    "concurrent_3way_serial_sum": conc_serial_s,
-                    "hdr_signed_delta_quantiles": hdrsigned_s,
-                    "bottomk_merge_audit_sources": bottomk_s,
-                    "weighted_sample_merge_audit_sources": wsample_s,
-                    "mg_fold_containment_docs": mgfold_s,
-                    "constraint_suite_orders": constraints_s,
-                    "ams_f2_users_audit": ams_s,
+                    **extras_vals,
                     "headline_first_pass_total": round(cold_total, 3),
                     "load1_pre_warmup": load_at_start,
                     "load1_at_timing_start": load_at_timing,
@@ -515,6 +568,7 @@ def main() -> None:
                     "headline_passes": headline_passes,
                     "busy_box_budget_exhausted": budget_exhausted,
                     "extras_load1": extras_load1,
+                    "extras_retried": extras_retried,
                 },
             }
         )
