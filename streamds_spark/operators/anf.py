@@ -81,31 +81,15 @@ def hll64_registers(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
-def _mem_budget_bytes(spark) -> int:
-    """Per-executor memory the striping heuristic sizes against: the
-    `spark.executor.memory` conf when set (a real cluster), else the
-    driver JVM's max heap (local mode, where driver == executor)."""
-    conf = spark.conf.get("spark.executor.memory", None)
-    if conf:
-        units = {"k": 10, "m": 20, "g": 30, "t": 40}
-        s = conf.strip().lower()
-        try:
-            if s[-1] in units:
-                return int(float(s[:-1]) * (1 << units[s[-1]]))
-            return int(s)
-        except (ValueError, IndexError):
-            pass
-    return int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())  # noqa: SLF001
-
-
-# Measured calibration for the auto-stripes heuristic (8 GiB heap, 32
-# threads, BASELINE.md round-9 soaks): the per-round propagation fan-out is
-# |directed adjacency| x m register rows collapsing into per-task partial-agg
-# hash maps. sf0.1 (2.39M directed edges -> 153M fan-out rows) completes at
-# stripes=1; the x10 soak (1.53G fan-out) OOMs at 1 and completes at 8, i.e.
-# ~191M rows per stripe on 8 GiB worked — budget 24M fan-out rows per GiB of
-# executor memory and round up.
-_FANOUT_ROWS_PER_GIB = 24_000_000
+# Budget reader + the measured 24M-fan-out-rows-per-GiB calibration now
+# live in operators/sizing.py (shared with the ktruss/kcore dials); the
+# private aliases keep this module's soak pins and tools stable.
+from streamds_spark.operators.sizing import (  # noqa: E402
+    ANF_FANOUT_ROWS_PER_GIB as _FANOUT_ROWS_PER_GIB,
+)
+from streamds_spark.operators.sizing import (  # noqa: E402
+    mem_budget_bytes as _mem_budget_bytes,
+)
 
 
 def _auto_stripes(n_directed_edges: int, budget_bytes: int) -> int:

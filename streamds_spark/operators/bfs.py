@@ -138,3 +138,50 @@ def weighted_distances(
     raise RuntimeError(
         f"weighted relaxation did not reach the fixpoint in {max_iter} rounds"
     )
+
+
+def keyed_distances(
+    edges: DataFrame, sources: "DataFrame | None" = None, max_iter: int = 50
+) -> DataFrame:
+    """DataFrame[src, node, dist] — minimum hop count from EACH source to
+    every node it reaches, swept together keyed by src (the stress
+    operator's forward wave, distances only). sources(src) defaults to
+    EVERY node — the exact all-pairs table behind the harmonic-centrality
+    accuracy audit; state is sum over components of |c|^2, so this is for
+    audit-scale graphs, not the 100 TB path (hop_distances /
+    operators/anf.py are the single-source-set and sketched answers there).
+    Unreached (src, node) pairs are absent; dist=0 rows are the sources."""
+    adj = (
+        edges.select("u", "v")
+        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    if sources is None:
+        sources = adj.select(F.col("u").alias("src")).distinct()
+    else:
+        sources = sources.select(F.col(sources.columns[0]).alias("src")).distinct()
+    frontier = sources.select(
+        "src", F.col("src").alias("node")
+    ).localCheckpoint(eager=True)
+    if frontier.isEmpty():
+        return spark.createDataFrame([], "src bigint, node bigint, dist bigint")
+    dist = frontier.withColumn("dist", F.lit(0).cast("bigint"))
+    for d in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(adj, frontier.node == adj.u)
+            .select("src", F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("src", "node"), ["src", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            return dist
+        dist = dist.unionByName(
+            nxt.withColumn("dist", F.lit(d).cast("bigint"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    raise RuntimeError(
+        f"keyed BFS did not exhaust the reachable set in {max_iter} hops"
+    )

@@ -136,7 +136,11 @@ def core_numbers(edges: DataFrame, max_iter: int = 100) -> DataFrame:
 # Below this changed-node fraction the per-round recompute narrows to the
 # frontier's neighborhood; above it a full recompute is cheaper (the
 # semi-join pre-filter would scan the adjacency anyway and add exchanges).
-ACTIVE_SET_FRACTION = 0.5
+# Shared-dial home: operators/sizing.py (aliased so kcore callers keep
+# reading the crossover from this module).
+from streamds_spark.operators.sizing import (  # noqa: E402
+    KCORE_ACTIVE_SET_FRACTION as ACTIVE_SET_FRACTION,
+)
 
 
 def _core_numbers_with_rounds(

@@ -63,12 +63,19 @@ def _support(edges: DataFrame) -> DataFrame:
 
 def _auto_partitions(n_edges: int, session_default: int) -> int:
     """Self-sized shuffle-partition count for the wedge join: ~40k edges
-    per partition. sf0.1's 1.196M edges / 32 = 37k per task is
-    measured-good (20.9 s); the x10 soak's OOM-at-32 / completes-at-256
-    boundary is ~47k per task — stay under it with headroom. Never LOWER
-    granularity below the session default (a small graph keeps its fast
-    wide plan); cap the blow-up at 4096."""
-    return max(session_default, min(4096, -(-n_edges // 40_000)))
+    per partition (KTRUSS_EDGES_PER_TASK, measured provenance in
+    operators/sizing.py — the x10 soak's OOM boundary is ~47k per task).
+    Never LOWER granularity below the session default (a small graph keeps
+    its fast wide plan); cap the blow-up at KTRUSS_MAX_PARTITIONS."""
+    from streamds_spark.operators.sizing import (
+        KTRUSS_EDGES_PER_TASK,
+        KTRUSS_MAX_PARTITIONS,
+    )
+
+    return max(
+        session_default,
+        min(KTRUSS_MAX_PARTITIONS, -(-n_edges // KTRUSS_EDGES_PER_TASK)),
+    )
 
 
 def ktruss_edges(

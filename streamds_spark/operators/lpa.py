@@ -11,9 +11,20 @@ engine. This variant is FULLY DETERMINISTIC:
   * a total tie order — highest neighbor-label count, then SMALLEST label;
   * a FIXED round budget R (a parameter of the operator's definition, like
     fixed-iteration PageRank): synchronous LPA can oscillate between two
-    labelings on bipartite-ish structure (documented in the paper), so
-    convergence is not a usable stop rule; a fixed R makes the output a
-    pure function of (graph, R) that a SQL replay reproduces bit-for-bit.
+    labelings on bipartite-ish structure (documented in the paper; pinned
+    by test_lpa.test_bipartite_oscillation on a 4-cycle), so convergence
+    is not a usable stop rule; a fixed R makes the output a pure function
+    of (graph, R) that a SQL replay reproduces bit-for-bit.
+
+The default R=4 is evidence-backed by the copurchase_lpa_convergence
+census (round 11; per-round labels-changed / communities-remaining on the
+repeat co-purchase graph): at sf0.1 the community count walks 5052 ->
+4839 -> 4796 -> 4784 -> 4783 over rounds 1-5 — round 4 buys 12 communities
+of structure, round 5 buys ONE — and at sf0.001 the labeling fully
+converges (labels_changed = 0) at round 5 with the community structure
+stable from round 4. labels-changed itself plateaus high at the larger SFs
+(~5919 of ~10k nodes at sf0.1) — the oscillation signature, which is why
+the knee is read from n_communities, not from changes reaching zero.
 
 Complements the existing graph family: modularity_census SCORES a given
 labeling; this DETECTS one. The detected labels feed modularity_census
@@ -78,4 +89,66 @@ def community_sizes(edges: DataFrame, rounds: int = 4, k: int = 20) -> DataFrame
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
         .orderBy(F.desc("n_nodes"), "community")
         .limit(k)
+    )
+
+
+def lpa_convergence_census(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
+    """DataFrame[round, labels_changed, n_communities] for round = 1 ..
+    max_rounds: how many nodes changed label in that synchronous round and
+    how many distinct labels remain after it — the evidence table behind a
+    fixed round budget (the anf_census pattern: exact BIGINTs, so the whole
+    census is hash-exact against a SQL replay of the identical rounds).
+
+    Reading it: labels_changed collapsing toward a small steady value is
+    the knee where extra rounds stop buying structure; it does NOT
+    necessarily reach 0 — synchronous LPA can oscillate with period 2 on
+    bipartite-ish structure (Raghavan et al. 2007; pinned by
+    test_lpa.test_bipartite_oscillation), which is exactly why the
+    operator takes a FIXED budget rather than a convergence stop rule.
+    Cost: one extra 1-row aggregate per round on top of label_propagation
+    at the same round count."""
+    if max_rounds < 1:
+        raise ValueError(
+            f"lpa_convergence_census: max_rounds must be >= 1, got {max_rounds}"
+        )
+    adj = (
+        edges.select("u", "v")
+        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    labels = adj.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    rows = []
+    for r in range(1, max_rounds + 1):
+        cand = adj.join(labels.toDF("v", "label"), "v").select(
+            F.col("u").alias("node"), "label"
+        )
+        nxt = (
+            cand.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+        # 1-row loop-control aggregate (the graph-family discipline)
+        stat = (
+            nxt.join(labels.toDF("node", "plabel"), "node")
+            .agg(
+                F.coalesce(
+                    F.sum((F.col("label") != F.col("plabel")).cast("bigint")),
+                    F.lit(0),
+                ).alias("ch"),
+                F.countDistinct("label").alias("nc"),
+            )
+            .collect()[0]
+        )
+        rows.append((r, int(stat["ch"]), int(stat["nc"])))
+        labels = nxt
+    return spark.createDataFrame(
+        rows, "round bigint, labels_changed bigint, n_communities bigint"
     )

@@ -1,0 +1,67 @@
+"""Shared memory-budget machinery for the graph operators' self-sizing
+dials (round 11, per VERDICT r10 item 5): the "what's my executor heap"
+reader and the measured calibration constants lived scattered across
+anf.py / ktruss.py / kcore.py — one import point keeps the provenance of
+every number next to the number and the JVM-size parser unit-testable
+without a session.
+
+Every constant below is a MEASUREMENT, not a guess; the boundary soaks are
+reproducible with tools/soak_graph_dials.py and recorded in BASELINE.md
+(round-9/10 graph-dial notes).
+"""
+
+from __future__ import annotations
+
+_UNITS = {"k": 10, "m": 20, "g": 30, "t": 40}
+
+
+def parse_jvm_size(s: "str | None") -> "int | None":
+    """Bytes for a JVM-style size string ('512m', '8g', '1.5g', '2t',
+    '1024k', or raw bytes '123456'); None when unset or unparseable —
+    callers fall back to the live JVM heap rather than guess."""
+    if not s:
+        return None
+    s = s.strip().lower()
+    try:
+        if s and s[-1] in _UNITS:
+            return int(float(s[:-1]) * (1 << _UNITS[s[-1]]))
+        return int(s)
+    except (ValueError, IndexError):
+        return None
+
+
+def mem_budget_bytes(spark) -> int:
+    """Per-executor memory the self-sizing heuristics budget against: the
+    `spark.executor.memory` conf when set (a real cluster), else the
+    driver JVM's max heap (local mode, where driver == executor)."""
+    parsed = parse_jvm_size(spark.conf.get("spark.executor.memory", None))
+    if parsed is not None:
+        return parsed
+    return int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())  # noqa: SLF001
+
+
+# -- HyperANF / harmonic (operators/anf.py) ---------------------------------
+# The per-round propagation fan-out is |directed adjacency| x m register
+# rows collapsing into per-task partial-agg hash maps. Measured on the
+# 8 GiB-heap / 32-thread box (BASELINE.md round-9 soaks): sf0.1 (2.39M
+# directed edges -> 153M fan-out rows) completes at stripes=1; the x10 soak
+# (1.53G fan-out) OOMs at 1 and completes at 8, i.e. ~191M rows per stripe
+# on 8 GiB worked — budget 24M fan-out rows per GiB and round up.
+ANF_FANOUT_ROWS_PER_GIB = 24_000_000
+
+# -- k-truss (operators/ktruss.py) -------------------------------------------
+# The wedge join's per-task sort/aggregate buffers scale with (join
+# fan-out) / (shuffle partitions); the boundary is PARTITION GRANULARITY,
+# not heap. Measured (BASELINE.md round-9/10 soaks): sf0.1's 1.196M edges
+# at 32 partitions = 37k edges/task is good (20.9 s); the x10 soak's
+# OOM-at-32 / completes-at-256 boundary is ~47k edges/task — budget 40k
+# with headroom. The 4096 cap bounds scheduler overhead on huge graphs.
+KTRUSS_EDGES_PER_TASK = 40_000
+KTRUSS_MAX_PARTITIONS = 4096
+
+# -- k-core (operators/kcore.py) ---------------------------------------------
+# Below this changed-node fraction the per-round H-index recompute narrows
+# to the frontier's neighborhood; above it a full recompute is cheaper (the
+# semi-join pre-filter would scan the adjacency anyway and add exchanges).
+# Crossover measured by the active-set shrink pin in tests/test_kcore.py.
+KCORE_ACTIVE_SET_FRACTION = 0.5

@@ -46,25 +46,27 @@ from pyspark.sql import functions as F
 STRESS_PIVOTS = 4
 
 
-def _pivots(adj: DataFrame, k: int) -> DataFrame:
-    """The k deterministic pivot sources: smallest (md5(node), node)."""
-    return (
-        adj.select(F.col("u").alias("src"))
-        .distinct()
-        .orderBy(F.md5(F.col("src").cast("string")), "src")
-        .limit(k)
-    )
+def _pivots(adj: DataFrame, k: "int | None") -> DataFrame:
+    """The k deterministic pivot sources: smallest (md5(node), node).
+    k=None selects EVERY node — the all-sources (exact) sweep, used by the
+    estimator-accuracy audit. The md5 ordering makes pivot sets NESTED
+    PREFIXES of each other: the first 4 of a 32-pivot draw are exactly the
+    4-pivot draw, so one per-source sweep can grade several pivot counts."""
+    srcs = adj.select(F.col("u").alias("src")).distinct()
+    if k is None:
+        return srcs
+    return srcs.orderBy(F.md5(F.col("src").cast("string")), "src").limit(k)
 
 
-def stress_centrality_topk(
-    edges: DataFrame, k: int = 20, pivots: int = STRESS_PIVOTS, max_iter: int = 64
+def stress_per_source(
+    edges: DataFrame, pivots: "int | None" = STRESS_PIVOTS, max_iter: int = 64
 ) -> DataFrame:
-    """DataFrame[node, stress] — top-k nodes by pivot-sampled stress
-    centrality of the undirected simple graph `edges(u, v)`: the exact
-    number of pivot-sourced shortest paths through each node (BIGINT),
-    ties broken (stress DESC, node ASC). Pivot nodes themselves still
-    appear (other pivots' paths may route through them); endpoints don't
-    count their own paths (v != s, and psi counts only continuations)."""
+    """DataFrame[src, node, through] — for each pivot source s and node
+    v != s, the exact number of shortest s-anywhere paths routed THROUGH v
+    (sigma(s,v) * psi(s,v), BIGINT). pivots=None sweeps EVERY node as a
+    source — the exact all-sources decomposition (state nodes x reachable,
+    audit-scale graphs only); the top-k fold over any pivot PREFIX of the
+    same sweep equals stress_centrality_topk at that pivot count."""
     adj = (
         edges.select("u", "v")
         .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -73,7 +75,7 @@ def stress_centrality_topk(
     )
     spark = edges.sparkSession
     if adj.isEmpty():
-        return spark.createDataFrame([], "node bigint, stress bigint")
+        return spark.createDataFrame([], "src bigint, node bigint, through bigint")
     src = _pivots(adj, pivots).localCheckpoint(eager=True)
 
     # -- forward: (src, node, dist, sigma), level-synchronous ---------------
@@ -139,12 +141,35 @@ def stress_centrality_topk(
         )
         psi = psi.unionByName(lvl_psi).localCheckpoint(eager=True)
 
-    # -- combine: stress_S(v) = sum over pivots of sigma * psi, v != src ----
+    # -- combine: pivot s routes sigma(s,v) * psi(s,v) paths through v ------
     return (
         reached.join(psi, ["src", "node"])
         .where(F.col("node") != F.col("src"))
+        .select(
+            "src",
+            "node",
+            (F.col("sigma") * F.col("psi")).cast("bigint").alias("through"),
+        )
+    )
+
+
+def stress_centrality_topk(
+    edges: DataFrame,
+    k: int = 20,
+    pivots: "int | None" = STRESS_PIVOTS,
+    max_iter: int = 64,
+) -> DataFrame:
+    """DataFrame[node, stress] — top-k nodes by pivot-sampled stress
+    centrality of the undirected simple graph `edges(u, v)`: the exact
+    number of pivot-sourced shortest paths through each node (BIGINT),
+    ties broken (stress DESC, node ASC). Pivot nodes themselves still
+    appear (other pivots' paths may route through them); endpoints don't
+    count their own paths (v != s, and psi counts only continuations).
+    pivots=None folds the exact all-sources stress (audit-scale graphs)."""
+    return (
+        stress_per_source(edges, pivots=pivots, max_iter=max_iter)
         .groupBy("node")
-        .agg(F.sum(F.col("sigma") * F.col("psi")).cast("bigint").alias("stress"))
+        .agg(F.sum("through").cast("bigint").alias("stress"))
         .orderBy(F.desc("stress"), "node")
         .limit(k)
     )

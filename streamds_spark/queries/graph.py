@@ -1558,3 +1558,487 @@ def brand_affinity_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w").alias("w_rank"),
         )
     )
+
+
+# -- estimator-accuracy audits (round 11, per VERDICT r10 item 3) -----------
+#
+# The sampled centralities are hash-exact AS DEFINED (the HLL-twin
+# discipline) but their quality AS ESTIMATORS of the exact quantity was
+# undocumented. These two rows quantify it on a bounded audit subgraph —
+# the co-purchase graph of the orders with l_orderkey <= AUDIT_ORDER_CUT,
+# a deterministic sf0.001-scale slice at every SF (200-1900 nodes) where
+# exact all-sources computation is affordable — emitting INTEGER top-k
+# overlap and exact rank-agreement counts (integers -> hash-exact; the
+# estimator-quality analog of the HLL twins). BASELINE.md carries the
+# measured overlap@20 table per SF.
+
+AUDIT_ORDER_CUT = 500
+AUDIT_PIVOT_COUNTS = (4, 8, 16, 32)
+
+
+def _audit_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return copurchase_edges(
+        li.where(F.col("l_orderkey") <= AUDIT_ORDER_CUT)
+    ).localCheckpoint(eager=True)
+
+
+def _overlap_metrics(
+    exact: "list[int]", sampled: "list[int]"
+) -> "tuple[int, int, int, int]":
+    """(overlap@5, overlap@10, overlap@20, exact-rank agreements) between
+    two rank-ordered top-20 node lists."""
+    ov = lambda k: len(set(exact[:k]) & set(sampled[:k]))  # noqa: E731
+    agree = sum(1 for a, b in zip(exact, sampled) if a == b)
+    return ov(5), ov(10), ov(20), agree
+
+
+_ACC_SCHEMA = (
+    "n_nodes bigint, n_edges bigint, overlap_top5 bigint, "
+    "overlap_top10 bigint, overlap_top20 bigint, rank_agree_top20 bigint"
+)
+
+
+@query(
+    "stress_estimator_accuracy",
+    oracle=f"""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey <= {AUDIT_ORDER_CUT}
+    ),
+    edges AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT u AS a, v AS b FROM edges
+            UNION ALL SELECT v, u FROM edges
+        )
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM adj),
+    pcounts(p) AS (SELECT * FROM (VALUES (4), (8), (16), (32)) t(p)),
+    pivots AS MATERIALIZED (
+        SELECT node AS src,
+               row_number() OVER (
+                   ORDER BY md5(CAST(node AS VARCHAR)), node
+               ) AS pk
+        FROM nodes
+    ),
+    -- ONE all-sources forward/backward sweep (the stress oracle's two
+    -- carried-state recursions, seeded from EVERY node); the sampled
+    -- estimator at pivot count p is the same combine restricted to the
+    -- md5-order pivot PREFIX of size p (pivot sets are nested by
+    -- construction, so this equals an independent p-pivot run)
+    fwd(iter, src, node, dist, sigma) AS (
+        SELECT 0, node, node, 0, CAST(1 AS BIGINT) FROM nodes
+      UNION ALL
+        SELECT * FROM (
+          WITH cur AS MATERIALIZED (
+              SELECT iter, src, node, dist, sigma FROM fwd
+          ),
+          newf AS MATERIALIZED (
+            SELECT c.src, adj.b AS node, c.dist + 1 AS dist,
+                   CAST(sum(c.sigma) AS BIGINT) AS sigma
+            FROM cur c JOIN adj ON adj.a = c.node
+            WHERE c.dist = (SELECT max(iter) FROM cur)
+              AND NOT EXISTS (
+                SELECT 1 FROM cur p WHERE p.src = c.src AND p.node = adj.b
+              )
+            GROUP BY c.src, adj.b, c.dist + 1
+          )
+          SELECT (SELECT max(iter) FROM cur) + 1 AS iter,
+                 src, node, dist, sigma
+          FROM (
+            SELECT src, node, dist, sigma FROM cur
+            UNION ALL
+            SELECT src, node, dist, sigma FROM newf
+          )
+          WHERE EXISTS (SELECT 1 FROM newf)
+        )
+    ),
+    ffin AS MATERIALIZED (
+        SELECT src, node, dist, sigma FROM fwd
+        WHERE iter = (SELECT max(iter) FROM fwd)
+    ),
+    bwd(iter, src, node, psi) AS (
+        SELECT 0, src, node, CAST(0 AS BIGINT)
+        FROM ffin WHERE dist = (SELECT max(dist) FROM ffin)
+      UNION ALL
+        SELECT * FROM (
+          WITH cur AS MATERIALIZED (SELECT iter, src, node, psi FROM bwd),
+          lvl AS (
+            SELECT (SELECT max(dist) FROM ffin)
+                   - (SELECT max(iter) FROM cur) - 1 AS l
+          ),
+          at_lvl AS MATERIALIZED (
+            SELECT src, node FROM ffin WHERE dist = (SELECT l FROM lvl)
+          ),
+          below AS MATERIALIZED (
+            SELECT f.src, f.node, c.psi
+            FROM ffin f JOIN cur c ON c.src = f.src AND c.node = f.node
+            WHERE f.dist = (SELECT l FROM lvl) + 1
+          ),
+          succ AS MATERIALIZED (
+            SELECT a.src, a.node, CAST(sum(1 + b.psi) AS BIGINT) AS psi
+            FROM at_lvl a
+            JOIN adj ON adj.a = a.node
+            JOIN below b ON b.src = a.src AND b.node = adj.b
+            GROUP BY a.src, a.node
+          )
+          SELECT (SELECT max(iter) FROM cur) + 1, src, node, psi FROM (
+            SELECT src, node, psi FROM cur
+            UNION ALL
+            SELECT a.src, a.node, CAST(COALESCE(s.psi, 0) AS BIGINT)
+            FROM at_lvl a
+            LEFT JOIN succ s ON s.src = a.src AND s.node = a.node
+          )
+          WHERE (SELECT l FROM lvl) >= 0
+        )
+    ),
+    bfin AS MATERIALIZED (
+        SELECT src, node, psi FROM bwd
+        WHERE iter = (SELECT max(iter) FROM bwd)
+    ),
+    combined AS MATERIALIZED (
+        SELECT f.src, f.node, f.sigma * b.psi AS through
+        FROM ffin f JOIN bfin b ON b.src = f.src AND b.node = f.node
+        WHERE f.node <> f.src
+    ),
+    stress_all AS MATERIALIZED (
+        SELECT node, CAST(sum(through) AS BIGINT) AS stress
+        FROM combined GROUP BY node
+    ),
+    stress_smp AS MATERIALIZED (
+        SELECT pc.p, c.node, CAST(sum(c.through) AS BIGINT) AS stress
+        FROM combined c
+        JOIN pivots pv ON pv.src = c.src AND pv.pk <= 32
+        JOIN pcounts pc ON pv.pk <= pc.p
+        GROUP BY pc.p, c.node
+    ),
+    top_ex AS (
+        SELECT node, rk FROM (
+            SELECT node,
+                   row_number() OVER (ORDER BY stress DESC, node) AS rk
+            FROM stress_all
+        ) WHERE rk <= 20
+    ),
+    top_sm AS (
+        SELECT p, node, rk FROM (
+            SELECT p, node,
+                   row_number() OVER (
+                       PARTITION BY p ORDER BY stress DESC, node
+                   ) AS rk
+            FROM stress_smp
+        ) WHERE rk <= 20
+    )
+    SELECT CAST(pc.p AS BIGINT) AS pivots,
+           (SELECT count(*) FROM nodes) AS n_nodes,
+           (SELECT count(*) FROM edges) AS n_edges,
+           CAST(COALESCE(o5.c, 0) AS BIGINT) AS overlap_top5,
+           CAST(COALESCE(o10.c, 0) AS BIGINT) AS overlap_top10,
+           CAST(COALESCE(o20.c, 0) AS BIGINT) AS overlap_top20,
+           CAST(COALESCE(ag.c, 0) AS BIGINT) AS rank_agree_top20
+    FROM pcounts pc
+    LEFT JOIN (
+        SELECT s.p, count(*) AS c FROM top_ex e
+        JOIN top_sm s ON s.node = e.node
+        WHERE e.rk <= 5 AND s.rk <= 5 GROUP BY s.p
+    ) o5 ON o5.p = pc.p
+    LEFT JOIN (
+        SELECT s.p, count(*) AS c FROM top_ex e
+        JOIN top_sm s ON s.node = e.node
+        WHERE e.rk <= 10 AND s.rk <= 10 GROUP BY s.p
+    ) o10 ON o10.p = pc.p
+    LEFT JOIN (
+        SELECT s.p, count(*) AS c FROM top_ex e
+        JOIN top_sm s ON s.node = e.node GROUP BY s.p
+    ) o20 ON o20.p = pc.p
+    LEFT JOIN (
+        SELECT s.p, count(*) AS c FROM top_ex e
+        JOIN top_sm s ON s.rk = e.rk AND s.node = e.node GROUP BY s.p
+    ) ag ON ag.p = pc.p
+    ORDER BY pivots
+    """,
+)
+def stress_estimator_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How good is pivot-sampled stress as an ESTIMATOR of exact all-
+    sources stress? One all-sources per-source sweep
+    (operators/stress.stress_per_source, pivots=None) on the bounded audit
+    subgraph yields the exact ranking; the md5 pivot order makes pivot
+    sets nested prefixes, so the SAME sweep filtered to the first p
+    sources reproduces the production estimator at p pivots exactly. One
+    row per p in (4, 8, 16, 32): top-k overlap + exact rank agreement vs
+    the exact top-20 — all BIGINTs, hash-exact against the DuckDB replay.
+    The production query ships pivots=4; this row is the evidence table
+    behind that dial (Brandes & Pich 2007 estimation posture)."""
+    from streamds_spark.operators.stress import _pivots, stress_per_source
+
+    edges = _audit_edges(spark, sf_dir)
+    per = stress_per_source(edges, pivots=None).localCheckpoint(eager=False)
+
+    def topk(df: DataFrame) -> "list[int]":
+        return [
+            r["node"]
+            for r in df.groupBy("node")
+            .agg(F.sum("through").cast("bigint").alias("stress"))
+            .orderBy(F.desc("stress"), "node")
+            .limit(20)
+            .collect()
+        ]
+
+    exact = topk(per)
+    adj = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    piv = [r["src"] for r in _pivots(adj, max(AUDIT_PIVOT_COUNTS)).collect()]
+    n_nodes = adj.select("u").distinct().count()
+    n_edges = edges.count()
+    rows = []
+    for p in AUDIT_PIVOT_COUNTS:
+        sampled = topk(per.where(F.col("src").isin(piv[:p])))
+        ov5, ov10, ov20, agree = _overlap_metrics(exact, sampled)
+        rows.append((p, n_nodes, n_edges, ov5, ov10, ov20, agree))
+    return spark.createDataFrame(rows, "pivots bigint, " + _ACC_SCHEMA)
+
+
+@query(
+    "harmonic_estimator_accuracy",
+    oracle=f"""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_orderkey <= {AUDIT_ORDER_CUT}
+    ),
+    edges AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    ),
+    adj AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+    nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM adj),
+    -- exact side: all-sources BFS distances carried per iteration (the
+    -- components/ANF recursion pattern), folded into TRUE harmonic
+    -- centrality under the same exact-BIGINT lcm(1..20) weights the proxy
+    -- uses: h = sum over sources s != v of (232792560 // d(s, v))
+    bfs(iter, src, node, dist) AS (
+        SELECT 0, node, node, 0 FROM nodes
+      UNION ALL
+        SELECT * FROM (
+          WITH cur AS MATERIALIZED (SELECT iter, src, node, dist FROM bfs),
+          newf AS MATERIALIZED (
+            SELECT DISTINCT c.src, adj.b AS node, c.dist + 1 AS dist
+            FROM cur c JOIN adj ON adj.a = c.node
+            WHERE c.dist = (SELECT max(iter) FROM cur)
+              AND NOT EXISTS (
+                SELECT 1 FROM cur p WHERE p.src = c.src AND p.node = adj.b
+              )
+          )
+          SELECT (SELECT max(iter) FROM cur) + 1, src, node, dist FROM (
+            SELECT src, node, dist FROM cur
+            UNION ALL
+            SELECT src, node, dist FROM newf
+          )
+          WHERE EXISTS (SELECT 1 FROM newf)
+        )
+    ),
+    bfin AS MATERIALIZED (
+        SELECT src, node, dist FROM bfs
+        WHERE iter = (SELECT max(iter) FROM bfs)
+    ),
+    hexact AS MATERIALIZED (
+        SELECT node, CAST(sum(232792560 // dist) AS BIGINT) AS h
+        FROM bfin WHERE dist > 0 GROUP BY node
+    ),
+    -- proxy side: the IDENTICAL HyperANF register propagation + HyperBall
+    -- harmonic fold as the copurchase_harmonic_centrality oracle, on the
+    -- same audit subgraph
+    seed AS (
+        SELECT node,
+               (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4
+               + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) // 4
+                   AS bucket,
+               regexp_replace(substr(h, 3, 15), '^0+', '') AS t
+        FROM (SELECT DISTINCT a AS node, md5(CAST(a AS VARCHAR)) AS h FROM adj)
+    ),
+    anf(iter, node, bucket, rho) AS (
+        SELECT 0, node, bucket,
+               CASE WHEN length(t) = 0 THEN 61
+                    ELSE (15 - length(t)) * 4 + 4
+                         - CAST(floor(log2(instr('0123456789abcdef',
+                                                 substr(t, 1, 1)) - 1)) AS INT)
+               END
+        FROM seed
+      UNION ALL
+        SELECT * FROM (
+          WITH cur AS MATERIALIZED (SELECT iter, node, bucket, rho FROM anf),
+          nxt AS MATERIALIZED (
+            SELECT node, bucket, max(rho) AS rho FROM (
+              SELECT adj.a AS node, c.bucket, c.rho
+              FROM adj JOIN cur c ON c.node = adj.b
+              UNION ALL
+              SELECT node, bucket, rho FROM cur
+            ) GROUP BY node, bucket
+          )
+          SELECT (SELECT max(iter) FROM cur) + 1, n.node, n.bucket, n.rho
+          FROM nxt n
+          WHERE (SELECT sum(rho) FROM nxt) <> (SELECT sum(rho) FROM cur)
+        )
+    ),
+    node_mass AS MATERIALIZED (
+        SELECT iter, node, CAST(sum(rho) AS BIGINT) AS mass
+        FROM anf GROUP BY iter, node
+    ),
+    deltas AS (
+        SELECT c.node, (c.mass - p.mass) * (232792560 // c.iter) AS dh
+        FROM node_mass c
+        JOIN node_mass p ON p.node = c.node AND p.iter = c.iter - 1
+    ),
+    hproxy AS MATERIALIZED (
+        SELECT s.node, CAST(COALESCE(sum(d.dh), 0) AS BIGINT) AS h
+        FROM (SELECT node FROM node_mass WHERE iter = 0) s
+        LEFT JOIN deltas d ON d.node = s.node
+        GROUP BY s.node
+    ),
+    top_ex AS (
+        SELECT node, rk FROM (
+            SELECT node, row_number() OVER (ORDER BY h DESC, node) AS rk
+            FROM hexact
+        ) WHERE rk <= 20
+    ),
+    top_px AS (
+        SELECT node, rk FROM (
+            SELECT node, row_number() OVER (ORDER BY h DESC, node) AS rk
+            FROM hproxy
+        ) WHERE rk <= 20
+    )
+    SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+           (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT count(*) FROM top_ex e JOIN top_px s ON s.node = e.node
+            WHERE e.rk <= 5 AND s.rk <= 5) AS overlap_top5,
+           (SELECT count(*) FROM top_ex e JOIN top_px s ON s.node = e.node
+            WHERE e.rk <= 10 AND s.rk <= 10) AS overlap_top10,
+           (SELECT count(*) FROM top_ex e JOIN top_px s ON s.node = e.node)
+               AS overlap_top20,
+           (SELECT count(*) FROM top_ex e JOIN top_px s
+            ON s.rk = e.rk AND s.node = e.node) AS rank_agree_top20
+    """,
+)
+def harmonic_estimator_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How good is the HyperBall register-mass proxy as an ESTIMATOR of
+    true harmonic centrality? On the bounded audit subgraph: the exact
+    side is an all-sources keyed BFS (operators/bfs.keyed_distances)
+    folded under the proxy's own exact-BIGINT lcm(1..20) weights
+    (h = sum over sources of 232792560 // d); the proxy side is the
+    production operator (operators/anf.harmonic_centrality_topk) on the
+    same edges. One row of integer top-k overlap + exact rank-agreement
+    metrics, hash-exact against the DuckDB twin (which replays BOTH
+    sides). Complements copurchase_harmonic_centrality the way the exact
+    distinct-count audits complement the HLL rows."""
+    from streamds_spark.operators.anf import (
+        HARMONIC_SCALE,
+        harmonic_centrality_topk,
+    )
+    from streamds_spark.operators.bfs import keyed_distances
+
+    edges = _audit_edges(spark, sf_dir)
+    proxy = [r["node"] for r in harmonic_centrality_topk(edges, k=20).collect()]
+    exact = [
+        r["node"]
+        for r in keyed_distances(edges)
+        .where(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.sum(F.expr(f"{HARMONIC_SCALE} div dist"))
+            .cast("bigint")
+            .alias("h")
+        )
+        .orderBy(F.desc("h"), "node")
+        .limit(20)
+        .collect()
+    ]
+    ov5, ov10, ov20, agree = _overlap_metrics(exact, proxy)
+    n_nodes = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .distinct()
+        .count()
+    )
+    rows = [(n_nodes, edges.count(), ov5, ov10, ov20, agree)]
+    return spark.createDataFrame(rows, _ACC_SCHEMA)
+
+
+@query(
+    "copurchase_lpa_convergence",
+    oracle="""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT a.p AS u, b.p AS v
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    adj AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT u AS a, v AS b FROM edges
+            UNION ALL SELECT v, u FROM edges
+        )
+    ),
+    lpa(iter, node, label) AS (
+        SELECT 0, a, a FROM (SELECT DISTINCT a FROM adj)
+      UNION ALL
+        SELECT * FROM (
+          WITH cur AS MATERIALIZED (SELECT iter, node, label FROM lpa),
+          cnt AS MATERIALIZED (
+            SELECT adj.a AS node, c.label, count(*) AS c
+            FROM adj JOIN cur c ON c.node = adj.b
+            WHERE c.iter = (SELECT max(iter) FROM cur)
+            GROUP BY adj.a, c.label
+          )
+          SELECT (SELECT max(iter) FROM cur) + 1, node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (
+                       PARTITION BY node ORDER BY c DESC, label ASC
+                   ) AS rn
+            FROM cnt
+          )
+          WHERE rn = 1 AND (SELECT max(iter) FROM cur) < 8
+        )
+    )
+    SELECT CAST(c.iter AS BIGINT) AS round,
+           CAST(sum(CASE WHEN c.label <> p.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS labels_changed,
+           CAST(count(DISTINCT c.label) AS BIGINT) AS n_communities
+    FROM lpa c JOIN lpa p ON p.node = c.node AND p.iter = c.iter - 1
+    WHERE c.iter >= 1
+    GROUP BY c.iter
+    ORDER BY round
+    """,
+)
+def copurchase_lpa_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA convergence census on the repeat co-purchase graph: for each
+    synchronous round 1..8, how many nodes changed label and how many
+    distinct labels remain (operators/lpa.lpa_convergence_census) — the
+    measured evidence behind copurchase_communities_lpa's fixed rounds=4
+    budget, the anf_census pattern applied to the round dial. Exact
+    BIGINTs; the DuckDB recursion replays the identical rounds (carrying
+    the full per-iteration state, joined iter-vs-iter-1 for the deltas),
+    so all 8 rows are hash-exact at every SF. Synchronous LPA may
+    oscillate rather than reach 0 changes (see the operator docstring and
+    test_lpa.test_bipartite_oscillation) — the census shows the knee, not
+    a fixpoint."""
+    from streamds_spark.operators.lpa import lpa_convergence_census
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = (
+        items.toDF("o", "u")
+        .join(items.toDF("o", "v"), "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    return lpa_convergence_census(edges, max_rounds=8)

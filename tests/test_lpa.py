@@ -81,3 +81,62 @@ def test_determinism_and_validation(spark):
     # duplicate edge rows don't inflate neighbor-label counts
     dup = spark.createDataFrame(edges + edges, "u bigint, v bigint")
     assert sorted(tuple(r) for r in label_propagation(dup, 4).collect()) == a
+
+
+def test_bipartite_oscillation(spark):
+    """The documented synchronous-LPA failure mode (Raghavan et al. 2007):
+    on a 4-cycle (the smallest bipartite-ish structure) the labeling
+    oscillates with period 2 forever — labels_changed never reaches 0, so
+    convergence is NOT a usable stop rule and the operator's fixed round
+    budget is the correct design. The census makes the oscillation
+    measurable: every round past the first flips all 4 nodes."""
+    from streamds_spark.operators.lpa import (
+        label_propagation,
+        lpa_convergence_census,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    census = {
+        r["round"]: (r["labels_changed"], r["n_communities"])
+        for r in lpa_convergence_census(df, max_rounds=6).collect()
+    }
+    assert set(census) == {1, 2, 3, 4, 5, 6}
+    # round 1 collapses to the two-label checkerboard; every later round
+    # flips the whole checkerboard — changed stays 4, never 0
+    assert all(census[r] == (4, 2) for r in range(2, 7)), census
+    # period-2: the labeling at round r equals the labeling at round r+2
+    lab = lambda rounds: sorted(  # noqa: E731
+        tuple(r) for r in label_propagation(df, rounds=rounds).collect()
+    )
+    assert lab(2) == lab(4) and lab(3) == lab(5)
+    assert lab(2) != lab(3)
+
+
+def test_convergence_census_matches_label_propagation(spark):
+    """The census's per-round labeling is the SAME trajectory
+    label_propagation walks: n_communities at round r equals the distinct
+    label count of label_propagation(rounds=r)."""
+    from streamds_spark.operators.lpa import (
+        label_propagation,
+        lpa_convergence_census,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (7, 8)]
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    census = {
+        r["round"]: r["n_communities"]
+        for r in lpa_convergence_census(df, max_rounds=4).collect()
+    }
+    for r in (1, 2, 3, 4):
+        want = (
+            label_propagation(df, rounds=r)
+            .select("label")
+            .distinct()
+            .count()
+        )
+        assert census[r] == want, r
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_rounds"):
+        lpa_convergence_census(df, max_rounds=0)
