@@ -538,16 +538,23 @@ def main() -> None:
         retry_wait_left = max(0.0, retry_wait_left - w)
         new_vals = measure()
         kept: "dict[str, dict[str, float]]" = {}
+        retry_won_all = True
         for key, retry_v in new_vals.items():
             orig_v = extras_vals[key]
             extras_vals[key] = min(orig_v, retry_v)
+            retry_won_all = retry_won_all and retry_v <= orig_v
             kept[key] = {"original": orig_v, "retry": retry_v}
         extras_retried[name] = {
             "load1_original": stamp,
             "load1_retry": retry_load,
             "values": kept,
         }
-        extras_load1[name] = retry_load
+        # the published stamp must describe the conditions of the KEPT
+        # number: adopt the retry's stamp only when the retry's values won
+        # everywhere — a retry that lost (kept = the loaded original) must
+        # not relabel that loaded measurement as near-idle
+        if retry_won_all:
+            extras_load1[name] = retry_load
 
     print(
         json.dumps(

@@ -30,6 +30,18 @@ def md5_int60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("bigint")
 
 
+def md5_int60_py(s: str) -> int:
+    """Driver-side Python twin of md5_int60 — the SAME 60-bit value for the
+    same string, so a small-list code path can derive hash identities (e.g.
+    delete_docs' takedown idempotency token) without a Spark job and still
+    agree with the DataFrame path. Kept beside the Spark expression so the
+    two definitions cannot drift apart (equivalence pinned in
+    tests/test_custom_ops.py)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 def md5_int28(col: Column) -> Column:
     """28-bit integer hash (for MinHash permutation arithmetic)."""
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 7), 16, 10).cast("bigint")

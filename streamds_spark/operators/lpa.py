@@ -46,6 +46,35 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _sym_adj(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select("u", "v")
+        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _lpa_round(adj: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE synchronous LPA round: every node adopts its neighbors' most
+    common label, ties to the smallest label. The single definition of the
+    round step — label_propagation and lpa_convergence_census both walk it,
+    so the census is the measured trajectory of the SAME update rule by
+    construction (also pinned by test_lpa)."""
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    cand = adj.join(labels.toDF("v", "label"), "v").select(
+        F.col("u").alias("node"), "label"
+    )
+    return (
+        cand.groupBy("node", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("node", "label")
+        .localCheckpoint(eager=True)
+    )
+
+
 def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
     """DataFrame[node, label] — the deterministic synchronous LPA labeling
     of the undirected simple graph `edges(u, v)` after exactly `rounds`
@@ -54,28 +83,12 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
     communities of themselves)."""
     if rounds < 1:
         raise ValueError(f"label_propagation: rounds must be >= 1, got {rounds}")
-    adj = (
-        edges.select("u", "v")
-        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    adj = _sym_adj(edges)
     labels = adj.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(rounds):
-        cand = adj.join(labels.toDF("v", "label"), "v").select(
-            F.col("u").alias("node"), "label"
-        )
-        labels = (
-            cand.groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-            .localCheckpoint(eager=True)
-        )
+        labels = _lpa_round(adj, labels)
     return labels
 
 
@@ -111,30 +124,19 @@ def lpa_convergence_census(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
         raise ValueError(
             f"lpa_convergence_census: max_rounds must be >= 1, got {max_rounds}"
         )
-    adj = (
-        edges.select("u", "v")
-        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    adj = _sym_adj(edges)
     spark = edges.sparkSession
+    schema = "round bigint, labels_changed bigint, n_communities bigint"
+    if adj.isEmpty():
+        # an edge-free graph has no labeling trajectory: zero census rows,
+        # matching the SQL replay (whose per-iteration join is empty)
+        return spark.createDataFrame([], schema)
     labels = adj.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
     rows = []
     for r in range(1, max_rounds + 1):
-        cand = adj.join(labels.toDF("v", "label"), "v").select(
-            F.col("u").alias("node"), "label"
-        )
-        nxt = (
-            cand.groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-            .localCheckpoint(eager=True)
-        )
+        nxt = _lpa_round(adj, labels)
         # 1-row loop-control aggregate (the graph-family discipline)
         stat = (
             nxt.join(labels.toDF("node", "plabel"), "node")
@@ -149,6 +151,4 @@ def lpa_convergence_census(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
         )
         rows.append((r, int(stat["ch"]), int(stat["nc"])))
         labels = nxt
-    return spark.createDataFrame(
-        rows, "round bigint, labels_changed bigint, n_communities bigint"
-    )
+    return spark.createDataFrame(rows, schema)

@@ -279,7 +279,11 @@ def _run_request(
         # recover=False keeps the verb STRICTLY read-only (the reader-side
         # rebuild self-heal is a rename — a write — and writes require the
         # takedown verb's allow_writes posture).
-        from streamds_spark.streaming.viewstore import ViewSpec, view_report
+        from streamds_spark.streaming.viewstore import (
+            ViewSpec,
+            rebuild_required,
+            view_report,
+        )
 
         work_dir = req.get("work_dir")
         keys = req.get("keys")
@@ -342,7 +346,7 @@ def _run_request(
             rows = df.limit(limit + 1).collect()
         truncated = len(rows) > limit
         rows = rows[:limit]
-        return {
+        resp = {
             "ok": True,
             "work_dir": work_dir,
             "columns": df.columns,
@@ -350,6 +354,14 @@ def _run_request(
             "n_rows": len(rows),
             "truncated": truncated,
         }
+        # a pending rebuild flag (set by the takedown cascade on a view
+        # whose spec cannot subtract) must reach socket readers too — the
+        # numbers still include deleted docs until the operator rebuilds,
+        # and the CLI's WARNING alone would leave dashboards blind to it
+        pending = rebuild_required(work_dir)
+        if pending:
+            resp["rebuild_required"] = pending
+        return resp
     if req.get("cmd") == "quantiles":
         # sketch-probe endpoint: HDR log-linear quantiles over a pinned
         # table's numeric column (operators/hdr.py). One map-only bucket

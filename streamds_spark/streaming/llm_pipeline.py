@@ -1086,8 +1086,15 @@ def delete_docs(
     single-writer discipline as compact_stores); pass quiesced=True only
     when the stream is stopped and drained."""
     from streamds_spark.io import tombstones
+    from streamds_spark.streaming import viewstore as _vws
 
     paths = CorpusStreamPaths(work_dir)
+    # FAIL FAST on a corrupt/malformed views.json BEFORE any tombstone is
+    # written: aborting mid-sweep would leave sketch-store tombstones
+    # committed with the corpus delete and the audit line never reached —
+    # a partial state the re-run safety covers, but one there is no reason
+    # to enter for an error detectable up front.
+    _vws.registered_views(work_dir)
     # micro-batches are serial: the one batch possibly in flight at delete
     # time is frontier+1, so no batch beyond it can carry pre-delete rows —
     # the earliest fold frontier at which these tombstones may be reclaimed.
@@ -1097,10 +1104,19 @@ def delete_docs(
     # never come.
     fold_after = _durable_frontier(paths) + (0 if quiesced else 1)
     if isinstance(doc_ids, DataFrame):
+        from streamds_spark.functions.hashing import md5_int60
+
         ids_df = doc_ids.select(
             F.col(doc_ids.columns[0]).alias("doc_id")
         ).distinct()
-        n_ids = ids_df.count()  # mass-takedown path: one tiny job
+        # one tiny job answers both the ledger's n_ids and the delete set's
+        # order-independent identity (sum of per-id md5_int60 hashes —
+        # decimal(38,0) cannot overflow at any realistic n x 2^60)
+        agg = ids_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(md5_int60(F.col("doc_id")).cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        n_ids, tok_sum = int(agg["n"]), int(agg["s"] or 0)
     else:
         vals = list(doc_ids)
         if not vals:
@@ -1110,8 +1126,20 @@ def delete_docs(
             [(v,) for v in distinct_vals]
         ).toDF("doc_id")
         # driver-side: the common small-list path pays no Spark job for
-        # the audit ledger's n_ids
+        # the audit ledger's n_ids or the identity sum (md5_int60_py is the
+        # pinned Python twin of md5_int60, so both entry paths derive the
+        # SAME token for the same delete set)
+        from streamds_spark.functions.hashing import md5_int60_py
+
         n_ids = len(distinct_vals)
+        tok_sum = sum(md5_int60_py(str(v)) for v in distinct_vals)
+    # the view cascade's overwrite-by-identity key: a RE-RUN of the same
+    # logical takedown (delete_docs documents re-running after a partial
+    # failure as safe) rewrites the same delta dir instead of
+    # double-subtracting; a DIFFERENT delete set gets a different token
+    # (collision odds ~ sums of 60-bit hashes agreeing mod 2^64 — ignorable
+    # at takedown cardinalities)
+    cascade_token = f"td-{n_ids}-{tok_sum % (1 << 64):016x}"
     written: dict[str, str] = {}
     # content hashes FIRST, while the corpus still serves the doomed rows
     # (corpus tombstones would hide them from this very lookup)
@@ -1139,13 +1167,14 @@ def delete_docs(
     # the takedown cascaded while `doomed` still resolves against the
     # pre-delete corpus: subtractable specs receive a negative-delta write
     # derived from the doomed rows, min/max/approx_distinct specs get a
-    # durable rebuild-required flag (never silence). Import at call time —
-    # viewstore imports this module at its top.
+    # durable rebuild-required flag (never silence). The viewstore import
+    # happens at delete_docs entry (call time — viewstore imports this
+    # module at its top), where the manifest is also pre-validated.
     views: dict = {}
     if n_docs:
-        from streamds_spark.streaming import viewstore as _vws
-
-        views = _vws.cascade_delete_to_views(spark, work_dir, doomed)
+        views = _vws.cascade_delete_to_views(
+            spark, work_dir, doomed, idempotency_token=cascade_token
+        )
     # corpus LAST: everything above read through the pre-delete view
     written["corpus"] = appendlog.delete_keys(
         spark, paths.corpus, "doc_id", ids_df, fold_after=fold_after

@@ -473,9 +473,10 @@ def _recover_interrupted_rebuild(store_dir: str) -> None:
 
 
 def _committed_delta_dirs(store_dir: str) -> list[str]:
-    """Committed negative-delta dirs (takedowns), name-sorted (names embed
-    a monotonic timestamp = application order; order is immaterial to the
-    fold, which is commutative)."""
+    """Committed negative-delta dirs (takedowns), name-sorted for a stable
+    listing only — standalone deltas embed a monotonic timestamp, cascade
+    deltas embed the takedown's identity token, so name order is NOT
+    application order. Immaterial either way: the fold is commutative."""
     return sorted(
         d
         for d in _glob.glob(os.path.join(store_dir, "delta-*"))
@@ -500,7 +501,11 @@ def _store_max_batch(store_dir: str) -> int:
 
 
 def delete_from_view(
-    spark: SparkSession, work_dir: str, spec: ViewSpec, deleted_rows: DataFrame
+    spark: SparkSession,
+    work_dir: str,
+    spec: ViewSpec,
+    deleted_rows: DataFrame,
+    idempotency_token: "str | None" = None,
 ) -> str:
     """Takedown for sum/count/avg views: write ONE negative-delta partial
     dir derived from the source rows being deleted (`deleted_rows` must be
@@ -508,7 +513,16 @@ def delete_from_view(
     e.g. the corpus rows of the tombstoned doc_ids). The read-time fold
     cancels their contribution exactly; a key losing all its rows vanishes.
     Refuses specs with min/max aggregates — those cannot subtract; use
-    rebuild_view (the sketch-store discipline). Returns the delta dir."""
+    rebuild_view (the sketch-store discipline). Returns the delta dir.
+
+    `idempotency_token`: when given, the delta dir is named
+    `delta-<token>` and written mode=overwrite — a RE-RUN of the same
+    logical takedown rewrites the same dir with identical rows instead of
+    appending a second delta (overwrite-by-identity, the batch-dir
+    discipline; delete_docs' cascade derives the token from the deleted
+    ids so its documented re-run-after-partial-failure safety extends to
+    views). Without a token each call appends a fresh uniquely-named
+    delta — correct for independent takedowns, NOT for retries."""
     bad = sorted(
         name
         for name, (kind, _c) in spec.aggs.items()
@@ -555,11 +569,41 @@ def delete_from_view(
         else:
             neg = neg.withColumn(stored, -F.col(stored))
     neg = neg.withColumn(_ROWS, (-F.col(_ROWS)).cast("bigint"))
-    dest = os.path.join(
-        os.path.join(work_dir, "view_store"),
-        f"delta-{time.monotonic_ns()}-{uuid.uuid4().hex[:8]}",
-    )
-    neg.coalesce(1).write.parquet(dest)  # _SUCCESS = commit point
+    if idempotency_token is not None:
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,128}", idempotency_token):
+            raise ValueError(
+                "delete_from_view: idempotency_token must be a short "
+                f"filesystem-safe string, got {idempotency_token!r}"
+            )
+        # re-run rewrites the SAME dir — but never by destroying the
+        # committed predecessor before its replacement exists (a plain
+        # mode=overwrite deletes first; a crash mid-write would silently
+        # drop an already-committed subtraction). The rebuild_view
+        # discipline instead: stage into a DOT-prefixed tmp the delta-*
+        # glob cannot see, rename the old dir aside, replace, reclaim.
+        # The crash window is two renames wide and a re-run self-heals it.
+        dest = os.path.join(store_dir, f"delta-{idempotency_token}")
+        tmp = os.path.join(store_dir, f".delta-{idempotency_token}.rewrite")
+        shutil.rmtree(tmp, ignore_errors=True)
+        neg.coalesce(1).write.parquet(tmp)
+        if os.path.isdir(dest):
+            os.rename(
+                dest,
+                os.path.join(
+                    store_dir,
+                    f".delta-{idempotency_token}.old-{uuid.uuid4().hex[:8]}",
+                ),
+            )
+        os.replace(tmp, dest)  # <- commit point
+        for aside in _glob.glob(
+            os.path.join(store_dir, f".delta-{idempotency_token}.old-*")
+        ):
+            shutil.rmtree(aside, ignore_errors=True)
+    else:
+        dest = os.path.join(
+            store_dir, f"delta-{time.monotonic_ns()}-{uuid.uuid4().hex[:8]}"
+        )
+        neg.coalesce(1).write.parquet(dest)  # _SUCCESS = commit point
     # durable compliance ledger (same file/format as the doc-level takedown
     # path): the view store is persistent state, so its mutations must be
     # provable after the fact too. One tiny count job over the single-file
@@ -668,7 +712,10 @@ def compact_view(
 
 _VIEWS_MANIFEST = "views.json"
 _REBUILD_MARKER = "rebuild_required.json"
-_NAME_RE = re.compile(r"^[A-Za-z0-9._-]{1,64}$")
+# a valid view name is a safe single directory segment: the charset blocks
+# separators, the lookahead blocks the all-dots traversals ('.', '..') —
+# one pattern IS the invariant, so every caller inherits the whole guard
+_NAME_RE = re.compile(r"^(?!\.+$)[A-Za-z0-9._-]{1,64}$")
 _SUBTRACTABLE_EXEMPT = ("min", "max", "approx_distinct")
 
 
@@ -740,7 +787,7 @@ def register_view(
     if not _NAME_RE.match(name or ""):
         raise ValueError(
             f"register_view: name {name!r} must match {_NAME_RE.pattern} "
-            "(it names a directory)"
+            "(it names a directory; all-dots names would traverse out)"
         )
     vdir = view_work_dir or os.path.join(work_dir, "views", name)
     os.makedirs(work_dir, exist_ok=True)
@@ -769,9 +816,19 @@ def registered_views(work_dir: str) -> "dict[str, tuple[ViewSpec, str]]":
 
 
 def rebuild_required(view_work_dir: str) -> "dict | None":
-    """The durable flag delete_docs leaves on a non-subtractable view: the
-    view's folded numbers still include taken-down docs until the operator
-    runs rebuild_view (which clears this). None when the view is clean."""
+    """The durable flag delete_docs leaves on a view it could not subtract
+    from: the view's folded numbers still include taken-down docs until
+    the operator runs rebuild_view (which clears this). A flag set by a
+    TRANSIENT delta-write failure additionally clears by itself when a
+    re-run of the same takedown succeeds (the cascade clears that
+    takedown's entry by its idempotency token) — which is only reachable
+    while the takedown's CORPUS delete has not committed (delete_docs
+    raised, re-run re-derives the doomed rows); once the corpus delete
+    has committed, the doomed rows are no longer derivable from the
+    corpus and rebuild_view is the remedy for the flagged view. None when
+    the view is clean. Top-level fields mirror the newest entry;
+    `entries` lists every pending takedown; `pending_takedowns` counts
+    them (a migrated legacy record contributes its accumulated count)."""
     path = os.path.join(view_work_dir, _REBUILD_MARKER)
     if not os.path.exists(path):
         return None
@@ -781,44 +838,99 @@ def rebuild_required(view_work_dir: str) -> "dict | None":
         return _json.load(f)
 
 
-def mark_rebuild_required(view_work_dir: str, record: dict) -> None:
-    """Set (or extend) the rebuild-required flag. Accumulates a takedown
-    count across calls so repeated takedowns before one rebuild stay
-    visible."""
-    import json as _json
-    import time as _time
+def _marker_entries(prev: "dict | None") -> "list[dict]":
+    """A marker's entries list. A legacy single-record marker (pre-entries
+    format) migrates into ONE entry that preserves its accumulated count
+    via `legacy_pending` — N un-rebuilt takedowns must keep reporting as N,
+    and a token-scoped clear must never drop a legacy record it cannot
+    identify."""
+    if not prev:
+        return []
+    entries = list(prev.get("entries", []))
+    if entries:
+        return entries
+    rec = {k: v for k, v in prev.items() if k != "pending_takedowns"}
+    rec["legacy_pending"] = int(prev.get("pending_takedowns", 1) or 1)
+    return [rec]
 
-    prev = rebuild_required(view_work_dir) or {"pending_takedowns": 0}
-    rec = {
-        **record,
-        "ts": round(_time.time(), 3),
-        "pending_takedowns": int(prev.get("pending_takedowns", 0)) + 1,
+
+def _write_marker(view_work_dir: str, entries: "list[dict]") -> None:
+    import json as _json
+
+    marker = {
+        **entries[-1],
+        "entries": entries,
+        "pending_takedowns": sum(e.get("legacy_pending", 1) for e in entries),
     }
     os.makedirs(view_work_dir, exist_ok=True)
     tmp = os.path.join(view_work_dir, f".{_REBUILD_MARKER}.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
-        f.write(_json.dumps(rec) + "\n")
+        f.write(_json.dumps(marker) + "\n")
     os.replace(tmp, os.path.join(view_work_dir, _REBUILD_MARKER))
 
 
-def clear_rebuild_required(view_work_dir: str) -> None:
-    try:
-        os.remove(os.path.join(view_work_dir, _REBUILD_MARKER))
-    except OSError:
-        pass
+def mark_rebuild_required(view_work_dir: str, record: dict) -> None:
+    """Set (or extend) the rebuild-required flag. Each distinct pending
+    takedown is one entry; a re-mark carrying the SAME idempotency token
+    REPLACES that token's entry rather than double-counting it (a re-run
+    of a failed takedown is the same takedown)."""
+    import time as _time
+
+    entries = _marker_entries(rebuild_required(view_work_dir))
+    tok = record.get("token")
+    if tok is not None:
+        entries = [e for e in entries if e.get("token") != tok]
+    entries.append({**record, "ts": round(_time.time(), 3)})
+    _write_marker(view_work_dir, entries)
+
+
+def clear_rebuild_required(
+    view_work_dir: str, token: "str | None" = None
+) -> None:
+    """token=None (the rebuild_view path): the rebuild recomputed from the
+    remaining source answers EVERY pending takedown — drop the whole flag.
+    token=T (the cascade's success path): the takedown identified by T
+    committed its delta after a previously-flagged failure — drop only its
+    entry; other pending takedowns (including a legacy-format record,
+    which carries no token) stay visible."""
+    if token is None:
+        try:
+            os.remove(os.path.join(view_work_dir, _REBUILD_MARKER))
+        except OSError:
+            pass
+        return
+    prev = rebuild_required(view_work_dir)
+    if not prev:
+        return
+    entries = [
+        e for e in _marker_entries(prev) if e.get("token") != token
+    ]
+    if entries:
+        _write_marker(view_work_dir, entries)
+    else:
+        clear_rebuild_required(view_work_dir)
 
 
 def cascade_delete_to_views(
-    spark: SparkSession, work_dir: str, doomed_rows: DataFrame
+    spark: SparkSession,
+    work_dir: str,
+    doomed_rows: DataFrame,
+    idempotency_token: "str | None" = None,
 ) -> "dict[str, str]":
     """delete_docs' hook: propagate a doc takedown into every registered
     view. Per view: never-ingested stores are skipped ('empty' — a delta
     against nothing would be wrong, not conservative); subtractable specs
     get delete_from_view(doomed corpus rows) ('delta:<dir>'); min/max/
-    approx_distinct specs — and legacy stores delete_from_view refuses —
-    get the durable rebuild-required marker ('rebuild_required'). The
-    caller merges the returned {name: disposition} into its own audit
-    entry, so the cascade is provable end to end."""
+    approx_distinct specs — and legacy stores delete_from_view refuses,
+    and any view whose delta write FAILS (e.g. a registered spec naming a
+    column the corpus doesn't have) — get the durable rebuild-required
+    marker ('rebuild_required'): the takedown itself must complete, and a
+    broken registration must surface as an actionable flag, not abort the
+    corpus delete halfway through the store sweep. The caller merges the
+    returned {name: disposition} into its own audit entry, so the cascade
+    is provable end to end. `idempotency_token` (derived by delete_docs
+    from the deleted ids) makes re-runs overwrite the same delta dir
+    instead of double-subtracting."""
     out: "dict[str, str]" = {}
     for name, (spec, vdir) in sorted(registered_views(work_dir).items()):
         store_dir = os.path.join(vdir, "view_store")
@@ -831,20 +943,45 @@ def cascade_delete_to_views(
             continue
         if subtractable(spec):
             try:
-                dest = delete_from_view(spark, vdir, spec, doomed_rows)
+                dest = delete_from_view(
+                    spark,
+                    vdir,
+                    spec,
+                    doomed_rows,
+                    idempotency_token=idempotency_token,
+                )
+                # the delta committed: a flag left by a previously-FAILED
+                # attempt of THIS takedown (same token) is now answered —
+                # clear that entry, leaving any other pending takedowns
+                if idempotency_token is not None:
+                    clear_rebuild_required(vdir, token=idempotency_token)
                 out[name] = f"delta:{os.path.basename(dest)}"
                 continue
-            except ValueError as e:
-                # legacy pre-__rows partials: presence unknowable, the
-                # documented answer is a rebuild — same flag as min/max
-                reason = str(e)
+            except Exception as e:  # noqa: BLE001 — flag, never abort
+                # ValueError: legacy pre-__rows partials (presence
+                # unknowable — the documented answer is a rebuild).
+                # Anything else (AnalysisException: spec column absent
+                # from the corpus; transient executor loss, ...): the
+                # takedown must complete regardless, and the flag is the
+                # durable visible signal. The token rides along so a
+                # successful re-run of the SAME takedown clears it.
+                reason = f"{type(e).__name__}: {e}"
         else:
             reason = (
                 "spec has min/max/approx_distinct aggregates, which cannot "
                 "subtract a deleted row's contribution"
             )
         mark_rebuild_required(
-            vdir, {"action": "delete_docs", "reason": reason}
+            vdir,
+            {
+                "action": "delete_docs",
+                "reason": reason,
+                **(
+                    {"token": idempotency_token}
+                    if idempotency_token is not None
+                    else {}
+                ),
+            },
         )
         out[name] = "rebuild_required"
     return out

@@ -75,3 +75,22 @@ def test_udtf_sql_lateral(spark, lines):
     )
     assert ("f:1", "ALPHA", 0) in got and ("f:1", "BETA", 1) in got
     assert len(got) == 4  # 'skip' still emits its one (uppercased) word
+
+
+def test_md5_int60_py_matches_spark(spark):
+    """md5_int60_py is the driver-side twin of the Spark md5_int60
+    expression (delete_docs' takedown token derives from it on the
+    small-list path, the DataFrame path uses the Spark expression — the
+    overwrite-by-identity idempotency depends on the two agreeing)."""
+    from pyspark.sql import functions as F
+
+    from streamds_spark.functions.hashing import md5_int60, md5_int60_py
+
+    vals = [0, 1, 7, 42, 999999, 2**50, -3]
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    got = {
+        r["v"]: r["h"]
+        for r in df.select("v", md5_int60(F.col("v")).alias("h")).collect()
+    }
+    for v in vals:
+        assert got[v] == md5_int60_py(str(v)), v

@@ -140,3 +140,15 @@ def test_convergence_census_matches_label_propagation(spark):
 
     with _pytest.raises(ValueError, match="max_rounds"):
         lpa_convergence_census(df, max_rounds=0)
+
+
+def test_convergence_census_empty_graph(spark):
+    """An edge-free graph has no labeling trajectory: zero census rows —
+    matching the DuckDB oracle's empty per-iteration join (a row of zeros
+    per round would hash-mismatch the registry twin on a degenerate SF)."""
+    from streamds_spark.operators.lpa import lpa_convergence_census
+
+    empty = spark.createDataFrame([], "u bigint, v bigint")
+    out = lpa_convergence_census(empty, max_rounds=4)
+    assert out.count() == 0
+    assert out.columns == ["round", "labels_changed", "n_communities"]

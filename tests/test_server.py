@@ -870,3 +870,44 @@ def test_view_report_verb_read_only(spark, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_view_report_surfaces_rebuild_flag(spark, tmp_path):
+    """A pending rebuild-required flag (set by the takedown cascade on a
+    view whose spec cannot subtract) must reach SOCKET readers, not just
+    the CLI's WARNING — a dashboard folding the view otherwise reads
+    numbers that still include deleted docs with zero signal."""
+    import os
+
+    from streamds_spark.server import request, start_server
+    from streamds_spark.streaming.viewstore import (
+        ViewSpec,
+        clear_rebuild_required,
+        mark_rebuild_required,
+        write_view_batch,
+    )
+
+    work = str(tmp_path / "vwork")
+    spec = ViewSpec(keys=("k",), aggs={"hi": ("max", "v")})
+    df = spark.createDataFrame([("a", 1), ("b", 5)], "k string, v bigint")
+    write_view_batch(df, 0, os.path.join(work, "view_store"), spec)
+    server = start_server(spark, SF, view_roots=[str(tmp_path)])
+    host, port = server.server_address[:2]
+    req = {
+        "cmd": "view_report",
+        "work_dir": work,
+        "keys": ["k"],
+        "aggs": {"hi": ["max", "v"]},
+    }
+    try:
+        r = request(host, port, req)
+        assert r["ok"] and "rebuild_required" not in r
+        mark_rebuild_required(work, {"action": "delete_docs", "reason": "t"})
+        r2 = request(host, port, req)
+        assert r2["ok"] and r2["rebuild_required"]["pending_takedowns"] == 1
+        clear_rebuild_required(work)
+        r3 = request(host, port, req)
+        assert r3["ok"] and "rebuild_required" not in r3
+    finally:
+        server.shutdown()
+        server.server_close()

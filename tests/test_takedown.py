@@ -742,3 +742,84 @@ def test_server_takedown_quiesced_cross_check(spark, drained, tmp_path):
     finally:
         rw.shutdown()
         rw.server_close()
+
+
+def test_cascade_rerun_and_broken_spec(spark, tmp_path):
+    """Review-wave pins: (1) delete_docs' documented re-run-after-partial-
+    failure safety extends to the view cascade — the delta dir is named by
+    an identity token derived from the delete set, so a re-run OVERWRITES
+    it instead of double-subtracting; (2) a registered spec naming a column
+    the corpus doesn't have must not abort the takedown mid-sweep — the
+    view gets the durable rebuild flag and everything else completes;
+    (3) all-dots view names are refused (they traverse out of views/)."""
+    import pytest as _pytest
+
+    from tests.test_llm_pipeline_stream import _split_into_files
+    from streamds_spark.streaming import viewstore as vws
+    from streamds_spark.streaming.llm_pipeline import run_llm_corpus_stream
+
+    src_dir, work_dir = str(tmp_path / "src"), str(tmp_path / "work")
+    _split_into_files(spark, src_dir)
+    q = run_llm_corpus_stream(spark, src_dir, work_dir)
+    q.awaitTermination(timeout=300)
+    assert not q.isActive
+    paths = CorpusStreamPaths(work_dir)
+    pre = appendlog.get(spark, paths.corpus)
+
+    spec = vws.ViewSpec(keys=("source",), aggs={"chars": ("sum", "n_chars")})
+    vdir = vws.register_view(work_dir, "by_source", spec)
+    vws.write_view_batch(pre, 0, os.path.join(vdir, "view_store"), spec)
+    bogus = vws.ViewSpec(keys=("source",), aggs={"x": ("sum", "no_such_col")})
+    vdir_bogus = vws.register_view(work_dir, "broken", bogus)
+    vws.write_view_batch(
+        pre.withColumn("no_such_col", F.lit(1)), 0,
+        os.path.join(vdir_bogus, "view_store"), bogus,
+    )
+    for bad in (".", "..", "...", "a/b"):
+        with _pytest.raises(ValueError):
+            vws.register_view(work_dir, bad, spec)
+
+    doomed_ids = sorted(r["doc_id"] for r in pre.select("doc_id").collect())[:2]
+    doomed_rows = pre.where(F.col("doc_id").isin(doomed_ids))
+
+    stats = delete_docs(spark, work_dir, doomed_ids, quiesced=True)
+    assert stats["views"]["by_source"].startswith("delta:delta-td-")
+    # broken spec: flagged, never aborted — the corpus delete completed
+    assert stats["views"]["broken"] == "rebuild_required"
+    marker = vws.rebuild_required(vdir_bogus)
+    assert marker and "no_such_col" in marker["reason"]
+    remaining = appendlog.get(spark, paths.corpus)
+    assert remaining.where(F.col("doc_id").isin(doomed_ids)).isEmpty()
+
+    def _rows(df):
+        return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+
+    want = vws.view_fold(vws.view_batch_state(remaining, spec), spec)
+    assert _rows(vws.view_report(spark, vdir, spec)) == _rows(want)
+
+    # the partial-failure re-run: the same logical takedown cascades again
+    # (same delete set -> same token -> same dir, overwritten) — the view
+    # must NOT be double-subtracted
+    deltas_before = sorted(
+        d for d in os.listdir(os.path.join(vdir, "view_store"))
+        if d.startswith("delta-")
+    )
+    vws.cascade_delete_to_views(
+        spark, work_dir, doomed_rows,
+        idempotency_token=stats["views"]["by_source"].split("delta:delta-", 1)[1],
+    )
+    deltas_after = sorted(
+        d for d in os.listdir(os.path.join(vdir, "view_store"))
+        if d.startswith("delta-")
+    )
+    assert deltas_after == deltas_before, "re-run must overwrite, not append"
+    assert _rows(vws.view_report(spark, vdir, spec)) == _rows(want)
+
+    # a DIFFERENT delete set gets a DIFFERENT token (fresh delta dir)
+    other = sorted(
+        r["doc_id"] for r in remaining.select("doc_id").collect()
+    )[:1]
+    stats2 = delete_docs(spark, work_dir, other, quiesced=True)
+    tok2 = stats2["views"]["by_source"]
+    assert tok2.startswith("delta:delta-td-")
+    assert tok2.split("delta:", 1)[1] not in deltas_before

@@ -520,3 +520,132 @@ def test_pnn_nullable_key_group(spark):
         )
 
     assert _nrows(folded) == _nrows(view_fold(view_batch_state(df, spec), spec))
+
+
+def test_rebuild_flag_token_lifecycle(spark, tmp_path):
+    """Wave-2 pin: a flag set by a FAILED attempt of a takedown clears when
+    the SAME takedown (same idempotency token) later commits its delta —
+    while flags from OTHER pending takedowns survive, a re-mark of the same
+    token never double-counts, and rebuild_view still clears everything."""
+    import os
+
+    from streamds_spark.streaming.viewstore import (
+        cascade_delete_to_views,
+        clear_rebuild_required,
+        mark_rebuild_required,
+        rebuild_required,
+        register_view,
+        write_view_batch,
+    )
+
+    work = str(tmp_path / "pipe")
+    spec = ViewSpec(keys=("k",), aggs={"s": ("sum", "v")})
+    vdir = register_view(work, "byk", spec)
+    df = spark.createDataFrame([("a", 1), ("a", 3), ("b", 5)], "k string, v bigint")
+    write_view_batch(df, 0, os.path.join(vdir, "view_store"), spec)
+
+    # two distinct failed takedowns flag two entries; re-marking one is idempotent
+    mark_rebuild_required(vdir, {"action": "delete_docs", "reason": "x", "token": "td-1-aa"})
+    mark_rebuild_required(vdir, {"action": "delete_docs", "reason": "y", "token": "td-1-bb"})
+    mark_rebuild_required(vdir, {"action": "delete_docs", "reason": "x2", "token": "td-1-aa"})
+    m = rebuild_required(vdir)
+    assert m["pending_takedowns"] == 2
+    assert sorted(e["token"] for e in m["entries"]) == ["td-1-aa", "td-1-bb"]
+
+    # the documented re-run: takedown td-1-aa now succeeds through the
+    # cascade — its entry clears, the other stays
+    doomed = df.where("v = 3")
+    out = cascade_delete_to_views(spark, work, doomed, idempotency_token="td-1-aa")
+    assert out["byk"].startswith("delta:")
+    m2 = rebuild_required(vdir)
+    assert m2["pending_takedowns"] == 1
+    assert m2["entries"][0]["token"] == "td-1-bb"
+
+    # token-scoped clear of a token that isn't flagged is a no-op
+    clear_rebuild_required(vdir, token="td-9-zz")
+    assert rebuild_required(vdir)["pending_takedowns"] == 1
+    # clearing the last token drops the whole flag
+    clear_rebuild_required(vdir, token="td-1-bb")
+    assert rebuild_required(vdir) is None
+
+
+def test_rebuild_flag_legacy_marker_migration(spark, tmp_path):
+    """Wave-3 pins: a pre-entries legacy marker (single record with an
+    accumulated pending_takedowns count) must (1) keep reporting its FULL
+    count after new-format marks extend it, and (2) survive a token-scoped
+    clear (it carries no token, so no token can identify-and-drop it)."""
+    import json
+    import os
+
+    from streamds_spark.streaming.viewstore import (
+        clear_rebuild_required,
+        mark_rebuild_required,
+        rebuild_required,
+    )
+
+    vdir = str(tmp_path / "v")
+    os.makedirs(vdir)
+    legacy = {
+        "action": "delete_docs",
+        "reason": "old",
+        "ts": 1.0,
+        "pending_takedowns": 3,
+    }
+    with open(os.path.join(vdir, "rebuild_required.json"), "w") as f:
+        f.write(json.dumps(legacy) + "\n")
+
+    mark_rebuild_required(
+        vdir, {"action": "delete_docs", "reason": "new", "token": "td-1-cc"}
+    )
+    m = rebuild_required(vdir)
+    assert m["pending_takedowns"] == 4  # 3 legacy + 1 new
+    # token-scoped clear drops only the token's entry; legacy count remains
+    clear_rebuild_required(vdir, token="td-1-cc")
+    m2 = rebuild_required(vdir)
+    assert m2 is not None and m2["pending_takedowns"] == 3
+    # a token clear against a PURE legacy marker is a no-op, not a wipe
+    clear_rebuild_required(vdir, token="td-9-zz")
+    assert rebuild_required(vdir)["pending_takedowns"] == 3
+    # the rebuild path clears everything
+    clear_rebuild_required(vdir)
+    assert rebuild_required(vdir) is None
+
+
+def test_token_delta_rewrite_never_destroys_committed(spark, tmp_path):
+    """Wave-3 pin: rewriting a token-named delta stages into a dot-prefixed
+    tmp (invisible to the delta glob) and swaps by rename — at no point is
+    the committed subtraction deleted-before-replaced, and a re-run leaves
+    exactly one committed delta dir with the rewritten content."""
+    import os
+
+    from streamds_spark.streaming.viewstore import (
+        _committed_delta_dirs,
+        delete_from_view,
+    )
+
+    spec = ViewSpec(keys=("k",), aggs={"s": ("sum", "v")})
+    work = str(tmp_path / "w")
+    store = os.path.join(work, "view_store")
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", 5)], "k string, v bigint"
+    )
+    write_view_batch(df, 0, store, spec)
+    doomed = spark.createDataFrame([("a", 3)], "k string, v bigint")
+    d1 = delete_from_view(spark, work, spec, doomed, idempotency_token="tk")
+    d2 = delete_from_view(spark, work, spec, doomed, idempotency_token="tk")
+    assert d1 == d2
+    deltas = _committed_delta_dirs(store)
+    assert len(deltas) == 1 and deltas[0].endswith("delta-tk")
+    assert not [n for n in os.listdir(store) if n.startswith(".delta-")]
+    got = {r["k"]: r["s"] for r in view_report(spark, work, spec).collect()}
+    assert got == {"a": 1, "b": 5}
+    # a stale crash artifact (committed tmp) is swept by the next rewrite
+    import shutil as _sh
+
+    _sh.copytree(deltas[0], os.path.join(store, ".delta-tk.rewrite"))
+    d3 = delete_from_view(spark, work, spec, doomed, idempotency_token="tk")
+    assert d3 == d1
+    assert not [n for n in os.listdir(store) if n.startswith(".delta-")]
+    assert {r["k"]: r["s"] for r in view_report(spark, work, spec).collect()} == {
+        "a": 1, "b": 5,
+    }
