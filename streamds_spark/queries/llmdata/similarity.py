@@ -379,3 +379,133 @@ def cluster_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("db_avg", 4) + F.lit(0.0)).alias("db_r"),
         )
     )
+
+
+AUDIT_PROBES = 16  # probe vectors 0..15: enough probes for a stable recall count
+AUDIT_K = 10
+
+
+@query(
+    "ann_recall_audit",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               {_duckdb_bucket_expr('embedding')} AS bucket
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id AS qid, embedding AS q, bucket AS qbucket
+        FROM b WHERE vec_id < {AUDIT_PROBES}
+    ),
+    scored AS (
+        SELECT p.qid, b.vec_id, b.bucket, p.qbucket,
+               round({duckdb_cosine('b.embedding', 'p.q')}, 4) AS cs
+        FROM b JOIN probes p ON b.vec_id <> p.qid
+    ),
+    bf AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY cs DESC, vec_id
+                   ) AS rk
+            FROM scored
+        ) WHERE rk <= {AUDIT_K}
+    ),
+    lsh AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY cs DESC, vec_id
+                   ) AS rk
+            FROM scored WHERE bucket = qbucket
+        ) WHERE rk <= {AUDIT_K}
+    ),
+    mp AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY cs DESC, vec_id
+                   ) AS rk
+            FROM scored
+            WHERE xor(bucket, qbucket) = 0
+               OR {" OR ".join(f"xor(bucket, qbucket) = {1 << i}" for i in range(N_PLANES))}
+        ) WHERE rk <= {AUDIT_K}
+    ),
+    methods(method) AS (VALUES ('lsh'), ('multiprobe'))
+    SELECT m.method,
+           CAST({AUDIT_PROBES} AS BIGINT) AS n_probes,
+           CAST({AUDIT_K} AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM bf) AS BIGINT) AS n_exact,
+           CAST(COALESCE(CASE m.method
+               WHEN 'lsh' THEN (SELECT count(*) FROM bf JOIN lsh
+                                USING (qid, vec_id))
+               ELSE (SELECT count(*) FROM bf JOIN mp USING (qid, vec_id))
+           END, 0) AS BIGINT) AS n_hit
+    FROM methods m
+    ORDER BY method
+    """,
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall evidence behind the ANN tiers (round 11, the estimator-audit
+    discipline): for {AUDIT_PROBES} probe vectors, the single-bucket LSH
+    scan and the Hamming-1 multi-probe scan are graded against the exact
+    brute-force cosine top-k — n_hit = how many of the exact top-k each
+    method's own top-k recovered, summed over probes. All integers, so the
+    row is hash-exact; the recall ratio (and multi-probe's recovery of
+    single-bucket misses, Lv et al.'s whole argument) is read from
+    n_hit / n_exact per method in BASELINE.md. Plan: ONE broadcast of the
+    16 probes against the bucketed scan scores every (probe, candidate)
+    pair once; the three top-k's are qid-PARTITIONED windows over that one
+    scored relation (never a global window); the hit counts are two tiny
+    joins of <= n_probes x k rows."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    bucketed = emb.withColumn(
+        "bucket", lsh_bucket_col(F.col("v"), default_planes())
+    )
+    probes = bucketed.filter(F.col("vec_id") < AUDIT_PROBES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("q"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        bucketed.join(F.broadcast(probes), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "bucket",
+            "qbucket",
+            F.round(cosine(F.col("v"), F.col("q")), 4).alias("cs"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("vec_id"))
+
+    def topk(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= AUDIT_K)
+            .select("qid", "vec_id")
+        )
+
+    bf = topk(scored)
+    lsh = topk(scored.where(F.col("bucket") == F.col("qbucket")))
+    hamming1 = F.col("bucket").bitwiseXOR(F.col("qbucket"))
+    mp = topk(
+        scored.where(
+            (hamming1 == 0)
+            | hamming1.isin([1 << i for i in range(N_PLANES)])
+        )
+    )
+    n_exact = bf.count()
+    rows = [
+        ("lsh", AUDIT_PROBES, AUDIT_K, n_exact, bf.join(lsh, ["qid", "vec_id"]).count()),
+        ("multiprobe", AUDIT_PROBES, AUDIT_K, n_exact, bf.join(mp, ["qid", "vec_id"]).count()),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "method string, n_probes bigint, k bigint, n_exact bigint, n_hit bigint",
+    )
