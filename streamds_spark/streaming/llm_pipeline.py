@@ -529,9 +529,18 @@ def process_corpus_batch(
         else:
             kept = local.withColumn("n_neardup_cands", F.lit(0).cast("bigint"))
 
-        appendlog.append_batch(
-            kept.drop("_h"), paths.corpus, "llm-stream", batch_id
-        )
+        kept_rows = kept.drop("_h")
+        appendlog.append_batch(kept_rows, paths.corpus, "llm-stream", batch_id)
+        # registered materialized views (streaming/viewstore.py manifest):
+        # the pipeline maintains them — one batch=N partial write per view
+        # over THIS trigger's kept rows (the exact rows the corpus append
+        # just recorded), under the same overwrite-by-batchId idempotence.
+        # Registration before stream start = the view is complete; a view
+        # registered mid-stream starts at the next trigger and needs one
+        # rebuild_view backfill from the corpus. This closes the
+        # operational loop: register -> auto-maintained per trigger ->
+        # takedown-cascaded -> rebuild/compact.
+        _maintain_registered_views(spark, paths.work_dir, kept_rows, batch_id)
         local.select(F.col("_h").alias("h")).distinct().write.mode("overwrite").parquet(
             os.path.join(paths.hash_store, f"batch={int(batch_id)}")
         )
@@ -640,6 +649,37 @@ def process_corpus_batch(
             new_buckets.unpersist()
 
 
+def _maintain_registered_views(
+    spark: SparkSession, work_dir: str, kept_rows: DataFrame, batch_id: int
+) -> None:
+    """Per-trigger maintenance of every registered view (views.json) over
+    this batch's kept rows. Failure split mirrors the takedown cascade's
+    reasoning, adapted to ingest: a STRUCTURAL failure (AnalysisException —
+    the registered spec names a column the corpus doesn't have) flags the
+    view rebuild-required and lets ingest continue (one broken registration
+    must not stall the pipeline; the view is visibly incomplete, never
+    silently wrong); any OTHER failure re-raises and fails the trigger —
+    the checkpoint replays the batch and the overwrite-by-batchId write
+    self-heals, which a flag-and-skip would turn into a silent hole in the
+    view's fold instead."""
+    from pyspark.sql.utils import AnalysisException
+
+    from streamds_spark.streaming import viewstore as _vws
+
+    for name, (spec, vdir) in sorted(_vws.registered_views(work_dir).items()):
+        store_dir = os.path.join(vdir, "view_store")
+        try:
+            _vws.write_view_batch(kept_rows, batch_id, store_dir, spec)
+        except AnalysisException as e:
+            _vws.mark_rebuild_required(
+                vdir,
+                {
+                    "action": "maintain_view",
+                    "reason": f"batch {int(batch_id)}: {e}",
+                },
+            )
+
+
 def run_llm_corpus_stream(
     spark: SparkSession,
     src_dir: str,
@@ -650,7 +690,14 @@ def run_llm_corpus_stream(
     """Launch the continuous corpus-ingest pipeline over a parquet documents
     dir (schema inferred from the existing files; new files stream in).
     available_now=True drains current input and stops (the test/drain mode);
-    False tails the directory forever (the production posture)."""
+    False tails the directory forever (the production posture).
+
+    Views registered against this work dir (viewstore.register_view /
+    CLI view-register) are MAINTAINED BY THE PIPELINE: every trigger writes
+    each view's batch partials over the kept rows, so view_report serves
+    the live corpus aggregate from k-row state with no separate view
+    stream. Register before starting (a mid-stream registration starts at
+    the next trigger; rebuild_view backfills from the corpus)."""
     from streamds_spark.queries.llmdata.corpus import pipeline_gate
 
     paths = CorpusStreamPaths(work_dir)

@@ -823,3 +823,60 @@ def test_cascade_rerun_and_broken_spec(spark, tmp_path):
     tok2 = stats2["views"]["by_source"]
     assert tok2.startswith("delta:delta-td-")
     assert tok2.split("delta:", 1)[1] not in deltas_before
+
+
+def test_pipeline_maintains_registered_views(spark, tmp_path):
+    """The operational loop closes (round 11): a view registered BEFORE the
+    corpus stream starts is maintained BY the pipeline — after draining,
+    view_report equals the batch aggregate over the corpus with no separate
+    view stream; a broken registration (column the corpus lacks) flags
+    rebuild-required and does NOT stall ingest; a takedown then cascades
+    into the maintained view through the same delete_docs path."""
+    from tests.test_llm_pipeline_stream import _split_into_files
+    from streamds_spark.streaming import viewstore as vws
+    from streamds_spark.streaming.llm_pipeline import run_llm_corpus_stream
+
+    src_dir, work_dir = str(tmp_path / "src"), str(tmp_path / "work")
+    _split_into_files(spark, src_dir)
+    sub_spec = vws.ViewSpec(
+        keys=("lang",), aggs={"chars": ("sum", "n_chars"), "docs": ("count", None)}
+    )
+    mm_spec = vws.ViewSpec(keys=("source",), aggs={"hi": ("max", "n_chars")})
+    bogus = vws.ViewSpec(keys=("lang",), aggs={"x": ("sum", "nope")})
+    vdir_sub = vws.register_view(work_dir, "by_lang", sub_spec)
+    vdir_mm = vws.register_view(work_dir, "max_by_source", mm_spec)
+    vdir_bogus = vws.register_view(work_dir, "broken", bogus)
+
+    q = run_llm_corpus_stream(spark, src_dir, work_dir)
+    q.awaitTermination(timeout=300)
+    assert not q.isActive
+    paths = CorpusStreamPaths(work_dir)
+    corpus = appendlog.get(spark, paths.corpus)
+    assert corpus.count() > 0
+
+    def _rows(df):
+        return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+
+    # both healthy views equal the batch aggregate over the final corpus
+    for spec, vdir in ((sub_spec, vdir_sub), (mm_spec, vdir_mm)):
+        want = vws.view_fold(vws.view_batch_state(corpus, spec), spec)
+        assert _rows(vws.view_report(spark, vdir, spec)) == _rows(want)
+        # one committed partial dir per trigger (4 source files, 1 per trigger)
+        dirs = [
+            d for d in os.listdir(os.path.join(vdir, "view_store"))
+            if d.startswith("batch=")
+        ]
+        assert len(dirs) == 4
+    # the broken view: flagged per batch, ingest never stalled
+    marker = vws.rebuild_required(vdir_bogus)
+    assert marker and "nope" in marker["reason"]
+    assert not os.path.isdir(os.path.join(vdir_bogus, "view_store"))
+
+    # the takedown path reaches the PIPELINE-maintained view
+    doomed = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())[:2]
+    stats = delete_docs(spark, work_dir, doomed, quiesced=True)
+    assert stats["views"]["by_lang"].startswith("delta:delta-td-")
+    assert stats["views"]["max_by_source"] == "rebuild_required"
+    remaining = appendlog.get(spark, paths.corpus)
+    want = vws.view_fold(vws.view_batch_state(remaining, sub_spec), sub_spec)
+    assert _rows(vws.view_report(spark, vdir_sub, sub_spec)) == _rows(want)
