@@ -244,13 +244,13 @@ def main(argv: list[str] | None = None) -> int:
         "(requires a quiesced stream)",
     )
 
-    def _add_view_spec_args(p) -> None:
+    def _add_view_spec_args(p, required=True) -> None:
         p.add_argument(
-            "--key", action="append", required=True, dest="keys", metavar="COL",
+            "--key", action="append", required=required, dest="keys", metavar="COL",
             help="grouping column (repeatable)",
         )
         p.add_argument(
-            "--agg", action="append", required=True, metavar="OUT=KIND[:COL]",
+            "--agg", action="append", required=required, metavar="OUT=KIND[:COL]",
             help="aggregate: KIND in sum|count|min|max|avg|approx_distinct"
             "|p1..p99 (HDR quantile); count takes no column (e.g. n=count "
             "s=sum:n_chars dv=approx_distinct:text p99=p99:n_chars)",
@@ -281,8 +281,19 @@ def main(argv: list[str] | None = None) -> int:
         help="fold and print the maintained view (read cost: keys-in-batch "
         "rows x committed dirs, never the source)",
     )
-    vr.add_argument("work", help="view work dir")
-    _add_view_spec_args(vr)
+    vr.add_argument(
+        "work",
+        help="view work dir (with --name: the PIPELINE work dir whose "
+        "views.json holds the registration)",
+    )
+    _add_view_spec_args(vr, required=False)
+    vr.add_argument(
+        "--name", default=None,
+        help="report a REGISTERED view by name: spec and view dir come "
+        "from the manifest (the single source of truth — hand-typed "
+        "--key/--agg flags that disagree with the registration would "
+        "fold garbage); mutually exclusive with --key/--agg",
+    )
     vr.add_argument("--limit", type=int, default=1000, help="max rows printed")
 
     vc = sub.add_parser(
@@ -310,9 +321,28 @@ def main(argv: list[str] | None = None) -> int:
         "recompute partials from the remaining source as one dominating "
         "segment — run with the view stream quiesced",
     )
-    vb.add_argument("work", help="view work dir")
-    vb.add_argument("remaining", help="parquet of the remaining (post-delete) source")
-    _add_view_spec_args(vb)
+    vb.add_argument(
+        "work",
+        help="view work dir (with --name: the PIPELINE work dir whose "
+        "views.json holds the registration)",
+    )
+    vb.add_argument(
+        "remaining", nargs="?", default=None,
+        help="parquet of the remaining (post-delete) source (omit with "
+        "--from-corpus)",
+    )
+    _add_view_spec_args(vb, required=False)
+    vb.add_argument(
+        "--name", default=None,
+        help="rebuild a REGISTERED view by name (spec + view dir from the "
+        "manifest); mutually exclusive with --key/--agg",
+    )
+    vb.add_argument(
+        "--from-corpus", action="store_true",
+        help="with --name: rebuild from the pipeline's own corpus table "
+        "(the post-takedown remaining source) — the one-command remedy "
+        "for a rebuild-required flag",
+    )
     vb.add_argument(
         "--quiesced",
         action="store_true",
@@ -343,6 +373,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     vu.add_argument("work", help="pipeline work dir (holds views.json)")
     vu.add_argument("name")
+
+    vl = sub.add_parser(
+        "views",
+        help="list a pipeline work dir's registered views with status: "
+        "spec, committed batch/delta dirs, pending rebuild flag",
+    )
+    vl.add_argument("work", help="pipeline work dir (holds views.json)")
 
     sh = sub.add_parser(
         "shell",
@@ -880,12 +917,40 @@ def main(argv: list[str] | None = None) -> int:
             )
     elif args.cmd in (
         "view-stream", "view-report", "view-compact", "view-delete",
-        "view-rebuild", "view-register", "view-unregister",
+        "view-rebuild", "view-register", "view-unregister", "views",
     ):
         from streamds_spark.streaming import viewstore as vws
 
         spec = None
-        if args.cmd not in ("view-compact", "view-unregister"):
+        vwork = getattr(args, "work", None)
+        reg_name = getattr(args, "name", None) if args.cmd in (
+            "view-report", "view-rebuild"
+        ) else None
+        if reg_name is not None:
+            # manifest mode: the registration is the single source of
+            # truth (hand-typed flags that disagree with it would fold
+            # garbage); positional `work` is the PIPELINE work dir
+            if args.keys or args.agg:
+                parser.error(
+                    f"{args.cmd}: --name and --key/--agg are mutually "
+                    "exclusive — the registered spec is authoritative"
+                )
+            try:
+                reg = vws.registered_views(args.work)
+            except ValueError as e:
+                parser.error(str(e))
+            if reg_name not in reg:
+                parser.error(
+                    f"{args.cmd}: no view named {reg_name!r} registered in "
+                    f"{args.work} (have: {sorted(reg) or 'none'})"
+                )
+            spec, vwork = reg[reg_name]
+        elif args.cmd not in ("view-compact", "view-unregister", "views"):
+            if not getattr(args, "keys", None) or not getattr(args, "agg", None):
+                parser.error(
+                    f"{args.cmd}: pass --key/--agg, or --name for a "
+                    "registered view"
+                )
             aggs = {}
             for a in args.agg:
                 out, _, rest = a.partition("=")
@@ -913,13 +978,13 @@ def main(argv: list[str] | None = None) -> int:
                 # an undrained stream as a failure, not a quiet 0
                 return 1
         elif args.cmd == "view-report":
-            df = vws.view_report(spark, args.work, spec)
+            df = vws.view_report(spark, vwork, spec)
             rows = df.limit(max(1, args.limit)).collect()
             cols = df.columns
             for r in sorted(rows, key=lambda r: tuple(str(r[k]) for k in spec.keys)):
                 print(" ".join(f"{c}={r[c]}" for c in cols))
             print(f"view rows:{len(rows)}")
-            pending = vws.rebuild_required(args.work)
+            pending = vws.rebuild_required(vwork)
             if pending:
                 print(
                     "WARNING: rebuild required — numbers include "
@@ -953,10 +1018,56 @@ def main(argv: list[str] | None = None) -> int:
                 # the reclaim pass deletes batch dirs a live trigger may be
                 # writing — enforce the help text's precondition
                 parser.error("view-rebuild requires --quiesced")
-            hi = vws.rebuild_view(
-                spark, args.work, spec, spark.read.parquet(args.remaining)
-            )
+            if args.from_corpus:
+                # the one-command remedy for a rebuild-required flag: the
+                # remaining source IS the pipeline's own (post-takedown)
+                # corpus table
+                if reg_name is None:
+                    parser.error("view-rebuild: --from-corpus requires --name")
+                from streamds_spark.io import appendlog as _alog
+                from streamds_spark.streaming.llm_pipeline import (
+                    CorpusStreamPaths as _CSP,
+                )
+
+                remaining = _alog.get(spark, _CSP(args.work).corpus)
+            elif args.remaining:
+                remaining = spark.read.parquet(args.remaining)
+            else:
+                parser.error(
+                    "view-rebuild: pass a remaining parquet, or --name "
+                    "NAME --from-corpus"
+                )
+            hi = vws.rebuild_view(spark, vwork, spec, remaining)
             print(f"view-rebuild segment_hi:{hi}")
+        elif args.cmd == "views":
+            import glob as _glob
+            import os as _os
+
+            try:
+                reg = vws.registered_views(args.work)
+            except ValueError as e:
+                parser.error(str(e))
+            for vname, (vspec, vdir) in sorted(reg.items()):
+                store = _os.path.join(vdir, "view_store")
+                n_batch = len([
+                    d for d in _glob.glob(_os.path.join(store, "batch=*"))
+                    if _os.path.exists(_os.path.join(d, "_SUCCESS"))
+                ])
+                n_seg = len(_glob.glob(_os.path.join(store, "segment=*")))
+                n_delta = len(vws._committed_delta_dirs(store))  # noqa: SLF001
+                pending = vws.rebuild_required(vdir)
+                agg_s = ",".join(
+                    f"{o}={k}" + (f":{c}" if c else "")
+                    for o, (k, c) in vspec.aggs.items()
+                )
+                print(
+                    f"view {vname} keys:{','.join(vspec.keys)} aggs:{agg_s} "
+                    f"batches:{n_batch} segments:{n_seg} deltas:{n_delta} "
+                    "rebuild_required:"
+                    f"{pending['pending_takedowns'] if pending else 0} "
+                    f"work:{vdir}"
+                )
+            print(f"views:{len(reg)}")
         elif args.cmd == "view-register":
             try:
                 vdir = vws.register_view(

@@ -713,3 +713,81 @@ def test_cli_view_register_and_takedown_cascade(spark, tmp_path):
     assert rc in (0, None) and "removed" in out
     rc, out = _run(["view-unregister", work, "max_by_lang"])
     assert "not-registered" in out
+
+
+def test_cli_views_listing_and_manifest_mode(spark, tmp_path):
+    """The manifest as single source of truth on the CLI (round 11):
+    `views` lists each registered view with store status; `view-report
+    --name` folds without re-typing spec flags (and refuses a flag mix);
+    `view-rebuild --name --from-corpus --quiesced` is the one-command
+    remedy for a rebuild-required flag — remaining source = the pipeline's
+    own post-takedown corpus, flag cleared after."""
+    import os
+
+    from tests.test_llm_pipeline_stream import _split_into_files
+    from streamds_spark.io import appendlog
+    from streamds_spark.streaming import viewstore as vws
+    from streamds_spark.streaming.llm_pipeline import (
+        CorpusStreamPaths,
+        run_llm_corpus_stream,
+    )
+
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    _split_into_files(spark, src)
+    sub_spec = vws.ViewSpec(keys=("source",), aggs={"chars": ("sum", "n_chars")})
+    mm_spec = vws.ViewSpec(keys=("lang",), aggs={"hi": ("max", "n_chars")})
+    vws.register_view(work, "by_source", sub_spec)
+    vws.register_view(work, "max_by_lang", mm_spec)
+    q = run_llm_corpus_stream(spark, src, work)  # pipeline maintains both
+    q.awaitTermination(timeout=300)
+    assert not q.isActive
+
+    rc, out = _run(["views", work])
+    assert rc in (0, None) and "views:2" in out
+    assert "view by_source keys:source aggs:chars=sum:n_chars" in out
+    assert "batches:4" in out and "rebuild_required:0" in out
+
+    # manifest-mode report == flag-mode report
+    rc, out_name = _run(["view-report", work, "--name", "by_source"])
+    assert rc in (0, None)
+    rc, out_flags = _run([
+        "view-report", os.path.join(work, "views", "by_source"),
+        "--key", "source", "--agg", "chars=sum:n_chars",
+    ])
+    assert sorted(out_name.splitlines()) == sorted(out_flags.splitlines())
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):  # flags + --name refused
+        _run(["view-report", work, "--name", "by_source", "--key", "source",
+              "--agg", "chars=sum:n_chars"])
+    with _pytest.raises(SystemExit):  # unknown name
+        _run(["view-report", work, "--name", "nope"])
+    with _pytest.raises(SystemExit):  # neither flags nor name
+        _run(["view-report", work])
+
+    # takedown flags the min/max view; --from-corpus rebuild remedies it
+    corpus = appendlog.get(spark, CorpusStreamPaths(work).corpus)
+    doomed = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())[:2]
+    rc, out = _run(["takedown", work, ",".join(map(str, doomed)), "--quiesced"])
+    assert rc in (0, None) and "view max_by_lang: rebuild_required" in out
+    rc, out = _run(["views", work])
+    assert "rebuild_required:1" in out
+    with _pytest.raises(SystemExit):  # --from-corpus needs --name
+        _run(["view-rebuild", work, "--key", "lang", "--agg", "hi=max:n_chars",
+              "--from-corpus", "--quiesced"])
+    rc, out = _run([
+        "view-rebuild", work, "--name", "max_by_lang", "--from-corpus",
+        "--quiesced",
+    ])
+    assert rc in (0, None) and "segment_hi:" in out
+    rc, out = _run(["views", work])
+    assert "rebuild_required:1" not in out and "views:2" in out
+    # the rebuilt view equals the batch aggregate over the remaining corpus
+    remaining = appendlog.get(spark, CorpusStreamPaths(work).corpus)
+    want = vws.view_fold(vws.view_batch_state(remaining, mm_spec), mm_spec)
+    got = vws.view_report(
+        spark, os.path.join(work, "views", "max_by_lang"), mm_spec
+    )
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
