@@ -50,6 +50,12 @@ Protocol (one JSON object per line, response is one JSON line):
                                           dir counts) — see attach_pipeline
   {"cmd": "cancel", "tag": "..."}      -> cancel the in-flight request that
                                           was submitted with that "tag"
+  {"cmd": "views", "work_dir": d}       -> read-only listing of the work
+                                          dir's registered views (spec +
+                                          store status + pending rebuild
+                                          flag; driver-side metadata, no
+                                          jobs) — same view_roots
+                                          allowlist posture as view_report
   {"cmd": "view_report", "work_dir": d,
    "keys": [..], "aggs": {out: [kind,
    col-or-null]}, "limit": N}          -> fold an incremental materialized
@@ -271,6 +277,70 @@ def _run_request(
         if cache_info is not None:
             resp.update(cache_info)
         return resp
+    if req.get("cmd") == "views":
+        # read-only listing of a pipeline work dir's registered views with
+        # live store status — driver-side file metadata only, no jobs. Same
+        # client-supplied-path posture as view_report: disabled without a
+        # startup allowlist, realpath-pinned inside it.
+        work_dir = req.get("work_dir")
+        if not isinstance(work_dir, str) or not work_dir:
+            return {"ok": False, "error": "views needs 'work_dir' (string)"}
+        if view_roots is None:
+            return {
+                "ok": False,
+                "error": "views is disabled on this server: start it with "
+                "view_roots=[dir, ...] (--view-root) to allowlist the "
+                "readable view dirs",
+            }
+        real = os.path.realpath(work_dir)
+        if not any(
+            real == root or real.startswith(root + os.sep)
+            for root in view_roots
+        ):
+            return {
+                "ok": False,
+                "error": "views: work_dir is outside the server's "
+                "view_roots allowlist",
+            }
+        import glob as _glob
+
+        from streamds_spark.streaming.viewstore import (
+            _committed_delta_dirs,
+            rebuild_required,
+            registered_views,
+            spec_to_dict,
+        )
+
+        try:
+            reg = registered_views(work_dir)
+        except ValueError as e:
+            return {"ok": False, "error": str(e)}
+        out = []
+        for name, (spec, vdir) in sorted(reg.items()):
+            store = os.path.join(vdir, "view_store")
+            pending = rebuild_required(vdir)
+            out.append(
+                {
+                    "name": name,
+                    "work_dir": vdir,
+                    "spec": spec_to_dict(spec),
+                    "n_batch_dirs": len(
+                        [
+                            d
+                            for d in _glob.glob(os.path.join(store, "batch=*"))
+                            if os.path.exists(os.path.join(d, "_SUCCESS"))
+                        ]
+                    ),
+                    "n_segments": len(
+                        _glob.glob(os.path.join(store, "segment=*"))
+                    ),
+                    "n_deltas": len(_committed_delta_dirs(store)),
+                    "rebuild_required": (
+                        pending["pending_takedowns"] if pending else 0
+                    ),
+                }
+            )
+        return {"ok": True, "views": out, "n_views": len(out)}
     if req.get("cmd") == "view_report":
         # read-only probe of an incremental materialized view
         # (streaming/viewstore.py): fold the view's committed partial dirs —

@@ -911,3 +911,48 @@ def test_view_report_surfaces_rebuild_flag(spark, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_views_listing_verb(spark, tmp_path):
+    """{"cmd": "views"}: registered-view inventory over the socket —
+    driver-side metadata only, allowlist-gated like view_report."""
+    import os
+
+    from streamds_spark.server import request, start_server
+    from streamds_spark.streaming.viewstore import (
+        ViewSpec,
+        mark_rebuild_required,
+        register_view,
+        write_view_batch,
+    )
+
+    work = str(tmp_path / "pipe")
+    spec = ViewSpec(keys=("k",), aggs={"s": ("sum", "v")})
+    vdir = register_view(work, "byk", spec)
+    df = spark.createDataFrame([("a", 1), ("b", 5)], "k string, v bigint")
+    write_view_batch(df, 0, os.path.join(vdir, "view_store"), spec)
+    mark_rebuild_required(vdir, {"action": "delete_docs", "reason": "t"})
+
+    plain = start_server(spark, SF)
+    try:
+        ph, pp = plain.server_address[:2]
+        r = request(ph, pp, {"cmd": "views", "work_dir": work})
+        assert not r["ok"] and "disabled" in r["error"]
+    finally:
+        plain.shutdown()
+        plain.server_close()
+    server = start_server(spark, SF, view_roots=[str(tmp_path)])
+    try:
+        host, port = server.server_address[:2]
+        bad = request(host, port, {"cmd": "views", "work_dir": "/etc"})
+        assert not bad["ok"] and "allowlist" in bad["error"]
+        r = request(host, port, {"cmd": "views", "work_dir": work})
+        assert r["ok"] and r["n_views"] == 1
+        v = r["views"][0]
+        assert v["name"] == "byk" and v["n_batch_dirs"] == 1
+        assert v["rebuild_required"] == 1
+        assert v["spec"]["aggs"] == {"s": ["sum", "v"]}
+        assert not request(host, port, {"cmd": "views"})["ok"]
+    finally:
+        server.shutdown()
+        server.server_close()
