@@ -930,10 +930,11 @@ def main(argv: list[str] | None = None) -> int:
             # manifest mode: the registration is the single source of
             # truth (hand-typed flags that disagree with it would fold
             # garbage); positional `work` is the PIPELINE work dir
-            if args.keys or args.agg:
+            if args.keys or args.agg or getattr(args, "kmv_k", None) is not None:
                 parser.error(
-                    f"{args.cmd}: --name and --key/--agg are mutually "
-                    "exclusive — the registered spec is authoritative"
+                    f"{args.cmd}: --name and --key/--agg/--kmv-k are "
+                    "mutually exclusive — the registered spec is "
+                    "authoritative"
                 )
             try:
                 reg = vws.registered_views(args.work)
@@ -1024,6 +1025,11 @@ def main(argv: list[str] | None = None) -> int:
                 # corpus table
                 if reg_name is None:
                     parser.error("view-rebuild: --from-corpus requires --name")
+                if args.remaining:
+                    parser.error(
+                        "view-rebuild: a remaining parquet AND "
+                        "--from-corpus conflict — pick one source"
+                    )
                 from streamds_spark.io import appendlog as _alog
                 from streamds_spark.streaming.llm_pipeline import (
                     CorpusStreamPaths as _CSP,
@@ -1040,31 +1046,21 @@ def main(argv: list[str] | None = None) -> int:
             hi = vws.rebuild_view(spark, vwork, spec, remaining)
             print(f"view-rebuild segment_hi:{hi}")
         elif args.cmd == "views":
-            import glob as _glob
-            import os as _os
-
             try:
                 reg = vws.registered_views(args.work)
             except ValueError as e:
                 parser.error(str(e))
             for vname, (vspec, vdir) in sorted(reg.items()):
-                store = _os.path.join(vdir, "view_store")
-                n_batch = len([
-                    d for d in _glob.glob(_os.path.join(store, "batch=*"))
-                    if _os.path.exists(_os.path.join(d, "_SUCCESS"))
-                ])
-                n_seg = len(_glob.glob(_os.path.join(store, "segment=*")))
-                n_delta = len(vws._committed_delta_dirs(store))  # noqa: SLF001
-                pending = vws.rebuild_required(vdir)
+                st = vws.view_status(vdir)
                 agg_s = ",".join(
                     f"{o}={k}" + (f":{c}" if c else "")
                     for o, (k, c) in vspec.aggs.items()
                 )
                 print(
                     f"view {vname} keys:{','.join(vspec.keys)} aggs:{agg_s} "
-                    f"batches:{n_batch} segments:{n_seg} deltas:{n_delta} "
-                    "rebuild_required:"
-                    f"{pending['pending_takedowns'] if pending else 0} "
+                    f"batches:{st['n_batch_dirs']} "
+                    f"segments:{st['n_segments']} deltas:{st['n_deltas']} "
+                    f"rebuild_required:{st['rebuild_required']} "
                     f"work:{vdir}"
                 )
             print(f"views:{len(reg)}")

@@ -447,9 +447,9 @@ AUDIT_K = 10
 )
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall evidence behind the ANN tiers (round 11, the estimator-audit
-    discipline): for {AUDIT_PROBES} probe vectors, the single-bucket LSH
-    scan and the Hamming-1 multi-probe scan are graded against the exact
-    brute-force cosine top-k — n_hit = how many of the exact top-k each
+    discipline): for 16 probe vectors, the single-bucket LSH scan and the
+    Hamming-1 multi-probe scan are graded against the exact brute-force
+    cosine top-10 — n_hit = how many of the exact top-k each
     method's own top-k recovered, summed over probes. All integers, so the
     row is hash-exact; the recall ratio (and multi-probe's recovery of
     single-bucket misses, Lv et al.'s whole argument) is read from

@@ -302,13 +302,10 @@ def _run_request(
                 "error": "views: work_dir is outside the server's "
                 "view_roots allowlist",
             }
-        import glob as _glob
-
         from streamds_spark.streaming.viewstore import (
-            _committed_delta_dirs,
-            rebuild_required,
             registered_views,
             spec_to_dict,
+            view_status,
         )
 
         try:
@@ -317,29 +314,24 @@ def _run_request(
             return {"ok": False, "error": str(e)}
         out = []
         for name, (spec, vdir) in sorted(reg.items()):
-            store = os.path.join(vdir, "view_store")
-            pending = rebuild_required(vdir)
-            out.append(
-                {
-                    "name": name,
-                    "work_dir": vdir,
-                    "spec": spec_to_dict(spec),
-                    "n_batch_dirs": len(
-                        [
-                            d
-                            for d in _glob.glob(os.path.join(store, "batch=*"))
-                            if os.path.exists(os.path.join(d, "_SUCCESS"))
-                        ]
-                    ),
-                    "n_segments": len(
-                        _glob.glob(os.path.join(store, "segment=*"))
-                    ),
-                    "n_deltas": len(_committed_delta_dirs(store)),
-                    "rebuild_required": (
-                        pending["pending_takedowns"] if pending else 0
-                    ),
-                }
-            )
+            entry = {"name": name, "work_dir": vdir, "spec": spec_to_dict(spec)}
+            # the manifest can declare a view work dir ANYWHERE
+            # (register_view accepts an explicit path): reading its store
+            # metadata must pass the same allowlist the client-supplied
+            # path did, or the manifest becomes a read-outside-the-fence
+            # indirection view_report itself would refuse
+            vreal = os.path.realpath(vdir)
+            if any(
+                vreal == root or vreal.startswith(root + os.sep)
+                for root in view_roots
+            ):
+                entry.update(view_status(vdir))
+            else:
+                entry["error"] = (
+                    "view work_dir is outside the server's view_roots "
+                    "allowlist — status not read"
+                )
+            out.append(entry)
         return {"ok": True, "views": out, "n_views": len(out)}
     if req.get("cmd") == "view_report":
         # read-only probe of an incremental materialized view

@@ -498,6 +498,7 @@ def process_corpus_batch(
         # store scan behind `hits`
         local = pre.join(F.broadcast(hits), "_h", "left_anti").cache()
     new_buckets = None
+    kept_rows = None
     try:
         # near-dup probe against the persisted corpus buckets (flag, don't
         # drop: near-dup POLICY is a downstream choice; the batch twin has no
@@ -529,7 +530,11 @@ def process_corpus_batch(
         else:
             kept = local.withColumn("n_neardup_cands", F.lit(0).cast("bigint"))
 
-        kept_rows = kept.drop("_h")
+        # cached: the corpus append AND every registered view's partial
+        # write read it — uncached, each view would re-run the near-dup
+        # candidate subtree (including the corpus bucket-store scan, which
+        # GROWS with the corpus) once per view per trigger
+        kept_rows = kept.drop("_h").cache()
         appendlog.append_batch(kept_rows, paths.corpus, "llm-stream", batch_id)
         # registered materialized views (streaming/viewstore.py manifest):
         # the pipeline maintains them — one batch=N partial write per view
@@ -647,35 +652,42 @@ def process_corpus_batch(
             local.unpersist()
         if new_buckets is not None:
             new_buckets.unpersist()
+        if kept_rows is not None:
+            kept_rows.unpersist()
 
 
 def _maintain_registered_views(
     spark: SparkSession, work_dir: str, kept_rows: DataFrame, batch_id: int
 ) -> None:
     """Per-trigger maintenance of every registered view (views.json) over
-    this batch's kept rows. Failure split mirrors the takedown cascade's
-    reasoning, adapted to ingest: a STRUCTURAL failure (AnalysisException —
-    the registered spec names a column the corpus doesn't have) flags the
-    view rebuild-required and lets ingest continue (one broken registration
-    must not stall the pipeline; the view is visibly incomplete, never
-    silently wrong); any OTHER failure re-raises and fails the trigger —
-    the checkpoint replays the batch and the overwrite-by-batchId write
-    self-heals, which a flag-and-skip would turn into a silent hole in the
-    view's fold instead."""
-    from pyspark.sql.utils import AnalysisException
-
+    this batch's kept rows. Failure policy: ANY exception flags the view
+    rebuild-required and lets ingest continue — one broken registration
+    must never stall the corpus pipeline, and deterministic RUNTIME
+    failures (an ANSI cast in a pNN agg over a string column, overflow)
+    are indistinguishable from plan-time ones, so re-raising them would
+    crash-loop the trigger through every checkpoint replay. The flag makes
+    the view VISIBLY incomplete (views/view-report/server all surface it)
+    rather than silently wrong, and `view-rebuild --name --from-corpus`
+    repairs any class of miss from durable state. The marker entry carries
+    a stable token, so a replay of the same failing batch REPLACES the
+    entry instead of double-counting it."""
     from streamds_spark.streaming import viewstore as _vws
 
     for name, (spec, vdir) in sorted(_vws.registered_views(work_dir).items()):
         store_dir = os.path.join(vdir, "view_store")
         try:
             _vws.write_view_batch(kept_rows, batch_id, store_dir, spec)
-        except AnalysisException as e:
+        except Exception as e:  # noqa: BLE001 — flag, never stall ingest
             _vws.mark_rebuild_required(
                 vdir,
                 {
                     "action": "maintain_view",
                     "reason": f"batch {int(batch_id)}: {e}",
+                    # one logical hole per view, replace-on-re-mark: the
+                    # latest failed batch's reason wins, the pending count
+                    # stays 1 (the remedy — one rebuild — is the same
+                    # whether 1 or 50 batches were missed)
+                    "token": "maintain",
                 },
             )
 

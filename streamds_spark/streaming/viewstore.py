@@ -985,3 +985,34 @@ def cascade_delete_to_views(
         )
         out[name] = "rebuild_required"
     return out
+
+
+def view_status(view_work_dir: str) -> dict:
+    """Operator-facing store status for one view dir — the SINGLE
+    definition behind the CLI `views` verb and the server `views` verb,
+    counting exactly what the fold reads: batch dirs and segments are
+    committed (_SUCCESS, integer-named — torn dirs and .rebuild/.old-*
+    asides are invisible to view_report and so to this census), deltas via
+    _committed_delta_dirs. rebuild_required is the pending-takedown count
+    (0 when clean; legacy markers without the count key report 1)."""
+    store = os.path.join(view_work_dir, "view_store")
+    n_seg = 0
+    for d in _glob.glob(os.path.join(store, "segment=*")):
+        tail = os.path.basename(d).split("=", 1)[1]
+        if tail.isdigit() and os.path.exists(os.path.join(d, "_SUCCESS")):
+            n_seg += 1
+    pending = rebuild_required(view_work_dir)
+    return {
+        "n_batch_dirs": len(
+            [
+                d
+                for d in _glob.glob(os.path.join(store, "batch=*"))
+                if os.path.exists(os.path.join(d, "_SUCCESS"))
+            ]
+        ),
+        "n_segments": n_seg,
+        "n_deltas": len(_committed_delta_dirs(store)),
+        "rebuild_required": (
+            int(pending.get("pending_takedowns", 1)) if pending else 0
+        ),
+    }

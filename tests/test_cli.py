@@ -775,6 +775,11 @@ def test_cli_views_listing_and_manifest_mode(spark, tmp_path):
     with _pytest.raises(SystemExit):  # --from-corpus needs --name
         _run(["view-rebuild", work, "--key", "lang", "--agg", "hi=max:n_chars",
               "--from-corpus", "--quiesced"])
+    with _pytest.raises(SystemExit):  # kmv-k is part of the spec too
+        _run(["view-report", work, "--name", "by_source", "--kmv-k", "512"])
+    with _pytest.raises(SystemExit):  # two conflicting remaining sources
+        _run(["view-rebuild", work, "/tmp/other.parquet", "--name",
+              "max_by_lang", "--from-corpus", "--quiesced"])
     rc, out = _run([
         "view-rebuild", work, "--name", "max_by_lang", "--from-corpus",
         "--quiesced",
