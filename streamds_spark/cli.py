@@ -252,13 +252,20 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument(
             "--agg", action="append", required=required, metavar="OUT=KIND[:COL]",
             help="aggregate: KIND in sum|count|min|max|avg|approx_distinct"
-            "|p1..p99 (HDR quantile); count takes no column (e.g. n=count "
-            "s=sum:n_chars dv=approx_distinct:text p99=p99:n_chars)",
+            "|min_ladder|max_ladder|p1..p99 (HDR quantile); count takes no "
+            "column (e.g. n=count s=sum:n_chars dv=approx_distinct:text "
+            "p99=p99:n_chars lo=min_ladder:price)",
         )
         p.add_argument(
             "--kmv-k", type=int, default=None,
             help="KMV sketch size for approx_distinct (default 256; exact "
             "below k distinct values per key, ~1/sqrt(k-2) error beyond)",
+        )
+        p.add_argument(
+            "--ladder-j", type=int, default=None,
+            help="ladder depth for min_ladder/max_ladder (default 4): the "
+            "J extreme distinct values stored per key per trigger — a "
+            "takedown subtracts exactly until a key's ladder is exhausted",
         )
 
     vs = sub.add_parser(
@@ -930,10 +937,15 @@ def main(argv: list[str] | None = None) -> int:
             # manifest mode: the registration is the single source of
             # truth (hand-typed flags that disagree with it would fold
             # garbage); positional `work` is the PIPELINE work dir
-            if args.keys or args.agg or getattr(args, "kmv_k", None) is not None:
+            if (
+                args.keys
+                or args.agg
+                or getattr(args, "kmv_k", None) is not None
+                or getattr(args, "ladder_j", None) is not None
+            ):
                 parser.error(
-                    f"{args.cmd}: --name and --key/--agg/--kmv-k are "
-                    "mutually exclusive — the registered spec is "
+                    f"{args.cmd}: --name and --key/--agg/--kmv-k/--ladder-j "
+                    "are mutually exclusive — the registered spec is "
                     "authoritative"
                 )
             try:
@@ -961,6 +973,8 @@ def main(argv: list[str] | None = None) -> int:
                 aggs[out] = (kind, col or None)
             try:
                 kw = {"kmv_k": args.kmv_k} if args.kmv_k is not None else {}
+                if args.ladder_j is not None:
+                    kw["ladder_j"] = args.ladder_j
                 spec = vws.ViewSpec(keys=tuple(args.keys), aggs=aggs, **kw)
             except ValueError as e:
                 parser.error(f"view spec: {e}")

@@ -1584,3 +1584,176 @@ def view_pquantile_audit_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "view_minmax_ladder_audit_sources",
+    oracle="""
+    WITH docs3 AS (
+        SELECT source, doc_id % 3 AS b, CAST(n_chars AS BIGINT) AS v
+        FROM documents WHERE n_chars IS NOT NULL
+    ),
+    vmin AS (SELECT source, min(v) AS vmin FROM docs3 GROUP BY source),
+    -- per-trigger distinct-value census (the ladder's raw material)
+    cen AS (
+        SELECT source, b, v, CAST(count(*) AS BIGINT) AS c
+        FROM docs3 GROUP BY source, b, v
+    ),
+    rnk AS (
+        SELECT source, b, v, c,
+               row_number() OVER (PARTITION BY source, b ORDER BY v) AS rlo,
+               row_number() OVER (PARTITION BY source, b ORDER BY v DESC) AS rhi,
+               count(*) OVER (PARTITION BY source, b) AS nd
+        FROM cen
+    ),
+    -- stored partials: top-4 ladders + coverage bounds (NULL = full cover)
+    lo_lad AS (SELECT source, v, c FROM rnk WHERE rlo <= 4),
+    hi_lad AS (SELECT source, v, c FROM rnk WHERE rhi <= 4),
+    lo_bnd AS (
+        SELECT source, min(bnd) AS bq FROM (
+            SELECT source, b, max(v) AS bnd FROM rnk
+            WHERE rlo <= 4 AND nd > 4 GROUP BY source, b
+        ) GROUP BY source
+    ),
+    hi_bnd AS (
+        SELECT source, max(bnd) AS bq FROM (
+            SELECT source, b, min(v) AS bnd FROM rnk
+            WHERE rhi <= 4 AND nd > 4 GROUP BY source, b
+        ) GROUP BY source
+    ),
+    -- the takedown: delete every row holding its source's minimum value;
+    -- the negative delta is the deleted rows' FULL value census
+    negc AS (
+        SELECT d.source, d.v, -CAST(count(*) AS BIGINT) AS c
+        FROM docs3 d JOIN vmin m ON d.source = m.source AND d.v = m.vmin
+        GROUP BY d.source, d.v
+    ),
+    lo_net AS (
+        SELECT source, v, sum(c) AS net FROM (
+            SELECT * FROM lo_lad UNION ALL SELECT * FROM negc
+        ) GROUP BY source, v
+    ),
+    hi_net AS (
+        SELECT source, v, sum(c) AS net FROM (
+            SELECT * FROM hi_lad UNION ALL SELECT * FROM negc
+        ) GROUP BY source, v
+    ),
+    lo_cand AS (SELECT source, min(v) AS cand FROM lo_net WHERE net > 0 GROUP BY source),
+    hi_cand AS (SELECT source, max(v) AS cand FROM hi_net WHERE net > 0 GROUP BY source),
+    folded AS (
+        SELECT lc.source,
+               CASE WHEN lb.bq IS NULL OR lc.cand <= lb.bq THEN lc.cand END AS lo_folded,
+               CASE WHEN hb.bq IS NULL OR hc.cand >= hb.bq THEN hc.cand END AS hi_folded
+        FROM lo_cand lc
+        LEFT JOIN lo_bnd lb ON lc.source = lb.source
+        JOIN hi_cand hc ON lc.source = hc.source
+        LEFT JOIN hi_bnd hb ON lc.source = hb.source
+    ),
+    exact AS (
+        SELECT d.source, min(d.v) AS lo_exact, max(d.v) AS hi_exact,
+               CAST(count(*) AS BIGINT) AS n_remaining
+        FROM docs3 d JOIN vmin m ON d.source = m.source
+        WHERE d.v <> m.vmin GROUP BY d.source
+    ),
+    ndel AS (
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_deleted
+        FROM docs3 d JOIN vmin m ON d.source = m.source AND d.v = m.vmin
+        GROUP BY d.source
+    )
+    SELECT f.source, f.lo_folded, e.lo_exact,
+           CAST(CASE WHEN f.lo_folded = e.lo_exact THEN 1 ELSE 0 END AS BIGINT) AS lo_ok,
+           f.hi_folded, e.hi_exact,
+           CAST(CASE WHEN f.hi_folded = e.hi_exact THEN 1 ELSE 0 END AS BIGINT) AS hi_ok,
+           n.n_deleted, e.n_remaining
+    FROM folded f
+    JOIN exact e ON f.source = e.source
+    JOIN ndel n ON f.source = n.source
+    ORDER BY f.source
+    """,
+)
+def view_minmax_ladder_audit_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtraction audit for the viewstore's min_ladder/max_ladder
+    aggregates (streaming/viewstore.py, round 11, VERDICT r10 item 6): per
+    source, three simulated triggers (doc_id % 3) each store a top-4
+    ladder partial of n_chars (the 4 extreme distinct values with counts,
+    plus the coverage bound); a simulated takedown then deletes every row
+    holding its source's MINIMUM value and subtracts the deleted rows'
+    full value census as a negative delta. The production fold (view_fold
+    itself, not a reimplementation) must promote the runner-up to the new
+    min — lo_ok = 1 — and leave the untouched max exact — hi_ok = 1 — for
+    every source at every SF. The DuckDB oracle replays the identical
+    ladder arithmetic (census -> top-4 + bound -> net counts -> covered
+    candidate) against the identical deletion, so the row set is
+    integer-hash-exact. Deleting exactly one distinct value per key can
+    never exhaust a top-4 ladder (at most one distinct value sits below
+    the global runner-up), so the audit is deterministic — the refusal
+    path is pytest-pinned instead (tests/test_view_ladder.py). Scale: the
+    fold reads ladder rows (<= 4 entries per key per trigger), never the
+    corpus; the one corpus scan builds the partials, same as ingest."""
+    from streamds_spark.streaming.viewstore import (
+        ViewSpec,
+        view_batch_state,
+        view_fold,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .where(F.col("n_chars").isNotNull())
+    )
+    spec = ViewSpec(
+        keys=("source",),
+        aggs={"lo": ("min_ladder", "n_chars"), "hi": ("max_ladder", "n_chars")},
+        ladder_j=4,
+    )
+    parts = [
+        view_batch_state(docs.filter(F.col("doc_id") % 3 == b), spec)
+        for b in range(3)
+    ]
+    vmin = docs.groupBy("source").agg(F.min("n_chars").alias("vmin"))
+    doomed = (
+        docs.join(vmin, "source")
+        .where(F.col("n_chars") == F.col("vmin"))
+        .select("doc_id", "source", "n_chars")
+    )
+    neg = view_batch_state(doomed, spec, ladder_full=True)
+    for c in ("lo__lad", "hi__lad"):
+        neg = neg.withColumn(
+            c,
+            F.transform(
+                F.col(c),
+                lambda e: F.struct(e["v"].alias("v"), (-e["c"]).alias("c")),
+            ),
+        )
+    neg = neg.withColumn("__rows", (-F.col("__rows")).cast("bigint"))
+    store = parts[0]
+    for p in parts[1:] + [neg]:
+        store = store.unionByName(p)
+    folded = view_fold(store, spec)
+    remaining = docs.join(vmin, "source").where(
+        F.col("n_chars") != F.col("vmin")
+    )
+    exact = remaining.groupBy("source").agg(
+        F.min("n_chars").alias("lo_exact"),
+        F.max("n_chars").alias("hi_exact"),
+        F.count(F.lit(1)).cast("bigint").alias("n_remaining"),
+    )
+    ndel = doomed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_deleted")
+    )
+    return (
+        folded.join(exact, "source")
+        .join(ndel, "source")
+        .select(
+            "source",
+            F.col("lo").cast("bigint").alias("lo_folded"),
+            F.col("lo_exact").cast("bigint").alias("lo_exact"),
+            (F.col("lo") == F.col("lo_exact")).cast("int").cast("bigint").alias("lo_ok"),
+            F.col("hi").cast("bigint").alias("hi_folded"),
+            F.col("hi_exact").cast("bigint").alias("hi_exact"),
+            (F.col("hi") == F.col("hi_exact")).cast("int").cast("bigint").alias("hi_ok"),
+            "n_deleted",
+            "n_remaining",
+        )
+        .orderBy("source")
+    )

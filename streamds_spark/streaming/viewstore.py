@@ -56,6 +56,17 @@ had no delete path. Two answers, matched to what each aggregate can do:
   dir present (committed OR torn — a torn dir can be replay-rewritten),
   so a later replay rewrites a dir readers skip. Quiesce the stream for
   the swap, same as rebuild_sketch_stores.
+* MIN_LADDER/MAX_LADDER (round 11, per VERDICT r10 item 6) answer exactly
+  like min/max but carry runner-up knowledge: each trigger stores the
+  ladder_j extreme DISTINCT values with their row counts plus a coverage
+  bound (NULL when the trigger recorded every distinct value). Per-value
+  counts are additive, so a takedown writes a FULL value census of the
+  deleted rows as a negative delta and the fold's surviving-candidate is
+  the exact extreme whenever it sits inside the folded coverage bound.
+  Only ladder EXHAUSTION (deletions eat past the recorded runner-ups of
+  some key while rows remain) falls back to rebuild_view — detected by a
+  pre-commit simulation that refuses before writing anything, so a store
+  that holds a committed ladder delta always folds exactly.
 
 Delta dirs are bounded by takedown count (tiny: one row per affected
 key), are folded away by the next rebuild_view, and survive compact_view
@@ -83,7 +94,16 @@ from streamds_spark.streaming.llm_pipeline import (
     _compact_one_store,
 )
 
-_KINDS = ("sum", "count", "min", "max", "avg", "approx_distinct")
+_KINDS = (
+    "sum",
+    "count",
+    "min",
+    "max",
+    "avg",
+    "approx_distinct",
+    "min_ladder",
+    "max_ladder",
+)
 # plus quantile kinds "p1".."p99" (validated by regex): per-key HDR
 # log-linear histogram partials (operators/hdr.py — <= 1888 buckets per key
 # REGARDLESS of data size, rel. error < 1/32), folded by per-bucket SUM and
@@ -99,6 +119,15 @@ _PQUANT_RE = re.compile(r"^p([1-9][0-9]?)$")
 VIEW_KMV_K = 256
 _HASH_SPAN = float(1 << 60)  # md5_int60 hashes are uniform in [0, 2^60)
 
+# Ladder depth for min_ladder/max_ladder partials: the J smallest (largest)
+# DISTINCT values per key per trigger, each with its count of source rows —
+# enough runner-up knowledge to survive takedowns of up to J-1 extreme
+# distinct values per key without a rebuild. J=4 keeps the partial tiny
+# (4 struct entries/key/trigger) while covering the common takedown shape
+# (a handful of doomed docs per action); raise it for takedown-heavy views.
+VIEW_LADDER_J = 4
+_LADDER_KINDS = ("min_ladder", "max_ladder")
+
 # Implicit presence partial on every stored row: SUM of it is the number of
 # source rows behind the key, so a fully-deleted key folds to 0 and is
 # dropped — without it a negative-delta takedown would leave zero-valued
@@ -109,16 +138,22 @@ _ROWS = "__rows"
 @dataclass(frozen=True)
 class ViewSpec:
     """keys: grouping columns. aggs: {out_col: (kind, in_col)} with kind in
-    sum|count|min|max|avg|approx_distinct|p1..p99; count ignores in_col
-    (count(*)); avg is stored as its sum/count parts and derived at read;
-    approx_distinct stores a KMV array; pNN stores an HDR histogram array
-    and derives the quantile's integer mid value at read."""
+    sum|count|min|max|avg|approx_distinct|min_ladder|max_ladder|p1..p99;
+    count ignores in_col (count(*)); avg is stored as its sum/count parts
+    and derived at read; approx_distinct stores a KMV array; pNN stores an
+    HDR histogram array and derives the quantile's integer mid value at
+    read; min_ladder/max_ladder answer EXACTLY like min/max but store the
+    ladder_j extreme distinct values with counts (plus a coverage bound),
+    which makes them takedown-subtractable until a key's ladder is
+    exhausted (delete_from_view then refuses with the rebuild signal)."""
 
     keys: "tuple[str, ...]"
     aggs: "dict[str, tuple[str, str | None]]" = field(default_factory=dict)
     # KMV sketch size for approx_distinct aggregates (error ~1/sqrt(k-2);
     # exact below k distinct values per key)
     kmv_k: int = VIEW_KMV_K
+    # ladder depth for min_ladder/max_ladder aggregates
+    ladder_j: int = VIEW_LADDER_J
 
     def __post_init__(self):
         if not self.keys or not self.aggs:
@@ -137,10 +172,13 @@ class ViewSpec:
             raise ValueError(
                 f"ViewSpec: stored partial name collision {dupes} — an avg "
                 "named X reserves X__sum and X__cnt; an approx_distinct "
-                "named X reserves X__kmv"
+                "named X reserves X__kmv; a min_ladder/max_ladder named X "
+                "reserves X__lad and X__bnd"
             )
         if self.kmv_k <= 1:
             raise ValueError("ViewSpec: kmv_k must be > 1")
+        if self.ladder_j < 1:
+            raise ValueError("ViewSpec: ladder_j must be >= 1")
         if _ROWS in stored or _ROWS in self.keys:
             raise ValueError(
                 f"ViewSpec: {_ROWS!r} is reserved for the implicit presence "
@@ -179,6 +217,12 @@ def _partial_cols(spec: ViewSpec) -> "list[tuple[str, str, str]]":
             out.append((f"{name}__cnt", "count", col))
         elif kind == "approx_distinct":
             out.append((f"{name}__kmv", "approx_distinct", col))
+        elif kind in _LADDER_KINDS:
+            # the ladder itself plus its coverage bound (the farthest
+            # recorded value when the trigger truncated, NULL when the
+            # trigger recorded every distinct value of the key)
+            out.append((f"{name}__lad", kind, col))
+            out.append((f"{name}__bnd", f"{kind}__bnd", col))
         elif _PQUANT_RE.match(kind):
             out.append((f"{name}__hdr", kind, col))
         else:
@@ -186,10 +230,21 @@ def _partial_cols(spec: ViewSpec) -> "list[tuple[str, str, str]]":
     return out
 
 
-def view_batch_state(df: DataFrame, spec: ViewSpec) -> DataFrame:
+def view_batch_state(
+    df: DataFrame, spec: ViewSpec, ladder_full: bool = False
+) -> DataFrame:
     """One trigger's partial aggregates: groupBy keys, one row per key
     present in the batch. Pure function of the batch — replays rewrite
-    identical rows."""
+    identical rows.
+
+    `ladder_full=True` (delete_from_view's delta mode only) records EVERY
+    distinct value of a ladder column instead of the J extremes, with a
+    NULL coverage bound: a negative delta must subtract the deleted rows'
+    full value census — a truncated delta would leave folded counts that
+    OVERSTATE what remains (recorded - partially_deleted > remaining),
+    which could keep a fully-deleted value looking alive. Delta size is
+    bounded by the takedown (distinct values among the deleted rows), not
+    by the corpus."""
     aggs = []
     for stored, kind, col in _partial_cols(spec):
         if kind == "sum":
@@ -246,6 +301,52 @@ def view_batch_state(df: DataFrame, spec: ViewSpec) -> DataFrame:
             .agg(F.array_sort(F.collect_list(F.struct("b", "c"))).alias(stored))
         )
         base = _join_null_safe(base, hist, spec.keys)
+    for stored, kind, col in _partial_cols(spec):
+        if kind not in _LADDER_KINDS:
+            continue
+        # the key's ladder for this trigger: the J smallest (min_ladder) or
+        # largest (max_ladder) DISTINCT non-NULL values with their source
+        # row counts, as a v-ascending array<struct<v,c>>, plus the
+        # coverage bound __bnd = the farthest recorded value when the
+        # trigger held MORE distinct values than J (NULL = full coverage).
+        # Distinct-value counts are ADDITIVE per (key, value), which is
+        # what lets a negative delta subtract them exactly at fold time;
+        # the bound is what makes partial coverage DETECTABLE (a candidate
+        # beyond every bound might be beaten by an unrecorded value).
+        j = spec.ladder_j
+        name = stored[: -len("__lad")]
+        per_key = (
+            df.select(*spec.keys, F.col(col).alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .groupBy(*spec.keys, "__v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+            .groupBy(*spec.keys)
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("__v").alias("v"), F.col("__c").alias("c"))
+                    )
+                ).alias("__arr"),
+                F.count(F.lit(1)).alias("__nd"),
+            )
+        )
+        arr, nd = F.col("__arr"), F.col("__nd")
+        if ladder_full:
+            lad = arr
+            bnd = F.when(F.lit(False), F.element_at(arr, 1)["v"])  # typed NULL
+        elif kind == "min_ladder":
+            lad = F.when(nd > j, F.slice(arr, 1, j)).otherwise(arr)
+            bnd = F.when(nd > j, F.element_at(arr, j)["v"])
+        else:
+            lad = F.when(nd > j, F.slice(arr, -j, j)).otherwise(arr)
+            bnd = F.when(nd > j, F.element_at(arr, -j)["v"])
+        base = _join_null_safe(
+            base,
+            per_key.select(
+                *spec.keys, lad.alias(stored), bnd.alias(f"{name}__bnd")
+            ),
+            spec.keys,
+        )
     return base
 
 
@@ -256,8 +357,18 @@ def view_fold(store: DataFrame, spec: ViewSpec) -> DataFrame:
     trigger inputs EXACTLY (additive / idempotent merges)."""
     folds = []
     for stored, kind, _col in _partial_cols(spec):
-        if _PQUANT_RE.match(kind):
-            continue  # histogram partials fold separately below
+        if _PQUANT_RE.match(kind) or kind in _LADDER_KINDS:
+            continue  # histogram/ladder partials fold separately below
+        if kind == "min_ladder__bnd":
+            # tightest coverage constraint across dirs: values <= every
+            # dir's bound are FULLY recorded. F.min skips NULL bounds
+            # (full-coverage dirs and delta dirs constrain nothing);
+            # all-NULL folds to NULL = unbounded coverage.
+            folds.append(F.min(stored).alias(stored))
+            continue
+        if kind == "max_ladder__bnd":
+            folds.append(F.max(stored).alias(stored))
+            continue
         if kind in ("sum", "count"):
             f = F.sum(stored)
             if kind == "count":
@@ -339,6 +450,41 @@ def view_fold(store: DataFrame, spec: ViewSpec) -> DataFrame:
             .selectExpr(*spec.keys, f"CAST({mid} AS BIGINT) AS {name}")
         )
         folded = _join_null_safe(folded, qcol, spec.keys)
+
+    # derive min_ladder/max_ladder outputs: per (key, value) the folded
+    # net count (positive ladders minus delta censuses) is a SOUND lower
+    # bound on the value's remaining rows (recorded <= total, deletions
+    # counted in full by the full-census delta), so net > 0 proves the
+    # value survives; the candidate is the extreme surviving value. It is
+    # the EXACT min/max whenever it sits inside the folded coverage bound
+    # (every value on the extreme side of the bound is fully recorded, so
+    # anything smaller/larger with net <= 0 is truly gone). A candidate
+    # beyond the bound could be beaten by an unrecorded value —
+    # delete_from_view refuses any takedown that would create that state
+    # (the exhaustion pre-check), so a committed store never folds NULL
+    # here except for keys whose column is all-NULL (matching batch
+    # min/max semantics).
+    for name, (kind, _col) in spec.aggs.items():
+        if kind not in _LADDER_KINDS:
+            continue
+        lad_col, bnd_col = f"{name}__lad", f"{name}__bnd"
+        ent = (
+            store.select(*spec.keys, F.explode(lad_col).alias("e"))
+            .groupBy(*spec.keys, F.col("e.v").alias("__v"))
+            .agg(F.sum("e.c").alias("__net"))
+            .where(F.col("__net") > 0)
+        )
+        pick = F.min if kind == "min_ladder" else F.max
+        cand = ent.groupBy(*spec.keys).agg(pick("__v").alias(name))
+        folded = _join_null_safe(folded, cand, spec.keys)
+        b = F.col(bnd_col)
+        covered = (
+            b.isNull()
+            | (F.col(name) <= b if kind == "min_ladder" else F.col(name) >= b)
+        )
+        folded = folded.withColumn(name, F.when(covered, F.col(name))).drop(
+            bnd_col
+        )
 
     # derive avg / approx_distinct outputs, drop their partials
     for name, (kind, _col) in spec.aggs.items():
@@ -500,6 +646,87 @@ def _store_max_batch(store_dir: str) -> int:
     return best
 
 
+def _refuse_if_ladder_exhausted(
+    spark: SparkSession,
+    store_dir: str,
+    spec: ViewSpec,
+    neg: DataFrame,
+    idempotency_token: "str | None",
+) -> None:
+    """Pre-commit guard for ladder takedowns: simulate the fold over
+    (existing store + this negative delta) and refuse — BEFORE anything is
+    written, leaving the store untouched — if any key would end up with
+    rows remaining but no provable min/max. A key is exhausted when its
+    surviving-candidate value is NULL while some dir truncated its ladder
+    (unrecorded values may exist), or sits beyond the folded coverage
+    bound (an unrecorded value may beat it). A NULL candidate under FULL
+    coverage is not exhaustion — it proves the key's column is all-NULL
+    now, exactly batch min/max semantics. A same-token delta dir is
+    excluded from the simulation (the re-run replaces it). Cost: one small
+    aggregate over the partials store — never the corpus."""
+    dirs = _committed_store_dirs(store_dir, 2**62) + [
+        d
+        for d in _committed_delta_dirs(store_dir)
+        if idempotency_token is None
+        or os.path.basename(d) != f"delta-{idempotency_token}"
+    ]
+    combined = neg
+    if dirs:
+        combined = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*dirs)
+            .unionByName(neg, allowMissingColumns=True)
+        )
+    pres = (
+        combined.groupBy(*spec.keys)
+        .agg(F.sum(_ROWS).alias("__nr"))
+        .where(F.col("__nr") > 0)
+    )
+    frames = []
+    for name, (kind, _col) in spec.aggs.items():
+        if kind not in _LADDER_KINDS:
+            continue
+        ent = (
+            combined.select(*spec.keys, F.explode(f"{name}__lad").alias("e"))
+            .groupBy(*spec.keys, F.col("e.v").alias("__v"))
+            .agg(F.sum("e.c").alias("__net"))
+            .where(F.col("__net") > 0)
+        )
+        pick = F.min if kind == "min_ladder" else F.max
+        cand = ent.groupBy(*spec.keys).agg(pick("__v").alias("__cand"))
+        bfold = combined.groupBy(*spec.keys).agg(
+            (F.min if kind == "min_ladder" else F.max)(f"{name}__bnd").alias(
+                "__b"
+            )
+        )
+        sim = _join_null_safe(
+            _join_null_safe(pres, cand, spec.keys), bfold, spec.keys
+        )
+        c, b = F.col("__cand"), F.col("__b")
+        beyond = c > b if kind == "min_ladder" else c < b
+        exhausted = (c.isNull() & b.isNotNull()) | (c.isNotNull() & beyond)
+        frames.append(
+            sim.where(exhausted).select(
+                F.lit(name).alias("agg"),
+                F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
+                .alias("key"),
+            )
+        )
+    bad = frames[0]
+    for f in frames[1:]:
+        bad = bad.unionByName(f)
+    sample = [tuple(r) for r in bad.limit(4).collect()]
+    if sample:
+        raise ValueError(
+            "delete_from_view: ladder exhausted for "
+            f"{bad.count()} (agg, key) pair(s), e.g. {sample} — the "
+            f"remaining rows' extreme is no longer provable from the "
+            f"top-{spec.ladder_j} ladder. Nothing was written; run "
+            "rebuild_view(remaining_src), or register the view with a "
+            "larger ladder_j for takedown-heavy keys"
+        )
+
+
 def delete_from_view(
     spark: SparkSession,
     work_dir: str,
@@ -507,13 +734,16 @@ def delete_from_view(
     deleted_rows: DataFrame,
     idempotency_token: "str | None" = None,
 ) -> str:
-    """Takedown for sum/count/avg views: write ONE negative-delta partial
-    dir derived from the source rows being deleted (`deleted_rows` must be
-    exactly the already-ingested rows to remove — the caller computes them,
-    e.g. the corpus rows of the tombstoned doc_ids). The read-time fold
-    cancels their contribution exactly; a key losing all its rows vanishes.
-    Refuses specs with min/max aggregates — those cannot subtract; use
-    rebuild_view (the sketch-store discipline). Returns the delta dir.
+    """Takedown for sum/count/avg/pNN/ladder views: write ONE
+    negative-delta partial dir derived from the source rows being deleted
+    (`deleted_rows` must be exactly the already-ingested rows to remove —
+    the caller computes them, e.g. the corpus rows of the tombstoned
+    doc_ids). The read-time fold cancels their contribution exactly; a key
+    losing all its rows vanishes. Refuses specs with min/max aggregates —
+    those cannot subtract; use rebuild_view (the sketch-store discipline).
+    min_ladder/max_ladder specs subtract exactly UNLESS some key's ladder
+    would be exhausted, in which case the whole call refuses atomically
+    (nothing written) with the rebuild signal. Returns the delta dir.
 
     `idempotency_token`: when given, the delta dir is named
     `delta-<token>` and written mode=overwrite — a RE-RUN of the same
@@ -553,7 +783,7 @@ def delete_from_view(
                 "partials whose presence counts are unknowable — run "
                 "rebuild_view(remaining_src) instead"
             )
-    neg = view_batch_state(deleted_rows, spec)
+    neg = view_batch_state(deleted_rows, spec, ladder_full=True)
     for stored, kind, _col in _partial_cols(spec):
         if _PQUANT_RE.match(kind):
             # negate each bucket count inside the histogram structs
@@ -566,9 +796,27 @@ def delete_from_view(
                     ),
                 ),
             )
+        elif kind in _LADDER_KINDS:
+            # negate each value's count inside the ladder structs; the
+            # __bnd sibling stays NULL (a delta constrains no coverage)
+            neg = neg.withColumn(
+                stored,
+                F.transform(
+                    F.col(stored),
+                    lambda e: F.struct(
+                        e["v"].alias("v"), (-e["c"]).alias("c")
+                    ),
+                ),
+            )
+        elif kind.endswith("__bnd"):
+            pass  # ladder_full already wrote a typed NULL
         else:
             neg = neg.withColumn(stored, -F.col(stored))
     neg = neg.withColumn(_ROWS, (-F.col(_ROWS)).cast("bigint"))
+    if any(kind in _LADDER_KINDS for kind, _c in spec.aggs.values()):
+        _refuse_if_ladder_exhausted(
+            spark, store_dir, spec, neg, idempotency_token
+        )
     if idempotency_token is not None:
         if not re.fullmatch(r"[A-Za-z0-9._-]{1,128}", idempotency_token):
             raise ValueError(
@@ -725,6 +973,7 @@ def spec_to_dict(spec: ViewSpec) -> dict:
         "keys": list(spec.keys),
         "aggs": {out: [kind, col] for out, (kind, col) in spec.aggs.items()},
         "kmv_k": spec.kmv_k,
+        "ladder_j": spec.ladder_j,
     }
 
 
@@ -734,15 +983,20 @@ def spec_from_dict(d: dict) -> ViewSpec:
         keys=tuple(d["keys"]),
         aggs={out: (kind, col) for out, (kind, col) in d["aggs"].items()},
         kmv_k=int(d.get("kmv_k", VIEW_KMV_K)),
+        ladder_j=int(d.get("ladder_j", VIEW_LADDER_J)),
     )
 
 
 def subtractable(spec: ViewSpec) -> bool:
     """True when delete_from_view accepts the spec: every aggregate's
-    partial is additive (sum/count/avg parts, pNN histogram buckets) so a
-    negative delta cancels a deleted row's contribution exactly. min/max
-    (idempotent, not invertible) and approx_distinct (a KMV hash set does
-    not know which trigger contributed a hash) require rebuild_view."""
+    partial is additive (sum/count/avg parts, pNN histogram buckets,
+    ladder value censuses) so a negative delta cancels a deleted row's
+    contribution exactly. min/max (idempotent, not invertible) and
+    approx_distinct (a KMV hash set does not know which trigger
+    contributed a hash) require rebuild_view. min_ladder/max_ladder are
+    subtractable UNTIL a key's ladder is exhausted — delete_from_view then
+    refuses per-call with the rebuild signal (and the cascade converts
+    that refusal into the durable rebuild-required flag)."""
     return not any(
         kind in _SUBTRACTABLE_EXEMPT for kind, _c in spec.aggs.values()
     )
