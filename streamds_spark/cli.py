@@ -314,9 +314,11 @@ def main(argv: list[str] | None = None) -> int:
 
     vd = sub.add_parser(
         "view-delete",
-        help="takedown for sum/count/avg views: subtract the given rows' "
-        "contribution exactly via one negative-delta partial (min/max/"
-        "approx_distinct specs are refused — use view-rebuild)",
+        help="takedown for subtractable views (sum/count/avg/pNN quantile/"
+        "min_ladder/max_ladder): subtract the given rows' contribution "
+        "exactly via one negative-delta partial (min/max/approx_distinct "
+        "specs are refused, and a ladder takedown that would exhaust a "
+        "key's runner-ups refuses atomically — use view-rebuild)",
     )
     vd.add_argument("work", help="view work dir")
     vd.add_argument("deleted", help="parquet of the EXACT source rows to remove")

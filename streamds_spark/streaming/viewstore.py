@@ -315,31 +315,51 @@ def view_batch_state(
         # beyond every bound might be beaten by an unrecorded value).
         j = spec.ladder_j
         name = stored[: -len("__lad")]
-        per_key = (
+        cen = (
             df.select(*spec.keys, F.col(col).alias("__v"))
             .where(F.col("__v").isNotNull())
             .groupBy(*spec.keys, "__v")
             .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
-            .groupBy(*spec.keys)
-            .agg(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("__v").alias("v"), F.col("__c").alias("c"))
-                    )
-                ).alias("__arr"),
-                F.count(F.lit(1)).alias("__nd"),
-            )
         )
-        arr, nd = F.col("__arr"), F.col("__nd")
+        if not ladder_full:
+            # bound the per-key intermediate BEFORE collecting: keep only
+            # the J+1 extreme distinct values per key (J+1 so truncation
+            # stays detectable as size > J) — without this rank filter a
+            # high-cardinality ladder column (e.g. a per-row id) would
+            # collect the key's ENTIRE distinct census into one array row
+            # just to keep J of it. WindowExec sorts/spills per key; the
+            # collected array is <= J+1 entries regardless of data size.
+            from pyspark.sql import Window
+
+            order = (
+                F.col("__v").asc()
+                if kind == "min_ladder"
+                else F.col("__v").desc()
+            )
+            w = Window.partitionBy(*spec.keys).orderBy(order)
+            cen = (
+                cen.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= j + 1)
+                .drop("__rn")
+            )
+        per_key = cen.groupBy(*spec.keys).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("__v").alias("v"), F.col("__c").alias("c"))
+                )
+            ).alias("__arr")
+        )
+        arr = F.col("__arr")
+        n = F.size(arr)
         if ladder_full:
             lad = arr
             bnd = F.when(F.lit(False), F.element_at(arr, 1)["v"])  # typed NULL
         elif kind == "min_ladder":
-            lad = F.when(nd > j, F.slice(arr, 1, j)).otherwise(arr)
-            bnd = F.when(nd > j, F.element_at(arr, j)["v"])
+            lad = F.when(n > j, F.slice(arr, 1, j)).otherwise(arr)
+            bnd = F.when(n > j, F.element_at(arr, j)["v"])
         else:
-            lad = F.when(nd > j, F.slice(arr, -j, j)).otherwise(arr)
-            bnd = F.when(nd > j, F.element_at(arr, -j)["v"])
+            lad = F.when(n > j, F.slice(arr, -j, j)).otherwise(arr)
+            bnd = F.when(n > j, F.element_at(arr, -j)["v"])
         base = _join_null_safe(
             base,
             per_key.select(
@@ -348,6 +368,46 @@ def view_batch_state(
             spec.keys,
         )
     return base
+
+
+def _ladder_pick(kind: str):
+    """The fold direction shared by every ladder reduction: candidate pick
+    (extreme surviving value), coverage-bound fold (tightest bound is the
+    LARGEST-coverage-limiting one on the same side), and the stored-bnd
+    fold in view_fold's main groupBy all reduce min-ladder state with MIN
+    and max-ladder state with MAX."""
+    return F.min if kind.startswith("min_ladder") else F.max
+
+
+def _ladder_surviving_candidates(
+    store: DataFrame, spec: ViewSpec, name: str, kind: str, out: str
+) -> DataFrame:
+    """Per-key extreme value whose folded net count proves survival: net =
+    sum of positive ladder counts minus delta censuses per (key, value) —
+    a SOUND lower bound on the value's remaining rows (recorded <= total,
+    deletions counted in full) — then the extreme value with net > 0.
+    The SINGLE definition behind both view_fold's read path and
+    delete_from_view's pre-commit exhaustion simulation: the refusal
+    guarantee only holds while the guard computes exactly what the fold
+    will."""
+    return (
+        store.select(*spec.keys, F.explode(f"{name}__lad").alias("e"))
+        .groupBy(*spec.keys, F.col("e.v").alias("__v"))
+        .agg(F.sum("e.c").alias("__net"))
+        .where(F.col("__net") > 0)
+        .groupBy(*spec.keys)
+        .agg(_ladder_pick(kind)("__v").alias(out))
+    )
+
+
+def _ladder_covered(kind: str, cand, bnd):
+    """True when the candidate is provably the exact extreme: inside the
+    folded tightest coverage bound (every value on the extreme side of the
+    bound is fully recorded, so anything more extreme with net <= 0 is
+    truly gone). NULL bound = full coverage. NULL candidate yields NULL
+    (the caller decides whether that means proven-empty or exhaustion)."""
+    beyond = cand > bnd if kind == "min_ladder" else cand < bnd
+    return bnd.isNull() | ~beyond
 
 
 def view_fold(store: DataFrame, spec: ViewSpec) -> DataFrame:
@@ -359,15 +419,12 @@ def view_fold(store: DataFrame, spec: ViewSpec) -> DataFrame:
     for stored, kind, _col in _partial_cols(spec):
         if _PQUANT_RE.match(kind) or kind in _LADDER_KINDS:
             continue  # histogram/ladder partials fold separately below
-        if kind == "min_ladder__bnd":
-            # tightest coverage constraint across dirs: values <= every
-            # dir's bound are FULLY recorded. F.min skips NULL bounds
-            # (full-coverage dirs and delta dirs constrain nothing);
-            # all-NULL folds to NULL = unbounded coverage.
-            folds.append(F.min(stored).alias(stored))
-            continue
-        if kind == "max_ladder__bnd":
-            folds.append(F.max(stored).alias(stored))
+        if kind.endswith("__bnd"):
+            # tightest coverage constraint across dirs: values on the
+            # extreme side of every dir's bound are FULLY recorded. The
+            # fold skips NULL bounds (full-coverage dirs and delta dirs
+            # constrain nothing); all-NULL folds to NULL = unbounded.
+            folds.append(_ladder_pick(kind)(stored).alias(stored))
             continue
         if kind in ("sum", "count"):
             f = F.sum(stored)
@@ -467,21 +524,10 @@ def view_fold(store: DataFrame, spec: ViewSpec) -> DataFrame:
     for name, (kind, _col) in spec.aggs.items():
         if kind not in _LADDER_KINDS:
             continue
-        lad_col, bnd_col = f"{name}__lad", f"{name}__bnd"
-        ent = (
-            store.select(*spec.keys, F.explode(lad_col).alias("e"))
-            .groupBy(*spec.keys, F.col("e.v").alias("__v"))
-            .agg(F.sum("e.c").alias("__net"))
-            .where(F.col("__net") > 0)
-        )
-        pick = F.min if kind == "min_ladder" else F.max
-        cand = ent.groupBy(*spec.keys).agg(pick("__v").alias(name))
+        bnd_col = f"{name}__bnd"
+        cand = _ladder_surviving_candidates(store, spec, name, kind, name)
         folded = _join_null_safe(folded, cand, spec.keys)
-        b = F.col(bnd_col)
-        covered = (
-            b.isNull()
-            | (F.col(name) <= b if kind == "min_ladder" else F.col(name) >= b)
-        )
+        covered = _ladder_covered(kind, F.col(name), F.col(bnd_col))
         folded = folded.withColumn(name, F.when(covered, F.col(name))).drop(
             bnd_col
         )
@@ -686,27 +732,24 @@ def _refuse_if_ladder_exhausted(
     for name, (kind, _col) in spec.aggs.items():
         if kind not in _LADDER_KINDS:
             continue
-        ent = (
-            combined.select(*spec.keys, F.explode(f"{name}__lad").alias("e"))
-            .groupBy(*spec.keys, F.col("e.v").alias("__v"))
-            .agg(F.sum("e.c").alias("__net"))
-            .where(F.col("__net") > 0)
+        cand = _ladder_surviving_candidates(
+            combined, spec, name, kind, "__cand"
         )
-        pick = F.min if kind == "min_ladder" else F.max
-        cand = ent.groupBy(*spec.keys).agg(pick("__v").alias("__cand"))
         bfold = combined.groupBy(*spec.keys).agg(
-            (F.min if kind == "min_ladder" else F.max)(f"{name}__bnd").alias(
-                "__b"
-            )
+            _ladder_pick(kind)(f"{name}__bnd").alias("__b")
         )
         sim = _join_null_safe(
             _join_null_safe(pres, cand, spec.keys), bfold, spec.keys
         )
         c, b = F.col("__cand"), F.col("__b")
-        beyond = c > b if kind == "min_ladder" else c < b
-        exhausted = (c.isNull() & b.isNotNull()) | (c.isNotNull() & beyond)
+        # the fold is trustworthy iff the candidate is covered, or a NULL
+        # candidate under full coverage (proven all-NULL column) — the
+        # exact complement of what view_fold will emit as a real answer
+        ok = (c.isNotNull() & _ladder_covered(kind, c, b)) | (
+            c.isNull() & b.isNull()
+        )
         frames.append(
-            sim.where(exhausted).select(
+            sim.where(~ok).select(
                 F.lit(name).alias("agg"),
                 F.concat_ws("|", *[F.col(k).cast("string") for k in spec.keys])
                 .alias("key"),
@@ -715,11 +758,15 @@ def _refuse_if_ladder_exhausted(
     bad = frames[0]
     for f in frames[1:]:
         bad = bad.unionByName(f)
-    sample = [tuple(r) for r in bad.limit(4).collect()]
+    # one job: a bounded sample doubles as the existence check (a separate
+    # count() would re-execute the whole simulation DAG on the refusal path)
+    sample = [tuple(r) for r in bad.limit(5).collect()]
     if sample:
+        shown = sample[:4]
+        n = f"{len(sample)}{'+' if len(sample) == 5 else ''}"
         raise ValueError(
             "delete_from_view: ladder exhausted for "
-            f"{bad.count()} (agg, key) pair(s), e.g. {sample} — the "
+            f"{n} (agg, key) pair(s), e.g. {shown} — the "
             f"remaining rows' extreme is no longer provable from the "
             f"top-{spec.ladder_j} ladder. Nothing was written; run "
             "rebuild_view(remaining_src), or register the view with a "
@@ -766,7 +813,22 @@ def delete_from_view(
             "contribution — rebuild_view(remaining_src) is the takedown "
             "path for this spec"
         )
+    if idempotency_token is not None and not re.fullmatch(
+        r"[A-Za-z0-9._-]{1,128}", idempotency_token
+    ):
+        # pure input check: raise before any store read (the pre-commit
+        # simulation below also builds its dir exclusion from the token)
+        raise ValueError(
+            "delete_from_view: idempotency_token must be a short "
+            f"filesystem-safe string, got {idempotency_token!r}"
+        )
     store_dir = os.path.join(work_dir, "view_store")
+    # a writing caller: heal a crashed rebuild FIRST (same as rebuild_view
+    # and default view_report) — otherwise the pre-commit simulation below
+    # validates against stale pre-rebuild dirs that the next reader's
+    # self-heal will replace with the rebuilt segment, committing a delta
+    # the rebuilt (tighter-coverage) ladder was never checked against
+    _recover_interrupted_rebuild(store_dir)
     dirs = _committed_store_dirs(store_dir, 2**62)
     if dirs:
         existing = spark.read.option("mergeSchema", "true").parquet(*dirs)
@@ -818,11 +880,7 @@ def delete_from_view(
             spark, store_dir, spec, neg, idempotency_token
         )
     if idempotency_token is not None:
-        if not re.fullmatch(r"[A-Za-z0-9._-]{1,128}", idempotency_token):
-            raise ValueError(
-                "delete_from_view: idempotency_token must be a short "
-                f"filesystem-safe string, got {idempotency_token!r}"
-            )
+        # (token already validated up front, before any store read)
         # re-run rewrites the SAME dir — but never by destroying the
         # committed predecessor before its replacement exists (a plain
         # mode=overwrite deletes first; a crash mid-write would silently

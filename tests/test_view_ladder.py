@@ -286,3 +286,41 @@ def test_ladder_composes_with_other_kinds(spark, tmp_path):
     r = view_report(spark, work_dir, spec).collect()
     assert len(r) == 1
     assert r[0]["lo"] == 2 and r[0]["m"] == 3.0 and r[0]["p50"] is not None
+
+
+def test_ladder_delete_heals_interrupted_rebuild_first(spark, tmp_path):
+    """delete_from_view is a writing caller: it completes a crashed
+    rebuild's install BEFORE simulating exhaustion, so the pre-check
+    judges the store state the next reader will actually fold — a delta
+    validated against stale pre-rebuild dirs could pass a check the
+    rebuilt (tighter-coverage) ladder fails."""
+    import shutil as _sh
+
+    spec = ViewSpec(keys=("k",), aggs={"lo": ("min_ladder", "v")}, ladder_j=2)
+    work_dir = str(tmp_path / "work")
+    store = os.path.join(work_dir, "view_store")
+    write_view_batch(
+        _mk(spark, [("a", 1), ("a", 2), ("a", 3), ("a", 4)]), 0, store, spec
+    )
+    # a prior exhausting takedown forced this rebuild (rows 1 and 2 gone)
+    assert rebuild_view(spark, work_dir, spec, _mk(spark, [("a", 3), ("a", 4)])) == 0
+    seg = os.path.join(store, "segment=0")
+    # simulate the crash window: committed rebuild present, segment aside'd
+    _sh.copytree(seg, seg + ".rebuild")
+    os.rename(seg, seg + ".old-deadbeef")
+    assert not os.path.isdir(seg)
+    # the takedown heals first, then subtracts against the REBUILT ladder
+    delete_from_view(spark, work_dir, spec, _mk(spark, [("a", 3)]))
+    assert os.path.exists(os.path.join(seg, "_SUCCESS"))
+    assert _rows(view_report(spark, work_dir, spec)) == [("a", 4)]
+
+
+def test_ladder_token_validated_before_store_read(spark, tmp_path):
+    """A malformed idempotency token raises instantly — before the legacy
+    scan or the exhaustion simulation touch the store."""
+    work_dir = str(tmp_path / "work")
+    with pytest.raises(ValueError, match="idempotency_token"):
+        delete_from_view(
+            spark, work_dir, SPEC, _mk(spark, [("a", 1)]),
+            idempotency_token="bad/token",
+        )
