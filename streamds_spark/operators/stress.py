@@ -127,7 +127,12 @@ def stress_per_source(
             at.join(adj, at.node == adj.u)
             .select("src", "node", F.col("v").alias("w"))
             .join(below, ["src", "w"])  # DAG edge: dist(w) == dist(v) + 1
-            .join(psi.toDF("src", "w", "wpsi"), ["src", "w"])
+            .join(
+                # contract-explicit rename (a positional toDF would
+                # silently mis-bind if the psi union's column order moved)
+                psi.withColumnsRenamed({"node": "w", "psi": "wpsi"}),
+                ["src", "w"],
+            )
             .groupBy("src", "node")
             .agg(F.sum(F.lit(1) + F.col("wpsi")).cast("bigint").alias("psi"))
         )

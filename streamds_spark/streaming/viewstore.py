@@ -184,6 +184,16 @@ class ViewSpec:
                 f"ViewSpec: {_ROWS!r} is reserved for the implicit presence "
                 "count partial"
             )
+        # the module's internal working columns (__v, __c, __rn, __arr,
+        # __net, ...) all use the dunder prefix — a key or output named
+        # into that namespace would be clobbered mid-plan (loudly, but as
+        # an UNRESOLVED_COLUMN from deep inside a trigger, not here)
+        for c in (*self.keys, *self.aggs):
+            if c.startswith("__"):
+                raise ValueError(
+                    f"ViewSpec: {c!r} — names starting with '__' are "
+                    "reserved for internal working columns"
+                )
 
 
 def _join_null_safe(
@@ -662,18 +672,75 @@ def _recover_interrupted_rebuild(store_dir: str) -> None:
         seg = aside.split(".old-", 1)[0]
         if os.path.exists(os.path.join(seg, "_SUCCESS")):
             shutil.rmtree(aside, ignore_errors=True)
+    # reclaim deltas a live segment's manifest subsumes: readers already
+    # exclude them (the manifest IS the correctness fix — this sweep just
+    # returns the disk space a crashed reclaim loop left behind)
+    sub = _subsumed_delta_basenames(store_dir)
+    if sub:
+        for d in _raw_committed_delta_dirs(store_dir):
+            if os.path.basename(d) in sub:
+                shutil.rmtree(d, ignore_errors=True)
 
 
-def _committed_delta_dirs(store_dir: str) -> list[str]:
-    """Committed negative-delta dirs (takedowns), name-sorted for a stable
-    listing only — standalone deltas embed a monotonic timestamp, cascade
-    deltas embed the takedown's identity token, so name order is NOT
-    application order. Immaterial either way: the fold is commutative."""
+_SUBSUMED_MANIFEST = "_subsumed_deltas.json"
+
+
+def _write_subsumed_manifest(seg_dir: str, basenames: "list[str]") -> None:
+    """Record which delta dirs a rebuilt segment subsumes, inside the
+    segment itself (underscore prefix: skipped by parquet readers) so the
+    list becomes visible atomically with the segment's install rename."""
+    import json as _json
+
+    with open(os.path.join(seg_dir, _SUBSUMED_MANIFEST), "w") as f:
+        f.write(_json.dumps(sorted(basenames)) + "\n")
+
+
+def _subsumed_delta_basenames(store_dir: str) -> "set[str]":
+    """Union of every live committed segment's subsumed-delta list —
+    deltas a rebuild already baked into recomputed partials. Folding them
+    again would double-subtract (the crash window between rebuild_view's
+    commit point and its reclaim loop; also a token takedown re-run after
+    its rebuild). Legacy/compaction segments carry no manifest: empty."""
+    import json as _json
+
+    out: "set[str]" = set()
+    for seg in _glob.glob(os.path.join(store_dir, "segment=*")):
+        tail = os.path.basename(seg).split("=", 1)[1]
+        if not tail.isdigit() or not os.path.exists(
+            os.path.join(seg, "_SUCCESS")
+        ):
+            continue
+        mf = os.path.join(seg, _SUBSUMED_MANIFEST)
+        if os.path.exists(mf):
+            with open(mf) as f:
+                out.update(_json.load(f))
+    return out
+
+
+def _raw_committed_delta_dirs(store_dir: str) -> list[str]:
+    """Every committed delta dir on disk, INCLUDING ones a live segment
+    already subsumes — the rebuild capture uses this so a new manifest
+    carries prior subsumptions forward even if a crashed reclaim left
+    both the old segment and its stale deltas behind."""
     return sorted(
         d
         for d in _glob.glob(os.path.join(store_dir, "delta-*"))
         if os.path.exists(os.path.join(d, "_SUCCESS"))
     )
+
+
+def _committed_delta_dirs(store_dir: str) -> list[str]:
+    """Committed negative-delta dirs (takedowns) that still fold: on-disk
+    and not subsumed by a live rebuilt segment. Name-sorted for a stable
+    listing only — standalone deltas embed a monotonic timestamp, cascade
+    deltas embed the takedown's identity token, so name order is NOT
+    application order. Immaterial either way: the fold is commutative."""
+    sub = _subsumed_delta_basenames(store_dir)
+    return [
+        d
+        for d in _raw_committed_delta_dirs(store_dir)
+        if os.path.basename(d) not in sub
+    ]
 
 
 def _store_max_batch(store_dir: str) -> int:
@@ -948,9 +1015,24 @@ def rebuild_view(
     seg = os.path.join(store_dir, f"segment={hi}")
     tmp = seg + ".rebuild"  # non-integer name: invisible to readers
     shutil.rmtree(tmp, ignore_errors=True)
+    # capture the deltas this rebuild subsumes BEFORE writing: the rebuilt
+    # partials are recomputed from the remaining source, so every takedown
+    # those deltas encoded is already baked in. The list rides INSIDE the
+    # segment (underscore-prefixed: parquet readers skip it) through the
+    # atomic install rename — so from the instant the segment is live,
+    # readers exclude the stale deltas even if the reclaim loop below
+    # never ran (crash between commit point and reclaim previously left
+    # them folding AGAIN on top of the rebuild: double-subtraction, keys
+    # vanishing with rows still in the source). The manifest is also the
+    # applied-takedown memory: a token delta re-RUN after its takedown was
+    # folded into a rebuild is excluded rather than double-subtracted.
+    subsumed = [
+        os.path.basename(d) for d in _raw_committed_delta_dirs(store_dir)
+    ]
     view_batch_state(remaining_src, spec).coalesce(1).write.mode(
         "overwrite"
     ).parquet(tmp)
+    _write_subsumed_manifest(tmp, subsumed)
     # Commit ordering (the _SUCCESS-commit-point discipline): install the
     # rebuilt segment FIRST, reclaim subsumed dirs AFTER — a crash anywhere
     # leaves either the full pre-rebuild state or the committed rebuild,

@@ -324,3 +324,13 @@ def test_ladder_token_validated_before_store_read(spark, tmp_path):
             spark, work_dir, SPEC, _mk(spark, [("a", 1)]),
             idempotency_token="bad/token",
         )
+
+
+def test_ladder_dunder_names_refused(spark):
+    """Internal working columns use the '__' prefix — keys or outputs in
+    that namespace would be clobbered mid-plan and are refused at spec
+    time."""
+    with pytest.raises(ValueError, match="reserved"):
+        ViewSpec(keys=("__rn",), aggs={"lo": ("min_ladder", "v")})
+    with pytest.raises(ValueError, match="reserved"):
+        ViewSpec(keys=("k",), aggs={"__cand": ("sum", "v")})

@@ -649,3 +649,59 @@ def test_token_delta_rewrite_never_destroys_committed(spark, tmp_path):
     assert {r["k"]: r["s"] for r in view_report(spark, work, spec).collect()} == {
         "a": 1, "b": 5,
     }
+
+
+def test_rebuild_crash_window_stale_delta_not_double_subtracted(spark, tmp_path):
+    """The crash window between rebuild_view's commit point and its
+    reclaim loop used to leave committed delta dirs folding ON TOP of the
+    rebuilt segment (double-subtraction: keys vanishing with rows still in
+    the source). The segment's _subsumed_deltas.json manifest — installed
+    atomically with the segment — excludes them from every fold, and the
+    reader-side recovery sweep reclaims the stale dirs."""
+    import glob as _g
+    import shutil as _sh
+
+    from streamds_spark.streaming.viewstore import delete_from_view, rebuild_view
+
+    spec = ViewSpec(keys=("k",), aggs={"s": ("sum", "v")})
+    work_dir = str(tmp_path / "work")
+    store = os.path.join(work_dir, "view_store")
+    write_view_batch(_mk(spark, [("a", 1), ("a", 2), ("a", 3)]), 0, store, spec)
+    delete_from_view(spark, work_dir, spec, _mk(spark, [("a", 1), ("a", 2)]))
+    assert {r["k"]: r["s"] for r in view_report(spark, work_dir, spec).collect()} == {
+        "a": 3
+    }
+    delta = _g.glob(os.path.join(store, "delta-*"))[0]
+    saved = str(tmp_path / "saved_delta")
+    _sh.copytree(delta, saved)
+    assert rebuild_view(spark, work_dir, spec, _mk(spark, [("a", 3)])) == 0
+    # simulate the crash: the reclaim loop never ran — stale delta on disk
+    _sh.copytree(saved, os.path.join(store, os.path.basename(delta)))
+    got = {r["k"]: r["s"] for r in view_report(spark, work_dir, spec).collect()}
+    assert got == {"a": 3}  # not vanished, not 3-3=0
+    # the recovery sweep (default view_report) reclaimed the stale dir
+    assert _g.glob(os.path.join(store, "delta-*")) == []
+
+
+def test_token_delta_rerun_after_rebuild_is_excluded(spark, tmp_path):
+    """A token takedown re-RUN after its rebuild already baked it into the
+    recomputed partials must not subtract again — the subsumed manifest is
+    the applied-takedown memory."""
+    from streamds_spark.streaming.viewstore import delete_from_view, rebuild_view
+
+    spec = ViewSpec(keys=("k",), aggs={"s": ("sum", "v")})
+    work_dir = str(tmp_path / "work")
+    store = os.path.join(work_dir, "view_store")
+    write_view_batch(_mk(spark, [("a", 1), ("a", 5)]), 0, store, spec)
+    delete_from_view(
+        spark, work_dir, spec, _mk(spark, [("a", 1)]), idempotency_token="t1"
+    )
+    assert rebuild_view(spark, work_dir, spec, _mk(spark, [("a", 5)])) == 0
+    # operational retry of the same takedown: writes delta-t1 afresh...
+    delete_from_view(
+        spark, work_dir, spec, _mk(spark, [("a", 1)]), idempotency_token="t1"
+    )
+    # ...but the fold excludes it: a:5, not a:4
+    assert {r["k"]: r["s"] for r in view_report(spark, work_dir, spec).collect()} == {
+        "a": 5
+    }
