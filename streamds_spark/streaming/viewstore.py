@@ -184,16 +184,26 @@ class ViewSpec:
                 f"ViewSpec: {_ROWS!r} is reserved for the implicit presence "
                 "count partial"
             )
-        # the module's internal working columns (__v, __c, __rn, __arr,
-        # __net, ...) all use the dunder prefix — a key or output named
-        # into that namespace would be clobbered mid-plan (loudly, but as
-        # an UNRESOLVED_COLUMN from deep inside a trigger, not here)
-        for c in (*self.keys, *self.aggs):
-            if c.startswith("__"):
-                raise ValueError(
-                    f"ViewSpec: {c!r} — names starting with '__' are "
-                    "reserved for internal working columns"
-                )
+        # the ladder/pNN plans bind internal working columns (__v, __c,
+        # __rn, __arr, __net, ...) — a key or output named into that
+        # namespace would be clobbered mid-plan (loudly, but as an
+        # UNRESOLVED_COLUMN from deep inside a trigger, not here). Scoped
+        # to specs that USE those plans: a plain sum/count/min/max view
+        # never touches dunder internals, and a legacy PERSISTED spec with
+        # such a key must keep loading (spec_from_dict re-validates here —
+        # a blanket refusal would brick delete_docs' manifest walk and
+        # with it every corpus takedown on the work dir)
+        if any(
+            kind in _LADDER_KINDS or _PQUANT_RE.match(kind)
+            for kind, _c in self.aggs.values()
+        ):
+            for c in (*self.keys, *self.aggs):
+                if c.startswith("__"):
+                    raise ValueError(
+                        f"ViewSpec: {c!r} — names starting with '__' "
+                        "collide with the ladder/quantile plans' internal "
+                        "working columns"
+                    )
 
 
 def _join_null_safe(
@@ -664,6 +674,24 @@ def _recover_interrupted_rebuild(store_dir: str) -> None:
         if os.path.exists(os.path.join(tmp, "_SUCCESS")) and not os.path.isdir(
             seg
         ):
+            if not os.path.exists(os.path.join(tmp, _SUBSUMED_MANIFEST)):
+                # the rebuild crashed between its parquet write (tmp has
+                # _SUCCESS) and its manifest write: installing a
+                # manifest-less segment would let the never-reclaimed
+                # pre-rebuild deltas subtract AGAIN on top of the rebuilt
+                # partials. Regenerate before install — under the rebuild's
+                # quiesce contract the deltas on disk now ARE the set it
+                # captured, plus any earlier manifests to carry forward.
+                _write_subsumed_manifest(
+                    tmp,
+                    sorted(
+                        {
+                            os.path.basename(d)
+                            for d in _raw_committed_delta_dirs(store_dir)
+                        }
+                        | _subsumed_delta_basenames(store_dir)
+                    ),
+                )
             try:
                 os.replace(tmp, seg)
             except OSError:
@@ -672,9 +700,14 @@ def _recover_interrupted_rebuild(store_dir: str) -> None:
         seg = aside.split(".old-", 1)[0]
         if os.path.exists(os.path.join(seg, "_SUCCESS")):
             shutil.rmtree(aside, ignore_errors=True)
-    # reclaim deltas a live segment's manifest subsumes: readers already
-    # exclude them (the manifest IS the correctness fix — this sweep just
-    # returns the disk space a crashed reclaim loop left behind)
+
+
+def _reclaim_subsumed_deltas(store_dir: str) -> None:
+    """Disk hygiene for WRITERS only (delete_from_view / rebuild_view /
+    compact_view): remove delta dirs a live manifest subsumes. Correctness
+    never depends on this — readers exclude them via the manifest — and
+    keeping it out of the read path means a reader can never rmtree a dir
+    a concurrent writer just committed and is about to read back."""
     sub = _subsumed_delta_basenames(store_dir)
     if sub:
         for d in _raw_committed_delta_dirs(store_dir):
@@ -688,11 +721,19 @@ _SUBSUMED_MANIFEST = "_subsumed_deltas.json"
 def _write_subsumed_manifest(seg_dir: str, basenames: "list[str]") -> None:
     """Record which delta dirs a rebuilt segment subsumes, inside the
     segment itself (underscore prefix: skipped by parquet readers) so the
-    list becomes visible atomically with the segment's install rename."""
+    list becomes visible atomically with the segment's install rename.
+    fsync + rename: a post-crash zero-length/torn manifest inside a live
+    segment would brick every read path, so the file must be durable
+    before it is named."""
     import json as _json
 
-    with open(os.path.join(seg_dir, _SUBSUMED_MANIFEST), "w") as f:
+    path = os.path.join(seg_dir, _SUBSUMED_MANIFEST)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
         f.write(_json.dumps(sorted(basenames)) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def _subsumed_delta_basenames(store_dir: str) -> "set[str]":
@@ -700,7 +741,10 @@ def _subsumed_delta_basenames(store_dir: str) -> "set[str]":
     deltas a rebuild already baked into recomputed partials. Folding them
     again would double-subtract (the crash window between rebuild_view's
     commit point and its reclaim loop; also a token takedown re-run after
-    its rebuild). Legacy/compaction segments carry no manifest: empty."""
+    its rebuild). Legacy segments carry no manifest: empty. The list is
+    the store's APPLIED-SUBSUMPTION MEMORY — rebuild_view and compact_view
+    carry it forward into their replacement segments, so a once-subsumed
+    token stays excluded for the life of the store."""
     import json as _json
 
     out: "set[str]" = set()
@@ -713,7 +757,18 @@ def _subsumed_delta_basenames(store_dir: str) -> "set[str]":
         mf = os.path.join(seg, _SUBSUMED_MANIFEST)
         if os.path.exists(mf):
             with open(mf) as f:
-                out.update(_json.load(f))
+                try:
+                    out.update(_json.load(f))
+                except ValueError as e:
+                    # fsync+rename should make this unreachable; if an
+                    # operator-damaged file gets here, a loud actionable
+                    # error beats both silent double-subtraction (treat
+                    # as empty) and silent exclusion (treat as all)
+                    raise ValueError(
+                        f"unreadable subsumed-delta manifest {mf}: {e} — "
+                        "restore it, or delete it ONLY after verifying no "
+                        "delta-* dir predates the segment"
+                    ) from e
     return out
 
 
@@ -896,6 +951,26 @@ def delete_from_view(
     # self-heal will replace with the rebuilt segment, committing a delta
     # the rebuilt (tighter-coverage) ladder was never checked against
     _recover_interrupted_rebuild(store_dir)
+    _reclaim_subsumed_deltas(store_dir)  # writer-side disk hygiene
+    if idempotency_token is not None and (
+        f"delta-{idempotency_token}" in _subsumed_delta_basenames(store_dir)
+    ):
+        # this takedown identity was already folded into a rebuilt/
+        # compacted segment's recomputed partials: a RETRY is already
+        # complete (writing a delta here would either double-subtract or
+        # silently never fold). Tokens are takedown identities — reusing
+        # one for a genuinely NEW takedown is a caller error this return
+        # makes visible in the audit trail rather than silently dropping.
+        _append_takedown_audit(
+            work_dir,
+            {
+                "action": "delete_from_view",
+                "already_applied_via_rebuild": True,
+                "n_keys": 0,
+                "delta_dir": f"delta-{idempotency_token}",
+            },
+        )
+        return os.path.join(store_dir, f"delta-{idempotency_token}")
     dirs = _committed_store_dirs(store_dir, 2**62)
     if dirs:
         existing = spark.read.option("mergeSchema", "true").parquet(*dirs)
@@ -1026,9 +1101,13 @@ def rebuild_view(
     # vanishing with rows still in the source). The manifest is also the
     # applied-takedown memory: a token delta re-RUN after its takedown was
     # folded into a rebuild is excluded rather than double-subtracted.
-    subsumed = [
-        os.path.basename(d) for d in _raw_committed_delta_dirs(store_dir)
-    ]
+    subsumed = sorted(
+        {os.path.basename(d) for d in _raw_committed_delta_dirs(store_dir)}
+        # carry earlier segments' memory forward: their carrier dirs are
+        # reclaimed below, and a token subsumed by ANY past rebuild must
+        # stay excluded if its takedown ever re-runs
+        | _subsumed_delta_basenames(store_dir)
+    )
     view_batch_state(remaining_src, spec).coalesce(1).write.mode(
         "overwrite"
     ).parquet(tmp)
@@ -1070,10 +1149,32 @@ def compact_view(
 ) -> int:
     """Fold committed batch dirs at/below the checkpoint frontier into one
     segment (row-preserving — readers re-aggregate, so the view is
-    invariant). Same crash-safe segment discipline as the pipeline stores."""
-    return _compact_one_store(
-        spark, os.path.join(work_dir, "view_store"), upto_batch, num_files
-    )
+    invariant). Same crash-safe segment discipline as the pipeline stores.
+
+    Manifest preservation: the generic fold destroys the old segment —
+    the carrier of the subsumed-delta memory — so this wrapper reclaims
+    the subsumed dirs FIRST (nothing stale can re-enter even if the
+    rewrite below never happens) and rewrites the memory into the new
+    segment afterwards (so a token takedown re-run after a later
+    compaction stays excluded)."""
+    store_dir = os.path.join(work_dir, "view_store")
+    _recover_interrupted_rebuild(store_dir)
+    _reclaim_subsumed_deltas(store_dir)
+    sub = _subsumed_delta_basenames(store_dir)
+    n = _compact_one_store(spark, store_dir, upto_batch, num_files)
+    if n and sub:
+        segs = [
+            s
+            for s in _glob.glob(os.path.join(store_dir, "segment=*"))
+            if os.path.basename(s).split("=", 1)[1].isdigit()
+            and os.path.exists(os.path.join(s, "_SUCCESS"))
+        ]
+        if segs:
+            newest = max(
+                segs, key=lambda s: int(os.path.basename(s).split("=", 1)[1])
+            )
+            _write_subsumed_manifest(newest, sorted(sub))
+    return n
 
 
 # ---------------------------------------------------------------------------

@@ -327,10 +327,16 @@ def test_ladder_token_validated_before_store_read(spark, tmp_path):
 
 
 def test_ladder_dunder_names_refused(spark):
-    """Internal working columns use the '__' prefix — keys or outputs in
-    that namespace would be clobbered mid-plan and are refused at spec
-    time."""
-    with pytest.raises(ValueError, match="reserved"):
+    """The ladder/pNN plans bind '__'-prefixed working columns — keys or
+    outputs in that namespace would be clobbered mid-plan and are refused
+    at spec time. Plain specs stay migration-safe: a legacy persisted view
+    keyed '__shard' must keep loading (a blanket refusal would brick the
+    whole work dir's takedown path via spec_from_dict)."""
+    with pytest.raises(ValueError, match="collide"):
         ViewSpec(keys=("__rn",), aggs={"lo": ("min_ladder", "v")})
-    with pytest.raises(ValueError, match="reserved"):
-        ViewSpec(keys=("k",), aggs={"__cand": ("sum", "v")})
+    with pytest.raises(ValueError, match="collide"):
+        ViewSpec(keys=("k",), aggs={"__cand": ("max_ladder", "v")})
+    with pytest.raises(ValueError, match="collide"):
+        ViewSpec(keys=("__v",), aggs={"p": ("p50", "v")})
+    spec = ViewSpec(keys=("__shard",), aggs={"s": ("sum", "v")})  # legacy OK
+    assert spec_from_dict(spec_to_dict(spec)) == spec

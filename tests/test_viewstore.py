@@ -679,8 +679,13 @@ def test_rebuild_crash_window_stale_delta_not_double_subtracted(spark, tmp_path)
     _sh.copytree(saved, os.path.join(store, os.path.basename(delta)))
     got = {r["k"]: r["s"] for r in view_report(spark, work_dir, spec).collect()}
     assert got == {"a": 3}  # not vanished, not 3-3=0
-    # the recovery sweep (default view_report) reclaimed the stale dir
+    # readers never delete (a reader racing a writer's commit must not be
+    # able to rmtree it); the next WRITER op reclaims the stale dir
+    compact_view(spark, work_dir, upto_batch=0)
     assert _g.glob(os.path.join(store, "delta-*")) == []
+    assert {r["k"]: r["s"] for r in view_report(spark, work_dir, spec).collect()} == {
+        "a": 3
+    }
 
 
 def test_token_delta_rerun_after_rebuild_is_excluded(spark, tmp_path):
@@ -705,3 +710,65 @@ def test_token_delta_rerun_after_rebuild_is_excluded(spark, tmp_path):
     assert {r["k"]: r["s"] for r in view_report(spark, work_dir, spec).collect()} == {
         "a": 5
     }
+
+
+def test_compaction_preserves_subsumed_memory(spark, tmp_path):
+    """compact_view's generic fold destroys the old segment — the carrier
+    of the subsumed-delta manifest. The wrapper rewrites the memory into
+    the new segment, so a token takedown re-run AFTER rebuild + compaction
+    is still excluded instead of double-subtracting."""
+    from streamds_spark.streaming.viewstore import delete_from_view, rebuild_view
+
+    spec = ViewSpec(keys=("k",), aggs={"s": ("sum", "v")})
+    work_dir = str(tmp_path / "work")
+    store = os.path.join(work_dir, "view_store")
+    write_view_batch(_mk(spark, [("a", 1), ("a", 5)]), 0, store, spec)
+    delete_from_view(
+        spark, work_dir, spec, _mk(spark, [("a", 1)]), idempotency_token="t1"
+    )
+    assert rebuild_view(spark, work_dir, spec, _mk(spark, [("a", 5)])) == 0
+    # new batches arrive, then compaction folds them + the rebuilt segment
+    write_view_batch(_mk(spark, [("a", 2)]), 1, store, spec)
+    assert compact_view(spark, work_dir, upto_batch=1) >= 1
+    # the takedown re-runs after all that: still excluded (a:7, not a:6)
+    delete_from_view(
+        spark, work_dir, spec, _mk(spark, [("a", 1)]), idempotency_token="t1"
+    )
+    assert {r["k"]: r["s"] for r in view_report(spark, work_dir, spec).collect()} == {
+        "a": 7
+    }
+
+
+def test_recovery_regenerates_missing_manifest(spark, tmp_path):
+    """A rebuild that crashed between its parquet write and its manifest
+    write leaves a committed-but-manifest-less tmp: the recovery installer
+    regenerates the manifest from the deltas on disk before installing, so
+    the pre-rebuild deltas cannot subtract again on top of the rebuilt
+    partials."""
+    import glob as _g
+    import shutil as _sh
+
+    from streamds_spark.streaming.viewstore import (
+        _SUBSUMED_MANIFEST,
+        delete_from_view,
+        rebuild_view,
+    )
+
+    spec = ViewSpec(keys=("k",), aggs={"s": ("sum", "v")})
+    work_dir = str(tmp_path / "work")
+    store = os.path.join(work_dir, "view_store")
+    write_view_batch(_mk(spark, [("a", 1), ("a", 2), ("a", 4)]), 0, store, spec)
+    delete_from_view(spark, work_dir, spec, _mk(spark, [("a", 1), ("a", 2)]))
+    delta = _g.glob(os.path.join(store, "delta-*"))[0]
+    saved = str(tmp_path / "saved_delta")
+    _sh.copytree(delta, saved)
+    assert rebuild_view(spark, work_dir, spec, _mk(spark, [("a", 4)])) == 0
+    seg = os.path.join(store, "segment=0")
+    # reconstruct the crash state: committed tmp WITHOUT a manifest, no
+    # live segment, the pre-rebuild delta never reclaimed
+    os.rename(seg, seg + ".rebuild")
+    os.remove(os.path.join(seg + ".rebuild", _SUBSUMED_MANIFEST))
+    _sh.copytree(saved, os.path.join(store, os.path.basename(delta)))
+    got = {r["k"]: r["s"] for r in view_report(spark, work_dir, spec).collect()}
+    assert got == {"a": 4}  # not 4-3=1: the regenerated manifest excludes it
+    assert os.path.exists(os.path.join(seg, _SUBSUMED_MANIFEST))
