@@ -314,11 +314,22 @@ def view_batch_state(
                 *spec.keys, f"CAST({col} AS BIGINT) AS __v"
             )
             .where("__v IS NOT NULL AND __v >= 0")
-            .selectExpr(*spec.keys, f"{bucket_expr_spark('__v')} AS b")
-            .groupBy(*spec.keys, "b")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .selectExpr(*spec.keys, f"{bucket_expr_spark('__v')} AS __b")
+            .groupBy(*spec.keys, "__b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
             .groupBy(*spec.keys)
-            .agg(F.array_sort(F.collect_list(F.struct("b", "c"))).alias(stored))
+            # working columns are dunder-namespaced (a key named 'b' or
+            # 'c' must not be clobbered); the STRUCT FIELDS stay b/c —
+            # they are the on-disk partial schema
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__b").alias("b"), F.col("__c").alias("c")
+                        )
+                    )
+                ).alias(stored)
+            )
         )
         base = _join_null_safe(base, hist, spec.keys)
     for stored, kind, col in _partial_cols(spec):
@@ -411,9 +422,9 @@ def _ladder_surviving_candidates(
     guarantee only holds while the guard computes exactly what the fold
     will."""
     return (
-        store.select(*spec.keys, F.explode(f"{name}__lad").alias("e"))
-        .groupBy(*spec.keys, F.col("e.v").alias("__v"))
-        .agg(F.sum("e.c").alias("__net"))
+        store.select(*spec.keys, F.explode(f"{name}__lad").alias("__e"))
+        .groupBy(*spec.keys, F.col("__e.v").alias("__v"))
+        .agg(F.sum("__e.c").alias("__net"))
         .where(F.col("__net") > 0)
         .groupBy(*spec.keys)
         .agg(_ladder_pick(kind)("__v").alias(out))
@@ -502,28 +513,33 @@ def view_fold(store: DataFrame, spec: ViewSpec) -> DataFrame:
         stored = f"{name}__hdr"
         hb = (
             # plain explode drops NULL histograms (keys whose rows were all
-            # NULL/negative for this column) — exactly the wanted semantics
-            store.select(*spec.keys, F.explode(stored).alias("e"))
-            .groupBy(*spec.keys, F.col("e.b").alias("b"))
-            .agg(F.sum("e.c").alias("c"))
-            .where(F.col("c") > 0)
+            # NULL/negative for this column) — exactly the wanted semantics.
+            # Working columns are dunder-namespaced: a bare 'b'/'c'/'cum'/
+            # 'n' would silently CLOBBER a view key of that name (withColumn
+            # replaces; the later groupBy would group on counts, attaching
+            # wrong-row quantiles) — the dunder guard in __post_init__ is
+            # the other half of this contract
+            store.select(*spec.keys, F.explode(stored).alias("__e"))
+            .groupBy(*spec.keys, F.col("__e.b").alias("__b"))
+            .agg(F.sum("__e.c").alias("__c"))
+            .where(F.col("__c") > 0)
         )
         w_cum = (
             Window.partitionBy(*spec.keys)
-            .orderBy("b")
+            .orderBy("__b")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         w_all = Window.partitionBy(*spec.keys)
-        _lo, _hi, mid = bounds_exprs("b")
+        _lo, _hi, mid = bounds_exprs("__b")
         qcol = (
-            hb.withColumn("cum", F.sum("c").over(w_cum))
-            .withColumn("n", F.sum("c").over(w_all))
+            hb.withColumn("__cum", F.sum("__c").over(w_cum))
+            .withColumn("__n", F.sum("__c").over(w_all))
             .where(
-                F.col("cum")
-                >= F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n")))
+                F.col("__cum")
+                >= F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("__n")))
             )
             .groupBy(*spec.keys)
-            .agg(F.min("b").alias("b"))
+            .agg(F.min("__b").alias("__b"))
             .selectExpr(*spec.keys, f"CAST({mid} AS BIGINT) AS {name}")
         )
         folded = _join_null_safe(folded, qcol, spec.keys)
@@ -681,17 +697,8 @@ def _recover_interrupted_rebuild(store_dir: str) -> None:
                 # pre-rebuild deltas subtract AGAIN on top of the rebuilt
                 # partials. Regenerate before install — under the rebuild's
                 # quiesce contract the deltas on disk now ARE the set it
-                # captured, plus any earlier manifests to carry forward.
-                _write_subsumed_manifest(
-                    tmp,
-                    sorted(
-                        {
-                            os.path.basename(d)
-                            for d in _raw_committed_delta_dirs(store_dir)
-                        }
-                        | _subsumed_delta_basenames(store_dir)
-                    ),
-                )
+                # captured, plus any earlier memory to carry forward.
+                _write_subsumed_manifest(tmp, _capture_subsumed(store_dir))
             try:
                 os.replace(tmp, seg)
             except OSError:
@@ -716,24 +723,56 @@ def _reclaim_subsumed_deltas(store_dir: str) -> None:
 
 
 _SUBSUMED_MANIFEST = "_subsumed_deltas.json"
+# store-level twin of the in-segment manifests: the segment manifest gives
+# ATOMIC activation (exclusion becomes visible exactly when the rebuilt
+# segment does), but segments are mortal carriers (compaction folds them
+# away) — writers promote the union into this durable root-level file
+# before any fold, so the applied-takedown memory survives every segment's
+# death. Readers union both sources.
+_APPLIED_FILE = "_applied_takedowns.json"
+
+
+def _read_json_names(path: str) -> "set[str]":
+    """Read a JSON list-of-names file written by _write_names_durable;
+    missing file = empty, damaged file = loud actionable error (silent
+    empty would re-enable double-subtraction; silent all would hide
+    takedowns)."""
+    import json as _json
+
+    if not os.path.exists(path):
+        return set()
+    with open(path) as f:
+        try:
+            return set(_json.load(f))
+        except ValueError as e:
+            raise ValueError(
+                f"unreadable takedown-memory file {path}: {e} — restore "
+                "it, or delete it ONLY after verifying no delta-* dir "
+                "predates the newest segment"
+            ) from e
+
+
+def _write_names_durable(path: str, names: "set[str] | list[str]") -> None:
+    """fsync + rename: a post-crash zero-length/torn memory file would
+    brick every read path, so the file must be durable before named."""
+    import json as _json
+
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(_json.dumps(sorted(names)) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def _write_subsumed_manifest(seg_dir: str, basenames: "list[str]") -> None:
     """Record which delta dirs a rebuilt segment subsumes, inside the
     segment itself (underscore prefix: skipped by parquet readers) so the
     list becomes visible atomically with the segment's install rename.
-    fsync + rename: a post-crash zero-length/torn manifest inside a live
-    segment would brick every read path, so the file must be durable
-    before it is named."""
-    import json as _json
-
-    path = os.path.join(seg_dir, _SUBSUMED_MANIFEST)
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        f.write(_json.dumps(sorted(basenames)) + "\n")
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    Durability via the shared fsync+rename writer."""
+    _write_names_durable(
+        os.path.join(seg_dir, _SUBSUMED_MANIFEST), sorted(basenames)
+    )
 
 
 def _subsumed_delta_basenames(store_dir: str) -> "set[str]":
@@ -741,35 +780,47 @@ def _subsumed_delta_basenames(store_dir: str) -> "set[str]":
     deltas a rebuild already baked into recomputed partials. Folding them
     again would double-subtract (the crash window between rebuild_view's
     commit point and its reclaim loop; also a token takedown re-run after
-    its rebuild). Legacy segments carry no manifest: empty. The list is
-    the store's APPLIED-SUBSUMPTION MEMORY — rebuild_view and compact_view
-    carry it forward into their replacement segments, so a once-subsumed
-    token stays excluded for the life of the store."""
-    import json as _json
-
-    out: "set[str]" = set()
+    its rebuild). Legacy segments carry no manifest: empty. The union of
+    in-segment manifests (atomic activation) and the durable root-level
+    _applied_takedowns.json (survives segment death) IS the store's
+    applied-subsumption memory — a once-subsumed token stays excluded for
+    the life of the store."""
+    out = _read_json_names(os.path.join(store_dir, _APPLIED_FILE))
     for seg in _glob.glob(os.path.join(store_dir, "segment=*")):
         tail = os.path.basename(seg).split("=", 1)[1]
         if not tail.isdigit() or not os.path.exists(
             os.path.join(seg, "_SUCCESS")
         ):
             continue
-        mf = os.path.join(seg, _SUBSUMED_MANIFEST)
-        if os.path.exists(mf):
-            with open(mf) as f:
-                try:
-                    out.update(_json.load(f))
-                except ValueError as e:
-                    # fsync+rename should make this unreachable; if an
-                    # operator-damaged file gets here, a loud actionable
-                    # error beats both silent double-subtraction (treat
-                    # as empty) and silent exclusion (treat as all)
-                    raise ValueError(
-                        f"unreadable subsumed-delta manifest {mf}: {e} — "
-                        "restore it, or delete it ONLY after verifying no "
-                        "delta-* dir predates the segment"
-                    ) from e
+        out |= _read_json_names(os.path.join(seg, _SUBSUMED_MANIFEST))
     return out
+
+
+def _promote_applied_memory(store_dir: str) -> None:
+    """Writer-side durability step, run BEFORE any fold that can destroy
+    a manifest's carrier segment: copy the union of live exclusions into
+    the root-level file. Idempotent; promotion changes nothing for
+    readers (the names were already active exclusions) — it only makes
+    them immortal. With this, a crash ANYWHERE in compaction leaves the
+    memory intact: either the old segment (with manifest) survives, or
+    the promotion already landed."""
+    path = os.path.join(store_dir, _APPLIED_FILE)
+    have = _read_json_names(path)
+    want = _subsumed_delta_basenames(store_dir)
+    if want - have:
+        _write_names_durable(path, want | have)
+
+
+def _capture_subsumed(store_dir: str) -> "list[str]":
+    """What a rebuild's fresh segment manifest must list: every committed
+    delta dir on disk (the rebuild bakes their takedowns into recomputed
+    partials) PLUS all prior memory carried forward. The SINGLE definition
+    behind rebuild_view's capture and the recovery installer's
+    regeneration — the two must never diverge."""
+    return sorted(
+        {os.path.basename(d) for d in _raw_committed_delta_dirs(store_dir)}
+        | _subsumed_delta_basenames(store_dir)
+    )
 
 
 def _raw_committed_delta_dirs(store_dir: str) -> list[str]:
@@ -912,7 +963,12 @@ def delete_from_view(
     those cannot subtract; use rebuild_view (the sketch-store discipline).
     min_ladder/max_ladder specs subtract exactly UNLESS some key's ladder
     would be exhausted, in which case the whole call refuses atomically
-    (nothing written) with the rebuild signal. Returns the delta dir.
+    (nothing written) with the rebuild signal. Returns the delta dir
+    PATH; when a token takedown was already folded into a rebuilt
+    segment, the call is a no-op that returns the would-be path WITHOUT
+    creating the dir (the audit entry carries
+    already_applied_via_rebuild) — callers must not assume the path
+    exists on disk.
 
     `idempotency_token`: when given, the delta dir is named
     `delta-<token>` and written mode=overwrite — a RE-RUN of the same
@@ -1101,13 +1157,7 @@ def rebuild_view(
     # vanishing with rows still in the source). The manifest is also the
     # applied-takedown memory: a token delta re-RUN after its takedown was
     # folded into a rebuild is excluded rather than double-subtracted.
-    subsumed = sorted(
-        {os.path.basename(d) for d in _raw_committed_delta_dirs(store_dir)}
-        # carry earlier segments' memory forward: their carrier dirs are
-        # reclaimed below, and a token subsumed by ANY past rebuild must
-        # stay excluded if its takedown ever re-runs
-        | _subsumed_delta_basenames(store_dir)
-    )
+    subsumed = _capture_subsumed(store_dir)
     view_batch_state(remaining_src, spec).coalesce(1).write.mode(
         "overwrite"
     ).parquet(tmp)
@@ -1151,30 +1201,17 @@ def compact_view(
     segment (row-preserving — readers re-aggregate, so the view is
     invariant). Same crash-safe segment discipline as the pipeline stores.
 
-    Manifest preservation: the generic fold destroys the old segment —
-    the carrier of the subsumed-delta memory — so this wrapper reclaims
-    the subsumed dirs FIRST (nothing stale can re-enter even if the
-    rewrite below never happens) and rewrites the memory into the new
-    segment afterwards (so a token takedown re-run after a later
-    compaction stays excluded)."""
+    Memory preservation: the generic fold destroys the old segment — a
+    carrier of the subsumed-delta memory — so this wrapper PROMOTES the
+    memory into the durable root-level file first (crash anywhere after
+    that cannot lose it: the promotion is fsync'd before any dir dies),
+    then reclaims the subsumed dirs. No post-fold rewrite is needed — the
+    root file outlives every segment."""
     store_dir = os.path.join(work_dir, "view_store")
     _recover_interrupted_rebuild(store_dir)
+    _promote_applied_memory(store_dir)
     _reclaim_subsumed_deltas(store_dir)
-    sub = _subsumed_delta_basenames(store_dir)
-    n = _compact_one_store(spark, store_dir, upto_batch, num_files)
-    if n and sub:
-        segs = [
-            s
-            for s in _glob.glob(os.path.join(store_dir, "segment=*"))
-            if os.path.basename(s).split("=", 1)[1].isdigit()
-            and os.path.exists(os.path.join(s, "_SUCCESS"))
-        ]
-        if segs:
-            newest = max(
-                segs, key=lambda s: int(os.path.basename(s).split("=", 1)[1])
-            )
-            _write_subsumed_manifest(newest, sorted(sub))
-    return n
+    return _compact_one_store(spark, store_dir, upto_batch, num_files)
 
 
 # ---------------------------------------------------------------------------

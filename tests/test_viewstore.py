@@ -772,3 +772,21 @@ def test_recovery_regenerates_missing_manifest(spark, tmp_path):
     got = {r["k"]: r["s"] for r in view_report(spark, work_dir, spec).collect()}
     assert got == {"a": 4}  # not 4-3=1: the regenerated manifest excludes it
     assert os.path.exists(os.path.join(seg, _SUBSUMED_MANIFEST))
+
+
+def test_pnn_key_named_n_not_clobbered(spark, tmp_path):
+    """The pNN fold binds working columns for bucket/count/cumsum/total —
+    these are dunder-namespaced so a view KEY named 'n' (or 'b'/'c'/'cum')
+    is never clobbered mid-plan (a bare withColumn('n', ...) used to
+    replace the key with the per-key total, grouping the quantile frame on
+    counts and attaching wrong-row quantiles)."""
+    spec = ViewSpec(keys=("n",), aggs={"p50": ("p50", "v")})
+    work_dir = str(tmp_path / "work")
+    store = os.path.join(work_dir, "view_store")
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 30), ("b", 7)], "n string, v bigint"
+    )
+    write_view_batch(df, 0, store, spec)
+    got = {r["n"]: r["p50"] for r in view_report(spark, work_dir, spec).collect()}
+    # HDR buckets are exact below the linear/log boundary: mids == values
+    assert got == {"a": 20, "b": 7}
