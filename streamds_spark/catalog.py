@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 TABLES = (
     "region",
@@ -31,8 +32,52 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Schema memo (round 11, guide §1/§6): without an explicit schema every
+# spark.read.parquet() runs a footer-inference JOB at DataFrame-BUILD time
+# (~60-100 ms of driver latency each; a 6-table join pays it six times per
+# plan construction). Schemas are metadata, not results — a production
+# catalog (Hive/Iceberg) serves them without touching the data — so memoizing
+# them per (path, mtime, size) keeps every bench/oracle run computing from
+# the parquet bytes while paying the inference job once per file version
+# per process. A changed file changes the key and re-infers.
+_SCHEMA_CACHE: dict[tuple[str, int, int], StructType] = {}
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def _parquet_schema(spark: SparkSession, path: str) -> StructType | None:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None  # non-local / missing path: fall back to inference
+    key = (path, st.st_mtime_ns, st.st_size)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
+
+# Spread gate (round 11, guide §2.2/§2.5): a table whose ENTIRE parquet input
+# is below this many bytes cannot parallelize at the scan — splits never cut
+# inside a row group, so a one-row-group file is one real task no matter how
+# many cores exist. Spreading such a scan costs one exchange of < the gate's
+# bytes (trivially cheap by definition) and buys cores× parallelism for
+# heavy per-row map work (tokenize/shingle/md5). Big inputs (the 100 TB
+# posture) split naturally and take the `if` branch to an unchanged plan.
+SPREAD_MAX_BYTES = 64 << 20
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read one TESTDATA table.
+
+    spread=True: round-robin-repartition a tiny (single-split) scan to the
+    session's default parallelism so downstream heavy per-row projections
+    (shingling, hashing, regex) use every core instead of one scan task.
+    Opt-in because it inserts an exchange that pure filter/agg queries
+    (whose predicates push BELOW it) would pay without benefiting. No-op
+    whenever the input is big enough to split naturally (SPREAD_MAX_BYTES).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     # Pin UTC on whatever session calls us (the driver's session may not be
@@ -50,8 +95,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP(MICROS) without timezone (round 2+); nanosAsLong lets the
         # NANOS layout load, normalize_events_ts makes both a plain TIMESTAMP.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_events_ts(spark.read.parquet(path))
-    return spark.read.parquet(path)
+        df = _read_parquet(spark, path)
+        df = normalize_events_ts(df)
+    else:
+        df = _read_parquet(spark, path)
+    if spread:
+        df = _spread_if_tiny(spark, df, path)
+    return df
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    schema = _parquet_schema(spark, path)
+    if schema is None:
+        return spark.read.parquet(path)
+    return spark.read.schema(schema).parquet(path)
+
+
+# Floor on spread-partition payload: below ~64 KB of input per task, per-task
+# fixed costs (schedule, deserialize, JIT warm) exceed the map work even for
+# md5-per-shingle pipelines — measured on this box at 32×18 KB partitions,
+# where task overhead was ~10× the real compute. Scale-adaptive by
+# construction: width grows with the file until the core count caps it.
+SPREAD_MIN_PARTITION_BYTES = 64 << 10
+
+
+def _spread_if_tiny(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    try:
+        nbytes = os.path.getsize(path)
+    except OSError:
+        return df
+    if nbytes > SPREAD_MAX_BYTES:
+        return df
+    width = min(
+        spark.sparkContext.defaultParallelism,
+        max(2, nbytes // SPREAD_MIN_PARTITION_BYTES),
+    )
+    return df.repartition(width)
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

@@ -62,9 +62,11 @@ def _minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: tokenize → shingle (higher-order fn) → explode → 28-bit hash → for each
     permutation i, min((a_i*h+b_i) mod P) — expressed as NUM_PERM aggregate
     expressions over one explode, i.e. ONE shuffle on doc_id with map-side
-    partial mins. No UDF anywhere.
+    partial mins. No UDF anywhere. spread=True (round 11): the tokenize+md5
+    map work is the dominant cost and a tiny documents file is one scan
+    task — spreading parallelizes it; no-op once the input splits naturally.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     sh = (
         docs.select("doc_id", tokens(F.col("text")).alias("toks"))
         .select("doc_id", F.explode(shingles_expr("toks", SHINGLE_N)).alias("shingle"))
@@ -256,9 +258,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Implementation is exploded-by-bit (28 rows per token) → two-level agg. Both
     aggs are partial map-side; the only shuffle key is (doc_id) then doc_id.
     Near-dup docs differ in ≤3 bits — group by simhash (or probe Hamming balls)
-    to collapse them.
+    to collapse them. spread=True: parallelize the tokenize+md5 map stage of a
+    single-split scan (exact same integer votes under any partitioning).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     th = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
         .select("doc_id", md5_int28(F.col("w")).alias("h"))

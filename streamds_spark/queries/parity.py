@@ -173,8 +173,10 @@ def conjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical RainStorm pipeline: split_operator (P1) + count_operator (A1)
     = streaming word count (reference misc/split_operator.go + operators/count_operator.go).
-    explode stays JVM-side; count is partial-agg'd map-side before the shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    explode stays JVM-side; count is partial-agg'd map-side before the shuffle.
+    spread=True (round 11): the regex tokenize + explode map stage dominates and
+    a tiny documents file is one scan task — spread it across cores first."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return (
         docs.select(F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("word")

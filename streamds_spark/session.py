@@ -88,6 +88,19 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Optimizer-cost dial (round 11, guide §1.2/§7.3): constraint
+        # propagation re-derives the constraint set at every plan node and is
+        # quadratic-ish in alias count — on the 16-aggregate MinHash plans it
+        # was the bulk of a >1 s single-threaded driver gap per execution
+        # (measured: LSH plan construction 9.1 s → 1.0 s with it off, same
+        # box). What it buys — inferred IsNotNull/transitive filters — only
+        # drops null join keys earlier; every registry query's explicit
+        # predicates still push to the scans (verified in plans/r11/*_after).
+        # Env-overridable for deployments whose data has null-heavy join keys.
+        .config(
+            "spark.sql.constraintPropagation.enabled",
+            os.environ.get("SPARK_GRAFT_CONSTRAINT_PROP", "false"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
