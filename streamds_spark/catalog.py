@@ -114,8 +114,10 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
 # Floor on spread-partition payload: below ~64 KB of input per task, per-task
 # fixed costs (schedule, deserialize, JIT warm) exceed the map work even for
 # md5-per-shingle pipelines — measured on this box at 32×18 KB partitions,
-# where task overhead was ~10× the real compute. Scale-adaptive by
-# construction: width grows with the file until the core count caps it.
+# where task overhead was ~10× the real compute (re-confirmed round 11: a
+# 16 KB floor for the minhash stage measured +9% within-session). Scale-
+# adaptive by construction: width grows with the file until the core count
+# caps it.
 SPREAD_MIN_PARTITION_BYTES = 64 << 10
 
 

@@ -81,6 +81,15 @@ def lsh_candidate_pairs(
     restores exact all-pairs semantics (used by the oracle-checked registry
     query, where sf buckets are tiny).
     """
+    # Round-11 measurement note: lazily localCheckpoint-ing the bucket table
+    # here (to pin single execution of the signature subtree) was tried and
+    # measured NEUTRAL-to-slightly-slower within one session (interleaved
+    # min-of-6: 1.212 s plain vs 1.233 s checkpointed at sf0.1) — AQE
+    # exchange reuse already dedupes the identical self-join sides at
+    # runtime (verified in the executed plan: one shingle Generate, one
+    # wide aggregate). Callers that reuse SIGNATURES beyond the self-join
+    # (dedup_minhash_estimate_error: 4 uses) checkpoint the signature df
+    # themselves, where it measurably wins (0.79x).
     buckets = lsh_band_buckets(signatures, bands, id_col)
     if max_bucket_size is None:
         sized = buckets

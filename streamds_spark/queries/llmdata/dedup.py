@@ -65,6 +65,9 @@ def _minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial mins. No UDF anywhere. spread=True (round 11): the tokenize+md5
     map work is the dominant cost and a tiny documents file is one scan
     task — spreading parallelizes it; no-op once the input splits naturally.
+    (A tighter 16 KB/task floor was tried and measured +9% within-session —
+    task overhead beats the extra parallelism on this box; the 64 KB default
+    stands.)
     """
     docs = load_table(spark, sf_dir, "documents", spread=True)
     sh = (
@@ -130,10 +133,13 @@ def _lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     Band buckets are emitted with ONE posexplode over an array of band hashes
     (not a 4-way union, which would re-evaluate the whole signature subtree
     once per band per join side — 8× the shingle+agg work). The self-join's
-    two identical sides cost nothing extra: Spark plans a ReusedExchange, so
-    the subtree runs once. (Measured: a groupBy+collect_list pair-expansion
-    alternative was slower AND worse at scale — a mega-bucket's id list
-    materializes in a single aggregation buffer, while the join spills.)
+    two identical sides cost nothing extra: AQE exchange reuse dedupes them
+    at runtime (round-11 verified in the executed plan: ONE shingle Generate,
+    ONE wide aggregate; an explicit localCheckpoint was tried and measured
+    neutral-to-slower, see lsh_candidate_pairs). (Measured: a
+    groupBy+collect_list pair-expansion alternative was slower AND worse at
+    scale — a mega-bucket's id list materializes in a single aggregation
+    buffer, while the join spills.)
 
     max_bucket_size=None here because this registry query's oracle specifies
     exact all-pairs semantics (buckets are tiny at oracle sf). Production
@@ -486,9 +492,20 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-set Jaccard, with per-pair absolute error — the measurement that
     justifies the (bands, rows) choice. Candidates and both verify joins are
     bounded by the LSH pair list, so the whole audit stays linear in
-    candidates at 100 TB (the all-pairs version would be quadratic)."""
-    sig = _minhash_signature_df(spark, sf_dir)
-    pairs = _lsh_pairs_df(spark, sf_dir)
+    candidates at 100 TB (the all-pairs version would be quadratic).
+
+    Round 11: ONE lazily-checkpointed signature table feeds the banding AND
+    both verify-join sides (sa/sb) — previously the scan→shingle→md5→agg
+    subtree appeared 4× in the plan (once per band-join side, once per
+    signature join side) and ran up to 4× at execution. Signatures are
+    (1+k) numbers per doc at any corpus size — cheap to materialize, far
+    cheaper than recomputing."""
+    from streamds_spark.operators.dedup_pipeline import lsh_candidate_pairs
+
+    sig = _minhash_signature_df(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = lsh_candidate_pairs(sig, bands=BANDS, max_bucket_size=None).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
     est_expr = sum(
         F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
         for i in range(NUM_PERM)
