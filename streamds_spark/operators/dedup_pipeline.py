@@ -81,20 +81,27 @@ def lsh_candidate_pairs(
     restores exact all-pairs semantics (used by the oracle-checked registry
     query, where sf buckets are tiny).
     """
-    # Round-11 measurement note: lazily localCheckpoint-ing the bucket table
-    # here (to pin single execution of the signature subtree) was tried and
-    # measured NEUTRAL-to-slightly-slower within one session (interleaved
-    # min-of-6: 1.212 s plain vs 1.233 s checkpointed at sf0.1) — AQE
-    # exchange reuse already dedupes the identical self-join sides at
-    # runtime (verified in the executed plan: one shingle Generate, one
-    # wide aggregate). Callers that reuse SIGNATURES beyond the self-join
+    # Round-11 measurement notes (interleaved within-session min-of-N at
+    # sf0.1): for the UNCAPPED branch (2 bucket uses, the self-join sides) a
+    # lazy localCheckpoint of the bucket table measured neutral-to-slightly
+    # slower (1.212 s plain vs 1.233 s) — AQE exchange reuse already dedupes
+    # the identical sides at runtime (verified in the executed plan: one
+    # shingle Generate, one wide aggregate). For the CAPPED branch the bucket
+    # table has THREE consumers (stats, the sized join, and through it both
+    # join sides), reuse has more shapes to miss, and the checkpoint measured
+    # a real win on the 10x-corpus watch (3.032 s -> 2.600 s), so it applies
+    # there only. Checkpoint payload is (id, band, bucket) — a few dozen
+    # bytes per doc at any corpus size, tiny next to recomputing signatures;
+    # fresh per DataFrame instance, nothing persists across invocations.
+    # Callers that reuse SIGNATURES beyond the pair join
     # (dedup_minhash_estimate_error: 4 uses) checkpoint the signature df
-    # themselves, where it measurably wins (0.79x).
+    # themselves, where it also measurably wins (0.79x).
     buckets = lsh_band_buckets(signatures, bands, id_col)
     if max_bucket_size is None:
         sized = buckets
         small, big = buckets, None
     else:
+        buckets = buckets.localCheckpoint(eager=False)
         stats = buckets.groupBy("band", "bucket").agg(
             F.count("*").alias("_bn"), F.min(id_col).alias("_bmin")
         )
