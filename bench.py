@@ -418,7 +418,13 @@ def main() -> None:
     _min3("semantic_dedup_keep", lambda: specs["semantic_dedup_keep"].fn(spark, sf_dir).count())
     _min3(
         "cdc_chunks_gear",
-        lambda: cdc_chunks_gear(load_table(spark, sf_dir, "documents")).count()
+        # spread=True (round 11): the gear chunker is mapInPandas — on a
+        # single-split scan ONE Python worker chunked the whole corpus;
+        # spreading gives it a worker per core. Chunking is doc-local, so
+        # the count is identical under any partitioning.
+        lambda: cdc_chunks_gear(
+            load_table(spark, sf_dir, "documents", spread=True)
+        ).count()
     )
 
     # Late-round-6 trackers: the register-table HLL distinct (map-only hash

@@ -441,7 +441,11 @@ def cdc_chunk_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
     no UDFs; hash-checked against the DuckDB twin."""
     from streamds_spark.operators.cdc import cdc_chunks
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread=True (round 11): CDC position-explodes every character window —
+    # the heaviest map stage in the extras set — from a single-split scan;
+    # chunk hashes and the shared/total ratios are doc-local/integer, so any
+    # partitioning computes identical values.
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     # the chunk relation feeds both the sharing aggregate and the final join —
     # one lazy materialization instead of chunking the corpus twice
     chunks = cdc_chunks(docs, window=8, prefix="0").localCheckpoint(eager=False)

@@ -121,8 +121,15 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     full lineage visible in explain until first action, eager would
     collapse it further but runs a job at plan-build time, which a
     driver-contract query must not).
-    P(term|source) > 0 always implies P(term|corpus) > 0, so the log is total."""
-    docs = load_table(spark, sf_dir, "documents")
+    P(term|source) > 0 always implies P(term|corpus) > 0, so the log is total.
+
+    spread=True (round 11): parallelizes the tokenize+explode map stage of a
+    single-split scan. The (source, term) counts it feeds are integers and
+    their hash partitioning (fixed 32 shuffle partitions) is unchanged, so
+    the checkpointed count relation — and the vocabulary-sized KL sums read
+    from it — are value-identical under any spread width (verified
+    hash-exact at 3 SFs)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
     st = (
         tok.groupBy("source", "term")
@@ -297,7 +304,9 @@ def token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/ranking.py — range-bucketed, NO single-partition window,
     unlike zipf_slope's allowlisted report window); the curve itself is ONE
     conditional aggregate over vocab rows exploded to {len(COVERAGE_CUTS)}
-    output rows."""
+    output rows. (Round 11: spread=True on the scan was tried and measured
+    1.14x WORSE within-session — the tokenize+explode here is cheap enough
+    per byte that the extra exchange loses; left unspread deliberately.)"""
     from streamds_spark.operators.ranking import with_global_rank
 
     docs = load_table(spark, sf_dir, "documents")

@@ -234,8 +234,15 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     column read; contrast text_repetition_score, which keeps the exploded
     groupBy shape as the general pattern when per-key state does NOT fit a
     row.
+
+    spread=True (round 11, guide §2.5/§6): the interpreted higher-order-
+    function evaluation is the dominant cost and a tiny single-row-group
+    documents file is ONE scan task — the whole rule set ran serialized on
+    one core. Every signal is doc-local (no cross-row float aggregation),
+    so any partitioning computes identical values; spreading is a no-op
+    once the input splits naturally.
     """
-    return gopher_flags_df(load_table(spark, sf_dir, "documents"))
+    return gopher_flags_df(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def gopher_flags_df(docs: DataFrame, extra_cols: "dict | None" = None) -> DataFrame:
