@@ -74,6 +74,17 @@ def substring_dedup(
     )
     if hash_shingles:
         pos = pos.select("doc_id", "pos", F.xxhash64("shingle").alias("shingle"))
+        # Round 11 (guide §3.3/§5): the position relation feeds BOTH the
+        # dup-mark groupBy and the mark-back join; their exchanges differ
+        # (one aggregates first), so exchange reuse cannot dedupe them and
+        # the scan→tokenize→posexplode subtree ran twice. A lazy
+        # localCheckpoint pins one execution — measured on the 10×-corpus
+        # watch: 5.32 s → 3.59 s interleaved within-session. Hashed rows
+        # are 24 bytes each, so the materialization is ~corpus-token-count
+        # × 24 B at any scale — cheap next to a second tokenize pass. The
+        # raw-string branch stays plain: its checkpoint payload would be
+        # the L-token shingle text (~8× corpus bytes at L=8).
+        pos = pos.localCheckpoint(eager=False)
     dup = (
         pos.groupBy("shingle")
         .agg(F.count("*").alias("c"))

@@ -236,7 +236,13 @@ def test_hashed_path_exchanges_long_keys(spark, crafted):
     """Plan pin: with hash_shingles=True the dup-mark aggregation and the
     mark-back join key on a BIGINT xxhash64, i.e. every shingle exchange
     carries 8-byte keys — and the raw string column is gone from the
-    exchange's input projection."""
+    exchange's input projection.
+
+    Round 11: the hashed position relation is localCheckpoint-ed (one
+    tokenize+posexplode execution for its two consumers), so the xxhash64
+    projection itself sits BEHIND the checkpoint; the visible plan starts at
+    a Scan ExistingRDD whose shingle column must already be the 8-byte long
+    — asserted via the L suffix both there and on every shingle exchange."""
     _, df = crafted
     plan = (
         substring_dedup(df, L, hash_shingles=True)
@@ -244,9 +250,11 @@ def test_hashed_path_exchanges_long_keys(spark, crafted):
         .executedPlan()
         .toString()
     )
-    assert "xxhash64" in plan
-    # every hashpartitioning on the shingle key is on the long (L-suffixed) col
     import re
 
+    # the checkpointed relation's shingle column is the 8-byte long
+    rdd_cols = re.findall(r"Scan ExistingRDD\[doc_id#\d+L,pos#\d+,shingle#\d+(L?)\]", plan)
+    assert rdd_cols and all(s == "L" for s in rdd_cols), plan[:400]
+    # every hashpartitioning on the shingle key is on the long (L-suffixed) col
     keys = re.findall(r"hashpartitioning\(shingle#\d+(L?)", plan)
     assert keys and all(suffix == "L" for suffix in keys), keys
