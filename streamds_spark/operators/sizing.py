@@ -59,6 +59,21 @@ ANF_FANOUT_ROWS_PER_GIB = 24_000_000
 KTRUSS_EDGES_PER_TASK = 40_000
 KTRUSS_MAX_PARTITIONS = 4096
 
+# -- link prediction (queries/graph.py copurchase_link_prediction) -----------
+# The wedge self-join EXPLODES ~sum(deg^2)/2 candidate rows out of a tiny
+# adjacency shuffle, so AQE (which only sees the small INPUT exchanges)
+# coalesces both heavy stages to near the core count and every per-task
+# aggregation map blows past its memory quota. Explicit repartition(N)
+# calls — user repartitions are never coalesced — size the join and the
+# pair-count aggregate from the wedge count itself. Measured at sf0.1
+# (149M wedges, 101M distinct pairs, 8 GiB heap, interleaved min-of-2,
+# plans/r11 work log): 1M wedges/task -> N=149 turns 1.9 GB of disk spill
+# into ZERO and 90.4 s into 25.5 s; per-task partial-agg maps are ~45 MB
+# (~0.95M keys x 48 B), comfortably inside the ~145 MB/task quota at 32
+# concurrent tasks. The 4096 cap bounds scheduler overhead like ktruss's.
+LINKPRED_WEDGES_PER_TASK = 1_000_000
+LINKPRED_MAX_PARTITIONS = 4096
+
 # -- k-core (operators/kcore.py) ---------------------------------------------
 # Below this changed-node fraction the per-round H-index recompute narrows
 # to the frontier's neighborhood; above it a full recompute is cheaper (the

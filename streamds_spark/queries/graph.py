@@ -1040,30 +1040,73 @@ def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase partners.
 
     Plan: one wedge self-join grouped straight to (u, v, common) — the
-    middle-node fan-out collapses map-side into the pair counts — an
-    anti-join against the edge set, two degree joins, and a TakeOrdered
-    top-20 (never a global sort). At 100 TB the wedge join is the cost;
-    it is bounded by sum-of-degree-squared like the triangle census, and
-    heavy-hub mitigation composes (degree-cap the middle node before the
-    self-join, exactly as the dedup LSH caps star buckets).
+    middle-node fan-out collapses map-side into the pair counts — then a
+    shuffled-hash anti-join against the edge set that RIDES the aggregate's
+    (u, v) partitioning (only the small edge side exchanges; the candidate
+    stream is never sorted), a TakeOrdered top-20, and the two degree joins
+    attached to the 20 SURVIVORS only (the ranking reads (common, u, v)
+    alone, and every candidate endpoint has a degree row by construction,
+    so inner-joining degrees after the cut is row-for-row identical to
+    joining before it — but over 20 rows instead of the full candidate
+    set). At 100 TB the wedge join is the cost; it is bounded by
+    sum-of-degree-squared like the triangle census, and heavy-hub
+    mitigation composes (degree-cap the middle node before the self-join,
+    exactly as the dedup LSH caps star buckets).
+
+    Both wedge stages self-size their partition count from the graph's own
+    degree profile (sum(d^2)/2 wedges at LINKPRED_WEDGES_PER_TASK, measured
+    provenance in operators/sizing.py): the join's INPUT exchanges are tiny,
+    so AQE — which can only see map-output sizes — coalesces the exploding
+    stages to the core count and the per-task aggregation maps spill; the
+    explicit repartition() calls (never coalesced) keep the fan-out wide
+    and the maps inside their memory quota. The pair-count groupBy rides
+    the (u, v) repartition directly, trading the (measured ~30%-effective)
+    map-side partial aggregation for spill-free width.
     """
+    from streamds_spark.operators.sizing import (
+        LINKPRED_MAX_PARTITIONS,
+        LINKPRED_WEDGES_PER_TASK,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     edges = copurchase_edges(li).localCheckpoint(eager=False)
     adj = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).select(F.col("u").alias("a"), F.col("v").alias("b"))
-    deg = adj.groupBy("a").agg(F.count("*").alias("d")).withColumnRenamed("a", "n")
+    deg = (
+        adj.groupBy("a")
+        .agg(F.count("*").alias("d"))
+        .withColumnRenamed("a", "n")
+        .localCheckpoint(eager=False)
+    )
+    # one tiny job over the checkpointed degree table sizes the wedge
+    # stages (1-row loop-control-style collect, ktruss's sizing idiom)
+    sum_d2 = deg.agg(F.sum(F.col("d") * F.col("d")).alias("s2")).collect()[0]["s2"]
+    n_wedges = int(sum_d2 or 0) // 2
+    session_default = int(adj.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = max(
+        session_default,
+        min(LINKPRED_MAX_PARTITIONS, -(-n_wedges // LINKPRED_WEDGES_PER_TASK)),
+    )
     cand = (
         adj.toDF("m", "u")
-        .join(adj.toDF("m", "v"), "m")
+        .repartition(n_parts, "m")
+        .join(adj.toDF("m", "v").repartition(n_parts, "m"), "m")
         .where(F.col("u") < F.col("v"))
+        .repartition(n_parts, "u", "v")
         .groupBy("u", "v")
         .agg(F.count("*").alias("common"))
     )
-    nonedge = cand.join(edges, ["u", "v"], "left_anti")
+    top_nonedge = (
+        cand.join(edges.hint("shuffle_hash"), ["u", "v"], "left_anti")
+        .orderBy(F.col("common").desc(), "u", "v")
+        .limit(20)
+    )
     return (
-        nonedge.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+        top_nonedge.join(
+            F.broadcast(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du")), "u"
+        )
+        .join(F.broadcast(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv")), "v")
         .select(
             F.col("u").cast("bigint").alias("u"),
             F.col("v").cast("bigint").alias("v"),
@@ -1071,7 +1114,6 @@ def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("du") + F.col("dv") - F.col("common")).cast("bigint").alias("union_deg"),
         )
         .orderBy(F.col("common").desc(), "u", "v")
-        .limit(20)
     )
 
 
