@@ -207,8 +207,9 @@ def harmonic_centrality_topk(
         "node", F.lit(0).cast("bigint").alias("h_scaled")
     ).localCheckpoint(eager=True)
     total_prev = node_mass.agg(F.sum("mass")).collect()[0][0]
+    changed = counters  # round 1: every seeded register is fresh
     for t in range(1, max_iter + 1):
-        nxt = _propagate(adj, counters, stripes)
+        nxt, changed = _propagate(adj, counters, stripes, changed, n_adj)
         new_mass = (
             nxt.groupBy("node")
             .agg(F.sum("max_rho").cast("bigint").alias("mass"))
@@ -239,12 +240,60 @@ def harmonic_centrality_topk(
     )
 
 
-def _propagate(adj: DataFrame, counters: DataFrame, stripes: int) -> DataFrame:
+def _propagate(
+    adj: DataFrame,
+    counters: DataFrame,
+    stripes: int,
+    changed: "DataFrame | None" = None,
+    n_adj: int = 0,
+) -> tuple[DataFrame, DataFrame]:
     """One HyperANF round: max-fold every node's counter with its
-    neighbors'. Registers in different buckets never interact, so the
-    stripe loop (filter, join, aggregate, union the stripe results) is
+    neighbors'. Returns (nxt, changed_next) — the full new counter table
+    and the subset of its rows that are new or increased this round.
+
+    SYSTOLIC propagation (Boldi & Vigna's HyperBall refinement, round 11,
+    guide §2.2 — shuffle fewer rows): only registers that CHANGED last
+    round join the adjacency. A neighbor register (n, b) unchanged since
+    round t-2 was already folded into every u ∈ N(n) at round t-1 (the
+    dense update folds ALL neighbors, so R_{t-1}(u, b) >= R_{t-2}(n, b)),
+    hence dropping it from round t's max loses nothing — by induction the
+    per-round counter tables are ROW-FOR-ROW IDENTICAL to the dense
+    iteration's (the DuckDB oracles replay the dense rounds, so this
+    equivalence is what keeps the census hash-exact). The join fan-out
+    falls from |adj| x up-to-m rows EVERY round to |adj| x (still-moving
+    registers) — the frontier collapses fast once balls saturate.
+
+    Change detection is folded INTO the same aggregate (no extra join):
+    previous-round rows carry their value in `_old`, propagated rows carry
+    NULL, and one groupBy computes max(value) alongside max(_old) — a row
+    changed iff `_old` is NULL (brand-new register) or max > _old.
+
+    Registers in different buckets never interact, so the stripe loop
+    (filter, join, aggregate, union the stripe results) stays
     value-identical while dividing the join fan-out and the partial-agg
-    key space by `stripes` (the memory dial — see anf_census)."""
+    key space by `stripes` (the memory dial — see anf_census).
+
+    The adjacency side is explicitly repartitioned to a width sized from
+    the FAN-OUT (ANF_FANOUT_ROWS_PER_TASK, measured provenance in
+    operators/sizing.py): the join's input exchanges are small, so AQE —
+    blind to the m-fold output explosion — would coalesce the heavy stage
+    to ~core-count tasks with cache-thrashing partial-agg maps; user
+    repartitions are never coalesced. Only the adjacency is pinned — the
+    register side auto-co-partitions, and a tiny late-round changed set
+    stays eligible for an AQE broadcast that skips the adjacency shuffle
+    entirely."""
+    from streamds_spark.operators.sizing import ANF_FANOUT_ROWS_PER_TASK
+    from streamds_spark.operators.sizing import KTRUSS_MAX_PARTITIONS as _CAP
+
+    spark = adj.sparkSession
+    session_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    fanout = n_adj * M_ANF // max(1, stripes)
+    n_parts = max(
+        session_default,
+        min(_CAP, -(-fanout // ANF_FANOUT_ROWS_PER_TASK)),
+    )
+    adj_w = adj.repartition(n_parts, "v")
+    src_all = counters if changed is None else changed
     parts = []
     for s in range(max(1, stripes)):
         cs = (
@@ -252,19 +301,36 @@ def _propagate(adj: DataFrame, counters: DataFrame, stripes: int) -> DataFrame:
             if stripes > 1
             else counters
         )
-        prop = adj.join(cs, adj.v == cs.node).select(
-            adj.u.alias("node"), "bucket", "max_rho"
+        src = (
+            src_all.where(F.col("bucket") % stripes == s)
+            if stripes > 1
+            else src_all
+        )
+        prop = adj_w.join(src, adj_w.v == src.node).select(
+            adj_w.u.alias("node"),
+            "bucket",
+            "max_rho",
+            F.lit(None).cast("int").alias("_old"),
         )
         parts.append(
-            prop.unionByName(cs)
+            prop.unionByName(
+                cs.select("node", "bucket", "max_rho", F.col("max_rho").alias("_old"))
+            )
             .groupBy("node", "bucket")
-            .agg(F.max("max_rho").alias("max_rho"))
-            .localCheckpoint(eager=True)
+            .agg(
+                F.max("max_rho").alias("max_rho"),
+                F.max("_old").alias("_old"),
+            )
+            .localCheckpoint(eager=False)
         )
-    nxt = parts[0]
+    merged = parts[0]
     for p in parts[1:]:
-        nxt = nxt.unionByName(p)
-    return nxt
+        merged = merged.unionByName(p)
+    nxt = merged.select("node", "bucket", "max_rho")
+    changed_next = merged.where(
+        F.col("_old").isNull() | (F.col("max_rho") > F.col("_old"))
+    ).select("node", "bucket", "max_rho")
+    return nxt, changed_next
 
 
 def _seed_counters(adj: DataFrame) -> DataFrame:
@@ -289,13 +355,11 @@ def _anf_iterate(
         .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .localCheckpoint(eager=True)
     )
+    # One cheap count over the materialized checkpoint sizes BOTH dials:
+    # the stripes memory dial and the propagate stage width.
+    n_adj = adj.count()
     if stripes is None:
-        # Self-size from the operator's own fan-out (adj is already
-        # materialized, so the count is a cheap cached-lineage job) vs the
-        # executor memory budget.
-        stripes = _auto_stripes(
-            adj.count(), _mem_budget_bytes(edges.sparkSession)
-        )
+        stripes = _auto_stripes(n_adj, _mem_budget_bytes(edges.sparkSession))
     counters = _seed_counters(adj)
 
     def mass(c: DataFrame) -> tuple[int, int]:
@@ -309,8 +373,9 @@ def _anf_iterate(
 
     reg, rho = mass(counters)
     census = [(0, reg, rho)]
+    changed = counters  # round 1: every seeded register is fresh
     for t in range(1, max_iter + 1):
-        nxt = _propagate(adj, counters, stripes)
+        nxt, changed = _propagate(adj, counters, stripes, changed, n_adj)
         reg, rho = mass(nxt)
         if rho == census[-1][2]:  # rho mass strictly grows on ANY change
             return counters, census

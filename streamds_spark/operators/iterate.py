@@ -55,16 +55,33 @@ class StatsPinnedCheckpointer:
     (exact-stats truncation, see module docstring), keeping the last ``lag``
     source caches alive so a checkpoint block evicted under memory pressure
     can recompute from the cache instead of the full plan. Call ``release()``
-    (or use as a context manager) when the loop ends."""
+    (or use as a context manager) when the loop ends.
+
+    Two job-count economies for latency-bound loop tails (round 11, guide
+    §1.3 — an iterative fixpoint's tail rounds are dominated by per-job
+    overhead, not data):
+
+    - The checkpoint copy is LAZY (``localCheckpoint(eager=False)``): the
+      ``LogicalRDD``'s stats snapshot is taken at CALL time from the
+      counted ``InMemoryRelation`` (exact — the whole point of the pin),
+      while the physical RDD copy folds into whatever job first consumes
+      the result — one fewer job per pin, identical data. Loop results are
+      always consumed within a round or two, inside the cache lag window.
+    - ``last_count`` exposes the pin's own materialization count, so a
+      loop that needs the row count of the relation it just pinned (every
+      fixpoint test does) reads it instead of running a second count job.
+    """
 
     def __init__(self, lag: int = 2):
         self._lag = max(0, lag)
         self._cached: list[DataFrame] = []
+        self.last_count: int = 0
 
     def checkpoint(self, df: DataFrame) -> DataFrame:
         df.persist(StorageLevel.MEMORY_AND_DISK)
-        df.count()  # materialize so the snapshot reads EXACT cached stats
-        out = df.localCheckpoint(eager=True)
+        # materialize so the snapshot reads EXACT cached stats
+        self.last_count = df.count()
+        out = df.localCheckpoint(eager=False)
         self._cached.append(df)
         while len(self._cached) > self._lag:
             self._cached.pop(0).unpersist()

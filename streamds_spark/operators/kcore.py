@@ -210,14 +210,18 @@ def _core_numbers_with_rounds(
             .select(F.col("u").alias("node"), F.col("h").cast("bigint").alias("e"))
         )
         if full:
-            new_est = upd.localCheckpoint(eager=True)
+            # lazy checkpoints + ONE count: the count job materializes
+            # moved AND (through its lineage) the new_est checkpoint —
+            # 3 jobs/round collapsed into 1 (guide §1.3, latency-bound tail)
+            new_est = upd.localCheckpoint(eager=False)
             moved = (
                 new_est.alias("n")
                 .join(est.alias("o"), "node")
                 .where("n.e <> o.e")
                 .select("node")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
+            n_changed = moved.count()
         else:
             # recomputed nodes that actually moved; everyone else carries
             # forward untouched (estimates only ever decrease, so <> is <)
@@ -227,13 +231,15 @@ def _core_numbers_with_rounds(
                 .where("n.e <> o.e")
                 .select("node", F.col("n.e").alias("e_new"))
             )
+            # the pin's materialization count IS the moved count — no
+            # second count job per round
+            n_changed = pin.last_count
             new_est = pin.checkpoint(
                 est.join(moved_vals, "node", "left").select(
                     "node", F.coalesce("e_new", "e").cast("bigint").alias("e")
                 )
             )
             moved = moved_vals.select("node")
-        n_changed = moved.count()
         est = new_est
         changed = moved
         if stats is not None:

@@ -59,6 +59,18 @@ ANF_FANOUT_ROWS_PER_GIB = 24_000_000
 KTRUSS_EDGES_PER_TASK = 40_000
 KTRUSS_MAX_PARTITIONS = 4096
 
+# -- HyperANF propagate width (operators/anf.py) -----------------------------
+# The propagate join's INPUT exchanges are tiny (the adjacency is ~20 MB at
+# sf0.1) so AQE coalesces the stage to ~20 tasks while the join OUTPUT
+# explodes to |adj| x up-to-m register rows — the link-prediction disease
+# (see LINKPRED_* above) applied to the graph sweep. An explicit
+# repartition of the adjacency sized from the fan-out keeps the stage wide
+# and each per-task partial-agg map small enough to stay cache-resident.
+# Measured at sf0.1 (153M fan-out rows/round, interleaved min-of-2,
+# plans/r11 work log): 1.5M rows/task -> 102 partitions turns the census
+# from 48.9 s into 37.8 s on the same box-minute. Cap shared with ktruss.
+ANF_FANOUT_ROWS_PER_TASK = 1_500_000
+
 # -- link prediction (queries/graph.py copurchase_link_prediction) -----------
 # The wedge self-join EXPLODES ~sum(deg^2)/2 candidate rows out of a tiny
 # adjacency shuffle, so AQE (which only sees the small INPUT exchanges)
