@@ -56,14 +56,17 @@ def setsim_candidates(
     tau_den: int,
     id_col: str = "id",
     set_col: str = "tokens",
+    _base: "DataFrame | None" = None,
 ) -> DataFrame:
     """DataFrame[id_a, id_b] (id_a < id_b) — the prefix-filter candidate
     pairs with the length filter applied, BEFORE exact verification.
     Exposed separately so tests can pin that the filter prunes (the
     candidate count sits far below the full inverted-index pair count)
-    while setsim_join stays exactly complete."""
+    while setsim_join stays exactly complete. `_base`: a prebuilt
+    canonical-sets relation (setsim_join passes its checkpointed one so
+    the upstream tokenize pipeline runs once, not per subtree)."""
     _check_tau(tau_num, tau_den)
-    base = _canonical_sets(sets, id_col, set_col)
+    base = _canonical_sets(sets, id_col, set_col) if _base is None else _base
     inv = base.select("_sid", F.explode("_sset").alias("_tok"))
     df = inv.groupBy("_tok").agg(F.count("*").alias("_df"))
     # canonical order: ascending (df, token); the prefix keeps the rarest
@@ -104,9 +107,15 @@ def setsim_join(
     """DataFrame[id_a, id_b, n_inter, n_union, jaccard] — all pairs (id_a < id_b)
     from `sets(id_col, set_col: array<string>)` with exact Jaccard
     >= tau_num/tau_den (0 < tau <= 1). Token arrays are deduplicated
-    internally; empty sets never pair (Jaccard with an empty set is 0)."""
-    cand = setsim_candidates(sets, tau_num, tau_den, id_col, set_col)
-    base = _canonical_sets(sets, id_col, set_col)
+    internally; empty sets never pair (Jaccard with an empty set is 0).
+
+    The canonical-sets relation is lazily checkpointed and shared by every
+    subtree (round 11, guide §1.3): without it, the candidate branch and
+    both verify-join sides each recompute the whole upstream
+    tokenize/shingle pipeline — at sf0.1 that was two extra ~27 s
+    single-task map stages per run."""
+    base = _canonical_sets(sets, id_col, set_col).localCheckpoint(eager=False)
+    cand = setsim_candidates(sets, tau_num, tau_den, id_col, set_col, _base=base)
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.size("set_a") + F.size("set_b") - inter
     return (

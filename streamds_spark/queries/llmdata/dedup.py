@@ -678,10 +678,13 @@ def setsim_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tau_den*inter >= tau_num*union) so no float boundary can diverge
     between engines. The oracle joins ALL token-sharing pairs and applies
     the same integer predicate — hash-equality proves the prefix filter
-    loses no pair."""
+    loses no pair. spread=True (round 11): the tokenize+shingle map stage
+    otherwise runs as ONE task on the single-split documents scan; every
+    downstream quantity is an integer set statistic, partitioning-
+    invariant."""
     from streamds_spark.operators.setsim import setsim_join
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     sh = (
         docs.select("doc_id", tokens(F.col("text")).alias("toks"))
         .select("doc_id", F.array_distinct(shingles_expr("toks", SHINGLE_N)).alias("sset"))
@@ -766,7 +769,9 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamds_spark.operators.dedup_pipeline import lsh_candidate_pairs
     from streamds_spark.operators.setsim import setsim_join
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread=True (round 11): same single-split tokenize parallelization as
+    # setsim_exact_pairs — all graded quantities are integer set statistics
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     sh = docs.select("doc_id", tokens(F.col("text")).alias("toks")).select(
         "doc_id", F.array_distinct(shingles_expr("toks", SHINGLE_N)).alias("sset")
     )
