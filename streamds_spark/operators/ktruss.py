@@ -33,18 +33,25 @@ from pyspark.sql import functions as F
 from streamds_spark.operators.iterate import StatsPinnedCheckpointer
 
 
-def _support(edges: DataFrame) -> DataFrame:
+def _support(edges: DataFrame, width: "int | None" = None) -> DataFrame:
     """(u, v, s): triangle count through each edge of `edges(u < v)` —
-    degree-ordered enumeration, each triangle credited to its 3 edges."""
+    degree-ordered enumeration, each triangle credited to its 3 edges.
+
+    `width`: explicit partition count for the wedge stages (the loop passes
+    its self-sized value) — AQE coalesces the tiny input exchanges below
+    the width the out-degree² explosion needs (see queries/graph.py
+    wedge_width); the closing probe is a shuffled-hash join so the wedge
+    stream is never sorted."""
     from streamds_spark.queries.graph import oriented_by_degree
 
     o = oriented_by_degree(edges).localCheckpoint(eager=False)
-    tri = (
-        o.toDF("a", "b")
-        .join(o.toDF("b", "c"), "b")
-        .select("a", "b", "c")
-        .join(o.toDF("a", "c"), ["a", "c"])
-    )
+    lhs, rhs = o.toDF("a", "b"), o.toDF("b", "c")
+    if width:
+        lhs, rhs = lhs.repartition(width, "b"), rhs.repartition(width, "b")
+    wedges = lhs.join(rhs, "b").select("a", "b", "c")
+    if width:
+        wedges = wedges.repartition(width, "a", "c")
+    tri = wedges.join(o.toDF("a", "c").hint("shuffle_hash"), ["a", "c"])
 
     def norm(x: str, y: str):
         return [
@@ -128,7 +135,7 @@ def ktruss_edges(
             )
         pin = StatsPinnedCheckpointer(lag=2)
         for rounds in range(1, max_iter + 1):
-            sup = _support(cur)
+            sup = _support(cur, width=int(shuffle_partitions))
             keep = pin.checkpoint(
                 cur.join(sup, ["u", "v"]).where(F.col("s") >= sup_min)
             )

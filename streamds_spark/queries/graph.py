@@ -66,7 +66,25 @@ def oriented_by_degree(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def wedge_width(n_edges: int, session_default: int) -> int:
+    """Partition width for the oriented wedge join (shared by the triangle
+    census and ktruss's per-round support): the join's INPUT exchanges are
+    tiny so AQE — blind to the out-degree² output explosion — coalesces the
+    stage to a handful of tasks (measured 6 at sf0.1: 34 s of CPU nearly
+    serialized). Explicit repartition() calls are never coalesced; width
+    reuses ktruss's measured 40k-edges/task calibration (sizing.py)."""
+    from streamds_spark.operators.sizing import (
+        KTRUSS_EDGES_PER_TASK,
+        KTRUSS_MAX_PARTITIONS,
+    )
+
+    return max(
+        session_default,
+        min(KTRUSS_MAX_PARTITIONS, -(-n_edges // KTRUSS_EDGES_PER_TASK)),
+    )
+
+
+def triangle_count(edges: DataFrame, n_edges: "int | None" = None) -> DataFrame:
     """1-row DataFrame (n_triangles) — wedge join on the oriented middle node,
     closed against the oriented edge set; each triangle counted exactly once.
 
@@ -75,14 +93,25 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     all three instead of relying on runtime ReusedExchange to dedupe three
     copies of the orientation subtree. (localCheckpoint trades lineage for
     plan size — on a real cluster with executor churn use a reliable
-    checkpoint dir; the shape is identical.)"""
+    checkpoint dir; the shape is identical.)
+
+    Both wedge stages are explicitly repartitioned to wedge_width() (the
+    count materializes the orientation checkpoint the first action needed
+    anyway), and the closing probe is a shuffled-hash join so the wedge
+    stream is never sorted — only the oriented edge side builds a table."""
     o = oriented_by_degree(edges).localCheckpoint(eager=False)
+    spark = edges.sparkSession
+    n = int(n_edges) if n_edges is not None else o.count()
+    width = wedge_width(n, int(spark.conf.get("spark.sql.shuffle.partitions")))
     wedges = (
         o.toDF("a", "b")
-        .join(o.toDF("b", "c"), "b")
+        .repartition(width, "b")
+        .join(o.toDF("b", "c").repartition(width, "b"), "b")
         .select("a", "c")
     )
-    closed = wedges.join(o.toDF("a", "c"), ["a", "c"])
+    closed = wedges.repartition(width, "a", "c").join(
+        o.toDF("a", "c").hint("shuffle_hash"), ["a", "c"]
+    )
     return closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
 
 
