@@ -39,8 +39,10 @@ def pagerank(
     n_nodes = nodes.count()  # scalar for the teleport term
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    e = e.localCheckpoint(eager=True)  # small, reused every iteration
-    out_deg = out_deg.localCheckpoint(eager=True)
+    # lazy checkpoints (round 11, guide §1.3): materialization folds into
+    # the first iteration's dangling-mass job instead of standalone jobs
+    e = e.localCheckpoint(eager=False)  # small, reused every iteration
+    out_deg = out_deg.localCheckpoint(eager=False)
 
     for it in range(max_iter):
         contribs = (
@@ -68,7 +70,8 @@ def pagerank(
             )
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            # lazy: the next iteration's dangling collect materializes it
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -111,8 +114,11 @@ def pagerank_fixed_point(
     nodes = e.select(F.col("src").alias("node")).distinct()
     base = ((100 - damping_pct) * scale) // 100
     ranks = nodes.withColumn("rank", F.lit(scale).cast("bigint"))
-    e = e.localCheckpoint(eager=True)
-    deg = deg.localCheckpoint(eager=True)
+    # lazy checkpoints (round 11): with no per-iteration scalar to collect,
+    # the WHOLE fixed-point loop now runs as one job at the first action —
+    # each checkpoint still truncates lineage/plan growth at build time
+    e = e.localCheckpoint(eager=False)
+    deg = deg.localCheckpoint(eager=False)
 
     for it in range(max_iter):
         inflow = (
@@ -133,5 +139,5 @@ def pagerank_fixed_point(
             ).alias("rank"),
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks

@@ -431,8 +431,11 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses to a VOCABULARY-bounded edge relation before anything
     iterative, then {TEXTRANK_ITERS} rounds of the same-key join+agg over
     that bounded graph; TakeOrdered emits the k-sized tail. At 100 TB only
-    the adjacency count touches corpus-sized data."""
-    docs = load_table(spark, sf_dir, "documents")
+    the adjacency count touches corpus-sized data. spread=True (round 11):
+    the tokenize+zip+explode adjacency stage otherwise runs as ONE task on
+    the single-split scan; everything downstream is integer pair counts —
+    partitioning-invariant."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     t = F.expr("filter(split(text, '\\\\s+'), w -> w != '')")
     toks = docs.select(F.transform(t, lambda w: F.lower(w)).alias("ws"))
     adj = (
