@@ -187,11 +187,12 @@ def harmonic_centrality_topk(
     adj = (
         edges.select("u", "v")
         .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     spark = edges.sparkSession
     # one count answers both the empty check and the stripes sizing —
     # BEFORE any seeding/checkpoint jobs are spent on an empty graph
+    # (and it materializes the LAZY adjacency checkpoint in the same job)
     n_adj = adj.count()
     if n_adj == 0:
         return spark.createDataFrame([], "node bigint, h_scaled bigint")
@@ -201,11 +202,13 @@ def harmonic_centrality_topk(
     node_mass = (
         counters.groupBy("node")
         .agg(F.sum("max_rho").cast("bigint").alias("mass"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     h = node_mass.select(
         "node", F.lit(0).cast("bigint").alias("h_scaled")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    # the ONE driver job of the seeding step — it materializes the lazy
+    # node_mass (and, through it, the seeds) as a side effect (guide §1.3)
     total_prev = node_mass.agg(F.sum("mass")).collect()[0][0]
     changed = counters  # round 1: every seeded register is fresh
     for t in range(1, max_iter + 1):
@@ -213,8 +216,10 @@ def harmonic_centrality_topk(
         new_mass = (
             nxt.groupBy("node")
             .agg(F.sum("max_rho").cast("bigint").alias("mass"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # the ONE driver job per round: the saturation probe materializes
+        # the lazy mass checkpoint (and the propagate stripes feeding it)
         total = new_mass.agg(F.sum("mass")).collect()[0][0]
         if total == total_prev:  # rho mass strictly grows on ANY change
             return h.orderBy(F.desc("h_scaled"), "node").limit(k)
@@ -232,7 +237,7 @@ def harmonic_centrality_topk(
                 .cast("bigint")
                 .alias("h_scaled"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         counters, node_mass, total_prev = nxt, new_mass, total
     raise RuntimeError(
@@ -344,7 +349,7 @@ def _seed_counters(adj: DataFrame) -> DataFrame:
     )
     return seeded.select(
         "node", "bucket", F.expr(RHO_SQL).cast("int").alias("max_rho")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
 
 def _anf_iterate(
@@ -353,10 +358,10 @@ def _anf_iterate(
     adj = (
         edges.select("u", "v")
         .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    # One cheap count over the materialized checkpoint sizes BOTH dials:
-    # the stripes memory dial and the propagate stage width.
+    # One cheap count sizes BOTH dials (the stripes memory dial and the
+    # propagate stage width) and materializes the lazy checkpoint.
     n_adj = adj.count()
     if stripes is None:
         stripes = _auto_stripes(n_adj, _mem_budget_bytes(edges.sparkSession))

@@ -49,9 +49,13 @@ def hop_distances(
         )
         if nxt.isEmpty():
             return dist
+        # LAZY union checkpoint: the visited table is consumed inside the
+        # NEXT hop's eager frontier job (or the caller's terminal action), so
+        # the copy folds into that job — one driver job per hop, not two
+        # (guide §1.3; the eager nxt checkpoint stays: isEmpty() is the exit)
         dist = dist.unionByName(
             nxt.withColumn("dist", F.lit(d).cast("bigint"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         frontier = nxt
     raise RuntimeError(f"BFS did not exhaust the reachable set in {max_iter} hops")
 
@@ -79,14 +83,17 @@ def weighted_distances(
     graph), a groupBy-min over candidate updates, and one carry-forward
     left join against the n-row distance table. Nothing broadcasts by hint
     (AQE may broadcast a genuinely small frontier at runtime); lineage is
-    truncated per round with STATS-PINNED checkpoints: `improved` and
-    `dist` each descend from the other through outer joins, so Catalyst's
+    truncated per round, with `improved` STATS-PINNED: `improved` and
+    `dist` each descend with the other through outer joins, so Catalyst's
     product-of-children size estimates would otherwise double their BigInt
     bit length per round and stall the driver in BigInteger.multiply on
-    relaxation chains past ~20 rounds — exactly the deep-graph regime this
-    operator exists for (see operators/iterate.py; hop_distances above is
-    join-against-fixed + union only, which grows linearly and needs no
-    pin)."""
+    relaxation chains past ~20 rounds. Pinning `improved` to exact
+    (small-constant) stats breaks the product chain — `dist`'s snapshot
+    then grows a constant number of bits per round (linear), so its own
+    truncation is a plain lazy checkpoint whose copy folds into the next
+    round's pin job: one driver job per round (see operators/iterate.py;
+    hop_distances above is join-against-fixed + union only, which grows
+    linearly and needs no pin at all)."""
     from streamds_spark.operators.iterate import StatsPinnedCheckpointer
     adj = edges.select(
         "u", "v", F.col("w").cast("bigint").alias("w")
@@ -118,10 +125,17 @@ def weighted_distances(
             .where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
             .select("node", F.col("nd").cast("bigint").alias("dist"))
         )
-        if improved.isEmpty():
+        # the pin's own materialization count answers the fixpoint test —
+        # no separate isEmpty job (guide §1.3)
+        if pin.last_count == 0:
             pin.release()
             return dist
-        dist = pin.checkpoint(
+        # dist needs only a LAZY unpinned truncation: with `improved` pinned
+        # to exact (small-constant) stats each round, the carry's snapshot
+        # grows a constant number of bits per round — linear, not the
+        # doubling case (iterate.py) that needs the pin on BOTH relations.
+        # The copy folds into the next round's pin job: one job per round.
+        dist = (
             dist.join(
                 improved.withColumnRenamed("dist", "nd"), "node", "left"
             )
@@ -132,6 +146,7 @@ def weighted_distances(
             .unionByName(
                 improved.join(dist.select("node"), "node", "left_anti")
             )
+            .localCheckpoint(eager=False)
         )
         frontier = improved
     pin.release()
@@ -178,9 +193,11 @@ def keyed_distances(
         )
         if nxt.isEmpty():
             return dist
+        # LAZY union checkpoint — same one-job-per-hop economics as
+        # hop_distances above
         dist = dist.unionByName(
             nxt.withColumn("dist", F.lit(d).cast("bigint"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         frontier = nxt
     raise RuntimeError(
         f"keyed BFS did not exhaust the reachable set in {max_iter} hops"

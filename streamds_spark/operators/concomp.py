@@ -89,20 +89,23 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         jump = stepped.select(
             F.col("node").alias("jnode"), F.col("component").alias("jcomp")
         )
-        labels = pin.checkpoint(
-            stepped.join(jump, stepped.component == jump.jnode, "left").select(
-                "node",
-                F.coalesce(F.col("jcomp"), F.col("component")).alias("component"),
-            )
+        jumped = stepped.join(jump, stepped.component == jump.jnode, "left").select(
+            "node",
+            F.coalesce(F.col("jcomp"), F.col("component")).alias("component"),
         )
         if numeric_ids:
-            cur_sum = labels.agg(
-                F.sum(F.col("component").cast("decimal(38,0)"))
-            ).collect()[0][0]
+            # the label-sum convergence probe rides the pin's own
+            # materialization scan — one driver job per round, not two
+            labels = pin.checkpoint(
+                jumped,
+                extra_aggs=[F.sum(F.col("component").cast("decimal(38,0)"))],
+            )
+            cur_sum = pin.last_aggs[0]
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
         else:
+            labels = pin.checkpoint(jumped)
             changed = (
                 labels.toDF("node", "newc")
                 .join(prev_labels.toDF("node", "oldc"), "node")

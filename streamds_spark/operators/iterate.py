@@ -76,11 +76,27 @@ class StatsPinnedCheckpointer:
         self._lag = max(0, lag)
         self._cached: list[DataFrame] = []
         self.last_count: int = 0
+        self.last_aggs: "tuple | None" = None
 
-    def checkpoint(self, df: DataFrame) -> DataFrame:
+    def checkpoint(self, df: DataFrame, extra_aggs: "list | None" = None) -> DataFrame:
+        """Pin ``df``. ``extra_aggs`` (pyspark Columns) ride the SAME
+        materialization job — a loop that needs, say, the label sum of the
+        relation it just pinned (a convergence probe) folds that aggregate
+        into the pin's one full scan instead of running a second driver job;
+        results land in ``last_aggs`` in order. The scan is a full pass over
+        the persisted relation either way, so the pinned stats are identical.
+        """
+        from pyspark.sql import functions as F
+
         df.persist(StorageLevel.MEMORY_AND_DISK)
         # materialize so the snapshot reads EXACT cached stats
-        self.last_count = df.count()
+        if extra_aggs:
+            row = df.agg(F.count(F.lit(1)).alias("__pin_n"), *extra_aggs).collect()[0]
+            self.last_count = int(row["__pin_n"])
+            self.last_aggs = tuple(row[1:])
+        else:
+            self.last_count = df.count()
+            self.last_aggs = None
         out = df.localCheckpoint(eager=False)
         self._cached.append(df)
         while len(self._cached) > self._lag:

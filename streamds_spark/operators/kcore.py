@@ -56,23 +56,35 @@ def kcore_nodes(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     round strictly shrinks the graph, so this only triggers on a peel chain
     deeper than max_iter — rerun with a higher cap).
     """
+    from streamds_spark.operators.iterate import StatsPinnedCheckpointer
+
     # Symmetrize once: adjacency with one row per directed half-edge.
     adj = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     adj = adj.localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        deg = adj.groupBy("u").agg(F.count("*").alias("degree"))
-        low = deg.filter(F.col("degree") < k).select(F.col("u").alias("n"))
-        low = low.localCheckpoint(eager=True)  # feeds the count + two joins
-        n_low = low.count()
-        if n_low == 0:
-            return deg.select(F.col("u").alias("node"), "degree")
-        adj = _peel_once(adj, low, n_low).localCheckpoint(eager=True)
-        if adj.isEmpty():
-            return deg.filter(F.lit(False)).select(
-                F.col("u").alias("node"), "degree"
+    # Each truncation is persist+count+lazy-checkpoint (the pin helper): the
+    # materialization count doubles as the loop test, so a round runs TWO
+    # driver jobs (low, peeled adj) instead of four (checkpoint + count,
+    # checkpoint + isEmpty) — guide §1.3. (The peel's anti-join stats grow
+    # linearly, so the pin here is job economics, not the stats repair.)
+    pin = StatsPinnedCheckpointer(lag=4)  # 2 pins/round, keep 2 rounds
+    try:
+        for _ in range(max_iter):
+            deg = adj.groupBy("u").agg(F.count("*").alias("degree"))
+            low = pin.checkpoint(
+                deg.filter(F.col("degree") < k).select(F.col("u").alias("n"))
             )
+            n_low = pin.last_count
+            if n_low == 0:
+                return deg.select(F.col("u").alias("node"), "degree")
+            adj = pin.checkpoint(_peel_once(adj, low, n_low))
+            if pin.last_count == 0:
+                return deg.filter(F.lit(False)).select(
+                    F.col("u").alias("node"), "degree"
+                )
+    finally:
+        pin.release()
     raise RuntimeError(f"k-core peeling did not converge in {max_iter} rounds")
 
 
@@ -152,16 +164,18 @@ def _core_numbers_with_rounds(
     `changed` (nodes whose estimate moved) and `mode` ('full'/'active') —
     the active-set shrink pin in tests/test_kcore.py reads it.
 
-    The active branch's two truncations are STATS-PINNED (persist + count
-    before localCheckpoint): its carry-forward join and its moved-set join
-    both descend from the previous round's estimate table, and Catalyst's
-    product-of-children size estimates compound through checkpoint
-    snapshots — the estimate's BigInt bit length doubles per round and the
-    driver ends up spending minutes in BigInteger.multiply by round ~25
-    (see operators/iterate.py for the full mechanism). The dense branch's
-    checkpoint sits above an aggregate, whose size estimate is linear in
-    its child, so it only grows a constant number of bits per round and
-    needs no pin."""
+    The active branch's moved-set truncation is STATS-PINNED (persist +
+    count before localCheckpoint): the moved-set join and the carry-forward
+    join both descend from the previous round's estimate table, and
+    Catalyst's product-of-children size estimates compound through
+    checkpoint snapshots — the estimate's BigInt bit length would double
+    per round and the driver end up spending minutes in BigInteger.multiply
+    by round ~25 (see operators/iterate.py for the full mechanism). Pinning
+    the moved set to exact (small-constant) stats breaks the product chain,
+    so the carry-forward checkpoint itself is a plain LAZY truncation whose
+    snapshot grows only a constant number of bits per round. The dense
+    branch's checkpoint sits above an aggregate, whose size estimate is
+    linear in its child, so it needs no pin either."""
     from pyspark.sql import Window
 
     from streamds_spark.operators.iterate import StatsPinnedCheckpointer
@@ -183,7 +197,7 @@ def _core_numbers_with_rounds(
     w = Window.partitionBy("u").orderBy(F.col("ne").desc())
     changed = est.select("node")  # round 1: every estimate is fresh
     n_changed = n_nodes
-    pin = StatsPinnedCheckpointer(lag=4)  # 2 pins/round, keep 2 rounds
+    pin = StatsPinnedCheckpointer(lag=2)  # 1 pin/round, keep 2 rounds
     for rounds in range(1, max_iter + 1):
         full = n_changed > n_nodes * ACTIVE_SET_FRACTION
         if full:
@@ -234,10 +248,17 @@ def _core_numbers_with_rounds(
             # the pin's materialization count IS the moved count — no
             # second count job per round
             n_changed = pin.last_count
-            new_est = pin.checkpoint(
-                est.join(moved_vals, "node", "left").select(
+            # with moved_vals pinned to exact (small-constant) stats, the
+            # carry's checkpoint snapshot grows a constant number of bits per
+            # round (linear — not the doubling case that needs BOTH pins), so
+            # a plain LAZY truncation suffices and its copy folds into the
+            # next round's pin job: one driver job per active round, not two
+            new_est = (
+                est.join(moved_vals, "node", "left")
+                .select(
                     "node", F.coalesce("e_new", "e").cast("bigint").alias("e")
                 )
+                .localCheckpoint(eager=False)
             )
             moved = moved_vals.select("node")
         est = new_est

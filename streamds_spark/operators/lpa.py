@@ -71,7 +71,12 @@ def _lpa_round(adj: DataFrame, labels: DataFrame) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("node", "label")
-        .localCheckpoint(eager=True)
+        # LAZY truncation: the round result is consumed by the next round's
+        # join (or the caller's terminal action / census aggregate), so the
+        # checkpoint copy folds into that job — R rounds cost the fixed-R
+        # stage chain, not R extra driver jobs (guide §1.3); the logical
+        # plan still truncates per round
+        .localCheckpoint(eager=False)
     )
 
 

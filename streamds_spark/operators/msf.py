@@ -84,9 +84,13 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 30) -> DataFrame
         )
     picked_rounds: list[DataFrame] = []
     pin = StatsPinnedCheckpointer(lag=2)
+    # the contract aggregate above already counted the crossing edges, and
+    # each round's pin recounts them — the loop reads those counts instead
+    # of running a per-round isEmpty job (guide §1.3)
+    n_cross = int(wc["rows"])
     try:
         for _ in range(max_rounds):
-            if cedges.isEmpty():
+            if n_cross == 0:
                 break
             # per-component cheapest incident crossing edge (cut property:
             # every one of these is an MSF member). Adjacency = both edge
@@ -99,7 +103,8 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 30) -> DataFrame
                 .agg(F.min_by(F.struct("w", "ou", "ov"), "w").alias("e"))
                 .select("e.w", "e.ou", "e.ov")
                 .distinct()  # both endpoints' components may pick the edge
-                .localCheckpoint(eager=True)
+                # LAZY: materializes inside the contraction's first job
+                .localCheckpoint(eager=False)
             )
             picked_rounds.append(picked)
             # contract: components of the picked-edge graph OVER COMPONENT
@@ -125,8 +130,9 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 30) -> DataFrame
                 .filter(F.col("cu") != F.col("cv"))
             )
             cedges = pin.checkpoint(cedges)
+            n_cross = pin.last_count
         else:
-            if not cedges.isEmpty():
+            if n_cross != 0:
                 warnings.warn(
                     f"minimum_spanning_forest: {max_rounds} rounds did not "
                     "exhaust crossing edges; returning the partial forest",

@@ -53,42 +53,94 @@ def with_global_rank(
     Distributed equivalent of ``row_number().over(Window.orderBy(*order_cols))``
     — identical values, no single-partition WindowExec. ``order_cols[0]`` must
     be numeric (boundaries come from ``approxQuantile``); the full list must be
-    a total order. Runs two tiny driver actions (quantile sketch + B-row bucket
+    a total order. Runs two tiny driver actions (quantile sketch + bucket
     sizes), both deterministic, before the main job.
     """
-    primary = order_cols[0]
+    return with_global_ranks(df, [(order_cols, rank_col)], num_buckets)
+
+
+def with_global_ranks(
+    df: DataFrame,
+    rank_specs: list[tuple[list[str], str]],
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Add SEVERAL exact global row numbers in one pass of driver actions.
+
+    ``rank_specs`` is a list of ``(order_cols, rank_col)`` — each entry adds
+    the same column ``with_global_rank(df, order_cols, rank_col)`` would, with
+    identical values. The point is driver-job economics (guide §1.3): k
+    sequential ``with_global_rank`` calls pay 2k tiny driver actions (an
+    approxQuantile sketch + a bucket-size pass each); this runs ONE
+    multi-column approxQuantile job and ONE combined bucket-size aggregate
+    (k×B count-if expressions folding map-side into a single row) for all k
+    ranks. The per-rank window exchanges in the main job are unchanged — each
+    rank still needs its own hash partitioning.
+
+    Rank values are exact for ANY boundary choice (buckets are split strictly
+    by the primary column, so boundary quality affects balance, never
+    correctness) — batching the sketches cannot change a rank.
+    """
     if num_buckets is None:
         num_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     probes = [i / num_buckets for i in range(1, num_buckets)]
-    bounds = sorted(set(df.approxQuantile(primary, probes, 0.01))) if probes else []
-    # NULL primary values: approxQuantile ignores them and (col > lit) is
-    # null — coalesce to False so null rows land in bucket 0, where the
-    # in-bucket sort's default asc_nulls_first puts them before every value,
-    # exactly matching row_number().over(Window.orderBy(primary)). (Heavily
-    # null columns concentrate in bucket 0 — same skew caveat as any
-    # near-constant primary.)
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + F.coalesce(F.col(primary) > F.lit(b), F.lit(False)).cast("int")
-    bucketed = df.withColumn("_rk_bucket", bucket)
-    # ≤ num_buckets rows — safe driver-side collect (like k-means centroids)
-    sizes = {
-        r["_rk_bucket"]: r["cnt"]
-        for r in bucketed.groupBy("_rk_bucket").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = {}, 0
-    for bid in sorted(sizes):
-        offsets[bid] = acc
-        acc += sizes[bid]
-    offset_expr = (
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[F.col("_rk_bucket")]
-        if offsets
-        else F.lit(0)
+    primaries = [order_cols[0] for order_cols, _ in rank_specs]
+    # ONE pass computes every primary column's sketch (StatFunctions
+    # multipleApproxQuantiles — a single job regardless of k)
+    all_bounds = (
+        df.stat.approxQuantile(primaries, probes, 0.01)
+        if probes
+        else [[] for _ in primaries]
     )
-    local = F.row_number().over(Window.partitionBy("_rk_bucket").orderBy(*order_cols))
-    return bucketed.withColumn(rank_col, (local + offset_expr).cast("bigint")).drop(
-        "_rk_bucket"
-    )
+    bucket_cols = [f"_rk_bucket_{i}" for i in range(len(rank_specs))]
+    bucketed = df
+    n_buckets_of: list[int] = []
+    for i, ((order_cols, _), raw) in enumerate(zip(rank_specs, all_bounds)):
+        primary = order_cols[0]
+        bounds = sorted(set(raw))
+        # NULL primary values: approxQuantile ignores them and (col > lit) is
+        # null — coalesce to False so null rows land in bucket 0, where the
+        # in-bucket sort's default asc_nulls_first puts them before every
+        # value, exactly matching row_number().over(Window.orderBy(primary)).
+        # (Heavily null columns concentrate in bucket 0 — same skew caveat as
+        # any near-constant primary.)
+        bucket = F.lit(0)
+        for b in bounds:
+            bucket = bucket + F.coalesce(
+                F.col(primary) > F.lit(b), F.lit(False)
+            ).cast("int")
+        bucketed = bucketed.withColumn(bucket_cols[i], bucket)
+        n_buckets_of.append(len(bounds) + 1)
+    # ONE combined bucket-size job: a count-if per (rank, bucket id) — at most
+    # k×B tiny aggregate expressions collapsing map-side into a single row
+    # (zero-count buckets contribute 0 to every later offset, so including
+    # them leaves each looked-up offset identical to the per-rank groupBy).
+    size_row = bucketed.agg(
+        *[
+            F.sum((F.col(bucket_cols[i]) == F.lit(b)).cast("bigint")).alias(
+                f"_c_{i}_{b}"
+            )
+            for i in range(len(rank_specs))
+            for b in range(n_buckets_of[i])
+        ]
+    ).collect()[0]
+    out = bucketed
+    for i, (order_cols, rank_col) in enumerate(rank_specs):
+        offsets, acc = {}, 0
+        for b in range(n_buckets_of[i]):
+            offsets[b] = acc
+            acc += int(size_row[f"_c_{i}_{b}"] or 0)
+        offset_expr = (
+            F.create_map(
+                *[F.lit(x) for kv in offsets.items() for x in kv]
+            )[F.col(bucket_cols[i])]
+            if offsets
+            else F.lit(0)
+        )
+        local = F.row_number().over(
+            Window.partitionBy(bucket_cols[i]).orderBy(*order_cols)
+        )
+        out = out.withColumn(rank_col, (local + offset_expr).cast("bigint"))
+    return out.drop(*bucket_cols)
 
 
 def ntile_from_rank(rank: Column, n_total: Column, n_buckets: int) -> Column:

@@ -76,7 +76,7 @@ def stress_per_source(
     spark = edges.sparkSession
     if adj.isEmpty():
         return spark.createDataFrame([], "src bigint, node bigint, through bigint")
-    src = _pivots(adj, pivots).localCheckpoint(eager=True)
+    src = _pivots(adj, pivots).localCheckpoint(eager=False)
 
     # -- forward: (src, node, dist, sigma), level-synchronous ---------------
     reached = src.select(
@@ -84,7 +84,7 @@ def stress_per_source(
         F.col("src").alias("node"),
         F.lit(0).alias("dist"),
         F.lit(1).cast("bigint").alias("sigma"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     frontier = reached
     depth = 0
     # max_iter + 1 iterations: exhaustion can only be CONFIRMED by seeing
@@ -109,7 +109,11 @@ def stress_per_source(
                 f"stress BFS did not exhaust in {max_iter} levels"
             )
         depth = lvl
-        reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+        # LAZY union checkpoint: the accumulated table is consumed inside the
+        # NEXT level's eager frontier job (or the final combine), so the copy
+        # folds into that job — one driver job per level, not two (guide
+        # §1.3; the eager nxt checkpoint stays: isEmpty() is the loop exit)
+        reached = reached.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
 
     # -- backward: psi by level, deepest first ------------------------------
@@ -117,7 +121,7 @@ def stress_per_source(
     # shallower levels left-join their successor sums (no successors -> 0)
     psi = reached.where(F.col("dist") == depth).select(
         "src", "node", F.lit(0).cast("bigint").alias("psi")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for lvl in range(depth - 1, -1, -1):
         at = reached.where(F.col("dist") == lvl).select("src", "node")
         below = reached.where(F.col("dist") == lvl + 1).select(
@@ -144,7 +148,10 @@ def stress_per_source(
                 F.coalesce("psi", F.lit(0)).cast("bigint").alias("psi"),
             )
         )
-        psi = psi.unionByName(lvl_psi).localCheckpoint(eager=True)
+        # LAZY: the backward pass runs ZERO driver jobs — every level's
+        # union folds into the final combine action (lineage still truncated
+        # per level, so the logical plan stays flat)
+        psi = psi.unionByName(lvl_psi).localCheckpoint(eager=False)
 
     # -- combine: pivot s routes sigma(s,v) * psi(s,v) paths through v ------
     return (

@@ -5,7 +5,7 @@ lists its entire scalar repertoire as split/contains/concat/cast)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streamds_spark.catalog import load_table
@@ -356,7 +356,7 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets) and closed-form ANSI ntile arithmetic — no
     `WindowExec: No Partition Defined` single-partition sort anywhere, so the
     per-customer output survives a 100× customer count."""
-    from streamds_spark.operators.ranking import ntile_from_rank, with_global_rank
+    from streamds_spark.operators.ranking import ntile_from_rank, with_global_ranks
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
@@ -377,23 +377,31 @@ def rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base.localCheckpoint()
     n_total = F.lit(base.count())
 
-    def score(dim: str, out: str, invert: bool) -> DataFrame:
-        ranked = with_global_rank(base.select("custkey", dim), [dim, "custkey"], "_rk")
-        bucket = ntile_from_rank(F.col("_rk"), n_total, 5)
-        return ranked.select(
-            "custkey", ((6 - bucket) if invert else bucket).cast("int").alias(out)
-        )
+    # one batched rank pass (2 driver jobs for all three metrics instead of
+    # 2 each — guide §1.3) adds the three rank columns in place, so the three
+    # per-metric join-backs on custkey disappear too: custkey is unique here
+    # (groupBy key), so the joined result was row-identical to this select
+    ranked = with_global_ranks(
+        base,
+        [
+            (["recency_days", "custkey"], "_rk_r"),
+            (["frequency", "custkey"], "_rk_f"),
+            (["monetary", "custkey"], "_rk_m"),
+        ],
+    )
 
-    return (
-        base.select(
-            "custkey",
-            F.col("recency_days").cast("int").alias("recency_days"),
-            "frequency",
-            "monetary",
-        )
-        .join(score("recency_days", "r_score", invert=True), "custkey")
-        .join(score("frequency", "f_score", invert=False), "custkey")
-        .join(score("monetary", "m_score", invert=False), "custkey")
+    def score(rk: str, invert: bool) -> Column:
+        bucket = ntile_from_rank(F.col(rk), n_total, 5)
+        return ((6 - bucket) if invert else bucket).cast("int")
+
+    return ranked.select(
+        "custkey",
+        F.col("recency_days").cast("int").alias("recency_days"),
+        "frequency",
+        "monetary",
+        score("_rk_r", invert=True).alias("r_score"),
+        score("_rk_f", invert=False).alias("f_score"),
+        score("_rk_m", invert=False).alias("m_score"),
     )
 
 
@@ -964,7 +972,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's native ntile over the same total orders — proving the
     distributed rank arithmetic against the engine builtin three times in
     one query."""
-    from streamds_spark.operators.ranking import ntile_from_rank, with_global_rank
+    from streamds_spark.operators.ranking import ntile_from_rank, with_global_ranks
 
     orders = load_table(spark, sf_dir, "orders")
     maxd = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("_maxd"))
@@ -980,11 +988,18 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recency_days", F.datediff(F.col("_maxd"), F.col("_last")).cast("int")
         )
         .withColumn("monetary_d", F.col("monetary").cast("double"))
-        .localCheckpoint(eager=False)  # three rank passes + the total read it
+        .localCheckpoint(eager=False)  # the rank pass + the total read it
     )
-    ranked = with_global_rank(cust, ["recency_days", "c"], "r_rank")
-    ranked = with_global_rank(ranked, ["frequency", "c"], "f_rank")
-    ranked = with_global_rank(ranked, ["monetary_d", "c"], "m_rank")
+    # one batched rank pass: 2 driver jobs for all three metrics instead of
+    # 2 each (guide §1.3); rank values identical to the sequential calls
+    ranked = with_global_ranks(
+        cust,
+        [
+            (["recency_days", "c"], "r_rank"),
+            (["frequency", "c"], "f_rank"),
+            (["monetary_d", "c"], "m_rank"),
+        ],
+    )
     total = cust.agg(F.count("*").cast("bigint").alias("_n"))
     seg = ranked.crossJoin(F.broadcast(total)).select(
         ntile_from_rank(F.col("r_rank"), F.col("_n"), 4).alias("r_q"),

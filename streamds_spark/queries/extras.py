@@ -892,7 +892,10 @@ def pq_adc_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in range(_PQ_M)
     ]
     qvec = [float(((j * 17) % 13 - 6) * 500) for j in range(_PQ_M * _PQ_SUBD)]
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread=True (guide §2.2): the M×K×D encode distance evaluations are
+    # row-local on a SINGLE-SPLIT scan, and every output is an exact integer
+    # (floored lattice, code ids, ADC dist2) — partitioning-invariant
+    emb = load_table(spark, sf_dir, "embeddings", spread=True)
     lat = emb.select(
         "vec_id",
         F.transform(

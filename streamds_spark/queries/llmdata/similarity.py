@@ -460,7 +460,11 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins of <= n_probes x k rows."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # spread=True (guide §2.2): the 16-probe × corpus cosine scoring is pure
+    # row-local math riding a SINGLE-SPLIT scan; every derived value (cs is
+    # per-row and rounded, top-k windows are qid-keyed, metrics are integer
+    # counts) is partitioning-invariant, so the spread is value-identical
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
     bucketed = emb.withColumn(

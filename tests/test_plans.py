@@ -125,7 +125,11 @@ def test_cohort_and_rfm_plans_stay_bounded(facts):
     f = facts("rfm_scores")
     assert f.n_global_windows == 0, "rfm quintiles must use distributed ranks"
     assert f.n_single_partition <= 1  # the 1-row max-date aggregate only
-    assert f.has_broadcast_join  # the 1-row max-date
+    # batched with_global_ranks ranks all three metrics IN PLACE, so the three
+    # per-metric join-backs (one of which used to surface as a broadcast join)
+    # are gone; pin the exchange budget instead — 3 bucketed-rank window
+    # exchanges at most, anything above means a join-back crept back in
+    assert f.n_exchanges <= 6
 
 
 # Queries allowed to contain an UNPARTITIONED window (whole input to one task).
