@@ -101,6 +101,165 @@ def _auto_stripes(n_directed_edges: int, budget_bytes: int) -> int:
     return max(1, min(M_ANF, -(-fanout // per_stripe)))
 
 
+# WIDE register layout (round 11, guide §1.2/§2.3): counters are ONE ROW PER
+# NODE with m register COLUMNS (_r0.._r63, NULL = register absent) instead of
+# one row per (node, bucket). The propagate join then fans out |adj| ROWS per
+# round instead of |adj| x m, and the max-fold aggregate updates m codegen'd
+# column buffers per row instead of probing a hash map once per REGISTER —
+# measured at sf0.1 the narrow layout's propagate map stages were 65% of the
+# query's total CPU (259 of 397 executor-seconds, pure compute, no spill).
+# Register VALUES are identical: F.max over a column ignores NULLs exactly as
+# the narrow groupBy max folded only existing rows, so every round's counter
+# table (viewed narrow) is row-for-row the dense iteration's and the census /
+# harmonic folds stay hash-exact vs the DuckDB replays.
+_RCOLS = [f"_r{i}" for i in range(M_ANF)]
+_OCOLS = [f"_o{i}" for i in range(M_ANF)]
+
+# Layout dispatch threshold (directed half-edges). The wide layout trades a
+# large FIXED per-round cost (a ~128-expression aggregate to plan and
+# Janino-compile every round) for per-cell work that is ~m x cheaper —
+# measured at sf0.1: the 2.4M-edge co-purchase graph runs 0.65-0.73x wide
+# (harmonic 37.8 -> 24.5 s, neighborhood census 35.0 -> 25.6 s) while the
+# ~20k-edge bounded audit subgraph (more rounds, trivial propagates) ran
+# 3x SLOWER wide — the compile cost dominated. Below the threshold the
+# narrow (node, bucket) row layout is kept; both layouts are value-identical
+# (test_anf.py pins wide-vs-narrow equality by forcing this to 0).
+WIDE_MIN_DIRECTED_EDGES = 200_000
+
+
+def _seed_wide(adj: DataFrame) -> DataFrame:
+    """One row per node: its single seeded register placed in the md5
+    bucket's column, every other register column NULL."""
+    nodes = adj.select(F.col("u").alias("node")).distinct()
+    br = (
+        nodes.select("node", F.md5(F.col("node").cast("string")).alias("h"))
+        .select(
+            "node",
+            F.expr(BUCKET_SQL).cast("int").alias("bucket"),
+            F.expr("regexp_replace(substring(h, 3, 15), '^0+', '')").alias("t"),
+        )
+        .select("node", "bucket", F.expr(RHO_SQL).cast("int").alias("rho"))
+    )
+    return br.select(
+        "node",
+        *[
+            F.when(F.col("bucket") == i, F.col("rho")).alias(c)
+            for i, c in enumerate(_RCOLS)
+        ],
+    ).localCheckpoint(eager=False)
+
+
+def _to_narrow(wide: DataFrame) -> DataFrame:
+    """DataFrame[node, bucket, max_rho] view of a wide counter table — the
+    public anf_counters contract (and the invariant tests' shape)."""
+    pairs = ", ".join(f"{i}, _r{i}" for i in range(M_ANF))
+    return (
+        wide.select(
+            "node", F.expr(f"stack({M_ANF}, {pairs}) AS (bucket, max_rho)")
+        )
+        .where(F.col("max_rho").isNotNull())
+        .select(
+            "node",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("max_rho").cast("int").alias("max_rho"),
+        )
+    )
+
+
+def _rho_row() -> "F.Column":
+    """Per-row total rho mass of a wide counter row (exact BIGINT)."""
+    out = F.lit(0).cast("bigint")
+    for c in _RCOLS:
+        out = out + F.coalesce(F.col(c).cast("bigint"), F.lit(0))
+    return out
+
+
+def _reg_row() -> "F.Column":
+    """Per-row live-register count of a wide counter row."""
+    out = F.lit(0).cast("bigint")
+    for c in _RCOLS:
+        out = out + F.when(F.col(c).isNull(), 0).otherwise(1)
+    return out
+
+
+def _seed_narrow(adj: DataFrame) -> DataFrame:
+    """DataFrame[node, bucket, max_rho] — the small-graph layout's seed."""
+    nodes = adj.select(F.col("u").alias("node")).distinct()
+    seeded = nodes.select(
+        "node", F.md5(F.col("node").cast("string")).alias("h")
+    ).select(
+        "node",
+        F.expr(BUCKET_SQL).cast("int").alias("bucket"),
+        F.expr("regexp_replace(substring(h, 3, 15), '^0+', '')").alias("t"),
+    )
+    return seeded.select(
+        "node", "bucket", F.expr(RHO_SQL).cast("int").alias("max_rho")
+    ).localCheckpoint(eager=False)
+
+
+def _propagate_narrow(
+    adj: DataFrame,
+    counters: DataFrame,
+    stripes: int,
+    changed: "DataFrame | None" = None,
+    n_adj: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """One HyperANF round over NARROW (node, bucket, max_rho) rows — the
+    small-graph layout (see WIDE_MIN_DIRECTED_EDGES). Same systolic
+    changed-set, striping, and folded change detection as the wide path
+    (_propagate_wide carries the full design rationale); here the changed
+    set is per-REGISTER and stripes filter rows by bucket % stripes."""
+    from streamds_spark.operators.sizing import ANF_FANOUT_ROWS_PER_TASK
+    from streamds_spark.operators.sizing import KTRUSS_MAX_PARTITIONS as _CAP
+
+    spark = adj.sparkSession
+    session_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    fanout = n_adj * M_ANF // max(1, stripes)
+    n_parts = max(
+        session_default,
+        min(_CAP, -(-fanout // ANF_FANOUT_ROWS_PER_TASK)),
+    )
+    adj_w = adj.repartition(n_parts, "v")
+    src_all = counters if changed is None else changed
+    parts = []
+    for s in range(max(1, stripes)):
+        cs = (
+            counters.where(F.col("bucket") % stripes == s)
+            if stripes > 1
+            else counters
+        )
+        src = (
+            src_all.where(F.col("bucket") % stripes == s)
+            if stripes > 1
+            else src_all
+        )
+        prop = adj_w.join(src, adj_w.v == src.node).select(
+            adj_w.u.alias("node"),
+            "bucket",
+            "max_rho",
+            F.lit(None).cast("int").alias("_old"),
+        )
+        parts.append(
+            prop.unionByName(
+                cs.select("node", "bucket", "max_rho", F.col("max_rho").alias("_old"))
+            )
+            .groupBy("node", "bucket")
+            .agg(
+                F.max("max_rho").alias("max_rho"),
+                F.max("_old").alias("_old"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    nxt = merged.select("node", "bucket", "max_rho")
+    changed_next = merged.where(
+        F.col("_old").isNull() | (F.col("max_rho") > F.col("_old"))
+    ).select("node", "bucket", "max_rho")
+    return nxt, changed_next
+
+
 def anf_counters(
     edges: DataFrame, max_iter: int = 32, stripes: "int | None" = None
 ) -> DataFrame:
@@ -198,28 +357,36 @@ def harmonic_centrality_topk(
         return spark.createDataFrame([], "node bigint, h_scaled bigint")
     if stripes is None:
         stripes = _auto_stripes(n_adj, _mem_budget_bytes(spark))
-    counters = _seed_counters(adj)
-    node_mass = (
-        counters.groupBy("node")
-        .agg(F.sum("max_rho").cast("bigint").alias("mass"))
-        .localCheckpoint(eager=False)
-    )
+    wide = n_adj >= WIDE_MIN_DIRECTED_EDGES
+
+    def per_node_mass(c: DataFrame) -> DataFrame:
+        # wide rows make the per-node mass a ROW-LOCAL projection of the
+        # checkpointed counters (the narrow layout needs a (node) groupBy
+        # exchange here and again every round — guide §2.4)
+        if wide:
+            return c.select("node", _rho_row().alias("mass"))
+        return (
+            c.groupBy("node")
+            .agg(F.sum("max_rho").cast("bigint").alias("mass"))
+            .localCheckpoint(eager=False)
+        )
+
+    _propagate = _propagate_wide if wide else _propagate_narrow
+    counters = _seed_wide(adj) if wide else _seed_narrow(adj)
+    node_mass = per_node_mass(counters)
     h = node_mass.select(
         "node", F.lit(0).cast("bigint").alias("h_scaled")
     ).localCheckpoint(eager=False)
     # the ONE driver job of the seeding step — it materializes the lazy
-    # node_mass (and, through it, the seeds) as a side effect (guide §1.3)
+    # seed checkpoint as a side effect (guide §1.3)
     total_prev = node_mass.agg(F.sum("mass")).collect()[0][0]
     changed = counters  # round 1: every seeded register is fresh
     for t in range(1, max_iter + 1):
         nxt, changed = _propagate(adj, counters, stripes, changed, n_adj)
-        new_mass = (
-            nxt.groupBy("node")
-            .agg(F.sum("max_rho").cast("bigint").alias("mass"))
-            .localCheckpoint(eager=False)
-        )
+        new_mass = per_node_mass(nxt)
         # the ONE driver job per round: the saturation probe materializes
-        # the lazy mass checkpoint (and the propagate stripes feeding it)
+        # the round's lazy propagate checkpoint (new_mass is a row-local
+        # projection of it, so later reads re-project, never re-propagate)
         total = new_mass.agg(F.sum("mass")).collect()[0][0]
         if total == total_prev:  # rho mass strictly grows on ANY change
             return h.orderBy(F.desc("h_scaled"), "node").limit(k)
@@ -245,54 +412,59 @@ def harmonic_centrality_topk(
     )
 
 
-def _propagate(
+def _propagate_wide(
     adj: DataFrame,
     counters: DataFrame,
     stripes: int,
     changed: "DataFrame | None" = None,
     n_adj: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
-    """One HyperANF round: max-fold every node's counter with its
-    neighbors'. Returns (nxt, changed_next) — the full new counter table
-    and the subset of its rows that are new or increased this round.
+    """One HyperANF round over WIDE counter rows: max-fold every node's
+    counter with its neighbors'. Returns (nxt, changed_next) — the full new
+    wide counter table and the subset of its ROWS (nodes) holding any
+    register that is new or increased this round.
 
     SYSTOLIC propagation (Boldi & Vigna's HyperBall refinement, round 11,
-    guide §2.2 — shuffle fewer rows): only registers that CHANGED last
+    guide §2.2 — shuffle fewer rows): only nodes whose counter CHANGED last
     round join the adjacency. A neighbor register (n, b) unchanged since
     round t-2 was already folded into every u ∈ N(n) at round t-1 (the
     dense update folds ALL neighbors, so R_{t-1}(u, b) >= R_{t-2}(n, b)),
-    hence dropping it from round t's max loses nothing — by induction the
-    per-round counter tables are ROW-FOR-ROW IDENTICAL to the dense
-    iteration's (the DuckDB oracles replay the dense rounds, so this
-    equivalence is what keeps the census hash-exact). The join fan-out
-    falls from |adj| x up-to-m rows EVERY round to |adj| x (still-moving
-    registers) — the frontier collapses fast once balls saturate.
+    hence dropping it from round t's max loses nothing; re-sending an
+    UNCHANGED register of a changed node (the wide row carries all m cells)
+    is a max-idempotent no-op — so by induction the per-round counter
+    tables are (viewed narrow) ROW-FOR-ROW IDENTICAL to the dense
+    iteration's, which is what keeps the census hash-exact vs the DuckDB
+    dense-round replays.
 
     Change detection is folded INTO the same aggregate (no extra join):
-    previous-round rows carry their value in `_old`, propagated rows carry
-    NULL, and one groupBy computes max(value) alongside max(_old) — a row
-    changed iff `_old` is NULL (brand-new register) or max > _old.
+    previous-round rows carry their values in `_o*` twins, propagated rows
+    carry NULLs, and one groupBy computes max(_r*) alongside max(_o*) — a
+    node changed iff any register is brand-new (_o NULL, _r not) or grew.
 
-    Registers in different buckets never interact, so the stripe loop
-    (filter, join, aggregate, union the stripe results) stays
-    value-identical while dividing the join fan-out and the partial-agg
-    key space by `stripes` (the memory dial — see anf_census).
+    Registers in different buckets never interact, so the `stripes` memory
+    dial (see anf_census) processes COLUMN GROUPS (bucket % stripes == s):
+    per stripe the join carries m/stripes register columns and the
+    partial-agg buffers shrink by the same factor — value-identical, same
+    dial semantics as the narrow row-stripes. Stripe results (column-
+    disjoint per node) reassemble through one node-keyed max-fold over
+    their padded union.
 
     The adjacency side is explicitly repartitioned to a width sized from
-    the FAN-OUT (ANF_FANOUT_ROWS_PER_TASK, measured provenance in
-    operators/sizing.py): the join's input exchanges are small, so AQE —
-    blind to the m-fold output explosion — would coalesce the heavy stage
-    to ~core-count tasks with cache-thrashing partial-agg maps; user
-    repartitions are never coalesced. Only the adjacency is pinned — the
-    register side auto-co-partitions, and a tiny late-round changed set
-    stays eligible for an AQE broadcast that skips the adjacency shuffle
-    entirely."""
+    the CELL fan-out (rows x m register cells / stripes — the same
+    ANF_FANOUT_ROWS_PER_TASK calibration as the narrow layout, provenance
+    in operators/sizing.py): the join's input exchanges are small, so AQE —
+    blind to the per-row register work — would coalesce the heavy stage to
+    ~core-count tasks; user repartitions are never coalesced. Only the
+    adjacency is pinned — the register side auto-co-partitions, and a tiny
+    late-round changed set stays eligible for an AQE broadcast that skips
+    the adjacency shuffle entirely."""
     from streamds_spark.operators.sizing import ANF_FANOUT_ROWS_PER_TASK
     from streamds_spark.operators.sizing import KTRUSS_MAX_PARTITIONS as _CAP
 
     spark = adj.sparkSession
     session_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    fanout = n_adj * M_ANF // max(1, stripes)
+    k = max(1, stripes)
+    fanout = n_adj * M_ANF // k
     n_parts = max(
         session_default,
         min(_CAP, -(-fanout // ANF_FANOUT_ROWS_PER_TASK)),
@@ -300,56 +472,59 @@ def _propagate(
     adj_w = adj.repartition(n_parts, "v")
     src_all = counters if changed is None else changed
     parts = []
-    for s in range(max(1, stripes)):
-        cs = (
-            counters.where(F.col("bucket") % stripes == s)
-            if stripes > 1
-            else counters
-        )
-        src = (
-            src_all.where(F.col("bucket") % stripes == s)
-            if stripes > 1
-            else src_all
-        )
+    for s in range(k):
+        cols = [_RCOLS[i] for i in range(M_ANF) if i % k == s]
+        ocols = [_OCOLS[i] for i in range(M_ANF) if i % k == s]
+        src = src_all.select("node", *cols)
         prop = adj_w.join(src, adj_w.v == src.node).select(
             adj_w.u.alias("node"),
-            "bucket",
-            "max_rho",
-            F.lit(None).cast("int").alias("_old"),
+            *cols,
+            *[F.lit(None).cast("int").alias(o) for o in ocols],
+        )
+        own = counters.select(
+            "node",
+            *cols,
+            *[F.col(c).alias(o) for c, o in zip(cols, ocols)],
         )
         parts.append(
-            prop.unionByName(
-                cs.select("node", "bucket", "max_rho", F.col("max_rho").alias("_old"))
-            )
-            .groupBy("node", "bucket")
+            prop.unionByName(own)
+            .groupBy("node")
             .agg(
-                F.max("max_rho").alias("max_rho"),
-                F.max("_old").alias("_old"),
+                *[F.max(c).alias(c) for c in cols],
+                *[F.max(o).alias(o) for o in ocols],
             )
-            .localCheckpoint(eager=False)
         )
-    merged = parts[0]
-    for p in parts[1:]:
-        merged = merged.unionByName(p)
-    nxt = merged.select("node", "bucket", "max_rho")
-    changed_next = merged.where(
-        F.col("_old").isNull() | (F.col("max_rho") > F.col("_old"))
-    ).select("node", "bucket", "max_rho")
+    if k == 1:
+        merged = parts[0]
+    else:
+        # pad each stripe to the full schema (NULLs outside its column
+        # group), union, and max-fold once per node — NULL-ignoring max
+        # makes the reassembly exact
+        full = ["node"] + _RCOLS + _OCOLS
+        padded = [
+            p.select(
+                *[
+                    F.col(c) if c in set(p.columns) else F.lit(None).cast("int").alias(c)
+                    for c in full
+                ]
+            )
+            for p in parts
+        ]
+        merged = padded[0]
+        for p in padded[1:]:
+            merged = merged.unionByName(p)
+        merged = merged.groupBy("node").agg(
+            *[F.max(c).alias(c) for c in _RCOLS + _OCOLS]
+        )
+    merged = merged.localCheckpoint(eager=False)
+    nxt = merged.select("node", *_RCOLS)
+    chg = F.lit(False)
+    for c, o in zip(_RCOLS, _OCOLS):
+        chg = chg | (
+            F.col(c).isNotNull() & (F.col(o).isNull() | (F.col(c) > F.col(o)))
+        )
+    changed_next = merged.where(chg).select("node", *_RCOLS)
     return nxt, changed_next
-
-
-def _seed_counters(adj: DataFrame) -> DataFrame:
-    nodes = adj.select(F.col("u").alias("node")).distinct()
-    seeded = nodes.select(
-        "node", F.md5(F.col("node").cast("string")).alias("h")
-    ).select(
-        "node",
-        F.expr(BUCKET_SQL).cast("int").alias("bucket"),
-        F.expr("regexp_replace(substring(h, 3, 15), '^0+', '')").alias("t"),
-    )
-    return seeded.select(
-        "node", "bucket", F.expr(RHO_SQL).cast("int").alias("max_rho")
-    ).localCheckpoint(eager=False)
 
 
 def _anf_iterate(
@@ -365,14 +540,23 @@ def _anf_iterate(
     n_adj = adj.count()
     if stripes is None:
         stripes = _auto_stripes(n_adj, _mem_budget_bytes(edges.sparkSession))
-    counters = _seed_counters(adj)
+    wide = n_adj >= WIDE_MIN_DIRECTED_EDGES
+    _propagate = _propagate_wide if wide else _propagate_narrow
+    counters = _seed_wide(adj) if wide else _seed_narrow(adj)
 
     def mass(c: DataFrame) -> tuple[int, int]:
-        row = c.agg(
-            F.count("*").cast("bigint").alias("reg"),
-            # coalesce: SUM over zero rows is NULL — an empty edge list must
-            # yield a (0, 0) census, not a TypeError on int(None)
-            F.coalesce(F.sum("max_rho"), F.lit(0)).cast("bigint").alias("rho"),
+        # coalesce: SUM over zero rows is NULL — an empty edge list must
+        # yield a (0, 0) census, not a TypeError on int(None)
+        if wide:
+            # row-local register/rho tallies over the wide rows, then one
+            # sum — identical values to narrow's count(*) / sum(max_rho)
+            src = c.select(_reg_row().alias("_reg"), _rho_row().alias("_rho"))
+            reg_col, rho_col = F.sum("_reg"), F.sum("_rho")
+        else:
+            src, reg_col, rho_col = c, F.count("*"), F.sum("max_rho")
+        row = src.agg(
+            F.coalesce(reg_col, F.lit(0)).cast("bigint").alias("reg"),
+            F.coalesce(rho_col, F.lit(0)).cast("bigint").alias("rho"),
         ).collect()[0]
         return int(row["reg"]), int(row["rho"])
 
@@ -383,7 +567,7 @@ def _anf_iterate(
         nxt, changed = _propagate(adj, counters, stripes, changed, n_adj)
         reg, rho = mass(nxt)
         if rho == census[-1][2]:  # rho mass strictly grows on ANY change
-            return counters, census
+            return (_to_narrow(counters) if wide else counters), census
         counters = nxt
         census.append((t, reg, rho))
     raise RuntimeError(

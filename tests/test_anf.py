@@ -156,6 +156,46 @@ def test_striping_is_value_identical(spark):
     assert c1 == c8
 
 
+def test_wide_and_narrow_layouts_identical(spark, monkeypatch):
+    """The size-dispatched WIDE register layout (one row per node, m
+    register columns) must be value-identical to the narrow (node, bucket)
+    layout on the same graph — census rows, final counters, and the
+    harmonic top-k, striped and unstriped."""
+    import streamds_spark.operators.anf as anf
+
+    rng = random.Random(7)
+    nodes = list(range(1, 31))
+    edge_list = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in ((rng.choice(nodes), rng.choice(nodes)) for _ in range(45))
+            if a != b
+        }
+    )
+    edges = spark.createDataFrame(edge_list, "u bigint, v bigint")
+    narrow_census = sorted(tuple(r) for r in anf.anf_census(edges).collect())
+    narrow_cnt = sorted(tuple(r) for r in anf.anf_counters(edges).collect())
+    narrow_h = [
+        tuple(r) for r in anf.harmonic_centrality_topk(edges, k=10).collect()
+    ]
+    monkeypatch.setattr(anf, "WIDE_MIN_DIRECTED_EDGES", 0)  # force wide
+    for stripes in (None, 2):
+        got = sorted(
+            tuple(r) for r in anf.anf_census(edges, stripes=stripes).collect()
+        )
+        assert got == narrow_census, stripes
+        got_h = [
+            tuple(r)
+            for r in anf.harmonic_centrality_topk(
+                edges, k=10, stripes=stripes
+            ).collect()
+        ]
+        assert got_h == narrow_h, stripes
+    assert (
+        sorted(tuple(r) for r in anf.anf_counters(edges).collect()) == narrow_cnt
+    )
+
+
 def test_empty_edge_list_zero_census(spark):
     """An empty graph must yield a (0, 0) zero-mass census, not a
     TypeError from int(None) on the NULL sum."""
