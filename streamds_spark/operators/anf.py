@@ -117,14 +117,22 @@ _OCOLS = [f"_o{i}" for i in range(M_ANF)]
 
 # Layout dispatch threshold (directed half-edges). The wide layout trades a
 # large FIXED per-round cost (a ~128-expression aggregate to plan and
-# Janino-compile every round) for per-cell work that is ~m x cheaper —
-# measured at sf0.1: the 2.4M-edge co-purchase graph runs 0.65-0.73x wide
-# (harmonic 37.8 -> 24.5 s, neighborhood census 35.0 -> 25.6 s) while the
-# ~20k-edge bounded audit subgraph (more rounds, trivial propagates) ran
-# 3x SLOWER wide — the compile cost dominated. Below the threshold the
-# narrow (node, bucket) row layout is kept; both layouts are value-identical
-# (test_anf.py pins wide-vs-narrow equality by forcing this to 0).
-WIDE_MIN_DIRECTED_EDGES = 200_000
+# Janino-compile every round, and generated methods big enough to feel JVM
+# code-cache pressure in long many-query sessions) for per-cell work that is
+# ~m x cheaper. Measured anchors on this box (min-of-2 per point):
+#   231k directed edges (sf0.01):   narrow 2.1-2.5x FASTER (10.4 vs 21.6 s)
+#   925k (sf0.01 cloned x4):        narrow 1.7-2.1x FASTER (19.6 vs 32.4 s)
+#   2.4M (sf0.1):                   context-dependent — wide wins in a FRESH
+#                                   process (neighborhood 26 vs 41 s), loses
+#                                   in a warm many-query session (48 vs 39 s)
+#   23.9M (x10 soak, fresh, apples-to-apples vs the r10 narrow soak):
+#                                   wide 1.28x FASTER (211.8 vs 271.5 s)
+# The threshold sits between the tied mid-scale point and the decisive big-
+# graph point: only genuinely large graphs — the dedicated-job, 100 TB
+# regime where the propagate fan-out dwarfs every fixed cost — go wide.
+# Both layouts are value-identical (test_anf.py pins wide-vs-narrow equality
+# by forcing this to 0).
+WIDE_MIN_DIRECTED_EDGES = 8_000_000
 
 
 def _seed_wide(adj: DataFrame) -> DataFrame:
