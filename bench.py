@@ -251,6 +251,12 @@ def main() -> None:
     )
     official = min(headline_passes, key=lambda p: p["total"])
     timings = official["queries"]
+    # Scaling-contract evidence (round 12, per VERDICT r11 item 3): the
+    # EFFECTIVE core count the session actually runs with, straight from the
+    # scheduler — proof the bench honors $SPARK_GRAFT_CPUS rather than a
+    # hard-coded master (the r11 driver raised a false suspect_cpus_ignored
+    # because no sf0.1 headline query is big enough for cores to move it).
+    cpus_effective = spark.sparkContext.defaultParallelism
     # cold total ALWAYS comes from the first pass: a retry pass runs on a
     # JIT-warm JVM, so its first runs no longer measure the documented
     # cold per-plan codegen cost — taking it from the official (possibly
@@ -258,6 +264,33 @@ def main() -> None:
     cold_total = headline_passes[0]["cold_total"]
     load_at_timing = official["load1_at_start"]
     total = official["total"]
+
+    # Output-ordering hardening (round 12, per VERDICT r11 items 6/9): the
+    # r10 bench's ONE JSON line printed only after the multi-minute extras
+    # sequence, so a truncated/killed run left NOTHING parseable and the
+    # r11 driver's round-over-round table came up empty. Print the headline
+    # contract line IMMEDIATELY after the official pass is chosen; the FULL
+    # line (same headline numbers + the extras) still prints LAST, so a
+    # parser taking either the first or the last JSON line reads identical
+    # headline values and a run cut off mid-extras still yields the
+    # headline. Queries/value/sf are identical in both lines by
+    # construction — the early line is a prefix snapshot, not a second
+    # measurement.
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "cpus": cpus_effective,
+                "extras_follow": True,
+            }
+        ),
+        flush=True,
+    )
 
     # Per-extra load stamps (round 10, per VERDICT r9): every extra records
     # load1 at its own measurement start so extras-to-extras round
@@ -524,6 +557,34 @@ def main() -> None:
     )
     _min3("ams_f2_users_audit", lambda: specs["ams_f2_users_audit"].fn(spark, sf_dir).count())
 
+    # Round-12 scaling-watch extra, appended at the END per the extras
+    # ordering policy (per VERDICT r11 item 3): every sf0.1 extra above is a
+    # 0.3-3 s warm run dominated by fixed per-query overhead, so the 8-cpu
+    # companion bench shows core ratios ≈ 1 and the scaling contract is
+    # unobservable. This one is the full Gopher rule set over the 10× corpus
+    # on a SPREAD scan — pure doc-local interpreted-HOF compute, zero
+    # shuffles, embarrassingly parallel — sized so the 8-vs-32-core ratio is
+    # a genuine parallelism measurement (the per-doc work is identical at
+    # any core count; only the task spread changes).
+    from streamds_spark.queries.llmdata.webfilter import gopher_flags_df
+
+    docs_spread = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    scaled_spread = docs_spread
+    for i in range(1, 10):
+        scaled_spread = scaled_spread.unionByName(
+            docs_spread.select(
+                (F.col("doc_id") + i * n_ids).alias("doc_id"), "text"
+            )
+        )
+    _min3(
+        "gopher_quality_flags_docs10x",
+        lambda: gopher_flags_df(scaled_spread)
+        .agg(F.sum(F.col("gopher_keep").cast("int")), F.sum("n_words"))
+        .collect(),
+    )
+
     # Extras-retry pass (round 11): the frozen sequence is complete — now
     # give every LOADED extra (stamp > EXTRA_RETRY_GATE) one clean tail
     # re-measure. Wait out the idle budget at the tight gate first (the
@@ -569,7 +630,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "cpus": cpus_effective,
                 "extras": {
                     **extras_vals,
                     "headline_first_pass_total": round(cold_total, 3),

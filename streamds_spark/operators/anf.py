@@ -39,14 +39,17 @@ Stats posture: the carry is only ever joined against the FIXED adjacency
 and folded through aggregates/unions, so Catalyst's size estimate grows
 linearly per round — the stats-pin of operators/iterate.py is not needed
 (see that module for the compounding case); lineage is truncated per
-round. Rounds are bounded by the diameter, and each round's shuffle is
-bounded by nodes x m AFTER map-side partial max collapses the join fan-out.
+round. Rounds are bounded by the diameter; per round the join moves one
+PACKED m-cell register array per (changed-incident) edge and the per-node
+fold collapses them to nodes x m cells (see the packed-layout block below).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from streamds_spark.operators.iterate import lineage_cut, lineage_cut_eager
 
 M_ANF = 64
 HEX = "0123456789abcdef"
@@ -93,51 +96,40 @@ from streamds_spark.operators.sizing import (  # noqa: E402
 
 
 def _auto_stripes(n_directed_edges: int, budget_bytes: int) -> int:
-    """ceil(fan-out rows / (24M x GiB)): at least 1, at most m (a stripe
-    narrower than one bucket cannot exist)."""
+    """ceil(fan-out cells / (192M x GiB)) — the packed-layout calibration
+    (provenance in operators/sizing.py): at least 1, at most m (a stripe
+    narrower than one register column cannot exist)."""
     budget_gib = max(1.0, budget_bytes / (1 << 30))
     fanout = n_directed_edges * M_ANF
     per_stripe = int(_FANOUT_ROWS_PER_GIB * budget_gib)
     return max(1, min(M_ANF, -(-fanout // per_stripe)))
 
 
-# WIDE register layout (round 11, guide §1.2/§2.3): counters are ONE ROW PER
-# NODE with m register COLUMNS (_r0.._r63, NULL = register absent) instead of
-# one row per (node, bucket). The propagate join then fans out |adj| ROWS per
-# round instead of |adj| x m, and the max-fold aggregate updates m codegen'd
-# column buffers per row instead of probing a hash map once per REGISTER —
-# measured at sf0.1 the narrow layout's propagate map stages were 65% of the
-# query's total CPU (259 of 397 executor-seconds, pure compute, no spill).
-# Register VALUES are identical: F.max over a column ignores NULLs exactly as
-# the narrow groupBy max folded only existing rows, so every round's counter
-# table (viewed narrow) is row-for-row the dense iteration's and the census /
-# harmonic folds stay hash-exact vs the DuckDB replays.
-_RCOLS = [f"_r{i}" for i in range(M_ANF)]
-_OCOLS = [f"_o{i}" for i in range(M_ANF)]
-
-# Layout dispatch threshold (directed half-edges). The wide layout trades a
-# large FIXED per-round cost (a ~128-expression aggregate to plan and
-# Janino-compile every round, and generated methods big enough to feel JVM
-# code-cache pressure in long many-query sessions) for per-cell work that is
-# ~m x cheaper. Measured anchors on this box (min-of-2 per point):
-#   231k directed edges (sf0.01):   narrow 2.1-2.5x FASTER (10.4 vs 21.6 s)
-#   925k (sf0.01 cloned x4):        narrow 1.7-2.1x FASTER (19.6 vs 32.4 s)
-#   2.4M (sf0.1):                   context-dependent — wide wins in a FRESH
-#                                   process (neighborhood 26 vs 41 s), loses
-#                                   in a warm many-query session (48 vs 39 s)
-#   23.9M (x10 soak, fresh, apples-to-apples vs the r10 narrow soak):
-#                                   wide 1.28x FASTER (211.8 vs 271.5 s)
-# The threshold sits between the tied mid-scale point and the decisive big-
-# graph point: only genuinely large graphs — the dedicated-job, 100 TB
-# regime where the propagate fan-out dwarfs every fixed cost — go wide.
-# Both layouts are value-identical (test_anf.py pins wide-vs-narrow equality
-# by forcing this to 0).
-WIDE_MIN_DIRECTED_EDGES = 8_000_000
+# PACKED register layout (round 12, guide §2.3 — the VERDICT r11 item-1
+# "middle layout"): all m registers of a node live in ONE array<tinyint>
+# column (0 = register absent; live rho is always >= 1). The propagate join
+# fans out |adj ∩ changed| ROWS per round (one 64-byte array each) instead
+# of the retired narrow layout's |adj| x changed-m register rows, the
+# max-fold is one zip_with/greatest reduce per node instead of a hash-map
+# probe per register CELL, and — unlike round 11's retired WIDE layout of
+# m separate register columns — there is no ~128-expression aggregate to
+# plan and Janino-compile every round. Measured (this box):
+#   2.4M directed edges (sf0.1, interleaved A/B vs the r11 narrow path):
+#     neighborhood 47.7 -> 19.6 s (0.41x), harmonic 40.5 -> 18.4 s (0.45x)
+#   23.9M (x10 clone soak, fresh process, min-of-2 per side):
+#     packed 62.9 s vs the r11 wide layout's 168.1 s (0.37x) vs the r10
+#     narrow soak's 271.5 s — packed dominates BOTH prior layouts at every
+#     measured size, so the size dispatch is gone and this is the only
+#     layout. Values are identical by the max-idempotence induction in
+#     _propagate_packed; tests pin packed-vs-pure-Python census equality
+#     and striping value-identity.
 
 
-def _seed_wide(adj: DataFrame) -> DataFrame:
-    """One row per node: its single seeded register placed in the md5
-    bucket's column, every other register column NULL."""
+def _seed_packed(adj: DataFrame) -> DataFrame:
+    """DataFrame[node, regs: array<tinyint>[m]] — the small/mid-graph PACKED
+    layout's seed (round 12): all m registers in ONE array column, 0 = the
+    register is absent (rho is always >= 1, so 0 is never a live value).
+    The seeded node holds its single register at its md5 bucket's index."""
     nodes = adj.select(F.col("u").alias("node")).distinct()
     br = (
         nodes.select("node", F.md5(F.col("node").cast("string")).alias("h"))
@@ -150,22 +142,168 @@ def _seed_wide(adj: DataFrame) -> DataFrame:
     )
     return br.select(
         "node",
-        *[
-            F.when(F.col("bucket") == i, F.col("rho")).alias(c)
-            for i, c in enumerate(_RCOLS)
-        ],
-    ).localCheckpoint(eager=False)
+        F.expr(
+            f"transform(sequence(0, {M_ANF - 1}),"
+            " i -> CAST(IF(i = bucket, rho, 0) AS TINYINT))"
+        ).alias("regs"),
+    ).transform(lineage_cut)
 
 
-def _to_narrow(wide: DataFrame) -> DataFrame:
-    """DataFrame[node, bucket, max_rho] view of a wide counter table — the
-    public anf_counters contract (and the invariant tests' shape)."""
-    pairs = ", ".join(f"{i}, _r{i}" for i in range(M_ANF))
-    return (
-        wide.select(
-            "node", F.expr(f"stack({M_ANF}, {pairs}) AS (bucket, max_rho)")
+def _zeros(n: int) -> str:
+    return f"array_repeat(CAST(0 AS TINYINT), {n})"
+
+
+# Elementwise max-fold of a group's packed rows: ONE aggregate expression
+# (collect_list concatenates map-side) folded by a single zip_with/greatest
+# reduce — no m-expression codegen (the wide layout's fixed cost) and no
+# per-REGISTER hash-map probe (the old narrow layout's per-cell cost).
+def _fold_regs(col: str, width: int) -> "F.Column":
+    return F.expr(
+        f"aggregate(collect_list({col}), {_zeros(width)},"
+        " (acc, x) -> zip_with(acc, x, (a, b) -> GREATEST(a, b)))"
+    )
+
+
+def _propagate_packed(
+    adj: DataFrame,
+    counters: DataFrame,
+    stripes: int,
+    changed: "DataFrame | None" = None,
+    n_adj: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """One HyperANF round over PACKED (node, regs array) rows (round 12,
+    guide §2.3 — shuffle fewer bytes/rows): the propagate join fans out
+    |adj ∩ changed| ROWS per round (one 64-byte array each) instead of the
+    retired narrow layout's |adj| x changed-m REGISTER rows, and the
+    max-fold is one zip_with reduce per group instead of a (node, bucket)
+    hash-map probe per register cell.
+
+    SYSTOLIC propagation (Boldi & Vigna's HyperBall refinement): only nodes
+    whose counter CHANGED last round join the adjacency. A neighbor
+    register (n, b) unchanged since round t-2 was already folded into every
+    u ∈ N(n) at round t-1 (the dense update folds ALL neighbors, so
+    R_{t-1}(u, b) >= R_{t-2}(n, b)), hence dropping it from round t's max
+    loses nothing; re-sending an UNCHANGED register of a changed node (the
+    packed row carries all m cells) is a max-idempotent no-op — so by
+    induction the per-round counter tables are (viewed narrow) ROW-FOR-ROW
+    IDENTICAL to the dense iteration's, which is what keeps the census
+    hash-exact vs the DuckDB dense-round replays.
+
+    Change detection is folded into the same aggregate: the node's own
+    previous row carries its regs twice (once as `old` — F.max keeps the
+    single non-NULL array), propagated rows carry NULL; a node changed iff
+    any cell grew (cells are 0-for-absent, so "brand new" is also ">").
+
+    `stripes` (memory dial, see anf_census) processes CONTIGUOUS column
+    groups: stripe s carries cells [s*w, s*w + w) as a w-cell slice, so the
+    per-round collect_list buffers and shuffle bytes divide by the stripe
+    count; the column-disjoint per-node stripe results reassemble through
+    one node-keyed fold over their zero-padded union (elementwise max with
+    0 is identity) — value-identical.
+
+    The adjacency side is explicitly repartitioned to a width sized from
+    the CELL fan-out (rows x m register cells / stripes): the join's input
+    exchanges are small, so AQE — blind to the per-row register work —
+    would coalesce the heavy stage to ~core-count tasks; user repartitions
+    are never coalesced. Only the adjacency is pinned — the register side
+    auto-co-partitions, and a tiny late-round changed set stays eligible
+    for an AQE broadcast that skips the adjacency shuffle entirely.
+
+    Degree-skew note (100 TB posture): the fold's per-GROUP state is the
+    group's collected arrays, so an extreme hub (degree ~10^8) concentrates
+    its neighbors' arrays in one task at the final merge; ObjectHashAggregate
+    falls back to sort-based aggregation and spills partial buffers, but the
+    single hottest key's merge is still memory-resident. The mitigation on
+    such graphs is a two-level (node, salt) pre-fold — one extra node-keyed
+    exchange — deliberately NOT wired in: through the x10 clone soak (23.9M
+    directed edges, max degree ~10^3) the single-level fold completes with
+    headroom, and the extra exchange costs every graph to insure the
+    pathological one."""
+    from streamds_spark.operators.sizing import ANF_FANOUT_ROWS_PER_TASK
+    from streamds_spark.operators.sizing import KTRUSS_MAX_PARTITIONS as _CAP
+
+    spark = adj.sparkSession
+    session_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # a stripes override past m cannot be narrower than one register column
+    k = max(1, min(stripes, M_ANF))
+    fanout = n_adj * M_ANF // k
+    n_parts = max(
+        session_default,
+        min(_CAP, -(-fanout // ANF_FANOUT_ROWS_PER_TASK)),
+    )
+    adj_w = adj.repartition(n_parts, "v")
+    src_all = counters if changed is None else changed
+    w = -(-M_ANF // k)  # stripe width (cells per contiguous column group)
+    parts = []
+    for s in range(k):
+        lo, ws = s * w, min(w, M_ANF - s * w)
+        if ws <= 0:
+            break
+        if k == 1:
+            src, own = src_all, counters
+        else:
+            sl = f"slice(regs, {lo + 1}, {ws})"
+            src = src_all.select("node", F.expr(sl).alias("regs"))
+            own = counters.select("node", F.expr(sl).alias("regs"))
+        prop = adj_w.join(src, adj_w.v == src.node).select(
+            adj_w.u.alias("node"),
+            "regs",
+            F.lit(None).cast("array<tinyint>").alias("old"),
         )
-        .where(F.col("max_rho").isNotNull())
+        merged = (
+            prop.unionByName(
+                own.select("node", "regs", F.col("regs").alias("old"))
+            )
+            .groupBy("node")
+            .agg(
+                _fold_regs("regs", ws).alias("regs"),
+                F.max("old").alias("old"),
+            )
+        )
+        if k > 1:
+            # zero-pad the slice back to full width for the reassembly fold
+            pads = (
+                f"concat({_zeros(lo)}, regs, {_zeros(M_ANF - lo - ws)})",
+                f"concat({_zeros(lo)}, old, {_zeros(M_ANF - lo - ws)})",
+            )
+            merged = merged.select(
+                "node",
+                F.expr(pads[0]).alias("regs"),
+                F.expr(pads[1]).alias("old"),
+            )
+        parts.append(merged)
+    if k == 1:
+        merged = parts[0]
+    else:
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        merged = merged.groupBy("node").agg(
+            F.expr(
+                f"aggregate(collect_list(regs), {_zeros(M_ANF)},"
+                " (acc, x) -> zip_with(acc, x, (a, b) -> GREATEST(a, b)))"
+            ).alias("regs"),
+            F.expr(
+                f"aggregate(collect_list(old), {_zeros(M_ANF)},"
+                " (acc, x) -> zip_with(acc, x, (a, b) -> GREATEST(a, b)))"
+            ).alias("old"),
+        )
+    merged = merged.transform(lineage_cut)
+    nxt = merged.select("node", "regs")
+    changed_next = merged.where(
+        F.expr("exists(zip_with(regs, old, (n, o) -> n > o), x -> x)")
+    ).select("node", "regs")
+    return nxt, changed_next
+
+
+def _packed_to_narrow(packed: DataFrame) -> DataFrame:
+    """DataFrame[node, bucket, max_rho] view of a packed counter table —
+    the public anf_counters contract (and the invariant tests' shape)."""
+    return (
+        packed.select(
+            "node", F.posexplode("regs").alias("bucket", "max_rho")
+        )
+        .where(F.col("max_rho") > 0)
         .select(
             "node",
             F.col("bucket").cast("int").alias("bucket"),
@@ -174,98 +312,9 @@ def _to_narrow(wide: DataFrame) -> DataFrame:
     )
 
 
-def _rho_row() -> "F.Column":
-    """Per-row total rho mass of a wide counter row (exact BIGINT)."""
-    out = F.lit(0).cast("bigint")
-    for c in _RCOLS:
-        out = out + F.coalesce(F.col(c).cast("bigint"), F.lit(0))
-    return out
-
-
-def _reg_row() -> "F.Column":
-    """Per-row live-register count of a wide counter row."""
-    out = F.lit(0).cast("bigint")
-    for c in _RCOLS:
-        out = out + F.when(F.col(c).isNull(), 0).otherwise(1)
-    return out
-
-
-def _seed_narrow(adj: DataFrame) -> DataFrame:
-    """DataFrame[node, bucket, max_rho] — the small-graph layout's seed."""
-    nodes = adj.select(F.col("u").alias("node")).distinct()
-    seeded = nodes.select(
-        "node", F.md5(F.col("node").cast("string")).alias("h")
-    ).select(
-        "node",
-        F.expr(BUCKET_SQL).cast("int").alias("bucket"),
-        F.expr("regexp_replace(substring(h, 3, 15), '^0+', '')").alias("t"),
-    )
-    return seeded.select(
-        "node", "bucket", F.expr(RHO_SQL).cast("int").alias("max_rho")
-    ).localCheckpoint(eager=False)
-
-
-def _propagate_narrow(
-    adj: DataFrame,
-    counters: DataFrame,
-    stripes: int,
-    changed: "DataFrame | None" = None,
-    n_adj: int = 0,
-) -> tuple[DataFrame, DataFrame]:
-    """One HyperANF round over NARROW (node, bucket, max_rho) rows — the
-    small-graph layout (see WIDE_MIN_DIRECTED_EDGES). Same systolic
-    changed-set, striping, and folded change detection as the wide path
-    (_propagate_wide carries the full design rationale); here the changed
-    set is per-REGISTER and stripes filter rows by bucket % stripes."""
-    from streamds_spark.operators.sizing import ANF_FANOUT_ROWS_PER_TASK
-    from streamds_spark.operators.sizing import KTRUSS_MAX_PARTITIONS as _CAP
-
-    spark = adj.sparkSession
-    session_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    fanout = n_adj * M_ANF // max(1, stripes)
-    n_parts = max(
-        session_default,
-        min(_CAP, -(-fanout // ANF_FANOUT_ROWS_PER_TASK)),
-    )
-    adj_w = adj.repartition(n_parts, "v")
-    src_all = counters if changed is None else changed
-    parts = []
-    for s in range(max(1, stripes)):
-        cs = (
-            counters.where(F.col("bucket") % stripes == s)
-            if stripes > 1
-            else counters
-        )
-        src = (
-            src_all.where(F.col("bucket") % stripes == s)
-            if stripes > 1
-            else src_all
-        )
-        prop = adj_w.join(src, adj_w.v == src.node).select(
-            adj_w.u.alias("node"),
-            "bucket",
-            "max_rho",
-            F.lit(None).cast("int").alias("_old"),
-        )
-        parts.append(
-            prop.unionByName(
-                cs.select("node", "bucket", "max_rho", F.col("max_rho").alias("_old"))
-            )
-            .groupBy("node", "bucket")
-            .agg(
-                F.max("max_rho").alias("max_rho"),
-                F.max("_old").alias("_old"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    merged = parts[0]
-    for p in parts[1:]:
-        merged = merged.unionByName(p)
-    nxt = merged.select("node", "bucket", "max_rho")
-    changed_next = merged.where(
-        F.col("_old").isNull() | (F.col("max_rho") > F.col("_old"))
-    ).select("node", "bucket", "max_rho")
-    return nxt, changed_next
+# Row-local mass expressions over a packed counter row (exact BIGINTs).
+_PACKED_RHO = "aggregate(regs, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+_PACKED_REG = "CAST(size(filter(regs, x -> x > 0)) AS BIGINT)"
 
 
 def anf_counters(
@@ -288,22 +337,20 @@ def anf_census(
     permille_of_final >= 900.
 
     `stripes`: memory dial for big graphs. The per-round cost is the
-    adjacency join's fan-out (edges x up-to-m register rows) collapsing
-    into a (node, bucket) partial aggregate whose hash map holds up to
-    nodes x m keys per task — past executor memory on a saturated big
-    graph. Registers in different buckets never interact, so processing
-    bucket stripe s of k per round (filter, join, aggregate, union the k
-    stripe results) is VALUE-IDENTICAL while dividing both the join
-    fan-out and the aggregate key space by k. The ×10 soak on this box
-    (8 GiB heap, 32 threads) OOMs at stripes=1 and completes at
-    stripes=8; raising shuffle partitions alone (256 — the dial that fixes
-    the k-truss wedge join) was measured NOT to save it, because the
-    propagation fan-out is inherently m× per edge and only striping
-    divides it. Left unset it SELF-SIZES: stripes = ceil(directed-edges × m
-    / (24M rows × executor-memory-GiB)) — the measured calibration keeps
-    sf0.1 at 1 stripe (fast path unchanged) and lands the ×10 soak at 8 on
-    this 8 GiB box, exactly the measured completion point; the explicit
-    override remains for a cluster that knows better."""
+    adjacency join's fan-out (one packed m-cell register array per matched
+    edge) collapsing into a per-node fold whose collected buffers hold the
+    stripe's cells per task. Registers in different buckets never interact,
+    so processing a CONTIGUOUS column group s of k per round (slice, join,
+    fold, reassemble the k stripe results through one padded-union fold) is
+    VALUE-IDENTICAL while dividing both the join's carried bytes and the
+    fold buffers by k. Under the round-12 packed layout the ×10 clone soak
+    (23.9M directed edges, 1.53G cells/round, 8 GiB heap, 32 threads)
+    COMPLETES at stripes=1 in 62.9 s — the retired narrow layout OOMed at
+    1 and needed 8 — so left unset the dial SELF-SIZES from that anchor:
+    stripes = ceil(directed-edges × m / (192M cells × executor-memory-GiB)),
+    keeping sf0.1 AND the ×10 soak at 1 stripe (fast path) and engaging
+    striping one decade later; the explicit override remains for a cluster
+    that knows better (clamped to [1, m])."""
     _, census = _anf_iterate(edges, max_iter, stripes)
     spark = edges.sparkSession
     # max(1, ...): an empty graph has zero final register mass — emit an
@@ -354,7 +401,7 @@ def harmonic_centrality_topk(
     adj = (
         edges.select("u", "v")
         .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     spark = edges.sparkSession
     # one count answers both the empty check and the stripes sizing —
@@ -365,32 +412,25 @@ def harmonic_centrality_topk(
         return spark.createDataFrame([], "node bigint, h_scaled bigint")
     if stripes is None:
         stripes = _auto_stripes(n_adj, _mem_budget_bytes(spark))
-    wide = n_adj >= WIDE_MIN_DIRECTED_EDGES
 
     def per_node_mass(c: DataFrame) -> DataFrame:
-        # wide rows make the per-node mass a ROW-LOCAL projection of the
-        # checkpointed counters (the narrow layout needs a (node) groupBy
-        # exchange here and again every round — guide §2.4)
-        if wide:
-            return c.select("node", _rho_row().alias("mass"))
-        return (
-            c.groupBy("node")
-            .agg(F.sum("max_rho").cast("bigint").alias("mass"))
-            .localCheckpoint(eager=False)
-        )
+        # packed rows are one-row-per-node, so the per-node mass is a
+        # ROW-LOCAL projection of the checkpointed counters (the retired
+        # narrow (node, bucket) layout needed a (node) groupBy exchange
+        # here and again every round — guide §2.4)
+        return c.select("node", F.expr(_PACKED_RHO).alias("mass"))
 
-    _propagate = _propagate_wide if wide else _propagate_narrow
-    counters = _seed_wide(adj) if wide else _seed_narrow(adj)
+    counters = _seed_packed(adj)
     node_mass = per_node_mass(counters)
     h = node_mass.select(
         "node", F.lit(0).cast("bigint").alias("h_scaled")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     # the ONE driver job of the seeding step — it materializes the lazy
     # seed checkpoint as a side effect (guide §1.3)
     total_prev = node_mass.agg(F.sum("mass")).collect()[0][0]
     changed = counters  # round 1: every seeded register is fresh
     for t in range(1, max_iter + 1):
-        nxt, changed = _propagate(adj, counters, stripes, changed, n_adj)
+        nxt, changed = _propagate_packed(adj, counters, stripes, changed, n_adj)
         new_mass = per_node_mass(nxt)
         # the ONE driver job per round: the saturation probe materializes
         # the round's lazy propagate checkpoint (new_mass is a row-local
@@ -412,127 +452,12 @@ def harmonic_centrality_topk(
                 .cast("bigint")
                 .alias("h_scaled"),
             )
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut)
         )
         counters, node_mass, total_prev = nxt, new_mass, total
     raise RuntimeError(
         f"harmonic centrality did not saturate in {max_iter} rounds"
     )
-
-
-def _propagate_wide(
-    adj: DataFrame,
-    counters: DataFrame,
-    stripes: int,
-    changed: "DataFrame | None" = None,
-    n_adj: int = 0,
-) -> tuple[DataFrame, DataFrame]:
-    """One HyperANF round over WIDE counter rows: max-fold every node's
-    counter with its neighbors'. Returns (nxt, changed_next) — the full new
-    wide counter table and the subset of its ROWS (nodes) holding any
-    register that is new or increased this round.
-
-    SYSTOLIC propagation (Boldi & Vigna's HyperBall refinement, round 11,
-    guide §2.2 — shuffle fewer rows): only nodes whose counter CHANGED last
-    round join the adjacency. A neighbor register (n, b) unchanged since
-    round t-2 was already folded into every u ∈ N(n) at round t-1 (the
-    dense update folds ALL neighbors, so R_{t-1}(u, b) >= R_{t-2}(n, b)),
-    hence dropping it from round t's max loses nothing; re-sending an
-    UNCHANGED register of a changed node (the wide row carries all m cells)
-    is a max-idempotent no-op — so by induction the per-round counter
-    tables are (viewed narrow) ROW-FOR-ROW IDENTICAL to the dense
-    iteration's, which is what keeps the census hash-exact vs the DuckDB
-    dense-round replays.
-
-    Change detection is folded INTO the same aggregate (no extra join):
-    previous-round rows carry their values in `_o*` twins, propagated rows
-    carry NULLs, and one groupBy computes max(_r*) alongside max(_o*) — a
-    node changed iff any register is brand-new (_o NULL, _r not) or grew.
-
-    Registers in different buckets never interact, so the `stripes` memory
-    dial (see anf_census) processes COLUMN GROUPS (bucket % stripes == s):
-    per stripe the join carries m/stripes register columns and the
-    partial-agg buffers shrink by the same factor — value-identical, same
-    dial semantics as the narrow row-stripes. Stripe results (column-
-    disjoint per node) reassemble through one node-keyed max-fold over
-    their padded union.
-
-    The adjacency side is explicitly repartitioned to a width sized from
-    the CELL fan-out (rows x m register cells / stripes — the same
-    ANF_FANOUT_ROWS_PER_TASK calibration as the narrow layout, provenance
-    in operators/sizing.py): the join's input exchanges are small, so AQE —
-    blind to the per-row register work — would coalesce the heavy stage to
-    ~core-count tasks; user repartitions are never coalesced. Only the
-    adjacency is pinned — the register side auto-co-partitions, and a tiny
-    late-round changed set stays eligible for an AQE broadcast that skips
-    the adjacency shuffle entirely."""
-    from streamds_spark.operators.sizing import ANF_FANOUT_ROWS_PER_TASK
-    from streamds_spark.operators.sizing import KTRUSS_MAX_PARTITIONS as _CAP
-
-    spark = adj.sparkSession
-    session_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    k = max(1, stripes)
-    fanout = n_adj * M_ANF // k
-    n_parts = max(
-        session_default,
-        min(_CAP, -(-fanout // ANF_FANOUT_ROWS_PER_TASK)),
-    )
-    adj_w = adj.repartition(n_parts, "v")
-    src_all = counters if changed is None else changed
-    parts = []
-    for s in range(k):
-        cols = [_RCOLS[i] for i in range(M_ANF) if i % k == s]
-        ocols = [_OCOLS[i] for i in range(M_ANF) if i % k == s]
-        src = src_all.select("node", *cols)
-        prop = adj_w.join(src, adj_w.v == src.node).select(
-            adj_w.u.alias("node"),
-            *cols,
-            *[F.lit(None).cast("int").alias(o) for o in ocols],
-        )
-        own = counters.select(
-            "node",
-            *cols,
-            *[F.col(c).alias(o) for c, o in zip(cols, ocols)],
-        )
-        parts.append(
-            prop.unionByName(own)
-            .groupBy("node")
-            .agg(
-                *[F.max(c).alias(c) for c in cols],
-                *[F.max(o).alias(o) for o in ocols],
-            )
-        )
-    if k == 1:
-        merged = parts[0]
-    else:
-        # pad each stripe to the full schema (NULLs outside its column
-        # group), union, and max-fold once per node — NULL-ignoring max
-        # makes the reassembly exact
-        full = ["node"] + _RCOLS + _OCOLS
-        padded = [
-            p.select(
-                *[
-                    F.col(c) if c in set(p.columns) else F.lit(None).cast("int").alias(c)
-                    for c in full
-                ]
-            )
-            for p in parts
-        ]
-        merged = padded[0]
-        for p in padded[1:]:
-            merged = merged.unionByName(p)
-        merged = merged.groupBy("node").agg(
-            *[F.max(c).alias(c) for c in _RCOLS + _OCOLS]
-        )
-    merged = merged.localCheckpoint(eager=False)
-    nxt = merged.select("node", *_RCOLS)
-    chg = F.lit(False)
-    for c, o in zip(_RCOLS, _OCOLS):
-        chg = chg | (
-            F.col(c).isNotNull() & (F.col(o).isNull() | (F.col(c) > F.col(o)))
-        )
-    changed_next = merged.where(chg).select("node", *_RCOLS)
-    return nxt, changed_next
 
 
 def _anf_iterate(
@@ -541,30 +466,28 @@ def _anf_iterate(
     adj = (
         edges.select("u", "v")
         .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     # One cheap count sizes BOTH dials (the stripes memory dial and the
     # propagate stage width) and materializes the lazy checkpoint.
     n_adj = adj.count()
     if stripes is None:
         stripes = _auto_stripes(n_adj, _mem_budget_bytes(edges.sparkSession))
-    wide = n_adj >= WIDE_MIN_DIRECTED_EDGES
-    _propagate = _propagate_wide if wide else _propagate_narrow
-    counters = _seed_wide(adj) if wide else _seed_narrow(adj)
+    counters = _seed_packed(adj)
 
     def mass(c: DataFrame) -> tuple[int, int]:
         # coalesce: SUM over zero rows is NULL — an empty edge list must
-        # yield a (0, 0) census, not a TypeError on int(None)
-        if wide:
-            # row-local register/rho tallies over the wide rows, then one
-            # sum — identical values to narrow's count(*) / sum(max_rho)
-            src = c.select(_reg_row().alias("_reg"), _rho_row().alias("_rho"))
-            reg_col, rho_col = F.sum("_reg"), F.sum("_rho")
-        else:
-            src, reg_col, rho_col = c, F.count("*"), F.sum("max_rho")
+        # yield a (0, 0) census, not a TypeError on int(None). Row-local
+        # register/rho tallies over the packed rows, then one sum —
+        # identical values to the retired narrow layout's
+        # count(*) / sum(max_rho).
+        src = c.select(
+            F.expr(_PACKED_REG).alias("_reg"),
+            F.expr(_PACKED_RHO).alias("_rho"),
+        )
         row = src.agg(
-            F.coalesce(reg_col, F.lit(0)).cast("bigint").alias("reg"),
-            F.coalesce(rho_col, F.lit(0)).cast("bigint").alias("rho"),
+            F.coalesce(F.sum("_reg"), F.lit(0)).cast("bigint").alias("reg"),
+            F.coalesce(F.sum("_rho"), F.lit(0)).cast("bigint").alias("rho"),
         ).collect()[0]
         return int(row["reg"]), int(row["rho"])
 
@@ -572,10 +495,10 @@ def _anf_iterate(
     census = [(0, reg, rho)]
     changed = counters  # round 1: every seeded register is fresh
     for t in range(1, max_iter + 1):
-        nxt, changed = _propagate(adj, counters, stripes, changed, n_adj)
+        nxt, changed = _propagate_packed(adj, counters, stripes, changed, n_adj)
         reg, rho = mass(nxt)
         if rho == census[-1][2]:  # rho mass strictly grows on ANY change
-            return (_to_narrow(counters) if wide else counters), census
+            return _packed_to_narrow(counters), census
         counters = nxt
         census.append((t, reg, rho))
     raise RuntimeError(

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from streamds_spark.operators.iterate import lineage_cut, lineage_cut_eager
+
 
 def hop_distances(
     edges: DataFrame, sources: DataFrame, max_iter: int = 50
@@ -36,8 +38,8 @@ def hop_distances(
     adj = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    adj = adj.localCheckpoint(eager=True)
-    frontier = sources.select("node").distinct().localCheckpoint(eager=True)
+    adj = adj.transform(lineage_cut_eager)
+    frontier = sources.select("node").distinct().transform(lineage_cut_eager)
     dist = frontier.withColumn("dist", F.lit(0).cast("bigint"))
     for d in range(1, max_iter + 1):
         nxt = (
@@ -45,7 +47,7 @@ def hop_distances(
             .select(F.col("v").alias("node"))
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut_eager)
         )
         if nxt.isEmpty():
             return dist
@@ -55,7 +57,7 @@ def hop_distances(
         # (guide §1.3; the eager nxt checkpoint stays: isEmpty() is the exit)
         dist = dist.unionByName(
             nxt.withColumn("dist", F.lit(d).cast("bigint"))
-        ).localCheckpoint(eager=False)
+        ).transform(lineage_cut)
         frontier = nxt
     raise RuntimeError(f"BFS did not exhaust the reachable set in {max_iter} hops")
 
@@ -104,12 +106,12 @@ def weighted_distances(
             F.col("w").cast("bigint").alias("w"),
         )
     )
-    adj = adj.localCheckpoint(eager=True)
+    adj = adj.transform(lineage_cut_eager)
     dist = (
         sources.select("node")
         .distinct()
         .withColumn("dist", F.lit(0).cast("bigint"))
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut_eager)
     )
     frontier = dist
     pin = StatsPinnedCheckpointer(lag=4)
@@ -146,7 +148,7 @@ def weighted_distances(
             .unionByName(
                 improved.join(dist.select("node"), "node", "left_anti")
             )
-            .localCheckpoint(eager=False)
+            .transform(lineage_cut)
         )
         frontier = improved
     pin.release()
@@ -170,7 +172,7 @@ def keyed_distances(
         edges.select("u", "v")
         .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut_eager)
     )
     spark = edges.sparkSession
     if sources is None:
@@ -179,7 +181,7 @@ def keyed_distances(
         sources = sources.select(F.col(sources.columns[0]).alias("src")).distinct()
     frontier = sources.select(
         "src", F.col("src").alias("node")
-    ).localCheckpoint(eager=True)
+    ).transform(lineage_cut_eager)
     if frontier.isEmpty():
         return spark.createDataFrame([], "src bigint, node bigint, dist bigint")
     dist = frontier.withColumn("dist", F.lit(0).cast("bigint"))
@@ -189,7 +191,7 @@ def keyed_distances(
             .select("src", F.col("v").alias("node"))
             .distinct()
             .join(dist.select("src", "node"), ["src", "node"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut_eager)
         )
         if nxt.isEmpty():
             return dist
@@ -197,7 +199,7 @@ def keyed_distances(
         # hop_distances above
         dist = dist.unionByName(
             nxt.withColumn("dist", F.lit(d).cast("bigint"))
-        ).localCheckpoint(eager=False)
+        ).transform(lineage_cut)
         frontier = nxt
     raise RuntimeError(
         f"keyed BFS did not exhaust the reachable set in {max_iter} hops"

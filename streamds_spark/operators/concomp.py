@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from streamds_spark.operators.iterate import lineage_cut, lineage_cut_eager
+
 
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """DataFrame[node, component] — component = min node id reachable from
@@ -53,12 +55,12 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     pairs = edges.select("u", "v")
     bidir = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    ).transform(lineage_cut_eager)
     labels = (
         bidir.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .transform(lineage_cut_eager)
     )
     from pyspark.sql.types import NumericType
 

@@ -46,8 +46,36 @@ connected components).
 
 from __future__ import annotations
 
+import os
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+
+def lineage_cut(df: DataFrame, eager: bool = False) -> DataFrame:
+    """The iterative operators' lineage-truncation point (round 12, per
+    VERDICT r11 item 6). Default: ``localCheckpoint`` — blocks live on
+    executors, cheap, but an executor loss mid-iteration kills the query
+    (no recompute path past the cut). With ``SPARK_GRAFT_CHECKPOINT_DIR``
+    set (a real cluster caring about availability), the cut is a RELIABLE
+    ``checkpoint()`` to that directory (HDFS/object store): each round's
+    carry survives executor loss at the cost of a write per cut. The dir
+    is installed once per SparkContext, lazily, so local runs never touch
+    a filesystem they didn't ask for."""
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if not ckpt_dir:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(ckpt_dir)
+    return df.checkpoint(eager=eager)
+
+
+def lineage_cut_eager(df: DataFrame) -> DataFrame:
+    """`df.transform(lineage_cut_eager)` — the eager form for call sites
+    whose materialization IS the loop's driver job (chain-preserving
+    .transform swap for `.localCheckpoint(eager=True)` / `.localCheckpoint()`)."""
+    return lineage_cut(df, eager=True)
 
 
 class StatsPinnedCheckpointer:
@@ -97,7 +125,7 @@ class StatsPinnedCheckpointer:
         else:
             self.last_count = df.count()
             self.last_aggs = None
-        out = df.localCheckpoint(eager=False)
+        out = lineage_cut(df, eager=False)
         self._cached.append(df)
         while len(self._cached) > self._lag:
             self._cached.pop(0).unpersist()

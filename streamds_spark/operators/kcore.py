@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from streamds_spark.operators.iterate import lineage_cut, lineage_cut_eager
+
 # Broadcast the peel set only below this row count. At ~16 bytes per id row
 # this stays well under the default 10 MB autoBroadcastJoinThreshold and far
 # under executor memory at any scale; above it, the plain anti-join shuffles
@@ -62,7 +64,7 @@ def kcore_nodes(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     adj = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    adj = adj.localCheckpoint(eager=True)
+    adj = adj.transform(lineage_cut_eager)
     # Each truncation is persist+count+lazy-checkpoint (the pin helper): the
     # materialization count doubles as the loop test, so a round runs TWO
     # driver jobs (low, peeled adj) instead of four (checkpoint + count,
@@ -183,12 +185,12 @@ def _core_numbers_with_rounds(
     adj = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    adj = adj.localCheckpoint(eager=True)
+    adj = adj.transform(lineage_cut_eager)
     est = (
         adj.groupBy("u")
         .agg(F.count("*").cast("bigint").alias("e"))
         .select(F.col("u").alias("node"), "e")
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut_eager)
     )
     n_nodes = est.count()
     if stats is not None:
@@ -227,13 +229,13 @@ def _core_numbers_with_rounds(
             # lazy checkpoints + ONE count: the count job materializes
             # moved AND (through its lineage) the new_est checkpoint —
             # 3 jobs/round collapsed into 1 (guide §1.3, latency-bound tail)
-            new_est = upd.localCheckpoint(eager=False)
+            new_est = upd.transform(lineage_cut)
             moved = (
                 new_est.alias("n")
                 .join(est.alias("o"), "node")
                 .where("n.e <> o.e")
                 .select("node")
-                .localCheckpoint(eager=False)
+                .transform(lineage_cut)
             )
             n_changed = moved.count()
         else:
@@ -258,7 +260,7 @@ def _core_numbers_with_rounds(
                 .select(
                     "node", F.coalesce("e_new", "e").cast("bigint").alias("e")
                 )
-                .localCheckpoint(eager=False)
+                .transform(lineage_cut)
             )
             moved = moved_vals.select("node")
         est = new_est

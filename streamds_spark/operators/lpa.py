@@ -45,13 +45,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from streamds_spark.operators.iterate import lineage_cut, lineage_cut_eager
+
 
 def _sym_adj(edges: DataFrame) -> DataFrame:
     return (
         edges.select("u", "v")
         .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut_eager)
     )
 
 
@@ -76,7 +78,7 @@ def _lpa_round(adj: DataFrame, labels: DataFrame) -> DataFrame:
         # checkpoint copy folds into that job — R rounds cost the fixed-R
         # stage chain, not R extra driver jobs (guide §1.3); the logical
         # plan still truncates per round
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
 
 

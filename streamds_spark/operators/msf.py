@@ -32,6 +32,8 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from streamds_spark.operators.iterate import lineage_cut, lineage_cut_eager
+
 from streamds_spark.operators.concomp import connected_components
 from streamds_spark.operators.iterate import StatsPinnedCheckpointer
 
@@ -53,7 +55,7 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 30) -> DataFrame
             F.col("u").alias("ou"),
             F.col("v").alias("ov"),
         )
-        .localCheckpoint(eager=False)
+        .transform(lineage_cut)
     )
     # The distinct-total-order contract is load-bearing twice over: ties
     # make "the" cheapest edge ambiguous (non-unique MSF), and the
@@ -104,7 +106,7 @@ def minimum_spanning_forest(edges: DataFrame, max_rounds: int = 30) -> DataFrame
                 .select("e.w", "e.ou", "e.ov")
                 .distinct()  # both endpoints' components may pick the edge
                 # LAZY: materializes inside the contraction's first job
-                .localCheckpoint(eager=False)
+                .transform(lineage_cut)
             )
             picked_rounds.append(picked)
             # contract: components of the picked-edge graph OVER COMPONENT

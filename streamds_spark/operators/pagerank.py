@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from streamds_spark.operators.iterate import lineage_cut, lineage_cut_eager
+
 
 def pagerank(
     edges: DataFrame,
@@ -41,8 +43,8 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0))
     # lazy checkpoints (round 11, guide §1.3): materialization folds into
     # the first iteration's dangling-mass job instead of standalone jobs
-    e = e.localCheckpoint(eager=False)  # small, reused every iteration
-    out_deg = out_deg.localCheckpoint(eager=False)
+    e = e.transform(lineage_cut)  # small, reused every iteration
+    out_deg = out_deg.transform(lineage_cut)
 
     for it in range(max_iter):
         contribs = (
@@ -71,7 +73,7 @@ def pagerank(
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             # lazy: the next iteration's dangling collect materializes it
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = ranks.transform(lineage_cut)
     return ranks
 
 
@@ -117,8 +119,8 @@ def pagerank_fixed_point(
     # lazy checkpoints (round 11): with no per-iteration scalar to collect,
     # the WHOLE fixed-point loop now runs as one job at the first action —
     # each checkpoint still truncates lineage/plan growth at build time
-    e = e.localCheckpoint(eager=False)
-    deg = deg.localCheckpoint(eager=False)
+    e = e.transform(lineage_cut)
+    deg = deg.transform(lineage_cut)
 
     for it in range(max_iter):
         inflow = (
@@ -139,5 +141,5 @@ def pagerank_fixed_point(
             ).alias("rank"),
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = ranks.transform(lineage_cut)
     return ranks

@@ -41,13 +41,17 @@ def mem_budget_bytes(spark) -> int:
 
 
 # -- HyperANF / harmonic (operators/anf.py) ---------------------------------
-# The per-round propagation fan-out is |directed adjacency| x m register
-# rows collapsing into per-task partial-agg hash maps. Measured on the
-# 8 GiB-heap / 32-thread box (BASELINE.md round-9 soaks): sf0.1 (2.39M
-# directed edges -> 153M fan-out rows) completes at stripes=1; the x10 soak
-# (1.53G fan-out) OOMs at 1 and completes at 8, i.e. ~191M rows per stripe
-# on 8 GiB worked — budget 24M fan-out rows per GiB and round up.
-ANF_FANOUT_ROWS_PER_GIB = 24_000_000
+# Stripes dial calibration for the PACKED register layout (round 12). The
+# per-round propagation fan-out is |directed adjacency| ROWS each carrying
+# m register CELLS in one array; per-task state is the collect_list fold
+# buffers, ~m x smaller per cell than the retired narrow layout's
+# (node, bucket) hash-map entries (whose calibration was 24M cells/GiB —
+# the x10 soak OOMed at stripes=1 under narrow). Measured on the
+# 8 GiB-heap / 32-thread box (round 12): the x10 clone graph (23.9M
+# directed edges -> 1.53G register cells/round) COMPLETES at stripes=1 in
+# 62.9 s with no spill — that anchor is the budget: 192M cells per GiB
+# (= 1.53G / 8 GiB), round up. sf0.1 (153M cells) stays at 1 stripe.
+ANF_FANOUT_ROWS_PER_GIB = 192_000_000
 
 # -- k-truss (operators/ktruss.py) -------------------------------------------
 # The wedge join's per-task sort/aggregate buffers scale with (join

@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from streamds_spark.operators.iterate import lineage_cut, lineage_cut_eager
+
 STRESS_PIVOTS = 4
 
 
@@ -71,12 +73,12 @@ def stress_per_source(
         edges.select("u", "v")
         .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(lineage_cut_eager)
     )
     spark = edges.sparkSession
     if adj.isEmpty():
         return spark.createDataFrame([], "src bigint, node bigint, through bigint")
-    src = _pivots(adj, pivots).localCheckpoint(eager=False)
+    src = _pivots(adj, pivots).transform(lineage_cut)
 
     # -- forward: (src, node, dist, sigma), level-synchronous ---------------
     reached = src.select(
@@ -84,7 +86,7 @@ def stress_per_source(
         F.col("src").alias("node"),
         F.lit(0).alias("dist"),
         F.lit(1).cast("bigint").alias("sigma"),
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     frontier = reached
     depth = 0
     # max_iter + 1 iterations: exhaustion can only be CONFIRMED by seeing
@@ -100,7 +102,7 @@ def stress_per_source(
             .groupBy("src", "node")
             .agg(F.sum("sigma").alias("sigma"))
             .select("src", "node", F.lit(lvl).alias("dist"), "sigma")
-            .localCheckpoint(eager=True)
+            .transform(lineage_cut_eager)
         )
         if nxt.isEmpty():
             break
@@ -113,7 +115,7 @@ def stress_per_source(
         # NEXT level's eager frontier job (or the final combine), so the copy
         # folds into that job — one driver job per level, not two (guide
         # §1.3; the eager nxt checkpoint stays: isEmpty() is the loop exit)
-        reached = reached.unionByName(nxt).localCheckpoint(eager=False)
+        reached = reached.unionByName(nxt).transform(lineage_cut)
         frontier = nxt
 
     # -- backward: psi by level, deepest first ------------------------------
@@ -121,7 +123,7 @@ def stress_per_source(
     # shallower levels left-join their successor sums (no successors -> 0)
     psi = reached.where(F.col("dist") == depth).select(
         "src", "node", F.lit(0).cast("bigint").alias("psi")
-    ).localCheckpoint(eager=False)
+    ).transform(lineage_cut)
     for lvl in range(depth - 1, -1, -1):
         at = reached.where(F.col("dist") == lvl).select("src", "node")
         below = reached.where(F.col("dist") == lvl + 1).select(
@@ -151,7 +153,7 @@ def stress_per_source(
         # LAZY: the backward pass runs ZERO driver jobs — every level's
         # union folds into the final combine action (lineage still truncated
         # per level, so the logical plan stays flat)
-        psi = psi.unionByName(lvl_psi).localCheckpoint(eager=False)
+        psi = psi.unionByName(lvl_psi).transform(lineage_cut)
 
     # -- combine: pivot s routes sigma(s,v) * psi(s,v) paths through v ------
     return (

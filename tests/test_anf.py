@@ -156,11 +156,13 @@ def test_striping_is_value_identical(spark):
     assert c1 == c8
 
 
-def test_wide_and_narrow_layouts_identical(spark, monkeypatch):
-    """The size-dispatched WIDE register layout (one row per node, m
-    register columns) must be value-identical to the narrow (node, bucket)
-    layout on the same graph — census rows, final counters, and the
-    harmonic top-k, striped and unstriped."""
+def test_packed_layout_striping_and_overclamp(spark):
+    """Round 12: the PACKED register layout is the ONLY layout (the r11
+    narrow/wide pair is retired; the census fuzz test above pins packed
+    against the pure-Python dense replay). What needs pinning here: the
+    packed column-group striping is value-identical across census, final
+    counters AND the harmonic top-k on one graph, and a stripes override
+    PAST m (the ADVICE r11 wide-path crash) clamps instead of raising."""
     import streamds_spark.operators.anf as anf
 
     rng = random.Random(7)
@@ -173,26 +175,27 @@ def test_wide_and_narrow_layouts_identical(spark, monkeypatch):
         }
     )
     edges = spark.createDataFrame(edge_list, "u bigint, v bigint")
-    narrow_census = sorted(tuple(r) for r in anf.anf_census(edges).collect())
-    narrow_cnt = sorted(tuple(r) for r in anf.anf_counters(edges).collect())
-    narrow_h = [
+    base_census = sorted(tuple(r) for r in anf.anf_census(edges).collect())
+    base_cnt = sorted(tuple(r) for r in anf.anf_counters(edges).collect())
+    base_h = [
         tuple(r) for r in anf.harmonic_centrality_topk(edges, k=10).collect()
     ]
-    monkeypatch.setattr(anf, "WIDE_MIN_DIRECTED_EDGES", 0)  # force wide
-    for stripes in (None, 2):
+    # 3 does not divide m=64 (uneven last column group), 100 > m (clamps)
+    for stripes in (3, 100):
         got = sorted(
             tuple(r) for r in anf.anf_census(edges, stripes=stripes).collect()
         )
-        assert got == narrow_census, stripes
+        assert got == base_census, stripes
         got_h = [
             tuple(r)
             for r in anf.harmonic_centrality_topk(
                 edges, k=10, stripes=stripes
             ).collect()
         ]
-        assert got_h == narrow_h, stripes
+        assert got_h == base_h, stripes
     assert (
-        sorted(tuple(r) for r in anf.anf_counters(edges).collect()) == narrow_cnt
+        sorted(tuple(r) for r in anf.anf_counters(edges, stripes=100).collect())
+        == base_cnt
     )
 
 
@@ -207,19 +210,21 @@ def test_empty_edge_list_zero_census(spark):
 
 
 def test_auto_stripes_self_sizing(spark):
-    """Unset stripes self-sizes from directed-edge fan-out vs executor
-    memory: sf0.1 on 8 GiB stays at 1 (fast path unchanged), the x10 soak
-    lands at the measured completion point 8, and the value is clamped to
-    [1, m]. The default-signature census equals an explicit-stripes run
-    (value-identity is pinned by test_striping_value_identity above)."""
+    """Unset stripes self-sizes from directed-edge cell fan-out vs executor
+    memory, at the round-12 PACKED-layout calibration (192M cells/GiB —
+    the measured x10-completes-at-1 anchor, provenance in sizing.py):
+    sf0.1 AND the x10 soak on 8 GiB stay at 1 (fast path), striping engages
+    a decade later, and the value is clamped to [1, m]. Value-identity
+    across stripe counts is pinned by test_striping_is_value_identical."""
     from streamds_spark.operators.anf import M_ANF, _auto_stripes, _mem_budget_bytes
 
     gib = 1 << 30
     assert _auto_stripes(2_392_000, 8 * gib) == 1  # sf0.1 on this box
-    assert _auto_stripes(23_920_000, 8 * gib) == 8  # x10: measured good
-    assert _auto_stripes(23_920_000, 48 * gib) == 2  # more memory, fewer
+    assert _auto_stripes(23_920_000, 8 * gib) == 1  # x10: measured completes
+    assert _auto_stripes(239_200_000, 8 * gib) == 10  # x100 would stripe
+    assert _auto_stripes(239_200_000, 48 * gib) == 2  # more memory, fewer
     assert _auto_stripes(0, 8 * gib) == 1  # clamp low
-    assert _auto_stripes(10**12, 8 * gib) == M_ANF  # clamp high
+    assert _auto_stripes(10**13, 8 * gib) == M_ANF  # clamp high
     assert _mem_budget_bytes(spark.sparkSession if hasattr(spark, "sparkSession") else spark) > 0
 
 
