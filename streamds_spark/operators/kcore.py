@@ -126,12 +126,14 @@ def core_numbers(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     only add shuffles while the frontier is the graph); once the changed
     fraction drops below ACTIVE_SET_FRACTION the per-round join input is
     edges incident to the frontier, not the whole adjacency — the estimates
-    of everything else carry forward. Each round is at most: two semi-joins
-    deriving the active edge set, one equi-join of that subset against the
-    n-row estimate table, a row_number window PARTITIONED by node (bounded
-    by degree — never global), one groupBy max, and one carry-forward
-    left join. Nothing ever broadcasts the graph; lineage is truncated per
-    round. Round count is the graph's "convergence depth", typically O(10)
+    of everything else carry forward, and the frontier neighborhoods come
+    from a once-built adjacency-LIST relation (nodes-sized) instead of
+    per-round scans of the flat edge table. Each round is at most: two
+    frontier-sized explodes off the list relation, one equi-join of that
+    subset against the n-row estimate table, one groupBy collect + a
+    per-node sorted-prefix H fold (bounded by degree — never global), and
+    one carry-forward left join. Nothing ever broadcasts the graph; lineage
+    is truncated per round. Round count is the graph's "convergence depth", typically O(10)
     on heavy-tailed graphs, and is IDENTICAL to the full-recompute
     iteration's (the active set is a superset of every node that could
     change, so per-round estimates are equal by induction — which also
@@ -157,6 +159,7 @@ from streamds_spark.operators.sizing import (  # noqa: E402
 )
 
 
+
 def _core_numbers_with_rounds(
     edges: DataFrame, max_iter: int = 100, stats: "dict | None" = None
 ) -> tuple[DataFrame, int]:
@@ -178,8 +181,6 @@ def _core_numbers_with_rounds(
     snapshot grows only a constant number of bits per round. The dense
     branch's checkpoint sits above an aggregate, whose size estimate is
     linear in its child, so it needs no pin either."""
-    from pyspark.sql import Window
-
     from streamds_spark.operators.iterate import StatsPinnedCheckpointer
 
     adj = edges.select("u", "v").unionAll(
@@ -196,36 +197,68 @@ def _core_numbers_with_rounds(
     if stats is not None:
         stats["changed"] = []
         stats["mode"] = []
-    w = Window.partitionBy("u").orderBy(F.col("ne").desc())
     changed = est.select("node")  # round 1: every estimate is fresh
     n_changed = n_nodes
-    pin = StatsPinnedCheckpointer(lag=2)  # 1 pin/round, keep 2 rounds
-    for rounds in range(1, max_iter + 1):
-        full = n_changed > n_nodes * ACTIVE_SET_FRACTION
-        if full:
-            sub = adj
-        else:
-            # frontier neighborhood: u's with an edge into a changed node,
-            # then ALL of those u's incident edges (the H-index needs the
-            # whole neighborhood, not just the changed part)
-            active = (
-                adj.join(
-                    changed.select(F.col("node").alias("v")), "v", "left_semi"
-                )
-                .select("u")
-                .distinct()
-            )
-            sub = adj.join(active, "u", "left_semi")
-        nbr = sub.join(est, sub.v == est.node).select(
+    pin = StatsPinnedCheckpointer(lag=2)  # 1 pin/batch, keep 2 batches
+
+    def h_update(sub: DataFrame, cur: DataFrame) -> DataFrame:
+        # H-index per node via the sorted-prefix identity (round 12):
+        # H = #{i : e_(i) >= i} over the desc-sorted neighbor estimates
+        # equals max_i min(i, e_(i)) — the r11 row_number-window form —
+        # for every integer sequence, so the swap is value-identical
+        # (verified row-for-row on the sf0.1 graph). One groupBy fold
+        # replaces the window's partition sort + row_number + second
+        # aggregate: measured 0.686 vs 0.736 s on the dense-round update
+        # (same session, alternated min-of-4, noop sink).
+        nbr = sub.join(cur, sub.v == cur.node).select(
             "u", F.col("e").alias("ne")
         )
-        upd = (
-            nbr.withColumn("rn", F.row_number().over(w))
-            .groupBy("u")
-            .agg(F.max(F.least(F.col("rn"), F.col("ne"))).alias("h"))
-            .select(F.col("u").alias("node"), F.col("h").cast("bigint").alias("e"))
+        return (
+            nbr.groupBy("u")
+            .agg(F.collect_list("ne").alias("ls"))
+            .select(
+                F.col("u").alias("node"),
+                F.expr(
+                    "aggregate(zip_with(sort_array(ls, false),"
+                    " sequence(1, size(ls)),"
+                    " (e, i) -> IF(e >= CAST(i AS BIGINT), 1, 0)),"
+                    " 0, (a, x) -> a + x)"
+                ).cast("bigint").alias("e"),
+            )
         )
+
+    def finish(result: DataFrame, rounds_used: int):
+        # ADVICE r11: materialize the returned checkpoint BEFORE releasing
+        # the pin caches, so the caller's first action reads checkpointed
+        # blocks instead of silently recomputing the final carry join
+        result = result.select("node", F.col("e").alias("core"))
+        result.count()
+        pin.release()
+        return result, rounds_used
+
+    # Adjacency LISTS for the active branch (round 12, guide §1.2/§2.4):
+    # the r11 active rounds derived the frontier neighborhood with TWO
+    # left-semi joins against the FLAT 2-column adjacency — two full
+    # |directed-edges| scans per round (sf0.1: 2 x 2.4M cached rows x 30
+    # active rounds) just to select frontier-sized subsets. One
+    # collect_list groupBy built ONCE gives a nodes-sized relation (sf0.1:
+    # 20k rows) from which both derivations are frontier-sized explodes:
+    # active u's = explode(lists OF the changed nodes) — undirected
+    # symmetry makes neighbors-of-changed exactly the nodes with an edge
+    # into the frontier — and the H-input edge set = explode(lists of the
+    # active u's). Row sets are identical to the semi-join derivation, so
+    # estimates are unchanged. Degree note: a node's whole neighborhood
+    # becomes one list row (same class of bound as the graph's max degree;
+    # built once, not per round).
+    adj_lists = (
+        adj.groupBy("u").agg(F.collect_list("v").alias("vs"))
+    ).transform(lineage_cut)
+    rounds = 0
+    while rounds < max_iter:
+        full = n_changed > n_nodes * ACTIVE_SET_FRACTION
+        rounds += 1
         if full:
+            upd = h_update(adj, est)
             # lazy checkpoints + ONE count: the count job materializes
             # moved AND (through its lineage) the new_est checkpoint —
             # 3 jobs/round collapsed into 1 (guide §1.3, latency-bound tail)
@@ -238,7 +271,24 @@ def _core_numbers_with_rounds(
                 .transform(lineage_cut)
             )
             n_changed = moved.count()
+            est = new_est
+            changed = moved
         else:
+            # frontier neighborhood off the LIST relation: u's with an edge
+            # into a changed node (= neighbors of the frontier), then ALL of
+            # those u's incident edges (the H-index needs the whole
+            # neighborhood, not just the changed part)
+            active = (
+                adj_lists.join(
+                    changed.withColumnRenamed("node", "u"), "u", "left_semi"
+                )
+                .select(F.explode("vs").alias("u"))
+                .distinct()
+            )
+            sub = adj_lists.join(active, "u", "left_semi").select(
+                "u", F.explode("vs").alias("v")
+            )
+            upd = h_update(sub, est)
             # recomputed nodes that actually moved; everyone else carries
             # forward untouched (estimates only ever decrease, so <> is <)
             moved_vals = pin.checkpoint(
@@ -255,22 +305,19 @@ def _core_numbers_with_rounds(
             # round (linear — not the doubling case that needs BOTH pins), so
             # a plain LAZY truncation suffices and its copy folds into the
             # next round's pin job: one driver job per active round, not two
-            new_est = (
+            est = (
                 est.join(moved_vals, "node", "left")
                 .select(
                     "node", F.coalesce("e_new", "e").cast("bigint").alias("e")
                 )
                 .transform(lineage_cut)
             )
-            moved = moved_vals.select("node")
-        est = new_est
-        changed = moved
+            changed = moved_vals.select("node")
         if stats is not None:
             stats["changed"].append(n_changed)
             stats["mode"].append("full" if full else "active")
         if n_changed == 0:  # no estimate moved: fixpoint reached
-            pin.release()
-            return est.select("node", F.col("e").alias("core")), rounds
+            return finish(est, rounds)
     pin.release()
     raise RuntimeError(
         f"core-number H-index iteration did not converge in {max_iter} rounds"

@@ -88,18 +88,21 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Optimizer-cost dial (round 11, guide §1.2/§7.3): constraint
-        # propagation re-derives the constraint set at every plan node and is
-        # quadratic-ish in alias count — on the 16-aggregate MinHash plans it
-        # was the bulk of a >1 s single-threaded driver gap per execution
-        # (measured: LSH plan construction 9.1 s → 1.0 s with it off, same
-        # box). What it buys — inferred IsNotNull/transitive filters — only
-        # drops null join keys earlier; every registry query's explicit
-        # predicates still push to the scans (verified in plans/r11/*_after).
-        # Env-overridable for deployments whose data has null-heavy join keys.
+        # Optimizer constraint propagation: back to VANILLA SPARK's ON
+        # (round 12, per VERDICT r11 item 5). The r11 session disabled it
+        # globally because the 16-aggregate MinHash plans made the pass
+        # quadratic-ish (9.1 s of plan construction); the r11/r12 lineage
+        # cuts truncated exactly those plans, and a 3-run interleaved
+        # ON/OFF probe on the formerly-pathological family now reads
+        # on/off within [0.95, 1.06] (lsh_pairs 1.134 vs 1.086 s,
+        # recall_audit 4.93 vs 5.21, setsim 3.38 vs 3.19, link_prediction
+        # 13.5 vs 13.3 - tools/r12_cprop_probe.py). Matching vanilla keeps
+        # inferred IsNotNull/transitive predicates dropping null join keys
+        # at the scan on every deployment; the env dial remains for a
+        # cluster that measures otherwise.
         .config(
             "spark.sql.constraintPropagation.enabled",
-            os.environ.get("SPARK_GRAFT_CONSTRAINT_PROP", "false"),
+            os.environ.get("SPARK_GRAFT_CONSTRAINT_PROP", "true"),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
