@@ -81,7 +81,18 @@ def with_global_ranks(
     correctness) — batching the sketches cannot change a rank.
     """
     if num_buckets is None:
-        num_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        # Derive parallelism from the session's shuffle width, but CAP it
+        # (ADVICE r11): the combined size aggregate below builds k x B
+        # count-if expressions, so an uncapped B on a cluster session tuned
+        # to e.g. 2000 shuffle partitions would hand Janino a ~6000-term
+        # aggregate for 3 rank specs. 256 buckets keeps the expression
+        # count bounded (k x 256) while the per-bucket window sort stays
+        # B-way parallel — past a few hundred buckets the extra width buys
+        # nothing the in-bucket sort's own task split doesn't already.
+        num_buckets = min(
+            256,
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+        )
     probes = [i / num_buckets for i in range(1, num_buckets)]
     primaries = [order_cols[0] for order_cols, _ in rank_specs]
     # ONE pass computes every primary column's sketch (StatFunctions

@@ -87,36 +87,63 @@ def stress_per_source(
         F.lit(0).alias("dist"),
         F.lit(1).cast("bigint").alias("sigma"),
     ).transform(lineage_cut)
-    frontier = reached
-    depth = 0
-    # max_iter + 1 iterations: exhaustion can only be CONFIRMED by seeing
-    # one empty expansion, so an eccentricity of exactly max_iter needs the
-    # extra probe iteration to be accepted rather than spuriously refused
-    for lvl in range(1, max_iter + 2):
-        nxt = (
+
+    def expand(frontier: DataFrame, seen: DataFrame, lvl: int) -> DataFrame:
+        return (
             frontier.join(adj, frontier.node == adj.u)
             .select("src", F.col("v").alias("node"), "sigma")
-            .join(
-                reached.select("src", "node"), ["src", "node"], "left_anti"
-            )
+            .join(seen.select("src", "node"), ["src", "node"], "left_anti")
             .groupBy("src", "node")
             .agg(F.sum("sigma").alias("sigma"))
             .select("src", "node", F.lit(lvl).alias("dist"), "sigma")
-            .transform(lineage_cut_eager)
+            .transform(lineage_cut)
         )
-        if nxt.isEmpty():
-            break
+
+    frontier = reached
+    depth = 0
+    # LEVEL-BATCHED expansion (round 12, per VERDICT r11 item 7, guide
+    # 1.3): TWO levels are chained lazily and materialized by ONE tagged
+    # count job that yields both frontier sizes - versus the r11 loop's
+    # eager-checkpoint + isEmpty pair per level, that is ~4x fewer driver
+    # jobs on the same row-for-row expansion (each level's anti-join still
+    # excludes exactly the unbatched `reached` set: level L+1 checks
+    # reached UNION frontier_L, chained lazily). Exhaustion can only be
+    # CONFIRMED by an empty expansion, so an eccentricity of exactly
+    # max_iter still gets its probe level before being accepted (the
+    # max_iter+1 boundary runs a single-level probe).
+    lvl = 1
+    while lvl <= max_iter + 1:
+        nxt1 = expand(frontier, reached, lvl)
+        reached1 = reached.unionByName(nxt1).transform(lineage_cut)
+        probe2 = lvl + 1 <= max_iter + 1
+        nxt2 = expand(nxt1, reached1, lvl + 1) if probe2 else None
+        tagged = nxt1.select(F.lit(1).alias("_l"))
+        if probe2:
+            tagged = tagged.unionByName(nxt2.select(F.lit(2).alias("_l")))
+        counts = {
+            r["_l"]: r["cnt"]
+            for r in tagged.groupBy("_l").agg(F.count("*").alias("cnt")).collect()
+        }
+        if counts.get(1, 0) == 0:
+            break  # level lvl confirmed empty: exhausted at depth lvl - 1
         if lvl > max_iter:
             raise RuntimeError(
                 f"stress BFS did not exhaust in {max_iter} levels"
             )
         depth = lvl
-        # LAZY union checkpoint: the accumulated table is consumed inside the
-        # NEXT level's eager frontier job (or the final combine), so the copy
-        # folds into that job — one driver job per level, not two (guide
-        # §1.3; the eager nxt checkpoint stays: isEmpty() is the loop exit)
-        reached = reached.unionByName(nxt).transform(lineage_cut)
-        frontier = nxt
+        reached, frontier = reached1, nxt1
+        # probe2 is always True here: its only False case is lvl ==
+        # max_iter + 1, which the raise above already rejected
+        if counts.get(2, 0) == 0:
+            break  # level lvl+1 confirmed empty: exhausted at depth lvl
+        if lvl + 1 > max_iter:
+            raise RuntimeError(
+                f"stress BFS did not exhaust in {max_iter} levels"
+            )
+        depth = lvl + 1
+        reached = reached1.unionByName(nxt2).transform(lineage_cut)
+        frontier = nxt2
+        lvl += 2
 
     # -- backward: psi by level, deepest first ------------------------------
     # nodes at the global deepest level have no successors anywhere: psi = 0;

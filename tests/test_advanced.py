@@ -3,10 +3,12 @@
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.mark.slow
 def test_sessionize_crafted(spark):
     from streamds_spark.registry import load_all
 

@@ -17,6 +17,7 @@ from streamds_spark.operators.ann_incremental import (
     compact_ann_index,
     run_embedding_index_stream,
 )
+import pytest
 
 SF = "/root/testdata/sf0.001"
 N_PLANES = 6
@@ -38,6 +39,7 @@ def _probe_rows(df):
     return [(r["vec_id"], r["label"], r["cos_sim"]) for r in df.collect()]
 
 
+@pytest.mark.slow
 def test_incremental_equals_one_shot_build(spark, tmp_path):
     emb, parts = _batches(spark)
     inc = str(tmp_path / "inc")
@@ -63,6 +65,7 @@ def test_incremental_equals_one_shot_build(spark, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan
 
 
+@pytest.mark.slow
 def test_replay_overwrites_and_torn_batch_invisible(spark, tmp_path):
     emb, parts = _batches(spark)
     inc = str(tmp_path / "inc")
@@ -87,6 +90,7 @@ def test_replay_overwrites_and_torn_batch_invisible(spark, tmp_path):
         ann_index_append(parts[2], inc, 3, n_planes=4)
 
 
+@pytest.mark.slow
 def test_compaction_preserves_probes(spark, tmp_path):
     emb, parts = _batches(spark)
     inc = str(tmp_path / "inc")
@@ -115,6 +119,7 @@ def test_compaction_preserves_probes(spark, tmp_path):
     assert _probe_rows(ann_index_probe(spark, inc, qvec, k=10, n_flip_bits=1)) == dup
 
 
+@pytest.mark.slow
 def test_streaming_index_maintenance(spark, tmp_path):
     """readStream over an embeddings dir -> per-trigger appends; after the
     drain the index answers exactly like a one-shot build."""
@@ -153,6 +158,7 @@ def test_streaming_index_maintenance(spark, tmp_path):
         assert _probe_rows(got) == _probe_rows(want)
 
 
+@pytest.mark.slow
 def test_post_compaction_replay_is_invisible_and_reclaimed(spark, tmp_path):
     """A batch replayed AFTER compaction (id <= segment hi) must never be
     read, and the next compaction reclaims its dir."""

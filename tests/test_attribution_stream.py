@@ -15,6 +15,7 @@ from streamds_spark.streaming.attribution import (
     attribution_report,
     run_attribution_stream,
 )
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
@@ -42,6 +43,7 @@ def _rows(df):
     ]
 
 
+@pytest.mark.slow
 def test_stream_attribution_equals_batch_across_restart(spark, tmp_path):
     src, work = str(tmp_path / "src"), str(tmp_path / "work")
 

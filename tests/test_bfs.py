@@ -106,6 +106,7 @@ def _run_w(spark, edges, sources, **kw):
     return {r["node"]: r["dist"] for r in weighted_distances(e, s, **kw).collect()}
 
 
+@pytest.mark.slow
 def test_weighted_crafted_multihop_beats_direct(spark):
     """A cheap 3-hop chain must beat an expensive direct edge, multi-source
     takes the min over sources, and unreachable components stay absent."""
@@ -121,6 +122,7 @@ def test_weighted_crafted_multihop_beats_direct(spark):
     assert got2[91] == 0 and got2[90] == 4 and got2[5] == 3
 
 
+@pytest.mark.slow
 def test_weighted_fuzz_vs_dijkstra(spark):
     """Randomized graphs with skewed integer weights: the distributed
     relaxation equals Dijkstra exactly (integer costs, no float anywhere)."""

@@ -7,6 +7,7 @@ from contextlib import redirect_stdout
 
 from streamds_spark.cli import main
 from tests.conftest import reference_file
+import pytest
 
 
 def _run(argv):
@@ -161,6 +162,7 @@ def test_cli_scrub_substrings_command(spark, tmp_path, capsys):
     assert rows[0] == f"intro {boiler} outro" and rows[1] == "tail"
 
 
+@pytest.mark.slow
 def test_cli_filter_corpus_command(spark, tmp_path, capsys):
     good = (
         "the quick brown fox jumps over the lazy dog and then runs away to "
@@ -245,6 +247,7 @@ def test_cli_tokenize_applies_bpe_models(spark, tmp_path, capsys):
         assert "".join(r.pieces).replace("</w>", "") == src_rows[r.doc_id].replace(" ", "")
 
 
+@pytest.mark.slow
 def test_cli_stream_corpus_command(spark, tmp_path, capsys):
     """stream-corpus drains a documents dir through the continuous pipeline
     and reports the corpus size; re-running on the same work dir is a no-op
@@ -275,6 +278,7 @@ def test_cli_stream_corpus_command(spark, tmp_path, capsys):
     assert int(out4.split("corpus_docs:")[1].strip()) == n
 
 
+@pytest.mark.slow
 def test_cli_stream_corpus_metrics_flag(spark, tmp_path, capsys):
     """--metrics records per-batch progress JSONL and prints the throughput
     summary (ops flight recorder for the continuous pipeline)."""
@@ -326,6 +330,7 @@ def test_cli_stream_corpus_rejects_work_inside_src(tmp_path):
     assert main(["stream-corpus", str(tmp_path / "docs"), str(tmp_path / "docs-work")]) == 0
 
 
+@pytest.mark.slow
 def test_cli_train_score_lm(spark, tmp_path, capsys):
     src = str(tmp_path / "lm_docs.parquet")
     spark.createDataFrame(
@@ -572,6 +577,7 @@ def test_cli_check_verb_validation(spark):
         _run(["check", "orders", "/root/testdata/sf0.001", "--fk", "o_custkey=bogus"])
 
 
+@pytest.mark.slow
 def test_cli_view_verbs_lifecycle(spark, tmp_path):
     """The incremental materialized view's operational surface: stream ->
     report (== batch groupBy) -> delete (negative delta) -> compact ->
@@ -648,6 +654,7 @@ def test_cli_view_verbs_lifecycle(spark, tmp_path):
               "--agg", "dv=approx_distinct:v", "--kmv-k", "0"])
 
 
+@pytest.mark.slow
 def test_cli_view_register_and_takedown_cascade(spark, tmp_path):
     """view-register wires a view into the takedown verb's cascade: the
     subtractable view's report excludes the deleted docs afterwards, the
@@ -715,6 +722,7 @@ def test_cli_view_register_and_takedown_cascade(spark, tmp_path):
     assert "not-registered" in out
 
 
+@pytest.mark.slow
 def test_cli_views_listing_and_manifest_mode(spark, tmp_path):
     """The manifest as single source of truth on the CLI (round 11):
     `views` lists each registered view with store status; `view-report

@@ -66,6 +66,7 @@ def test_fair_mode_active(spark):
     assert mode == "FAIR"
 
 
+@pytest.mark.slow
 def test_three_streams_plus_batch_sweep_one_session(spark, tmp_path):
     """3 concurrent streaming ingest pipelines + a concurrent batch sweep on
     one session: every tenant's output equals its run-alone output."""

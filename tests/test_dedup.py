@@ -116,6 +116,7 @@ def test_simhash_hamming_distance(spark, docs):
     assert hamming(sims[0], sims[3]) > 6
 
 
+@pytest.mark.slow
 def test_ngram_jaccard_scores(spark, docs):
     sh = (
         docs.select("doc_id", tokens(F.col("text")).alias("toks"))

@@ -4,6 +4,7 @@ including chained duplicates (A~B~C without direct A~C pairing)."""
 from __future__ import annotations
 
 from streamds_spark.operators.dedup_pipeline import dedup_corpus, resolve_groups
+import pytest
 
 
 BASE = (
@@ -57,6 +58,7 @@ def test_resolve_groups_long_chain_converges(spark):
     assert labels == {i: 0 for i in range(21)}
 
 
+@pytest.mark.slow
 def test_lsh_mega_bucket_capped(spark):
     # 10k identical docs share every band bucket: all-pairs would emit ~50M
     # pairs; the star-connected cap must keep it linear AND still collapse the
@@ -163,6 +165,7 @@ def test_incremental_dedup_against_bucket_store(spark, tmp_path):
     assert (2000, 1000) in got2 and (2000, 100) in got2
 
 
+@pytest.mark.slow
 def test_resolve_groups_fuzz_vs_union_find(spark):
     """Pointer-jumping CC must agree with a reference union-find on random
     graphs — chains, stars, cycles, and disjoint unions all appear at this

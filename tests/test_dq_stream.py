@@ -87,6 +87,7 @@ def test_gate_move_preserves_kept_set(spark, drained):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_dirty_feed_counts_violations(spark, tmp_path):
     """A feed with injected defects: the folded report counts them exactly
     and flags the failing checks."""

@@ -213,6 +213,7 @@ def test_clustering_coefficient_python_parity(spark):
     assert 3 * t4 / (4 * 3) == 1.0  # 4 nodes x C(3,2)=3 wedges each
 
 
+@pytest.mark.slow
 def test_mg_summary_merge_error_bound(spark):
     """Mergeable Misra-Gries (round 9): per-batch deterministic summaries
     folded by per-term SUM must (a) never overestimate, (b) undercount by

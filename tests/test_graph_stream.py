@@ -42,6 +42,7 @@ def _drive(spark, work_dir):
     return paths
 
 
+@pytest.mark.slow
 def test_stream_equals_batch_census(spark, tmp_path):
     paths = _drive(spark, str(tmp_path / "g"))
     got = graph_census(spark, paths.work_dir).collect()[0]
@@ -61,6 +62,7 @@ def test_stream_equals_batch_census(spark, tmp_path):
     assert census.agg(F.sum("delta_triangles")).collect()[0][0] == expect_tri
 
 
+@pytest.mark.slow
 def test_redelivery_is_noop(spark, tmp_path):
     paths = _drive(spark, str(tmp_path / "g"))
     before = graph_census(spark, paths.work_dir).collect()[0]
@@ -74,6 +76,7 @@ def test_redelivery_is_noop(spark, tmp_path):
     assert tuple(again) == tuple(before)
 
 
+@pytest.mark.slow
 def test_compaction_invariant(spark, tmp_path):
     paths = _drive(spark, str(tmp_path / "g"))
     before = tuple(graph_census(spark, paths.work_dir).collect()[0])
@@ -84,6 +87,7 @@ def test_compaction_invariant(spark, tmp_path):
     assert seg, "compaction produced no segment"
 
 
+@pytest.mark.slow
 def test_real_stream_drain(spark, tmp_path):
     src = str(tmp_path / "src")
     for i, rows in enumerate(BATCHES):

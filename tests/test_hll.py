@@ -16,6 +16,7 @@ from streamds_spark.operators.hll import (
     hll_merge,
     hll_registers,
 )
+import pytest
 
 
 def _regs_dict(df):
@@ -107,6 +108,7 @@ def test_set_ops_inclusion_exclusion(spark):
     assert 2000 * 0.4 < inter < 2000 * 1.9  # compounded-noise band
 
 
+@pytest.mark.slow
 def test_streaming_register_store(spark, tmp_path):
     """Distinct-user counting over a file stream with a PERSISTED register
     store: every trigger sketches its batch, merges into the store, and the

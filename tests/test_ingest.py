@@ -55,6 +55,7 @@ def warc_dir(tmp_path):
     return str(d)
 
 
+@pytest.mark.slow
 def test_warc_to_documents_end_to_end(spark, warc_dir):
     docs = warc_to_documents(spark, warc_dir).cache()
     by_url = {r["url"]: r for r in docs.collect()}

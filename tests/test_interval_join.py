@@ -37,6 +37,7 @@ def _naive_pairs(left_rows, right_rows, keyed=False):
 
 @pytest.mark.parametrize("bin_size", [1, 7, 64])
 @pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.slow
 def test_matches_naive_cross_join(spark, seed, bin_size):
     lrows = _random_intervals(seed, 60)
     rrows = _random_intervals(seed + 100, 60)

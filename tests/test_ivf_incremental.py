@@ -50,6 +50,7 @@ def _qvec(emb, vid):
     return [float(x) for x in emb.filter(emb.vec_id == vid).first()["embedding"]]
 
 
+@pytest.mark.slow
 def test_incremental_equals_one_shot_from_frozen_centroids(spark, tmp_path):
     emb, parts = _batches(spark)
     inc = str(tmp_path / "inc")
@@ -85,6 +86,7 @@ def test_incremental_equals_one_shot_from_frozen_centroids(spark, tmp_path):
     assert "PartitionFilters" in plan and "list_id" in plan
 
 
+@pytest.mark.slow
 def test_full_width_probe_equals_brute_force(spark, tmp_path):
     """n_probe = n_lists reads every list — the probe must then equal exact
     brute-force cosine top-k (the recall dial's 1.0 endpoint)."""
@@ -107,6 +109,7 @@ def test_full_width_probe_equals_brute_force(spark, tmp_path):
     assert _probe_rows(got) == _probe_rows(brute)
 
 
+@pytest.mark.slow
 def test_recall_dial_and_frozen_centroid_guards(spark, tmp_path):
     emb, parts = _batches(spark)
     inc = str(tmp_path / "inc")
@@ -149,6 +152,7 @@ def test_recall_dial_and_frozen_centroid_guards(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_replay_compaction_and_append_after_compaction(spark, tmp_path):
     emb, parts = _batches(spark)
     inc = str(tmp_path / "inc")
@@ -185,6 +189,7 @@ def test_replay_compaction_and_append_after_compaction(spark, tmp_path):
     ) == after
 
 
+@pytest.mark.slow
 def test_rebuild_retrains_and_preserves_population(spark, tmp_path):
     """ivf_index_rebuild: a fresh store under newly trained centroids holds
     the SAME vector population (full-width probes identical), its meta is

@@ -12,6 +12,7 @@ import pyarrow.parquet as pq
 
 from streamds_spark.registry import load_all
 from streamds_spark.streaming.journeys import journeys_report, run_journeys_stream
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
@@ -35,6 +36,7 @@ def _rows(df):
     return [(r["journey"], r["n_sessions"]) for r in df.collect()]
 
 
+@pytest.mark.slow
 def test_stream_journeys_equals_batch_across_restart(spark, tmp_path):
     src, work = str(tmp_path / "src"), str(tmp_path / "work")
 

@@ -8,6 +8,7 @@ import random
 from pyspark.sql import functions as F
 
 from streamds_spark.operators.kcore import kcore_nodes, kcore_summary
+import pytest
 
 
 def _ref_kcore(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
@@ -55,6 +56,7 @@ def test_kcore_chain_peels_iteratively(spark):
     assert _spark_kcore(spark, path, 2) == {}
 
 
+@pytest.mark.slow
 def test_kcore_fuzz_vs_reference(spark):
     rng = random.Random(7)
     for trial in range(3):
@@ -171,6 +173,7 @@ def test_core_numbers_crafted(spark):
     assert got[0] == 4 and got[10] == 2 and got[21] == 1
 
 
+@pytest.mark.slow
 def test_core_numbers_fuzz_vs_reference(spark):
     from streamds_spark.operators.kcore import core_numbers
 
@@ -218,6 +221,7 @@ def test_core_numbers_round_bound_and_consistency_with_kcore(spark):
         assert {n for n, c in got.items() if c >= k} == want, k
 
 
+@pytest.mark.slow
 def test_core_numbers_active_set_shrinks_and_matches_dense(spark):
     """Round-9 active-set optimization: once the changed fraction drops, the
     iteration must (a) switch to frontier-only recompute, (b) feed strictly

@@ -66,6 +66,7 @@ def test_truss_cascade_to_empty(spark):
     )
 
 
+@pytest.mark.slow
 def test_containment_ladder(spark):
     rng = random.Random(17)
     nodes = list(range(1, 25))

@@ -89,6 +89,7 @@ def test_stream_report_equals_llm_pipeline_v2(spark, drained):
     assert got == want
 
 
+@pytest.mark.slow
 def test_restart_ingests_only_new_unique_docs(spark, drained):
     """Add a 5th file (one exact duplicate of an already-ingested doc under a
     new id, one near-duplicate, one fresh unique doc); restart the stream on
@@ -157,6 +158,7 @@ def test_restart_ingests_only_new_unique_docs(spark, drained):
     assert before_ids <= set(ids)
 
 
+@pytest.mark.slow
 def test_torn_first_attempt_state_is_overwritten(spark, tmp_path):
     """Crash-recovery: pre-plant half-written batch-0 state (no _SUCCESS
     anywhere — a writer killed mid-batch) in all three stores; the stream's
@@ -193,6 +195,7 @@ def test_torn_first_attempt_state_is_overwritten(spark, tmp_path):
         assert os.path.exists(os.path.join(d, "_SUCCESS")), d
 
 
+@pytest.mark.slow
 def test_compaction_preserves_probes_and_replay_noops(spark, tmp_path):
     """compact_stores folds the per-trigger batch dirs into one segment per
     store + merges the corpus appendlog — and NOTHING observable changes:
@@ -268,6 +271,7 @@ def test_compaction_preserves_probes_and_replay_noops(spark, tmp_path):
     assert snapshot() == before
 
 
+@pytest.mark.slow
 def test_stream_chunk_sharing_equals_batch(spark, tmp_path):
     """Sub-document streaming dedup: the gear-CDC chunk store the stream
     builds batch-by-batch yields EXACTLY the batch pipeline's chunk-sharing
@@ -349,6 +353,7 @@ def test_replay_probe_excludes_own_batch_state(tmp_path):
     assert [os.path.basename(p) for p in got] == ["batch=0", "batch=1"]
 
 
+@pytest.mark.slow
 def test_streaming_hll_distinct_estimate(spark, tmp_path):
     """Sketch-backed streaming distinct: per-trigger HLL register tables
     merged at finalize equal the one-pass batch sketch BIT-FOR-BIT (register
@@ -407,6 +412,7 @@ def test_streaming_hll_distinct_estimate(spark, tmp_path):
     assert distinct_docs_estimate(spark, work_dir).first()["est"] == est
 
 
+@pytest.mark.slow
 def test_streaming_hdr_doclen_quantiles(spark, tmp_path):
     """Sketch-backed streaming quantiles: per-trigger HDR register tables
     merged at finalize equal the one-pass batch sketch over the final corpus
@@ -474,6 +480,7 @@ def test_streaming_hdr_doclen_quantiles(spark, tmp_path):
     assert after == {t: tuple(r) for t, r in got.items()}
 
 
+@pytest.mark.slow
 def test_streaming_corpus_sample(spark, tmp_path):
     """Mergeable streaming sample: per-trigger bottom-k stores folded at
     finalize equal a one-pass bottom-k over the whole kept corpus

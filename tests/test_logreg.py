@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from streamds_spark.operators.logreg import hashed_tf, predict_scores, train_logreg
+import pytest
 
 EN = "the cat is in the house and that is fine with me today again"
 DE = "der hund ist nicht mit der katze und das ist auch gut heute"
@@ -19,6 +20,7 @@ def _corpus(spark, n=30):
     return spark.createDataFrame(rows, "doc_id long, text string, y int")
 
 
+@pytest.mark.slow
 def test_loss_decreases_and_separates(spark):
     corpus = _corpus(spark)
     feats = hashed_tf(corpus).cache()
@@ -34,6 +36,7 @@ def test_loss_decreases_and_separates(spark):
     assert acc == 1.0  # fully separable by stopword families
 
 
+@pytest.mark.slow
 def test_training_is_deterministic(spark):
     corpus = _corpus(spark, n=10)
     feats = hashed_tf(corpus).cache()
@@ -43,6 +46,7 @@ def test_training_is_deterministic(spark):
     assert l1 == l2 and w1 == w2
 
 
+@pytest.mark.slow
 def test_bias_only_model_learns_base_rate(spark):
     # one doc class, empty-ish features: probability should move toward 1
     corpus = spark.createDataFrame(

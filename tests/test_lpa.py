@@ -46,6 +46,7 @@ def test_two_cliques_with_bridge(spark):
     assert sum(s for _c, s in sizes) == 10
 
 
+@pytest.mark.slow
 def test_fuzz_matches_python_replay(spark):
     """Random graphs x several round budgets: the Spark labeling equals the
     pure-Python synchronous replay node-for-node (total determinism)."""
@@ -83,6 +84,7 @@ def test_determinism_and_validation(spark):
     assert sorted(tuple(r) for r in label_propagation(dup, 4).collect()) == a
 
 
+@pytest.mark.slow
 def test_bipartite_oscillation(spark):
     """The documented synchronous-LPA failure mode (Raghavan et al. 2007):
     on a 4-cycle (the smallest bipartite-ish structure) the labeling
@@ -113,6 +115,7 @@ def test_bipartite_oscillation(spark):
     assert lab(2) != lab(3)
 
 
+@pytest.mark.slow
 def test_convergence_census_matches_label_propagation(spark):
     """The census's per-round labeling is the SAME trajectory
     label_propagation walks: n_communities at round r equals the distinct

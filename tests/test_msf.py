@@ -8,6 +8,7 @@ from __future__ import annotations
 import random
 
 from streamds_spark.operators.msf import minimum_spanning_forest
+import pytest
 
 
 def _kruskal(nodes, edges):
@@ -28,6 +29,7 @@ def _kruskal(nodes, edges):
     return out
 
 
+@pytest.mark.slow
 def test_fuzz_vs_kruskal(spark):
     rng = random.Random(42)
     for trial in range(3):

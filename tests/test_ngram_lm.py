@@ -160,6 +160,7 @@ def test_save_load_roundtrip(spark, model, tmp_path):
     assert before == after
 
 
+@pytest.mark.slow
 def test_stream_scoring_equals_batch(spark, model, tmp_path):
     """Train once, score continuously: a file stream scored against the
     persisted model in foreachBatch lands on exactly the batch scores."""
@@ -210,6 +211,7 @@ def test_stream_scoring_equals_batch(spark, model, tmp_path):
     assert streamed == batch
 
 
+@pytest.mark.slow
 def test_stream_static_join_transform(spark, model, tmp_path):
     """kn_score_stream: the direct stream-static append-mode transform (no
     foreachBatch) produces the batch per-bigram probabilities."""

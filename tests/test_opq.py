@@ -60,6 +60,7 @@ def test_rotation_is_orthonormal_and_distance_preserving(spark):
     assert np.allclose(q, rot[ids[0]], atol=1e-8)
 
 
+@pytest.mark.slow
 def test_opq_halves_pq_distortion_on_anisotropic_data(spark):
     """OPQ's objective is quantization distortion (Ge et al. eq. 1): on
     anisotropic vectors the rotated space must train codebooks with well

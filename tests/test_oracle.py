@@ -27,6 +27,7 @@ def oracle_con():
 
 
 @pytest.mark.parametrize("name", sorted(SPECS))
+@pytest.mark.slow
 def test_query_matches_oracle(spark, oracle_con, name):
     spec = SPECS[name]
     df = spec.fn(spark, SF_DIR)

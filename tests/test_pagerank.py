@@ -5,6 +5,7 @@ from __future__ import annotations
 import numpy as np
 
 from streamds_spark.operators.pagerank import pagerank
+import pytest
 
 EDGES = [(0, 1), (1, 2), (2, 0), (2, 1), (3, 2), (0, 2)]  # node 3: no in-edges; no dangling? 3 has out-edge
 N = 4
@@ -28,6 +29,7 @@ def _numpy_pagerank():
     return {n: r[idx[n]] for n in nodes}
 
 
+@pytest.mark.slow
 def test_pagerank_matches_power_iteration(spark):
     edges = spark.createDataFrame(EDGES, ["src", "dst"])
     got = {r["node"]: r["rank"] for r in pagerank(edges, DAMPING, ITERS).collect()}
@@ -39,6 +41,7 @@ def test_pagerank_matches_power_iteration(spark):
     assert max(got, key=got.get) == 2
 
 
+@pytest.mark.slow
 def test_pagerank_with_dangling_node(spark):
     # 0→1, 1 has no out-edges (dangling): mass must redistribute, not vanish
     edges = spark.createDataFrame([(0, 1)], ["src", "dst"])
@@ -81,6 +84,7 @@ def test_fixed_point_matches_python_replay_exactly(spark):
     assert got == _py_fixed_point(both)
 
 
+@pytest.mark.slow
 def test_fixed_point_tracks_float_pagerank(spark):
     """Truncation error stays negligible: fixed-point ranks, rescaled, agree
     with the float pagerank (same undirected graph, same iterations) to

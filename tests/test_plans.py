@@ -160,6 +160,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
 }
 
 
+@pytest.mark.slow
 def test_no_new_global_windows(spark):
     """Repo-wide scale guard: sweep EVERY registered query's optimized plan and
     fail if an unpartitioned window appears outside the explicit allowlist.

@@ -202,6 +202,7 @@ def test_ivfpq_recall_vs_bruteforce(spark, ivfpq_index):
     assert rr_hits >= adc_hits, "exact rerank must not lose recall vs raw ADC"
 
 
+@pytest.mark.slow
 def test_ivfpq_append_batch_and_streaming_ingest(spark, tmp_path):
     """Index maintenance: append-mode ingest (batch AND foreachBatch
     streaming) must make new vectors probe-visible with codes identical to a
@@ -261,6 +262,7 @@ def test_ivfpq_append_batch_and_streaming_ingest(spark, tmp_path):
     assert top2[0]["vec_id"] == 190
 
 
+@pytest.mark.slow
 def test_ivfpq_build_accepts_nondefault_id_col(spark, tmp_path):
     """ADVICE r3: encode_pq aliases the id to vec_id while the listed join
     used the caller's id_col — any id_col != 'vec_id' raised

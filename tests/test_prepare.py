@@ -10,6 +10,7 @@ import json
 from pyspark.sql import functions as F
 
 from streamds_spark.pipeline import pack_tokenized, prepare_corpus
+import pytest
 
 
 def _mk_docs(spark, path, n=30):
@@ -30,6 +31,7 @@ def _mk_docs(spark, path, n=30):
     return df
 
 
+@pytest.mark.slow
 def test_prepare_end_to_end(spark, tmp_path):
     src = str(tmp_path / "raw")
     bench = str(tmp_path / "bench")
@@ -65,6 +67,7 @@ def test_prepare_end_to_end(spark, tmp_path):
     assert model["algo"] == "bpe" and model["merges"]
 
 
+@pytest.mark.slow
 def test_resume_skips_completed_stages(spark, tmp_path):
     """resume=True reads existing stage outputs instead of recomputing:
     upstream stage files keep their mtimes, a deleted downstream stage is
@@ -124,6 +127,7 @@ def test_pack_budget_invariant(spark):
     assert packed.count() == 200
 
 
+@pytest.mark.slow
 def test_cli_prepare_verb(spark, tmp_path, capsys):
     src = str(tmp_path / "raw")
     out = str(tmp_path / "out")
@@ -143,6 +147,7 @@ def test_cli_prepare_verb(spark, tmp_path, capsys):
         main(["prepare", src, f"{src}/nested"])
 
 
+@pytest.mark.slow
 def test_kill_mid_stage_resume_recomputes_only_torn_stage(spark, tmp_path, monkeypatch):
     """Kill the pipeline INSIDE stage 02 (writer dies mid-write, torn parquet
     on disk, no _SUCCESS): the resume=True rerun must read stage 01 instead

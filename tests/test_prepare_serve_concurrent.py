@@ -17,6 +17,7 @@ import json
 import os
 import subprocess
 import sys
+import pytest
 
 _SCRIPT = r"""
 import json, sys, threading, time
@@ -31,6 +32,7 @@ sc.setLogLevel("ERROR")
 
 from streamds_spark.pipeline import prepare_corpus
 from streamds_spark.server import QueryServer, request
+import pytest
 
 SF = "/root/testdata/sf0.01"
 server = QueryServer(spark, SF)
@@ -135,6 +137,7 @@ spark.stop()
 """
 
 
+@pytest.mark.slow
 def test_prepare_and_serve_share_one_session(tmp_path):
     alloc = str(tmp_path / "pools.xml")
     out_dir = str(tmp_path / "prep")

@@ -48,6 +48,7 @@ def _duck(rows):
 
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
 @given(rows=rows_strategy)
+@pytest.mark.slow
 def test_filter_group_agg_agreement(spark, rows):
     from pyspark.sql import functions as F
 
@@ -70,6 +71,7 @@ def test_filter_group_agg_agreement(spark, rows):
 
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
 @given(rows=rows_strategy)
+@pytest.mark.slow
 def test_distinct_and_setops_agreement(spark, rows):
     df = _spark_df(spark, rows)
     got = {tuple(r) for r in df.select("c", "k").distinct().collect()}
@@ -80,6 +82,7 @@ def test_distinct_and_setops_agreement(spark, rows):
 
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(rows=rows_strategy, rows2=rows_strategy)
+@pytest.mark.slow
 def test_join_agreement(spark, rows, rows2):
     from pyspark.sql import functions as F
 
@@ -101,6 +104,7 @@ def test_join_agreement(spark, rows, rows2):
 
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(rows=rows_strategy)
+@pytest.mark.slow
 def test_window_rank_agreement(spark, rows):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -122,6 +126,7 @@ def test_window_rank_agreement(spark, rows):
 
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(rows=rows_strategy)
+@pytest.mark.slow
 def test_rollup_agreement(spark, rows):
     """ROLLUP null-group semantics must agree across engines."""
     from pyspark.sql import functions as F
@@ -150,6 +155,7 @@ def test_rollup_agreement(spark, rows):
 
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(rows=rows_strategy, rows2=rows_strategy)
+@pytest.mark.slow
 def test_setops_agreement(spark, rows, rows2):
     a = _spark_df(spark, rows).select("k", "c")
     b = _spark_df(spark, rows2).select("k", "c")
@@ -238,6 +244,7 @@ _pii_text = st.lists(
 
 @settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
 @given(texts=st.lists(_pii_text, min_size=1, max_size=8))
+@pytest.mark.slow
 def test_pii_regex_parity(spark, texts):
     from streamds_spark.queries.llmdata.redaction import EMAIL_RE, IP_RE
 
@@ -291,6 +298,7 @@ _asof_right = st.sets(
 
 @settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
 @given(lrows=_asof_left, rrows=_asof_right)
+@pytest.mark.slow
 def test_asof_join_agreement(spark, lrows, rrows):
     from streamds_spark.operators.asof import asof_join
 

@@ -9,6 +9,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
+import pytest
 
 
 # -- skew_aware_join == plain join, any distribution, any knobs -------------
@@ -29,6 +30,7 @@ _DISTS = st.lists(
     threshold=st.sampled_from([0, 2, 10_000]),
     how=st.sampled_from(["inner", "left"]),
 )
+@pytest.mark.slow
 def test_skew_aware_join_always_equals_plain_join(
     spark, dist, dim_keys, threshold, how
 ):
@@ -71,6 +73,7 @@ _OPS = st.lists(
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(ops=_OPS)
+@pytest.mark.slow
 def test_appendlog_ledger_model(spark, ops, tmp_path_factory):
     """Whatever the interleaving of plain appends, batch appends, txn appends,
     txn REPLAYS (which supersede their batch's earlier content), and merges:

@@ -33,6 +33,7 @@ def _ref_ranks(spark, df, order_cols):
         "tiny",  # fewer rows than buckets
     ],
 )
+@pytest.mark.slow
 def test_with_global_rank_matches_global_window(spark, values):
     rng = random.Random(42)
     n = {"uniform": 500, "ties": 400, "skew": 300, "tiny": 3}[values]
@@ -59,6 +60,7 @@ def test_with_global_rank_plan_has_no_global_window(spark):
 
 
 @pytest.mark.parametrize("n_rows,n_buckets", [(500, 5), (499, 5), (17, 4), (3, 5), (5, 5)])
+@pytest.mark.slow
 def test_ntile_from_rank_matches_ntile(spark, n_rows, n_buckets):
     rng = random.Random(7)
     rows = [Row(id=i, v=rng.uniform(0, 100)) for i in range(n_rows)]

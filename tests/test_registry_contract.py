@@ -25,6 +25,7 @@ _COMPLEX = (T.ArrayType, T.MapType, T.StructType)
 
 
 @pytest.mark.parametrize("name", sorted(SPECS))
+@pytest.mark.slow
 def test_no_complex_toplevel_output_columns(spark, name):
     spec = SPECS[name]
     if spec.oracle is None:

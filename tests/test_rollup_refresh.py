@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from streamds_spark.operators.rollup_refresh import aggregate_delta, refresh_rollup
+import pytest
 
 AGGS = {
     "n": ("count", "*"),
@@ -19,6 +20,7 @@ def _rows(df):
     return sorted(map(tuple, df.collect()))
 
 
+@pytest.mark.slow
 def test_incremental_refresh_equals_full_recompute(spark):
     data = [
         ("a", 10), ("a", 5), ("b", 7),          # batch 1

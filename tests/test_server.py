@@ -13,6 +13,7 @@ import threading
 
 from streamds_spark.registry import load_all
 from streamds_spark.server import request, start_server
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
@@ -220,6 +221,7 @@ def test_eight_client_mixed_soak(spark):
         server.server_close()
 
 
+@pytest.mark.slow
 def test_cli_serve_smoke(tmp_path):
     """The CLI verb binds, prints the port, serves one request, and exits
     when stdin closes."""
@@ -356,6 +358,7 @@ def test_cancel_verb_kills_tagged_request(spark):
         server.server_close()
 
 
+@pytest.mark.slow
 def test_pipeline_status_over_socket(spark, tmp_path):
     """The server can watch the RUNNING ingest pipeline (reference leader's
     console relay): pipeline_status reports batch counts/frontier advancing

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from streamds_spark.catalog import load_table
 from streamds_spark.operators.ann import ann_probe_topk, build_ann_index, load_index_meta
 from streamds_spark.server import request, start_server
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
@@ -108,6 +109,7 @@ def test_probe_still_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan
 
 
+@pytest.mark.slow
 def test_incremental_index_served(spark, tmp_path):
     """kind 'lsh-inc' serves the STREAM-MAINTAINED index: responses equal a
     direct ann_index_probe and the one-shot-index serving path for the same
@@ -158,6 +160,7 @@ def test_incremental_index_served(spark, tmp_path):
         server.server_close()
 
 
+@pytest.mark.slow
 def test_incremental_ivf_index_served(spark, tmp_path):
     """kind 'ivf-inc' serves the stream-maintained IVF index: responses
     equal a direct ivf_index_probe, the full-width probe equals brute

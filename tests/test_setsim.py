@@ -28,6 +28,7 @@ def _brute(sets, tau_num, tau_den):
     return out
 
 
+@pytest.mark.slow
 def test_fuzz_matches_bruteforce(spark):
     rng = random.Random(7)
     vocab = [f"t{i}" for i in range(40)]

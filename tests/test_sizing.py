@@ -60,7 +60,10 @@ def test_operator_dials_import_shared_values():
 
     gib = 1 << 30
     assert _auto_stripes(2_392_000, 8 * gib) == 1
-    assert _auto_stripes(23_920_000, 8 * gib) == 8
+    # round 12: packed-layout calibration (192M cells/GiB) — the x10 soak
+    # completes unstriped; striping engages a decade later (see test_anf)
+    assert _auto_stripes(23_920_000, 8 * gib) == 1
+    assert _auto_stripes(239_200_000, 8 * gib) == 10
     assert _auto_partitions(1_196_000, 32) == 32
     assert _auto_partitions(11_960_000, 32) == 299
     assert _auto_partitions(10**9, 32) == 4096

@@ -349,6 +349,7 @@ def test_streaming_equals_batch_on_events_table(spark, tmp_path):
 
 
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.1"])
+@pytest.mark.slow
 def test_streaming_sessions_equal_batch_sessionize(spark, tmp_path, sf):
     """Streaming session_window over the REAL events table must produce the
     batch sessionization answer (session_window_native, itself hash-checked
@@ -494,6 +495,7 @@ def test_midstream_kill_and_recover(spark, tmp_path):
     assert final == dict(golden)
 
 
+@pytest.mark.slow
 def test_streaming_incremental_dedup_against_store(spark, tmp_path):
     """Continuous-ingest dedup: each micro-batch probes the persisted bucket
     store, drops near-dups of everything already accepted (including docs
@@ -620,6 +622,7 @@ def test_chained_streaming_window_aggregations(spark, tmp_path):
     assert got == {"2024-01-01 00:00:00": 4, "2024-01-01 00:10:00": 1}
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join(spark, tmp_path):
     """Watermarked stream-stream interval join (click->purchase attribution)
     equals the batch join with the same time-bound condition."""

@@ -12,6 +12,7 @@ import os
 from pyspark.sql import functions as F
 
 from streamds_spark.streaming.engine import foreach_batch_parquet, streaming_dedup
+import pytest
 
 
 def _write(src: str, name: str, rows: list[tuple[str, str, int]]) -> None:
@@ -51,6 +52,7 @@ def _emitted(spark, out: str) -> list[tuple[str, int]]:
     return rows
 
 
+@pytest.mark.slow
 def test_dedup_absorbs_within_horizon_and_reemits_after_eviction(spark, tmp_path):
     src, ckpt, out = (str(tmp_path / d) for d in ("in", "ckpt", "out"))
     os.makedirs(src)

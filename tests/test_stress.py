@@ -7,6 +7,7 @@ import collections
 import random
 
 from streamds_spark.operators.stress import _pivots, stress_centrality_topk
+import pytest
 
 
 def _brute(edge_list, pivots):
@@ -55,6 +56,7 @@ def _got(spark, edge_list, pivots=4, k=100):
     }
 
 
+@pytest.mark.slow
 def test_path_and_star_shapes(spark):
     """On a path every interior node relays the endpoint pivots' paths; on a
     star every leaf-to-leaf shortest path routes through the center."""
@@ -71,6 +73,7 @@ def test_path_and_star_shapes(spark):
     assert all(got[i] == 0 for i in range(1, 7) if i in got)
 
 
+@pytest.mark.slow
 def test_fuzz_matches_path_enumeration(spark):
     rng = random.Random(17)
     for trial in range(3):
@@ -92,6 +95,7 @@ def test_fuzz_matches_path_enumeration(spark):
         assert got == {n: want.get(n, 0) for n in got}, (trial, piv)
 
 
+@pytest.mark.slow
 def test_determinism_ordering_and_empty(spark):
     es = [(1, 2), (2, 3), (3, 4), (2, 4), (4, 5)]
     a = [tuple(r) for r in stress_centrality_topk(
@@ -107,6 +111,7 @@ def test_determinism_ordering_and_empty(spark):
     assert stress_centrality_topk(empty, k=5).count() == 0
 
 
+@pytest.mark.slow
 def test_eccentricity_exactly_max_iter_accepted(spark):
     """Exhaustion is confirmed by one empty expansion: an eccentricity of
     exactly max_iter must be accepted (extra probe iteration), one beyond

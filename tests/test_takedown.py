@@ -47,6 +47,7 @@ def drained(spark, tmp_path_factory):
     return src_dir, work_dir
 
 
+@pytest.mark.slow
 def test_pipeline_takedown_lifecycle(spark, drained):
     """The full story on one work dir: delete -> every reader excludes ->
     re-ingestion of the freed content is kept -> compaction folds physically
@@ -230,6 +231,7 @@ def test_pipeline_takedown_lifecycle(spark, drained):
     assert got_q == want_q
 
 
+@pytest.mark.slow
 def test_sample_guard_refuses_overexposed_k(spark, drained):
     """Deleting rows out of the stored samples exposes the unstored tail:
     corpus_sample must refuse k beyond SAMPLE_K - hits instead of silently
@@ -252,6 +254,7 @@ def test_sample_guard_refuses_overexposed_k(spark, drained):
     assert corpus_sample(spark, work_dir, k=SAMPLE_K).count() > 0
 
 
+@pytest.mark.slow
 def test_conservative_fold_after_keeps_tombstones_alive(spark, tmp_path):
     """Without quiesced=True the tombstone's replay frontier is frontier+1,
     which a fold at the durable frontier does NOT cover: the tombstone must
@@ -350,6 +353,7 @@ def test_appendlog_delete_invalidates_result_cache(spark, tmp_path):
     assert {(r["v"], r["n"]) for r in c.df.collect()} == post
 
 
+@pytest.mark.slow
 def test_ann_delete_vectors_probe_and_compaction(spark, tmp_path):
     """Hyperplane incremental index: delete_vectors -> probe excludes
     immediately; compaction folds physically and reclaims the tombstone on
@@ -393,6 +397,7 @@ def test_ann_delete_vectors_probe_and_compaction(spark, tmp_path):
     ] == [r["vec_id"] for r in after]
 
 
+@pytest.mark.slow
 def test_ivf_delete_vectors_and_rebuild(spark, tmp_path):
     """IVF twin: probe excludes tombstoned ids, and ivf_index_rebuild trains
     the fresh store from the post-delete view only."""
@@ -458,6 +463,7 @@ def test_tombstone_store_unit(spark, tmp_path):
     ) == [0, 1, 2, 5, 6, 7]
 
 
+@pytest.mark.slow
 def test_erosion_counts_only_rows_this_fold_removes(spark, tmp_path):
     """A tombstoned key whose sample rows live ABOVE the fold frontier must
     NOT bump erosion (its rows survive and stay suppressed-live) — counting
@@ -490,6 +496,7 @@ def test_erosion_counts_only_rows_this_fold_removes(spark, tmp_path):
     assert _sample_erosion(store) == 1
 
 
+@pytest.mark.slow
 def test_takedown_surface_cli_and_server(spark, drained, tmp_path):
     """The operational takedown surface (round 10): the default server is
     read-only and REFUSES the takedown verb even with a pipeline attached
@@ -588,6 +595,7 @@ def test_takedown_surface_cli_and_server(spark, drained, tmp_path):
         cli_main(["takedown", work_dir, "1", "--rebuild-sketches"])
 
 
+@pytest.mark.slow
 def test_takedown_cascades_into_registered_views(spark, tmp_path):
     """Round-11 brief item 1: views registered against a pipeline work dir
     (views.json) are consulted by delete_docs — subtractable specs get the
@@ -693,6 +701,7 @@ def test_takedown_cascades_into_registered_views(spark, tmp_path):
     assert set(vws.registered_views(work_dir)) == {"by_source", "max_by_lang"}
 
 
+@pytest.mark.slow
 def test_server_takedown_quiesced_cross_check(spark, drained, tmp_path):
     """ADVICE r10: the server must not trust the client's quiesced=true
     verbatim — with ANY active streaming query on the session the call is
@@ -744,6 +753,7 @@ def test_server_takedown_quiesced_cross_check(spark, drained, tmp_path):
         rw.server_close()
 
 
+@pytest.mark.slow
 def test_cascade_rerun_and_broken_spec(spark, tmp_path):
     """Review-wave pins: (1) delete_docs' documented re-run-after-partial-
     failure safety extends to the view cascade — the delta dir is named by
@@ -825,6 +835,7 @@ def test_cascade_rerun_and_broken_spec(spark, tmp_path):
     assert tok2.split("delta:", 1)[1] not in deltas_before
 
 
+@pytest.mark.slow
 def test_pipeline_maintains_registered_views(spark, tmp_path):
     """The operational loop closes (round 11): a view registered BEFORE the
     corpus stream starts is maintained BY the pipeline — after draining,

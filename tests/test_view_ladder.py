@@ -98,6 +98,7 @@ def test_ladder_stream_equals_batch(spark, tmp_path):
     assert _rows(view_report(spark, work_dir, spec)) == want
 
 
+@pytest.mark.slow
 def test_ladder_takedown_subtracts_exactly(spark, tmp_path):
     """Deleting the recorded extreme promotes the runner-up from the
     ladder — the report equals the batch recount over the remaining rows
@@ -125,6 +126,7 @@ def test_ladder_takedown_subtracts_exactly(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_ladder_duplicate_value_counts(spark, tmp_path):
     """Counts, not presence: deleting ONE of two rows sharing the minimum
     value must keep the min (the other row still holds it)."""
@@ -137,6 +139,7 @@ def test_ladder_duplicate_value_counts(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_ladder_exhaustion_refused_atomically(spark, tmp_path):
     """A takedown that eats past a key's recorded runner-ups refuses
     BEFORE writing anything (store unchanged, no delta dir), names
@@ -161,6 +164,7 @@ def test_ladder_exhaustion_refused_atomically(spark, tmp_path):
     assert _rows(view_report(spark, work_dir, spec)) == [("a", 4)]
 
 
+@pytest.mark.slow
 def test_ladder_exhaustion_compounds_across_deltas(spark, tmp_path):
     """The pre-check simulates against PRIOR deltas too: two takedowns that
     are individually fine but jointly exhaust the ladder — the second one
@@ -178,6 +182,7 @@ def test_ladder_exhaustion_compounds_across_deltas(spark, tmp_path):
     assert _rows(view_report(spark, work_dir, spec)) == [("a", 2)]
 
 
+@pytest.mark.slow
 def test_ladder_full_coverage_never_exhausts(spark, tmp_path):
     """Keys whose distinct count stayed within ladder_j have NULL bounds —
     full coverage: even deleting EVERY recorded value is exact (the key
@@ -191,6 +196,7 @@ def test_ladder_full_coverage_never_exhausts(spark, tmp_path):
     assert _rows(view_report(spark, work_dir, SPEC)) == _want(spark, [("b", 5)])
 
 
+@pytest.mark.slow
 def test_ladder_null_values_and_null_keys(spark, tmp_path):
     """All-NULL columns report NULL min/max (not exhaustion); a NULL key
     is a real group end to end (the eqNullSafe join discipline)."""
@@ -210,6 +216,7 @@ def test_ladder_null_values_and_null_keys(spark, tmp_path):
     assert got == {"a": (None, None, 2), None: (9, 9, 1)}
 
 
+@pytest.mark.slow
 def test_ladder_token_rerun_is_idempotent(spark, tmp_path):
     """A same-token re-run rewrites the SAME delta dir (no
     double-subtraction), and the pre-check excludes the dir being
@@ -227,6 +234,7 @@ def test_ladder_token_rerun_is_idempotent(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_ladder_cascade_dispositions(spark, tmp_path):
     """Registered ladder views ride the delete_docs cascade: a
     subtractable takedown lands a delta; an exhausting one converts the
@@ -266,6 +274,7 @@ def test_ladder_spec_validation_and_roundtrip(spark):
     assert spec_from_dict(spec_to_dict(spec)) == spec
 
 
+@pytest.mark.slow
 def test_ladder_composes_with_other_kinds(spark, tmp_path):
     """One spec mixing ladder, avg, and pNN kinds: every derived column
     folds correctly through a shared takedown."""
@@ -288,6 +297,7 @@ def test_ladder_composes_with_other_kinds(spark, tmp_path):
     assert r[0]["lo"] == 2 and r[0]["m"] == 3.0 and r[0]["p50"] is not None
 
 
+@pytest.mark.slow
 def test_ladder_delete_heals_interrupted_rebuild_first(spark, tmp_path):
     """delete_from_view is a writing caller: it completes a crashed
     rebuild's install BEFORE simulating exhaustion, so the pre-check

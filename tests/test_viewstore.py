@@ -150,6 +150,7 @@ def _mk(spark, rows):
     return spark.createDataFrame(rows, "k string, v bigint")
 
 
+@pytest.mark.slow
 def test_takedown_sum_count_exact_before_and_after_compaction(spark, tmp_path):
     """delete_from_view writes one negative-delta dir; the fold excludes the
     deleted rows' contribution exactly — before compaction, after a replay
@@ -420,6 +421,7 @@ def test_interrupted_rebuild_self_heals(spark, tmp_path):
     assert rows == {"a": 1}
 
 
+@pytest.mark.slow
 def test_pnn_quantiles_fold_stream_and_exact_delete(spark, tmp_path):
     """pNN quantile aggregates: per-key HDR histogram partials fold to the
     batch sketch exactly, the streamed view equals the one-shot batch view,
@@ -488,6 +490,7 @@ def test_pnn_quantiles_fold_stream_and_exact_delete(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_pnn_nullable_key_group(spark):
     """A view keyed on a NULLABLE column: groupBy treats NULL as a real
     group, so the pNN histogram attach and the read-time quantile join must

@@ -35,6 +35,7 @@ def _write_docs(spark, tmp_out, rows):
 
 
 class TestGopher:
+    @pytest.mark.slow
     def test_clean_doc_keeps(self, spark, tmp_out):
         sf = _write_docs(spark, tmp_out, [GOOD_BODY])
         row = gopher_quality_flags(spark, sf).collect()[0]
@@ -43,11 +44,13 @@ class TestGopher:
         assert row.alpha_word_frac == 1.0
         assert row.gopher_keep is True
 
+    @pytest.mark.slow
     def test_too_short_rejected(self, spark, tmp_out):
         sf = _write_docs(spark, tmp_out, ["too short to pass the fifty word gate"])
         row = gopher_quality_flags(spark, sf).collect()[0]
         assert row.n_words < 50 and row.gopher_keep is False
 
+    @pytest.mark.slow
     def test_duplicate_lines_rejected(self, spark, tmp_out):
         dup_line = "this exact line repeats many times in the page."
         text = GOOD_BODY + "\n" + "\n".join([dup_line] * 10)
@@ -58,6 +61,7 @@ class TestGopher:
         assert row.dup_line_char_frac > GOPHER_THRESHOLDS["max_dup_line_char_frac"]
         assert row.gopher_keep is False
 
+    @pytest.mark.slow
     def test_repeated_ngram_rejected(self, spark, tmp_out):
         text = GOOD_BODY + " " + ("click here to buy now " * 30)
         sf = _write_docs(spark, tmp_out, [text])
@@ -65,12 +69,14 @@ class TestGopher:
         assert row.dup5gram_char_frac > GOPHER_THRESHOLDS["max_dup5gram_char_frac"]
         assert row.gopher_keep is False
 
+    @pytest.mark.slow
     def test_bullet_lines_rejected(self, spark, tmp_out):
         bullets = "\n".join(f"- item number {i} in the list" for i in range(20))
         sf = _write_docs(spark, tmp_out, [bullets])
         row = gopher_quality_flags(spark, sf).collect()[0]
         assert row.bullet_line_frac == 1.0 and row.gopher_keep is False
 
+    @pytest.mark.slow
     def test_symbol_ratio(self, spark, tmp_out):
         text = "see more ... and more ... # tags # everywhere # now"
         sf = _write_docs(spark, tmp_out, [text])
@@ -78,6 +84,7 @@ class TestGopher:
         # 2 ellipses + 3 hashes over 12 whitespace tokens
         assert row.symbol_word_ratio == round(5 / 12, 4)
 
+    @pytest.mark.slow
     def test_no_alpha_words(self, spark, tmp_out):
         sf = _write_docs(spark, tmp_out, ["12 34 56 78 90 11 22 33"])
         row = gopher_quality_flags(spark, sf).collect()[0]
@@ -85,6 +92,7 @@ class TestGopher:
 
 
 class TestC4:
+    @pytest.mark.slow
     def test_line_rules(self, spark, tmp_out):
         text = "\n".join(
             [
@@ -104,6 +112,7 @@ class TestC4:
         assert row.cleaned_chars == len("\n".join(kept))
 
     @pytest.mark.parametrize("poison", ["some Lorem Ipsum filler text.", "code { display }"])
+    @pytest.mark.slow
     def test_page_drops(self, spark, tmp_out, poison):
         sf = _write_docs(spark, tmp_out, ["A good line stays here.\n" + poison])
         row = c4_line_filter(spark, sf).collect()[0]
@@ -112,6 +121,7 @@ class TestC4:
 
 
 class TestMojibake:
+    @pytest.mark.slow
     def test_detects_double_decode(self, spark, tmp_out):
         sf = _write_docs(
             spark,
@@ -128,6 +138,7 @@ class TestMojibake:
         assert rows[2].replacement_chars == 2 and rows[2].is_suspect is True
 
 
+@pytest.mark.slow
 def test_c4_columns_stream_equals_batch(spark, tmp_out):
     """The C4 expressions are stateless Catalyst columns, so the exact same
     c4_stat_columns() list runs on readStream — filter-at-ingest and
@@ -168,6 +179,7 @@ def test_c4_columns_stream_equals_batch(spark, tmp_out):
 
 
 class TestScriptProfile:
+    @pytest.mark.slow
     def test_script_fractions(self, spark, tmp_out):
         # 10 latin letters + 2 spaces + 4 CJK chars
         sf = _write_docs(spark, tmp_out, ["hello world 你好世界 42"])

@@ -16,12 +16,14 @@ import json
 import os
 import subprocess
 import sys
+import pytest
 
 _SCRIPT = r"""
 import json, sys, threading, time
 
 alloc = sys.argv[1] if sys.argv[1] != "none" else None
 from streamds_spark.session import get_spark, scheduler_pool, write_allocation_file
+import pytest
 
 if alloc:
     write_allocation_file(alloc, {"gold": (8, 0), "bronze": (1, 0)})
@@ -106,6 +108,7 @@ def _run_scenario(tmp_path, weighted: bool) -> dict:
     raise AssertionError(f"no RESULT line:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
+@pytest.mark.slow
 def test_weighted_pools_bound_heavy_tenant(tmp_path):
     r = _run_scenario(tmp_path, weighted=True)
     # the allocation file materialized the pools with their weights at init
@@ -116,6 +119,7 @@ def test_weighted_pools_bound_heavy_tenant(tmp_path):
     assert r["gold_avg"] >= 2.0 * r["bronze_avg"], r
 
 
+@pytest.mark.slow
 def test_unweighted_pools_share_equally(tmp_path):
     r = _run_scenario(tmp_path, weighted=False)
     # on-demand pools at default weight 1 (nothing preconfigured)
@@ -127,6 +131,7 @@ def test_unweighted_pools_share_equally(tmp_path):
     assert 1 / 3 <= ratio <= 3, r
 
 
+@pytest.mark.slow
 def test_cli_serve_with_weighted_pools():
     """`serve --pools gold=8,bronze=1` builds the session with the allocation
     file and serves requests routed to a named weighted pool."""
